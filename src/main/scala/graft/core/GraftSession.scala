@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * The settings are chosen for correctness-parity with the reference
+  * (zlovtnik/rclabsAPI) and for scale-out behavior:
+  *
+  *   - UTC session time zone: the reference always formats/parses UTC
+  *     (reference: src/etl_job_repository.cpp:486-504).
+  *   - ANSI off: the reference's stringly-typed transforms fall back to
+  *     the original value on parse failure
+  *     (reference: src/data_transformer.cpp:165-170); permissive casts +
+  *     explicit try_* functions reproduce that without runtime errors.
+  *   - AQE on (coalesce + skew join): on a real cluster the optimizer
+  *     re-plans shuffle partition counts and splits skewed partitions at
+  *     runtime — essential at 100 TB where static partition counts are
+  *     always wrong for someone.
+  *   - shuffle.partitions defaults to the local core count; on a cluster
+  *     this would be ~2-3x total executor cores (AQE coalesces down).
+  */
+object GraftSession {
+
+  val DefaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft", cpus: String = DefaultCpus): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType
+      // (micros) cannot hold; read as Long nanos and convert in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply the semantics-critical settings to an externally-built session
+    * (e.g. the driver's). Runtime confs only — safe post-construction. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}
