@@ -14,7 +14,8 @@ import graft.core.{GraftSession, QueryDef, Tables}
 object SparkEntry {
 
   private def modules: Seq[Map[String, QueryDef]] = Seq(
-    graft.queries.Relational.entries
+    graft.queries.Relational.entries,
+    graft.queries.RuleQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)
