@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     graft.queries.Relational.entries,
-    graft.queries.RuleQueries.entries
+    graft.queries.RuleQueries.entries,
+    graft.queries.MetricsQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

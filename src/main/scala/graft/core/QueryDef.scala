@@ -14,7 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - dates/timestamps are emitted as formatted strings (events.ts is
   *     nanosecond-precision parquet which Spark truncates to micros);
   *   - no floating-point values produced by cross-row accumulation are
-  *     compared raw.
+  *     compared raw;
+  *   - no `round()` on doubles: Spark rounds the shortest decimal
+  *     rendering (BigDecimal.valueOf) while DuckDB rounds the binary
+  *     value — e.g. x/100 = 1035.0075 rounds to .008 vs .007.
   */
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,

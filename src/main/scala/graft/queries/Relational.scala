@@ -88,7 +88,7 @@ object Relational {
         |       o_totalprice * 1.1 AS gross_price,
         |       CASE WHEN o_orderstatus = 'O'
         |            THEN NULL ELSE o_totalprice END AS settled_price,
-        |       ROUND(o_totalprice / 100.0, 3) AS price_rate
+        |       o_totalprice / 100.0 AS price_rate
         |FROM orders
         |ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, dir) =>
       Tables(s, dir).orders
@@ -96,7 +96,7 @@ object Relational {
           (col("o_totalprice") * lit(1.1)).as("gross_price"),
           when(col("o_orderstatus") === "O", lit(null))
             .otherwise(col("o_totalprice")).as("settled_price"),
-          round(col("o_totalprice") / lit(100.0), 3).as("price_rate"))
+          (col("o_totalprice") / lit(100.0)).as("price_rate"))
         .orderBy(col("o_orderkey"))
         .limit(1000)
     },
