@@ -16,7 +16,8 @@ object SparkEntry {
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     graft.queries.Relational.entries,
     graft.queries.RuleQueries.entries,
-    graft.queries.MetricsQueries.entries
+    graft.queries.MetricsQueries.entries,
+    graft.queries.PipelineQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

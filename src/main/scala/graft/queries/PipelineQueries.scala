@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis)
+  * as oracle-verified queries. The DuckDB SQL re-derives every hash,
+  * signature, score, and pair set from scratch — shared primitive is md5
+  * only. Near-dup corpora plant duplicates deterministically (the raw
+  * tables contain none).
+  */
+object PipelineQueries {
+
+  /** documents ∪ copies of every 5th doc under shifted ids — the planted-
+    * duplicate corpus used by the dedup queries. */
+  private def dupDocs(t: Tables): DataFrame = {
+    val d = t.documents.select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val DupDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** DuckDB token array for `text`. */
+  private val ToksSql = """list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"""
+
+  /** DuckDB word-3-gram distinct shingles (mirrors TextFunctions.wordShingles n=3). */
+  private val ShinglesSql =
+    s"""list_distinct(CASE WHEN len($ToksSql) >= 3
+       |  THEN list_transform(range(len($ToksSql) - 2),
+       |       i -> array_to_string(($ToksSql)[i+1:i+3], ' '))
+       |  ELSE [array_to_string($ToksSql, ' ')] END)""".stripMargin
+
+  /** DuckDB dot product matching Similarity.dot's sequential double fold. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** DuckDB 16-bit simhash matching Dedup.simhash16 (md5-nibble votes). */
+  private val Simhash16Sql: String = {
+    val terms = (0 until 16).map { i =>
+      val pos = i / 4 + 1
+      val div = 1 << (3 - i % 4)
+      s"""CASE WHEN len(list_filter(toks, t ->
+         |  (((strpos('0123456789abcdef', substr(md5(t), $pos, 1)) - 1) // $div) % 2) = 1)) * 2
+         |  - len(toks) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB LSH hyperplane bucket matching Similarity.lshBucket. */
+  private def lshBucketSql(vec: String, numPlanes: Int): String = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = s"""list_sum(list_transform(list_zip($vec, range(len($vec))),
+                    |  x -> CAST(x[1] AS DOUBLE) * (CASE WHEN
+                    |    (strpos('0123456789abcdef', substr(md5('$p' || ':' || CAST(x[2] AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                    |    THEN 1.0 ELSE -1.0 END)))""".stripMargin
+      s"CASE WHEN $proj > 0 THEN ${1 << p} ELSE 0 END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  val entries: Map[String, QueryDef] = Map(
+
+    // Token counting + document fingerprints.
+    "q25_token_stats" -> QueryDef(
+      s"""SELECT doc_id,
+         |  len($ToksSql) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+         |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_fp,
+         |  md5(array_to_string(list_sort(list_distinct($ToksSql)), ' ')) AS bag_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextFunctions.contentFingerprint(col("text")).as("content_fp"),
+        TextFunctions.bagFingerprint(col("text")).as("bag_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic + quality scoring.
+    "q26_langid_quality" -> QueryDef({
+      val hitSql = TextFunctions.StopwordLists.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        lang -> s"len(list_filter(toks, t -> t IN ($inList)))"
+      }
+      val bestSql = hitSql.map(_._2).mkString("greatest(", ", ", ")")
+      val caseSql = hitSql.sortBy(_._1).reverse
+        .foldLeft("'und'") { case (acc, (lang, h)) =>
+          s"CASE WHEN best > 0 AND $h = best THEN '$lang' ELSE $acc END"
+        }
+      val enHits = hitSql.head._2
+      s"""WITH t AS (SELECT doc_id, text, lang, $ToksSql AS toks FROM documents),
+         |b AS (SELECT *, $bestSql AS best FROM t)
+         |SELECT doc_id, lang AS labeled_lang, $caseSql AS predicted_lang,
+         |  (least(len(toks) / 50.0, 1.0) * 0.4
+         |   + (1.0 - least((CASE WHEN length(text) > 0
+         |        THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}]', '', 'g')) AS DOUBLE)
+         |             / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+         |   + least((CASE WHEN len(toks) > 0
+         |        THEN CAST($enHits AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
+         |  ) AS quality
+         |FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        TextFunctions.langIdHeuristic(col("text")).as("predicted_lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact dedup over the planted-duplicate corpus.
+    "q27_dedup_exact" -> QueryDef(
+      s"""WITH corpus AS ($DupDocsSql)
+         |SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         |       min(doc_id) AS canonical_id, count(*) AS n_docs
+         |FROM corpus GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin) { (s, dir) =>
+      Dedup.exactClusters(dupDocs(Tables(s, dir)))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("canonical_id"))
+    },
+
+    // MinHash + LSH near-dup pairs with exact-Jaccard verification.
+    "q28_minhash_lsh" -> QueryDef(
+      s"""WITH corpus AS ($DupDocsSql),
+         |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
+         |sig AS (SELECT id, shingles,
+         |  list_transform(range(12), i -> list_min(list_transform(shingles,
+         |    s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS signature FROM sh),
+         |bands AS (SELECT id, shingles,
+         |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                a.shingles AS sh_a, b.shingles AS sh_b
+         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |scored AS (SELECT id_a, id_b,
+         |  CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+         |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+         |       ELSE 0.0 END AS jaccard FROM cand)
+         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashNearDupPairs(dupDocs(Tables(s, dir)),
+        shingleSize = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash fingerprints + duplicate clusters.
+    "q29_simhash" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks
+         |           FROM ($DupDocsSql)),
+         |fp AS (SELECT doc_id, $Simhash16Sql AS simhash FROM t)
+         |SELECT simhash, min(doc_id) AS canonical_id, count(*) AS n_docs
+         |FROM fp GROUP BY simhash
+         |ORDER BY simhash""".stripMargin) { (s, dir) =>
+      dupDocs(Tables(s, dir))
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+        .orderBy(col("simhash"))
+    },
+
+    // Exact n-gram Jaccard on adjacent-id candidate pairs.
+    "q30_ngram_jaccard" -> QueryDef(
+      s"""WITH sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM documents)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+         |       THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+         |       ELSE 0.0 END AS jaccard
+         |FROM sh a JOIN sh b ON b.id = a.id + 1
+         |ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val sh = Tables(s, dir).documents.select(
+        col("doc_id").as("id"),
+        array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("shingles"))
+      val a = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+      val b = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .orderBy(col("id_a"))
+    },
+
+    // Brute-force cosine top-k (the exact ANN baseline).
+    "q31_cosine_topk" -> QueryDef(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+         |           FROM c JOIN q ON query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Hyperplane-LSH bucket assignment (the ANN scale path's partitioner).
+    "q32_lsh_buckets" -> QueryDef(
+      s"""SELECT ${lshBucketSql("embedding", 6)} AS bucket, count(*) AS n
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables(s, dir).embeddings
+        .select(Similarity.lshBucket(col("embedding"), 6).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
+    // Embedding near-dup pairs over a planted-duplicate vector corpus.
+    "q33_embedding_neardup" -> QueryDef(
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |v AS (SELECT vec_id AS id, embedding AS v,
+         |             ${lshBucketSql("embedding", 6)} AS bucket FROM corpus),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+         |          FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cosine
+         |FROM pairs WHERE ${cosineSql("va", "vb")} >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.embeddingNearDupPairs(corpus, threshold = 0.99, numPlanes = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+}

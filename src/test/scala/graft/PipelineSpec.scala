@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** API-level invariants of the dedup/similarity operators that the DuckDB
+  * oracle queries (q27-q33) don't cover directly. Runs on sf0.001. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("pipeline-spec", "4").getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.core.Tables(spark, dir).documents
+  private def embeddings = graft.core.Tables(spark, dir).embeddings
+
+  private def planted = {
+    val d = docs.select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  test("dropExactDuplicates keeps exactly one row per content, min id") {
+    val deduped = Dedup.dropExactDuplicates(planted)
+    assert(deduped.count() == docs.count()) // all planted copies removed
+    assert(deduped.filter(col("doc_id") >= 100000).count() == 0) // min id kept
+  }
+
+  test("minhash LSH finds all planted exact duplicates (jaccard 1.0)") {
+    val pairs = Dedup.minhashNearDupPairs(planted).collect()
+    val plantedIds = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val found = pairs.filter(_.getDouble(2) == 1.0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    plantedIds.foreach { id =>
+      assert(found.contains((id, id + 100000)),
+        s"planted dup pair ($id, ${id + 100000}) not found")
+    }
+  }
+
+  test("simhash16 is identical for identical docs and within [0, 65536)") {
+    val fps = planted.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+    val byDoc = fps.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.keys.filter(_ >= 100000).foreach { id =>
+      assert(byDoc(id) == byDoc(id - 100000))
+    }
+    assert(byDoc.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("lshTopK returns a subset of brute-force results with equal scores") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, embeddings, k = 50)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.lshTopK(q, embeddings, k = 50, numPlanes = 4)
+      .select("query_id", "neighbor_id", "cosine").collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // every ANN hit must be a real neighbor with the exact same score
+      assert(brute.get(key).forall(_ == r.getDouble(2)))
+    }
+  }
+
+  test("cosine of a vector with itself is ~1.0") {
+    val r = embeddings.limit(3)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
+  }
+}
