@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.entries,
     graft.queries.RuleQueries.entries,
     graft.queries.MetricsQueries.entries,
-    graft.queries.PipelineQueries.entries
+    graft.queries.PipelineQueries.entries,
+    graft.queries.StreamingQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.streaming.{JobRegistry, RateLimiter, Routing}
+
+/** Batch-mode exercises of the streaming operators (the stateful logic is
+  * identical in batch and micro-batch execution — flatMapGroupsWithState
+  * runs the same transition function). Routing and rate limiting are
+  * SQL-expressible and oracle-checked; the job registry's emit-dependent
+  * suppression is not expressible in plain SQL, so it registers as a
+  * rows-only entry and its semantics are covered by StreamingSpec.
+  */
+object StreamingQueries {
+
+  val entries: Map[String, QueryDef] = Map(
+
+    // P8/J4: subscription routing truth table over the events stream
+    // (reference: src/job_monitoring_models.cpp:817-859).
+    "q34_routing" -> QueryDef(
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CASE event_type WHEN 'click' THEN 'JOB_STATUS_UPDATE'
+        |      WHEN 'view' THEN 'JOB_PROGRESS_UPDATE'
+        |      WHEN 'signup' THEN 'JOB_LOG_MESSAGE'
+        |      WHEN 'purchase' THEN 'JOB_METRICS_UPDATE'
+        |      ELSE 'SYSTEM_NOTIFICATION' END AS msgType,
+        |    CASE WHEN user_id % 7 = 0 THEN NULL
+        |         ELSE 'job_' || (user_id % 5) END AS targetJobId,
+        |    CASE WHEN event_type = 'signup' THEN
+        |           (CASE WHEN value > 100 THEN 'ERROR' ELSE 'INFO' END)
+        |         ELSE NULL END AS targetLevel
+        |  FROM events),
+        |subs AS (
+        |  SELECT * FROM (VALUES
+        |    ('c1', CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), TRUE),
+        |    ('c2', ['job_1'], ['ERROR','FATAL'], ['JOB_LOG_MESSAGE'], FALSE),
+        |    ('c3', ['job_2','job_3'], CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), TRUE),
+        |    ('c4', CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), FALSE))
+        |    AS t(connectionId, jobIds, logLevels, messageTypes, includeSystemNotifications)),
+        |routed AS (
+        |  SELECT s.connectionId, e.event_id FROM ev e JOIN subs s ON
+        |    (len(s.messageTypes) = 0 OR list_contains(s.messageTypes, e.msgType))
+        |    AND (e.targetJobId IS NULL OR len(s.jobIds) = 0 OR list_contains(s.jobIds, e.targetJobId))
+        |    AND (e.targetLevel IS NULL OR len(s.logLevels) = 0 OR list_contains(s.logLevels, e.targetLevel))
+        |    AND (e.msgType <> 'SYSTEM_NOTIFICATION' OR s.includeSystemNotifications))
+        |SELECT connectionId, count(*) AS n_messages
+        |FROM routed GROUP BY connectionId ORDER BY connectionId""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val events = Tables(s, dir).events.select(
+        col("event_id"),
+        when(col("event_type") === "click", "JOB_STATUS_UPDATE")
+          .when(col("event_type") === "view", "JOB_PROGRESS_UPDATE")
+          .when(col("event_type") === "signup", "JOB_LOG_MESSAGE")
+          .when(col("event_type") === "purchase", "JOB_METRICS_UPDATE")
+          .otherwise("SYSTEM_NOTIFICATION").as("msgType"),
+        when(col("user_id") % 7 === 0, lit(null))
+          .otherwise(concat(lit("job_"), col("user_id") % 5)).as("targetJobId"),
+        when(col("event_type") === "signup",
+          when(col("value") > 100, "ERROR").otherwise("INFO"))
+          .otherwise(lit(null)).as("targetLevel"))
+      val subs = Seq(
+        graft.model.ConnectionFilters("c1"),
+        graft.model.ConnectionFilters("c2", Seq("job_1"), Seq("ERROR", "FATAL"),
+          Seq("JOB_LOG_MESSAGE"), includeSystemNotifications = false),
+        graft.model.ConnectionFilters("c3", Seq("job_2", "job_3")),
+        graft.model.ConnectionFilters("c4",
+          includeSystemNotifications = false)).toDF()
+      Routing.deliveryCounts(events, subs).orderBy(col("connectionId"))
+    },
+
+    // ST4: enforce-before-increment rate limiting on a deterministic
+    // synthetic request stream; with perMinute=1 the allowed decision
+    // equals "first request in the (client, minute) window"
+    // (reference: src/rate_limiter.cpp:48-88).
+    "q35_rate_limiter" -> QueryDef(
+      """WITH req AS (
+        |  SELECT event_id, 'client_' || (user_id % 3) AS clientId,
+        |         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(event_id * 13) AS ts
+        |  FROM events),
+        |win AS (
+        |  SELECT clientId, ts,
+        |         CAST(epoch(ts) AS BIGINT) // 60 AS mwin
+        |  FROM req),
+        |rn AS (
+        |  SELECT clientId, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY clientId, mwin ORDER BY ts) AS r
+        |  FROM win)
+        |SELECT clientId, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, (r = 1) AS allowed
+        |FROM rn ORDER BY ts_str LIMIT 5000""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val reqs = Tables(s, dir).events.select(
+        concat(lit("client_"), col("user_id") % 3).as("clientId"),
+        timestamp_seconds(
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000)
+            + col("event_id") * 13).as("ts"),
+        lit("/api/auth/login/attempt").as("endpoint"))
+        .as[RateLimiter.Request]
+      val rules = Seq(RateLimiter.RateRule("/api/auth/login", 1, 1000000))
+      RateLimiter.limit(reqs, rules)
+        .toDF()
+        .select(col("clientId"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("allowed"))
+        .orderBy(col("ts_str")).limit(5000)
+    },
+
+    // ST5/ST6: stateful job registry over a synthetic event-bus replay —
+    // rows-only check (emit-dependent suppression is not SQL-expressible;
+    // semantics verified in StreamingSpec).
+    "q36_job_registry" -> QueryDef.noOracle { (s, dir) =>
+      import s.implicits._
+      val events = Tables(s, dir).events.select(
+        concat(lit("job_"), col("user_id") % 50).as("jobId"),
+        when(col("event_type") === "click", "STATUS")
+          .when(col("event_type") === "view", "PROGRESS")
+          .otherwise("LOG").as("eventType"),
+        when(col("event_type") === "click",
+          element_at(array(lit("PENDING"), lit("RUNNING"), lit("COMPLETED")),
+            (col("event_id") % 3 + 1).cast("int"))).as("status"),
+        when(col("event_type") === "view",
+          (col("value") % 101).cast("int")).as("progress"),
+        lit(null).cast("string").as("currentStep"),
+        when(!col("event_type").isin("click", "view"), col("props")).as("logLine"),
+        col("ts"))
+        .as[JobRegistry.JobEvent]
+      JobRegistry.registry(events).toDF()
+        .groupBy(col("jobId"))
+        .agg(count(lit(1)).as("n_updates"),
+          max(col("progressPercent")).as("max_progress"),
+          max(size(col("recentLogs"))).as("n_recent_logs"))
+        .orderBy(col("jobId"))
+    }
+  )
+}

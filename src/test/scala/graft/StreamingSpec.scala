@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{JobRegistry, LogShipper, RateLimiter}
+import graft.streaming.JobRegistry.JobEvent
+
+/** Streaming semantics: progress suppression, recent-log ring buffer,
+  * enforce-before-increment rate limiting, log shipping — driven through
+  * MemoryStream so the stateful operators run in real micro-batch
+  * execution, not just batch mode. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("streaming-spec", "4").getOrCreate()
+
+  private def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+
+  test("job registry suppresses progress deltas < 5% and emits the rest") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[JobEvent]
+    val query = JobRegistry.registry(stream.toDS())
+      .writeStream.format("memory").queryName("registry_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        JobEvent("j1", "STATUS", Some("RUNNING"), None, Some("extract"), None, ts(0)),
+        JobEvent("j1", "PROGRESS", None, Some(10), None, None, ts(1)),
+        JobEvent("j1", "PROGRESS", None, Some(12), None, None, ts(2)), // Δ2 suppressed
+        JobEvent("j1", "PROGRESS", None, Some(14), None, None, ts(3)), // Δ4 suppressed
+        JobEvent("j1", "PROGRESS", None, Some(15), None, None, ts(4)), // Δ5 emitted
+        JobEvent("j1", "PROGRESS", None, Some(100), None, None, ts(5)))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT progressPercent FROM registry_out ORDER BY progressPercent").collect()
+      // STATUS emit (0) + progress 10, 15, 100 — 12 and 14 suppressed
+      assert(rows.map(_.getInt(0)).toSeq == Seq(0, 10, 15, 100))
+    } finally query.stop()
+  }
+
+  test("suppression threshold is relative to last EMITTED progress across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[JobEvent]
+    val query = JobRegistry.registry(stream.toDS())
+      .writeStream.format("memory").queryName("registry_out2")
+      .outputMode("append").start()
+    try {
+      stream.addData(JobEvent("j2", "PROGRESS", None, Some(50), None, None, ts(0)))
+      query.processAllAvailable()
+      // second batch: 52 is Δ2 from the stored 50 → suppressed even though
+      // it is the first event of its batch (state persisted across batches)
+      stream.addData(JobEvent("j2", "PROGRESS", None, Some(52), None, None, ts(1)))
+      query.processAllAvailable()
+      stream.addData(JobEvent("j2", "PROGRESS", None, Some(56), None, None, ts(2)))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT progressPercent FROM registry_out2 ORDER BY progressPercent").collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(50, 56))
+    } finally query.stop()
+  }
+
+  test("recent-logs ring buffer caps at 50") {
+    import spark.implicits._
+    val events = (1 to 60).map(i =>
+      JobEvent("j3", "LOG", None, None, None, Some(s"line$i"), ts(i)))
+    val out = JobRegistry.registry(spark.createDataset(events)).collect()
+    val last = out.last
+    assert(last.recentLogs.size == 50)
+    assert(last.recentLogs.head == "line11" && last.recentLogs.last == "line60")
+  }
+
+  test("rate limiter: denied requests do not consume quota") {
+    import spark.implicits._
+    // 8 requests in one minute window, limit 5/min: first 5 allowed.
+    // Then next minute: quota resets, allowed again.
+    val reqs = (0 until 8).map(i =>
+      RateLimiter.Request("c1", "/api/auth/login", ts(i * 1000))) :+
+      RateLimiter.Request("c1", "/api/auth/login", ts(61 * 1000))
+    val out = RateLimiter.limit(spark.createDataset(reqs)).collect()
+      .sortBy(_.ts.getTime)
+    assert(out.take(5).forall(_.allowed))
+    assert(!out(5).allowed && !out(6).allowed && !out(7).allowed)
+    assert(out(5).minuteCount == 5) // denied did not increment
+    assert(out.last.allowed)        // new window
+  }
+
+  test("rate limiter: longest-prefix rule match with delimiter check") {
+    assert(RateLimiter.matchRule("/api/jobs/123/status").map(_.endpoint)
+      .contains("/api/jobs"))
+    assert(RateLimiter.matchRule("/api/auth/login").map(_.perMinute).contains(5))
+    assert(RateLimiter.matchRule("/api/jobsx").isEmpty) // no delimiter → no match
+    assert(RateLimiter.matchRule("/nothing").isEmpty)
+  }
+
+  test("log shipper filters per destination and records stats") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    LogShipper.resetStats()
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dests = Seq(
+      LogShipper.Destination("errors", "HTTP_ENDPOINT", Seq("ERROR", "FATAL")) ->
+        LogShipper.stubNetworkWriter(p => received.synchronized { received ++= p }),
+      LogShipper.Destination("all-info", "FILE", Seq("INFO", "WARN", "ERROR", "FATAL")) ->
+        LogShipper.stubNetworkWriter(_ => ()))
+    val stream = MemoryStream[graft.model.LogMessage]
+    val query = LogShipper.start(stream.toDF(), dests,
+      checkpoint = java.nio.file.Files.createTempDirectory("ship").toString,
+      triggerMillis = 100)
+    try {
+      stream.addData(
+        graft.model.LogMessage("j1", "ERROR", "db", "boom", ts(0)),
+        graft.model.LogMessage("j1", "INFO", "api", "ok", ts(1)),
+        graft.model.LogMessage("j1", "DEBUG", "api", "noise", ts(2)))
+      query.processAllAvailable()
+      val byDest = LogShipper.stats.groupBy(_.destination)
+        .view.mapValues(_.map(_.shipped).sum).toMap
+      assert(byDest("errors") == 1)   // only the ERROR row
+      assert(byDest("all-info") == 2) // ERROR + INFO, DEBUG filtered
+      assert(received.exists(_.contains("boom")))
+    } finally query.stop()
+  }
+}
