@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.RuleQueries.entries,
     graft.queries.MetricsQueries.entries,
     graft.queries.PipelineQueries.entries,
-    graft.queries.StreamingQueries.entries
+    graft.queries.StreamingQueries.entries,
+    graft.queries.MultimodalQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

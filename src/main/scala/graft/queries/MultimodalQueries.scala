@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.Multimodal
+
+/** Oracle-verified exercise of the multimodal plumbing: the payload is a
+  * deterministic 32-byte fake (md5-chain of the text), decoded through the
+  * real mapPartitions path; DuckDB re-derives width/height/byteSum from
+  * the same hex string with pure SQL nibble arithmetic.
+  */
+object MultimodalQueries {
+
+  /** Sum of byte values of a 32-byte payload given as a 64-char hex
+    * string: Σ (hi-nibble·16 + lo-nibble). */
+  private val ByteSumSql =
+    """list_sum(list_transform(range(32), i ->
+      |  (strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) * 16 +
+      |  (strpos('0123456789abcdef', substr(h, i*2 + 2, 1)) - 1)))""".stripMargin
+
+  private def nibble(s: String, pos: String) =
+    s"(strpos('0123456789abcdef', substr($s, $pos, 1)) - 1)"
+
+  val entries: Map[String, QueryDef] = Map(
+
+    "q37_multimodal_decode" -> QueryDef(
+      s"""WITH m AS (
+         |  SELECT doc_id AS id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mediaType,
+         |    length(text) AS sizeBytes,
+         |    md5(text) || md5(md5(text)) AS h
+         |  FROM documents)
+         |SELECT id, mediaType, sizeBytes,
+         |  1 + (${nibble("h", "1")} * 256 + ${nibble("h", "2")} * 16 + ${nibble("h", "3")}) AS width,
+         |  1 + (${nibble("h", "5")} * 256 + ${nibble("h", "6")} * 16 + ${nibble("h", "7")}) AS height,
+         |  $ByteSumSql AS byteSum
+         |FROM m ORDER BY id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
+      Multimodal.decodeAndFeaturize(media).toDF()
+        .select(col("id"), col("mediaType"), col("sizeBytes"),
+          col("width"), col("height"), col("byteSum"))
+        .orderBy(col("id"))
+    }
+  )
+}

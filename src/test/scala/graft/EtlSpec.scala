@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.JobRunner
+import graft.etl.JobRunner.{IoConfig, JobSpec}
+import graft.model.{JobStatus, TransformationRule}
+
+/** ETL orchestration lifecycle: status transitions, progress checkpoints,
+  * observe()-based metrics, fault injection
+  * (reference: src/etl_job_manager.cpp:540-654). */
+class EtlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("etl-spec", "4").getOrCreate()
+
+  private val srcDir = "/root/testdata/sf0.001"
+
+  test("FULL_ETL completes with checkpoints 0/10/50/80/100 and metrics") {
+    val out = Files.createTempDirectory("etl-out").toString
+    val spec = JobSpec("job_ok", "FULL_ETL",
+      IoConfig("parquet", s"$srcDir/documents.parquet"),
+      IoConfig("parquet", s"$out/result"),
+      rules = Seq(
+        TransformationRule("lang", "lang_upper", "uppercase"),
+        TransformationRule("source", "source", "trim")))
+    val r = JobRunner.run(spark, spec)
+    assert(r.job.status == JobStatus.Completed)
+    assert(r.progressLog.map(_._1) == Seq(0, 10, 50, 80, 100))
+    assert(r.job.recordsProcessed == 500)
+    assert(r.job.recordsSuccessful == 500)
+    assert(r.job.startedAt.isDefined && r.job.completedAt.isDefined)
+    // output is readable and transformed
+    val written = spark.read.parquet(s"$out/result")
+    assert(written.count() == 500)
+    assert(written.columns.contains("lang_upper"))
+  }
+
+  test("fault injection: jobId containing 'fail' -> FAILED with message") {
+    val out = Files.createTempDirectory("etl-out2").toString
+    val spec = JobSpec("job_fail_1", "LOAD",
+      IoConfig("parquet", s"$srcDir/region.parquet"),
+      IoConfig("parquet", s"$out/never"))
+    val r = JobRunner.run(spark, spec)
+    assert(r.job.status == JobStatus.Failed)
+    assert(r.job.errorMessage.contains("Simulated constraint violation"))
+    assert(r.progressLog.map(_._1) == Seq(0, 10, 50)) // stopped before load
+    assert(!new java.io.File(s"$out/never").exists())
+  }
+
+  test("unknown source format fails the job, not the process") {
+    val r = JobRunner.run(spark, JobSpec("job_badfmt", "EXTRACT",
+      IoConfig("avro", "/nope"), IoConfig("parquet", "/nope2")))
+    assert(r.job.status == JobStatus.Failed)
+    assert(r.job.errorMessage.exists(_.contains("unknown source format")))
+  }
+
+  test("simulated extract source shape (100 records, 95% success)") {
+    val df = JobRunner.simulatedExtract(spark)
+    assert(df.count() == 100)
+    assert(df.filter(org.apache.spark.sql.functions.col("success")).count() == 95)
+  }
+
+  test("control-plane upsert replaces the job row") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val t0 = new java.sql.Timestamp(0)
+    val existing = Seq(
+      graft.model.EtlJob("a", "EXTRACT", "PENDING", "s", "t", t0),
+      graft.model.EtlJob("b", "LOAD", "RUNNING", "s", "t", t0)).toDF()
+    val updated = JobRunner.upsertJob(existing,
+      graft.model.EtlJob("a", "EXTRACT", "COMPLETED", "s", "t", t0))
+    assert(updated.count() == 2)
+    assert(updated.filter($"jobId" === "a").select("status").head.getString(0)
+      == "COMPLETED")
+  }
+}
