@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-audit main: dumps `explain(formatted)` for representative queries
+  * and greps the properties that matter at scale — PushedFilters reaching
+  * the parquet scan, ReadSchema pruning, broadcast joins on dimension
+  * tables, WholeStageCodegen coverage. Usage:
+  *   sbt "runMain graft.ExplainAudit [queryName ...]"
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.get("explain-audit")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q01_filter_status", "q02_filter_time_in", "q05_agg_composite",
+        "q11_join_fk", "q12_join_dim_chain", "q14_window_topn", "q31_cosine_topk")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n======== $name ========")
+          val df = fn(spark, dir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          println(plan)
+          val pushed = "PushedFilters: \\[[^\\]]*\\]".r
+            .findAllIn(plan).mkString("; ")
+          val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).mkString("; ")
+          // AQE finalizes (and codegen-wraps) the plan only at execution —
+          // and only on THIS QueryExecution, so drive its own RDD (a
+          // `.write` would plan a fresh execution and leave this one cold)
+          df.queryExecution.toRdd.count()
+          val executed = df.queryExecution.executedPlan.toString
+          // codegen'd operators print as "*(N) OperatorName" in the final plan
+          val codegen = "\\*\\((\\d+)\\)".r
+            .findAllMatchIn(executed).map(_.group(1)).toSet.size
+          val broadcasts = "BroadcastHashJoin|BroadcastNestedLoop".r
+            .findAllIn(plan).size
+          println(s"[audit] $name pushed=[$pushed]")
+          println(s"[audit] $name readSchema=[$schemas]")
+          println(s"[audit] $name codegenSpans=$codegen broadcastJoins=$broadcasts")
+        case None => println(s"unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}

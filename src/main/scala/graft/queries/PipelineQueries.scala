@@ -182,9 +182,12 @@ object PipelineQueries {
          |       ELSE 0.0 END AS jaccard
          |FROM sh a JOIN sh b ON b.id = a.id + 1
          |ORDER BY id_a""".stripMargin) { (s, dir) =>
+      // persist: both join sides read the same per-doc shingle table —
+      // without it the shingling expression tree evaluates twice per doc
       val sh = Tables(s, dir).documents.select(
         col("doc_id").as("id"),
         array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
       val b = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
