@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.MetricsQueries.entries,
     graft.queries.PipelineQueries.entries,
     graft.queries.StreamingQueries.entries,
-    graft.queries.MultimodalQueries.entries
+    graft.queries.MultimodalQueries.entries,
+    graft.queries.StringQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

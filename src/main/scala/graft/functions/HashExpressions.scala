@@ -1,0 +1,140 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass native implementations of the hash-sketch kernels.
+  *
+  * The declarative versions in TextFunctions/Dedup are built from
+  * higher-order array functions, which are CodegenFallback in Spark: every
+  * lambda step allocates UTF8Strings and re-enters the interpreter, and
+  * the SimHash formulation hashes each token once PER BIT. These
+  * expressions compute the identical values imperatively in a single pass
+  * per document — same md5 math, so the DuckDB oracle contract is
+  * unchanged (verified by q28/q29 hash-matching both before and after).
+  *
+  * Interpreted `eval` (CodegenFallback) is fine here: the win is
+  * algorithmic (one digest per (shingle,salt) with no lambda churn; one
+  * digest per token instead of 16/64), not codegen fusion.
+  */
+object HashKernels {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def md5(md: MessageDigest, bytes: Array[Byte]): Array[Byte] = {
+    md.reset()
+    md.digest(bytes)
+  }
+
+  def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexDigits((d(i) >>> 4) & 15)
+      out(i * 2 + 1) = hexDigits(d(i) & 15)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned lexicographic byte compare — equals comparing the hex
+    * renderings, since byte order and hex-string order agree. */
+  def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
+/** MinHash signature: for salt i in 0..k-1, the minimum md5 over
+  * `shingle + "#" + i` — identical to
+  * `transform(sequence(0,k-1), i -> array_min(transform(shingles,
+  * s -> md5(concat(s,'#',i)))))` but one pass, digests compared as bytes
+  * and hex-rendered once per signature element. */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): MinHashSignatureExpr = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(v: Any): Any = {
+    val shingles = v.asInstanceOf[ArrayData]
+    val n = shingles.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val salts = Array.tabulate(numHashes)(i => s"#$i".getBytes(StandardCharsets.UTF_8))
+    val mins = new Array[Array[Byte]](numHashes)
+    var j = 0
+    while (j < n) {
+      val s = shingles.getUTF8String(j).getBytes
+      var i = 0
+      while (i < numHashes) {
+        val buf = new Array[Byte](s.length + salts(i).length)
+        System.arraycopy(s, 0, buf, 0, s.length)
+        System.arraycopy(salts(i), 0, buf, s.length, salts(i).length)
+        val d = HashKernels.md5(md, buf)
+        if (mins(i) == null || HashKernels.lessThan(d, mins(i))) mins(i) = d
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins.map(d =>
+      UTF8String.fromString(if (d == null) null else HashKernels.toHex(d))))
+  }
+}
+
+/** 16-bit SimHash over a token array: one md5 per token, 16 vote counters
+  * — identical math to Dedup's declarative md5-nibble formulation
+  * (bit i = bit (3 - i%4) of hex digit i/4). */
+case class SimHash16Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override protected def withNewChildInternal(c: Expression): SimHash16Expr = copy(child = c)
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](16)
+    var j = 0
+    while (j < n) {
+      val d = HashKernels.md5(md, toks.getUTF8String(j).getBytes)
+      // hex digits 0..3 = high/low nibbles of bytes 0..1
+      val nibbles = Array((d(0) >>> 4) & 15, d(0) & 15, (d(1) >>> 4) & 15, d(1) & 15)
+      var i = 0
+      while (i < 16) {
+        val bit = (nibbles(i / 4) >>> (3 - i % 4)) & 1
+        votes(i) += (if (bit == 1) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0
+    var i = 0
+    while (i < 16) { if (votes(i) > 0) out |= 1 << i; i += 1 }
+    Integer.valueOf(out)
+  }
+}
+
+object HashExpressions {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignatureExpr(Bridge.expression(shingles), numHashes))
+
+  def simhash16(tokens: Column): Column =
+    Bridge.column(SimHash16Expr(Bridge.expression(tokens)))
+}

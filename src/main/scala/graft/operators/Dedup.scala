@@ -46,13 +46,17 @@ object Dedup {
   }
 
   /** Per-doc MinHash signatures + band keys.
-    * Output: (id, shingles, signature, band_keys). */
+    * Output: (id, shingles, signature, band_keys). The signature uses the
+    * one-pass native expression (same md5 math as the declarative
+    * TextFunctions.minhashSignature; ~an order of magnitude less
+    * interpreter/allocation overhead). */
   def minhashed(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
     docs.select(
       col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("shingles"))
-      .withColumn("signature", minhashSignature(col("shingles"), numHashes))
+      .withColumn("signature",
+        graft.functions.HashExpressions.minhashSignature(col("shingles"), numHashes))
       .withColumn("band_keys", lshBandKeys(col("signature"), rowsPerBand))
 
   /** MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
@@ -115,8 +119,14 @@ object Dedup {
   /** 16-bit SimHash from md5 nibbles — cross-engine reproducible (the
     * DuckDB oracle re-derives it from the same md5 hex). Each distinct
     * token votes ±1 per bit; the fingerprint takes the majority.
-    * For hot paths [[simhash64]] uses xxhash64 instead. */
-  def simhash16(textCol: Column): Column = {
+    * Computed by the one-pass native expression (one md5 per token
+    * instead of 16). [[simhash16Declarative]] keeps the pure-builtin
+    * formulation the oracle SQL mirrors. */
+  def simhash16(textCol: Column): Column =
+    graft.functions.HashExpressions.simhash16(array_distinct(tokens(textCol)))
+
+  /** Pure-builtin SimHash (16 filter passes) — reference formulation. */
+  def simhash16Declarative(textCol: Column): Column = {
     val toks = array_distinct(tokens(textCol))
     val bits = (0 until 16).map { i =>
       val ones = size(filter(toks, t => md5Bit16(md5(t), i) === 1))
@@ -127,12 +137,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash via xxhash64 — the production variant (Spark-only;
-    * xxhash64 has no DuckDB equivalent so the oracle uses simhash16). */
+    * xxhash64 has no DuckDB equivalent so the oracle uses simhash16).
+    * Each token hashes ONCE; the 64 bit-votes test the precomputed hash
+    * array. */
   def simhash64(textCol: Column): Column = {
-    val toks = array_distinct(tokens(textCol))
+    val hashes = transform(array_distinct(tokens(textCol)), t => xxhash64(t))
+    val nToks = size(hashes)
     val bits = (0 until 64).map { i =>
-      val ones = size(filter(toks, t => pmod(shiftrightunsigned(xxhash64(t), i), lit(2)) === 1))
-      val votes = ones * 2 - size(toks)
+      val ones = size(filter(hashes, h => pmod(shiftrightunsigned(h, i), lit(2)) === 1))
+      val votes = ones * 2 - nToks
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

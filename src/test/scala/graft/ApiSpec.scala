@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.QueryApi
+import graft.model.EtlJob
+
+/** Param-compiler surface (§2.11): raw query strings → validated plans →
+  * results, with the reference's rejection rules. */
+class ApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("api-spec", "4").getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def jobs = {
+    import spark.implicits._
+    Seq(
+      EtlJob("j1", "EXTRACT", "RUNNING", "s", "t", ts("2025-09-01 10:00:00"),
+        Some(ts("2025-09-01 10:00:01"))),
+      EtlJob("j2", "LOAD", "COMPLETED", "s", "t", ts("2025-09-02 10:00:00"),
+        Some(ts("2025-09-02 10:00:01")), Some(ts("2025-09-02 10:30:01")))).toDF()
+  }
+
+  test("query string parses and compiles to a filtered result") {
+    val r = QueryApi.monitorJobs(jobs, "status=COMPLETED&limit=10")
+    assert(r.isRight)
+    val rows = r.toOption.get.collect()
+    assert(rows.length == 1 && rows.head.getString(0).contains("\"jobId\":\"j2\""))
+  }
+
+  test("invalid params are rejected with the reference's rules") {
+    assert(QueryApi.monitorJobs(jobs, "status=BOGUS").isLeft)
+    assert(QueryApi.monitorJobs(jobs, "limit=0").isLeft)
+    assert(QueryApi.monitorJobs(jobs, "limit=9999").isLeft)
+    assert(QueryApi.monitorJobs(jobs, "limit=abc").isLeft)
+    assert(QueryApi.monitorJobs(jobs,
+      "from=2025-09-03T00:00:00&to=2025-09-01T00:00:00").isLeft) // from > to
+    assert(QueryApi.monitorJobs(jobs, "from=not-a-date").isLeft)
+  }
+
+  test("time-range params filter on createdAt") {
+    val r = QueryApi.monitorJobs(jobs,
+      "from=2025-09-01T00:00:00&to=2025-09-01T23:59:59")
+    assert(r.toOption.get.count() == 1)
+  }
+
+  test("log search params compile, bad sortBy/levels rejected") {
+    import spark.implicits._
+    val logs = Seq(
+      graft.model.LogMessage("j1", "ERROR", "db", "boom", ts("2025-09-01 10:00:00")),
+      graft.model.LogMessage("j1", "INFO", "db", "fine", ts("2025-09-01 10:00:01"))).toDF()
+    val ok = QueryApi.logSearch(logs, "minLevel=WARN&q=boo&sortBy=level")
+    assert(ok.isRight && ok.toOption.get.count() == 1)
+    assert(QueryApi.logSearch(logs, "sortBy=bogus").isLeft)
+    assert(QueryApi.logSearch(logs, "minLevel=LOUD").isLeft)
+    assert(QueryApi.logSearch(logs, "maxResults=x").isLeft)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FormatDouble15
+import graft.model.TransformationRule
+import graft.rules.RuleCompiler
+
+/** Property-based checks per SURVEY §5.2(3): rule-transform algebra and
+  * aggregate-merge invariance. Generators sample with a fixed seed;
+  * Column-level properties evaluate in batches (one DataFrame pass per
+  * property) to keep Spark job counts sane. */
+class PropertySpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("property-spec", "4").getOrCreate()
+
+  test("format_double15 never leaves trailing fraction zeros and round-trips") {
+    sample(Gen.chooseNum(-1e12, 1e12), 500).foreach { d =>
+      val s = FormatDouble15.format(d)
+      if (s.contains('.') && !s.contains('e') && !s.contains('E'))
+        assert(!s.endsWith("0") && !s.endsWith("."))
+      // 15 significant digits round-trip within relative 1e-13
+      val back = s.toDouble
+      assert(d == 0.0 || math.abs(back - d) / math.max(math.abs(d), 1e-300) < 1e-13)
+    }
+  }
+
+  test("trim is idempotent over arbitrary whitespace-padded strings") {
+    val gen = for {
+      core <- Gen.alphaNumStr
+      padL <- Gen.listOf(Gen.oneOf(' ', '\t', '\n', '\r')).map(_.mkString)
+      padR <- Gen.listOf(Gen.oneOf(' ', '\t', '\n', '\r')).map(_.mkString)
+    } yield padL + core + padR
+    val samples = Gen.listOfN(200, gen).sample.getOrElse(Seq("  x "))
+    import spark.implicits._
+    val df = samples.toDF("v")
+    val once = RuleCompiler(df, Seq(TransformationRule("v", "t1", "trim")))
+    val twice = RuleCompiler(once, Seq(TransformationRule("t1", "t2", "trim")))
+    val rows = twice.select("t1", "t2").collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("multiply rule equals format(stod-prefix * factor) on random numeric strings") {
+    val gen = Gen.chooseNum(-1e6, 1e6)
+    val factors = Seq("2", "0.5", "-3.25", "10")
+    val values = Gen.listOfN(100, gen).sample.getOrElse(Seq(1.0))
+    import spark.implicits._
+    factors.foreach { f =>
+      val df = values.map(v => (v.toString, v)).toDF("s", "raw")
+      val out = RuleCompiler(df,
+        Seq(TransformationRule("s", "m", "multiply", Map("factor" -> f))))
+      out.select("raw", "m").collect().foreach { r =>
+        val expected = FormatDouble15.format(r.getDouble(0) * f.toDouble)
+        assert(r.getString(1) == expected, s"v=${r.getDouble(0)} f=$f")
+      }
+    }
+  }
+
+  test("case transforms compose: lower(upper(x)) == lower(x) for ASCII") {
+    val samples = Gen.listOfN(200, Gen.asciiPrintableStr).sample.getOrElse(Seq("Ab"))
+    import spark.implicits._
+    val df = samples.toDF("v")
+    val out = RuleCompiler(df, Seq(
+      TransformationRule("v", "u", "uppercase"),
+      TransformationRule("u", "lu", "lowercase"),
+      TransformationRule("v", "l", "lowercase")))
+    out.select("lu", "l").collect().foreach(r =>
+      assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("composite aggregate is partitioning-invariant (merge associativity)") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val metrics = t.orders.select(
+      col("o_orderpriority").as("jobType"),
+      (col("o_orderkey") % 1000).as("recordsProcessed"),
+      (col("o_orderkey") % 900).as("recordsSuccessful"),
+      (col("o_orderkey") % 7).as("recordsFailed"),
+      floor(col("o_totalprice")).cast("long").as("totalBytesProcessed"),
+      floor(col("o_totalprice") / 2).cast("long").as("totalBytesWritten"),
+      (col("o_orderkey") % 10).as("totalBatches"),
+      ((col("o_orderkey") % 100) * 1048576L).as("peakMemoryUsage"),
+      (col("o_orderkey") % 50).cast("double").as("peakCpuUsage"),
+      (col("o_orderkey") % 10000).as("executionTimeMs"),
+      (col("o_orderkey") % 97).cast("double").as("averageProcessingRate"))
+    val a = graft.operators.MetricsAggregations.aggregateMetrics(metrics)
+      .collect().head
+    val b = graft.operators.MetricsAggregations
+      .aggregateMetrics(metrics.repartition(7)).collect().head
+    assert(a == b)
+  }
+
+  test("jaccard is symmetric and within [0,1]") {
+    import spark.implicits._
+    val gen = Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e"))
+    val pairs = Gen.listOfN(100, Gen.zip(gen, gen)).sample.getOrElse(Seq())
+    val df = pairs.toDF("xa", "xb")
+      .select(array_distinct(col("xa")).as("a"), array_distinct(col("xb")).as("b"))
+    val out = df.select(
+      graft.operators.Dedup.jaccard(col("a"), col("b")).as("jab"),
+      graft.operators.Dedup.jaccard(col("b"), col("a")).as("jba")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    }
+  }
+}
