@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.PipelineQueries.entries,
     graft.queries.StreamingQueries.entries,
     graft.queries.MultimodalQueries.entries,
-    graft.queries.StringQueries.entries
+    graft.queries.StringQueries.entries,
+    graft.queries.JsonQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: learned KMeans
+  * centroids partition the corpus into `nlist` lists; a query scores only
+  * the vectors in its `nprobe` nearest lists.
+  *
+  * This is the learned-bucket counterpart of [[Similarity.lshTopK]] with
+  * the exact same join shape: bucket assignment is O(corpus·nlist) once
+  * (and is itself a Spark job), the probe join is an equi-join on
+  * list id, so query cost is O(corpus·nprobe/nlist) instead of O(corpus).
+  * At 100 TB the assignment table is written once (partitioned by
+  * list_id, giving partition pruning on probes) and reused.
+  *
+  * Invariant the spec pins: nprobe == nlist degenerates to exactly the
+  * brute-force result (same scores, same order).
+  */
+object IvfAnn {
+
+  final case class IvfIndex(model: KMeansModel, assignments: DataFrame,
+      centroids: DataFrame)
+
+  /** Train centroids and assign every corpus vector to its list. */
+  def build(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      (implicit spark: SparkSession): IvfIndex = {
+    import spark.implicits._
+    val withVec = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_fv", array_to_vector(col("v").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("_fv").setPredictionCol("list_id")
+      .fit(withVec)
+    val assignments = model.transform(withVec)
+      .select(col("id"), col("v"), col("list_id"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+    IvfIndex(model, assignments, centroids)
+  }
+
+  /** Squared L2 distance between a float-array column and a double-array
+    * column (sequential fold, codegen-free HOF like the rest). */
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** ANN top-k through the index: probe the nprobe nearest lists. */
+  def topK(queries: DataFrame, index: IvfIndex, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // rank centroids per query; keep the nprobe nearest lists
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", sqDist(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+    // probe join: only vectors in the selected lists are scored
+    val scored = probes.join(index.assignments, Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine", Similarity.cosine(col("qv"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -214,6 +214,46 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // Character-5-gram MinHash near-dup: the char-level robustness
+    // variant (catches token-boundary edits word shingles miss).
+    "q41_char_ngram_minhash" -> QueryDef(
+      s"""WITH corpus AS ($DupDocsSql),
+         |sh AS (SELECT doc_id AS id,
+         |  list_distinct(CASE WHEN length(text) >= 5
+         |    THEN list_transform(range(length(text) - 4), i -> substr(text, i + 1, 5))
+         |    ELSE [text] END) AS shingles
+         |  FROM corpus),
+         |sig AS (SELECT id, shingles,
+         |  list_transform(range(8), i -> list_min(list_transform(shingles,
+         |    s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS signature FROM sh),
+         |bands AS (SELECT id, shingles,
+         |  unnest(list_transform(range(2), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*4+1:b*4+4], '|')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |withsh AS (SELECT c.id_a, c.id_b, x.shingles AS sh_a, y.shingles AS sh_b
+         |           FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+         |FROM withsh
+         |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val mh = dupDocs(Tables(s, dir)).select(
+        col("doc_id").as("id"),
+        array_distinct(TextFunctions.charNgrams(col("text"), 5)).as("shingles"))
+        .withColumn("signature",
+          graft.functions.HashExpressions.minhashSignature(col("shingles"), 8))
+        .withColumn("band_keys", TextFunctions.lshBandKeys(col("signature"), 4))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.lshCandidatePairs(mh)
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Hyperplane-LSH bucket assignment (the ANN scale path's partitioner).
     "q32_lsh_buckets" -> QueryDef(
       s"""SELECT ${lshBucketSql("embedding", 6)} AS bucket, count(*) AS n

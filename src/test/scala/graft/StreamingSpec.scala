@@ -98,6 +98,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(RateLimiter.matchRule("/nothing").isEmpty)
   }
 
+  test("A13 running counters: streaming groupBy sum in update mode") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val counts = stream.toDF().toDF("jobId", "n")
+      .groupBy($"jobId")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("recordsProcessed"))
+    val q = counts.writeStream.format("memory").queryName("counters")
+      .outputMode("update").start()
+    try {
+      stream.addData(("j1", 10L), ("j1", 5L), ("j2", 3L))
+      q.processAllAvailable()
+      stream.addData(("j1", 1L))
+      q.processAllAvailable()
+      // update mode: latest row per key carries the running total
+      val latest = spark.sql(
+        "SELECT jobId, max(recordsProcessed) FROM counters GROUP BY jobId ORDER BY jobId")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(latest == Map("j1" -> 16L, "j2" -> 3L))
+    } finally q.stop()
+  }
+
   test("log shipper filters per destination and records stats") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
