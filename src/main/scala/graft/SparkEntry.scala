@@ -33,13 +33,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.tune(spark)
     val dir = "/root/testdata/sf0.001"
-    Tables(spark, dir).orders
-      .filter(col("o_orderstatus").isin("O", "F"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
-      .limit(100)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice"),
-        round(col("o_totalprice") / lit(100.0), 3).as("price_rate"))
+    // the real flagship path: orders → jobs frame → param-compiled
+    // filter/sort/limit/derive pipeline → reference JSON rows
+    val jobs = Tables(spark, dir).orders.select(
+      concat(lit("job_"), col("o_orderkey")).as("jobId"),
+      when(col("o_orderstatus") === "O", "RUNNING")
+        .when(col("o_orderstatus") === "F", "COMPLETED")
+        .otherwise("PENDING").as("status"),
+      lit("FULL_ETL").as("jobType"),
+      col("o_orderdate").cast("timestamp").as("createdAt"),
+      col("o_orderdate").cast("timestamp").as("startedAt"),
+      timestamp_millis(unix_millis(col("o_orderdate").cast("timestamp")) + 60000L)
+        .as("completedAt"),
+      (col("o_orderkey") % 1000).as("recordsProcessed"),
+      (col("o_orderkey") % 900).as("recordsSuccessful"),
+      (col("o_orderkey") % 7).as("recordsFailed"),
+      lit(null).cast("string").as("errorMessage"))
+    graft.api.QueryApi.monitorJobs(jobs, "status=COMPLETED&limit=100")
+      .fold(err => sys.error(err), identity)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as reusable operators: key salting for skewed
+  * aggregations/joins and bucketed tables for shuffle-free co-located
+  * joins. AQE handles *detected* skew at runtime; these are for the
+  * cases you know about up front (hot keys in a 100 TB fact table,
+  * repeatedly-joined dimensions).
+  */
+object ScaleOps {
+
+  /** Two-stage salted aggregation: `groupBy(key, salt) partial → groupBy
+    * (key) final`. Correct for decomposable aggregates (sum/count/min/
+    * max); the caller passes both phases explicitly so the algebra is
+    * visible. A hot key's rows spread over `saltBuckets` reducers in
+    * stage 1 instead of hammering one. */
+  def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
+      partial: Seq[Column], fin: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy(key.as("_key"), col("_salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col("_key"))
+      .agg(fin.head, fin.tail: _*)
+  }
+
+  /** Convenience: salted sum+count (enough for sum/count/avg rollups). */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column,
+      saltBuckets: Int = 16): DataFrame =
+    saltedAggregate(df, key, saltBuckets,
+      partial = Seq(sum(value).as("_psum"), count(lit(1)).as("_pcnt")),
+      fin = Seq(sum(col("_psum")).as("sum"), sum(col("_pcnt")).as("n")))
+
+  /** Salted skew join: replicate the small side `saltBuckets` times and
+    * salt the big side's key, so one hot key fans across reducers.
+    * Equivalent to `big.join(small, bigKey === smallKey)`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column,
+      smallKey: Column, saltBuckets: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicatedSmall,
+      bigKey === smallKey && saltedBig("_salt") === replicatedSmall("_salt"))
+      .drop("_salt")
+  }
+
+  /** Write a DataFrame as a bucketed+sorted table: joins and
+    * aggregations on the bucket key then need NO shuffle (verified by
+    * [[isShuffleFreeJoin]]). At warehouse scale this is how the big
+    * fact⋈fact joins (q11's shape) drop their exchanges. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** True if the executed join plan contains no shuffle exchange —
+    * the co-location check for bucketed joins. */
+  def isShuffleFreeJoin(joined: DataFrame): Boolean = {
+    joined.queryExecution.toRdd.count() // finalize AQE plan
+    !joined.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ScaleOps
+
+/** Skew salting correctness + bucketed co-located join (no-shuffle plan). */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    graft.core.GraftSession.builder("scaleops-spec", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      .getOrCreate()
+  }
+
+  test("salted aggregation equals plain aggregation (skewed key)") {
+    val li = graft.core.Tables(spark, "/root/testdata/sf0.001").lineitem
+    val plain = li.groupBy(col("l_returnflag").as("_key"))
+      .agg(sum(col("l_quantity")).as("sum"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = ScaleOps.saltedSumCount(li, col("l_returnflag"),
+        col("l_quantity"), saltBuckets = 16)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // sums of doubles: compare with tolerance (salting changes add order)
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, (s, n)) =>
+      assert(math.abs(salted(k)._1 - s) < 1e-6 && salted(k)._2 == n)
+    }
+  }
+
+  test("salted join equals plain join") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    val salted = ScaleOps.saltedJoin(t.lineitem, t.orders,
+      col("l_orderkey"), col("o_orderkey")).count()
+    assert(plain == salted)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    ScaleOps.writeBucketed(t.lineitem, "li_bucketed", "l_orderkey", 8)
+    ScaleOps.writeBucketed(t.orders, "o_bucketed", "o_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+    assert(ScaleOps.isShuffleFreeJoin(joined),
+      "bucketed join should have no hash-partitioning exchange")
+    // and the unbucketed equivalent DOES shuffle (sanity of the check)
+    val unbucketed = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+    assert(!ScaleOps.isShuffleFreeJoin(unbucketed))
+  }
+}
