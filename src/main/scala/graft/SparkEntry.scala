@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.StreamingQueries.entries,
     graft.queries.MultimodalQueries.entries,
     graft.queries.StringQueries.entries,
-    graft.queries.JsonQueries.entries
+    graft.queries.JsonQueries.entries,
+    graft.queries.WindowQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -100,6 +100,15 @@ object LogShipper {
       .foreachBatch((b: Dataset[Row], id: Long) => shipBatch(b.toDF(), id, destinations))
       .start()
 
+  /** ST3: priority ordering within a micro-batch before fan-out — the
+    * broadcaster drains its queue highest-priority-first
+    * (reference: include/message_broadcaster.hpp:52-63; the drop-on-full
+    * lossy QoS is a queue property documented, not replicated). */
+  def prioritized(batch: DataFrame, priorityCol: String = "priority"): DataFrame =
+    if (batch.columns.contains(priorityCol))
+      batch.orderBy(col(priorityCol).desc)
+    else batch
+
   /** ST9: alert stream — threshold filter over a metrics stream
     * (reference: include/notification_service.hpp:22-131; thresholds
     * memory 85%, cpu 90%, job timeout 25 min from config/config.json:108-134). */

@@ -90,6 +90,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.last.allowed)        // new window
   }
 
+  test("ST3 priority ordering within a batch") {
+    import spark.implicits._
+    val batch = Seq(("a", 1), ("b", 9), ("c", 5)).toDF("msg", "priority")
+    val got = LogShipper.prioritized(batch).select("msg").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("b", "c", "a"))
+    // no priority column → passthrough
+    val plain = Seq("x", "y").toDF("msg")
+    assert(LogShipper.prioritized(plain).collect().map(_.getString(0)).toSeq == Seq("x", "y"))
+  }
+
   test("rate limiter: longest-prefix rule match with delimiter check") {
     assert(RateLimiter.matchRule("/api/jobs/123/status").map(_.endpoint)
       .contains("/api/jobs"))
