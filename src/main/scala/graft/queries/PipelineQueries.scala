@@ -79,12 +79,16 @@ object PipelineQueries {
          |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct($ToksSql)), ' ')) AS bag_fp
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir).documents.select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
-        TextFunctions.contentFingerprint(col("text")).as("content_fp"),
-        TextFunctions.bagFingerprint(col("text")).as("bag_fp"))
+      // one-pass native kernel (value-identical to the declarative trio;
+      // the oracle pins it)
+      Tables(s, dir).documents
+        .withColumn("_ts", graft.functions.TokenStatsExpr.of(col("text")))
+        .select(
+          col("doc_id"),
+          col("_ts.n_tokens").as("n_tokens"),
+          TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
+          col("_ts.content_fp").as("content_fp"),
+          col("_ts.bag_fp").as("bag_fp"))
         .orderBy(col("doc_id"))
     },
 

@@ -46,6 +46,28 @@ object WindowQueries {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
         .limit(5000)
+    },
+
+    // ROLLUP hierarchy totals (beyond the reference surface — it has no
+    // grouping sets; a complete analytics engine needs them).
+    "q43_rollup" -> QueryDef(
+      """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+        |       COALESCE(l_linestatus, '<all>') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
     }
   )
 }

@@ -43,6 +43,26 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("bucketed tables join without a shuffle exchange") {
     val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    // the check distinguishes co-location from broadcast: disable
+    // broadcast at runtime (the builder conf is ignored when getOrCreate
+    // returns another suite's session)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    // getOrCreate() may hand back another suite's session with its own
+    // warehouse — drop tables AND their locations so re-runs are clean
+    Seq("li_bucketed", "o_bucketed").foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, name)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     ScaleOps.writeBucketed(t.lineitem, "li_bucketed", "l_orderkey", 8)
     ScaleOps.writeBucketed(t.orders, "o_bucketed", "o_orderkey", 8)
     val joined = spark.table("li_bucketed")
@@ -52,5 +72,6 @@ class ScaleOpsSpec extends AnyFunSuite {
     // and the unbucketed equivalent DOES shuffle (sanity of the check)
     val unbucketed = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
     assert(!ScaleOps.isShuffleFreeJoin(unbucketed))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 }
