@@ -25,6 +25,10 @@ object ApiDemo {
       case Right(df) => println("API_EMPTYSTATUS rows=" + df.count())
       case Left(e) => println("API_EMPTYSTATUS rejected: " + e)
     }
+    val h = graft.api.QueryApi.health(spark, Some(jobs)).collect().head
+    println(s"API_HEALTH status=${h.getBoolean(0)} active_jobs=${h.getLong(6)} spark_alive=${h.getBoolean(7)}")
+    val hNoJobs = graft.api.QueryApi.health(spark).collect().head
+    println(s"API_HEALTH_NOJOBS active_jobs=${hNoJobs.getLong(6)}")
     spark.stop()
   }
 }

@@ -92,4 +92,24 @@ object QueryApi {
 
   def logSearch(logs: DataFrame, queryString: String): Either[String, DataFrame] =
     logSearchParams(parseQueryString(queryString)).map(p => LogQuery.run(logs, p))
+
+  /** GET /api/health[/...] surface (reference: src/request_handler.cpp:
+    * 1489-1820 — 10 sub-endpoints of health booleans + system gauges).
+    * One row; the sub-endpoint name selects a column subset. */
+  def health(spark: org.apache.spark.sql.SparkSession,
+      jobs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rt = Runtime.getRuntime
+    val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    val maxMb = rt.maxMemory() / (1024 * 1024)
+    val activeJobs = jobs.map(j =>
+      j.filter(col("status").isin(graft.model.JobStatus.Active: _*)).count())
+      .getOrElse(0L)
+    import spark.implicits._
+    Seq((true, true, usedMb, maxMb, usedMb.toDouble / maxMb * 100.0,
+      rt.availableProcessors(), activeJobs,
+      !spark.sparkContext.isStopped))
+      .toDF("status", "ready", "memory_used_mb", "memory_max_mb",
+        "memory_pct", "cpus", "active_jobs", "spark_alive")
+  }
 }

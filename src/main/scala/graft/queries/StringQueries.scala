@@ -114,6 +114,29 @@ object StringQueries {
           date_format(col("expires_at"), "yyyy-MM-dd").as("expires"))
         .orderBy(col("session_id"))
         .limit(1000)
+    },
+
+    // §1.2 sentinel codec: epoch-0 writes as NULL; literal "NULL" reads
+    // as null (reference: src/etl_job_repository.cpp:22-27, 382-389).
+    "q44_sentinel_codec" -> QueryDef(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS written,
+        |  CASE WHEN o_orderkey % 17 = 0 THEN NULL
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS readback
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, dir) =>
+      import graft.functions.Codecs
+      val o = Tables(s, dir).orders
+      val tsCol = when(col("o_orderkey") % 13 === 0,
+        lit("1970-01-01 00:00:00").cast("timestamp"))
+        .otherwise(col("o_orderdate").cast("timestamp"))
+      val wire = when(col("o_orderkey") % 17 === 0, lit("NULL"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      o.select(col("o_orderkey"),
+        Codecs.writeTimestampSentinel(tsCol).as("written"),
+        Codecs.formatTimestamp(Codecs.readTimestampSentinel(wire)).as("readback"))
+        .orderBy(col("o_orderkey"))
+        .limit(2000)
     }
   )
 }
