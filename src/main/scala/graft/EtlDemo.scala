@@ -27,6 +27,12 @@ object EtlDemo {
       IoConfig("parquet", s"$out/never")))
     println(s"DEMO_FAIL_STATUS=${bad.job.status} error=${bad.job.errorMessage}")
 
+    val conc = JobRunner.runConcurrent(spark, (1 to 4).map(i =>
+      JobSpec(s"conc_$i", "FULL_ETL",
+        IoConfig("parquet", "/root/testdata/sf0.001/region.parquet"),
+        IoConfig("parquet", s"$out/conc$i"))), maxConcurrent = 3)
+    println(s"DEMO_CONCURRENT statuses=${conc.map(_.job.status).mkString(",")}")
+
     val readBack = spark.read.parquet(s"$out/result")
     println(s"DEMO_READBACK rows=${readBack.count()} " +
       s"cols=${readBack.columns.sorted.mkString(",")}")

@@ -139,6 +139,34 @@ object JobRunner {
       lit(512).as("payload_bytes"),
       (col("id") % 20 =!= 19).as("success")) // 95% success, batch-of-20 shape
 
+  /** Concurrent job execution with the reference's admission cap
+    * (max_concurrent_jobs=5 — config/config.json:20; we take the config
+    * over the single worker thread per SURVEY §7.4 risk 6). Jobs run as
+    * independent Spark actions under a FAIR scheduler pool; the semaphore
+    * is the admission control, Spark's task scheduler does the rest.
+    * One failed job never affects the others (failure isolation spec'd). */
+  def runConcurrent(spark: SparkSession, specs: Seq[JobSpec],
+      maxConcurrent: Int = 5): Seq[JobResult] = {
+    val sem = new java.util.concurrent.Semaphore(maxConcurrent)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(specs.size, math.max(maxConcurrent, 1)))
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = specs.map { spec =>
+        scala.concurrent.Future {
+          sem.acquire()
+          try {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "etl")
+            run(spark, spec)
+          } finally sem.release()
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(30, "min"))
+    } finally pool.shutdown()
+  }
+
   /** Control-plane upsert: merge a finished job row into the jobs table
     * (S3's UPDATE-by-PK as a dataframe union-dedup — at scale this is a
     * Delta/Iceberg MERGE; plain parquet gets last-writer-wins). */

@@ -64,6 +64,22 @@ class EtlSpec extends AnyFunSuite {
     assert(df.filter(org.apache.spark.sql.functions.col("success")).count() == 95)
   }
 
+  test("concurrent execution: cap respected, failures isolated") {
+    val out = Files.createTempDirectory("etl-conc").toString
+    val specs = (1 to 6).map { i =>
+      val id = if (i == 3) s"job_fail_$i" else s"job_$i"
+      JobSpec(id, "FULL_ETL",
+        IoConfig("parquet", s"$srcDir/region.parquet"),
+        IoConfig("parquet", s"$out/r$i"))
+    }
+    val results = JobRunner.runConcurrent(spark, specs, maxConcurrent = 5)
+    assert(results.length == 6)
+    val byId = results.map(r => r.job.jobId -> r.job).toMap
+    assert(byId("job_fail_3").status == JobStatus.Failed)
+    (Seq(1, 2, 4, 5, 6)).foreach(i =>
+      assert(byId(s"job_$i").status == JobStatus.Completed, s"job_$i"))
+  }
+
   test("control-plane upsert replaces the job row") {
     implicit val s: SparkSession = spark
     import s.implicits._
