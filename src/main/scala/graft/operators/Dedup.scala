@@ -151,6 +151,33 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** Streaming exact dedup: keep the first-seen document per content
+    * fingerprint across ALL batches — the incremental form of
+    * [[dropExactDuplicates]] for a continuously-arriving corpus. State is
+    * one boolean per fingerprint, partitioned across executors by the
+    * fingerprint key; each micro-batch shuffles only its new rows.
+    * (At 100 TB of history the state store is RocksDB-backed; the logic
+    * is identical.) */
+  def streamingDedupFirstSeen(docs: org.apache.spark.sql.Dataset[(String, Long, String)])
+      : org.apache.spark.sql.Dataset[(String, Long, String)] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val rowEnc = E.tuple(E.STRING, E.scalaLong, E.STRING)
+    implicit val boolEnc = E.scalaBoolean
+    docs.groupByKey(_._1)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // fingerprint already emitted
+          else {
+            state.update(true)
+            // first row by id wins within the batch, matching min-id
+            // canonical choice of the batch dedup
+            rows.toSeq.sortBy(_._2).headOption.iterator
+          }
+      }
+  }
+
   /** SimHash near-dup buckets: docs sharing a fingerprint are duplicate
     * candidates; hamming-distance-k search joins on fingerprints with k
     * bits masked out (k small). */

@@ -90,6 +90,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.last.allowed)        // new window
   }
 
+  test("streaming dedup keeps first-seen across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(String, Long, String)] // (fp, id, text)
+    val q = graft.operators.Dedup.streamingDedupFirstSeen(stream.toDS())
+      .toDF("fp", "id", "text")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(("fpA", 2L, "a2"), ("fpA", 1L, "a1"), ("fpB", 5L, "b5"))
+      q.processAllAvailable()
+      // second batch: fpA duplicate arrives again → suppressed by state
+      stream.addData(("fpA", 9L, "a9"), ("fpC", 7L, "c7"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT fp, id FROM dedup_out ORDER BY fp")
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(rows.toSeq == Seq("fpA" -> 1L, "fpB" -> 5L, "fpC" -> 7L))
+    } finally q.stop()
+  }
+
   test("ST3 priority ordering within a batch") {
     import spark.implicits._
     val batch = Seq(("a", 1), ("b", 9), ("c", 5)).toDF("msg", "priority")
