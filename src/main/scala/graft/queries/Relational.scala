@@ -345,6 +345,18 @@ object Relational {
         .limit(5000)
     },
 
+    // O6/DISTINCT: set-dedup projection (reference dedups jobId lists,
+    // src/job_monitoring_models.cpp:861-865; DISTINCT is its SQL form).
+    "q45_distinct" -> QueryDef(
+      """SELECT DISTINCT user_id, event_type
+        |FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_type"))
+        .distinct()
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // P9 declared log-query semantics: text+regex filter, multi-key sort,
     // offset pagination (reference: include/log_file_manager.hpp:45-61).
     "q18_log_query" -> QueryDef(
