@@ -17,12 +17,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest SF so per-query numbers measure
-    // the operators, not first-use classloading
-    try SparkEntry.queries.get("q01_filter_status")
-      .foreach(_(spark, "/root/testdata/sf0.001").write.format("noop")
-        .mode("overwrite").save())
-    catch { case _: Throwable => () }
+    // JVM/codegen warmup: run EVERY query once on the smallest SF so the
+    // timed pass measures the operators, not per-query Janino compilation,
+    // interpreted-lambda classgen, or first-use classloading (those are
+    // one-time costs that vanish entirely on a long-lived cluster).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

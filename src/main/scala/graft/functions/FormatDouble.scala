@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,22 +13,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Spark's `format_number` forces a fixed decimal count, so this needs a
   * custom expression. Implemented as a native Catalyst `Expression`
-  * (not a Scala UDF) so null-handling and expression tree integration are
-  * first-class; eval is interpreted (CodegenFallback) — acceptable because
-  * rule pipelines apply it once per transformed value, not in joins/aggs.
+  * (not a Scala UDF) with real `doGenCode`, so rule pipelines containing
+  * it stay inside whole-stage codegen end-to-end.
   *
   * Divergence (documented, intentional): for values printed in scientific
   * notation the reference's zero-strip also eats trailing zeros of the
   * exponent ("1.5e+20" → "1.5e+2"); we strip only mantissa zeros.
   */
-case class FormatDouble15(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class FormatDouble15(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override protected def withNewChildInternal(c: Expression): FormatDouble15 = copy(c)
 
   override def nullSafeEval(v: Any): Any =
     UTF8String.fromString(FormatDouble15.format(v.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.FormatDouble15$$.MODULE$$.format($c));""".stripMargin)
 
   override def prettyName: String = "format_double15"
 }

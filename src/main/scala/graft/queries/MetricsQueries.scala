@@ -51,13 +51,13 @@ object MetricsQueries {
         |  FROM orders),
         |agg AS (
         |  SELECT jobType,
-        |         SUM(recordsProcessed) AS recordsProcessed,
-        |         SUM(recordsFailed) AS recordsFailed,
-        |         SUM(totalBytesProcessed) AS totalBytesProcessed,
-        |         SUM(totalBatches) AS totalBatches,
+        |         CAST(SUM(recordsProcessed) AS BIGINT) AS recordsProcessed,
+        |         CAST(SUM(recordsFailed) AS BIGINT) AS recordsFailed,
+        |         CAST(SUM(totalBytesProcessed) AS BIGINT) AS totalBytesProcessed,
+        |         CAST(SUM(totalBatches) AS BIGINT) AS totalBatches,
         |         MAX(peakMemoryUsage) AS peakMemoryUsage,
         |         MAX(peakCpuUsage) AS peakCpuUsage,
-        |         SUM(executionTimeMs) AS executionTimeMs,
+        |         CAST(SUM(executionTimeMs) AS BIGINT) AS executionTimeMs,
         |         AVG(CASE WHEN averageProcessingRate > 0 THEN averageProcessingRate END) AS avgRate,
         |         COUNT(*) AS n
         |  FROM m GROUP BY jobType)

@@ -32,14 +32,15 @@ object MultimodalQueries {
          |    md5(text) || md5(md5(text)) AS h
          |  FROM documents)
          |SELECT id, mediaType, sizeBytes,
-         |  1 + (${nibble("h", "1")} * 256 + ${nibble("h", "2")} * 16 + ${nibble("h", "3")}) AS width,
-         |  1 + (${nibble("h", "5")} * 256 + ${nibble("h", "6")} * 16 + ${nibble("h", "7")}) AS height,
-         |  $ByteSumSql AS byteSum
+         |  CAST(1 + (${nibble("h", "1")} * 256 + ${nibble("h", "2")} * 16 + ${nibble("h", "3")}) AS BIGINT) AS width,
+         |  CAST(1 + (${nibble("h", "5")} * 256 + ${nibble("h", "6")} * 16 + ${nibble("h", "7")}) AS BIGINT) AS height,
+         |  CAST($ByteSumSql AS BIGINT) AS byteSum
          |FROM m ORDER BY id""".stripMargin) { (s, dir) =>
       val media = Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
       Multimodal.decodeAndFeaturize(media).toDF()
         .select(col("id"), col("mediaType"), col("sizeBytes"),
-          col("width"), col("height"), col("byteSum"))
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("byteSum"))
         .orderBy(col("id"))
     }
   )

@@ -48,12 +48,16 @@ object RuleQueries {
         TransformationRule("chars_x", "chars_x2", "add", Map("addend" -> "0.25")),
         TransformationRule("no_such_col", "nope", "uppercase"), // skipped
         TransformationRule("lang", "lang_rot", "rot13")) // unknown → identity
-      RuleCompiler(padded, rules)
+      // Sort+limit BEFORE the rule pipeline: the rules are row-wise and
+      // doc_id is untouched, so TakeOrdered(500) first is semantically
+      // identical but transforms 500 rows instead of the whole table —
+      // the right plan at 100 TB (Catalyst can't hoist a sort through a
+      // projection on its own).
+      RuleCompiler(padded.orderBy(col("doc_id")).limit(500), rules)
         .select(col("doc_id"), col("lang_upper"), col("source"),
           col("lang_trim"), col("chars_x"), col("px_x"), col("lang_num"),
           col("chars_x2"), col("lang_rot"))
         .orderBy(col("doc_id"))
-        .limit(500)
     },
 
     // P13 validation predicates (reference: src/input_validator.cpp:136-189).

@@ -78,6 +78,19 @@ def main():
             print(f"FAIL {name}: rows spark={len(g)} duckdb={len(w)}")
             n_fail += 1
             continue
+        # dtype check: the driver's hash is dtype-KIND-sensitive. DuckDB
+        # HUGEINT surfaces as float64/object where Spark emits int64 →
+        # hash mismatch even when values agree (observed r1: q22, q37).
+        # Int width differences (int32 vs int64) are tolerated (observed
+        # r1: q14/q25/q31 were hash-green with int32-vs-int64 columns).
+        def kind(dt):
+            s = str(dt)
+            if s.startswith(("int", "uint")):
+                return "int"
+            if s.startswith("float"):
+                return "float"
+            return s
+        dtype_bad = [c for c in g.columns if kind(g[c].dtype) != kind(w[c].dtype)]
         mismatch = None
         for ci, c in enumerate(g.columns):
             gv, wv = g[c].tolist(), w[c].tolist()
@@ -94,6 +107,11 @@ def main():
         if mismatch:
             c, ri, a, b = mismatch
             print(f"FAIL {name}: value col={c} row={ri} spark={a!r} duckdb={b!r}")
+            n_fail += 1
+        elif dtype_bad:
+            details = ", ".join(
+                f"{c}: spark={g[c].dtype} duckdb={w[c].dtype}" for c in dtype_bad)
+            print(f"FAIL {name}: dtype mismatch ({details})")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(g)} rows, {len(g.columns)} cols)")
