@@ -15,21 +15,37 @@ import graft.operators.{JobQueries, LogQuery}
   */
 object QueryApi {
 
-  /** Parse `a=1&b=x` into a map, last-wins, URL-ish but transport-free. */
-  def parseQueryString(qs: String): Map[String, String] =
+  /** Parse `a=1&b=x%20y` into a map, last-wins, with percent-decoding of
+    * keys and values (reference: src/input_validator.cpp:554-575 decodes
+    * both sides). Malformed escapes leave the token as-is rather than
+    * rejecting the whole query string. */
+  def parseQueryString(qs: String): Map[String, String] = {
+    def dec(s: String): String =
+      try java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: IllegalArgumentException => s }
     qs.split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => Some(k -> v)
-        case Array(k)    => Some(k -> "")
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case Array(k)    => Some(dec(k) -> "")
         case _           => None
       }
     }.toMap
+  }
 
   private val Iso = "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$".r
 
+  /** Strict ISO-8601 parse: shape (seconds required, matching the
+    * reference's validator) AND component ranges — `2025-13-40T25:61:61`
+    * is rejected, not silently normalized (java.time is strict where
+    * `Timestamp.valueOf` rolls fields over). */
   private def parseTs(s: String): Either[String, Timestamp] =
     if (Iso.findFirstIn(s).isEmpty) Left(s"invalid ISO-8601 timestamp: $s")
-    else Right(Timestamp.valueOf(s.replace('T', ' ')))
+    else
+      try Right(Timestamp.valueOf(java.time.LocalDateTime.parse(s,
+        java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)))
+      catch { case _: java.time.format.DateTimeParseException =>
+        Left(s"invalid ISO-8601 timestamp: $s")
+      }
 
   /** GET /api/monitor/jobs params → validated JobListParams
     * (reference: src/input_validator.cpp:757-827 — enum checks,

@@ -36,6 +36,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // FAIR task scheduling so concurrent jobs (JobRunner.runConcurrent's
+      // spark.scheduler.pool=etl) time-share executors instead of queuing
+      // FIFO behind each other; pools are created on demand.
+      .config("spark.scheduler.mode", "FAIR")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType
       // (micros) cannot hold; read as Long nanos and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -6,8 +6,9 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass native implementations of the hash-sketch kernels.
@@ -65,7 +66,10 @@ object HashKernels {
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull = true: an EMPTY shingle array yields k null elements
+  // (array_min over nothing is null in the declarative formulation too);
+  // declaring non-null would hand codegen consumers garbage for that case
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override protected def withNewChildInternal(c: Expression): MinHashSignatureExpr = copy(child = c)
   override def prettyName: String = "minhash_signature"
 
@@ -129,6 +133,39 @@ case class SimHash16Expr(child: Expression)
   }
 }
 
+/** 64-bit SimHash over a token array: one xxhash64 (seed 42 — Spark's
+  * `xxhash64` default) per token, 64 vote counters — identical math to
+  * the declarative formulation in Dedup.simhash64Declarative, which
+  * re-tests the SAME precomputed hash per bit but still walks the array
+  * through 64 interpreted higher-order filter passes. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = XxHash64Function.hash(toks.getUTF8String(j), StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= 1L << i; i += 1 }
+    java.lang.Long.valueOf(out)
+  }
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -137,4 +174,7 @@ object HashExpressions {
 
   def simhash16(tokens: Column): Column =
     Bridge.column(SimHash16Expr(Bridge.expression(tokens)))
+
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
 }

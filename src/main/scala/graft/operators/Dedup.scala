@@ -68,9 +68,26 @@ object Dedup {
     * explode/join/dropDuplicates path re-evaluates the whole MinHash
     * computation per candidate row and shuffles megabyte arrays
     * (measured: 509 s → 16 s at sf0.1 for the full pipeline). Shingles
-    * are attached AFTER dedup by joining back to the per-doc table. */
-  def lshCandidatePairs(minhashedDocs: DataFrame): DataFrame = {
-    val banded = minhashedDocs.select(col("id"), explode(col("band_keys")).as("bk"))
+    * are attached AFTER dedup by joining back to the per-doc table.
+    *
+    * `maxBucketSize` is the 100 TB hot-bucket guardrail: one band bucket
+    * holding B docs produces B²/2 candidate pairs, so a single boilerplate
+    * cluster (empty pages, license headers) can go quadratic. Buckets
+    * above the cap are dropped from candidate generation (their members
+    * still pair through their OTHER bands); [[hotBuckets]] reports what a
+    * cap drops so the loss is accounted, not silent. The hot-bucket list
+    * is tiny by construction, so the anti-join broadcasts. */
+  def lshCandidatePairs(minhashedDocs: DataFrame,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val allBanded = minhashedDocs.select(col("id"), explode(col("band_keys")).as("bk"))
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val hot = allBanded.groupBy(col("bk"))
+          .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") > cap)
+          .select(col("bk"))
+        allBanded.join(broadcast(hot), Seq("bk"), "left_anti")
+      case None => allBanded
+    }
     val a = banded.select(col("bk"), col("id").as("id_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("bk"))
@@ -82,6 +99,14 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
   }
+
+  /** Accounting for the hot-bucket guardrail: the band buckets a given
+    * cap would drop, with their populations — log/persist this next to
+    * the dedup output so dropped candidate mass is visible. */
+  def hotBuckets(minhashedDocs: DataFrame, cap: Int): DataFrame =
+    minhashedDocs.select(explode(col("band_keys")).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > cap)
 
   /** Exact Jaccard over distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -100,10 +125,11 @@ object Dedup {
     * releases the cache when the plan is garbage-collected. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 12,
-      rowsPerBand: Int = 3, threshold: Double = 0.5): DataFrame = {
+      rowsPerBand: Int = 3, threshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val mh = minhashed(docs, idCol, textCol, shingleSize, numHashes, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshCandidatePairs(mh)
+    lshCandidatePairs(mh, maxBucketSize)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -138,9 +164,16 @@ object Dedup {
 
   /** 64-bit SimHash via xxhash64 — the production variant (Spark-only;
     * xxhash64 has no DuckDB equivalent so the oracle uses simhash16).
-    * Each token hashes ONCE; the 64 bit-votes test the precomputed hash
-    * array. */
-  def simhash64(textCol: Column): Column = {
+    * Computed by the one-pass native kernel: one xxhash64 per token, 64
+    * vote counters, one traversal. [[simhash64Declarative]] keeps the
+    * pure-builtin formulation as the parity witness (OperatorSpec asserts
+    * kernel == declarative on real documents). */
+  def simhash64(textCol: Column): Column =
+    graft.functions.HashExpressions.simhash64(array_distinct(tokens(textCol)))
+
+  /** Pure-builtin 64-bit SimHash (64 interpreted filter passes over the
+    * per-token hash array) — parity witness for the native kernel. */
+  def simhash64Declarative(textCol: Column): Column = {
     val hashes = transform(array_distinct(tokens(textCol)), t => xxhash64(t))
     val nToks = size(hashes)
     val bits = (0 until 64).map { i =>

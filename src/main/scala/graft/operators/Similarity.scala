@@ -53,19 +53,35 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane coefficient in {-1,+1} for
-    * (plane p, dimension d): sign of a bit of md5 — reproducible in any
-    * engine with md5. */
-  private def planeSign(p: Int, d: Column): Column =
-    when(conv(substring(md5(concat(lit(p.toString), lit(":"), d.cast("string"))), 1, 1), 16, 10)
-      .cast("int") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+    * (plane p, dimension d): sign of a bit of md5("p:d") — reproducible in
+    * any engine with md5 (the DuckDB oracle re-derives the same signs).
+    * Computed DRIVER-SIDE: the signs are constants for fixed dims, so
+    * evaluating md5 per (row × plane × dim) on executors — the previous
+    * shape — was planes×dims wasted digests per vector at scale. */
+  private[operators] def planeSignValue(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((digest(0) >>> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** The ±1 hyperplane matrix for (numPlanes × dims), as literal rows. */
+  private[operators] def signMatrix(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes)(p => Array.tabulate(dims)(d => planeSignValue(p, d)))
+
+  /** Embedding dimensionality, read from one row — vectors are
+    * fixed-width per corpus, so this is a constant known at plan time. */
+  private def dimsOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane over the
-    * signed sum of vector components. */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    * signed sum of vector components. The sign matrix is embedded as
+    * literal arrays (no per-row hashing); the fold order matches the
+    * previous per-row formulation bit-for-bit. */
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
+      val signs = typedlit(signMatrix(numPlanes, dims)(p).toSeq)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeSign(p, d)),
+        zip_with(vec, signs, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }
@@ -77,10 +93,11 @@ object Similarity {
     * (bucket granularity) against candidate count. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = dimsOf(corpus, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      lshBucket(col(vecCol), numPlanes, dims).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      lshBucket(col(vecCol), numPlanes, dims).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
@@ -98,7 +115,7 @@ object Similarity {
       numPlanes: Int = 6, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      lshBucket(col(vecCol), numPlanes, dimsOf(corpus, vecCol)).as("bucket"))
     val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))

@@ -262,8 +262,10 @@ object PipelineQueries {
     "q32_lsh_buckets" -> QueryDef(
       s"""SELECT ${lshBucketSql("embedding", 6)} AS bucket, count(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
-      Tables(s, dir).embeddings
-        .select(Similarity.lshBucket(col("embedding"), 6).as("bucket"))
+      val emb = Tables(s, dir).embeddings
+      val dims = emb.select(size(col("embedding"))).head.getInt(0)
+      emb
+        .select(Similarity.lshBucket(col("embedding"), 6, dims).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
     },

@@ -106,10 +106,26 @@ object StreamingQueries {
         .orderBy(col("ts_str")).limit(5000)
     },
 
-    // ST5/ST6: stateful job registry over a synthetic event-bus replay —
-    // rows-only check (emit-dependent suppression is not SQL-expressible;
-    // semantics verified in StreamingSpec).
-    "q36_job_registry" -> QueryDef.noOracle { (s, dir) =>
+    // ST5/ST6: stateful job registry over a synthetic event-bus replay.
+    // Registered with suppression threshold 0 (every event emits), which
+    // makes the aggregate of the emitted stream pure SQL: n_updates =
+    // event count, max_progress = max progress seen, n_recent_logs =
+    // ring-buffer size = min(50, LOG count). The emit-dependent
+    // 5%-suppression variant is NOT SQL-expressible and stays covered by
+    // StreamingSpec (suppression + cross-batch state + retention TTL).
+    "q36_job_registry" -> QueryDef(
+      """WITH ev AS (
+        |  SELECT 'job_' || (user_id % 50) AS jobId,
+        |         CASE event_type WHEN 'click' THEN 'STATUS'
+        |              WHEN 'view' THEN 'PROGRESS' ELSE 'LOG' END AS eventType,
+        |         CASE WHEN event_type = 'view'
+        |              THEN CAST(trunc(value % 101) AS INT) END AS progress
+        |  FROM events)
+        |SELECT jobId,
+        |       count(*) AS n_updates,
+        |       coalesce(max(CASE WHEN eventType = 'PROGRESS' THEN progress END), 0) AS max_progress,
+        |       CAST(least(50, count(CASE WHEN eventType = 'LOG' THEN 1 END)) AS BIGINT) AS n_recent_logs
+        |FROM ev GROUP BY jobId ORDER BY jobId""".stripMargin) { (s, dir) =>
       import s.implicits._
       val events = Tables(s, dir).events.select(
         concat(lit("job_"), col("user_id") % 50).as("jobId"),
@@ -125,11 +141,11 @@ object StreamingQueries {
         when(!col("event_type").isin("click", "view"), col("props")).as("logLine"),
         col("ts"))
         .as[JobRegistry.JobEvent]
-      JobRegistry.registry(events).toDF()
+      JobRegistry.registry(events, threshold = 0).toDF()
         .groupBy(col("jobId"))
         .agg(count(lit(1)).as("n_updates"),
           max(col("progressPercent")).as("max_progress"),
-          max(size(col("recentLogs"))).as("n_recent_logs"))
+          max(size(col("recentLogs"))).cast("long").as("n_recent_logs"))
         .orderBy(col("jobId"))
     }
   )

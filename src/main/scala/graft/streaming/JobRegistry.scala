@@ -2,12 +2,12 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.model.JobMonitoringData
 
-/** ST5+ST6: the stateful job registry — the reference's
+/** ST5+ST6+ST7: the stateful job registry — the reference's
   * activeJobs_/completedJobs_ maps + progress suppression + recent-log
   * ring buffer, re-expressed as the canonical Spark arbitrary-stateful
   * operator `flatMapGroupsWithState` keyed by jobId
@@ -18,6 +18,13 @@ import graft.model.JobMonitoringData
   * shuffles only the new events (not the state), and the emitted rows are
   * only the non-suppressed updates — the 5%-threshold suppression happens
   * before any downstream fan-out, exactly like the reference.
+  *
+  * Retention (ST7): the reference moves terminal jobs to completedJobs_
+  * and prunes them after MONITORING_DATA_RETENTION (24 h,
+  * include/job_monitor_service.hpp:159). [[registryExpiring]] replicates
+  * that with an event-time state timeout: once a job reaches a terminal
+  * status, its state expires `retention` after its last event — without
+  * it, state grows unboundedly with the number of jobs ever seen.
   */
 object JobRegistry {
 
@@ -34,18 +41,21 @@ object JobRegistry {
 
   val ProgressUpdateThreshold = 5 // reference: include/job_monitor_service.hpp:167
   val RecentLogsCapacity = 50     // reference: include/job_monitor_service.hpp:166
+  val RetentionMillis = 24L * 3600 * 1000 // reference: include/job_monitor_service.hpp:159
+
+  private val TerminalStatuses = Set("COMPLETED", "FAILED", "CANCELLED")
 
   /** Per-key transition function. Emits the updated monitoring row for
-    * every event that is NOT suppressed; progress events within the
-    * threshold of the last published progress emit nothing
+    * every event that is NOT suppressed; progress events within
+    * `threshold` of the last published progress emit nothing
     * (reference: src/job_monitor_service.cpp:922-933 — first update
-    * always passes). */
-  def transition(jobId: String, events: Iterator[JobEvent],
+    * always passes). Threshold 0 disables suppression (every event
+    * emits), which makes the output SQL-expressible for the oracle. */
+  def transition(threshold: Int)(jobId: String, events: Iterator[JobEvent],
       state: GroupState[JobMonitoringData]): Iterator[JobMonitoringData] = {
     var cur = state.getOption.getOrElse(
       JobMonitoringData(jobId, "PENDING", 0, "", 0L, Seq.empty))
-    val isFirst = state.getOption.isEmpty
-    var first = isFirst
+    var first = state.getOption.isEmpty
     val out = scala.collection.mutable.ArrayBuffer.empty[JobMonitoringData]
     // events within a micro-batch apply in event-time order: the bus is
     // processing-time ordered in the reference (SURVEY §2.9 ST8)
@@ -57,7 +67,7 @@ object JobRegistry {
           out += cur
         case "PROGRESS" =>
           val p = e.progress.getOrElse(cur.progressPercent)
-          if (first || math.abs(p - cur.progressPercent) >= ProgressUpdateThreshold) {
+          if (first || math.abs(p - cur.progressPercent) >= threshold) {
             cur = cur.copy(progressPercent = p,
               currentStep = e.currentStep.getOrElse(cur.currentStep))
             out += cur
@@ -75,10 +85,43 @@ object JobRegistry {
   }
 
   /** Wire the registry over a (possibly streaming) event dataset. */
-  def registry(events: Dataset[JobEvent]): Dataset[JobMonitoringData] = {
+  def registry(events: Dataset[JobEvent],
+      threshold: Int = ProgressUpdateThreshold): Dataset[JobMonitoringData] = {
     implicit val stateEnc = Encoders.product[JobMonitoringData]
     implicit val eventEnc = Encoders.product[JobEvent]
     events.groupByKey(_.jobId)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(transition)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        transition(threshold))
+  }
+
+  /** Streaming registry with terminal-job retention: the caller's event
+    * dataset must carry a watermark on `ts`; once a job's status is
+    * terminal its state expires `retentionMillis` after its last event
+    * time, so completed jobs do not accumulate in the state store
+    * forever. Uses event-time timeouts (deterministic under replay —
+    * the Spark-idiomatic form of the reference's 24 h cleanup thread). */
+  def registryExpiring(events: Dataset[JobEvent],
+      threshold: Int = ProgressUpdateThreshold,
+      retentionMillis: Long = RetentionMillis): Dataset[JobMonitoringData] = {
+    implicit val stateEnc = Encoders.product[JobMonitoringData]
+    implicit val eventEnc = Encoders.product[JobEvent]
+    events.groupByKey(_.jobId)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (jobId: String, evs: Iterator[JobEvent], state: GroupState[JobMonitoringData]) =>
+          if (state.hasTimedOut) {
+            state.remove() // retention elapsed → drop the terminal job
+            Iterator.empty
+          } else {
+            val evSeq = evs.toSeq
+            val out = transition(threshold)(jobId, evSeq.iterator, state)
+            if (state.exists && TerminalStatuses.contains(state.get.status)) {
+              val lastTs = evSeq.map(_.ts.getTime).max
+              // must be strictly later than the current watermark
+              state.setTimeoutTimestamp(
+                math.max(lastTs + retentionMillis, state.getCurrentWatermarkMs + 1))
+            }
+            out
+          }
+      }
   }
 }

@@ -34,8 +34,11 @@ object LogShipper {
   )
 
   /** One shipped batch's outcome, for the aggregator stats surface
-    * (reference: include/log_aggregator.hpp:203-223). */
-  final case class ShipResult(destination: String, batchId: Long, shipped: Long)
+    * (reference: include/log_aggregator.hpp:203-223). `delivered` is
+    * false when the writer exhausted its retries — the batch continues to
+    * the remaining destinations regardless. */
+  final case class ShipResult(destination: String, batchId: Long, shipped: Long,
+      delivered: Boolean = true, attempts: Int = 1)
 
   type Writer = (DataFrame, Long, Destination) => Unit
 
@@ -47,9 +50,19 @@ object LogShipper {
       .write.mode("append").text(target)
   }
 
-  /** Transport-stubbed writer for network destinations: materializes the
-    * batch (so the plan executes identically) and hands the payload to a
-    * pluggable transport. Default transport is a no-op sink. */
+  /** Executor-side network writer: the transport closure is serialized to
+    * executors and invoked once per partition with that partition's JSON
+    * payload — no driver-side materialization, so a real HTTP/syslog/ES
+    * client plugs in here and writes at full cluster parallelism. This is
+    * the PRODUCTION shape for every network destination. */
+  def executorNetworkWriter(transport: Iterator[String] => Unit): Writer =
+    (batch, _, _) =>
+      batch.select(to_json(struct(batch.columns.map(col): _*)).as("value"))
+        .foreachPartition((rows: Iterator[Row]) => transport(rows.map(_.getString(0))))
+
+  /** TEST-ONLY transport stub: collects the batch to the driver so specs
+    * can assert on the payload in-process. Never use as a template for a
+    * real transport — that is [[executorNetworkWriter]]. */
   def stubNetworkWriter(transport: Seq[String] => Unit = _ => ()): Writer =
     (batch, _, _) => {
       val payload = batch
@@ -63,29 +76,33 @@ object LogShipper {
   def resetStats(): Unit = synchronized { shipped = Vector.empty }
 
   /** Ship one micro-batch to every destination through its level/component
-    * filter (P10). Retries per destination with the reference's
-    * max-3/backoff policy. */
+    * filter (P10). Retries per destination under the shared
+    * [[Delivery.RetryPolicy]] (exponential backoff from the destination's
+    * configured delay, 5 min cap); a destination that exhausts its
+    * retries is recorded as failed and the batch CONTINUES to the other
+    * destinations — one sink's outage never drops the rest
+    * (reference isolates per-destination failures the same way).
+    * `sleeper` is injectable so specs verify backoff without sleeping. */
   def shipBatch(batch: DataFrame, batchId: Long,
-      destinations: Seq[(Destination, Writer)]): Unit = {
+      destinations: Seq[(Destination, Writer)],
+      sleeper: Long => Unit = Thread.sleep): Unit = {
     // one pass per destination over the (small) micro-batch; cache so the
     // per-destination filters don't re-read the source
     batch.persist()
     try destinations.foreach { case (dest, writer) =>
       val filtered = LogQuery.shipFilter(batch, dest.allowedLevels, dest.allowedComponents)
       val n = filtered.count()
-      if (n > 0) {
-        var attempt = 0
-        var done = false
-        while (!done) {
-          try { writer(filtered, batchId, dest); done = true }
-          catch {
-            case e: Exception if attempt < dest.maxRetries =>
-              attempt += 1
-              Thread.sleep(math.min(dest.retryDelayMillis, 100L) * attempt)
-          }
-        }
+      val outcome =
+        if (n == 0) Delivery.Delivered(0)
+        else Delivery.deliver(
+          Delivery.RetryPolicy(maxAttempts = dest.maxRetries + 1,
+            baseDelayMillis = dest.retryDelayMillis),
+          sleeper)(() => writer(filtered, batchId, dest))
+      val ok = outcome.isInstanceOf[Delivery.Delivered]
+      synchronized {
+        shipped = shipped :+ ShipResult(dest.name, batchId, if (ok) n else 0L,
+          delivered = ok, attempts = outcome.attempts)
       }
-      synchronized { shipped = shipped :+ ShipResult(dest.name, batchId, n) }
     } finally batch.unpersist()
   }
 

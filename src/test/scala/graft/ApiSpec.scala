@@ -41,6 +41,17 @@ class ApiSpec extends AnyFunSuite {
     assert(QueryApi.monitorJobs(jobs,
       "from=2025-09-03T00:00:00&to=2025-09-01T00:00:00").isLeft) // from > to
     assert(QueryApi.monitorJobs(jobs, "from=not-a-date").isLeft)
+    // shape-valid but out-of-range components must be rejected, not
+    // silently normalized to a later date
+    assert(QueryApi.monitorJobs(jobs, "from=2025-13-40T25:61:61").isLeft)
+    assert(QueryApi.monitorJobs(jobs, "from=2025-02-30T00:00:00").isLeft)
+  }
+
+  test("query-string values are percent-decoded") {
+    val p = QueryApi.parseQueryString("q=a%20b%26c&x%3Dy=1&bad=%zz")
+    assert(p("q") == "a b&c")
+    assert(p("x=y") == "1")
+    assert(p("bad") == "%zz") // malformed escape left as-is
   }
 
   test("time-range params filter on createdAt") {

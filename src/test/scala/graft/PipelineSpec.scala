@@ -50,6 +50,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.values.forall(v => v >= 0 && v < 65536))
   }
 
+  test("simhash64 native kernel matches the declarative formulation") {
+    val both = docs.limit(100).select(
+      Dedup.simhash64(col("text")).as("kernel"),
+      Dedup.simhash64Declarative(col("text")).as("decl")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("hot-bucket cap drops pathological buckets and accounts for them") {
+    import spark.implicits._
+    // 20 identical boilerplate docs (one quadratic bucket) + the real corpus
+    val boiler = (1 to 20).map(i =>
+      (200000L + i, "exact same boilerplate text repeated in every doc"))
+      .toDF("doc_id", "text")
+    val corpus = planted.unionByName(boiler)
+    val mh = Dedup.minhashed(corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 12, rowsPerBand = 3)
+    // uncapped: the boilerplate cluster pairs quadratically (190 pairs)
+    val uncapped = Dedup.lshCandidatePairs(mh)
+      .filter(col("id_a") >= 200000L).count()
+    assert(uncapped >= 190)
+    // capped at 10: every band bucket the boilerplate occupies exceeds the
+    // cap, so those candidates disappear — and the accounting reports them
+    val capped = Dedup.lshCandidatePairs(mh, maxBucketSize = Some(10))
+      .filter(col("id_a") >= 200000L).count()
+    assert(capped == 0)
+    val hot = Dedup.hotBuckets(mh, cap = 10).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(1) >= 20))
+    // planted true duplicates still pair under the cap (their buckets are
+    // small), so the guardrail costs nothing on healthy data
+    val pairs = Dedup.minhashNearDupPairs(planted, maxBucketSize = Some(10))
+      .filter(col("jaccard") === 1.0).count()
+    assert(pairs > 0)
+  }
+
   test("lshTopK returns a subset of brute-force results with equal scores") {
     val q = embeddings.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(q, embeddings, k = 50)

@@ -75,6 +75,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.recentLogs.head == "line11" && last.recentLogs.last == "line60")
   }
 
+  test("ST7: terminal job state expires after retention (event-time timeout)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val retentionMs = 3600L * 1000
+    val stream = MemoryStream[JobEvent]
+    val query = JobRegistry.registryExpiring(
+        stream.toDS().withWatermark("ts", "0 seconds"), retentionMillis = retentionMs)
+      .writeStream.format("memory").queryName("registry_ttl")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        JobEvent("j9", "PROGRESS", None, Some(50), None, None, ts(0)),
+        JobEvent("j9", "STATUS", Some("COMPLETED"), None, None, None, ts(1)))
+      query.processAllAvailable()
+      // advance the watermark past j9's (lastEventTs + retention) timeout
+      stream.addData(JobEvent("j10", "STATUS", Some("RUNNING"), None, None, None,
+        ts(retentionMs + 60000)))
+      query.processAllAvailable()
+      // the timeout fires during the next batch after the watermark move
+      stream.addData(JobEvent("j10", "PROGRESS", None, Some(10), None, None,
+        ts(retentionMs + 61000)))
+      query.processAllAvailable()
+      // j9's state is gone: a Δ2 progress event is treated as first-update
+      // (emitted, fresh PENDING state); with retained state it would be
+      // suppressed (Δ2 < threshold 5)
+      stream.addData(JobEvent("j9", "PROGRESS", None, Some(52), None, None,
+        ts(retentionMs + 62000)))
+      query.processAllAvailable()
+      val j9 = spark.sql(
+        """SELECT status, progressPercent FROM registry_ttl
+          |WHERE jobId = 'j9' ORDER BY progressPercent, status""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(j9.toSeq == Seq(("COMPLETED", 50), ("PENDING", 50), ("PENDING", 52)))
+    } finally query.stop()
+  }
+
   test("rate limiter: denied requests do not consume quota") {
     import spark.implicits._
     // 8 requests in one minute window, limit 5/min: first 5 allowed.
@@ -148,6 +184,60 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(latest == Map("j1" -> 16L, "j2" -> 3L))
     } finally q.stop()
+  }
+
+  test("ST9: delivery retry uses exponential backoff and isolates failures") {
+    import graft.streaming.Delivery
+    // flaky sender: fails twice, succeeds on attempt 3 — delays 5 s, 10 s
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var tries = 0
+    val out = Delivery.deliver(Delivery.RetryPolicy(), delays += _) { () =>
+      tries += 1; if (tries < 3) throw new RuntimeException("flaky")
+    }
+    assert(out == Delivery.Delivered(3))
+    assert(delays.toSeq == Seq(5000L, 10000L))
+
+    // permanent failure: exactly maxAttempts tries, Failed returned (not thrown)
+    val delays2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out2 = Delivery.deliver(Delivery.RetryPolicy(), delays2 += _)(
+      () => throw new RuntimeException("down"))
+    assert(out2 == Delivery.Failed(3, "down"))
+    assert(delays2.toSeq == Seq(5000L, 10000L))
+
+    // backoff caps at the reference's 5 min
+    assert(Delivery.RetryPolicy(maxAttempts = 10).delayBefore(9) == 5L * 60 * 1000)
+
+    // dispatch: a failing WEBHOOK does not block the LOG method
+    val logged = scala.collection.mutable.ArrayBuffer.empty[String]
+    val res = Delivery.dispatch(
+      Delivery.Notification("MEMORY", "mem 92%", "host x"),
+      Seq(Delivery.Method("WEBHOOK", _ => throw new RuntimeException("503")),
+        Delivery.logMethod(logged += _)),
+      sleeper = _ => ())
+    assert(res.find(_.method == "WEBHOOK").get.outcome.isInstanceOf[Delivery.Failed])
+    assert(res.find(_.method == "LOG").get.outcome == Delivery.Delivered(1))
+    assert(logged.exists(_.contains("MEMORY")))
+  }
+
+  test("S8: a destination exhausting retries is isolated; others still ship") {
+    import spark.implicits._
+    LogShipper.resetStats()
+    val batch = Seq(
+      graft.model.LogMessage("j1", "ERROR", "db", "boom", ts(0)),
+      graft.model.LogMessage("j1", "INFO", "api", "ok", ts(1))).toDF()
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dests = Seq(
+      LogShipper.Destination("dead", "HTTP_ENDPOINT", Seq("ERROR", "INFO"),
+        maxRetries = 3) ->
+        ((_: org.apache.spark.sql.DataFrame, _: Long, _: LogShipper.Destination) =>
+          throw new RuntimeException("endpoint down")),
+      LogShipper.Destination("alive", "FILE", Seq("ERROR", "INFO")) ->
+        LogShipper.stubNetworkWriter(p => received.synchronized { received ++= p }))
+    LogShipper.shipBatch(batch, 7L, dests, sleeper = _ => ())
+    val byName = LogShipper.stats.map(r => r.destination -> r).toMap
+    assert(!byName("dead").delivered && byName("dead").attempts == 4) // 1 + 3 retries
+    assert(byName("alive").delivered && byName("alive").shipped == 2) // not skipped
+    assert(received.size == 2)
   }
 
   test("log shipper filters per destination and records stats") {
