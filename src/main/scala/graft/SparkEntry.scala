@@ -21,6 +21,9 @@ object SparkEntry {
     graft.queries.StreamingQueries.entries,
     graft.queries.MultimodalQueries.entries,
     graft.queries.StringQueries.entries,
+    graft.queries.AuthQueries.entries,
+    graft.queries.LogSourceQueries.entries,
+    graft.queries.ConfigQueries.entries,
     graft.queries.JsonQueries.entries,
     graft.queries.WindowQueries.entries
   )

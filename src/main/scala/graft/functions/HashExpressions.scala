@@ -166,6 +166,31 @@ case class SimHash64Expr(child: Expression)
   }
 }
 
+/** FNV-1a 64-bit over the UTF-8 bytes of a string — the reference's
+  * stable per-user rollout hash (reference: src/feature_flags.cpp:70-79).
+  * Java Long multiplication wraps = mod 2^64, matching the C++ uint64_t;
+  * consumers use `Long.remainderUnsigned` for the bucket. The DuckDB
+  * oracle re-derives the identical fold with HUGEINT arithmetic. */
+case class Fnv1a64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): Fnv1a64Expr = copy(c)
+  override def prettyName: String = "fnv1a64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = -3750763034362895579L // 14695981039346656037 as signed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 1099511628211L
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -177,4 +202,7 @@ object HashExpressions {
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  def fnv1a64(s: Column): Column =
+    Bridge.column(Fnv1a64Expr(Bridge.expression(s)))
 }
