@@ -54,7 +54,8 @@ object Dedup {
       shingleSize: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
     docs.select(
       col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("shingles"))
+      graft.functions.ShingleExpressions
+        .wordShinglesDistinct(col(textCol), shingleSize).as("shingles"))
       .withColumn("signature",
         graft.functions.HashExpressions.minhashSignature(col("shingles"), numHashes))
       .withColumn("band_keys", lshBandKeys(col("signature"), rowsPerBand))
@@ -108,8 +109,13 @@ object Dedup {
       .groupBy(col("bk")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > cap)
 
-  /** Exact Jaccard over distinct-shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Exact Jaccard over distinct-shingle arrays — one-pass native kernel
+    * ([[jaccardDeclarative]] is the parity witness). */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.ShingleExpressions.jaccard(a, b)
+
+  /** Pure-builtin Jaccard (array_intersect + array_distinct(concat)). */
+  def jaccardDeclarative(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_distinct(concat(a, b))).cast("double")
     when(union > 0, inter / union).otherwise(0.0)

@@ -246,7 +246,8 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val mh = dupDocs(Tables(s, dir)).select(
         col("doc_id").as("id"),
-        array_distinct(TextFunctions.charNgrams(col("text"), 5)).as("shingles"))
+        graft.functions.ShingleExpressions
+          .charShinglesDistinct(col("text"), 5).as("shingles"))
         .withColumn("signature",
           graft.functions.HashExpressions.minhashSignature(col("shingles"), 8))
         .withColumn("band_keys", TextFunctions.lshBandKeys(col("signature"), 4))

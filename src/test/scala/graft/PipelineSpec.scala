@@ -50,6 +50,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.values.forall(v => v >= 0 && v < 65536))
   }
 
+  test("shingle + jaccard kernels match the declarative formulations") {
+    import graft.functions.{ShingleExpressions, TextFunctions}
+    val sample = docs.limit(100)
+    val parity = sample.select(
+      ShingleExpressions.charShinglesDistinct(col("text"), 5).as("ck"),
+      array_distinct(TextFunctions.charNgrams(col("text"), 5)).as("cd"),
+      ShingleExpressions.wordShinglesDistinct(col("text"), 3).as("wk"),
+      array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("wd")).collect()
+    assert(parity.nonEmpty)
+    parity.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](3))
+    }
+    // edge cases: short text, repeated tokens, multi-space
+    import spark.implicits._
+    val edges = Seq("ab", "", "a a a a", "x  y\tz", "abcdefgh").toDF("text")
+    val ep = edges.select(
+      ShingleExpressions.charShinglesDistinct(col("text"), 5).as("ck"),
+      array_distinct(TextFunctions.charNgrams(col("text"), 5)).as("cd"),
+      ShingleExpressions.wordShinglesDistinct(col("text"), 3).as("wk"),
+      array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("wd")).collect()
+    ep.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](3))
+    }
+    // jaccard kernel == declarative on real shingle pairs
+    val a = docs.limit(50).select(col("doc_id"),
+      ShingleExpressions.wordShinglesDistinct(col("text"), 3).as("sh"))
+    val pairs = a.crossJoin(a.select(col("doc_id").as("id2"), col("sh").as("sh2")))
+      .filter(col("doc_id") < col("id2")).limit(200)
+    val jp = pairs.select(
+      graft.operators.Dedup.jaccard(col("sh"), col("sh2")).as("k"),
+      graft.operators.Dedup.jaccardDeclarative(col("sh"), col("sh2")).as("d")).collect()
+    assert(jp.nonEmpty)
+    jp.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("simhash64 native kernel matches the declarative formulation") {
     val both = docs.limit(100).select(
       Dedup.simhash64(col("text")).as("kernel"),
