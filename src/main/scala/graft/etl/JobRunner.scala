@@ -169,10 +169,56 @@ object JobRunner {
 
   /** Control-plane upsert: merge a finished job row into the jobs table
     * (S3's UPDATE-by-PK as a dataframe union-dedup — at scale this is a
-    * Delta/Iceberg MERGE; plain parquet gets last-writer-wins). */
+    * Delta/Iceberg MERGE; plain parquet gets last-writer-wins). For a
+    * jobs table that outgrows a single rewrite, use
+    * [[upsertJobBucketed]]. */
   def upsertJob(jobs: DataFrame, result: EtlJob)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val updated = Seq(result).toDF()
     jobs.filter(col("jobId") =!= result.jobId).unionByName(updated, allowMissingColumns = true)
   }
+
+  /** Stable storage bucket for a jobId (String.hashCode is specified by
+    * the JLS, so the assignment survives restarts and JVMs). */
+  def jobBucket(jobId: String, numBuckets: Int): Int =
+    math.floorMod(jobId.hashCode, numBuckets)
+
+  /** Scale-correct upsert on PLAIN parquet (no Delta/Iceberg in this
+    * environment): the jobs table is laid out partitioned by a stable
+    * hash bucket of jobId; an upsert reads ONLY the target bucket
+    * (partition-pruned scan), merges the row, and dynamic partition
+    * overwrite rewrites ONLY that bucket's directory. Work per upsert is
+    * O(table/numBuckets) instead of O(table) — the plain-parquet analog
+    * of a MERGE, trading write amplification for point-update cost the
+    * same way a SQL-table compaction strategy would. */
+  def upsertJobBucketed(warehouse: String, result: EtlJob,
+      numBuckets: Int = 64)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val b = jobBucket(result.jobId, numBuckets)
+    val row = Seq(result).toDF().withColumn("bucket", lit(b))
+    val merged =
+      if (new java.io.File(warehouse).exists()) {
+        val bucketRows = spark.read.parquet(warehouse)
+          .filter(col("bucket") === b) // partition-pruned: one directory read
+          .filter(col("jobId") =!= result.jobId)
+          // materialize the (single-bucket) rows before overwriting the
+          // path they were read from; only this bucket is ever held
+          .localCheckpoint(true)
+        bucketRows.unionByName(row, allowMissingColumns = true)
+      } else row
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(warehouse)
+  }
+
+  /** Read the bucketed jobs table (point lookups prune to one bucket). */
+  def readJobsBucketed(warehouse: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(warehouse)
+
+  /** Point lookup against the bucketed layout: the bucket predicate is
+    * derived from the id, so the scan touches one partition directory. */
+  def lookupJobBucketed(warehouse: String, jobId: String, numBuckets: Int = 64)(
+      implicit spark: SparkSession): DataFrame =
+    readJobsBucketed(warehouse)
+      .filter(col("bucket") === jobBucket(jobId, numBuckets))
+      .filter(col("jobId") === jobId)
 }

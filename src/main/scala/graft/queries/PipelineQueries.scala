@@ -190,7 +190,8 @@ object PipelineQueries {
       // without it the shingling expression tree evaluates twice per doc
       val sh = Tables(s, dir).documents.select(
         col("doc_id").as("id"),
-        array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("shingles"))
+        graft.functions.ShingleExpressions
+          .wordShinglesDistinct(col("text"), 3).as("shingles"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
       val b = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))

@@ -93,4 +93,38 @@ class EtlSpec extends AnyFunSuite {
     assert(updated.filter($"jobId" === "a").select("status").head.getString(0)
       == "COMPLETED")
   }
+
+  test("bucketed upsert rewrites only the target bucket directory") {
+    implicit val s: SparkSession = spark
+    val t0 = new java.sql.Timestamp(0)
+    val wh = java.nio.file.Files.createTempDirectory("graft-jobs-wh")
+      .resolve("jobs").toString
+    def job(id: String, status: String) =
+      graft.model.EtlJob(id, "EXTRACT", status, "s", "t", t0)
+    // seed three jobs (each lands in its hashCode-derived bucket)
+    JobRunner.upsertJobBucketed(wh, job("alpha", "PENDING"))
+    JobRunner.upsertJobBucketed(wh, job("beta", "PENDING"))
+    JobRunner.upsertJobBucketed(wh, job("gamma", "RUNNING"))
+    assert(JobRunner.jobBucket("alpha", 64) != JobRunner.jobBucket("beta", 64))
+
+    def bucketFiles(id: String) = {
+      val dir = new java.io.File(wh, s"bucket=${JobRunner.jobBucket(id, 64)}")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toSeq.sortBy(_._1)
+    }
+    val betaBefore = bucketFiles("beta")
+
+    // update alpha: its bucket is rewritten, beta's files are untouched
+    JobRunner.upsertJobBucketed(wh, job("alpha", "COMPLETED"))
+    assert(bucketFiles("beta") == betaBefore)
+
+    val all = JobRunner.readJobsBucketed(wh)
+    assert(all.count() == 3) // alpha replaced, not duplicated
+    assert(JobRunner.lookupJobBucketed(wh, "alpha")
+      .select("status").head.getString(0) == "COMPLETED")
+    // the point-lookup plan prunes to the single bucket partition
+    val plan = JobRunner.lookupJobBucketed(wh, "alpha")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bucket"), plan)
+  }
 }
