@@ -155,4 +155,21 @@ object MetricsAggregations {
       count(when(col("status") === graft.model.JobStatus.Running, 1)).as("runningJobs"),
       count(when(col("status") === graft.model.JobStatus.Completed, 1)).as("completedJobs"),
       count(when(col("status") === graft.model.JobStatus.Failed, 1)).as("failedJobs"))
+
+  /** A13: running per-job counters — every event row annotated with the
+    * cumulative totals AS OF that event, the batch/replay form of the
+    * reference's incrementJobCounter / update-mode streaming aggregation
+    * (reference: src/job_monitor_service.cpp counters; the live stream
+    * variant is the update-mode groupBy in StreamingSpec). At scale this
+    * is one shuffle on the job key; the running frame never re-scans. */
+  def runningCounters(events: DataFrame, keyCol: String = "jobId",
+      orderCol: String = "event_id", valueCol: String = "n"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .withColumn("recordsProcessed", sum(col(valueCol)).over(w))
+      .withColumn("batches", count(lit(1)).over(w))
+  }
 }

@@ -106,6 +106,31 @@ object StreamingQueries {
         .orderBy(col("ts_str")).limit(5000)
     },
 
+    // A13: running per-job counters over the event stream replay — the
+    // cumulative totals every event would have published in update mode
+    // (reference: job counter increments in src/job_monitor_service.cpp).
+    "q51_running_counters" -> QueryDef(
+      """WITH ev AS (
+        |  SELECT 'job_' || (user_id % 20) AS jobId, event_id,
+        |         CAST(trunc(value % 100) AS BIGINT) AS n
+        |  FROM events)
+        |SELECT jobId, event_id,
+        |       CAST(SUM(n) OVER (PARTITION BY jobId ORDER BY event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS recordsProcessed,
+        |       CAST(COUNT(*) OVER (PARTITION BY jobId ORDER BY event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS batches
+        |FROM ev ORDER BY jobId, event_id LIMIT 5000""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events.select(
+        concat(lit("job_"), col("user_id") % 20).as("jobId"),
+        col("event_id"),
+        (col("value") % 100).cast("long").as("n"))
+      graft.operators.MetricsAggregations.runningCounters(ev)
+        .select(col("jobId"), col("event_id"),
+          col("recordsProcessed"), col("batches"))
+        .orderBy(col("jobId"), col("event_id"))
+        .limit(5000)
+    },
+
     // ST5/ST6: stateful job registry over a synthetic event-bus replay.
     // Registered with suppression threshold 0 (every event emits), which
     // makes the aggregate of the emitted stream pure SQL: n_updates =

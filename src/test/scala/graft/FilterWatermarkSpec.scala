@@ -87,4 +87,34 @@ class FilterWatermarkSpec extends AnyFunSuite {
       assert(rows.head.getLong(1) == 2L)
     } finally q.stop()
   }
+
+  test("ST8 extension: event-time windowed job metrics roll up per window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long, Long)]
+    val agg = stream.toDF().toDF("ts", "jobId", "records", "memBytes")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("jobId"))
+      .agg(sum(col("records")).as("recordsProcessed"),
+        max(col("memBytes")).as("peakMemory"),
+        count(lit(1)).as("nUpdates"))
+    val q = agg.writeStream.format("memory").queryName("wm_metrics")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (ts("2025-09-01 10:01:00"), "j1", 100L, 512L),
+        (ts("2025-09-01 10:04:00"), "j1", 50L, 2048L),
+        (ts("2025-09-01 10:06:00"), "j2", 7L, 64L))
+      q.processAllAvailable()
+      // advance the watermark so the 10:00 window closes and emits
+      stream.addData((ts("2025-09-01 10:30:00"), "j1", 1L, 1L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT jobId, recordsProcessed, peakMemory, nUpdates
+          |FROM wm_metrics WHERE window.start = TIMESTAMP '2025-09-01 10:00:00'
+          |ORDER BY jobId""".stripMargin).collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq == Seq(("j1", 150L, 2048L, 2L), ("j2", 7L, 64L, 1L)))
+    } finally q.stop()
+  }
 }
