@@ -30,7 +30,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — one-pass native kernel computing dot + both
+    * norms in a single traversal with the same fold order as
+    * [[cosineDeclarative]] (bit-identical, parity spec'd). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
+
+  /** Pure-HOF cosine (three interpreted array folds) — parity witness. */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d > 0, dot(a, b) / d).otherwise(0.0)
   }

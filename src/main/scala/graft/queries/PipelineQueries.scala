@@ -119,8 +119,10 @@ object PipelineQueries {
       Tables(s, dir).documents.select(
         col("doc_id"),
         col("lang").as("labeled_lang"),
-        TextFunctions.langIdHeuristic(col("text")).as("predicted_lang"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
+        graft.functions.LangQualityExpr.of(col("text")).as("lq"))
+        .select(col("doc_id"), col("labeled_lang"),
+          col("lq.lang").as("predicted_lang"),
+          col("lq.quality").as("quality"))
         .orderBy(col("doc_id"))
     },
 

@@ -87,6 +87,31 @@ class PipelineSpec extends AnyFunSuite {
     jp.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("cosine + lang/quality kernels match the declarative formulations") {
+    import graft.operators.Similarity
+    val e = embeddings.limit(40)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib")).limit(300)
+    val cp = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("k"),
+      Similarity.cosineDeclarative(col("va"), col("vb")).as("d")).collect()
+    assert(cp.nonEmpty)
+    cp.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-exact
+
+    import graft.functions.{LangQualityExpr, TextFunctions}
+    val lq = docs.limit(200).select(
+      LangQualityExpr.of(col("text")).as("lq"),
+      TextFunctions.langIdHeuristic(col("text")).as("dl"),
+      TextFunctions.qualityScore(col("text")).as("dq"))
+    val rows = lq.select(col("lq.lang"), col("lq.quality"), col("dl"), col("dq")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(2))
+      assert(r.getDouble(1) == r.getDouble(3)) // identical double op order
+    }
+  }
+
   test("simhash64 native kernel matches the declarative formulation") {
     val both = docs.limit(100).select(
       Dedup.simhash64(col("text")).as("kernel"),
