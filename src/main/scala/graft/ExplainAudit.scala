@@ -12,7 +12,9 @@ object ExplainAudit {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_filter_status", "q02_filter_time_in", "q05_agg_composite",
-        "q11_join_fk", "q12_join_dim_chain", "q14_window_topn", "q31_cosine_topk")
+        "q11_join_fk", "q12_join_dim_chain", "q14_window_topn", "q31_cosine_topk",
+        "q46_auth_login", "q47_session_lifecycle", "q50_feature_rollout",
+        "q51_running_counters")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

@@ -78,16 +78,26 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     val n = shingles.numElements()
     val md = MessageDigest.getInstance("MD5")
     val salts = Array.tabulate(numHashes)(i => s"#$i".getBytes(StandardCharsets.UTF_8))
+    val maxSalt = if (numHashes == 0) 0 else salts.map(_.length).max
     val mins = new Array[Array[Byte]](numHashes)
+    // one reusable buffer: shingle bytes copied ONCE per shingle, only
+    // the salt suffix rewritten per hash — this loop runs
+    // |shingles|·numHashes times per document, so per-digest allocations
+    // and redundant copies dominate without it
+    var buf = new Array[Byte](64)
     var j = 0
     while (j < n) {
       val s = shingles.getUTF8String(j).getBytes
+      if (buf.length < s.length + maxSalt)
+        buf = new Array[Byte](s.length + maxSalt)
+      System.arraycopy(s, 0, buf, 0, s.length)
       var i = 0
       while (i < numHashes) {
-        val buf = new Array[Byte](s.length + salts(i).length)
-        System.arraycopy(s, 0, buf, 0, s.length)
-        System.arraycopy(salts(i), 0, buf, s.length, salts(i).length)
-        val d = HashKernels.md5(md, buf)
+        val salt = salts(i)
+        System.arraycopy(salt, 0, buf, s.length, salt.length)
+        md.reset()
+        md.update(buf, 0, s.length + salt.length)
+        val d = md.digest()
         if (mins(i) == null || HashKernels.lessThan(d, mins(i))) mins(i) = d
         i += 1
       }

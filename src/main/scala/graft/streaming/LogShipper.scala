@@ -119,12 +119,24 @@ object LogShipper {
 
   /** ST3: priority ordering within a micro-batch before fan-out — the
     * broadcaster drains its queue highest-priority-first
-    * (reference: include/message_broadcaster.hpp:52-63; the drop-on-full
-    * lossy QoS is a queue property documented, not replicated). */
+    * (reference: include/message_broadcaster.hpp:52-63). */
   def prioritized(batch: DataFrame, priorityCol: String = "priority"): DataFrame =
     if (batch.columns.contains(priorityCol))
       batch.orderBy(col(priorityCol).desc)
     else batch
+
+  /** ST3 drop-on-full QoS: the reference's broadcaster queue is bounded —
+    * when a batch exceeds the queue capacity, the LOWEST-priority
+    * messages are shed (lossy by design). Returns the kept frame; pair
+    * with [[droppedCount]] so shed volume is accounted, not silent.
+    * Plans as TakeOrderedAndProject — no global sort at scale. */
+  def prioritizedCapped(batch: DataFrame, maxQueue: Int,
+      priorityCol: String = "priority"): DataFrame =
+    prioritized(batch, priorityCol).limit(maxQueue)
+
+  /** Messages a capacity would shed from this batch (accounting). */
+  def droppedCount(batch: DataFrame, maxQueue: Int): Long =
+    math.max(0L, batch.count() - maxQueue)
 
   /** ST9: alert stream — threshold filter over a metrics stream
     * (reference: include/notification_service.hpp:22-131; thresholds

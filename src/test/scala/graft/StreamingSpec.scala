@@ -156,6 +156,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(LogShipper.prioritized(plain).collect().map(_.getString(0)).toSeq == Seq("x", "y"))
   }
 
+  test("ST3 drop-on-full QoS sheds lowest-priority messages, accounted") {
+    import spark.implicits._
+    val batch = Seq(("a", 1), ("b", 9), ("c", 5), ("d", 7)).toDF("msg", "priority")
+    val kept = LogShipper.prioritizedCapped(batch, maxQueue = 2)
+      .select("msg").collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("b", "d")) // highest priorities survive
+    assert(LogShipper.droppedCount(batch, 2) == 2L)
+    assert(LogShipper.droppedCount(batch, 10) == 0L)
+  }
+
   test("rate limiter: longest-prefix rule match with delimiter check") {
     assert(RateLimiter.matchRule("/api/jobs/123/status").map(_.endpoint)
       .contains("/api/jobs"))
