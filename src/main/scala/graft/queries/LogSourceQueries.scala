@@ -61,10 +61,14 @@ object LogSourceQueries {
           lit(" | job_id=job_"), col("user_id") % 50,
           lit(" thread=thr"), col("event_id") % 3).as("message"))
       // one deterministic file: lines in event_id order → lineNumber is
-      // reproducible as ROW_NUMBER() OVER (ORDER BY event_id)
-      val logDir = sys.props("java.io.tmpdir") + "/graft_q48_logs"
-      LogFileSource.formatLine(typed.repartition(1).sortWithinPartitions("event_id"))
-        .write.mode("overwrite").text(logDir)
+      // reproducible as ROW_NUMBER() OVER (ORDER BY event_id). The
+      // fixture derives solely from the immutable sf tables, so it is
+      // written once per sf dir and reused (_SUCCESS as the marker).
+      val logDir = sys.props("java.io.tmpdir") + "/graft_q48_logs_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      if (!new java.io.File(logDir, "_SUCCESS").isFile)
+        LogFileSource.formatLine(typed.repartition(1).sortWithinPartitions("event_id"))
+          .write.mode("overwrite").text(logDir)
       val parsed = LogFileSource.read(s, logDir)
       val p = LogQuery.LogQueryParams(
         startTime = Some(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),

@@ -111,4 +111,51 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
     }
   }
+
+  test("kernel/declarative parity holds on adversarial random strings") {
+    // strings with repeated substrings, unicode, odd whitespace — the
+    // shapes mostly absent from the docs corpus
+    val gen = for {
+      words <- Gen.listOf(Gen.oneOf("ab", "ab ab", "ééé", "x", "", "a\tb",
+        "the and of", "zzzz", "日本語テキスト", "a.b,c!"))
+      sep <- Gen.oneOf(" ", "  ", "\n", "\t")
+    } yield words.mkString(sep)
+    val samples = sample(gen, 300).distinct
+    import spark.implicits._
+    import graft.functions.{ShingleExpressions, TextFunctions}
+    val df = samples.toDF("text")
+    val rows = df.select(
+      ShingleExpressions.charShinglesDistinct(col("text"), 5).as("ck"),
+      array_distinct(TextFunctions.charNgrams(col("text"), 5)).as("cd"),
+      ShingleExpressions.wordShinglesDistinct(col("text"), 3).as("wk"),
+      array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("wd"),
+      graft.operators.Dedup.simhash64(col("text")).as("sk"),
+      graft.operators.Dedup.simhash64Declarative(col("text")).as("sd"),
+      graft.functions.LangQualityExpr.of(col("text")).as("lq"),
+      TextFunctions.langIdHeuristic(col("text")).as("dl"),
+      TextFunctions.qualityScore(col("text")).as("dq")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"char shingles: $r")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), s"word shingles: $r")
+      assert(r.getLong(4) == r.getLong(5), s"simhash64: $r")
+      val lq = r.getStruct(6)
+      assert(lq.getString(0) == r.getString(7), s"langid: $r")
+      assert(lq.getDouble(1) == r.getDouble(8), s"quality: $r")
+    }
+  }
+
+  test("fnv1a64 rollout matches a reference fold on random user ids") {
+    def refFnv(s: String): Long = {
+      var h = -3750763034362895579L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }
+      h
+    }
+    val ids = sample(Gen.alphaNumStr.suchThat(_.nonEmpty), 200).distinct
+    import spark.implicits._
+    val got = ids.toDF("u")
+      .select(col("u"), graft.functions.HashExpressions.fnv1a64(col("u")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(got(id) == refFnv(id), id))
+  }
 }

@@ -250,6 +250,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(received.size == 2)
   }
 
+  test("S8: executorNetworkWriter ships every row from executors") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-exec-writer")
+    val outPath = out.toString // serializable capture for the executor closure
+    val batch = Seq(
+      graft.model.LogMessage("j1", "ERROR", "db", "boom", ts(0)),
+      graft.model.LogMessage("j1", "INFO", "api", "ok", ts(1)),
+      graft.model.LogMessage("j2", "WARN", "api", "slow", ts(2))).toDF()
+      .repartition(3) // force multiple partitions → multiple transport calls
+    val writer = LogShipper.executorNetworkWriter { rows =>
+      // a real transport posts per partition; here each partition writes
+      // its payload to a unique file (executor-side, no driver collect)
+      val f = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(outPath), "part", ".jsonl")
+      java.nio.file.Files.write(f, rows.mkString("\n").getBytes)
+    }
+    writer(batch, 1L, LogShipper.Destination("net", "HTTP_ENDPOINT", Seq("ERROR")))
+    val shipped = new java.io.File(out.toString).listFiles()
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).filter(_.nonEmpty)
+    assert(shipped.length == 3)
+    assert(shipped.exists(_.contains("boom")) && shipped.exists(_.contains("slow")))
+  }
+
   test("log shipper filters per destination and records stats") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
