@@ -24,6 +24,7 @@ object SparkEntry {
     graft.queries.AuthQueries.entries,
     graft.queries.LogSourceQueries.entries,
     graft.queries.ConfigQueries.entries,
+    graft.queries.ExtensionQueries.entries,
     graft.queries.JsonQueries.entries,
     graft.queries.WindowQueries.entries
   )

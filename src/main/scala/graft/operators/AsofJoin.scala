@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row, the most recent right row with
+  * `right.ts <= left.ts` per key. Spark has no native ASOF operator;
+  * the naive formulations are a range theta-join (quadratic blow-up) or
+  * a per-left-row subquery (driver loops). This implementation is the
+  * scalable union-window shape:
+  *
+  *   1. tag both sides and union them on a COMMON narrow schema;
+  *   2. one shuffle: window over (key) ordered by (ts, side, seq) with
+  *      right rows sorting BEFORE left rows at equal ts (<= semantics);
+  *   3. `last_value(ignoreNulls)` carries the latest right payload
+  *      forward; left rows read it at their own position;
+  *   4. filter back to left rows.
+  *
+  * Cost: ONE shuffle on the key, sort within partitions, zero row
+  * amplification — the plan a 100 TB trades⋈quotes join needs. Ties
+  * among right rows at identical (key, ts) resolve to the last by
+  * `seqCol` (deterministic; pass a unique id).
+  */
+object AsofJoin {
+
+  /** `left` and `right` must both have `keyCol` and `tsCol`; `payload`
+    * columns are taken from `right`. Returns all left columns + payload
+    * (null where no right row precedes). */
+  def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      payload: Seq[String], rightSeqCol: String): DataFrame = {
+    val leftCols = left.columns
+    // common schema: left columns + payload slots + bookkeeping
+    val taggedLeft = payload.foldLeft(
+      left.withColumn("_side", lit(1)).withColumn("_seq", lit(Long.MaxValue))) {
+      (df, p) => df.withColumn(s"_p_$p", lit(null).cast(right.schema(p).dataType))
+    }
+    val taggedRight = {
+      val base = right.select(
+        (Seq(col(keyCol), col(tsCol), lit(0).as("_side"),
+          col(rightSeqCol).cast("long").as("_seq")) ++
+          payload.map(p => col(p).as(s"_p_$p"))): _*)
+      // align to the left schema: missing left columns become nulls
+      leftCols.filterNot(c => c == keyCol || c == tsCol).foldLeft(base) {
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+    val unioned = taggedLeft.unionByName(taggedRight)
+    // right rows (side 0) sort before left rows (side 1) at equal ts, so
+    // a right row AT the left timestamp is visible (<= semantics); among
+    // equal-ts right rows the greatest seq wins
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(s"_asof_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"_asof_$p").as(p)): _*)
+  }
+}

@@ -217,6 +217,28 @@ object Dedup {
       }
   }
 
+  /** Substring-containment candidates via rolling-hash fingerprints:
+    * docs sharing at least `minShared` sampled Rabin-Karp window hashes.
+    * Catches a doc copied INSIDE a larger doc — whole-document
+    * fingerprints (md5, SimHash, MinHash over full shingle sets) all
+    * dilute under containment, window sampling doesn't. Shuffle is
+    * O(N · sampled windows) narrow (fp, id) rows, same shape as the LSH
+    * band join — never O(N²). */
+  def containmentCandidates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 8, sampleMod: Int = 4,
+      minShared: Int = 5): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(graft.functions.RollingHashExpr.of(col(textCol), window, sampleMod))
+        .as("fp"))
+    val a = fps.select(col("fp"), col("id").as("id_a"))
+    val b = fps.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** SimHash near-dup buckets: docs sharing a fingerprint are duplicate
     * candidates; hamming-distance-k search joins on fingerprints with k
     * bits masked out (k small). */

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.AsofJoin
+
+/** Oracle-verified extension operators Spark lacks natively: rolling-hash
+  * document fingerprints (DuckDB re-derives every window hash with a
+  * list_reduce polynomial fold — BIGINT-exact, base 257 mod 1e9+7) and
+  * the as-of join (DuckDB has native ASOF JOIN as the oracle).
+  */
+object ExtensionQueries {
+
+  val entries: Map[String, QueryDef] = Map(
+
+    // Rolling Rabin-Karp window fingerprints with mod-sampling: the
+    // kernel's O(len) rolling recurrence must equal the direct per-window
+    // polynomial hash (the oracle computes each window from scratch).
+    "q54_rolling_fingerprints" -> QueryDef(
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |cp AS (SELECT doc_id,
+        |         list_transform(range(length(text)),
+        |           i -> unicode(substr(text, CAST(i+1 AS INT), 1))) AS cps
+        |       FROM d),
+        |wins AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(greatest(len(cps) - 7, 0)), s ->
+        |      list_reduce(cps[CAST(s+1 AS INT):CAST(s+8 AS INT)],
+        |        (h, c) -> (CAST(h AS BIGINT) * 257 + c) % 1000000007)),
+        |    h -> h % 4 = 0)) AS fps
+        |  FROM cp)
+        |SELECT doc_id,
+        |       len(fps) AS n_fps,
+        |       CAST(coalesce(list_min(fps), -1) AS BIGINT) AS min_fp,
+        |       CAST(coalesce(list_max(fps), -1) AS BIGINT) AS max_fp,
+        |       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS sum_fp
+        |FROM wins ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fps = graft.functions.RollingHashExpr.of(col("text"), 8, 4)
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), fps.as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"),
+          coalesce(array_max(col("fps")), lit(-1L)).as("max_fp"),
+          aggregate(col("fps"), lit(0L), (a, x) => a + x).as("sum_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // As-of join: every "trade" (click event) matched to the most recent
+    // "quote" (view event) for the same user at or before its timestamp.
+    // DuckDB's native ASOF JOIN is the oracle; quotes are pre-aggregated
+    // to unique (key, ts) so the match is well-defined in both engines.
+    "q55_asof_join" -> QueryDef(
+      """WITH trades AS (
+        |  SELECT event_id, user_id % 25 AS k, ts
+        |  FROM events WHERE event_type = 'click'),
+        |quotes AS (
+        |  SELECT user_id % 25 AS k, ts, max(value) AS quote
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY 1, 2)
+        |SELECT t.event_id, t.k,
+        |       strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS trade_ts,
+        |       q.quote
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.k = q.k AND t.ts >= q.ts
+        |ORDER BY t.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val trades = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), (col("user_id") % 25).as("k"), col("ts"))
+      val quotes = ev.filter(col("event_type") === "view")
+        .groupBy((col("user_id") % 25).as("k"), col("ts"))
+        .agg(max(col("value")).as("quote"))
+        .withColumn("qid", monotonically_increasing_id())
+      AsofJoin.asof(trades, quotes, keyCol = "k", tsCol = "ts",
+        payload = Seq("quote"), rightSeqCol = "qid")
+        .select(col("event_id"), col("k"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("trade_ts"),
+          col("quote"))
+        .orderBy(col("event_id"))
+    }
+  )
+}

@@ -87,6 +87,51 @@ class PipelineSpec extends AnyFunSuite {
     jp.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("containment candidates find a doc planted inside a larger doc") {
+    import spark.implicits._
+    val base = docs.limit(30).select(col("doc_id"), col("text"))
+    val rows = base.collect().map(r => (r.getLong(0), r.getString(1)))
+    // plant: doc 900001 CONTAINS doc rows(0)'s full text inside wrapper prose
+    val contained = rows(0)
+    val container = (900001L,
+      "unrelated preamble text here. " + contained._2 + " trailing commentary.")
+    val corpus = (rows :+ container).toSeq.toDF("doc_id", "text")
+    val cands = graft.operators.Dedup.containmentCandidates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cands.exists { case (a, b, n) =>
+      a == contained._1 && b == 900001L && n >= 5 },
+      s"containment pair not found: ${cands.toSeq}")
+    // an unrelated pair of short distinct docs should not appear with
+    // high shared counts unless genuinely similar — sanity: the planted
+    // pair shares the most fingerprints involving the container
+    val top = cands.filter(_._2 == 900001L).maxBy(_._3)
+    assert(top._1 == contained._1)
+  }
+
+  test("asof join matches latest-at-or-before per key incl. exact-ts ties") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, "k1", ts("2025-01-01 10:00:05")),
+      (2L, "k1", ts("2025-01-01 10:00:10")), // exactly at a quote ts
+      (3L, "k1", ts("2025-01-01 09:00:00")), // before any quote
+      (4L, "k2", ts("2025-01-01 10:00:07"))
+    ).toDF("event_id", "k", "ts")
+    val quotes = Seq(
+      ("k1", ts("2025-01-01 10:00:00"), 100.0, 1L),
+      ("k1", ts("2025-01-01 10:00:10"), 105.0, 2L),
+      ("k2", ts("2025-01-01 10:00:06"), 7.0, 3L)
+    ).toDF("k", "ts", "quote", "qid")
+    val got = graft.operators.AsofJoin
+      .asof(trades, quotes, "k", "ts", Seq("quote"), "qid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L).contains(100.0)) // latest before 10:00:05
+    assert(got(2L).contains(105.0)) // quote AT trade ts is visible (<=)
+    assert(got(3L).isEmpty)         // nothing precedes
+    assert(got(4L).contains(7.0))
+  }
+
   test("cosine + lang/quality kernels match the declarative formulations") {
     import graft.operators.Similarity
     val e = embeddings.limit(40)
