@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, RangeJoin, Sessionize}
 
 /** Oracle-verified extension operators Spark lacks natively: rolling-hash
   * document fingerprints (DuckDB re-derives every window hash with a
@@ -79,6 +79,65 @@ object ExtensionQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("trade_ts"),
           col("quote"))
         .orderBy(col("event_id"))
+    },
+
+    // Gap-based sessionization: new session per key at the first event
+    // or after a >30 min silence; session counter is a running sum over
+    // the boundary indicator.
+    "q56_sessionize" -> QueryDef(
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 100 AS k, ts FROM events),
+        |g AS (
+        |  SELECT event_id, k, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT event_id, k,
+        |         CAST(SUM(new_session) OVER (PARTITION BY k ORDER BY ts, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT event_id, k, session_seq,
+        |       k || '#' || session_seq AS session_id
+        |FROM s ORDER BY event_id LIMIT 5000""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), (col("user_id") % 100).as("k"), col("ts"))
+      Sessionize.byGap(ev, keyCol = "k", tsCol = "ts", seqCol = "event_id",
+        gapSeconds = 1800)
+        .select(col("event_id"), col("k"), col("session_seq"), col("session_id"))
+        .orderBy(col("event_id"))
+        .limit(5000)
+    },
+
+    // Bucketed point-in-interval join: click events matched to the
+    // 30-minute windows opened by view events of the same key. The
+    // oracle is DuckDB's native inequality join.
+    "q57_range_join" -> QueryDef(
+      """WITH pts AS (
+        |  SELECT event_id, user_id % 50 AS k, ts FROM events
+        |  WHERE event_type = 'click'),
+        |iv AS (
+        |  SELECT user_id % 50 AS k, ts AS s, ts + to_seconds(1800) AS e,
+        |         min(event_id) AS iv_id
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY 1, 2, 3)
+        |SELECT p.event_id, p.k, i.iv_id
+        |FROM pts p JOIN iv i
+        |  ON p.k = i.k AND p.ts >= i.s AND p.ts <= i.e
+        |ORDER BY p.event_id, i.iv_id LIMIT 5000""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val pts = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), (col("user_id") % 50).as("k"), col("ts"))
+      val iv = ev.filter(col("event_type") === "view")
+        .groupBy((col("user_id") % 50).as("k"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 1800 SECONDS")).as("e"))
+        .agg(min(col("event_id")).as("iv_id"))
+      RangeJoin.pointInInterval(pts, iv, keyCol = "k", ptCol = "ts",
+        startCol = "s", endCol = "e", bucketSeconds = 1800)
+        .select(col("event_id"), col("k"), col("iv_id"))
+        .orderBy(col("event_id"), col("iv_id"))
+        .limit(5000)
     }
   )
 }

@@ -108,6 +108,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(top._1 == contained._1)
   }
 
+  test("sessionize: gap boundary is exclusive; ties break on seq") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "u1", ts("2025-01-01 10:00:00")),
+      (2L, "u1", ts("2025-01-01 10:30:00")), // gap == 1800 s exactly → SAME session
+      (3L, "u1", ts("2025-01-01 11:00:01")), // gap 1801 s → new session
+      (4L, "u2", ts("2025-01-01 10:00:00"))
+    ).toDF("event_id", "k", "ts")
+    val got = graft.operators.Sessionize
+      .byGap(ev, "k", "ts", "event_id", gapSeconds = 1800)
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "u1#1" && got(2L) == "u1#1")
+    assert(got(3L) == "u1#2")
+    assert(got(4L) == "u2#1")
+  }
+
+  test("range join: boundary inclusion, cross-bucket intervals, no dupes") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, "k1", ts("2025-01-01 10:00:00")), // == interval start
+      (2L, "k1", ts("2025-01-01 10:45:00")), // mid, crosses bucket boundary
+      (3L, "k1", ts("2025-01-01 11:00:00")), // == interval end
+      (4L, "k1", ts("2025-01-01 11:00:01")), // just past end
+      (5L, "k2", ts("2025-01-01 10:30:00"))  // right time, wrong key
+    ).toDF("event_id", "k", "ts")
+    val iv = Seq(("k1", ts("2025-01-01 10:00:00"), ts("2025-01-01 11:00:00"), 7L))
+      .toDF("k", "s", "e", "iv_id")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(pts, iv, "k", "ts", "s", "e", bucketSeconds = 1800)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L)) // inclusive bounds, one row each
+  }
+
   test("asof join matches latest-at-or-before per key incl. exact-ts ties") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
