@@ -21,8 +21,12 @@ object Sessionize {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col(tsCol), 1).over(w)
+    // millisecond arithmetic: exact integers (unix_timestamp would FLOOR
+    // to whole seconds, silently shifting gaps that straddle a second
+    // boundary — bit us at sf0.1 where sub-second components are real)
     val newSession = when(prev.isNull ||
-      unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSeconds, 1)
+      unix_millis(col(tsCol).cast("timestamp")) -
+        unix_millis(prev.cast("timestamp")) > gapSeconds * 1000L, 1)
       .otherwise(0)
     events
       .withColumn("session_seq", sum(newSession).over(run))

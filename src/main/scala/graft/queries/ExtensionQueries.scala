@@ -90,7 +90,7 @@ object ExtensionQueries {
         |g AS (
         |  SELECT event_id, k, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
         |              ELSE 0 END AS new_session
         |  FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
         |s AS (
