@@ -110,6 +110,40 @@ object ExtensionQueries {
         .limit(5000)
     },
 
+    // Spark's NATIVE session_window aggregation over the same event
+    // stream — merges events whose ts falls strictly inside the open
+    // session end (last ts + gap), i.e. a gap of EXACTLY 30 min starts a
+    // new session (half-open [start, end)), unlike q56's >-rule. The
+    // oracle re-derives that boundary with >= on millisecond deltas.
+    "q58_session_window" -> QueryDef(
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 100 AS k, ts FROM events),
+        |g AS (
+        |  SELECT k, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT k, ts,
+        |         SUM(new_session) OVER (PARTITION BY k ORDER BY ts
+        |              ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM g)
+        |SELECT k, CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+        |       CAST(epoch_ms(max(ts)) + 1800000 AS BIGINT) AS end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY k, seq ORDER BY k, start_ms""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select((col("user_id") % 100).as("k"), col("ts").cast("timestamp").as("ts"))
+      ev.groupBy(col("k"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("k"),
+          unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"),
+          col("n_events"))
+        .orderBy(col("k"), col("start_ms"))
+    },
+
     // Bucketed point-in-interval join: click events matched to the
     // 30-minute windows opened by view events of the same key. The
     // oracle is DuckDB's native inequality join.
