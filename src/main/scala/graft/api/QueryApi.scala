@@ -20,8 +20,12 @@ object QueryApi {
     * both sides). Malformed escapes leave the token as-is rather than
     * rejecting the whole query string. */
   def parseQueryString(qs: String): Map[String, String] = {
+    // decode %XX escapes ONLY: URLDecoder also rewrites '+' to a space
+    // (form encoding), which would corrupt literal plus signs — escape
+    // them first so they survive the decode
     def dec(s: String): String =
-      try java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+      try java.net.URLDecoder.decode(s.replace("+", "%2B"),
+        java.nio.charset.StandardCharsets.UTF_8)
       catch { case _: IllegalArgumentException => s }
     qs.split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
       kv.split("=", 2) match {

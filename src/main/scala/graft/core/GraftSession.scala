@@ -24,6 +24,26 @@ object GraftSession {
 
   val DefaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** FAIR allocation file declaring the `etl` pool with FAIR scheduling
+    * INSIDE the pool — without it an on-demand pool defaults to internal
+    * FIFO and concurrent jobs would still queue behind each other.
+    * Materialized once to a temp file (no packaging/classpath games). */
+  private lazy val fairSchedulerFile: String = {
+    val f = java.nio.file.Files.createTempFile("graft-fairscheduler", ".xml")
+    java.nio.file.Files.writeString(f,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="etl">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
   def builder(appName: String = "graft", cpus: String = DefaultCpus): SparkSession.Builder =
     SparkSession
       .builder()
@@ -38,8 +58,10 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       // FAIR task scheduling so concurrent jobs (JobRunner.runConcurrent's
       // spark.scheduler.pool=etl) time-share executors instead of queuing
-      // FIFO behind each other; pools are created on demand.
+      // FIFO behind each other; the allocation file makes the etl pool
+      // FAIR internally too (on-demand pools default to FIFO inside).
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", fairSchedulerFile)
       // events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType
       // (micros) cannot hold; read as Long nanos and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -194,20 +194,30 @@ object JobRunner {
   def upsertJobBucketed(warehouse: String, result: EtlJob,
       numBuckets: Int = 64)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val b = jobBucket(result.jobId, numBuckets)
-    val row = Seq(result).toDF().withColumn("bucket", lit(b))
-    val merged =
-      if (new java.io.File(warehouse).exists()) {
-        val bucketRows = spark.read.parquet(warehouse)
-          .filter(col("bucket") === b) // partition-pruned: one directory read
-          .filter(col("jobId") =!= result.jobId)
-          // materialize the (single-bucket) rows before overwriting the
-          // path they were read from; only this bucket is ever held
-          .localCheckpoint(true)
-        bucketRows.unionByName(row, allowMissingColumns = true)
-      } else row
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(warehouse)
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(overwriteKey)
+    spark.conf.set(overwriteKey, "dynamic")
+    try {
+      val b = jobBucket(result.jobId, numBuckets)
+      val row = Seq(result).toDF().withColumn("bucket", lit(b))
+      // filesystem-agnostic existence check (local, HDFS, S3A, ...)
+      val path = new org.apache.hadoop.fs.Path(warehouse)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(path)) {
+          val bucketRows = spark.read.parquet(warehouse)
+            .filter(col("bucket") === b) // partition-pruned: one directory read
+            .filter(col("jobId") =!= result.jobId)
+            // materialize the (single-bucket) rows before overwriting the
+            // path they were read from; only this bucket is ever held
+            .localCheckpoint(true)
+          bucketRows.unionByName(row, allowMissingColumns = true)
+        } else row
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(warehouse)
+    } finally prevMode match {
+      case Some(m) => spark.conf.set(overwriteKey, m)
+      case None    => spark.conf.unset(overwriteKey)
+    }
   }
 
   /** Read the bucketed jobs table (point lookups prune to one bucket). */

@@ -41,6 +41,9 @@ case class CosineExpr(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null element nulls the declarative sums → d is null → the
+      // when(d > 0) fallthrough yields 0.0; mirror that exactly
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return java.lang.Double.valueOf(0.0)
       val x = if (aF) aa.getFloat(i).toDouble else aa.getDouble(i)
       val y = if (bF) bb.getFloat(i).toDouble else bb.getDouble(i)
       dot += x * y

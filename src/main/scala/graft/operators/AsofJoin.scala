@@ -26,20 +26,27 @@ object AsofJoin {
 
   /** `left` and `right` must both have `keyCol` and `tsCol`; `payload`
     * columns are taken from `right`. Returns all left columns + payload
-    * (null where no right row precedes). */
+    * (null where no right row precedes).
+    *
+    * The payload travels as ONE struct column: the struct is non-null
+    * for every right row even when its fields are null, so (a) a
+    * legitimately-null payload value on the most recent right row
+    * correctly masks older non-null values, and (b) multiple payload
+    * columns always come from the SAME matched right row. */
   def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       payload: Seq[String], rightSeqCol: String): DataFrame = {
     val leftCols = left.columns
-    // common schema: left columns + payload slots + bookkeeping
-    val taggedLeft = payload.foldLeft(
-      left.withColumn("_side", lit(1)).withColumn("_seq", lit(Long.MaxValue))) {
-      (df, p) => df.withColumn(s"_p_$p", lit(null).cast(right.schema(p).dataType))
-    }
+    val payloadStruct = struct(payload.map(col): _*)
+    val taggedLeft = left
+      .withColumn("_side", lit(1))
+      .withColumn("_seq", lit(Long.MaxValue))
+      .withColumn("_p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))))
     val taggedRight = {
       val base = right.select(
-        (Seq(col(keyCol), col(tsCol), lit(0).as("_side"),
-          col(rightSeqCol).cast("long").as("_seq")) ++
-          payload.map(p => col(p).as(s"_p_$p"))): _*)
+        col(keyCol), col(tsCol), lit(0).as("_side"),
+        col(rightSeqCol).cast("long").as("_seq"),
+        payloadStruct.as("_p"))
       // align to the left schema: missing left columns become nulls
       leftCols.filterNot(c => c == keyCol || c == tsCol).foldLeft(base) {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -52,10 +59,10 @@ object AsofJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_side").asc, col("_seq").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"_asof_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("_asof",
+      last(col("_p"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"_asof_$p").as(p)): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"_asof.$p").as(p)): _*)
   }
 }

@@ -226,10 +226,22 @@ object Dedup {
     * band join — never O(N²). */
   def containmentCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", window: Int = 8, sampleMod: Int = 4,
-      minShared: Int = 5): DataFrame = {
-    val fps = docs.select(col(idCol).as("id"),
+      minShared: Int = 5, maxDocsPerFp: Option[Int] = None): DataFrame = {
+    val allFps = docs.select(col(idCol).as("id"),
       explode(graft.functions.RollingHashExpr.of(col(textCol), window, sampleMod))
         .as("fp"))
+    // same hot-key guardrail as the LSH band join: a boilerplate window
+    // (license header, padding) shared by B docs would contribute B²
+    // join rows on its fp — drop over-cap fingerprints (tiny list →
+    // broadcast anti-join); containment still shows via the other
+    // sampled windows of the contained span
+    val fps = maxDocsPerFp match {
+      case Some(cap) =>
+        val hot = allFps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap).select(col("fp"))
+        allFps.join(broadcast(hot), Seq("fp"), "left_anti")
+      case None => allFps
+    }
     val a = fps.select(col("fp"), col("id").as("id_a"))
     val b = fps.select(col("fp"), col("id").as("id_b"))
     a.join(b, Seq("fp"))

@@ -76,17 +76,19 @@ object Similarity {
     Array.tabulate(numPlanes)(p => Array.tabulate(dims)(d => planeSignValue(p, d)))
 
   /** Embedding dimensionality, read from one row — vectors are
-    * fixed-width per corpus, so this is a constant known at plan time. */
+    * fixed-width per corpus, so this is a constant known at plan time.
+    * Empty corpus → 0 dims (every downstream join is empty anyway). */
   private def dimsOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head.getInt(0)
+    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane over the
     * signed sum of vector components. The sign matrix is embedded as
     * literal arrays (no per-row hashing); the fold order matches the
     * previous per-row formulation bit-for-bit. */
   def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column = {
+    val m = signMatrix(numPlanes, dims) // computed once, not per plane
     val bits = (0 until numPlanes).map { p =>
-      val signs = typedlit(signMatrix(numPlanes, dims)(p).toSeq)
+      val signs = typedlit(m(p).toSeq)
       val proj = aggregate(
         zip_with(vec, signs, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)

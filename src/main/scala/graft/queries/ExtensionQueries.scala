@@ -119,14 +119,14 @@ object ExtensionQueries {
       """WITH ev AS (
         |  SELECT event_id, user_id % 100 AS k, ts FROM events),
         |g AS (
-        |  SELECT k, ts,
+        |  SELECT event_id, k, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1
         |              ELSE 0 END AS new_session
         |  FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
         |s AS (
         |  SELECT k, ts,
-        |         SUM(new_session) OVER (PARTITION BY k ORDER BY ts
+        |         SUM(new_session) OVER (PARTITION BY k ORDER BY ts, event_id
         |              ROWS UNBOUNDED PRECEDING) AS seq
         |  FROM g)
         |SELECT k, CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,

@@ -29,8 +29,16 @@ object LogShipper {
       allowedLevels: Seq[String],
       allowedComponents: Seq[String] = Seq.empty,
       path: Option[String] = None,
-      maxRetries: Int = 3,          // reference: log_aggregator.hpp:56
-      retryDelayMillis: Long = 5000 // reference: log_aggregator.hpp:57
+      maxRetries: Int = 3,           // reference: log_aggregator.hpp:56
+      retryDelayMillis: Long = 5000, // reference: log_aggregator.hpp:57
+      // Budget for in-batch retry SLEEPS: retries run inside
+      // foreachBatch, so unbounded backoff (up to 5 min/attempt) would
+      // head-of-line-block every destination and back up the stream.
+      // Once the budget is spent the destination records a failure and
+      // the batch moves on (the full unbounded schedule belongs to an
+      // out-of-band retry queue like the reference's notification
+      // service — Delivery.deliver with default policy).
+      maxInlineRetryMillis: Long = 15000
   )
 
   /** One shipped batch's outcome, for the aggregator stats surface
@@ -92,12 +100,20 @@ object LogShipper {
     try destinations.foreach { case (dest, writer) =>
       val filtered = LogQuery.shipFilter(batch, dest.allowedLevels, dest.allowedComponents)
       val n = filtered.count()
+      // cap each sleep by the remaining inline budget; attempts whose
+      // delay no longer fits simply run back-to-back until exhausted
+      var budget = dest.maxInlineRetryMillis
+      val budgetedSleeper: Long => Unit = { d =>
+        val capped = math.min(d, budget)
+        budget -= capped
+        if (capped > 0) sleeper(capped)
+      }
       val outcome =
         if (n == 0) Delivery.Delivered(0)
         else Delivery.deliver(
           Delivery.RetryPolicy(maxAttempts = dest.maxRetries + 1,
             baseDelayMillis = dest.retryDelayMillis),
-          sleeper)(() => writer(filtered, batchId, dest))
+          budgetedSleeper)(() => writer(filtered, batchId, dest))
       val ok = outcome.isInstanceOf[Delivery.Delivered]
       synchronized {
         shipped = shipped :+ ShipResult(dest.name, batchId, if (ok) n else 0L,

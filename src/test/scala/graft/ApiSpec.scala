@@ -48,10 +48,12 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("query-string values are percent-decoded") {
-    val p = QueryApi.parseQueryString("q=a%20b%26c&x%3Dy=1&bad=%zz")
+    val p = QueryApi.parseQueryString("q=a%20b%26c&x%3Dy=1&bad=%zz&tag=c%2B%2B&lit=a+b")
     assert(p("q") == "a b&c")
     assert(p("x=y") == "1")
-    assert(p("bad") == "%zz") // malformed escape left as-is
+    assert(p("bad") == "%zz")   // malformed escape left as-is
+    assert(p("tag") == "c++")   // %2B decodes to plus
+    assert(p("lit") == "a+b")   // literal '+' survives (not form-encoding)
   }
 
   test("time-range params filter on createdAt") {

@@ -166,6 +166,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L).contains(105.0)) // quote AT trade ts is visible (<=)
     assert(got(3L).isEmpty)         // nothing precedes
     assert(got(4L).contains(7.0))
+
+    // a legitimately-NULL payload on the most recent right row must MASK
+    // older non-null values (struct carry), not fall through to them
+    val quotes2 = Seq(
+      ("k1", ts("2025-01-01 10:00:00"), Some(100.0), 1L),
+      ("k1", ts("2025-01-01 10:00:08"), None, 2L)
+    ).toDF("k", "ts", "quote", "qid")
+    val masked = graft.operators.AsofJoin
+      .asof(trades.filter($"event_id" === 2L), quotes2, "k", "ts", Seq("quote"), "qid")
+      .collect().head
+    assert(masked.isNullAt(3)) // most recent right row's null wins
   }
 
   test("cosine + lang/quality kernels match the declarative formulations") {

@@ -243,11 +243,15 @@ class StreamingSpec extends AnyFunSuite {
           throw new RuntimeException("endpoint down")),
       LogShipper.Destination("alive", "FILE", Seq("ERROR", "INFO")) ->
         LogShipper.stubNetworkWriter(p => received.synchronized { received ++= p }))
-    LogShipper.shipBatch(batch, 7L, dests, sleeper = _ => ())
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    LogShipper.shipBatch(batch, 7L, dests, sleeper = slept += _)
     val byName = LogShipper.stats.map(r => r.destination -> r).toMap
     assert(!byName("dead").delivered && byName("dead").attempts == 4) // 1 + 3 retries
     assert(byName("alive").delivered && byName("alive").shipped == 2) // not skipped
     assert(received.size == 2)
+    // in-batch sleeps are capped by the destination's inline retry budget
+    // (default 15 s) — the uncapped schedule would be 5+10+20 s
+    assert(slept.sum <= 15000L, s"slept ${slept.toSeq}")
   }
 
   test("S8: executorNetworkWriter ships every row from executors") {
