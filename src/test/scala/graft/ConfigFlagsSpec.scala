@@ -26,6 +26,8 @@ class ConfigFlagsSpec extends AnyFunSuite {
     assert(ConfigFlags.lookup(cfg, "etl.batch_size", "0") == "500")
     assert(ConfigFlags.lookup(cfg, "missing.key", "fallback") == "fallback")
     assert(ConfigFlags.byCategory(cfg, "etl").count() == 2)
+    // empty config table → default, no crash
+    assert(ConfigFlags.lookup(cfg.limit(0), "any", "d") == "d")
   }
 
   test("upsert replaces value, keeps created_at, stamps updated_at") {

@@ -179,6 +179,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(masked.isNullAt(3)) // most recent right row's null wins
   }
 
+  test("asof join: multi-column payload comes from the SAME right row") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, "k", ts("2025-01-01 10:00:09"))).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("k", ts("2025-01-01 10:00:00"), 100.0, "old", 1L),
+      ("k", ts("2025-01-01 10:00:05"), 105.0, "new", 2L)
+    ).toDF("k", "ts", "price", "tag", "qid")
+    val r = graft.operators.AsofJoin
+      .asof(left, right, "k", "ts", Seq("price", "tag"), "qid").collect().head
+    assert(r.getDouble(3) == 105.0 && r.getString(4) == "new") // one row, both fields
+  }
+
+  test("range join: interval spanning 3+ buckets still matches exactly once") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq((1L, "k", ts("2025-01-01 11:20:00"))).toDF("event_id", "k", "ts")
+    // 3-hour interval over 30-min buckets → explodes into 7 buckets
+    val iv = Seq(("k", ts("2025-01-01 10:00:00"), ts("2025-01-01 13:00:00"), 9L))
+      .toDF("k", "s", "e", "iv_id")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(pts, iv, "k", "ts", "s", "e", bucketSeconds = 1800)
+    assert(got.count() == 1) // point's own bucket matches exactly one exploded row
+  }
+
   test("cosine + lang/quality kernels match the declarative formulations") {
     import graft.operators.Similarity
     val e = embeddings.limit(40)
