@@ -196,7 +196,8 @@ object Dedup {
     * one boolean per fingerprint, partitioned across executors by the
     * fingerprint key; each micro-batch shuffles only its new rows.
     * (At 100 TB of history the state store is RocksDB-backed; the logic
-    * is identical.) */
+    * is identical.) State never expires — exact dedup against ALL
+    * history; for bounded state use [[streamingDedupWithTtl]]. */
   def streamingDedupFirstSeen(docs: org.apache.spark.sql.Dataset[(String, Long, String)])
       : org.apache.spark.sql.Dataset[(String, Long, String)] = {
     import org.apache.spark.sql.{Encoders => E}
@@ -213,6 +214,43 @@ object Dedup {
             // first row by id wins within the batch, matching min-id
             // canonical choice of the batch dedup
             rows.toSeq.sortBy(_._2).headOption.iterator
+          }
+      }
+  }
+
+  /** Streaming dedup with a dedup HORIZON: a fingerprint's state expires
+    * `ttlMillis` after its last occurrence (event time), so a duplicate
+    * arriving beyond the horizon is treated as new. Bounds state to the
+    * fingerprints active within one TTL window — the standard trade for
+    * infinite streams where exact all-history dedup would grow state
+    * forever. Caller must put a watermark on the `ts` field (_4). */
+  def streamingDedupWithTtl(
+      docs: org.apache.spark.sql.Dataset[(String, Long, String, java.sql.Timestamp)],
+      ttlMillis: Long)
+      : org.apache.spark.sql.Dataset[(String, Long, String)] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = E.tuple(E.STRING, E.scalaLong, E.STRING)
+    implicit val boolEnc = E.scalaBoolean
+    docs.groupByKey(_._1)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
+            state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed → forget the fingerprint
+            Iterator.empty
+          } else {
+            val rowSeq = rows.toSeq
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                state.update(true)
+                rowSeq.sortBy(_._2).headOption.map(r => (r._1, r._2, r._3)).iterator
+              }
+            val lastTs = rowSeq.map(_._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastTs + ttlMillis, state.getCurrentWatermarkMs + 1))
+            out
           }
       }
   }

@@ -81,6 +81,35 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     },
 
+    // Vocabulary statistics: top-20 tokens per language by frequency.
+    // The corpus explodes to (lang, token) and aggregates with map-side
+    // combine; the top-k window runs over the AGGREGATED vocab table
+    // (small), never the raw token stream, so the lang-skewed window is
+    // cheap by construction.
+    "q59_token_topk" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                      t -> t != '')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+        |ranked AS (
+        |  SELECT lang, tok, n,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rnk
+        |  FROM counts)
+        |SELECT lang, tok, n, rnk FROM ranked WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val counts = Tables(s, dir).documents
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("tok").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .orderBy(col("lang"), col("rnk"))
+    },
+
     // Gap-based sessionization: new session per key at the first event
     // or after a >30 min silence; session counter is a running sum over
     // the boundary indicator.

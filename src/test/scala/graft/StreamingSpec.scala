@@ -146,6 +146,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup TTL: duplicates re-emit after the horizon passes") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ttl = 3600L * 1000
+    val stream = MemoryStream[(String, Long, String, Timestamp)]
+    val q = graft.operators.Dedup
+      .streamingDedupWithTtl(
+        stream.toDS().withWatermark("_4", "0 seconds"), ttlMillis = ttl)
+      .toDF("fp", "id", "text")
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      stream.addData(("fpX", 1L, "v1", ts(0)))
+      q.processAllAvailable()
+      // within horizon: suppressed
+      stream.addData(("fpX", 2L, "v2", ts(60000)))
+      q.processAllAvailable()
+      // advance the watermark far past fpX's horizon (other key)
+      stream.addData(("fpY", 3L, "v3", ts(ttl + 120000)))
+      q.processAllAvailable()
+      stream.addData(("fpY", 4L, "v4", ts(ttl + 121000))) // fires fpX timeout
+      q.processAllAvailable()
+      // beyond horizon: fpX forgotten → re-emitted as new
+      stream.addData(("fpX", 9L, "v9", ts(ttl + 122000)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM dedup_ttl ORDER BY id")
+        .collect().map(_.getLong(0))
+      assert(ids.toSeq == Seq(1L, 3L, 9L)) // 2 suppressed, 9 re-emitted, 4 suppressed(fpY)
+    } finally q.stop()
+  }
+
   test("ST3 priority ordering within a batch") {
     import spark.implicits._
     val batch = Seq(("a", 1), ("b", 9), ("c", 5)).toDF("msg", "priority")
