@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities for training-data pipelines: L2
+  * normalization (unit vectors for cosine-as-dot retrieval) and mean
+  * pooling (one vector per group from its members' vectors — document
+  * embedding from chunk embeddings, cluster centroids, user profiles).
+  *
+  * Numeric contract: every sum is a deterministic sequential fold —
+  * normalization folds in array order; pooling folds group members in
+  * key order (collect + sort by the unique key, then fold) — so results
+  * are bit-identical across partitionings and engines (verified against
+  * DuckDB's ordered list_sum).
+  */
+object Embeddings {
+
+  /** L2 norm via the same sequential fold as Similarity.dot. */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(transform(vec, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Unit-normalize to array<double>; the zero vector maps to zeros. */
+  def normalize(vec: Column): Column = {
+    val n = l2Norm(vec)
+    when(n > 0, transform(vec, x => x.cast("double") / n))
+      .otherwise(transform(vec, _ => lit(0.0)))
+  }
+
+  /** Mean vector per group, emitted as (group, pos, mean, n) rows —
+    * the shape that feeds both downstream joins and a collect_list
+    * re-assembly. The per-(group,pos) sum folds member values sorted by
+    * `idCol` (unique), making the double accumulation order-independent
+    * of partitioning. The shuffle is on (group, pos) — dims-way wider
+    * keys than a naive per-group pass, which is exactly what spreads a
+    * hot group across the cluster instead of pinning it to one task. */
+  def meanPool(df: DataFrame, groupCol: Column, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val exploded = df.select(groupCol.as("g"), col(idCol).as("_id"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    exploded.groupBy(col("g"), col("pos"))
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("_id"), col("v").cast("double").as("v")))),
+            s => s.getField("v")),
+          lit(0.0), (acc, v) => acc + v).as("sum"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("pos"), (col("sum") / col("n")).as("mean"), col("n"))
+  }
+}

@@ -81,6 +81,51 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     },
 
+    // L2 normalization: unit vectors emitted per (vec_id, pos) — the
+    // norm and the division are sequential-fold double math, exactly
+    // reproducible in DuckDB.
+    "q60_embedding_normalize" -> QueryDef(
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id < 300),
+        |n AS (
+        |  SELECT vec_id,
+        |         CASE WHEN nrm > 0
+        |              THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+        |              ELSE list_transform(embedding, x -> 0.0) END AS nv
+        |  FROM e)
+        |SELECT vec_id, i AS pos, nv[CAST(i+1 AS INT)] AS nval
+        |FROM n, unnest(range(len(nv))) AS u(i)
+        |ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      import graft.operators.Embeddings
+      Tables(s, dir).embeddings.filter(col("vec_id") < 300)
+        .select(col("vec_id"), Embeddings.normalize(col("embedding")).as("nv"))
+        .select(col("vec_id"), posexplode(col("nv")).as(Seq("pos", "nval")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("nval"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
+    // Mean pooling: one mean vector per group of embeddings, as
+    // (group, pos, mean, n) rows. Both engines fold member values in
+    // vec_id order, so the double sums are bit-identical.
+    "q61_mean_pool" -> QueryDef(
+      """WITH x AS (
+        |  SELECT vec_id % 50 AS g, vec_id,
+        |         i AS pos, embedding[CAST(i+1 AS INT)] AS v
+        |  FROM embeddings, unnest(range(len(embedding))) AS u(i))
+        |SELECT g, pos,
+        |       list_sum(list(CAST(v AS DOUBLE) ORDER BY vec_id)) / count(*) AS mean,
+        |       count(*) AS n
+        |FROM x GROUP BY g, pos ORDER BY g, pos""".stripMargin) { (s, dir) =>
+      import graft.operators.Embeddings
+      Embeddings.meanPool(Tables(s, dir).embeddings, col("vec_id") % 50)
+        .select(col("g"), col("pos").cast("long").as("pos"),
+          col("mean"), col("n"))
+        .orderBy(col("g"), col("pos"))
+    },
+
     // Vocabulary statistics: top-20 tokens per language by frequency.
     // The corpus explodes to (lang, token) and aggregates with map-side
     // combine; the top-k window runs over the AGGREGATED vocab table
