@@ -30,25 +30,12 @@ case class RollingHashExpr(child: Expression, window: Int, sampleMod: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val hs = RollingHashExpr.windowHashes(cps, window)
     val out = new java.util.TreeSet[java.lang.Long]()
-    if (cps.length >= window) {
-      val M = RollingHashExpr.Mod
-      val B = RollingHashExpr.Base
-      // B^(window-1) mod M for the rolling subtraction
-      var pow = 1L
-      var i = 0
-      while (i < window - 1) { pow = pow * B % M; i += 1 }
-      var h = 0L
-      i = 0
-      while (i < window) { h = (h * B + cps(i) % M) % M; i += 1 }
-      if (h % sampleMod == 0) out.add(h)
-      i = window
-      while (i < cps.length) {
-        h = (h - cps(i - window) % M * pow % M + M * M) % M
-        h = (h * B + cps(i) % M) % M
-        if (h % sampleMod == 0) out.add(h)
-        i += 1
-      }
+    var i = 0
+    while (i < hs.length) {
+      if (hs(i) % sampleMod == 0) out.add(hs(i))
+      i += 1
     }
     val arr = new Array[Any](out.size)
     val it = out.iterator()
@@ -62,7 +49,73 @@ object RollingHashExpr {
   val Base = 257L
   val Mod = 1000000007L
 
+  /** All window hashes of the text, in position order (the shared
+    * rolling recurrence; no sampling). */
+  private[functions] def windowHashes(cps: Array[Int], window: Int): Array[Long] = {
+    if (cps.length < window) return Array.emptyLongArray
+    val M = Mod
+    val B = Base
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow = pow * B % M; i += 1 }
+    val out = new Array[Long](cps.length - window + 1)
+    var h = 0L
+    i = 0
+    while (i < window) { h = (h * B + cps(i) % M) % M; i += 1 }
+    out(0) = h
+    i = window
+    while (i < cps.length) {
+      h = (h - cps(i - window) % M * pow % M + M * M) % M
+      h = (h * B + cps(i) % M) % M
+      out(i - window + 1) = h
+      i += 1
+    }
+    out
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge
   def of(text: Column, window: Int, sampleMod: Int): Column =
     Bridge.column(RollingHashExpr(Bridge.expression(text), window, sampleMod))
+
+  def winnowed(text: Column, window: Int, winnowWindow: Int): Column =
+    Bridge.column(WinnowedHashExpr(Bridge.expression(text), window, winnowWindow))
+}
+
+/** Winnowing selection over the rolling window hashes: the distinct set
+  * of minimum hashes over every `winnowWindow` consecutive window
+  * hashes (Schleimer/Wilkerson/Aiken). Unlike mod-sampling, winnowing
+  * GUARANTEES a fingerprint within every winnowWindow-length stretch —
+  * no adversarial content can produce long unsampled gaps — at ~1 per
+  * winnowWindow/2 density. Sliding-window minimum via monotonic deque:
+  * O(len) per document. */
+case class WinnowedHashExpr(child: Expression, window: Int, winnowWindow: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): WinnowedHashExpr = copy(child = c)
+  override def prettyName: String = "winnowed_fingerprints"
+
+  override def nullSafeEval(v: Any): Any = {
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val hs = RollingHashExpr.windowHashes(cps, window)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (hs.nonEmpty) {
+      val w = math.min(winnowWindow, hs.length)
+      // monotonic deque of indices, increasing hash values front→back
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < hs.length) {
+        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - w) deque.pollFirst()
+        if (i >= w - 1) out.add(hs(deque.peekFirst()))
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
 }

@@ -48,6 +48,46 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Winnowing selection over the same rolling window hashes: distinct
+    // minimums of every 4 consecutive window hashes — guarantees a
+    // fingerprint in every 4-window stretch (mod-sampling can gap).
+    "q62_winnowed_fingerprints" -> QueryDef(
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5),
+        |cp AS (SELECT doc_id,
+        |         list_transform(range(length(text)),
+        |           i -> unicode(substr(text, CAST(i+1 AS INT), 1))) AS cps
+        |       FROM d),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(greatest(len(cps) - 7, 0)), s ->
+        |      list_reduce(cps[CAST(s+1 AS INT):CAST(s+8 AS INT)],
+        |        (h, c) -> (CAST(h AS BIGINT) * 257 + c) % 1000000007)) AS hashes
+        |  FROM cp),
+        |win AS (
+        |  SELECT doc_id, CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+        |    ELSE list_distinct(list_transform(
+        |      range(len(hashes) - least(4, len(hashes)) + 1), s ->
+        |        list_min(hashes[CAST(s+1 AS INT):CAST(s + least(4, len(hashes)) AS INT)])))
+        |    END AS fps
+        |  FROM hs)
+        |SELECT doc_id,
+        |       len(fps) AS n_fps,
+        |       CAST(coalesce(list_min(fps), -1) AS BIGINT) AS min_fp,
+        |       CAST(coalesce(list_max(fps), -1) AS BIGINT) AS max_fp,
+        |       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS sum_fp
+        |FROM win ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fps = graft.functions.RollingHashExpr.winnowed(col("text"), 8, 4)
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id"), fps.as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"),
+          coalesce(array_max(col("fps")), lit(-1L)).as("max_fp"),
+          aggregate(col("fps"), lit(0L), (a, x) => a + x).as("sum_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // As-of join: every "trade" (click event) matched to the most recent
     // "quote" (view event) for the same user at or before its timestamp.
     // DuckDB's native ASOF JOIN is the oracle; quotes are pre-aggregated
