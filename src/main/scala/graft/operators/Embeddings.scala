@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Embedding-column utilities for training-data pipelines: L2
   * normalization (unit vectors for cosine-as-dot retrieval) and mean
@@ -34,8 +35,56 @@ object Embeddings {
     * `idCol` (unique), making the double accumulation order-independent
     * of partitioning. The shuffle is on (group, pos) — dims-way wider
     * keys than a naive per-group pass, which is exactly what spreads a
-    * hot group across the cluster instead of pinning it to one task. */
+    * hot group across the cluster instead of pinning it to one task.
+    *
+    * Memory: one hash shuffle on (g, pos), an EXTERNAL sort within each
+    * shuffle partition (spills — a million-chunk group costs disk, not
+    * heap), then a streaming run-fold with O(1) state per group. No
+    * per-cell array is ever materialized, unlike the
+    * [[meanPoolDeclarative]] parity witness, whose
+    * `array_sort(collect_list(...))` buffers a whole group per
+    * aggregation cell and is kept only to pin these semantics in specs. */
   def meanPool(df: DataFrame, groupCol: Column, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val exploded = df.select(groupCol.as("g"), col(idCol).as("_id"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("g"), col("_id"), col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+    val sorted = exploded.repartition(col("g"), col("pos"))
+      .sortWithinPartitions("g", "pos", "_id")
+    val outSchema = StructType(Seq(
+      sorted.schema("g"),
+      StructField("pos", LongType),
+      StructField("mean", DoubleType),
+      StructField("n", LongType)))
+    sorted.mapPartitions { rows =>
+      new Iterator[Row] {
+        private var pending: Row = if (rows.hasNext) rows.next() else null
+        def hasNext: Boolean = pending != null
+        def next(): Row = {
+          val g = pending.get(0)
+          val pos = pending.getLong(2)
+          var sum = pending.getDouble(3)
+          var n = 1L
+          pending = null
+          var done = false
+          while (!done && rows.hasNext) {
+            val r = rows.next()
+            if (r.get(0) == g && r.getLong(2) == pos) { sum += r.getDouble(3); n += 1 }
+            else { pending = r; done = true }
+          }
+          Row(g, pos, sum / n, n)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The declarative formulation of [[meanPool]]: same ordered-fold
+    * semantics via `array_sort(collect_list(struct(id, v)))` per cell.
+    * Materializes each group in one aggregation buffer — fine at test
+    * scale, a heap risk for huge groups — so it exists only as the
+    * oracle-pinned parity witness for the streaming implementation. */
+  def meanPoolDeclarative(df: DataFrame, groupCol: Column, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val exploded = df.select(groupCol.as("g"), col(idCol).as("_id"),
       posexplode(col(vecCol)).as(Seq("pos", "v")))
@@ -47,6 +96,7 @@ object Embeddings {
             s => s.getField("v")),
           lit(0.0), (acc, v) => acc + v).as("sum"),
         count(lit(1)).as("n"))
-      .select(col("g"), col("pos"), (col("sum") / col("n")).as("mean"), col("n"))
+      .select(col("g"), col("pos").cast("long").as("pos"),
+        (col("sum") / col("n")).as("mean"), col("n"))
   }
 }

@@ -1,7 +1,9 @@
 package graft.sources
 
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapred.{FileSplit, TextInputFormat}
+import org.apache.spark.rdd.HadoopRDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** S7: the log-file line source — text log files → typed
@@ -13,12 +15,17 @@ import org.apache.spark.sql.functions._
   * level padded to 5 chars, optional `key=value` context suffix carrying
   * job_id / thread).
   *
-  * Scale: `spark.read.text` splits large files by range and distributes
-  * parsing; the regex projection is a narrow per-row transform fused into
-  * the scan. Line numbers come from a per-file window over the read order
-  * — exact when each file maps to one split (the common case for rotated
-  * app logs; `maxPartitionBytes` controls it), the same contract the
-  * reference's sequential reader provides per file.
+  * Scale: large files split by byte range and parse in parallel; the
+  * regex projection is a narrow per-row transform fused into the scan.
+  * Line numbers are EXACT even when a file spans multiple input splits:
+  * pass 1 counts lines per split (narrow, no shuffle), the driver folds
+  * the per-split counts into cumulative start offsets per file (one tiny
+  * row per split — the same order of driver state Spark itself holds for
+  * the split listing), and pass 2 numbers rows within each split from its
+  * broadcast offset. No per-file global sort exists, so a 10 GB file is
+  * parsed by ~80 parallel tasks instead of one straggler, and provenance
+  * matches the reference's sequential per-file contract
+  * (src/log_file_manager.cpp:687-721) bit-for-bit.
   */
 object LogFileSource {
 
@@ -28,13 +35,51 @@ object LogFileSource {
       "\\[([A-Z]+) *\\] \\[([^\\]]*)\\] (.*)$"
 
   /** Raw lines with provenance: filename (basename) + 1-based per-file
-    * line number. */
-  def readRaw(spark: SparkSession, path: String): DataFrame = {
-    val w = Window.partitionBy(col("filename"))
-      .orderBy(monotonically_increasing_id())
-    spark.read.text(path)
-      .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
-      .withColumn("lineNumber", row_number().over(w).cast("long"))
+    * line number, split-safe (see scale note above).
+    *
+    * `minSplits` is the Hadoop split-count hint — old-API
+    * `FileInputFormat` computes goalSize = totalBytes / minSplits, so
+    * raising it forces one file across many splits (specs use this to
+    * prove split-safety; production leaves the default and lets block
+    * size govern). TextInputFormat assigns a line to the split containing
+    * its first byte, so per-split counts partition the file's lines
+    * exactly. */
+  def readRaw(spark: SparkSession, path: String, minSplits: Int = 2): DataFrame = {
+    import spark.implicits._
+    val base = spark.sparkContext
+      .hadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], minSplits)
+      .asInstanceOf[HadoopRDD[LongWritable, Text]]
+    // pass 1: lines per split — narrow, no Text materialization
+    val counts: Array[(String, Long, Long)] = base.mapPartitionsWithInputSplit { (split, iter) =>
+      val fs = split.asInstanceOf[FileSplit]
+      var n = 0L
+      while (iter.hasNext) { iter.next(); n += 1 }
+      Iterator((fs.getPath.toString, fs.getStart, n))
+    }.collect()
+    // cumulative start line per (file, splitStart), keyed by full path so
+    // same-named files in different directories cannot collide
+    val cum: Map[(String, Long), Long] = counts.groupBy(_._1).flatMap {
+      case (file, splits) =>
+        var acc = 0L
+        splits.sortBy(_._2).map { case (_, start, n) =>
+          val entry = ((file, start), acc)
+          acc += n
+          entry
+        }
+    }
+    val cumB = spark.sparkContext.broadcast(cum)
+    // pass 2: number rows within each split from its cumulative offset.
+    // Text is reused by the record reader — copy via toString before the
+    // iterator advances (map is lazy but per-element strict).
+    base.mapPartitionsWithInputSplit { (split, iter) =>
+      val fs = split.asInstanceOf[FileSplit]
+      val name = fs.getPath.getName
+      var line = cumB.value((fs.getPath.toString, fs.getStart))
+      iter.map { case (_, text) =>
+        line += 1
+        (text.toString, name, line)
+      }
+    }.toDF("value", "filename", "lineNumber")
   }
 
   /** Parse raw lines into the HistoricalLogEntry shape. Lines that do not
@@ -58,8 +103,8 @@ object LogFileSource {
   }
 
   /** Read + parse in one step: the full S7 source. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    parse(readRaw(spark, path))
+  def read(spark: SparkSession, path: String, minSplits: Int = 2): DataFrame =
+    parse(readRaw(spark, path, minSplits))
 
   /** Render typed log rows back into the reference's text line format —
     * used to build fixtures and as the FILE-destination line codec.

@@ -55,6 +55,28 @@ class LogFileSourceSpec extends AnyFunSuite {
     assert(r4.getAs[String]("jobId") == null) // no context suffix
   }
 
+  test("line numbers stay exact when one file spans multiple splits") {
+    val dir = Files.createTempDirectory("graft-splitsafe")
+    val n = 5000
+    val sb = new StringBuilder
+    (1 to n).foreach { i =>
+      sb.append(f"[2025-03-01 00:00:${i % 60}%02d.000] [INFO ] [gen] line payload number $i%d\n")
+    }
+    Files.writeString(dir.resolve("big.log"), sb.toString)
+    // minSplits=16 forces FileInputFormat to cut the single file into
+    // many byte-range splits — the exact condition that scrambled the
+    // old window-over-monotonic-id numbering.
+    val raw = LogFileSource.readRaw(spark, dir.toString, minSplits = 16)
+    assert(raw.rdd.getNumPartitions > 4, "fixture must actually span splits")
+    val got = raw.orderBy(col("lineNumber"))
+      .select("lineNumber", "value").collect()
+    assert(got.length == n)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert(r.getString(1).endsWith(s"number ${i + 1}"))
+    }
+  }
+
   test("formatLine -> parse round-trips typed rows") {
     import spark.implicits._
     val rows = Seq(

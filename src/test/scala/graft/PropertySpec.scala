@@ -145,6 +145,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("meanPool streaming fold: declarative parity, partitioning invariance, skewed group") {
+    import spark.implicits._
+    import graft.operators.Embeddings
+    // group 0 holds 20k members (≫ the rest) — the declarative witness
+    // materializes it per cell; the streaming fold must not care.
+    val rows = (0 until 21000).map { i =>
+      val g = if (i < 20000) 0L else (i % 7 + 1).toLong
+      (i.toLong, g, Array.tabulate(4)(d => (math.sin(i * 0.7 + d) * 0.3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "grp", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Embeddings.meanPool(d, col("grp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+    val base = run(df)
+    assert(base.length == 8 * 4)
+    assert(base.find(t => t._1 == 0L && t._2 == 0L).get._4 == 20000L)
+    // bit-identical across input partitionings (the fold is id-ordered)
+    assert(run(df.repartition(13)).sameElements(base))
+    assert(run(df.repartition(1)).sameElements(base))
+    // and bit-identical to the collect_list parity witness
+    val witness = Embeddings.meanPoolDeclarative(df, col("grp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(witness.sameElements(base))
+  }
+
   test("fnv1a64 rollout matches a reference fold on random user ids") {
     def refFnv(s: String): Long = {
       var h = -3750763034362895579L
