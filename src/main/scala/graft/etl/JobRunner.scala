@@ -190,7 +190,18 @@ object JobRunner {
     * overwrite rewrites ONLY that bucket's directory. Work per upsert is
     * O(table/numBuckets) instead of O(table) — the plain-parquet analog
     * of a MERGE, trading write amplification for point-update cost the
-    * same way a SQL-table compaction strategy would. */
+    * same way a SQL-table compaction strategy would.
+    *
+    * Concurrency/durability contract (plain parquet has no transaction
+    * log): SINGLE WRITER per bucket. Concurrent upserts to the same
+    * bucket are last-writer-wins; a crash mid-overwrite can leave the
+    * bucket directory partially rewritten (dynamic partition overwrite is
+    * not atomic on plain files); and the merged rows are pinned by eager
+    * `localCheckpoint` — an executor loss between checkpoint and write
+    * fails the job (rerun the upsert) rather than corrupting data. A real
+    * deployment that needs concurrent writers or crash atomicity puts
+    * this table in a format with a commit protocol (Delta/Iceberg/Hudi)
+    * and keeps the identical bucket layout. */
   def upsertJobBucketed(warehouse: String, result: EtlJob,
       numBuckets: Int = 64)(implicit spark: SparkSession): Unit = {
     import spark.implicits._

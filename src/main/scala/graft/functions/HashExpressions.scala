@@ -180,7 +180,14 @@ case class SimHash64Expr(child: Expression)
   * stable per-user rollout hash (reference: src/feature_flags.cpp:70-79).
   * Java Long multiplication wraps = mod 2^64, matching the C++ uint64_t;
   * consumers use `Long.remainderUnsigned` for the bucket. The DuckDB
-  * oracle re-derives the identical fold with HUGEINT arithmetic. */
+  * oracle re-derives the identical fold with HUGEINT arithmetic.
+  *
+  * NOTE the offset basis is the reference's literal `1469598103934665603`
+  * — a truncated transcription of the standard FNV-1a64 basis
+  * 14695981039346656037 (trailing '7' dropped). Matching the reference's
+  * constant bit-for-bit is deliberate: per-user rollout cohorts must not
+  * reshuffle when a deployment migrates from the reference to this
+  * engine. Do NOT "fix" this to the standard basis. */
 case class Fnv1a64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -190,7 +197,7 @@ case class Fnv1a64Expr(child: Expression)
 
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
-    var h = -3750763034362895579L // 14695981039346656037 as signed
+    var h = 1469598103934665603L // reference's basis, see scaladoc
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)

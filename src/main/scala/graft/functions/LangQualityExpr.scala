@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * order, same tie-breaking), so q26's oracle hash is unchanged.
   */
 case class LangQualityExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("lang", StringType, nullable = false),
@@ -26,8 +26,22 @@ case class LangQualityExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): LangQualityExpr = copy(c)
   override def prettyName: String = "lang_quality"
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    LangQualityExpr.kernel(v.asInstanceOf[UTF8String])
+
+  /** Real codegen (not CodegenFallback): a static kernel call keeps the
+    * surrounding stage in whole-stage codegen without the interpreted
+    * eval() + references[] roundtrip per row. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LangQualityExpr$$.MODULE$$.kernel($c);")
+}
+
+object LangQualityExpr {
+
+  /** One-pass kernel body, callable from generated code. */
+  def kernel(u: UTF8String): InternalRow = {
+    val text = u.toString
     val toks = text.split("\\s+", -1)
     // stopword hits per language (ascending lang order, precomputed sets)
     val hits = new Array[Int](LangQualityExpr.Langs.length)
@@ -78,9 +92,7 @@ case class LangQualityExpr(child: Expression)
       math.min(stopRatio * 5.0, 1.0) * 0.3
     InternalRow(UTF8String.fromString(lang), quality)
   }
-}
 
-object LangQualityExpr {
   private val Sorted = TextFunctions.StopwordLists.sortBy(_._1)
   val Langs: Array[String] = Sorted.map(_._1).toArray
   val Sets: Array[java.util.HashSet[String]] = Sorted.map { case (_, ws) =>

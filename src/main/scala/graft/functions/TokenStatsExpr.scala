@@ -7,7 +7,7 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     array_sort on strings), space-joined, md5'd.
   */
 case class TokenStatsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
@@ -37,10 +37,22 @@ case class TokenStatsExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): TokenStatsExpr = copy(c)
   override def prettyName: String = "token_stats"
 
-  @transient private lazy val ws = Pattern.compile("\\s+")
+  override def nullSafeEval(v: Any): Any =
+    TokenStatsExpr.kernel(v.asInstanceOf[UTF8String])
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
+  /** Real codegen: static kernel call, no interpreted-eval roundtrip. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenStatsExpr$$.MODULE$$.kernel($c);")
+}
+
+object TokenStatsExpr {
+
+  private val ws = Pattern.compile("\\s+")
+
+  /** One-pass kernel body, callable from generated code. */
+  def kernel(u: UTF8String): InternalRow = {
+    val text = u.toString
     val md = MessageDigest.getInstance("MD5")
 
     val parts = ws.split(text, -1)
@@ -73,9 +85,7 @@ case class TokenStatsExpr(child: Expression)
 
     InternalRow(n, UTF8String.fromString(contentFp), UTF8String.fromString(bagFp))
   }
-}
 
-object TokenStatsExpr {
   def of(text: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(TokenStatsExpr(Bridge.expression(text)))

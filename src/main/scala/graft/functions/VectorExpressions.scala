@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** One-pass cosine kernel for embedding columns.
   *
@@ -26,16 +26,29 @@ case class CosineExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "cosine"
 
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** Element getter dispatched on the static element type — any numeric
+    * array works (the declarative predecessor accepted them via
+    * cast("double"); an int vector must not throw here). */
+  private def getter(e: Expression): (ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case ShortType   => (a, i) => a.getShort(i).toDouble
+      case ByteType    => (a, i) => a.getByte(i).toDouble
+      case dt => throw new IllegalArgumentException(
+        s"cosine: unsupported array element type $dt")
+    }
+
+  @transient private lazy val getA = getter(left)
+  @transient private lazy val getB = getter(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
     val n = aa.numElements()
     if (bb.numElements() != n) return java.lang.Double.valueOf(0.0)
-    val aF = elemIsFloat(left)
-    val bF = elemIsFloat(right)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -44,8 +57,8 @@ case class CosineExpr(left: Expression, right: Expression)
       // a null element nulls the declarative sums → d is null → the
       // when(d > 0) fallthrough yields 0.0; mirror that exactly
       if (aa.isNullAt(i) || bb.isNullAt(i)) return java.lang.Double.valueOf(0.0)
-      val x = if (aF) aa.getFloat(i).toDouble else aa.getDouble(i)
-      val y = if (bF) bb.getFloat(i).toDouble else bb.getDouble(i)
+      val x = getA(aa, i)
+      val y = getB(bb, i)
       dot += x * y
       na += x * x
       nb += y * y

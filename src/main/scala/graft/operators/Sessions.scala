@@ -55,13 +55,20 @@ object Sessions {
       .drop("password", "password_hash", "password_salt", "is_active")
   }
 
-  /** Session issuance for authenticated logins: deterministic session id
-    * (md5 of user+issue time — the reference's random generator is not
-    * reproducible across engines), 24 h expiry, valid. */
+  /** Session issuance for authenticated logins: DETERMINISTIC session id
+    * — md5(username : user_id : issue time). This is the harness-portable
+    * analog of the reference's random id generator (which cannot be
+    * reproduced across engines); it is NOT a production issuance path.
+    * The user_id uniquifier prevents cross-user same-second collisions;
+    * two logins by the SAME user in the same second still coalesce — a
+    * real deployment swaps this one Column for a CSPRNG/UUID source (and
+    * loses oracle determinism, which only the harness needs). 24 h
+    * expiry, valid. */
   def createSessions(authenticated: DataFrame, now: Column): DataFrame =
     authenticated.select(
       concat(lit("sess_"),
-        md5(concat(col("username"), lit(":"), date_format(now, "yyyy-MM-dd HH:mm:ss"))))
+        md5(concat(col("username"), lit(":"), col("user_id").cast("string"),
+          lit(":"), date_format(now, "yyyy-MM-dd HH:mm:ss"))))
         .as("session_id"),
       col("user_id"),
       now.as("created_at"),

@@ -38,7 +38,7 @@ object AuthQueries {
          |  FROM logins l JOIN users u ON l.username = u.username
          |  WHERE u.is_active
          |    AND sha256(l.password || u.password_salt) = u.password_hash)
-         |SELECT 'sess_' || md5(username || ':' || '$Now46') AS session_id,
+         |SELECT 'sess_' || md5(username || ':' || CAST(user_id AS VARCHAR) || ':' || '$Now46') AS session_id,
          |       user_id,
          |       strftime(TIMESTAMP '$Now46' + to_hours(24), '%Y-%m-%d %H:%M:%S') AS expires_at,
          |       TRUE AS is_valid

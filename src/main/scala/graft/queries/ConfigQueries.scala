@@ -63,7 +63,7 @@ object ConfigQueries {
         |  CASE WHEN pct >= 100.0 THEN TRUE
         |       WHEN pct <= 0.0 THEN FALSE
         |       ELSE (CAST(list_reduce(
-        |         list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |         list_prepend(CAST('1469598103934665603' AS HUGEINT),
         |           list_transform(range(length(username)),
         |             i -> CAST(unicode(substr(username, CAST(i+1 AS INT), 1)) AS HUGEINT))),
         |         (h, c) -> (xor(h, c) * CAST('1099511628211' AS HUGEINT))

@@ -158,8 +158,14 @@ object PipelineQueries {
          |       ELSE 0.0 END AS jaccard FROM cand)
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      // maxBucketSize: the 100 TB hot-bucket guardrail, live in the
+      // flagship entry. 100 is far above any real bucket here (max 6 at
+      // sf0.1), so results match the cap-free oracle; on a corpus with a
+      // boilerplate cluster it bounds the quadratic blowup and
+      // Dedup.hotBuckets reports what was dropped.
       Dedup.minhashNearDupPairs(dupDocs(Tables(s, dir)),
-        shingleSize = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+        shingleSize = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5,
+        maxBucketSize = Some(100))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -255,7 +261,9 @@ object PipelineQueries {
           graft.functions.HashExpressions.minhashSignature(col("shingles"), 8))
         .withColumn("band_keys", TextFunctions.lshBandKeys(col("signature"), 4))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.lshCandidatePairs(mh)
+      // same hot-bucket guardrail as q28 (cap ≫ sf0.1 bucket sizes →
+      // oracle-identical results, quadratic-bucket protection live)
+      Dedup.lshCandidatePairs(mh, maxBucketSize = Some(100))
         .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.6)
         .select(col("id_a"), col("id_b"), col("jaccard"))

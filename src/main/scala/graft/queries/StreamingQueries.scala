@@ -131,6 +131,77 @@ object StreamingQueries {
         .limit(5000)
     },
 
+    // ST8 extension: event-time tumbling windows with watermark late-drop,
+    // replayed deterministically in batch. The streaming form
+    // (withWatermark + window + append mode) is pinned by
+    // FilterWatermarkSpec; this entry reproduces its semantics as exact
+    // integer math so DuckDB can oracle it:
+    //   - arrival order = event_id; micro-batches of 50 events;
+    //   - event time = ts jittered back (event_id % 7) minutes, with a
+    //     300-minute straggler every 53rd event (events.ts is monotone in
+    //     event_id, so without stragglers no event is ever late; this
+    //     pattern drops 5/188/1886 events at sf0.001/0.01/0.1);
+    //   - watermark entering batch b = max event time over batches < b
+    //     minus 10 min (Spark updates the watermark at batch boundaries
+    //     from the previous batches' max — same contract);
+    //   - events older than their batch's watermark drop;
+    //   - append mode emits only windows closed at the final watermark.
+    // All comparisons in epoch micros (exact cross-engine longs).
+    "q63_watermark_windows" -> QueryDef(
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |         epoch_us(ts) - (CASE WHEN event_id % 53 = 0 THEN 300
+        |                              ELSE event_id % 7 END) * 60000000 AS ets_us,
+        |         event_id // 50 AS batch
+        |  FROM events),
+        |bm AS (SELECT batch, max(ets_us) AS bmax FROM ev GROUP BY batch),
+        |wm AS (SELECT batch,
+        |         max(bmax) OVER (ORDER BY batch
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           - 600000000 AS wm_us
+        |       FROM bm),
+        |ok AS (SELECT e.* FROM ev e JOIN wm USING (batch)
+        |       WHERE wm_us IS NULL OR ets_us >= wm_us),
+        |fin AS (SELECT max(bmax) - 600000000 AS fwm FROM bm),
+        |win AS (SELECT ets_us - (ets_us % 3600000000) AS w_us, event_type,
+        |               count(*) AS n,
+        |               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |        FROM ok GROUP BY 1, 2)
+        |SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       event_type, n, sum_value
+        |FROM win, fin WHERE w_us + 3600000000 <= fwm
+        |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("event_type"), col("value"),
+        (unix_micros(col("ts")) -
+          when(col("event_id") % 53 === 0, 300L).otherwise(col("event_id") % 7)
+            * 60000000L).as("ets_us"),
+        floor(col("event_id") / 50).cast("long").as("batch"))
+      val batchMax = ev.groupBy(col("batch")).agg(max(col("ets_us")).as("bmax"))
+      // the batch table is O(#micro-batches) — a single-partition window
+      // here is over hundreds of rows, not the event stream
+      val wWm = org.apache.spark.sql.expressions.Window
+        .orderBy(col("batch"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val batchWm = batchMax
+        .withColumn("wm_us", max(col("bmax")).over(wWm) - 600000000L)
+        .select(col("batch"), col("wm_us"))
+      val fin = batchMax.agg((max(col("bmax")) - 600000000L).as("fwm"))
+      val ok = ev.join(broadcast(batchWm), Seq("batch"))
+        .filter(col("wm_us").isNull || col("ets_us") >= col("wm_us"))
+      ok.groupBy((col("ets_us") - pmod(col("ets_us"), lit(3600000000L))).as("w_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast("double").as("sum_value"))
+        .crossJoin(broadcast(fin))
+        .filter(col("w_us") + 3600000000L <= col("fwm"))
+        .select(
+          date_format(timestamp_micros(col("w_us")), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    },
+
     // ST5/ST6: stateful job registry over a synthetic event-bus replay.
     // Registered with suppression threshold 0 (every event emits), which
     // makes the aggregate of the emitted stream pure SQL: n_updates =

@@ -173,8 +173,10 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("fnv1a64 rollout matches a reference fold on random user ids") {
+    // the reference's truncated offset basis (src/feature_flags.cpp:71),
+    // kept bit-for-bit for cohort parity on migration
     def refFnv(s: String): Long = {
-      var h = -3750763034362895579L
+      var h = 1469598103934665603L
       s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }
       h
     }

@@ -47,6 +47,17 @@ class SessionsSpec extends AnyFunSuite {
     assert(s.getAs[Boolean]("is_valid"))
   }
 
+  test("createSessions ids are unique across users in the same second") {
+    // same username, distinct user_ids, same issue second — the user_id
+    // uniquifier must keep the deterministic ids distinct
+    val auth = Seq((1L, "alice"), (2L, "alice"), (3L, "bob"))
+      .toDF("user_id", "username")
+    val ids = Sessions.createSessions(auth,
+      lit("2025-01-01 00:00:00").cast("timestamp_ntz"))
+      .select("session_id").collect().map(_.getString(0))
+    assert(ids.distinct.length == 3)
+  }
+
   test("revoke, purge, and validSessions ordering") {
     val sessions = Seq(
       ("s1", 1L, "2025-01-01 00:00:00", "2025-01-02 00:00:00", true),

@@ -48,6 +48,7 @@ def values_equal(a, b) -> bool:
 def main():
     out_dir = Path(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = set(sys.argv[3:])  # optional: check just these query names
 
     con = duckdb.connect()
     for t in TABLES:
@@ -56,6 +57,8 @@ def main():
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         res_dir = out_dir / name
         try:
             got = pd.read_parquet(res_dir)
