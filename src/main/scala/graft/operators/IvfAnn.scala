@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  final case class IvfIndex(model: KMeansModel, assignments: DataFrame,
+  /** `model` is present on a freshly-built index and absent on one
+    * reloaded from disk — probing needs only assignments + centroids. */
+  final case class IvfIndex(model: Option[KMeansModel], assignments: DataFrame,
       centroids: DataFrame)
 
   /** Train centroids and assign every corpus vector to its list. */
@@ -39,8 +41,27 @@ object IvfAnn {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("list_id", "centroid")
-    IvfIndex(model, assignments, centroids)
+    IvfIndex(Some(model), assignments, centroids)
   }
+
+  /** Persist the index: assignments PARTITIONED BY list_id (so a probe
+    * reading `nprobe` lists touches `nprobe` directories — partition
+    * pruning does the work the inverted file does in a single-node ANN
+    * library), centroids as one tiny parquet. Build once, probe many —
+    * the 100 TB shape where re-assigning the corpus per query batch
+    * would dwarf the query itself. */
+  def write(index: IvfIndex, path: String): Unit = {
+    index.assignments.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/assignments")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted index for probing (no model needed). */
+  def read(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(None,
+      spark.read.parquet(s"$path/assignments")
+        .select(col("id"), col("v"), col("list_id").cast("int").as("list_id")),
+      spark.read.parquet(s"$path/centroids"))
 
   /** Squared L2 distance between a float-array column and a double-array
     * column (sequential fold, codegen-free HOF like the rest). */
@@ -50,7 +71,12 @@ object IvfAnn {
       d * d
     }), lit(0.0), (acc, v) => acc + v)
 
-  /** ANN top-k through the index: probe the nprobe nearest lists. */
+  /** ANN top-k through the index: probe the nprobe nearest lists.
+    *
+    * Against a persisted index ([[read]]), the probe equi-join on
+    * `list_id` hits the partitioned layout: the probe side is a broadcast
+    * (queries × nprobe rows), so Spark's dynamic partition pruning skips
+    * every unprobed list directory at scan time. */
   def topK(queries: DataFrame, index: IvfIndex, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

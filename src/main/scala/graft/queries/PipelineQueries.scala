@@ -270,6 +270,54 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ANN quality gate: recall@5 of hyperplane-LSH top-k against the
+    // exact brute-force baseline, per query. This is the measurement a
+    // production ANN deployment runs continuously — the oracle re-derives
+    // both the approximate and the exact side, so the recall arithmetic
+    // itself is cross-checked (IVF recall is spec-pinned in IvfSpec; its
+    // KMeans training is not SQL-reproducible).
+    "q64_ann_recall" -> QueryDef(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |            ${lshBucketSql("embedding", 4)} AS bucket
+         |          FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |            ${lshBucketSql("embedding", 4)} AS bucket
+         |      FROM embeddings),
+         |bscored AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+         |            FROM c JOIN q ON query_id <> neighbor_id),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+         |  FROM bscored) WHERE rnk <= 5),
+         |ascored AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+         |            FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+         |ann AS (SELECT query_id, neighbor_id, 1 AS _hit FROM (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+         |  FROM ascored) WHERE rnk <= 5)
+         |SELECT b.query_id, count(*) AS n_true,
+         |       count(a._hit) AS n_hit,
+         |       CAST(count(a._hit) AS DOUBLE) / count(*) AS recall
+         |FROM brute b LEFT JOIN ann a
+         |  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = Similarity.lshTopK(q, e, k = 5, numPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1))
+      brute.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_hit"))
+        .select(col("query_id"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"))
+        .orderBy(col("query_id"))
+    },
+
     // Hyperplane-LSH bucket assignment (the ANN scale path's partitioner).
     "q32_lsh_buckets" -> QueryDef(
       s"""SELECT ${lshBucketSql("embedding", 6)} AS bucket, count(*) AS n

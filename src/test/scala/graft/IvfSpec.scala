@@ -29,6 +29,43 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("persisted index: pruned probe scan, identical results, recall floor") {
+    implicit val s: SparkSession = spark
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 5)
+    val index = IvfAnn.build(corpus, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfAnn.write(index, dir)
+    val reloaded = IvfAnn.read(spark, dir)
+
+    // the partitioned layout prunes: a one-list scan reads one directory
+    val oneList = reloaded.assignments.filter(col("list_id") === 3)
+    val planStr = oneList.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("list_id"),
+      s"expected a partition-pruned scan, got:\n$planStr")
+    val perList = index.assignments.groupBy("list_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(oneList.count() == perList(3)) // pruned scan still sees every row of its list
+
+    // probing the reloaded index gives bit-identical results to in-memory
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    val mem = key(IvfAnn.topK(queries, index, k = 10, nprobe = 2))
+    val disk = key(IvfAnn.topK(queries, reloaded, k = 10, nprobe = 2))
+    assert(mem == disk)
+
+    // recall@10 at nprobe=2/8 against the exact baseline, fixed seed
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = disk.map(t => (t._1, t._3))
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    // deterministic at seed 42 on sf0.001: measured 0.74
+    info(s"recall@10 nprobe=2/8 = $recall")
+    assert(recall >= 0.7, s"recall collapsed: $recall")
+  }
+
   test("partial probe returns a subset of true neighbors with exact scores") {
     implicit val s: SparkSession = spark
     val corpus = embeddings
