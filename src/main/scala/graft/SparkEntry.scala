@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.ConfigQueries.entries,
     graft.queries.ExtensionQueries.entries,
     graft.queries.JsonQueries.entries,
-    graft.queries.WindowQueries.entries
+    graft.queries.WindowQueries.entries,
+    graft.queries.CorpusQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity: benchmark decontamination, stable
+  * hash-based splits, TF-IDF term scoring, and sequence packing. These
+  * extend the reference's surface (it has none of them) with the same
+  * design rule as Dedup: NO all-pairs path exists — everything is a
+  * narrow explode + equi-join or a per-partition fold.
+  */
+object CorpusOps {
+
+  /** Train↔benchmark n-gram contamination: every (train doc, bench doc)
+    * pair sharing at least one word n-gram, with the shared-gram count —
+    * the standard eval-decontamination check run before training.
+    *
+    * Shape: both sides explode to narrow (ngram, id) rows; the join is an
+    * equi-join on the ngram string (hash-shuffled, never broadcast-sized
+    * assumptions on the train side). `maxDf` is the hot-gram guardrail:
+    * an n-gram present in more than `maxDf` BENCH docs (boilerplate,
+    * stop-phrases) is excluded from matching — without it one ubiquitous
+    * phrase joins every train doc to every bench doc. Dropped grams are
+    * reported by [[contaminationHotGrams]], mirroring Dedup.hotBuckets. */
+  def ngramContamination(train: DataFrame, bench: DataFrame, n: Int = 8,
+      maxDf: Option[Int] = None, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tg = train.select(col(idCol).as("train_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+    val bgAll = bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+    val bg = maxDf match {
+      case Some(cap) =>
+        val hot = bgAll.groupBy(col("g"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("g"))
+        bgAll.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => bgAll
+    }
+    tg.join(bg, Seq("g"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Accounting for the decontamination guardrail: benchmark n-grams a
+    * given cap would exclude, with their bench document frequencies. */
+  def contaminationHotGrams(bench: DataFrame, n: Int, cap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+
+  /** Stable train/val/test assignment from the document id: FNV-1a64 of
+    * the id string, taken to an UNSIGNED bucket in [0, 10000) exactly as
+    * the feature-flag rollout does (2^64 mod 10000 = 1616 congruence
+    * shift). The split never changes when the corpus grows — the property
+    * random sampling lacks and every held-out split needs. Default cut:
+    * [0,500) test, [500,1000) val, rest train (5/5/90). */
+  def splitBucket(id: Column): Column = {
+    val h = graft.functions.HashExpressions.fnv1a64(id.cast("string"))
+    pmod(pmod(h, lit(10000L)) + when(h < 0, lit(1616L)).otherwise(lit(0L)),
+      lit(10000L))
+  }
+
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+      testPermille: Int = 500, valPermille: Int = 500): DataFrame = {
+    val b = splitBucket(col(idCol))
+    df.withColumn("split",
+      when(b < testPermille, "test")
+        .when(b < testPermille + valPermille, "val")
+        .otherwise("train"))
+  }
+
+  /** Top-k terms per document by TF-IDF. The idf factor is the INTEGER
+    * proxy `idf_milli = (N * 1000) div df` — exact in any engine, totally
+    * ordered like log(N/df) is (both decrease monotonically in df), and
+    * free of the cross-engine last-ulp risk of ln(). Score = tf *
+    * idf_milli; ties break by term ascending.
+    *
+    * Shape: one explode to (doc, term) + two hash aggregations (term
+    * counts per doc; document frequency per term) + a window over the
+    * per-doc term lists. The df table joins back on term — shuffled
+    * equi-join, no broadcast assumption (vocabulary can be huge). */
+  def tfIdfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("idf_milli", floor(lit(nDocs * 1000L) / col("df")).cast("long"))
+      .withColumn("score", col("tf") * col("idf_milli"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Chunked contiguous sequence packing: assign documents to
+    * fixed-capacity context windows ("packs") by cumulative token count
+    * in id order WITHIN id-range chunks of `chunkSize` docs. Global
+    * first-fit packing is inherently sequential; chunking is the parallel
+    * shape — each chunk packs independently (one window partition), so
+    * 100 TB packs with chunk-count parallelism and only intra-chunk
+    * ordering. A doc longer than `capacity` gets its own pack (standard
+    * overflow rule). Emits one row per doc: (doc, chunk, pack_id, tokens,
+    * cumulative tokens within pack). */
+  def packChunked(docs: DataFrame, capacity: Long, chunkSize: Long = 1000L,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    val chunked = docs.select(col(idCol).as("doc_id"),
+      least(col(tokensCol), lit(capacity)).as("toks"),
+      floor(col(idCol) / chunkSize).cast("long").as("chunk"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pack boundary: cumulative tokens divide by capacity AFTER the doc
+    // is placed — pack_id = floor((cumsum - toks) / capacity) puts each
+    // doc in the pack where its first token lands (contiguous fill)
+    chunked.withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("pack_in_chunk",
+        floor((col("cum") - col("toks")) / capacity).cast("long"))
+      .select(col("doc_id"), col("chunk"),
+        (col("chunk") * 1000000L + col("pack_in_chunk")).as("pack_id"),
+        col("toks"), col("cum"))
+  }
+}

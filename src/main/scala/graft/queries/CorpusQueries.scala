@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.CorpusOps
+
+/** Corpus-preparation operators (decontamination, stable splits, TF-IDF,
+  * sequence packing) as oracle-verified queries — training-data pipeline
+  * extensions beyond the reference's surface. All integer/exact-hash
+  * arithmetic: no floating-point accumulations cross engines.
+  */
+object CorpusQueries {
+
+  private val ToksSql = """list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"""
+
+  /** DuckDB distinct word-8-gram shingles (mirrors
+    * array_distinct(TextFunctions.wordShingles(text, 8))). */
+  private val Grams8Sql =
+    s"""list_distinct(CASE WHEN len($ToksSql) >= 8
+       |  THEN list_transform(range(len($ToksSql) - 7),
+       |       i -> array_to_string(($ToksSql)[i+1:i+8], ' '))
+       |  ELSE [array_to_string($ToksSql, ' ')] END)""".stripMargin
+
+  /** The q50 FNV-1a64 HUGEINT fold over a string expression, reduced to
+    * the UNSIGNED bucket in [0, 10000). */
+  private def fnvBucketSql(s: String): String =
+    s"""CAST(list_reduce(
+       |  list_prepend(CAST('1469598103934665603' AS HUGEINT),
+       |    list_transform(range(length($s)),
+       |      i -> CAST(unicode(substr($s, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+       |  (h, c) -> (xor(h, c) * CAST('1099511628211' AS HUGEINT))
+       |            % CAST('18446744073709551616' AS HUGEINT))
+       |  % 10000 AS BIGINT)""".stripMargin
+
+  val entries: Map[String, QueryDef] = Map(
+
+    // Benchmark decontamination: train docs sharing an 8-gram with an
+    // eval doc. Bench = every 40th doc; train = the planted +100000
+    // copies of every 5th doc, so every bench doc is guaranteed one
+    // contaminated twin. The maxDf=20 hot-gram cap is mirrored in the
+    // oracle (inert at sf0.01 where bench df <= 13, live at sf0.1).
+    "q65_decontamination" -> QueryDef(
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+         |train AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |bg0 AS (SELECT doc_id AS bench_id, unnest($Grams8Sql) AS g FROM bench),
+         |hot AS (SELECT g FROM bg0 GROUP BY g HAVING count(*) > 20),
+         |bg AS (SELECT * FROM bg0 WHERE g NOT IN (SELECT g FROM hot)),
+         |tg AS (SELECT doc_id AS train_id, unnest($Grams8Sql) AS g FROM train)
+         |SELECT train_id, bench_id, count(*) AS n_shared
+         |FROM tg JOIN bg USING (g)
+         |GROUP BY train_id, bench_id
+         |ORDER BY train_id, bench_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val bench = d.filter(col("doc_id") % 40 === 0).select(col("doc_id"), col("text"))
+      val train = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      CorpusOps.ngramContamination(train, bench, n = 8, maxDf = Some(20))
+        .orderBy(col("train_id"), col("bench_id"))
+    },
+
+    // Stable hash split: every doc's bucket and train/val/test assignment
+    // from FNV-1a64(doc_id) — grows-stable, engine-exact (the q50 kernel).
+    "q66_hash_split" -> QueryDef(
+      s"""SELECT doc_id, lang,
+         |       ${fnvBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket,
+         |       CASE WHEN ${fnvBucketSql("CAST(doc_id AS VARCHAR)")} < 500 THEN 'test'
+         |            WHEN ${fnvBucketSql("CAST(doc_id AS VARCHAR)")} < 1000 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.hashSplit(Tables(s, dir).documents)
+        .select(col("doc_id"), col("lang"),
+          CorpusOps.splitBucket(col("doc_id")).as("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF top-5 terms per document, integer idf proxy (exact in both
+    // engines; same total order as ln(N/df) since both fall in df).
+    "q67_tfidf_topk" -> QueryDef(
+      s"""WITH terms AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |                  tf * ((nd * 1000) // df) AS score
+         |           FROM tf JOIN dfreq USING (term), n),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                      ORDER BY score DESC, term ASC) AS rnk
+         |           FROM scored)
+         |SELECT doc_id, term, tf, df, score, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      CorpusOps.tfIdfTopK(Tables(s, dir).documents, k = 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank").cast("long").as("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // Chunked contiguous sequence packing into 512-token windows,
+    // 100-doc chunks (the parallel packing shape: global first-fit is
+    // sequential; chunks pack independently).
+    "q68_sequence_packing" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(least(len($ToksSql), 512) AS BIGINT) AS toks,
+         |             doc_id // 100 AS chunk
+         |           FROM documents),
+         |c AS (SELECT doc_id, chunk, toks,
+         |             CAST(sum(toks) OVER (PARTITION BY chunk ORDER BY doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM d)
+         |SELECT doc_id, chunk,
+         |       chunk * 1000000 + ((cum - toks) // 512) AS pack_id,
+         |       toks, cum
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      CorpusOps.packChunked(d, capacity = 512L, chunkSize = 100L)
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusOps
+
+/** CorpusOps semantics the q65-q68 oracles can't exercise: the hot-gram
+  * cap accounting, split stability under corpus growth, and the packing
+  * overflow rule. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("corpus-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  test("decontamination hot-gram cap drops boilerplate and accounts for it") {
+    // 30 bench docs all sharing one boilerplate 8-gram; 2 bench docs with
+    // a unique contaminated phrase copied into train
+    val boiler = "this exact license header appears in every single file"
+    val bench = ((1 to 30).map(i => (i.toLong, s"$boiler unique tail $i")) ++
+      Seq((100L, "a very specific secret eval question about spark internals here"),
+        (101L, "another held out benchmark prompt that trains must not contain ok")))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (900L, "a very specific secret eval question about spark internals here"),
+      (901L, s"$boiler but nothing else shared")).toDF("doc_id", "text")
+
+    // uncapped: the boilerplate gram links train doc 901 to all 30 docs
+    val uncapped = CorpusOps.ngramContamination(train, bench, n = 8)
+    assert(uncapped.filter(col("train_id") === 901L).count() == 30)
+    // capped at 10: boilerplate matches vanish, the real hit stays
+    val capped = CorpusOps.ngramContamination(train, bench, n = 8, maxDf = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(_._1 == 901L))
+    assert(capped.contains((900L, 100L)))
+    // and the accounting reports exactly the dropped gram's df
+    val hot = CorpusOps.contaminationHotGrams(bench, n = 8, cap = 10).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(1) == 30L))
+  }
+
+  test("hash split is stable when the corpus grows") {
+    val small = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val large = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = CorpusOps.hashSplit(small).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = CorpusOps.hashSplit(large).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { case (id, s) => assert(b(id) == s) } // growth never reshuffles
+    assert(b.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("packing: contiguous fill, chunk isolation, long-doc truncation") {
+    val docs = Seq(
+      (0L, 300L), (1L, 300L), (2L, 300L),     // chunk 0: cum 300/600/900
+      (3L, 9999L),                            // overlong: truncated to 512
+      (150L, 100L), (151L, 100L))             // chunk 1 restarts packing
+      .toDF("doc_id", "n_tokens")
+    val got = CorpusOps.packChunked(docs, capacity = 512L, chunkSize = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == (0L, 0L, 300L, 300L))          // starts in pack 0
+    assert(got(1L) == (0L, 0L, 300L, 600L))          // starts at 300 < 512
+    assert(got(2L) == (0L, 1L, 300L, 900L))          // starts at 600 -> pack 1
+    assert(got(3L)._3 == 512L)                       // truncated to capacity
+    assert(got(150L) == (1L, 1000000L, 100L, 100L))  // fresh chunk, fresh packs
+    assert(got(151L)._4 == 200L)
+  }
+}
