@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
@@ -69,9 +69,68 @@ case class CosineExpr(left: Expression, right: Expression)
   }
 }
 
+/** One-pass L2 normalization kernel: norm fold + per-element divide in a
+  * single traversal. Value-identical to the declarative
+  * `when(l2Norm(v) > 0, transform(v, x / n)).otherwise(zeros)` pair
+  * (same fold order, same double promotion — pinned by the q60 oracle
+  * and the PropertySpec parity case): the zero vector maps to zeros, and
+  * a NULL element anywhere nulls the norm, which the declarative
+  * `when` routes to the zeros branch — mirrored exactly. */
+case class NormalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): NormalizeExpr = copy(c)
+  override def prettyName: String = "l2_normalize"
+
+  private def getter: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case ShortType   => (a, i) => a.getShort(i).toDouble
+      case ByteType    => (a, i) => a.getByte(i).toDouble
+      case dt => throw new IllegalArgumentException(
+        s"l2_normalize: unsupported array element type $dt")
+    }
+
+  @transient private lazy val get = getter
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val vals = new Array[Double](n)
+    var ss = 0.0
+    var anyNull = false
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) { anyNull = true; i = n }
+      else {
+        val x = get(arr, i)
+        vals(i) = x
+        ss += x * x
+        i += 1
+      }
+    }
+    val out = new Array[Any](n)
+    val nrm = math.sqrt(ss)
+    if (anyNull || !(nrm > 0)) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], java.lang.Double.valueOf(0.0))
+    } else {
+      var j = 0
+      while (j < n) { out(j) = java.lang.Double.valueOf(vals(j) / nrm); j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def normalize(a: Column): Column =
+    Bridge.column(NormalizeExpr(Bridge.expression(a)))
 }

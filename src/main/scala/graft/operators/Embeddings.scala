@@ -22,8 +22,15 @@ object Embeddings {
     sqrt(aggregate(transform(vec, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Unit-normalize to array<double>; the zero vector maps to zeros. */
-  def normalize(vec: Column): Column = {
+  /** Unit-normalize to array<double>; the zero vector maps to zeros.
+    * One-pass native kernel ([[normalizeDeclarative]] is the parity
+    * witness — the HOF pair walks the array three times through the
+    * interpreter). */
+  def normalize(vec: Column): Column =
+    graft.functions.VectorExpressions.normalize(vec)
+
+  /** Pure-HOF formulation — parity witness for [[normalize]]. */
+  def normalizeDeclarative(vec: Column): Column = {
     val n = l2Norm(vec)
     when(n > 0, transform(vec, x => x.cast("double") / n))
       .otherwise(transform(vec, _ => lit(0.0)))

@@ -145,6 +145,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normalize kernel matches the declarative HOF pair bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.Embeddings
+    // adversarial vectors: zeros, tiny/huge magnitudes, mixed signs
+    val vecs = Seq(
+      Array(0.0f, 0.0f, 0.0f),
+      Array(1.0f),
+      Array(-0.3f, 0.4f, 1.2e-20f),
+      Array(3.4e18f, -1.0f, 2.5f),
+      Array(1e-30f, 1e-30f)) ++
+      (0 until 200).map(i => Array.tabulate(8)(d => (math.sin(i * 1.3 + d) * 2).toFloat))
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(
+        Embeddings.normalize(col("v")).as("k"),
+        Embeddings.normalizeDeclarative(col("v")).as("d")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1), r.toString)
+    }
+  }
+
   test("meanPool streaming fold: declarative parity, partitioning invariance, skewed group") {
     import spark.implicits._
     import graft.operators.Embeddings
