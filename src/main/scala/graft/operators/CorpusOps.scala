@@ -106,6 +106,67 @@ object CorpusOps {
         col("score"), col("rank"))
   }
 
+  /** Repetition-based quality signals (the Gopher-rule family): token
+    * repetition ratio (1 - distinct/total) and the fraction of all
+    * word-2-grams taken by the single most frequent one. High values mark
+    * boilerplate/spam. Each ratio is ONE division of exact integers —
+    * no cross-row float accumulation, so values are engine-exact.
+    *
+    * Shape: the top-gram count goes through explode → (doc, gram) count →
+    * per-doc max — linear with map-side combine, NOT the per-row
+    * "count each distinct gram inside the array" formulation, which is
+    * O(distinct·total) per document and dies on long docs. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ts = TextFunctions.tokens(col(textCol))
+    val grams = TextFunctions.wordShingles(col(textCol), 2)
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(ts).as("n_tokens"),
+      size(array_distinct(ts)).as("n_distinct"),
+      size(grams).as("n_grams"))
+    val top = docs.select(col(idCol).as("doc_id"),
+      explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0).as("rep_ratio"),
+        when(col("n_grams") > 0,
+          col("top_n").cast("double") / col("n_grams").cast("double"))
+          .otherwise(0.0).as("top2gram_frac"))
+  }
+
+  /** PII scrubbing: redact email addresses and phone-shaped digit runs.
+    * Patterns restricted to syntax with identical semantics in Java regex
+    * and RE2 (no backrefs/lookarounds), so the oracle can reproduce the
+    * scrub byte-for-byte. A narrow per-row transform — scrubbing 100 TB
+    * is a map-only job. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(PhoneRe)))
+
+  /** Deterministic stratified sample: the k docs per group with the
+    * smallest md5(id) — hash order is uniform but stable, so the sample
+    * never changes across runs or engines. The per-group top-k runs as a
+    * window over (group, hash); a group is one sort partition, so strata
+    * counts bound parallelism — for huge strata swap in the two-phase
+    * (approximate-threshold then exact) variant; for corpus strata
+    * (languages, sources) this exact form is the right tool. */
+  def stratifiedSample(df: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Chunked contiguous sequence packing: assign documents to
     * fixed-capacity context windows ("packs") by cumulative token count
     * in id order WITHIN id-range chunks of `chunkSize` docs. Global

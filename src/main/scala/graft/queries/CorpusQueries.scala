@@ -97,6 +97,88 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // Repetition quality signals (Gopher-rule family): repetition ratio
+    // + most-frequent-2-gram fraction per doc. Single int divisions only.
+    "q69_repetition_quality" -> QueryDef(
+      s"""WITH base AS (
+         |  SELECT doc_id, len($ToksSql) AS n_tokens,
+         |         len(list_distinct($ToksSql)) AS n_distinct,
+         |         len(CASE WHEN len($ToksSql) >= 2
+         |             THEN list_transform(range(len($ToksSql) - 1),
+         |                  i -> array_to_string(($ToksSql)[i+1:i+2], ' '))
+         |             ELSE [array_to_string($ToksSql, ' ')] END) AS n_grams
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len($ToksSql) >= 2
+         |         THEN list_transform(range(len($ToksSql) - 1),
+         |              i -> array_to_string(($ToksSql)[i+1:i+2], ' '))
+         |         ELSE [array_to_string($ToksSql, ' ')] END) AS gram
+         |      FROM documents),
+         |top AS (SELECT doc_id, max(n) AS top_n FROM (
+         |          SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+         |        GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |       CAST(n_distinct AS INT) AS n_distinct,
+         |       CASE WHEN n_tokens > 0
+         |            THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |            ELSE 0.0 END AS rep_ratio,
+         |       CASE WHEN n_grams > 0
+         |            THEN CAST(top_n AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         |            ELSE 0.0 END AS top2gram_frac
+         |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.repetitionSignals(Tables(s, dir).documents)
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scrubbing over planted contact strings: the scrub is
+    // byte-identical cross-engine (patterns limited to shared
+    // Java-regex/RE2 semantics); counts come from the pre-scrub text.
+    "q70_pii_scrub" -> QueryDef(
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         substr(text, 1, 40) || ' contact user' || doc_id ||
+         |         '@example.com or +1 555 000 ' || (doc_id % 10000) AS text
+         |  FROM documents),
+         |scrubbed AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(text, '${CorpusOps.EmailRe}')) AS n_emails,
+         |         len(regexp_extract_all(text, '${CorpusOps.PhoneRe}')) AS n_phones,
+         |         regexp_replace(regexp_replace(text, '${CorpusOps.EmailRe}', '[EMAIL]', 'g'),
+         |                        '${CorpusOps.PhoneRe}', '[PHONE]', 'g') AS clean
+         |  FROM planted)
+         |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+         |       CAST(n_phones AS INT) AS n_phones, clean
+         |FROM scrubbed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = Tables(s, dir).documents.select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 000 "),
+          col("doc_id") % 10000).as("text"))
+      val (ne, np) = CorpusOps.piiCounts(col("text"))
+      planted.select(col("doc_id"),
+        ne.as("n_emails"), np.as("n_phones"),
+        CorpusOps.scrubPii(col("text")).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic stratified sample: 10 docs per language by md5(id)
+    // hash order — stable across runs, engines, and corpus growth.
+    "q71_stratified_sample" -> QueryDef(
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, source, sample_rank
+        |FROM ranked WHERE sample_rank <= 10
+        |ORDER BY lang, sample_rank""".stripMargin) { (s, dir) =>
+      CorpusOps.stratifiedSample(
+        Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("source")),
+        groupCol = "lang", k = 10)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+
     // Chunked contiguous sequence packing into 512-token windows,
     // 100-doc chunks (the parallel packing shape: global first-fit is
     // sequential; chunks pack independently).
