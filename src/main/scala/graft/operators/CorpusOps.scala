@@ -152,6 +152,53 @@ object CorpusOps {
   def piiCounts(text: Column): (Column, Column) =
     (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(PhoneRe)))
 
+  /** Overlapping token-window chunking: split each document into chunks
+    * of `size` tokens starting at multiples of `stride` (the standard
+    * chunk→embed→pool front half; [[Embeddings.meanPool]] is the back
+    * half). Pure per-row explode — a narrow map, no shuffle. Zero-token
+    * docs produce no chunks. Emits (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_fp) with the fingerprint standing in for the chunk text so
+    * downstream compare/joins move 32 bytes, not kilobytes. */
+  def chunkTokens(docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    val ts = TextFunctions.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(ts)
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
+        i => slice(ts, i * stride + 1, lit(size))))
+      .otherwise(array())
+    docs.select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("c")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_fp"))
+  }
+
+  /** Per-group token-length distribution: count, min, max, and
+    * rank-defined median / p90 (value at row_number ceil(n/2) resp.
+    * ceil(0.9·n) ordered by (length, id)) — integer rank selection, no
+    * interpolation, so any engine agrees exactly. One window per group
+    * (strata = corpus facets) + one aggregation. */
+  def lengthQuantiles(docs: DataFrame, groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withLen = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("len"))
+    val w = Window.partitionBy(col("g")).orderBy(col("len").asc, col("id").asc)
+    val ranked = withLen.withColumn("rn", row_number().over(w).cast("long"))
+    val counts = withLen.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+      // ceil(n/2) and ceil(9n/10) via exact integer division
+      .withColumn("med_rn", expr("(n_docs + 1) div 2"))
+      .withColumn("p90_rn", expr("(9 * n_docs + 9) div 10"))
+    ranked.join(broadcast(counts), Seq("g"))
+      .groupBy(col("g"), col("n_docs"), col("min_len"), col("max_len"))
+      .agg(max(when(col("rn") === col("med_rn"), col("len"))).as("median_len"),
+        max(when(col("rn") === col("p90_rn"), col("len"))).as("p90_len"))
+      .select(col("g"), col("n_docs"), col("min_len"), col("median_len"),
+        col("p90_len"), col("max_len"))
+  }
+
   /** Deterministic stratified sample: the k docs per group with the
     * smallest md5(id) — hash order is uniform but stable, so the sample
     * never changes across runs or engines. The per-group top-k runs as a

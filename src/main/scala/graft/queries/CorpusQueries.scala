@@ -179,6 +179,47 @@ object CorpusQueries {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // Overlapping token-window chunking (the chunk half of the standard
+    // chunk -> embed -> mean-pool document-embedding pipeline; q61 is the
+    // pool half). Chunk text travels as md5 fingerprints.
+    "q72_doc_chunking" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |             ts[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)] AS c
+         |      FROM t, unnest(range((len(ts) - 1) // 48 + 1)) AS u(i)
+         |      WHERE len(ts) > 0)
+         |SELECT doc_id, chunk_idx, CAST(len(c) AS INT) AS n_chunk_tokens,
+         |       md5(array_to_string(c, ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      CorpusOps.chunkTokens(Tables(s, dir).documents, size = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Per-language token-length distribution with rank-defined quantiles
+    // (value at ceil(n/2) / ceil(0.9 n) in (len, id) order — integer rank
+    // selection, engine-exact; no interpolation).
+    "q73_length_quantiles" -> QueryDef(
+      s"""WITH l AS (SELECT lang AS g, doc_id AS id,
+         |                  CAST(len($ToksSql) AS BIGINT) AS len
+         |           FROM documents),
+         |r AS (SELECT g, id, len,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY len ASC, id ASC) AS BIGINT) AS rn
+         |      FROM l),
+         |c AS (SELECT g, count(*) AS n_docs, min(len) AS min_len, max(len) AS max_len,
+         |             (count(*) + 1) // 2 AS med_rn,
+         |             (9 * count(*) + 9) // 10 AS p90_rn
+         |      FROM l GROUP BY g)
+         |SELECT c.g, c.n_docs, c.min_len,
+         |       max(CASE WHEN r.rn = c.med_rn THEN r.len END) AS median_len,
+         |       max(CASE WHEN r.rn = c.p90_rn THEN r.len END) AS p90_len,
+         |       c.max_len
+         |FROM r JOIN c USING (g)
+         |GROUP BY c.g, c.n_docs, c.min_len, c.max_len
+         |ORDER BY c.g""".stripMargin) { (s, dir) =>
+      CorpusOps.lengthQuantiles(Tables(s, dir).documents, groupCol = "lang")
+        .orderBy(col("g"))
+    },
+
     // Chunked contiguous sequence packing into 512-token windows,
     // 100-doc chunks (the parallel packing shape: global first-fit is
     // sequential; chunks pack independently).
