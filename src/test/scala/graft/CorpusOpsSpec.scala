@@ -51,6 +51,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(b.values.toSet == Set("train", "val", "test"))
   }
 
+  test("repetition kernel matches the declarative explode formulation") {
+    val edge = Seq(
+      (900001L, ""), (900002L, "   \t "), (900003L, "solo"),
+      (900004L, "a a a a a a"), (900005L, "a b a b a b a"),
+      (900006L, "日本語 テキスト 日本語 テキスト"), (900007L, "x\ty\nz  x y"))
+      .toDF("doc_id", "text")
+    val corpus = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    val k = key(CorpusOps.repetitionSignals(corpus))
+    val d = key(CorpusOps.repetitionSignalsDeclarative(corpus))
+    assert(k.keySet == d.keySet)
+    k.foreach { case (id, v) => assert(d(id) == v, s"doc $id: $v vs ${d(id)}") }
+    // sanity on the edge semantics
+    assert(k(900004L)._3 == 1.0 - 1.0 / 6.0)  // heavy repetition
+    assert(k(900003L)._1 == 1 && k(900003L)._2 == 1)
+  }
+
+  test("chunking: overlap arithmetic, short docs, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"),                                    // shorter than size
+      (3L, "   \t  "),                                  // zero tokens
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = CorpusOps.chunkTokens(docs, size = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // doc 1: starts at 0, 48, 96 -> chunks of 64, 52, and 4 tokens
+    assert(got((1L, 0L)) == 64 && got((1L, 1L)) == 52 && got((1L, 2L)) == 4)
+    assert(got((2L, 0L)) == 3)
+    assert(got((4L, 0L)) == 1)
+    assert(!got.keySet.exists(_._1 == 3L)) // empty doc -> no chunks
+    assert(got.size == 5)
+  }
+
+  test("length quantiles: rank selection on tiny and even-sized groups") {
+    val docs = Seq(
+      (1L, "a", "g1"), (2L, "a b", "g1"), (3L, "a b c", "g1"), (4L, "a b c d", "g1"),
+      (5L, "x", "g2")).toDF("doc_id", "text", "lang")
+    val got = CorpusOps.lengthQuantiles(docs, groupCol = "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // g1: lens 1,2,3,4 -> median rank ceil(4/2)=2 -> 2; p90 rank ceil(3.6)=4 -> 4
+    assert(got("g1") == (4L, 1L, 2L, 4L, 4L))
+    // g2: single doc -> all quantiles = its length
+    assert(got("g2") == (1L, 1L, 1L, 1L, 1L))
+  }
+
   test("packing: contiguous fill, chunk isolation, long-doc truncation") {
     val docs = Seq(
       (0L, 300L), (1L, 300L), (2L, 300L),     // chunk 0: cum 300/600/900
