@@ -255,6 +255,30 @@ object Dedup {
       }
   }
 
+  /** Incremental exact dedup of a new batch against a persisted
+    * fingerprint store (the production shape for a continuously-ingested
+    * corpus dedup'd run-over-run): survivors are batch docs whose content
+    * fingerprint is absent from the store, first-id-wins within the
+    * batch. The store side carries ONLY 32-byte fingerprints — a
+    * broadcast-or-shuffle anti-join on fp, never a text comparison; call
+    * [[updatedFingerprintStore]] afterwards to persist store ∪ batch for
+    * the next run. */
+  def incrementalDedup(newDocs: DataFrame, store: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withFp = newDocs.withColumn("fp",
+      graft.functions.TextFunctions.contentFingerprint(col(textCol)))
+    val fresh = withFp.join(store.select(col("fp")), Seq("fp"), "left_anti")
+    val first = fresh.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    fresh.join(first, Seq("fp", idCol))
+  }
+
+  /** The next run's store: previous fingerprints ∪ this batch's. */
+  def updatedFingerprintStore(store: DataFrame, newDocs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    store.select(col("fp")).unionByName(
+      newDocs.select(graft.functions.TextFunctions
+        .contentFingerprint(col(textCol)).as("fp"))).distinct()
+
   /** Substring-containment candidates via rolling-hash fingerprints:
     * docs sharing at least `minShared` sampled Rabin-Karp window hashes.
     * Catches a doc copied INSIDE a larger doc — whole-document

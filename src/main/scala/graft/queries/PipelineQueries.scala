@@ -318,6 +318,29 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     },
 
+    // Incremental exact dedup: a new batch anti-joined against a
+    // persisted fingerprint store (run-over-run corpus ingestion). Store
+    // = fingerprints of every 3rd doc; batch = the full table → survivors
+    // are exactly the docs the store has not seen.
+    "q74_incremental_dedup" -> QueryDef(
+      """WITH store AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |fresh AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM store)),
+        |first AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+        |SELECT f.doc_id, f.fp FROM fresh f JOIN first USING (fp, doc_id)
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val store = d.filter(col("doc_id") % 3 === 0)
+        .select(TextFunctions.contentFingerprint(col("text")).as("fp")).distinct()
+      Dedup.incrementalDedup(d.select(col("doc_id"), col("text")), store)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // Hyperplane-LSH bucket assignment (the ANN scale path's partitioner).
     "q32_lsh_buckets" -> QueryDef(
       s"""SELECT ${lshBucketSql("embedding", 6)} AS bucket, count(*) AS n

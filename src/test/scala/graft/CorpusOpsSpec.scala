@@ -100,6 +100,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got("g2") == (1L, 1L, 1L, 1L, 1L))
   }
 
+  test("incremental dedup: store round-trip suppresses the second run") {
+    import graft.operators.Dedup
+    val batch1 = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha  text"))
+      .toDF("doc_id", "text") // doc 3 = doc 1 modulo whitespace
+    val empty = Seq.empty[String].toDF("fp")
+    val run1 = Dedup.incrementalDedup(batch1, empty)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(run1.toSeq == Seq(1L, 2L)) // first-id wins inside the batch
+    val store1 = Dedup.updatedFingerprintStore(empty, batch1)
+    // second run: one repeat, one genuinely new doc
+    val batch2 = Seq((10L, "ALPHA TEXT"), (11L, "gamma text")).toDF("doc_id", "text")
+    val run2 = Dedup.incrementalDedup(batch2, store1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(run2.toSeq == Seq(11L)) // case-normalized repeat suppressed
+    assert(Dedup.updatedFingerprintStore(store1, batch2).count() == 3)
+  }
+
   test("packing: contiguous fill, chunk isolation, long-doc truncation") {
     val docs = Seq(
       (0L, 300L), (1L, 300L), (2L, 300L),     // chunk 0: cum 300/600/900
