@@ -14,7 +14,9 @@ object ExplainAudit {
       else Seq("q01_filter_status", "q02_filter_time_in", "q05_agg_composite",
         "q11_join_fk", "q12_join_dim_chain", "q14_window_topn", "q31_cosine_topk",
         "q46_auth_login", "q47_session_lifecycle", "q50_feature_rollout",
-        "q51_running_counters")
+        "q51_running_counters", "q63_watermark_windows", "q64_ann_recall",
+        "q65_decontamination", "q67_tfidf_topk", "q69_repetition_quality",
+        "q74_incremental_dedup")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
