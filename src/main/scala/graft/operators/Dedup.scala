@@ -279,6 +279,47 @@ object Dedup {
       newDocs.select(graft.functions.TextFunctions
         .contentFingerprint(col(textCol)).as("fp"))).distinct()
 
+  /** Connected components over a near-dup pair graph: every doc labeled
+    * with the MINIMUM id reachable through pair edges — the transitive
+    * closure that turns pairwise matches into dedup clusters with a
+    * canonical representative (keep comp == id, drop the rest).
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across symmetric edges and keeps the per-node min; convergence in
+    * ≤ graph-diameter rounds (near-dup clusters are shallow — dup pairs
+    * and small chains — so typically 2-3). Each round is one shuffle on
+    * node id; lineage is cut per round with localCheckpoint so the plan
+    * does not grow with iterations. `maxIter` is a safety bound — hitting
+    * it throws rather than returning silently-unconverged labels. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels: own + every neighbor's current label
+      val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.alias("n").join(labels.alias("p"), Seq("id"))
+        .filter(col("n.comp") =!= col("p.comp")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Substring-containment candidates via rolling-hash fingerprints:
     * docs sharing at least `minShared` sampled Rabin-Karp window hashes.
     * Catches a doc copied INSIDE a larger doc — whole-document

@@ -169,6 +169,50 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Transitive closure of the q28 near-dup pairs: connected components
+    // with the minimum member id as the canonical representative — the
+    // cluster half of production dedup (keep comp == id, drop the rest).
+    // DuckDB derives components via a recursive reachability CTE; Spark
+    // via iterative min-label propagation (converges in diameter rounds).
+    "q75_neardup_components" -> QueryDef(
+      s"""WITH RECURSIVE corpus AS ($DupDocsSql),
+         |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
+         |sig AS (SELECT id, shingles,
+         |  list_transform(range(12), i -> list_min(list_transform(shingles,
+         |    s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS signature FROM sh),
+         |bands AS (SELECT id, shingles,
+         |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                a.shingles AS sh_a, b.shingles AS sh_b
+         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+         |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+         |       ELSE 0.0 END >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM corpus
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS canonical_id, count(*) AS n_docs, max(id) AS max_id
+         |FROM comp GROUP BY comp HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin) { (s, dir) =>
+      val corpus = dupDocs(Tables(s, dir))
+      val pairs = Dedup.minhashNearDupPairs(corpus,
+        shingleSize = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5,
+        maxBucketSize = Some(100))
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(corpus.select(col("doc_id").as("id")), pairs)
+        .groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("canonical_id"))
+    },
+
     // SimHash fingerprints + duplicate clusters.
     "q29_simhash" -> QueryDef(
       s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks

@@ -117,6 +117,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Dedup.updatedFingerprintStore(store1, batch2).count() == 3)
   }
 
+  test("connected components: chains close transitively, islands stay apart") {
+    import graft.operators.Dedup
+    val nodes = (1L to 9L).toDF("id")
+    // chain 1-2-3-4 (diameter 3), pair 5-6, triangle 7-8-9, no edges for none
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(comp(_) == 1L)) // transitive closure, not 1 hop
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+    assert((7L to 9L).forall(comp(_) == 7L))
+    assert(comp.size == 9)
+  }
+
   test("packing: contiguous fill, chunk isolation, long-doc truncation") {
     val docs = Seq(
       (0L, 300L), (1L, 300L), (2L, 300L),     // chunk 0: cum 300/600/900
