@@ -171,6 +171,24 @@ object CorpusOps {
   def piiCounts(text: Column): (Column, Column) =
     (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(PhoneRe)))
 
+  /** Deterministic corpus mixing: down-sample each source to a target
+    * rate (permille) using the same FNV split buckets — the data-mixing
+    * step that rebalances source proportions before training. A doc is
+    * kept iff its stable bucket falls under its source's rate, so mixes
+    * are reproducible, composable with [[hashSplit]] (same hash → a doc's
+    * split and its mix survival agree across runs), and growth-stable.
+    * Unknown sources fall back to `defaultPermille`. Pure per-row
+    * predicate — no shuffle, no sampling RNG. */
+  def mixSources(df: DataFrame, ratesPermille: Map[String, Int],
+      defaultPermille: Int = 1000, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (src, p)) => when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    // splitBucket is [0, 10000); permille rates compare against bucket/10
+    df.filter(splitBucket(col(idCol)) < rate * 10)
+  }
+
   /** Overlapping token-window chunking: split each document into chunks
     * of `size` tokens starting at multiples of `stride` (the standard
     * chunk→embed→pool front half; [[Embeddings.meanPool]] is the back

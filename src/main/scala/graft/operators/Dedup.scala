@@ -320,6 +320,18 @@ object Dedup {
     labels
   }
 
+  /** The keep-policy over [[connectedComponents]]: retain only each
+    * cluster's canonical (minimum-id) member — the final filter of the
+    * near-dup pipeline (pairs → components → drop). */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(
+      docs.select(col(idCol).as("id")), pairs)
+    docs.join(comp.filter(col("id") =!= col("comp"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Substring-containment candidates via rolling-hash fingerprints:
     * docs sharing at least `minShared` sampled Rabin-Karp window hashes.
     * Catches a doc copied INSIDE a larger doc — whole-document

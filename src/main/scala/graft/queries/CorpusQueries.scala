@@ -179,6 +179,38 @@ object CorpusQueries {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // Deterministic corpus mixing: src0 halved, src1 kept at 10%, src2
+    // dropped, everything else full rate — per-doc survival from the
+    // stable FNV bucket, aggregated per source for the mix report.
+    "q76_corpus_mixing" -> QueryDef(
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         ${fnvBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, source FROM b
+         |  WHERE bucket < 10 * (CASE source WHEN 'src0' THEN 500
+         |                                   WHEN 'src1' THEN 100
+         |                                   WHEN 'src2' THEN 0
+         |                                   ELSE 1000 END)),
+         |tot AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+         |SELECT t.source, t.n_total,
+         |       coalesce(k.n_kept, 0) AS n_kept
+         |FROM tot t LEFT JOIN
+         |     (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) k
+         |  ON t.source = k.source
+         |ORDER BY t.source""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val kept = CorpusOps.mixSources(d,
+        Map("src0" -> 500, "src1" -> 100, "src2" -> 0))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+
     // Overlapping token-window chunking (the chunk half of the standard
     // chunk -> embed -> mean-pool document-embedding pipeline; q61 is the
     // pool half). Chunk text travels as md5 fingerprints.

@@ -117,6 +117,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Dedup.updatedFingerprintStore(store1, batch2).count() == 3)
   }
 
+  test("corpus mixing: rates honored, deterministic, composable with splits") {
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 2}", s"d$i"))
+      .toDF("doc_id", "source", "text")
+    val kept = CorpusOps.mixSources(docs, Map("src0" -> 250, "src1" -> 1000))
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src1") == 1000L)             // full rate keeps everything
+    val frac = bySrc("src0").toDouble / 1000.0 // ~25% within hash tolerance
+    assert(frac > 0.18 && frac < 0.32, s"src0 kept $frac")
+    // rerun == same rows (no RNG), and zero-rate drops a source entirely
+    assert(CorpusOps.mixSources(docs, Map("src0" -> 250, "src1" -> 1000))
+      .count() == kept.count())
+    assert(CorpusOps.mixSources(docs, Map("src0" -> 0, "src1" -> 0)).count() == 0)
+  }
+
+  test("dropNearDuplicates keeps exactly the canonical member per cluster") {
+    import graft.operators.Dedup
+    val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L)) // chain -> 1; island 4; pair -> 5
+  }
+
   test("connected components: chains close transitively, islands stay apart") {
     import graft.operators.Dedup
     val nodes = (1L to 9L).toDF("id")
