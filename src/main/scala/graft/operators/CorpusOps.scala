@@ -46,6 +46,36 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Streaming contamination gate: the stream-static form of
+    * [[ngramContamination]] for continuous ingestion — each micro-batch
+    * of incoming docs explodes to (gram, doc) rows and inner-joins the
+    * STATIC benchmark gram table (a stateless stream-static join; the
+    * bench side is planned per batch and broadcast when small). Emits
+    * one row per (doc, matched gram); downstream dedups or aggregates
+    * per its own policy. Works identically on a batch DataFrame. */
+  def contaminationMatches(docs: DataFrame, benchGrams: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .join(benchGrams.select(col("g")), Seq("g"))
+      .select(col("doc_id"), col("g"))
+
+  /** The static gram table for [[contaminationMatches]]: distinct
+    * benchmark n-grams, optionally df-capped like the batch path. */
+  def benchGramTable(bench: DataFrame, n: Int = 8, maxDf: Option[Int] = None,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+    val capped = maxDf match {
+      case Some(cap) =>
+        val hot = bg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("g"))
+        bg.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => bg
+    }
+    capped.select(col("g")).distinct()
+  }
+
   /** Accounting for the decontamination guardrail: benchmark n-grams a
     * given cap would exclude, with their bench document frequencies. */
   def contaminationHotGrams(bench: DataFrame, n: Int, cap: Int,

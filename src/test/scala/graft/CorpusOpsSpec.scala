@@ -40,6 +40,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hot.nonEmpty && hot.forall(_.getLong(1) == 30L))
   }
 
+  test("streaming contamination gate flags docs against a static bench table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val bench = Seq(
+      (100L, "a very specific secret eval question about spark internals here"))
+      .toDF("doc_id", "text")
+    val grams = CorpusOps.benchGramTable(bench, n = 8)
+    val stream = MemoryStream[(Long, String)]
+    val gated = CorpusOps.contaminationMatches(
+      stream.toDF().toDF("doc_id", "text"), grams, n = 8)
+    val q = gated.writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "a very specific secret eval question about spark internals here"),
+        (2L, "totally unrelated clean text with nothing shared at all okay"))
+      q.processAllAvailable()
+      val flagged = spark.sql("SELECT DISTINCT doc_id FROM contam_out")
+        .collect().map(_.getLong(0)).sorted
+      assert(flagged.toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("hash split is stable when the corpus grows") {
     val small = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val large = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
