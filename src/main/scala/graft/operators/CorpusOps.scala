@@ -281,6 +281,84 @@ object CorpusOps {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Per-source quality roll-up: the corpus-health report a mixing/
+    * curation step reads — per group (source, typically): doc count,
+    * total tokens, and how many docs each quality gate (too short, too
+    * repetitive, dominated by one 2-gram) would drop, plus the survivor
+    * count and its exact permille. Thresholds are permille integers so
+    * every flag is a single exact-integer inequality — `rep > p/1000`
+    * becomes `(n_tokens - n_distinct) * 1000 > p * n_tokens` — and the
+    * roll-up is engine-exact with zero cross-row float accumulation.
+    *
+    * Shape: the one-pass [[graft.functions.RepetitionStatsExpr]] kernel
+    * per row, then ONE map-side-combinable hash aggregation keyed by the
+    * group — at 100 TB this is a full scan plus a shuffle of
+    * #groups × #partitions tiny partial rows. */
+  def qualityRollup(docs: DataFrame, groupCol: String = "source",
+      minTokens: Int = 50, maxRepPermille: Int = 200,
+      maxTopGramPermille: Int = 200, textCol: String = "text"): DataFrame = {
+    val per = docs.select(col(groupCol).as("g"),
+      graft.functions.RepetitionStatsExpr.of(col(textCol)).as("_rs"))
+      .select(col("g"),
+        col("_rs.n_tokens").cast("long").as("nt"),
+        col("_rs.n_distinct").cast("long").as("nd"),
+        col("_rs.n_grams").cast("long").as("ng"),
+        col("_rs.top_n").cast("long").as("tn"))
+      .withColumn("f_short", col("nt") < minTokens)
+      .withColumn("f_rep", col("nt") > 0 &&
+        (col("nt") - col("nd")) * 1000L > lit(maxRepPermille.toLong) * col("nt"))
+      .withColumn("f_top", col("ng") > 0 &&
+        col("tn") * 1000L > lit(maxTopGramPermille.toLong) * col("ng"))
+      .withColumn("f_kept", !col("f_short") && !col("f_rep") && !col("f_top"))
+    per.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens_total"),
+        sum(col("f_short").cast("long")).as("n_short"),
+        sum(col("f_rep").cast("long")).as("n_repetitive"),
+        sum(col("f_top").cast("long")).as("n_top2gram"),
+        sum(col("f_kept").cast("long")).as("n_kept"))
+      .withColumn("kept_permille", expr("(n_kept * 1000) div n_docs"))
+  }
+
+  /** Two-phase stratified sample — the huge-strata scale path
+    * [[stratifiedSample]]'s docstring promises. Exact top-k-by-hash per
+    * stratum makes each stratum ONE sort partition; at 100 TB a
+    * billion-doc stratum is a single straggler task. Two phases fix the
+    * shape without giving up determinism:
+    *
+    *  1. per-stratum counts (one map-side-combinable agg), then an exact
+    *     integer hash threshold `thr = min(2^32, ceil(2^32·o·k / n_g))`
+    *     sized so ~`oversample·k` docs survive;
+    *  2. filter rows whose 32-bit md5 prefix falls under their stratum's
+    *     broadcast threshold — a narrow map that prunes each stratum to
+    *     ~o·k rows — then the SAME (md5, id) window top-k as the exact
+    *     form, now sorting per-stratum samples instead of strata.
+    *
+    * Identical output to [[stratifiedSample]] whenever ≥ k docs survive
+    * phase 1 (P[miss] is a Poisson tail ≈ e-9 at oversample=4, k=10; a
+    * stratum with n_g ≤ o·k keeps everything, so small strata are always
+    * exact). All threshold arithmetic is 64-bit integer — engine-exact
+    * and growth-stable for fixed n_g. Requires oversample·k < 2^31. */
+  def stratifiedSampleTwoPhase(df: DataFrame, groupCol: String, k: Int,
+      oversample: Int = 4, idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && oversample > 0 && oversample.toLong * k < Int.MaxValue,
+      "need 0 < oversample*k < 2^31")
+    val HashSpace = 4294967296L // 2^32: md5's first 8 hex chars
+    val hx = md5(col(idCol).cast("string"))
+    val thresholds = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .withColumn("thr", least(lit(HashSpace),
+        expr(s"($HashSpace * ${oversample.toLong * k} + n_g - 1) div n_g")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_hx").asc, col(idCol).asc)
+    df.withColumn("_hx", hx)
+      .withColumn("_hv", conv(substring(col("_hx"), 1, 8), 16, 10).cast("long"))
+      .join(broadcast(thresholds), Seq(groupCol))
+      .filter(col("_hv") < col("thr"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("_hx", "_hv", "n_g", "thr")
+  }
+
   /** Chunked contiguous sequence packing: assign documents to
     * fixed-capacity context windows ("packs") by cumulative token count
     * in id order WITHIN id-range chunks of `chunkSize` docs. Global

@@ -34,7 +34,81 @@ object CorpusQueries {
        |            % CAST('18446744073709551616' AS HUGEINT))
        |  % 10000 AS BIGINT)""".stripMargin
 
+  /** DuckDB word-2-gram list (mirrors TextFunctions.wordShingles(text, 2)
+    * incl. the single-gram convention for docs under 2 tokens). */
+  private val Grams2Sql =
+    s"""CASE WHEN len($ToksSql) >= 2
+       |  THEN list_transform(range(len($ToksSql) - 1),
+       |       i -> array_to_string(($ToksSql)[i+1:i+2], ' '))
+       |  ELSE [array_to_string($ToksSql, ' ')] END""".stripMargin
+
   val entries: Map[String, QueryDef] = Map(
+
+    // Per-source quality roll-up: doc/token totals and per-gate drop
+    // counts (short / repetitive / top-2-gram-dominated) with the exact
+    // survivor permille. All flags are integer inequalities — engine-
+    // exact; one hash aggregation over the RepetitionStats kernel.
+    "q77_quality_rollup" -> QueryDef(
+      s"""WITH base AS (
+         |  SELECT doc_id, source, len($ToksSql) AS nt,
+         |         len(list_distinct($ToksSql)) AS nd,
+         |         len($Grams2Sql) AS ng
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest($Grams2Sql) AS gram FROM documents),
+         |top AS (SELECT doc_id, max(n) AS tn FROM (
+         |          SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+         |        GROUP BY doc_id),
+         |per AS (
+         |  SELECT b.source, b.nt, b.nd, b.ng, t.tn,
+         |         (b.nt < 50) AS f_short,
+         |         (b.nt > 0 AND (b.nt - b.nd) * 1000 > 200 * b.nt) AS f_rep,
+         |         (b.ng > 0 AND t.tn * 1000 > 200 * b.ng) AS f_top
+         |  FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id)
+         |SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens_total,
+         |       CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |       CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |       CAST(sum(CASE WHEN f_top THEN 1 ELSE 0 END) AS BIGINT) AS n_top2gram,
+         |       CAST(sum(CASE WHEN NOT f_short AND NOT f_rep AND NOT f_top
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       (CAST(sum(CASE WHEN NOT f_short AND NOT f_rep AND NOT f_top
+         |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+         |         // CAST(count(*) AS BIGINT) AS kept_permille
+         |FROM per GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      CorpusOps.qualityRollup(Tables(s, dir).documents, groupCol = "source",
+        minTokens = 50, maxRepPermille = 200, maxTopGramPermille = 200)
+        .orderBy(col("g"))
+    },
+
+    // Two-phase stratified sample (the huge-strata scale path): phase-1
+    // integer hash thresholds prune each stratum to ~oversample*k rows,
+    // phase-2 runs the exact (md5, id) top-k over survivors. Same rows
+    // as q71 whenever the top-k survive — both queries green together IS
+    // the two-phase == exact witness at this SF.
+    "q78_two_phase_sample" -> QueryDef(
+      """WITH h AS (
+        |  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hx,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) AS hv
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+        |t AS (SELECT lang, least(4294967296, (4294967296 * 40 + n_g - 1) // n_g)
+        |             AS thr FROM c),
+        |s AS (SELECT h.* FROM h JOIN t USING (lang) WHERE hv < thr),
+        |r AS (SELECT doc_id, lang, source,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY hx ASC, doc_id ASC) AS sample_rank
+        |      FROM s)
+        |SELECT doc_id, lang, source, sample_rank
+        |FROM r WHERE sample_rank <= 10
+        |ORDER BY lang, sample_rank""".stripMargin) { (s, dir) =>
+      CorpusOps.stratifiedSampleTwoPhase(
+        Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("source")),
+        groupCol = "lang", k = 10, oversample = 4)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    },
 
     // Benchmark decontamination: train docs sharing an 8-gram with an
     // eval doc. Bench = every 40th doc; train = the planted +100000

@@ -63,6 +63,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality rollup gates: short, repetitive, top-2-gram, all exact") {
+    val docs = Seq(
+      // kept: 60 distinct tokens, no repetition
+      (1L, "s0", (1 to 60).map(i => s"w$i").mkString(" ")),
+      // short: 10 tokens
+      (2L, "s0", (1 to 10).map(i => s"u$i").mkString(" ")),
+      // repetitive: 60 tokens, 2 distinct -> rep_ratio ~0.97 > 0.2
+      (3L, "s1", Array.fill(30)("spam ham").mkString(" ")),
+      // top-2-gram dominated but NOT repetitive: distinct tokens with one
+      // gram repeated via alternation is hard; use 100 distinct + a 30x
+      // repeated pair -> distinct 102/160 (rep 0.3625 -> also rep-flagged)
+      (4L, "s1", ((1 to 100).map(i => s"v$i") ++ Array.fill(30)("aa bb")).mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.qualityRollup(docs, groupCol = "source",
+      minTokens = 50, maxRepPermille = 200, maxTopGramPermille = 200)
+      .orderBy(col("g")).collect()
+    val s0 = out(0); val s1 = out(1)
+    assert(s0.getString(0) == "s0" && s0.getLong(1) == 2)
+    assert(s0.getLong(2) == 70)                    // 60 + 10 tokens
+    assert(s0.getLong(3) == 1 && s0.getLong(4) == 0 && s0.getLong(5) == 0)
+    assert(s0.getLong(6) == 1 && s0.getLong(7) == 500) // 1/2 kept
+    assert(s1.getString(0) == "s1" && s1.getLong(1) == 2)
+    assert(s1.getLong(4) == 2)                     // both repetitive
+    assert(s1.getLong(6) == 0 && s1.getLong(7) == 0)
+  }
+
+  test("two-phase stratified sample equals the exact form, prunes big strata") {
+    val docs = ((0L until 800L).map(i => (i, "big")) ++
+      (1000L until 1020L).map(i => (i, "small"))).toDF("doc_id", "stratum")
+    val exact = CorpusOps.stratifiedSample(docs, "stratum", k = 10)
+      .select(col("doc_id"), col("stratum"), col("sample_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val two = CorpusOps.stratifiedSampleTwoPhase(docs, "stratum", k = 10)
+      .select(col("doc_id"), col("stratum"), col("sample_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(two == exact)
+    // the big stratum's threshold really prunes: ~oversample*k of 800
+    // survive phase 1 (bound generously; exact expectation is 40)
+    val HashSpace = 4294967296L
+    val thr = (HashSpace * 40 + 800 - 1) / 800
+    val survivors = docs.filter(col("stratum") === "big")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") < thr).count()
+    assert(survivors >= 10 && survivors < 120, s"got $survivors")
+    // a stratum smaller than oversample*k keeps all of top-k exactly
+    assert(two.count(_._2 == "small") == 10)
+  }
+
   test("hash split is stable when the corpus grows") {
     val small = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val large = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
