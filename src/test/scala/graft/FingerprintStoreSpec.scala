@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.sources.FingerprintStore
+
+/** Persisted fingerprint-store lifecycle: delta appends accumulate,
+  * compaction folds them into one distinct base without changing dedup
+  * semantics, and a rerun of the same batch id overwrites (not
+  * duplicates) its delta. */
+class FingerprintStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("fpstore-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  test("append, load, compact: same membership, fewer pieces, deltas folded") {
+    val dir = Files.createTempDirectory("graft-fpstore").toString
+    val b1 = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "ALPHA  TEXT"), (4L, "gamma text")).toDF("doc_id", "text")
+
+    // run 1 against the empty store: everything survives
+    val s0 = FingerprintStore.load(spark, dir)
+    assert(s0.count() == 0)
+    assert(Dedup.incrementalDedup(b1, s0).count() == 2)
+    FingerprintStore.appendDelta(
+      b1.select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp")),
+      dir, batchId = "b0001")
+
+    // run 2: the whitespace/case twin of doc 1 is suppressed by the store
+    val s1 = FingerprintStore.load(spark, dir)
+    val run2 = Dedup.incrementalDedup(b2, s1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(run2.toSeq == Seq(4L))
+    FingerprintStore.appendDelta(
+      b2.select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp")),
+      dir, batchId = "b0002")
+
+    // membership before compaction (alpha counted once per side is fine)
+    val before = FingerprintStore.load(spark, dir)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(before.size == 3) // alpha, beta, gamma
+
+    // compact: 2 deltas folded, base only, identical membership
+    assert(FingerprintStore.compact(spark, dir, numFiles = 2) == 2)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/base")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/base.tmp")))
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$dir/delta")
+    assert(!f.exists(deltaPath) ||
+      f.listStatus(deltaPath).forall(!_.isDirectory))
+    val after = FingerprintStore.load(spark, dir)
+    assert(after.collect().map(_.getString(0)).toSet == before)
+    assert(after.count() == 3) // base alone is already distinct
+
+    // post-compaction dedup behaves identically: repeats still suppressed
+    val b3 = Seq((9L, "beta text"), (10L, "delta text")).toDF("doc_id", "text")
+    val run3 = Dedup.incrementalDedup(b3, FingerprintStore.load(spark, dir))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(run3.toSeq == Seq(10L))
+
+    // a rerun of batch b0002 overwrites its delta — membership unchanged
+    FingerprintStore.appendDelta(
+      b2.select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp")),
+      dir, batchId = "b0002")
+    FingerprintStore.appendDelta(
+      b2.select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp")),
+      dir, batchId = "b0002")
+    assert(FingerprintStore.load(spark, dir).distinct().count() == 3)
+  }
+
+  test("compaction survives a leftover tmp dir from a crashed run") {
+    val dir = Files.createTempDirectory("graft-fpstore-crash").toString
+    val b1 = Seq((1L, "one doc")).toDF("doc_id", "text")
+    FingerprintStore.appendDelta(
+      b1.select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp")),
+      dir, batchId = "b0001")
+    // simulate a crash that left a stale base.tmp behind
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/base.tmp/garbage"))
+    assert(FingerprintStore.compact(spark, dir) == 1)
+    assert(FingerprintStore.load(spark, dir).count() == 1)
+  }
+}
