@@ -359,6 +359,43 @@ object CorpusOps {
       .drop("_hx", "_hv", "n_g", "thr")
   }
 
+  /** Deterministic global training order: every doc's position in the
+    * md5-shuffled corpus — the "shuffle once, stream forever" ordering a
+    * training run reads — WITHOUT a global sort. A naive
+    * `row_number() OVER (ORDER BY hash)` collapses 100 TB into one sort
+    * partition; instead:
+    *
+    *  1. bucket = the hash's first `prefixChars` hex chars. Buckets are
+    *     contiguous, ORDERED ranges of hash space by construction — the
+    *     determinism a sampled RangePartitioner can't give (its
+    *     boundaries vary run to run and between plan re-executions);
+    *  2. per-bucket counts → cumulative start offsets (a #buckets-row
+    *     broadcast — 65k rows at 4 chars);
+    *  3. position = bucket offset + intra-bucket `row_number` over
+    *     (hash, id) — each bucket an independent ~N/16^p sort partition.
+    *
+    * Positions are exactly `row_number() OVER (ORDER BY md5(id), id)` —
+    * engine-exact, run-stable, and resumable (a reader restarts at any
+    * pos). Parallelism = 16^prefixChars. */
+  def trainingOrder(df: DataFrame, idCol: String = "doc_id",
+      prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8, "1-8 hex chars")
+    val hx = md5(col(idCol).cast("string"))
+    val withB = df.withColumn("_hx", hx)
+      .withColumn("_b", substring(col("_hx"), 1, prefixChars))
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // #buckets rows: the single-partition window here is over ≤16^8 rows
+    val offsets = withB.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", sum(col("_n")).over(wOff) - col("_n"))
+      .drop("_n")
+    val wIn = Window.partitionBy(col("_b"))
+      .orderBy(col("_hx").asc, col(idCol).asc)
+    withB.join(broadcast(offsets), Seq("_b"))
+      .withColumn("pos", col("_off") + row_number().over(wIn).cast("long"))
+      .drop("_b", "_hx", "_off")
+  }
+
   /** Chunked contiguous sequence packing: assign documents to
     * fixed-capacity context windows ("packs") by cumulative token count
     * in id order WITHIN id-range chunks of `chunkSize` docs. Global

@@ -285,6 +285,24 @@ object CorpusQueries {
         .orderBy(col("source"))
     },
 
+    // Deterministic global training order: pos == the rank in md5-hash
+    // order, computed bucket-parallel (hash-prefix ranges + offsets)
+    // instead of a one-partition global sort. The oracle IS the naive
+    // global form — both engines must agree rank-for-rank.
+    "q79_training_order" -> QueryDef(
+      """SELECT doc_id, lang, pos FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+        |                            doc_id ASC) AS pos
+        |  FROM documents)
+        |WHERE pos % 100 = 1 ORDER BY pos""".stripMargin) { (s, dir) =>
+      CorpusOps.trainingOrder(
+        Tables(s, dir).documents.select(col("doc_id"), col("lang")))
+        .filter(col("pos") % 100 === 1)
+        .select(col("doc_id"), col("lang"), col("pos"))
+        .orderBy(col("pos"))
+    },
+
     // Overlapping token-window chunking (the chunk half of the standard
     // chunk -> embed -> mean-pool document-embedding pipeline; q61 is the
     // pool half). Chunk text travels as md5 fingerprints.

@@ -111,6 +111,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(two.count(_._2 == "small") == 10)
   }
 
+  test("training order: dense 1..N ranks equal to the naive global sort") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 3000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = CorpusOps.trainingOrder(docs, prefixChars = 1)
+      .select(col("doc_id"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val naive = docs.withColumn("pos",
+      row_number().over(Window.orderBy(
+        md5(col("doc_id").cast("string")).asc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == naive)
+    assert(got.values.min == 1L && got.values.max == 3000L &&
+      got.values.toSet.size == 3000)
+  }
+
   test("hash split is stable when the corpus grows") {
     val small = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val large = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
