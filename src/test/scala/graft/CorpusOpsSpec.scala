@@ -111,6 +111,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(two.count(_._2 == "small") == 10)
   }
 
+  test("streaming quality rollup accumulates per-source gates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val rolled = CorpusOps.qualityRollup(
+      stream.toDF().toDF("doc_id", "source", "text"),
+      groupCol = "source", minTokens = 5)
+    val q = rolled.writeStream.format("memory").queryName("qr_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(
+        (1L, "s0", "one two three four five six seven"),
+        (2L, "s0", "tiny"))
+      q.processAllAvailable()
+      stream.addData(
+        (3L, "s0", "also tiny"),
+        (4L, "s1", "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT g, n_docs, n_short, n_kept FROM qr_out ORDER BY g").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq == Seq(("s0", 3L, 2L, 1L), ("s1", 1L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("training order: dense 1..N ranks equal to the naive global sort") {
     import org.apache.spark.sql.expressions.Window
     val docs = (0L until 3000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
