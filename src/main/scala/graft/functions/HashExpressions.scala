@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
@@ -18,8 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda step allocates UTF8Strings and re-enters the interpreter, and
   * the SimHash formulation hashes each token once PER BIT. These
   * expressions compute the identical values imperatively in a single pass
-  * per document — same md5 math, so the DuckDB oracle contract is
-  * unchanged (verified by q28/q29 hash-matching both before and after).
+  * per document — the same integer/md5 math the DuckDB oracle re-derives
+  * (verified by q28/q29/q41 hash-matching).
   *
   * Interpreted `eval` (CodegenFallback) is fine here: the win is
   * algorithmic (one digest per (shingle,salt) with no lambda churn; one
@@ -58,11 +57,64 @@ object HashKernels {
   }
 }
 
-/** MinHash signature: for salt i in 0..k-1, the minimum md5 over
-  * `shingle + "#" + i` — identical to
-  * `transform(sequence(0,k-1), i -> array_min(transform(shingles,
-  * s -> md5(concat(s,'#',i)))))` but one pass, digests compared as bytes
-  * and hex-rendered once per signature element. */
+/** The MinHash permutation family: `mix_i(h) = (a_i·h + b_i) mod p`
+  * over `h` = the first 60 bits (15 hex chars) of md5(shingle), with
+  * p = 2^61-1 (Mersenne). ONE digest per shingle + k integer mixes —
+  * versus k digests per shingle for the salted-md5 family — is the
+  * standard universal-hash MinHash construction and cuts the dominant
+  * cost of LSH dedup by the signature width (8-12×).
+  *
+  * Everything here is exact 64/128-bit integer arithmetic that the
+  * DuckDB oracle reproduces with HUGEINT ops (md5 stays the only shared
+  * digest). Constants are fixed multiples of the public golden-ratio
+  * mixing constant 2^64/φ reduced mod p (a_i forced odd; derivation in
+  * the comment below) — identical literals on both engines. */
+object MinHashMix {
+  val P: Long = (1L << 61) - 1 // 2^61-1, Mersenne prime
+
+  // a_i = ((PHI·(2i+3)) mod 2^64) mod p, forced odd (degenerate-guarded)
+  // b_i = ((PHI·(2i+2) + INC) mod 2^64) mod p
+  // with PHI = 0x9E3779B97F4A7C15 (2^64/φ), INC = 0x632BE59BD9B4E019.
+  val A: Array[Long] = Array(
+    1920342328977880133L, 1663341875487337577L, 1406341421996795029L,
+    1149340968506252481L, 892340515015709933L, 635340061525167377L,
+    378339608034624829L, 121339154544082281L, 2170181710267233685L,
+    1913181256776691137L, 1656180803286148581L, 1399180349795606033L)
+  val B: Array[Long] = Array(
+    2277371219370694727L, 2020370765880152179L, 1763370312389609623L,
+    1506369858899067075L, 1249369405408524527L, 992368951917981979L,
+    735368498427439423L, 478368044936896875L, 221367591446354327L,
+    2270210147169505730L, 2013209693678963182L, 1756209240188420626L)
+
+  /** (a·h) mod p for a < p < 2^61, h < 2^60 — the 121-bit product split
+    * by multiplyHigh, folded with 2^64 ≡ 8 and 2^61 ≡ 1 (mod p). */
+  def mulmod(a: Long, h: Long): Long = {
+    val lo = a * h
+    val hi = Math.multiplyHigh(a, h) // both operands positive < 2^62
+    var r = (hi << 3) + (lo & P) + (lo >>> 61) // < 2^60 + 2^61 + 8
+    r = (r & P) + (r >>> 61)
+    if (r >= P) r - P else r
+  }
+
+  def mix(i: Int, h: Long): Long = {
+    val v = mulmod(A(i), h) + B(i)
+    if (v >= P) v - P else v
+  }
+
+  /** The first 60 bits of an md5 digest as a long — exactly the value of
+    * the digest's first 15 hex chars. */
+  def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** MinHash signature via [[MinHashMix]]: element i is the minimum of
+  * `mix_i(h60(md5(shingle)))` over the shingle set, rendered as a
+  * decimal string (so LSH band keys hash strings exactly as before).
+  * One md5 + numHashes integer mixes per shingle, one pass. */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -77,34 +129,22 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     val shingles = v.asInstanceOf[ArrayData]
     val n = shingles.numElements()
     val md = MessageDigest.getInstance("MD5")
-    val salts = Array.tabulate(numHashes)(i => s"#$i".getBytes(StandardCharsets.UTF_8))
-    val maxSalt = if (numHashes == 0) 0 else salts.map(_.length).max
-    val mins = new Array[Array[Byte]](numHashes)
-    // one reusable buffer: shingle bytes copied ONCE per shingle, only
-    // the salt suffix rewritten per hash — this loop runs
-    // |shingles|·numHashes times per document, so per-digest allocations
-    // and redundant copies dominate without it
-    var buf = new Array[Byte](64)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val s = shingles.getUTF8String(j).getBytes
-      if (buf.length < s.length + maxSalt)
-        buf = new Array[Byte](s.length + maxSalt)
-      System.arraycopy(s, 0, buf, 0, s.length)
+      val d = HashKernels.md5(md, shingles.getUTF8String(j).getBytes)
+      val h = MinHashMix.h60(d)
       var i = 0
       while (i < numHashes) {
-        val salt = salts(i)
-        System.arraycopy(salt, 0, buf, s.length, salt.length)
-        md.reset()
-        md.update(buf, 0, s.length + salt.length)
-        val d = md.digest()
-        if (mins(i) == null || HashKernels.lessThan(d, mins(i))) mins(i) = d
+        val m = MinHashMix.mix(i, h)
+        if (m < mins(i)) mins(i) = m
         i += 1
       }
       j += 1
     }
-    new GenericArrayData(mins.map(d =>
-      UTF8String.fromString(if (d == null) null else HashKernels.toHex(d))))
+    new GenericArrayData(Array.tabulate[Any](numHashes)(i =>
+      if (n == 0) null else UTF8String.fromString(java.lang.Long.toString(mins(i)))))
   }
 }
 

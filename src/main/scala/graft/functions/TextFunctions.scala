@@ -46,13 +46,25 @@ object TextFunctions {
         i => text.substr(i, lit(n))))
       .otherwise(array(text))
 
-  /** MinHash signature: k independent permutations simulated by salting
-    * md5; the signature element is the lexicographic min hash per salt.
-    * One pass over the shingle array per salt — O(k·|shingles|) per doc,
-    * no shuffle. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => md5(concat(s, lit("#"), i.cast("string"))))))
+  /** MinHash signature — declarative parity witness for
+    * [[HashExpressions.minhashSignature]]'s one-pass kernel: element i is
+    * `min over shingles of (a_i·h60(md5(s)) + b_i) mod 2^61-1` with the
+    * [[MinHashMix]] constants, decimal-rendered. The 121-bit product runs
+    * in decimal(38,0) — exact, since 19+19 digit operands fit. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val aArr = array(MinHashMix.A.take(k).map(lit): _*)
+    val bArr = array(MinHashMix.B.take(k).map(lit): _*)
+    val p = lit(MinHashMix.P).cast("decimal(38,0)")
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val mins = transform(shingles, s => {
+        val h = conv(substring(md5(s), 1, 15), 16, 10).cast("decimal(19,0)")
+        val a = element_at(aArr, i + 1).cast("decimal(19,0)")
+        val b = element_at(bArr, i + 1).cast("decimal(38,0)")
+        ((a * h + b) % p).cast("long")
+      })
+      array_min(mins).cast("string")
+    })
+  }
 
   /** LSH band keys from a signature: bands of `rowsPerBand` elements,
     * each hashed to one bucket key. Docs sharing any band key become

@@ -31,6 +31,22 @@ object PipelineQueries {
   /** DuckDB token array for `text`. */
   private val ToksSql = """list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"""
 
+  /** The MinHash signature CTE pair (`hv`, `sig`) over a CTE `sh(id,
+    * shingles)`: one 60-bit md5 prefix per shingle, then k universal-hash
+    * mixes `(a_i·h + b_i) mod 2^61-1` in HUGEINT — the exact integer math
+    * of [[graft.functions.MinHashMix]], constants interpolated from the
+    * same arrays the Spark kernel reads. */
+  private def minhashSigSql(k: Int): String = {
+    val aList = graft.functions.MinHashMix.A.take(k).mkString("[", ", ", "]")
+    val bList = graft.functions.MinHashMix.B.take(k).mkString("[", ", ", "]")
+    s"""hv AS (SELECT id, shingles, list_transform(shingles,
+       |  s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs FROM sh),
+       |sig AS (SELECT id, shingles,
+       |  list_transform(range($k), i -> CAST(list_min(list_transform(hs,
+       |    h -> CAST((CAST($aList[i+1] AS HUGEINT) * h + $bList[i+1])
+       |         % 2305843009213693951 AS BIGINT))) AS VARCHAR)) AS signature FROM hv)""".stripMargin
+  }
+
   /** DuckDB word-3-gram distinct shingles (mirrors TextFunctions.wordShingles n=3). */
   private val ShinglesSql =
     s"""list_distinct(CASE WHEN len($ToksSql) >= 3
@@ -139,12 +155,13 @@ object PipelineQueries {
     },
 
     // MinHash + LSH near-dup pairs with exact-Jaccard verification.
+    // Signature family = (a_i·h60(md5(shingle)) + b_i) mod 2^61-1 — one
+    // digest per shingle + integer mixes (MinHashMix constants, HUGEINT
+    // arithmetic on the DuckDB side; exact both engines).
     "q28_minhash_lsh" -> QueryDef(
       s"""WITH corpus AS ($DupDocsSql),
          |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
-         |sig AS (SELECT id, shingles,
-         |  list_transform(range(12), i -> list_min(list_transform(shingles,
-         |    s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS signature FROM sh),
+         |${minhashSigSql(12)},
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
@@ -177,9 +194,7 @@ object PipelineQueries {
     "q75_neardup_components" -> QueryDef(
       s"""WITH RECURSIVE corpus AS ($DupDocsSql),
          |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
-         |sig AS (SELECT id, shingles,
-         |  list_transform(range(12), i -> list_min(list_transform(shingles,
-         |    s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS signature FROM sh),
+         |${minhashSigSql(12)},
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
@@ -280,9 +295,7 @@ object PipelineQueries {
          |    THEN list_transform(range(length(text) - 4), i -> substr(text, i + 1, 5))
          |    ELSE [text] END) AS shingles
          |  FROM corpus),
-         |sig AS (SELECT id, shingles,
-         |  list_transform(range(8), i -> list_min(list_transform(shingles,
-         |    s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS signature FROM sh),
+         |${minhashSigSql(8)},
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(2), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*4+1:b*4+4], '|')))) AS bk FROM sig),

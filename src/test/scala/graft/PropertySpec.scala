@@ -133,7 +133,12 @@ class PropertySpec extends AnyFunSuite {
       graft.operators.Dedup.simhash64Declarative(col("text")).as("sd"),
       graft.functions.LangQualityExpr.of(col("text")).as("lq"),
       TextFunctions.langIdHeuristic(col("text")).as("dl"),
-      TextFunctions.qualityScore(col("text")).as("dq")).collect()
+      TextFunctions.qualityScore(col("text")).as("dq"),
+      graft.functions.HashExpressions.minhashSignature(
+        ShingleExpressions.wordShinglesDistinct(col("text"), 3), 4).as("mk"),
+      TextFunctions.minhashSignature(
+        array_distinct(TextFunctions.wordShingles(col("text"), 3)), 4).as("md")
+    ).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getSeq[String](0) == r.getSeq[String](1), s"char shingles: $r")
@@ -142,6 +147,27 @@ class PropertySpec extends AnyFunSuite {
       val lq = r.getStruct(6)
       assert(lq.getString(0) == r.getString(7), s"langid: $r")
       assert(lq.getDouble(1) == r.getDouble(8), s"quality: $r")
+      assert(r.getSeq[String](9) == r.getSeq[String](10), s"minhash: $r")
+    }
+  }
+
+  test("minhash mix arithmetic matches a BigInt reference fold") {
+    import graft.functions.MinHashMix
+    // pinned cross-engine reference values (same literals verified in
+    // DuckDB HUGEINT arithmetic when the oracle SQL was built)
+    assert(MinHashMix.h60(java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8"))) == 648541476951500027L)
+    assert(MinHashMix.mix(0, 648541476951500027L) == 1085342735761306534L)
+    assert(MinHashMix.mix(11, 648541476951500027L) == 1693318424708536007L)
+    // property: the multiplyHigh/Mersenne fold equals BigInt (a*h+b) mod p
+    val p = BigInt(MinHashMix.P)
+    val gen = for {
+      i <- Gen.choose(0, 11)
+      h <- Gen.choose(0L, (1L << 60) - 1)
+    } yield (i, h)
+    sample(gen, 500).foreach { case (i, h) =>
+      val expect = ((BigInt(MinHashMix.A(i)) * h + MinHashMix.B(i)) mod p).toLong
+      assert(MinHashMix.mix(i, h) == expect, s"i=$i h=$h")
     }
   }
 
