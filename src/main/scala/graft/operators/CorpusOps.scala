@@ -296,21 +296,32 @@ object CorpusOps {
     * #groups × #partitions tiny partial rows. */
   def qualityRollup(docs: DataFrame, groupCol: String = "source",
       minTokens: Int = 50, maxRepPermille: Int = 200,
+      maxTopGramPermille: Int = 200, textCol: String = "text"): DataFrame =
+    qualityRollupCols(docs.select(col(groupCol).as("g"), col(textCol)),
+      Seq("g"), minTokens, maxRepPermille, maxTopGramPermille, textCol)
+
+  /** [[qualityRollup]] generalized to arbitrary grouping columns —
+    * the windowed/streaming monitor shape: pre-compute an event-time
+    * `window(ts, ...)` column and group by (window, source) for a
+    * continuously-updated per-source corpus-health dashboard. */
+  def qualityRollupCols(docs: DataFrame, groupCols: Seq[String],
+      minTokens: Int = 50, maxRepPermille: Int = 200,
       maxTopGramPermille: Int = 200, textCol: String = "text"): DataFrame = {
-    val per = docs.select(col(groupCol).as("g"),
-      graft.functions.RepetitionStatsExpr.of(col(textCol)).as("_rs"))
-      .select(col("g"),
+    val g = groupCols.map(col)
+    val per = docs.select(g :+
+        graft.functions.RepetitionStatsExpr.of(col(textCol)).as("_rs"): _*)
+      .select(g ++ Seq(
         col("_rs.n_tokens").cast("long").as("nt"),
         col("_rs.n_distinct").cast("long").as("nd"),
         col("_rs.n_grams").cast("long").as("ng"),
-        col("_rs.top_n").cast("long").as("tn"))
+        col("_rs.top_n").cast("long").as("tn")): _*)
       .withColumn("f_short", col("nt") < minTokens)
       .withColumn("f_rep", col("nt") > 0 &&
         (col("nt") - col("nd")) * 1000L > lit(maxRepPermille.toLong) * col("nt"))
       .withColumn("f_top", col("ng") > 0 &&
         col("tn") * 1000L > lit(maxTopGramPermille.toLong) * col("ng"))
       .withColumn("f_kept", !col("f_short") && !col("f_rep") && !col("f_top"))
-    per.groupBy(col("g"))
+    per.groupBy(g: _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nt")).as("n_tokens_total"),
         sum(col("f_short").cast("long")).as("n_short"),
@@ -377,10 +388,18 @@ object CorpusOps {
     * Positions are exactly `row_number() OVER (ORDER BY md5(id), id)` —
     * engine-exact, run-stable, and resumable (a reader restarts at any
     * pos). Parallelism = 16^prefixChars. */
+  /** `epoch` reshuffles deterministically: the order key becomes
+    * md5(id # epoch), so every epoch streams the corpus in a fresh but
+    * reproducible permutation — multi-epoch training without re-running
+    * a shuffle job per epoch or storing N orderings. */
   def trainingOrder(df: DataFrame, idCol: String = "doc_id",
-      prefixChars: Int = 2): DataFrame = {
+      prefixChars: Int = 2, epoch: Option[Long] = None): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 8, "1-8 hex chars")
-    val hx = md5(col(idCol).cast("string"))
+    val key = epoch match {
+      case Some(e) => concat(col(idCol).cast("string"), lit("#"), lit(e.toString))
+      case None    => col(idCol).cast("string")
+    }
+    val hx = md5(key)
     val withB = df.withColumn("_hx", hx)
       .withColumn("_b", substring(col("_hx"), 1, prefixChars))
     val wOff = Window.orderBy(col("_b"))

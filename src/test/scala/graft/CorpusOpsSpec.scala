@@ -152,6 +152,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       got.values.toSet.size == 3000)
   }
 
+  test("training order: epochs reshuffle deterministically, stay dense") {
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def order(e: Option[Long]) = CorpusOps.trainingOrder(docs, epoch = e)
+      .select(col("doc_id"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e1 = order(Some(1L)); val e1again = order(Some(1L)); val e2 = order(Some(2L))
+    assert(e1 == e1again)                       // same epoch -> same order
+    assert(e1 != e2)                            // epochs genuinely reshuffle
+    assert(e2.values.min == 1L && e2.values.max == 500L &&
+      e2.values.toSet.size == 500)              // still a dense permutation
+  }
+
+  test("windowed quality rollup: event-time windows x source") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val docs = Seq(
+      (1L, "s0", ts(1), (1 to 60).map(i => s"w$i").mkString(" ")),
+      (2L, "s0", ts(2), "short"),
+      (3L, "s0", ts(12), (1 to 60).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "source", "ts", "text")
+    val out = CorpusOps.qualityRollupCols(
+      docs.withColumn("w", window(col("ts"), "10 minutes")),
+      groupCols = Seq("w", "source"))
+      .orderBy(col("w.start"))
+      .select(col("n_docs"), col("n_short"), col("n_kept")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 1L, 1L), (1L, 0L, 1L)))
+  }
+
   test("hash split is stable when the corpus grows") {
     val small = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val large = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
