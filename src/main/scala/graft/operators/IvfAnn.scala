@@ -71,6 +71,45 @@ object IvfAnn {
       d * d
     }), lit(0.0), (acc, v) => acc + v)
 
+  /** Assign vectors to their nearest existing list — the ingestion half
+    * of incremental index maintenance: new corpus batches join the index
+    * without retraining. One broadcast of the (tiny) centroid table and
+    * one corpus pass; ties break on list_id for determinism. */
+  def assign(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cdist").asc, col("list_id").asc)
+    vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", sqDist(col("v"), col("centroid")))
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+      .select(col("id"), col("v"), col("list_id"))
+  }
+
+  /** Absorb a new vector batch and run ONE Lloyd step: assign the batch
+    * to the nearest current centroids, then recompute every centroid as
+    * the mean of its (old ∪ new) members — the mini-batch KMeans
+    * maintenance loop that keeps lists balanced as the corpus grows,
+    * without the full `build` retrain. Probing invariants are preserved
+    * by construction (nprobe == nlist still scans everything, so it
+    * stays exactly brute force no matter how centroids drift).
+    *
+    * Shape: centroid recompute is per-(list, dim) mean — explode to
+    * (list_id, pos, x), one combinable agg, then regroup to arrays of
+    * `dim` elements (bounded by embedding width, never by list size). */
+  def refresh(index: IvfIndex, newVectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val all = index.assignments
+      .unionByName(assign(newVectors, index.centroids, idCol, vecCol))
+    val centroids = all
+      .select(col("list_id"), posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    IvfIndex(None, all, centroids)
+  }
+
   /** ANN top-k through the index: probe the nprobe nearest lists.
     *
     * Against a persisted index ([[read]]), the probe equi-join on

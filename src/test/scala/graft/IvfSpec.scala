@@ -66,6 +66,44 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall collapsed: $recall")
   }
 
+  test("refresh absorbs a batch: nearest-list assignment, one Lloyd step") {
+    implicit val s: SparkSession = spark
+    val old = embeddings.filter(col("vec_id") % 2 === 0)
+    val batch = embeddings.filter(col("vec_id") % 2 === 1)
+    val index = IvfAnn.build(old, nlist = 4)
+    val refreshed = IvfAnn.refresh(index, batch)
+
+    // count conservation: every old and new vector is assigned exactly once
+    assert(refreshed.assignments.count() == embeddings.count())
+    assert(refreshed.assignments.select("id").distinct().count() == embeddings.count())
+
+    // each batch vector sits in its nearest OLD centroid's list
+    val manual = IvfAnn.assign(batch, index.centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val inIndex = refreshed.assignments
+      .join(batch.select(col("vec_id").as("id")), Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(manual == inIndex)
+
+    // one centroid really is the mean of its members (check list 0)
+    val members = refreshed.assignments.filter(col("list_id") === 0)
+      .select(col("v").cast("array<double>")).collect().map(_.getSeq[Double](0))
+    assert(members.nonEmpty)
+    val dim = members.head.size
+    val mean = (0 until dim).map(d => members.map(_(d)).sum / members.size)
+    val centroid = refreshed.centroids.filter(col("list_id") === 0)
+      .select(col("centroid")).head.getSeq[Double](0)
+    (0 until dim).foreach(d => assert(math.abs(mean(d) - centroid(d)) < 1e-9))
+
+    // full probe over the refreshed index == brute force over old + new
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val queries = embeddings.filter(col("vec_id") < 3)
+    assert(key(IvfAnn.topK(queries, refreshed, k = 5, nprobe = 4)) ==
+      key(Similarity.bruteForceTopK(queries, embeddings, k = 5)))
+  }
+
   test("partial probe returns a subset of true neighbors with exact scores") {
     implicit val s: SparkSession = spark
     val corpus = embeddings
