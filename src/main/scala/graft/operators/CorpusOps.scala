@@ -370,6 +370,38 @@ object CorpusOps {
       .drop("_hx", "_hv", "n_g", "thr")
   }
 
+  /** Token-budget allocation across sources: given a total token budget
+    * and per-source target shares (permille), compute what each source
+    * must contribute and the sampling rate that gets there — the
+    * planning step whose output feeds [[mixSources]]. All arithmetic is
+    * exact integer (targets by integer division, rates by ceil-division
+    * capped at 1000), so the plan is engine-exact and reproducible.
+    * `feasible = false` marks sources whose corpus can't fill their
+    * target even at rate 1000 (the under-represented-source alarm).
+    * One combinable token-count aggregation — a metadata-sized result
+    * at any corpus scale. */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long,
+      sharesPermille: Map[String, Int], defaultPermille: Int = 0,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    // references the post-aggregation "source" alias, not sourceCol
+    val share = sharesPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    docs.select(col(sourceCol).as("source"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("share_permille", share.cast("long"))
+      .withColumn("tokens_required",
+        expr(s"($budgetTokens * share_permille) div 1000"))
+      .withColumn("rate_permille",
+        when(col("tokens_required") === 0, 0L)
+          .when(col("n_tokens") === 0, 1000L)
+          .otherwise(least(lit(1000L),
+            expr("(tokens_required * 1000 + n_tokens - 1) div n_tokens"))))
+      .withColumn("feasible", col("n_tokens") >= col("tokens_required"))
+  }
+
   /** Deterministic global training order: every doc's position in the
     * md5-shuffled corpus — the "shuffle once, stream forever" ordering a
     * training run reads — WITHOUT a global sort. A naive

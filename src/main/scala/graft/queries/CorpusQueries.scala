@@ -303,6 +303,32 @@ object CorpusQueries {
         .orderBy(col("pos"))
     },
 
+    // Token-budget allocation: 1M-token mix with src0 at 30%, src1 at
+    // 1%, src2 excluded, everything else 2% — per-source required
+    // tokens, exact ceil-division sampling rate, feasibility flag.
+    "q80_token_budget" -> QueryDef(
+      s"""WITH t AS (SELECT source, CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY source),
+         |s AS (SELECT source, n_tokens,
+         |        CAST(CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 10
+         |             WHEN 'src2' THEN 0 ELSE 20 END AS BIGINT) AS share_permille
+         |      FROM t),
+         |p AS (SELECT source, n_tokens, share_permille,
+         |        (1000000 * share_permille) // 1000 AS tokens_required
+         |      FROM s)
+         |SELECT source, n_tokens, share_permille, tokens_required,
+         |       CASE WHEN tokens_required = 0 THEN 0
+         |            WHEN n_tokens = 0 THEN 1000
+         |            ELSE least(1000, (tokens_required * 1000 + n_tokens - 1) // n_tokens)
+         |       END AS rate_permille,
+         |       n_tokens >= tokens_required AS feasible
+         |FROM p ORDER BY source""".stripMargin) { (s, dir) =>
+      CorpusOps.tokenBudget(Tables(s, dir).documents, budgetTokens = 1000000L,
+        sharesPermille = Map("src0" -> 300, "src1" -> 10, "src2" -> 0),
+        defaultPermille = 20)
+        .orderBy(col("source"))
+    },
+
     // Overlapping token-window chunking (the chunk half of the standard
     // chunk -> embed -> mean-pool document-embedding pipeline; q61 is the
     // pool half). Chunk text travels as md5 fingerprints.

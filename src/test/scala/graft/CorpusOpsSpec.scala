@@ -181,6 +181,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq((2L, 1L, 1L), (1L, 0L, 1L)))
   }
 
+  test("token budget: exact rates, caps, infeasible sources flagged") {
+    val docs = Seq(
+      (1L, "big", (1 to 100).map(i => s"w$i").mkString(" ")),  // 100 tokens
+      (2L, "big", (1 to 100).map(i => s"u$i").mkString(" ")),  // 100 tokens
+      (3L, "tiny", "only four tokens here"),                   // 4 tokens
+      (4L, "skip", "never sampled at all")                     // share 0
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.tokenBudget(docs, budgetTokens = 1000L,
+      sharesPermille = Map("big" -> 100, "tiny" -> 100, "skip" -> 0))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(out == Seq(
+      // big: 200 avail, needs 100 -> ceil(100*1000/200) = 500 permille
+      ("big", 200L, 100L, 500L, true),
+      // skip: share 0 -> rate 0, trivially feasible
+      ("skip", 4L, 0L, 0L, true),
+      // tiny: 4 avail, needs 100 -> rate capped at 1000, infeasible
+      ("tiny", 4L, 100L, 1000L, false)))
+  }
+
   test("hash split is stable when the corpus grows") {
     val small = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val large = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
