@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sketches}
+
+/** Sketch error-bound pins: count-min never under-counts and stays
+  * within eps·N, HLL lands near exact, Bloom never false-negatives and
+  * its dedup pre-filter changes nothing about the exact result. */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("sketch-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  private def docs = graft.core.Tables(spark, "/root/testdata/sf0.01").documents
+
+  test("count-min token frequencies: no under-count, eps*N over-count bound") {
+    val d = docs
+    val sketch = Sketches.tokenFrequencySketch(d, eps = 0.001)
+    val n = sketch.totalCount()
+    assert(n > 0)
+    // probe the head and a absent term
+    val probes = Seq("the", "of", "and", "data", "zzz_never_in_corpus")
+    val exact = Sketches.exactCounts(d, probes)
+    Sketches.estimateAll(sketch, probes).foreach { case (t, est) =>
+      assert(est >= exact(t), s"$t under-counted: $est < ${exact(t)}")
+      assert(est <= exact(t) + (0.001 * n).toLong + 1,
+        s"$t over-counted beyond eps*N: $est vs ${exact(t)} (N=$n)")
+    }
+  }
+
+  test("HLL distinct-per-language estimate within rsd of exact") {
+    val exact = docs.groupBy(col("lang")).agg(countDistinct(col("doc_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sketches.distinctEstimate(docs, "lang", "doc_id", rsd = 0.02)
+      .collect().foreach { r =>
+        val (lang, est) = (r.getString(0), r.getLong(1))
+        val ex = exact(lang).toDouble
+        assert(math.abs(est - ex) / ex < 0.1, s"$lang: est $est vs exact $ex")
+      }
+  }
+
+  test("bloom pre-filter: no false negatives, exact dedup result unchanged") {
+    val d = docs.limit(2000)
+    val store = d.filter(col("doc_id") % 3 === 0)
+      .select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"))
+      .distinct()
+    val bloom = Sketches.bloomFilter(store, "fp", expectedItems = 1000)
+    // every stored fp answers true (no false negatives, the dedup-safety
+    // property: bloom=false rows may skip the exact anti-join entirely)
+    store.collect().foreach(r => assert(bloom.mightContain(r.getString(0))))
+    // the pre-filter routes, never changes results: survivors whose fp
+    // tests false are PROVABLY fresh — union(bloom-false, exact-checked
+    // bloom-true survivors) == plain exact survivors
+    val batch = d.select(col("doc_id"),
+      graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"))
+    val bloomTrue = batch.filter(r => bloom.mightContain(r.getString(1)))
+    val bloomFalseIds = batch.collect()
+      .filter(r => !bloom.mightContain(r.getString(1))).map(_.getLong(0)).toSet
+    val exactFresh = Dedup.incrementalDedup(d, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // bloom-false ids must all be fresh in the exact result (no FN) —
+    // within this batch of distinct docs first-id-wins keeps them all
+    assert(bloomFalseIds.subsetOf(exactFresh))
+    // and every id the bloom filter let through to the exact join covers
+    // the rest of the fresh set
+    val checkedFresh = Dedup.incrementalDedup(
+      d.join(bloomTrue.select(col("doc_id")), Seq("doc_id")), store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomFalseIds ++ checkedFresh == exactFresh)
+  }
+}
