@@ -272,6 +272,34 @@ object Dedup {
     fresh.join(first, Seq("fp", idCol))
   }
 
+  /** [[incrementalDedup]] with a Bloom pre-filter on the store: batch
+    * rows whose fingerprint tests bloom-NEGATIVE are provably absent
+    * from the store (no false negatives) and bypass the anti-join
+    * entirely; only the maybe-duplicate sliver (true dups + fpp of the
+    * fresh) shuffles against the store. Identical output to the exact
+    * form by construction — the filter routes, it never decides.
+    *
+    * Scale contract: the filter is built driver-side (`stat.bloomFilter`)
+    * and broadcast inside a closure — right up to ~1e9 store items at
+    * 1% fpp (~1.2 GB). Beyond that, skip this and let AQE's runtime
+    * bloom filter do the same routing shuffle-side, or shard the store
+    * and pre-filter per shard. */
+  def incrementalDedupBloom(newDocs: DataFrame, store: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bloom = store.select(col("fp")).stat.bloomFilter("fp", expectedItems, fpp)
+    // a udf (not a Row filter) keeps the plan declarative around the
+    // probe; the closure ships the serialized filter to executors once
+    val mightContain = udf((s: String) => bloom.mightContain(s))
+    val withFp = newDocs.withColumn("fp",
+      graft.functions.TextFunctions.contentFingerprint(col(textCol)))
+    val fresh = withFp.filter(!mightContain(col("fp"))).unionByName(
+      withFp.filter(mightContain(col("fp")))
+        .join(store.select(col("fp")), Seq("fp"), "left_anti"))
+    val first = fresh.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    fresh.join(first, Seq("fp", idCol))
+  }
+
   /** The next run's store: previous fingerprints ∪ this batch's. */
   def updatedFingerprintStore(store: DataFrame, newDocs: DataFrame,
       textCol: String = "text"): DataFrame =

@@ -43,6 +43,24 @@ class SketchSpec extends AnyFunSuite {
       }
   }
 
+  test("incrementalDedupBloom returns exactly the plain exact-dedup result") {
+    val d = docs.limit(3000)
+    val store = d.filter(col("doc_id") % 3 === 0)
+      .select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"))
+      .distinct()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.incrementalDedup(d, store))
+    // a deliberately undersized filter (high fpp) still changes nothing —
+    // false positives only route rows through the exact join
+    val viaBloom = ids(Dedup.incrementalDedupBloom(d, store,
+      expectedItems = 100, fpp = 0.5))
+    assert(viaBloom == exact)
+    val viaBloomSized = ids(Dedup.incrementalDedupBloom(d, store,
+      expectedItems = 2000, fpp = 0.01))
+    assert(viaBloomSized == exact)
+  }
+
   test("bloom pre-filter: no false negatives, exact dedup result unchanged") {
     val d = docs.limit(2000)
     val store = d.filter(col("doc_id") % 3 === 0)
