@@ -109,24 +109,9 @@ object MinHashMix {
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     v >>> 4
   }
-}
 
-/** MinHash signature via [[MinHashMix]]: element i is the minimum of
-  * `mix_i(h60(md5(shingle)))` over the shingle set, rendered as a
-  * decimal string (so LSH band keys hash strings exactly as before).
-  * One md5 + numHashes integer mixes per shingle, one pass. */
-case class MinHashSignatureExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  // containsNull = true: an EMPTY shingle array yields k null elements
-  // (array_min over nothing is null in the declarative formulation too);
-  // declaring non-null would hand codegen consumers garbage for that case
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
-  override protected def withNewChildInternal(c: Expression): MinHashSignatureExpr = copy(child = c)
-  override def prettyName: String = "minhash_signature"
-
-  override def nullSafeEval(v: Any): Any = {
-    val shingles = v.asInstanceOf[ArrayData]
+  /** Full signature body, callable from generated code. */
+  def signature(shingles: ArrayData, numHashes: Int): ArrayData = {
     val n = shingles.numElements()
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Long](numHashes)
@@ -134,10 +119,10 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     var j = 0
     while (j < n) {
       val d = HashKernels.md5(md, shingles.getUTF8String(j).getBytes)
-      val h = MinHashMix.h60(d)
+      val h = h60(d)
       var i = 0
       while (i < numHashes) {
-        val m = MinHashMix.mix(i, h)
+        val m = mix(i, h)
         if (m < mins(i)) mins(i) = m
         i += 1
       }
@@ -146,6 +131,32 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     new GenericArrayData(Array.tabulate[Any](numHashes)(i =>
       if (n == 0) null else UTF8String.fromString(java.lang.Long.toString(mins(i)))))
   }
+}
+
+/** MinHash signature via [[MinHashMix]]: element i is the minimum of
+  * `mix_i(h60(md5(shingle)))` over the shingle set, rendered as a
+  * decimal string (so LSH band keys hash strings exactly as before).
+  * One md5 + numHashes integer mixes per shingle, one pass; real
+  * doGenCode (static kernel call). */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  // containsNull = true: an EMPTY shingle array yields k null elements
+  // (array_min over nothing is null in the declarative formulation too);
+  // declaring non-null would hand codegen consumers garbage for that case
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def withNewChildInternal(c: Expression): MinHashSignatureExpr = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashMix.signature(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashMix$$.MODULE$$.signature($c, $numHashes);")
 }
 
 /** 16-bit SimHash over a token array: one md5 per token, 16 vote counters

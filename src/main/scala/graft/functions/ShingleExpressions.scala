@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,45 +74,17 @@ object ShingleKernels {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     out
   }
-}
 
-/** Distinct char n-grams of a string column, one pass. */
-case class CharShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override protected def withNewChildInternal(c: Expression): CharShinglesExpr = copy(child = c)
-  override def prettyName: String = "char_shingles"
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      ShingleKernels.charNgramsDistinct(v.asInstanceOf[UTF8String], n)
-        .asInstanceOf[Array[Any]])
-}
+  // ArrayData-boxed entry points for generated code (and nullSafeEval)
 
-/** Distinct word n-gram shingles of a string column, one pass. */
-case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
-  override def prettyName: String = "word_shingles"
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      ShingleKernels.wordShinglesDistinct(v.asInstanceOf[UTF8String], n)
-        .asInstanceOf[Array[Any]])
-}
+  def charShinglesArray(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(charNgramsDistinct(text, n).asInstanceOf[Array[Any]])
 
-/** Exact Jaccard over two string arrays in one set pass — identical math
-  * to `size(array_intersect(a,b)) / size(array_distinct(concat(a,b)))`
-  * (both sides are deduped; empty union → 0.0). */
-case class JaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardExpr =
-    copy(left = l, right = r)
-  override def prettyName: String = "jaccard"
+  def wordShinglesArray(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(wordShinglesDistinct(text, n).asInstanceOf[Array[Any]])
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val aa = a.asInstanceOf[ArrayData]
-    val bb = b.asInstanceOf[ArrayData]
+  /** One set-pass Jaccard body, callable from generated code. */
+  def jaccard(aa: ArrayData, bb: ArrayData): Double = {
     val setA = new java.util.HashSet[UTF8String](aa.numElements() * 2)
     var i = 0
     while (i < aa.numElements()) { setA.add(aa.getUTF8String(i)); i += 1 }
@@ -125,9 +97,54 @@ case class JaccardExpr(left: Expression, right: Expression)
       i += 1
     }
     val union = setA.size + setB.size - inter
-    java.lang.Double.valueOf(
-      if (union > 0) inter.toDouble / union else 0.0)
+    if (union > 0) inter.toDouble / union else 0.0
   }
+}
+
+/** Distinct char n-grams of a string column, one pass; real doGenCode
+  * (static kernel call) keeps the enclosing stage in whole-stage codegen. */
+case class CharShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): CharShinglesExpr = copy(child = c)
+  override def prettyName: String = "char_shingles"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.charShinglesArray(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernels$$.MODULE$$.charShinglesArray($c, $n);")
+}
+
+/** Distinct word n-gram shingles of a string column, one pass; real
+  * doGenCode via static kernel call. */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
+  override def prettyName: String = "word_shingles"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.wordShinglesArray(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernels$$.MODULE$$.wordShinglesArray($c, $n);")
+}
+
+/** Exact Jaccard over two string arrays in one set pass — identical math
+  * to `size(array_intersect(a,b)) / size(array_distinct(concat(a,b)))`
+  * (both sides are deduped; empty union → 0.0). Real doGenCode. */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(ShingleKernels.jaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ShingleKernels$$.MODULE$$.jaccard($a, $b);")
 }
 
 object ShingleExpressions {
