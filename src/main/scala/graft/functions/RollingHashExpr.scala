@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,27 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * sampled hashes.
   */
 case class RollingHashExpr(child: Expression, window: Int, sampleMod: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def withNewChildInternal(c: Expression): RollingHashExpr = copy(child = c)
   override def prettyName: String = "rolling_fingerprints"
 
-  override def nullSafeEval(v: Any): Any = {
-    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
-    val hs = RollingHashExpr.windowHashes(cps, window)
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < hs.length) {
-      if (hs(i) % sampleMod == 0) out.add(hs(i))
-      i += 1
-    }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(v: Any): Any =
+    RollingHashExpr.sampled(v.asInstanceOf[UTF8String], window, sampleMod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHashExpr$$.MODULE$$" +
+        s".sampled($c, $window, $sampleMod);")
 }
 
 object RollingHashExpr {
@@ -73,6 +65,48 @@ object RollingHashExpr {
     out
   }
 
+  // kernel bodies callable from generated code (and nullSafeEval)
+
+  def sampled(text: UTF8String, window: Int, sampleMod: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val hs = windowHashes(cps, window)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < hs.length) {
+      if (hs(i) % sampleMod == 0) out.add(hs(i))
+      i += 1
+    }
+    toArrayData(out)
+  }
+
+  def winnowedKernel(text: UTF8String, window: Int, winnowWindow: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val hs = windowHashes(cps, window)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (hs.nonEmpty) {
+      val w = math.min(winnowWindow, hs.length)
+      // monotonic deque of indices, increasing hash values front→back
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < hs.length) {
+        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - w) deque.pollFirst()
+        if (i >= w - 1) out.add(hs(deque.peekFirst()))
+        i += 1
+      }
+    }
+    toArrayData(out)
+  }
+
+  private def toArrayData(out: java.util.TreeSet[java.lang.Long]): ArrayData = {
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge
   def of(text: Column, window: Int, sampleMod: Int): Column =
     Bridge.column(RollingHashExpr(Bridge.expression(text), window, sampleMod))
@@ -89,33 +123,17 @@ object RollingHashExpr {
   * winnowWindow/2 density. Sliding-window minimum via monotonic deque:
   * O(len) per document. */
 case class WinnowedHashExpr(child: Expression, window: Int, winnowWindow: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def withNewChildInternal(c: Expression): WinnowedHashExpr = copy(child = c)
   override def prettyName: String = "winnowed_fingerprints"
 
-  override def nullSafeEval(v: Any): Any = {
-    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
-    val hs = RollingHashExpr.windowHashes(cps, window)
-    val out = new java.util.TreeSet[java.lang.Long]()
-    if (hs.nonEmpty) {
-      val w = math.min(winnowWindow, hs.length)
-      // monotonic deque of indices, increasing hash values front→back
-      val deque = new java.util.ArrayDeque[Int]()
-      var i = 0
-      while (i < hs.length) {
-        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
-        deque.addLast(i)
-        if (deque.peekFirst() <= i - w) deque.pollFirst()
-        if (i >= w - 1) out.add(hs(deque.peekFirst()))
-        i += 1
-      }
-    }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(v: Any): Any =
+    RollingHashExpr.winnowedKernel(v.asInstanceOf[UTF8String], window, winnowWindow)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHashExpr$$.MODULE$$" +
+        s".winnowedKernel($c, $window, $winnowWindow);")
 }

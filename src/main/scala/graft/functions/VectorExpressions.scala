@@ -3,52 +3,40 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
-/** One-pass cosine kernel for embedding columns.
-  *
-  * The declarative form (`aggregate(zip_with(...))` × 3: dot, ‖a‖, ‖b‖)
-  * walks both arrays three times through interpreted lambdas. This
-  * kernel computes all three sums in a single traversal with the SAME
-  * sequential fold order and double promotion per element, so scores are
-  * bit-identical to the declarative form and to DuckDB's
-  * `list_sum(list_transform(...))` (the cross-engine numeric contract).
-  *
-  * Length mismatch mirrors zip_with's null-padding → null sum → the
-  * `when(d > 0, ...).otherwise(0.0)` fallthrough: result 0.0.
-  */
-case class CosineExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** Static kernel bodies for the vector expressions, callable from
+  * generated code. Element access dispatches on an int type code
+  * (resolved once at planning time and baked into the generated call as
+  * a literal, so the hot loop is a JIT-friendly switch). */
+object VectorKernels {
+  final val FloatCode = 0; final val DoubleCode = 1; final val IntCode = 2
+  final val LongCode = 3; final val ShortCode = 4; final val ByteCode = 5
 
-  override def dataType: DataType = DoubleType
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
-    copy(left = l, right = r)
-  override def prettyName: String = "cosine"
+  def typeCode(dt: DataType): Int = dt.asInstanceOf[ArrayType].elementType match {
+    case FloatType   => FloatCode
+    case DoubleType  => DoubleCode
+    case IntegerType => IntCode
+    case LongType    => LongCode
+    case ShortType   => ShortCode
+    case ByteType    => ByteCode
+    case et => throw new IllegalArgumentException(
+      s"unsupported array element type $et")
+  }
 
-  /** Element getter dispatched on the static element type — any numeric
-    * array works (the declarative predecessor accepted them via
-    * cast("double"); an int vector must not throw here). */
-  private def getter(e: Expression): (ArrayData, Int) => Double =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType   => (a, i) => a.getFloat(i).toDouble
-      case DoubleType  => (a, i) => a.getDouble(i)
-      case IntegerType => (a, i) => a.getInt(i).toDouble
-      case LongType    => (a, i) => a.getLong(i).toDouble
-      case ShortType   => (a, i) => a.getShort(i).toDouble
-      case ByteType    => (a, i) => a.getByte(i).toDouble
-      case dt => throw new IllegalArgumentException(
-        s"cosine: unsupported array element type $dt")
-    }
+  @inline private def get(a: ArrayData, i: Int, code: Int): Double = code match {
+    case FloatCode  => a.getFloat(i).toDouble
+    case DoubleCode => a.getDouble(i)
+    case IntCode    => a.getInt(i).toDouble
+    case LongCode   => a.getLong(i).toDouble
+    case ShortCode  => a.getShort(i).toDouble
+    case _          => a.getByte(i).toDouble
+  }
 
-  @transient private lazy val getA = getter(left)
-  @transient private lazy val getB = getter(right)
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val aa = a.asInstanceOf[ArrayData]
-    val bb = b.asInstanceOf[ArrayData]
+  def cosine(aa: ArrayData, bb: ArrayData, ca: Int, cb: Int): Double = {
     val n = aa.numElements()
-    if (bb.numElements() != n) return java.lang.Double.valueOf(0.0)
+    if (bb.numElements() != n) return 0.0
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -56,49 +44,19 @@ case class CosineExpr(left: Expression, right: Expression)
     while (i < n) {
       // a null element nulls the declarative sums → d is null → the
       // when(d > 0) fallthrough yields 0.0; mirror that exactly
-      if (aa.isNullAt(i) || bb.isNullAt(i)) return java.lang.Double.valueOf(0.0)
-      val x = getA(aa, i)
-      val y = getB(bb, i)
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return 0.0
+      val x = get(aa, i, ca)
+      val y = get(bb, i, cb)
       dot += x * y
       na += x * x
       nb += y * y
       i += 1
     }
     val d = math.sqrt(na) * math.sqrt(nb)
-    java.lang.Double.valueOf(if (d > 0) dot / d else 0.0)
+    if (d > 0) dot / d else 0.0
   }
-}
 
-/** One-pass L2 normalization kernel: norm fold + per-element divide in a
-  * single traversal. Value-identical to the declarative
-  * `when(l2Norm(v) > 0, transform(v, x / n)).otherwise(zeros)` pair
-  * (same fold order, same double promotion — pinned by the q60 oracle
-  * and the PropertySpec parity case): the zero vector maps to zeros, and
-  * a NULL element anywhere nulls the norm, which the declarative
-  * `when` routes to the zeros branch — mirrored exactly. */
-case class NormalizeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override protected def withNewChildInternal(c: Expression): NormalizeExpr = copy(c)
-  override def prettyName: String = "l2_normalize"
-
-  private def getter: (ArrayData, Int) => Double =
-    child.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType   => (a, i) => a.getFloat(i).toDouble
-      case DoubleType  => (a, i) => a.getDouble(i)
-      case IntegerType => (a, i) => a.getInt(i).toDouble
-      case LongType    => (a, i) => a.getLong(i).toDouble
-      case ShortType   => (a, i) => a.getShort(i).toDouble
-      case ByteType    => (a, i) => a.getByte(i).toDouble
-      case dt => throw new IllegalArgumentException(
-        s"l2_normalize: unsupported array element type $dt")
-    }
-
-  @transient private lazy val get = getter
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def normalize(arr: ArrayData, code: Int): ArrayData = {
     val n = arr.numElements()
     val vals = new Array[Double](n)
     var ss = 0.0
@@ -107,7 +65,7 @@ case class NormalizeExpr(child: Expression)
     while (i < n) {
       if (arr.isNullAt(i)) { anyNull = true; i = n }
       else {
-        val x = get(arr, i)
+        val x = get(arr, i, code)
         vals(i) = x
         ss += x * x
         i += 1
@@ -123,6 +81,65 @@ case class NormalizeExpr(child: Expression)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** One-pass cosine kernel for embedding columns.
+  *
+  * The declarative form (`aggregate(zip_with(...))` × 3: dot, ‖a‖, ‖b‖)
+  * walks both arrays three times through interpreted lambdas. This
+  * kernel computes all three sums in a single traversal with the SAME
+  * sequential fold order and double promotion per element, so scores are
+  * bit-identical to the declarative form and to DuckDB's
+  * `list_sum(list_transform(...))` (the cross-engine numeric contract).
+  *
+  * Length mismatch mirrors zip_with's null-padding → null sum → the
+  * `when(d > 0, ...).otherwise(0.0)` fallthrough: result 0.0.
+  */
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine"
+
+  // any numeric element type works (the declarative predecessor accepted
+  // them via cast("double"); an int vector must not throw here)
+  @transient private lazy val codeA = VectorKernels.typeCode(left.dataType)
+  @transient private lazy val codeB = VectorKernels.typeCode(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.cosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], codeA, codeB))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels$$.MODULE$$" +
+        s".cosine($a, $b, $codeA, $codeB);")
+}
+
+/** One-pass L2 normalization kernel: norm fold + per-element divide in a
+  * single traversal. Value-identical to the declarative
+  * `when(l2Norm(v) > 0, transform(v, x / n)).otherwise(zeros)` pair
+  * (same fold order, same double promotion — pinned by the q60 oracle
+  * and the PropertySpec parity case): the zero vector maps to zeros, and
+  * a NULL element anywhere nulls the norm, which the declarative
+  * `when` routes to the zeros branch — mirrored exactly. */
+case class NormalizeExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): NormalizeExpr = copy(c)
+  override def prettyName: String = "l2_normalize"
+
+  @transient private lazy val code = VectorKernels.typeCode(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.normalize(v.asInstanceOf[ArrayData], code)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels$$.MODULE$$.normalize($c, $code);")
 }
 
 object VectorExpressions {
