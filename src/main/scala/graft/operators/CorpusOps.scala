@@ -31,19 +31,27 @@ object CorpusOps {
       textCol: String = "text"): DataFrame = {
     val tg = train.select(col(idCol).as("train_id"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
-    val bgAll = bench.select(col(idCol).as("bench_id"),
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
-    val bg = maxDf match {
-      case Some(cap) =>
-        val hot = bgAll.groupBy(col("g"))
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
-          .select(col("g"))
-        bgAll.join(broadcast(hot), Seq("g"), "left_anti")
-      case None => bgAll
-    }
-    tg.join(bg, Seq("g"))
+    tg.join(cappedBenchGrams(bench, n, maxDf, idCol, textCol), Seq("g"))
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The exploded (bench_id, g) gram rows with the `maxDf` hot-gram cap
+    * applied — the ONE definition of "which bench grams participate in
+    * matching", shared by the batch join, the static gram table, and
+    * (via [[contaminationHotGrams]]) the drop accounting, so the three
+    * surfaces can never disagree on exemptions. */
+  private def cappedBenchGrams(bench: DataFrame, n: Int, maxDf: Option[Int],
+      idCol: String, textCol: String): DataFrame = {
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+    maxDf match {
+      case Some(cap) =>
+        val hot = contaminationHotGrams(bench, n, cap, idCol, textCol)
+          .select(col("g"))
+        bg.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => bg
+    }
   }
 
   /** Streaming contamination gate: the stream-static form of
@@ -63,18 +71,9 @@ object CorpusOps {
   /** The static gram table for [[contaminationMatches]]: distinct
     * benchmark n-grams, optionally df-capped like the batch path. */
   def benchGramTable(bench: DataFrame, n: Int = 8, maxDf: Option[Int] = None,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bg = bench.select(col(idCol).as("bench_id"),
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
-    val capped = maxDf match {
-      case Some(cap) =>
-        val hot = bg.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select(col("g"))
-        bg.join(broadcast(hot), Seq("g"), "left_anti")
-      case None => bg
-    }
-    capped.select(col("g")).distinct()
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cappedBenchGrams(bench, n, maxDf, idCol, textCol)
+      .select(col("g")).distinct()
 
   /** Accounting for the decontamination guardrail: benchmark n-grams a
     * given cap would exclude, with their bench document frequencies. */
@@ -128,7 +127,9 @@ object CorpusOps {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))
-      .withColumn("idf_milli", floor(lit(nDocs * 1000L) / col("df")).cast("long"))
+      // integer div, not floor(double /): past 2^53 the double quotient
+      // loses integer exactness and can land one off vs the oracle's `//`
+      .withColumn("idf_milli", expr(s"${nDocs * 1000L}L div df"))
       .withColumn("score", col("tf") * col("idf_milli"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -348,8 +349,11 @@ object CorpusOps {
     * Identical output to [[stratifiedSample]] whenever ≥ k docs survive
     * phase 1 (P[miss] is a Poisson tail ≈ e-9 at oversample=4, k=10; a
     * stratum with n_g ≤ o·k keeps everything, so small strata are always
-    * exact). All threshold arithmetic is 64-bit integer — engine-exact
-    * and growth-stable for fixed n_g. Requires oversample·k < 2^31. */
+    * exact). Threshold arithmetic runs in DECIMAL(38,0): `2^32·o·k` can
+    * exceed a signed long within the bounds the require() permits (and
+    * `+ n_g` pushes further at billion-row strata) — a long would wrap
+    * negative and silently keep ZERO rows. The quotient itself is ≤ 2^32,
+    * so the `div` result fits a long. Requires oversample·k < 2^31. */
   def stratifiedSampleTwoPhase(df: DataFrame, groupCol: String, k: Int,
       oversample: Int = 4, idCol: String = "doc_id"): DataFrame = {
     require(k > 0 && oversample > 0 && oversample.toLong * k < Int.MaxValue,
@@ -358,7 +362,8 @@ object CorpusOps {
     val hx = md5(col(idCol).cast("string"))
     val thresholds = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
       .withColumn("thr", least(lit(HashSpace),
-        expr(s"($HashSpace * ${oversample.toLong * k} + n_g - 1) div n_g")))
+        expr(s"(cast($HashSpace as decimal(38,0)) * ${oversample.toLong * k}" +
+          s" + n_g - 1) div n_g")))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("_hx").asc, col(idCol).asc)
     df.withColumn("_hx", hx)
@@ -453,14 +458,27 @@ object CorpusOps {
     * first-fit packing is inherently sequential; chunking is the parallel
     * shape — each chunk packs independently (one window partition), so
     * 100 TB packs with chunk-count parallelism and only intra-chunk
-    * ordering. A doc longer than `capacity` gets its own pack (standard
-    * overflow rule). Emits one row per doc: (doc, chunk, pack_id, tokens,
-    * cumulative tokens within pack). */
+    * ordering. Packing is concat-and-chop: each doc is assigned to the
+    * pack where its FIRST token lands, so a doc may straddle a pack
+    * boundary (downstream sequence building splits it across the two
+    * windows — the usual LLM packing semantics, not first-fit binning);
+    * token counts are clamped to `capacity` so one oversized doc
+    * advances at most one full pack. Emits one row per doc: (doc, chunk,
+    * pack_id, tokens, cumulative tokens within chunk).
+    *
+    * `idCol` must be integral — chunk = id div chunkSize. (A string id
+    * would cast to null and collapse the corpus into one null chunk,
+    * exactly the single-partition sort chunking exists to avoid — so
+    * non-integral ids fail fast here. Hash string ids to a long first,
+    * e.g. with [[graft.functions.HashExpressions.fnv1a64]].) */
   def packChunked(docs: DataFrame, capacity: Long, chunkSize: Long = 1000L,
       idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"packChunked needs an integral $idCol, got $idType")
     val chunked = docs.select(col(idCol).as("doc_id"),
       least(col(tokensCol), lit(capacity)).as("toks"),
-      floor(col(idCol) / chunkSize).cast("long").as("chunk"))
+      expr(s"$idCol div ${chunkSize}L").as("chunk"))
     val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // pack boundary: cumulative tokens divide by capacity AFTER the doc

@@ -265,12 +265,23 @@ object Dedup {
     * the next run. */
   def incrementalDedup(newDocs: DataFrame, store: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withFp = newDocs.withColumn("fp",
-      graft.functions.TextFunctions.contentFingerprint(col(textCol)))
+    val withFp = newDocs.withColumn("fp", storeFingerprint(col(textCol)))
     val fresh = withFp.join(store.select(col("fp")), Seq("fp"), "left_anti")
     val first = fresh.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
     fresh.join(first, Seq("fp", idCol))
   }
+
+  /** Content fingerprint as used by the incremental-dedup store paths:
+    * null text maps to a non-hex SENTINEL rather than null, because the
+    * null-rejecting equi-joins downstream (anti-join vs the store, the
+    * (fp, id) first-id re-join) would otherwise silently DROP null-text
+    * docs from the output. With the sentinel, null-text docs dedup
+    * against each other (first id wins) like any other equal-content
+    * group. Stores built through [[updatedFingerprintStore]] use the
+    * same mapping; a hand-built store must too. */
+  private[graft] def storeFingerprint(text: Column): Column =
+    coalesce(graft.functions.TextFunctions.contentFingerprint(text),
+      lit("null-text"))
 
   /** [[incrementalDedup]] with a Bloom pre-filter on the store: batch
     * rows whose fingerprint tests bloom-NEGATIVE are provably absent
@@ -287,25 +298,41 @@ object Dedup {
   def incrementalDedupBloom(newDocs: DataFrame, store: DataFrame,
       expectedItems: Long, fpp: Double = 0.01,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bloom = store.select(col("fp")).stat.bloomFilter("fp", expectedItems, fpp)
+    // an EMPTY store makes stat.bloomFilter return a null buffer (NPE on
+    // deserialize) — and contains nothing anyway, so every row is
+    // provably fresh and the probe is constant-false
+    val storeFp = store.select(col("fp"))
+    val bloomOpt =
+      if (storeFp.isEmpty) None
+      else Some(storeFp.stat.bloomFilter("fp", expectedItems, fpp))
     // a udf (not a Row filter) keeps the plan declarative around the
     // probe; the closure ships the serialized filter to executors once
-    val mightContain = udf((s: String) => bloom.mightContain(s))
-    val withFp = newDocs.withColumn("fp",
-      graft.functions.TextFunctions.contentFingerprint(col(textCol)))
-    val fresh = withFp.filter(!mightContain(col("fp"))).unionByName(
-      withFp.filter(mightContain(col("fp")))
+    val mightContain = bloomOpt match {
+      case Some(bloom) => udf((s: String) => s != null && bloom.mightContain(s))
+      case None        => udf((_: String) => false)
+    }
+    // probe ONCE per row, and persist the routed batch so the two union
+    // branches below don't each re-scan + re-digest the input: one
+    // materialization (spilling to disk past memory) beats recomputing
+    // the md5 over the full batch, which is the dominant per-row cost
+    // this routing exists to bound
+    val routed = newDocs.withColumn("fp", storeFingerprint(col(textCol)))
+      .withColumn("maybe_dup", mightContain(col("fp")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fresh = routed.filter(!col("maybe_dup")).unionByName(
+      routed.filter(col("maybe_dup"))
         .join(store.select(col("fp")), Seq("fp"), "left_anti"))
+      .drop("maybe_dup")
     val first = fresh.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
     fresh.join(first, Seq("fp", idCol))
   }
 
-  /** The next run's store: previous fingerprints ∪ this batch's. */
+  /** The next run's store: previous fingerprints ∪ this batch's
+    * (null-text docs contribute the [[storeFingerprint]] sentinel). */
   def updatedFingerprintStore(store: DataFrame, newDocs: DataFrame,
       textCol: String = "text"): DataFrame =
     store.select(col("fp")).unionByName(
-      newDocs.select(graft.functions.TextFunctions
-        .contentFingerprint(col(textCol)).as("fp"))).distinct()
+      newDocs.select(storeFingerprint(col(textCol)).as("fp"))).distinct()
 
   /** Connected components over a near-dup pair graph: every doc labeled
     * with the MINIMUM id reachable through pair edges — the transitive

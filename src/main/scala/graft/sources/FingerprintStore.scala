@@ -18,14 +18,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale/durability contract (plain parquet — same trade as
   * `JobRunner.upsertJobBucketed`): deltas are append-only and
-  * crash-safe (a failed append leaves at most a partial directory the
-  * reader skips via _SUCCESS filtering in Spark's committer). Compaction
-  * is SINGLE WRITER: it builds the new base at `base.tmp`, atomically
-  * renames over `base`, and only then deletes the folded deltas — a
-  * crash in between leaves base ∪ deltas a superset of the truth, which
-  * is safe for dedup (we may re-drop a dup, never re-admit one). The
-  * fp repartition at compaction keeps each output file a disjoint hash
-  * range, so the store's anti-join side stays uniformly spread at 100 TB.
+  * crash-safe — a failed append leaves a directory with no `_SUCCESS`
+  * marker, which readers SKIP (the filtering is ours, in [[load]];
+  * Spark's committer writes the marker but does not filter on read).
+  * Compaction is SINGLE WRITER and never holds the only copy in a
+  * deletable state: it builds the new generation at `base.tmp`, retires
+  * the old one to `base.old`, renames tmp→base, and only then deletes
+  * `base.old` and the folded deltas. A crash at ANY step leaves either
+  * `base` or `base.old` present, and [[load]] falls back to `base.old`
+  * when `base` is missing — so the visible store is always a superset
+  * of the truth, which is safe for dedup (we may re-drop a dup, never
+  * re-admit one). The fp repartition at compaction keeps each output
+  * file a disjoint hash range, so the store's anti-join side stays
+  * uniformly spread at 100 TB.
   */
 object FingerprintStore {
 
@@ -40,16 +45,31 @@ object FingerprintStore {
     newFps.select(col("fp")).distinct()
       .write.mode("overwrite").parquet(s"$dir/delta/$batchId")
 
-  /** The full store: base generation ∪ all deltas (distinct not needed
-    * for anti-join membership; compaction restores it). */
+  /** Delta directories whose write COMMITTED (the `_SUCCESS` marker
+    * exists). A crashed append leaves a markerless directory holding at
+    * most `_temporary/` — reading it would throw (no parquet footer to
+    * infer a schema from), so both [[load]] and [[compact]] skip it;
+    * the rerun's overwrite of the same batchId replaces it. */
+  private def committedDeltas(f: org.apache.hadoop.fs.FileSystem,
+                              dir: String): Seq[Path] = {
+    val deltaDir = new Path(s"$dir/delta")
+    if (!f.exists(deltaDir)) Nil
+    else f.listStatus(deltaDir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => f.exists(new Path(p, "_SUCCESS")))
+  }
+
+  /** The full store: base generation ∪ all committed deltas (distinct
+    * not needed for anti-join membership; compaction restores it).
+    * Falls back to the retired `base.old` generation when `base` is
+    * absent — the state a crash between compaction's two renames
+    * leaves behind. */
   def load(spark: SparkSession, dir: String): DataFrame = {
     val f = fs(spark, dir)
-    val parts =
-      (if (f.exists(new Path(s"$dir/base"))) Seq(s"$dir/base") else Nil) ++
-        (if (f.exists(new Path(s"$dir/delta")))
-          f.listStatus(new Path(s"$dir/delta")).toSeq
-            .filter(_.isDirectory).map(_.getPath.toString)
-         else Nil)
+    val base =
+      if (f.exists(new Path(s"$dir/base"))) Seq(s"$dir/base")
+      else if (f.exists(new Path(s"$dir/base.old"))) Seq(s"$dir/base.old")
+      else Nil
+    val parts = base ++ committedDeltas(f, dir).map(_.toString)
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -58,25 +78,34 @@ object FingerprintStore {
     else parts.map(spark.read.parquet(_).select(col("fp"))).reduce(_ unionByName _)
   }
 
-  /** Fold base + deltas into a fresh distinct base generation of
-    * `numFiles` hash-disjoint files, then drop the folded deltas.
-    * Returns the number of deltas folded. */
+  /** Fold base + committed deltas into a fresh distinct base generation
+    * of `numFiles` hash-disjoint files, then drop the folded deltas.
+    * Returns the number of deltas folded.
+    *
+    * Swap protocol (no step deletes the only copy): write `base.tmp`,
+    * rename base→base.old, rename tmp→base, delete base.old + folded
+    * deltas. Recovery is in two places: [[load]] reads `base.old` when
+    * `base` is missing (crash between the renames), and the cleanup
+    * below drops a stale `base.old` that survived a crash after the
+    * second rename (at that point `base` supersedes it). */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 32): Int = {
     val f = fs(spark, dir)
-    val deltaDir = new Path(s"$dir/delta")
-    val folded: Seq[Path] =
-      if (f.exists(deltaDir))
-        f.listStatus(deltaDir).toSeq.filter(_.isDirectory).map(_.getPath)
-      else Nil
+    val folded = committedDeltas(f, dir)
     val tmp = new Path(s"$dir/base.tmp")
-    if (f.exists(tmp)) f.delete(tmp, true) // leftover from a crashed run
+    val base = new Path(s"$dir/base")
+    val old = new Path(s"$dir/base.old")
+    // leftovers from crashed runs: tmp is never read, and old is only
+    // meaningful while base is absent
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(old) && f.exists(base)) f.delete(old, true)
     load(spark, dir).distinct()
       .repartition(numFiles, col("fp"))
       .write.mode("overwrite").parquet(tmp.toString)
-    val base = new Path(s"$dir/base")
-    if (f.exists(base)) f.delete(base, true)
+    if (f.exists(base) && !f.rename(base, old))
+      sys.error(s"compaction retire failed: $base -> $old")
     if (!f.rename(tmp, base))
       sys.error(s"compaction rename failed: $tmp -> $base")
+    if (f.exists(old)) f.delete(old, true)
     folded.foreach(p => f.delete(p, true))
     folded.size
   }

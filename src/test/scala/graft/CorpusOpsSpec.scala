@@ -333,4 +333,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(150L) == (1L, 1000000L, 100L, 100L))  // fresh chunk, fresh packs
     assert(got(151L)._4 == 200L)
   }
+
+  test("packing fails fast on a non-integral id (no silent null chunk)") {
+    // a string id would cast to null, collapsing every doc into one null
+    // chunk — the single-partition sort the chunking exists to avoid
+    val docs = Seq(("a", 10L), ("b", 20L)).toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.packChunked(docs, capacity = 512L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -88,4 +88,50 @@ class FingerprintStoreSpec extends AnyFunSuite {
     assert(FingerprintStore.compact(spark, dir) == 1)
     assert(FingerprintStore.load(spark, dir).count() == 1)
   }
+
+  test("crash between compaction renames: base.old keeps the store readable") {
+    val dir = Files.createTempDirectory("graft-fpstore-swap").toString
+    def fpsOf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"))
+    FingerprintStore.appendDelta(fpsOf(Seq((1L, "one doc"))), dir, "b0001")
+    assert(FingerprintStore.compact(spark, dir) == 1) // base now exists
+    FingerprintStore.appendDelta(fpsOf(Seq((2L, "two doc"))), dir, "b0002")
+    val before = FingerprintStore.load(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(before.size == 2)
+    // simulate the crash window: base retired to base.old, new base not
+    // yet renamed in — the exact state after compact()'s first rename
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.rename(new org.apache.hadoop.fs.Path(s"$dir/base"),
+      new org.apache.hadoop.fs.Path(s"$dir/base.old")))
+    // load() falls back to base.old: nothing forgotten
+    assert(FingerprintStore.load(spark, dir)
+      .collect().map(_.getString(0)).toSet == before)
+    // the next compaction recovers: folds base.old ∪ deltas, leaves a
+    // clean base, drops the retired generation
+    assert(FingerprintStore.compact(spark, dir) == 1)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/base")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/base.old")))
+    assert(FingerprintStore.load(spark, dir)
+      .collect().map(_.getString(0)).toSet == before)
+  }
+
+  test("uncommitted delta (no _SUCCESS) is skipped, not fatal, not folded") {
+    val dir = Files.createTempDirectory("graft-fpstore-partial").toString
+    val b1 = Seq((1L, "one doc")).toDF("doc_id", "text")
+    FingerprintStore.appendDelta(
+      b1.select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp")),
+      dir, batchId = "b0001")
+    // simulate a crashed append: a delta dir with no committed files
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/delta/b0002/_temporary"))
+    assert(FingerprintStore.load(spark, dir).count() == 1) // no throw
+    assert(FingerprintStore.compact(spark, dir) == 1) // only b0001 folded
+    // the partial dir is left for its batch's rerun to overwrite
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/delta/b0002")))
+    assert(FingerprintStore.load(spark, dir).count() == 1)
+  }
 }

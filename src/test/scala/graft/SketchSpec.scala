@@ -61,6 +61,39 @@ class SketchSpec extends AnyFunSuite {
     assert(viaBloomSized == exact)
   }
 
+  test("null-text docs survive incremental dedup, once, in both forms") {
+    // null text has a null md5 — without the store-fingerprint sentinel
+    // the (fp, id) equi-joins would silently drop these rows (and the
+    // bloom probe would NPE on a null key)
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "real text"),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, null),
+        org.apache.spark.sql.Row(4L, "real text"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val empty = Seq.empty[String].toDF("fp")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 2 represents the null-text group; doc 4 dups doc 1
+    val exact = ids(Dedup.incrementalDedup(d, empty))
+    assert(exact == Set(1L, 2L))
+    assert(ids(Dedup.incrementalDedupBloom(d, empty,
+      expectedItems = 10, fpp = 0.1)) == exact)
+    // and a store carrying the null sentinel suppresses later null docs
+    val store2 = Dedup.updatedFingerprintStore(empty, d)
+    val next = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, null),
+        org.apache.spark.sql.Row(10L, "fresh text"))),
+      d.schema)
+    assert(ids(Dedup.incrementalDedup(next, store2)) == Set(10L))
+  }
+
   test("bloom pre-filter: no false negatives, exact dedup result unchanged") {
     val d = docs.limit(2000)
     val store = d.filter(col("doc_id") % 3 === 0)
