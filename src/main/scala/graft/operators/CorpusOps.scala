@@ -491,4 +491,50 @@ object CorpusOps {
         (col("chunk") * 1000000L + col("pack_in_chunk")).as("pack_id"),
         col("toks"), col("cum"))
   }
+
+  /** Ordered quality-filter cascade with per-stage drop accounting —
+    * the observability shape every corpus-curation pipeline needs: not
+    * just "what survived" but WHERE each document fell out, so a
+    * filter-tuning change can be attributed stage by stage.
+    *
+    * Each `stages` entry is (name, pass-predicate); a document is
+    * charged to the FIRST stage whose predicate it fails (stages after
+    * the first failure never see it, exactly like a chained
+    * `.filter(...)` pipeline). One row out per stage: how many docs
+    * entered it, how many it dropped, how many survived, and the drop
+    * rate in exact integer permille (null when nothing entered).
+    *
+    * Scale shape: ONE corpus pass regardless of stage count — the
+    * first-fail index is a single when-chain projection (short-circuit
+    * in codegen; repeated subexpressions like a shared kernel struct
+    * are computed once via subexpression elimination), aggregated by a
+    * map-side-combinable count over ≤ stages+1 keys. The cumulative
+    * entered/dropped bookkeeping runs on the stages-sized frame, where
+    * a single-partition window is free. Contrast the naive N chained
+    * count() actions: N full corpus scans. */
+  def qualityFunnel(docs: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val firstFail = stages.zipWithIndex.foldRight(lit(-1)) {
+      case (((_, pass), i), acc) => when(not(pass), lit(i)).otherwise(acc)
+    }
+    val ffCounts = docs.select(firstFail.as("ff"))
+      .groupBy(col("ff")).agg(count(lit(1)).as("n"))
+    val total = ffCounts.agg(coalesce(sum(col("n")), lit(0L)))
+      .head.getLong(0)
+    val dim = stages.zipWithIndex.map { case ((name, _), i) => (i, name) }
+      .toDF("stage_idx", "stage")
+    val w = Window.orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dim.join(ffCounts, col("stage_idx") === col("ff"), "left")
+      .withColumn("dropped", coalesce(col("n"), lit(0L)))
+      .withColumn("entered",
+        lit(total) - coalesce(sum(col("dropped")).over(w), lit(0L)))
+      .withColumn("survived", col("entered") - col("dropped"))
+      .withColumn("drop_permille",
+        when(col("entered") > 0, expr("(dropped * 1000) div entered")))
+      .select(col("stage_idx"), col("stage"), col("entered"),
+        col("dropped"), col("survived"), col("drop_permille"))
+  }
 }

@@ -390,6 +390,60 @@ object CorpusQueries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       CorpusOps.packChunked(d, capacity = 512L, chunkSize = 100L)
         .orderBy(col("doc_id"))
+    },
+
+    // Quality-filter funnel: 4-stage cascade (min length -> min tokens ->
+    // stopword-heuristic english -> low token repetition) with per-stage
+    // entered/dropped/survived accounting and exact integer drop rates.
+    // One corpus pass: first-fail attribution in a single when-chain.
+    "q81_quality_funnel" -> QueryDef({
+      val hitSql = TextFunctions.StopwordLists.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        lang -> s"len(list_filter(toks, t -> t IN ($inList)))"
+      }
+      val bestSql = hitSql.map(_._2).mkString("greatest(", ", ", ")")
+      val caseSql = hitSql.sortBy(_._1).reverse
+        .foldLeft("'und'") { case (acc, (lang, h)) =>
+          s"CASE WHEN best > 0 AND $h = best THEN '$lang' ELSE $acc END"
+        }
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |b AS (SELECT *, $bestSql AS best FROM t),
+         |f AS (SELECT doc_id,
+         |        CASE WHEN NOT (length(text) >= 200) THEN 0
+         |             WHEN NOT (len(toks) >= 30) THEN 1
+         |             WHEN NOT (($caseSql) = 'en') THEN 2
+         |             WHEN NOT (len(list_distinct(toks)) * 2 >= len(toks)) THEN 3
+         |             ELSE -1 END AS ff
+         |      FROM b),
+         |c AS (SELECT ff, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY ff),
+         |total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+         |dim AS (SELECT * FROM (VALUES (0, 'min_length'), (1, 'min_tokens'),
+         |                              (2, 'english'), (3, 'low_repetition'))
+         |        AS v(stage_idx, stage)),
+         |j AS (SELECT d.stage_idx, d.stage,
+         |             CAST(coalesce(c.n, 0) AS BIGINT) AS dropped
+         |      FROM dim d LEFT JOIN c ON d.stage_idx = c.ff),
+         |e AS (SELECT stage_idx, stage, dropped,
+         |        (SELECT tot FROM total) - CAST(coalesce(
+         |          sum(dropped) OVER (ORDER BY stage_idx
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS entered
+         |      FROM j)
+         |SELECT stage_idx, stage, entered, dropped,
+         |       entered - dropped AS survived,
+         |       CASE WHEN entered > 0 THEN (dropped * 1000) // entered
+         |       END AS drop_permille
+         |FROM e ORDER BY stage_idx""".stripMargin
+    }) { (s, dir) =>
+      val rep = graft.functions.RepetitionStatsExpr.of(col("text"))
+      val lang = graft.functions.LangQualityExpr.of(col("text")).getField("lang")
+      CorpusOps.qualityFunnel(Tables(s, dir).documents, Seq(
+        "min_length" -> (length(col("text")) >= 200),
+        "min_tokens" -> (rep.getField("n_tokens") >= 30),
+        "english" -> (lang === "en"),
+        "low_repetition" ->
+          (rep.getField("n_distinct") * 2 >= rep.getField("n_tokens"))))
+        .orderBy(col("stage_idx"))
     }
   )
 }

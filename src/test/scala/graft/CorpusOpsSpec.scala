@@ -334,6 +334,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(151L)._4 == 200L)
   }
 
+  test("quality funnel: first-fail attribution, cascade accounting") {
+    // 6 docs: 2 fail stage a, 1 (already short) ALSO fails b but is
+    // charged to a (first fail wins), 1 fails b only, 1 fails c, 1 passes
+    val docs = Seq(
+      (1L, "xx", 5L),         // fails a (and would fail b): charged to a
+      (2L, "xx", 50L),        // fails a only
+      (3L, "long enough", 5L),  // passes a, fails b
+      (4L, "long enough", 50L), // passes a+b, fails c
+      (5L, "long enough ok", 50L), // passes all
+      (6L, "long enough ok", 50L)  // passes all
+    ).toDF("doc_id", "text", "n")
+    val got = CorpusOps.qualityFunnel(docs, Seq(
+      "a_len" -> (length(col("text")) >= 5),
+      "b_n" -> (col("n") >= 10),
+      "c_ok" -> col("text").contains("ok")))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a_len", 6L, 2L, 4L),
+      ("b_n", 4L, 1L, 3L),
+      ("c_ok", 3L, 1L, 2L)))
+    // drop rates: 2/6 -> 333‰, 1/4 -> 250‰, 1/3 -> 333‰
+    val rates = CorpusOps.qualityFunnel(docs, Seq(
+      "a_len" -> (length(col("text")) >= 5),
+      "b_n" -> (col("n") >= 10),
+      "c_ok" -> col("text").contains("ok")))
+      .orderBy("stage_idx").collect().map(_.getLong(5))
+    assert(rates.toSeq == Seq(333L, 250L, 333L))
+  }
+
+  test("quality funnel: a stage that drops everything nulls later rates") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val got = CorpusOps.qualityFunnel(docs, Seq(
+      "all_die" -> lit(false),
+      "after" -> lit(true)))
+      .orderBy("stage_idx").collect()
+    assert(got(0).getLong(2) == 2L && got(0).getLong(3) == 2L) // entered, dropped
+    assert(got(1).getLong(2) == 0L && got(1).getLong(3) == 0L)
+    assert(got(1).isNullAt(5)) // 0-entered stage: rate is null, not 0/0
+  }
+
   test("packing fails fast on a non-integral id (no silent null chunk)") {
     // a string id would cast to null, collapsing every doc into one null
     // chunk — the single-partition sort the chunking exists to avoid
