@@ -492,6 +492,30 @@ object CorpusOps {
         col("toks"), col("cum"))
   }
 
+  /** Snapshot diff: classify every document id across two corpus
+    * versions as `added` (only in new), `removed` (only in old),
+    * `changed` (both, content fingerprint differs) or `unchanged` — the
+    * planning primitive of every incremental pipeline (what to re-embed,
+    * re-index, re-dedup after an ingestion run, instead of reprocessing
+    * 100 TB because 0.1% moved).
+    *
+    * ONE full-outer equi-join on id over (id, fp) projections — text
+    * never shuffles, content equality rides the 32-byte md5 (same
+    * normalized fingerprint as the dedup family; null text gets the
+    * dedup sentinel so it classifies rather than null-propagates). */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fpOf = (df: DataFrame, fpName: String) => df.select(col(idCol),
+      Dedup.storeFingerprint(col(textCol)).as(fpName))
+    fpOf(oldDocs, "fp_old").join(fpOf(newDocs, "fp_new"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged"))
+      .select(col(idCol), col("status"))
+  }
+
   /** Ordered quality-filter cascade with per-stage drop accounting —
     * the observability shape every corpus-curation pipeline needs: not
     * just "what survived" but WHERE each document fell out, so a

@@ -387,6 +387,73 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Incremental NEAR-dup: candidate pairs between a new batch and a
+    * persisted corpus, both in [[minhashed]] form — the LSH analog of
+    * [[incrementalDedup]]'s exact anti-join, for run-over-run ingestion
+    * where each batch must be checked against everything already
+    * admitted without re-pairing the whole corpus. The store side is
+    * the minhashed table persisted once (32 band keys + shingle set per
+    * doc, NOT text); each run's join touches O(batch · bands) narrow
+    * rows against it.
+    *
+    * Output: (new_id, store_id, jaccard) for verified pairs over
+    * `threshold`. Caller contract: new and store id spaces are disjoint
+    * (re-ingesting an id dedups exactly, not here).
+    *
+    * `maxBucketSize` caps the COMBINED (store + batch) population of a
+    * band bucket — a boilerplate bucket with S store docs meets every
+    * new doc it contains, so the quadratic risk is the combined count;
+    * over-cap buckets drop from candidate generation with the same
+    * accounting contract as [[hotBuckets]]. */
+  def incrementalNearDupPairs(newMh: DataFrame, storeMh: DataFrame,
+      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
+    val nb = newMh.select(col("id").as("new_id"), explode(col("band_keys")).as("bk"))
+    val sb = storeMh.select(col("id").as("store_id"), explode(col("band_keys")).as("bk"))
+    val (nbF, sbF) = maxBucketSize match {
+      case Some(cap) =>
+        val hot = nb.select(col("bk")).unionAll(sb.select(col("bk")))
+          .groupBy(col("bk")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > cap).select(col("bk"))
+        (nb.join(broadcast(hot), Seq("bk"), "left_anti"),
+          sb.join(broadcast(hot), Seq("bk"), "left_anti"))
+      case None => (nb, sb)
+    }
+    val pairs = nbF.join(sbF, Seq("bk"))
+      .select(col("new_id"), col("store_id"))
+      .dropDuplicates("new_id", "store_id")
+    pairs
+      .join(newMh.select(col("id").as("new_id"), col("shingles").as("sh_n")),
+        Seq("new_id"))
+      .join(storeMh.select(col("id").as("store_id"), col("shingles").as("sh_s")),
+        Seq("store_id"))
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_s")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("store_id"), col("jaccard"))
+  }
+
+  /** The full incremental admission step: batch docs that are near-dup
+    * of NEITHER the persisted corpus NOR an earlier (lower-id) batch
+    * doc. Composes [[incrementalNearDupPairs]] (vs the store) with the
+    * within-batch pipeline ([[lshCandidatePairs]] → [[jaccard]] →
+    * [[dropNearDuplicates]]); the batch's minhashed table is computed
+    * once and persisted for both uses. Append [[minhashed]] rows of the
+    * admitted docs to the store for the next run. */
+  def admitNearDupFree(newDocs: DataFrame, storeMh: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
+    val mh = minhashed(newDocs, idCol, textCol, shingleSize, numHashes, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsStore = incrementalNearDupPairs(mh, storeMh, threshold, maxBucketSize)
+      .select(col("new_id").as(idCol)).distinct()
+    val withinPairs = lshCandidatePairs(mh, maxBucketSize)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    dropNearDuplicates(newDocs, withinPairs, idCol)
+      .join(vsStore, Seq(idCol), "left_anti")
+  }
+
   /** Substring-containment candidates via rolling-hash fingerprints:
     * docs sharing at least `minShared` sampled Rabin-Karp window hashes.
     * Catches a doc copied INSIDE a larger doc — whole-document

@@ -444,6 +444,35 @@ object CorpusQueries {
         "low_repetition" ->
           (rep.getField("n_distinct") * 2 >= rep.getField("n_tokens"))))
         .orderBy(col("stage_idx"))
+    },
+
+    // Snapshot diff between two corpus versions: added / removed /
+    // changed / unchanged per doc id, content equality by normalized
+    // md5 — one full-outer join on id, text never shuffles. Old drops
+    // id%5=0, new drops id%7=0 and mutates id%3=0, so all four classes
+    // appear.
+    "q82_corpus_diff" -> QueryDef(
+      """WITH old AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |nw AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END),
+        |    '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 7 != 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.fp IS NULL THEN 'added'
+        |            WHEN n.fp IS NULL THEN 'removed'
+        |            WHEN o.fp != n.fp THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val old = d.filter(col("doc_id") % 5 =!= 0)
+      val nw = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      CorpusOps.corpusDiff(old, nw).orderBy(col("doc_id"))
     }
   )
 }

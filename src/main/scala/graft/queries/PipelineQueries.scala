@@ -186,6 +186,40 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Incremental near-dup: LSH pairs between a new batch (id%3!=0) and
+    // the persisted corpus (id%3=0) — the run-over-run admission check
+    // against everything already ingested, without re-pairing the whole
+    // corpus. Clones in dupDocs shift id residue by 1 (100000 % 3 = 1),
+    // so implanted dups guarantee cross-side pairs.
+    "q83_incremental_neardup" -> QueryDef(
+      s"""WITH corpus AS ($DupDocsSql),
+         |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
+         |${minhashSigSql(12)},
+         |bands AS (SELECT id, shingles,
+         |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT n.id AS new_id, s.id AS store_id,
+         |                n.shingles AS sh_n, s.shingles AS sh_s
+         |         FROM bands n JOIN bands s USING (bk)
+         |         WHERE n.id % 3 != 0 AND s.id % 3 = 0),
+         |scored AS (SELECT new_id, store_id,
+         |  CASE WHEN len(list_distinct(list_concat(sh_n, sh_s))) > 0
+         |       THEN CAST(len(list_intersect(sh_n, sh_s)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(sh_n, sh_s))) AS DOUBLE)
+         |       ELSE 0.0 END AS jaccard FROM cand)
+         |SELECT new_id, store_id, jaccard FROM scored WHERE jaccard >= 0.5
+         |ORDER BY new_id, store_id""".stripMargin) { (s, dir) =>
+      val corpus = dupDocs(Tables(s, dir))
+      val mh = (d: org.apache.spark.sql.DataFrame) =>
+        Dedup.minhashed(d, "doc_id", "text",
+          shingleSize = 3, numHashes = 12, rowsPerBand = 3)
+      Dedup.incrementalNearDupPairs(
+        mh(corpus.filter(col("doc_id") % 3 =!= 0)),
+        mh(corpus.filter(col("doc_id") % 3 === 0)),
+        threshold = 0.5, maxBucketSize = Some(100))
+        .orderBy(col("new_id"), col("store_id"))
+    },
+
     // Transitive closure of the q28 near-dup pairs: connected components
     // with the minimum member id as the canonical representative — the
     // cluster half of production dedup (keep comp == id, drop the rest).

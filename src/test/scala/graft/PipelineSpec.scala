@@ -285,4 +285,55 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("incremental near-dup admission: store dups, batch dups, fresh docs") {
+    import spark.implicits._
+    // store holds doc 1; batch brings a near-dup of it (11), a fresh
+    // pair of mutual dups (20 < 21: min id wins), and a unique doc (30)
+    val text1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val text2 = "one two three four five six seven eight nine"
+    val store = Seq((1L, text1)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, text1),              // near-dup of store doc 1 -> rejected
+      (20L, text2),              // first of a within-batch dup pair -> kept
+      (21L, text2),              // within-batch dup of 20 -> rejected
+      (30L, "totally different words entirely unique content here"))
+      .toDF("doc_id", "text")
+    val storeMh = Dedup.minhashed(store, "doc_id", "text", 3, 12, 3)
+    val pairs = Dedup.incrementalNearDupPairs(
+      Dedup.minhashed(batch, "doc_id", "text", 3, 12, 3), storeMh)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((11L, 1L)))
+    val admitted = Dedup.admitNearDupFree(batch, storeMh)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(20L, 30L))
+  }
+
+  test("incremental near-dup hot-bucket cap drops over-cap buckets only") {
+    import spark.implicits._
+    // 5 store + 5 batch copies of one text: every band bucket holds 10
+    // docs; cap=4 suppresses them all, cap=100 keeps them
+    val t = "same boilerplate text in every single copy here now"
+    val store = (1L to 5L).map(i => (i, t)).toDF("doc_id", "text")
+    val batch = (101L to 105L).map(i => (i, t)).toDF("doc_id", "text")
+    val sMh = Dedup.minhashed(store, "doc_id", "text", 3, 12, 3)
+    val bMh = Dedup.minhashed(batch, "doc_id", "text", 3, 12, 3)
+    assert(Dedup.incrementalNearDupPairs(bMh, sMh,
+      maxBucketSize = Some(4)).count() == 0)
+    assert(Dedup.incrementalNearDupPairs(bMh, sMh,
+      maxBucketSize = Some(100)).count() == 25)
+  }
+
+  test("corpus diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "stable text"), (2L, "will change"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "STABLE  text"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusOps.corpusDiff(old, nw)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: same after case/whitespace normalization -> unchanged
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }
