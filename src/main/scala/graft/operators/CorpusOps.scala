@@ -492,6 +492,65 @@ object CorpusOps {
         col("toks"), col("cum"))
   }
 
+  /** Inverted index over document tokens: per term its document
+    * frequency and the SORTED posting list of doc ids — the lookup side
+    * of search, targeted decontamination, and containment debugging.
+    *
+    * Boundedness at 100 TB comes from `maxDf`, doing double duty: terms
+    * in more than `maxDf` docs (stopwords, markup) are excluded BEFORE
+    * list aggregation, so no posting array can exceed `maxDf` entries —
+    * the collect is provably bounded, never a hot-key OOM. (Same
+    * guardrail family as the LSH bucket cap and the contamination gram
+    * cap; excluded terms are exactly the df > maxDf rows of the first
+    * aggregate, queryable by the caller.) Shape: one (term, doc)
+    * distinct + two hash aggregations, map-side combinable. */
+  def invertedIndex(docs: DataFrame, maxDf: Int, idCol: String = "doc_id",
+      textCol: String = "text",
+      termsOf: Column => Column = c => TextFunctions.tokens(c)): DataFrame = {
+    require(maxDf > 0, "maxDf bounds the posting arrays; must be positive")
+    val termDocs = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(termsOf(col(textCol)))).as("term"))
+    val dfreq = termDocs.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    termDocs.join(dfreq, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+  }
+
+  /** The chop half of [[packChunked]]: one row per (doc, pack) SEGMENT.
+    * packChunked assigns each doc to the pack where its first token
+    * lands; a doc whose token span crosses pack boundaries contributes
+    * a segment to every pack it touches, with the in-pack offset and
+    * length a sequence builder needs to materialize fixed-`capacity`
+    * training windows. Integer identity per doc:
+    * `sum(seg_len) = toks` and segments tile [cum - toks, cum).
+    *
+    * Shape: the packChunked window plus one `sequence()` explode whose
+    * length is the doc's pack span (≤ 2 for any doc ≤ capacity — the
+    * clamp in packChunked guarantees spans stay tiny). */
+  def packSegments(docs: DataFrame, capacity: Long, chunkSize: Long = 1000L,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    val packed = packChunked(docs, capacity, chunkSize, idCol, tokensCol)
+      .withColumn("start", col("cum") - col("toks"))
+      .withColumn("last_pack",
+        when(col("cum") > col("start"),
+          expr(s"(cum - 1) div ${capacity}L")).otherwise(expr(s"start div ${capacity}L")))
+    packed
+      .withColumn("seg_pack",
+        explode(sequence(expr(s"start div ${capacity}L"), col("last_pack"))))
+      .withColumn("pack_start", col("seg_pack") * capacity)
+      .withColumn("seg_offset",
+        greatest(col("start"), col("pack_start")) - col("pack_start"))
+      .withColumn("seg_len",
+        least(col("cum"), col("pack_start") + capacity)
+          - greatest(col("start"), col("pack_start")))
+      .filter(col("seg_len") > 0)
+      .select(col("doc_id"), col("chunk"),
+        (col("chunk") * 1000000L + col("seg_pack")).as("pack_id"),
+        col("seg_offset"), col("seg_len"))
+  }
+
   /** Snapshot diff: classify every document id across two corpus
     * versions as `added` (only in new), `removed` (only in old),
     * `changed` (both, content fingerprint differs) or `unchanged` — the

@@ -34,6 +34,14 @@ object CorpusQueries {
        |            % CAST('18446744073709551616' AS HUGEINT))
        |  % 10000 AS BIGINT)""".stripMargin
 
+  /** DuckDB word-3-gram list (mirrors TextFunctions.wordShingles(text, 3)
+    * incl. the single-gram convention for docs under 3 tokens). */
+  private val Grams3Sql =
+    s"""CASE WHEN len($ToksSql) >= 3
+       |  THEN list_transform(range(len($ToksSql) - 2),
+       |       i -> array_to_string(($ToksSql)[i+1:i+3], ' '))
+       |  ELSE [array_to_string($ToksSql, ' ')] END""".stripMargin
+
   /** DuckDB word-2-gram list (mirrors TextFunctions.wordShingles(text, 2)
     * incl. the single-gram convention for docs under 2 tokens). */
   private val Grams2Sql =
@@ -473,6 +481,63 @@ object CorpusQueries {
         .withColumn("text", when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       CorpusOps.corpusDiff(old, nw).orderBy(col("doc_id"))
+    },
+
+    // Phrase (word-3-gram) inverted index with df-capped posting lists.
+    // The cap excludes boilerplate-class phrases BEFORE aggregation, so
+    // no posting array can exceed maxDf entries — the boundedness
+    // guardrail, not an approximation. (Single tokens are useless here:
+    // the synthetic vocabulary has 31 terms, all near-ubiquitous; the
+    // 3-gram space is 16k-27k phrases and the df=20 cap binds at sf0.1.)
+    "q84_inverted_index" -> QueryDef(
+      s"""WITH td AS (SELECT DISTINCT doc_id, t AS term
+         |            FROM documents, unnest($Grams3Sql) AS u(t)),
+         |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |      FROM td GROUP BY term HAVING count(*) <= 20)
+         |SELECT term, df,
+         |       array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM td JOIN f USING (term)
+         |GROUP BY term, df
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      // postings ride as a comma-joined string: the harness compare
+      // flattens arrays (same convention as q60's posexplode)
+      CorpusOps.invertedIndex(Tables(s, dir).documents, maxDf = 20,
+        termsOf = c => TextFunctions.wordShingles(c, 3))
+        .withColumn("postings", concat_ws(",", col("postings")))
+        .orderBy(col("term"))
+    },
+
+    // Pack segments: the chop half of q68's packing — one row per
+    // (doc, pack) segment with in-pack offset and length, so straddling
+    // docs materialize correctly into fixed 512-token windows.
+    "q85_pack_segments" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(least(len($ToksSql), 512) AS BIGINT) AS toks,
+         |             doc_id // 100 AS chunk
+         |           FROM documents),
+         |c AS (SELECT doc_id, chunk, toks,
+         |             CAST(sum(toks) OVER (PARTITION BY chunk ORDER BY doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM d),
+         |s AS (SELECT doc_id, chunk, toks, cum, cum - toks AS strt FROM c),
+         |seg AS (SELECT doc_id, chunk, strt, cum,
+         |          unnest(range(strt // 512,
+         |            (CASE WHEN cum > strt THEN (cum - 1) // 512
+         |                  ELSE strt // 512 END) + 1)) AS seg_pack
+         |        FROM s),
+         |o AS (SELECT doc_id, chunk,
+         |        chunk * 1000000 + seg_pack AS pack_id,
+         |        greatest(strt, seg_pack * 512) - seg_pack * 512 AS seg_offset,
+         |        least(cum, seg_pack * 512 + 512)
+         |          - greatest(strt, seg_pack * 512) AS seg_len
+         |      FROM seg)
+         |SELECT doc_id, chunk, pack_id, seg_offset, seg_len
+         |FROM o WHERE seg_len > 0
+         |ORDER BY doc_id, pack_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      CorpusOps.packSegments(d, capacity = 512L, chunkSize = 100L)
+        .orderBy(col("doc_id"), col("pack_id"))
     }
   )
 }

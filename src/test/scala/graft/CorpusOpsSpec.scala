@@ -375,6 +375,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1).isNullAt(5)) // 0-entered stage: rate is null, not 0/0
   }
 
+  test("pack segments tile each doc's span: sum(seg_len) = toks, straddlers split") {
+    val docs = Seq(
+      (0L, 300L), (1L, 300L),   // doc 1 straddles packs 0/1 (300..600)
+      (2L, 9999L),              // clamped to 512: spans into pack 2
+      (150L, 100L))             // fresh chunk
+      .toDF("doc_id", "n_tokens")
+    val segs = CorpusOps.packSegments(docs, capacity = 512L, chunkSize = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: [300, 600) -> pack 0 offset 300 len 212, pack 1 offset 0 len 88
+    assert(segs.filter(_._1 == 1L).toSet ==
+      Set((1L, 0L, 300L, 212L), (1L, 1L, 0L, 88L)))
+    // per-doc segment lengths sum to the clamped token count
+    val sums = segs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(sums == Map(0L -> 300L, 1L -> 300L, 2L -> 512L, 150L -> 100L))
+    // no segment exceeds capacity, offsets stay in [0, capacity)
+    assert(segs.forall(s => s._4 >= 1 && s._4 <= 512 && s._3 >= 0 && s._3 < 512))
+  }
+
+  test("inverted index: df cap bounds postings, lists sorted") {
+    val docs = Seq(
+      (3L, "apple banana apple"),      // apple deduped within doc
+      (1L, "apple cherry"),
+      (2L, "apple banana the the the"))
+      .toDF("doc_id", "text")
+    val idx = CorpusOps.invertedIndex(docs, maxDf = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(!idx.contains("apple"))          // df=3 > cap: excluded
+    assert(idx("banana") == (2L, Seq(2L, 3L))) // sorted postings
+    assert(idx("cherry") == (1L, Seq(1L)))
+    assert(idx("the") == (1L, Seq(2L)))     // within-doc repeats dedup
+  }
+
   test("packing fails fast on a non-integral id (no silent null chunk)") {
     // a string id would cast to null, collapsing every doc into one null
     // chunk — the single-partition sort the chunking exists to avoid
