@@ -68,6 +68,23 @@ object CorpusOps {
       .join(benchGrams.select(col("g")), Seq("g"))
       .select(col("doc_id"), col("g"))
 
+  /** Doc-LEVEL contamination gate: drop any document sharing at least
+    * one word n-gram with the benchmark set, given as a driver-side
+    * literal. Benchmark suites are tiny relative to the corpus (that's
+    * what makes decontamination tractable), so the gram set ships as a
+    * broadcast literal and the gate is a pure per-row predicate — no
+    * join at all, which makes it legal in ANY streaming position
+    * (an exploded gram join needs doc-level regrouping, and the
+    * admit-side anti-join against matched ids would be a stream-stream
+    * join Structured Streaming can't do in append mode).
+    * [[contaminationMatches]] remains the accounting view (WHICH grams
+    * matched); this is the admission filter. */
+  def contaminationGate(docs: DataFrame, benchGrams: Seq[String], n: Int = 8,
+      textCol: String = "text"): DataFrame =
+    docs.filter(!arrays_overlap(
+      TextFunctions.wordShingles(col(textCol), n),
+      typedLit(benchGrams)))
+
   /** The static gram table for [[contaminationMatches]]: distinct
     * benchmark n-grams, optionally df-capped like the batch path. */
   def benchGramTable(bench: DataFrame, n: Int = 8, maxDf: Option[Int] = None,

@@ -501,8 +501,13 @@ object CorpusQueries {
          |ORDER BY term""".stripMargin) { (s, dir) =>
       // postings ride as a comma-joined string: the harness compare
       // flattens arrays (same convention as q60's posexplode)
+      // the native one-pass shingle kernel, not the declarative HOF
+      // form: the (doc, gram) explode is evaluated once per aggregation
+      // and the interpreted transform+concat_ws lambdas dominated the
+      // bench (7.9 s -> sub-second at sf0.1)
       CorpusOps.invertedIndex(Tables(s, dir).documents, maxDf = 20,
-        termsOf = c => TextFunctions.wordShingles(c, 3))
+        termsOf = c =>
+          graft.functions.ShingleExpressions.wordShinglesDistinct(c, 3))
         .withColumn("postings", concat_ws(",", col("postings")))
         .orderBy(col("term"))
     },

@@ -210,9 +210,14 @@ object PipelineQueries {
          |SELECT new_id, store_id, jaccard FROM scored WHERE jaccard >= 0.5
          |ORDER BY new_id, store_id""".stripMargin) { (s, dir) =>
       val corpus = dupDocs(Tables(s, dir))
+      // persist both minhashed tables: each is referenced by the band
+      // join, the shingle join-back, and the hot-cap count — in
+      // production the store side is already persisted parquet with
+      // STORED signatures, which this cache stands in for
       val mh = (d: org.apache.spark.sql.DataFrame) =>
         Dedup.minhashed(d, "doc_id", "text",
           shingleSize = 3, numHashes = 12, rowsPerBand = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.incrementalNearDupPairs(
         mh(corpus.filter(col("doc_id") % 3 =!= 0)),
         mh(corpus.filter(col("doc_id") % 3 === 0)),

@@ -408,6 +408,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(idx("the") == (1L, Seq(2L)))     // within-doc repeats dedup
   }
 
+  test("contamination gate agrees with the match accounting view") {
+    // gate survivors == docs with zero rows in contaminationMatches
+    val bench = Seq((900L, "held out eval question one")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "clean document with no overlap at all"),
+      (2L, "this contains held out eval verbatim"),
+      (3L, "another clean one entirely")).toDF("doc_id", "text")
+    val benchGrams = CorpusOps.benchGramTable(bench, n = 3)
+      .collect().map(_.getString(0)).toSeq
+    val kept = CorpusOps.contaminationGate(docs, benchGrams, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val matched = CorpusOps.contaminationMatches(docs,
+      CorpusOps.benchGramTable(bench, n = 3), n = 3)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    assert(matched == Set(2L))
+    assert((kept ++ matched) == Set(1L, 2L, 3L) && kept.intersect(matched).isEmpty)
+  }
+
   test("packing fails fast on a non-integral id (no silent null chunk)") {
     // a string id would cast to null, collapsing every doc into one null
     // chunk — the single-partition sort the chunking exists to avoid

@@ -335,4 +335,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(received.exists(_.contains("boom")))
     } finally query.stop()
   }
+
+  test("end-to-end streaming ingestion: quality gate -> decontamination -> dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    // the full corpus-admission pipeline, stateless gates first so the
+    // dedup state only ever holds documents that could be admitted
+    val stream = MemoryStream[(Long, String)] // (doc_id, text)
+    val benchGrams = Seq("held out eval", "secret benchmark phrase")
+    val gated = graft.operators.CorpusOps.contaminationGate(
+      stream.toDS().toDF("doc_id", "text")
+        .filter(graft.functions.RepetitionStatsExpr.of(col("text"))
+          .getField("n_tokens") >= 3), // quality gate: >= 3 tokens
+      benchGrams, n = 3)
+    val admitted = graft.operators.Dedup.streamingDedupFirstSeen(
+      gated.select(
+        graft.operators.Dedup.storeFingerprint(col("text")).as("fp"),
+        col("doc_id"), col("text"))
+        .as[(String, Long, String)])
+      .toDF("fp", "doc_id", "text")
+    val q = admitted.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "a perfectly normal training document"),
+        (2L, "too short"),                          // quality: 2 tokens
+        (3L, "contains the held out eval phrase"),  // contaminated
+        (4L, "another good document right here"))
+      q.processAllAvailable()
+      stream.addData(
+        (5L, "a  PERFECTLY normal training document"), // dup of 1 (normalized)
+        (6L, "fresh content in the second batch"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM ingest_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 4L, 6L))
+      // the dedup state never saw the gated docs: a later duplicate of a
+      // REJECTED doc is judged on its own merits (3's text minus the
+      // bench phrase is fresh -> admitted)
+      stream.addData((7L, "contains the held But not that phrase"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT doc_id FROM ingest_out").count() == 4)
+    } finally q.stop()
+  }
 }
