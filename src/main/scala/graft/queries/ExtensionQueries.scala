@@ -166,6 +166,34 @@ object ExtensionQueries {
         .orderBy(col("g"), col("pos"))
     },
 
+    // Per-source embedding centroids: the semantic-mix monitor — one
+    // mean vector per corpus source. The (doc_id, source) projection is
+    // O(corpus), NOT a broadcastable dim: the join hashes both sides on
+    // id (AQE broadcasts at test scale; sort-merge at 100 TB, where
+    // co-partitioned snapshots elide the exchange). Same deterministic
+    // id-ordered fold as q61; drift of these centroids between
+    // snapshots flags a source changing meaning, not just volume.
+    "q86_source_centroids" -> QueryDef(
+      """WITH x AS (
+        |  SELECT d.source AS g, e.vec_id,
+        |         i AS pos, e.embedding[CAST(i+1 AS INT)] AS v
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id,
+        |       unnest(range(len(e.embedding))) AS u(i))
+        |SELECT g, pos,
+        |       list_sum(list(CAST(v AS DOUBLE) ORDER BY vec_id)) / count(*) AS mean,
+        |       count(*) AS n
+        |FROM x GROUP BY g, pos ORDER BY g, pos""".stripMargin) { (s, dir) =>
+      import graft.operators.Embeddings
+      val t = Tables(s, dir)
+      val joined = t.embeddings.join(
+        t.documents.select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      Embeddings.meanPool(joined, col("source"))
+        .select(col("g"), col("pos").cast("long").as("pos"),
+          col("mean"), col("n"))
+        .orderBy(col("g"), col("pos"))
+    },
+
     // Vocabulary statistics: top-20 tokens per language by frequency.
     // The corpus explodes to (lang, token) and aggregates with map-side
     // combine; the top-k window runs over the AGGREGATED vocab table
