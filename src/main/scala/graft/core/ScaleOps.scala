@@ -66,4 +66,36 @@ object ScaleOps {
     joined.queryExecution.toRdd.count() // finalize AQE plan
     !joined.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
   }
+
+  /** Parquet output with files sized near `targetFileBytes` — output
+    * file sizing is a first-class concern at 100 TB (thousands of
+    * multi-GB files stall readers; millions of KB files stall the
+    * metadata layer). Row size is MEASURED, not guessed: a row-capped
+    * sample is written to a sizing scratch dir, its on-disk bytes/row
+    * (real encoding + compression) derive `maxRecordsPerFile`, and only
+    * then does the full single-pass write run. Returns the records/file
+    * used.
+    *
+    * Caveats by design: the sample pays parquet's fixed footer/
+    * dictionary overhead on few rows, so per-row cost is OVERestimated
+    * and files land slightly under target (the safe side). A task whose
+    * partition holds fewer rows than the cap emits one smaller file —
+    * repartition first if partitions ≪ target file count. */
+  def writeSizedParquet(df: DataFrame, path: String, targetFileBytes: Long,
+      sampleRows: Int = 10000): Long = {
+    require(targetFileBytes > 0 && sampleRows > 0)
+    val spark = df.sparkSession
+    val scratch = new org.apache.hadoop.fs.Path(path + "_sizing")
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.limit(sampleRows).write.mode("overwrite").parquet(scratch.toString)
+    val sampleBytes = fs.getContentSummary(scratch).getLength
+    val sampleCount = spark.read.parquet(scratch.toString).count()
+    require(sampleCount > 0, "cannot size output from an empty input")
+    val perRow = math.max(1L, sampleBytes / sampleCount)
+    val maxRecords = math.max(1L, targetFileBytes / perRow)
+    df.write.option("maxRecordsPerFile", maxRecords)
+      .mode("overwrite").parquet(path)
+    fs.delete(scratch, true)
+    maxRecords
+  }
 }

@@ -82,6 +82,36 @@ object LogSourceQueries {
           col("jobId"), col("threadId"),
           date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
           col("message"))
+    },
+
+    // JSONL corpus ingestion round-trip: documents serialized to a
+    // JSON-lines fixture with every 97th doc's line corrupted; the
+    // permissive reader must recover EXACTLY the uncorrupted docs
+    // byte-for-byte (JSON escape/unescape is lossless) and quarantine
+    // the rest. The oracle re-derives the survivor set from the
+    // immutable table, so any silent drop or mangled text fails the
+    // value compare.
+    "q87_jsonl_source" -> QueryDef(
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id % 97 != 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val jsonDir = sys.props("java.io.tmpdir") + "/graft_q87_jsonl_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      if (!new java.io.File(jsonDir, "_SUCCESS").isFile)
+        d.select(
+          when(col("doc_id") % 97 === 0,
+            concat(lit("{broken line for doc "), col("doc_id")))
+            .otherwise(to_json(struct(col("doc_id"), col("text"))))
+            .as("value"))
+          .write.mode("overwrite").text(jsonDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val (good, _) = graft.sources.JsonlSource.read(s, jsonDir, schema)
+      good.orderBy(col("doc_id"))
     }
   )
 }

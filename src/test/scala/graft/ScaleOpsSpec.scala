@@ -74,4 +74,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!ScaleOps.isShuffleFreeJoin(unbucketed))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("sized parquet output: files land near target, data intact") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sized").toString + "/t"
+    // md5 payloads: incompressible, so measured bytes/row is honest
+    // (constant strings RLE away to ~nothing and nothing would split)
+    val df = (1L to 20000L).map(i =>
+      (i, java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString * 4))
+      .toDF("id", "payload")
+      .repartition(2) // few fat partitions: the cap must split them
+    val maxRecords = ScaleOps.writeSizedParquet(df, out, targetFileBytes = 64 * 1024)
+    assert(maxRecords > 0)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length > 2, s"cap should split the 2 partitions, got ${files.length}")
+    // no file wildly over target (sample overestimates per-row cost, so
+    // files land under; 2x headroom allows footer variance)
+    files.foreach(f => assert(f.length() < 2 * 64 * 1024,
+      s"${f.getName} is ${f.length()} bytes"))
+    // round-trip intact
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20000L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == (1L to 20000L).sum)
+    // scratch dir cleaned up
+    assert(!new java.io.File(out + "_sizing").exists())
+  }
 }
