@@ -543,6 +543,22 @@ object CorpusQueries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       CorpusOps.packSegments(d, capacity = 512L, chunkSize = 100L)
         .orderBy(col("doc_id"), col("pack_id"))
+    },
+
+    // Deflate-ratio quality signal alongside the repetition family:
+    // byte-level redundancy the token heuristics can't see (near-repeats,
+    // long-range copies). Deterministic per JVM but not cross-engine
+    // (DuckDB has no deflate) -> rows-only check, spec-verified.
+    "q88_compression_quality" -> QueryDef.noOracle { (s, dir) =>
+      val rep = graft.functions.RepetitionStatsExpr.of(col("text"))
+      Tables(s, dir).documents.select(col("doc_id"),
+        graft.functions.CompressionRatioExpr.of(col("text"))
+          .as("compression_permille"),
+        when(rep.getField("n_tokens") > 0,
+          expr("1000") - (rep.getField("n_distinct") * 1000)
+            / rep.getField("n_tokens")).otherwise(0)
+          .as("repetition_permille"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -59,3 +59,29 @@ object JsonlSource {
       .drop("total")
   }
 }
+
+/** CSV twin of [[JsonlSource]]: same permissive-parse + verbatim
+  * quarantine contract for delimited corpora (malformed rows land in
+  * the corrupt column as the raw line; the split runs off one persisted
+  * scan for the same two reasons). Spark's CSV reader quarantines rows
+  * with the wrong column count or unconvertible values. */
+object CsvSource {
+
+  /** (good rows with `schema`, quarantined raw lines). */
+  def read(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false, delimiter: String = ","): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(schema.add(JsonlSource.CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", JsonlSource.CorruptCol)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = raw.filter(col(JsonlSource.CorruptCol).isNull)
+      .drop(JsonlSource.CorruptCol)
+    val quarantined = raw.filter(col(JsonlSource.CorruptCol).isNotNull)
+      .select(col(JsonlSource.CorruptCol).as("raw_line"))
+    (good, quarantined)
+  }
+}

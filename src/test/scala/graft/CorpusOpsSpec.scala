@@ -408,6 +408,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(idx("the") == (1L, Seq(2L)))     // within-doc repeats dedup
   }
 
+  test("compression ratio: repetition compresses low, entropy high, empty zero") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "the same phrase again and again " * 100),
+      (2L, (1 to 100).map(i => md5hex(i.toString)).mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    def ratios = docs.select(col("doc_id"),
+      graft.functions.CompressionRatioExpr.of(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r1 = ratios
+    assert(r1(1L) < 100, s"repetitive text should deflate hard, got ${r1(1L)}")
+    assert(r1(2L) > 500, s"hex noise should resist deflate, got ${r1(2L)}")
+    assert(r1(3L) == 0)
+    assert(ratios == r1) // deterministic across evaluations
+  }
+
   test("contamination gate agrees with the match accounting view") {
     // gate survivors == docs with zero rows in contaminationMatches
     val bench = Seq((900L, "held out eval question one")).toDF("doc_id", "text")

@@ -50,4 +50,18 @@ class JsonlSourceSpec extends AnyFunSuite {
     assert(good.count() == 2 && quarantined.count() == 0)
     assert(JsonlSource.ingestStats(good, quarantined).head().getLong(2) == 0L)
   }
+
+  test("csv: malformed rows quarantine, well-formed rows parse") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val file = dir.resolve("corpus.csv")
+    Files.write(file, java.util.Arrays.asList(
+      "1,first document",
+      "not_a_number,second document", // doc_id fails to convert
+      "3,third document"))
+    val (good, quarantined) =
+      graft.sources.CsvSource.read(spark, file.toString, schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val bad = quarantined.collect().map(_.getString(0)).toSeq
+    assert(bad == Seq("not_a_number,second document"))
+  }
 }
