@@ -431,6 +431,53 @@ object Dedup {
       .select(col("new_id"), col("store_id"), col("jaccard"))
   }
 
+  /** Streaming form of [[incrementalNearDupPairs]]: verified near-dup
+    * matches of a DOC STREAM against the persisted minhashed corpus,
+    * as an append-mode match stream — every transformation is either
+    * stateless or a stream-static join (band-key inner join, shingle
+    * join-back), plus one stateful dropDuplicates so a doc pairing with
+    * a store doc through several bands emits once.
+    *
+    * Emits pairs, not admissions: doc-level admission needs an
+    * anti-join against a stream-derived set (not expressible in
+    * append mode) — run [[admitNearDupFree]] inside foreachBatch for
+    * that, which is the production shape anyway (each micro-batch also
+    * appends its survivors to the store). The hot-bucket cap here is
+    * computed from the STORE side only (capping the combined count
+    * would aggregate the stream — stateful); a store-hot bucket is
+    * dropped, a merely stream-hot one is not, which at ingestion rates
+    * ≪ corpus size is the same guardrail.
+    *
+    * One deviation from the batch plan: the STREAM side's shingles ride
+    * through the band join (joining them back would be a stream-stream
+    * join). That widens rows in proportion to the micro-batch — bounded
+    * by ingestion rate — while the corpus-sized store side stays
+    * narrow, which is the asymmetry that matters. */
+  def streamingNearDupMatches(docStream: DataFrame, storeMh: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
+    val mh = minhashed(docStream, idCol, textCol, shingleSize, numHashes, rowsPerBand)
+    val nb = mh.select(col("id").as("new_id"), col("shingles").as("sh_n"),
+      explode(col("band_keys")).as("bk"))
+    val sbAll = storeMh.select(col("id").as("store_id"), explode(col("band_keys")).as("bk"))
+    val sb = maxBucketSize match {
+      case Some(cap) =>
+        val hot = sbAll.groupBy(col("bk")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > cap).select(col("bk"))
+        sbAll.join(broadcast(hot), Seq("bk"), "left_anti")
+      case None => sbAll
+    }
+    nb.join(sb, Seq("bk")) // stream-static inner join: stateless
+      .select(col("new_id"), col("store_id"), col("sh_n"))
+      .dropDuplicates("new_id", "store_id")
+      .join(storeMh.select(col("id").as("store_id"), col("shingles").as("sh_s")),
+        Seq("store_id"))
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_s")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("store_id"), col("jaccard"))
+  }
+
   /** The full incremental admission step: batch docs that are near-dup
     * of NEITHER the persisted corpus NOR an earlier (lower-id) batch
     * doc. Composes [[incrementalNearDupPairs]] (vs the store) with the

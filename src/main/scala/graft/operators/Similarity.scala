@@ -23,6 +23,52 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Semantic dedup, SemDeDup-shape: drop every vector that has a
+    * LOWER-id neighbor at cosine ≥ `threshold` within the same IVF
+    * list — cluster first (k-means lists from [[IvfAnn.build]]/
+    * [[IvfAnn.assign]]), then compare pairs only inside a cluster, so
+    * the pair space is Σ list² instead of N² and each list's self-join
+    * is an independent partition-local task. The drop rule is the
+    * usual greedy-by-id: a dropped doc still shadows later dups of
+    * itself (for a~b, b~c chains both b and c go even when a!~c) —
+    * cheaper than connected components and, at the high thresholds
+    * semantic dedup runs at, near-identical in effect.
+    *
+    * `maxListSize` is the quadratic guardrail (same contract as the
+    * LSH bucket cap): lists above the cap are EXEMPT from pruning and
+    * reported via the `skipped_lists` accounting frame — at sane nlist
+    * settings (nlist ≈ √N keeps E[list] ≈ √N) nothing skips, but a
+    * degenerate clustering must degrade to under-dedup, never to an
+    * OOM. Semantics note: near-identical vectors straddling a list
+    * boundary are NOT paired — the recall trade every clustered
+    * semantic dedup makes; tighten with larger nlist + [[IvfAnn]]
+    * reassignment, or catch residuals with [[lshNearDupPairs]].
+    *
+    * Returns (survivors, skippedLists). */
+  def semanticDedup(assignments: DataFrame, threshold: Double,
+      maxListSize: Option[Int] = None): (DataFrame, DataFrame) = {
+    val base = assignments.select(col("id"), col("v"), col("list_id"))
+    val sizes = base.groupBy(col("list_id")).agg(count(lit(1)).as("n_docs"))
+    val skipped = maxListSize match {
+      case Some(cap) => sizes.filter(col("n_docs") > cap)
+      case None      => sizes.filter(lit(false))
+    }
+    val eligible = maxListSize match {
+      case Some(_) =>
+        base.join(broadcast(skipped.select(col("list_id"))),
+          Seq("list_id"), "left_anti")
+      case None => base
+    }
+    val a = eligible.select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = eligible.select(col("list_id"), col("id").as("id_b"), col("v").as("v_b"))
+    val dupIds = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorExpressions.cosine(col("v_a"), col("v_b"))
+        >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    (assignments.join(dupIds, Seq("id"), "left_anti"), skipped)
+  }
+
   /** Sequential-fold dot product with per-element double promotion. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

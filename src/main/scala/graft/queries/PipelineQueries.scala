@@ -467,6 +467,37 @@ object PipelineQueries {
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       Similarity.embeddingNearDupPairs(corpus, threshold = 0.99, numPlanes = 6)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Semantic dedup (SemDeDup-shape) over the q33 planted corpus: the
+    // keep policy on top of clustered cosine pruning — drop any vector
+    // with a lower-id neighbor at cosine >= 0.99 inside its cluster.
+    // Clusters here are the SQL-replicable hyperplane-LSH buckets (the
+    // production path uses IVF k-means lists, spec-verified — KMeans is
+    // not expressible in the oracle; the keep-policy math is identical).
+    "q89_semantic_dedup" -> QueryDef(
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |v AS (SELECT vec_id AS id, embedding AS v,
+         |             ${lshBucketSql("embedding", 6)} AS list_id FROM corpus),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+         |      FROM v a JOIN v b ON a.list_id = b.list_id AND a.id < b.id),
+         |d AS (SELECT DISTINCT id_b AS id FROM p
+         |      WHERE ${cosineSql("va", "vb")} >= 0.99)
+         |SELECT id, CAST(list_id AS BIGINT) AS list_id FROM v
+         |WHERE id NOT IN (SELECT id FROM d)
+         |ORDER BY id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val dims = corpus.select(size(col("embedding"))).head.getInt(0)
+      val assignments = corpus.select(col("vec_id").as("id"),
+        col("embedding").as("v"),
+        Similarity.lshBucket(col("embedding"), 6, dims).cast("long").as("list_id"))
+      val (kept, _) = Similarity.semanticDedup(assignments, threshold = 0.99)
+      kept.select(col("id"), col("list_id")).orderBy(col("id"))
     }
   )
 }

@@ -324,6 +324,37 @@ class PipelineSpec extends AnyFunSuite {
       maxBucketSize = Some(100)).count() == 25)
   }
 
+  test("semantic dedup prunes within-list near-identicals, cap exempts hot lists") {
+    import spark.implicits._
+    // hand-built assignments: two lists. List 0 holds a dup pair
+    // (identical vectors) + one distinct; list 1 holds two distinct.
+    val assignments = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0),
+      (5L, Seq(1.0, 0.0, 0.0), 0),   // dup of 1 -> dropped (higher id)
+      (3L, Seq(0.0, 1.0, 0.0), 0),
+      (7L, Seq(0.0, 0.0, 1.0), 1),
+      (9L, Seq(0.6, 0.8, 0.0), 1))
+      .toDF("id", "v", "list_id")
+    val (kept, skipped) = Similarity.semanticDedup(assignments, threshold = 0.99)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 7L, 9L))
+    assert(skipped.count() == 0)
+    // cap=2: list 0 (3 members) is exempt -> nothing pruned, accounted
+    val (keptCap, skippedCap) = Similarity.semanticDedup(assignments,
+      threshold = 0.99, maxListSize = Some(2))
+    assert(keptCap.count() == 5)
+    assert(skippedCap.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      == Seq((0, 3L)))
+    // greedy shadowing: b dups a, c dups b but not a -> both b, c go
+    val chain = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0),
+      (2L, Seq(0.9806, 0.1961, 0.0), 0),  // cos(1,2) ~ 0.9806
+      (3L, Seq(0.9231, 0.3846, 0.0), 0))  // cos(2,3) ~ 0.981, cos(1,3) ~ 0.923
+      .toDF("id", "v", "list_id")
+    val (keptChain, _) = Similarity.semanticDedup(chain, threshold = 0.97)
+    assert(keptChain.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "stable text"), (2L, "will change"), (3L, "goes away"))

@@ -379,4 +379,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.sql("SELECT doc_id FROM ingest_out").count() == 4)
     } finally q.stop()
   }
+
+  test("streaming near-dup matches against a static minhashed store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val storeText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val storeMh = graft.operators.Dedup.minhashed(
+      Seq((100L, storeText),
+          (200L, "one two three four five six seven eight nine"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 3, 12, 3)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.streamingNearDupMatches(
+      stream.toDS().toDF("doc_id", "text"), storeMh)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, storeText),                       // exact dup of store 100
+        (2L, "completely unrelated fresh words here today"))
+      q.processAllAvailable()
+      stream.addData((3L, storeText))          // dup arriving later
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT new_id, store_id, jaccard FROM neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs == Set((1L, 100L, 1.0), (3L, 100L, 1.0)))
+    } finally q.stop()
+  }
 }
