@@ -154,6 +154,25 @@ object PipelineQueries {
         .orderBy(col("canonical_id"))
     },
 
+    // Dup-cluster size histogram: how many content clusters exist at
+    // each size — the dedup diagnostic that tells boilerplate explosions
+    // (one huge cluster) from organic duplication (many pairs). Two
+    // combinable aggregations over the q27 cluster table; with the
+    // planted corpus the expected shape is exact: singletons + the
+    // planted pair class.
+    "q90_cluster_histogram" -> QueryDef(
+      s"""WITH corpus AS ($DupDocsSql),
+         |c AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         |             count(*) AS n_docs
+         |      FROM corpus GROUP BY 1)
+         |SELECT n_docs AS cluster_size, count(*) AS n_clusters
+         |FROM c GROUP BY 1 ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      Dedup.exactClusters(dupDocs(Tables(s, dir)))
+        .groupBy(col("n_docs").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+
     // MinHash + LSH near-dup pairs with exact-Jaccard verification.
     // Signature family = (a_i·h60(md5(shingle)) + b_i) mod 2^61-1 — one
     // digest per shingle + integer mixes (MinHashMix constants, HUGEINT
