@@ -76,18 +76,34 @@ object ScaleOps {
     * then does the full single-pass write run. Returns the records/file
     * used.
     *
+    * The sample takes the first rows of EVERY partition (the partition
+    * index rides in monotonically_increasing_id's high bits), not a
+    * `limit()` prefix: a prefix sees only the leading partitions, and a
+    * corpus laid out by size (sources sorted by doc length) would yield
+    * a per-row estimate off by orders of magnitude in the dangerous
+    * direction. Within-partition ordering bias remains — rows later in
+    * a partition never sampled — the usual trade against paying a full
+    * extra pass for a uniform sample.
+    *
     * Caveats by design: the sample pays parquet's fixed footer/
-    * dictionary overhead on few rows, so per-row cost is OVERestimated
-    * and files land slightly under target (the safe side). A task whose
-    * partition holds fewer rows than the cap emits one smaller file —
-    * repartition first if partitions ≪ target file count. */
+    * dictionary overhead on few rows, so per-row cost tends to
+    * OVERestimate and files land under target (the safe side). A task
+    * whose partition holds fewer rows than the cap emits one smaller
+    * file — repartition first if partitions ≪ target file count. */
   def writeSizedParquet(df: DataFrame, path: String, targetFileBytes: Long,
       sampleRows: Int = 10000): Long = {
     require(targetFileBytes > 0 && sampleRows > 0)
     val spark = df.sparkSession
     val scratch = new org.apache.hadoop.fs.Path(path + "_sizing")
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.limit(sampleRows).write.mode("overwrite").parquet(scratch.toString)
+    val nParts = math.max(1, df.rdd.getNumPartitions)
+    val perPartition = math.max(1L, sampleRows.toLong / nParts)
+    // mono id = (partition << 33) | row-in-partition: the low 33 bits
+    // select the first rows of each partition
+    df.withColumn("_rowInPart",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .filter(col("_rowInPart") < perPartition).drop("_rowInPart")
+      .write.mode("overwrite").parquet(scratch.toString)
     val sampleBytes = fs.getContentSummary(scratch).getLength
     val sampleCount = spark.read.parquet(scratch.toString).count()
     require(sampleCount > 0, "cannot size output from an empty input")

@@ -499,11 +499,13 @@ object CorpusOps {
     val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // pack boundary: cumulative tokens divide by capacity AFTER the doc
-    // is placed — pack_id = floor((cumsum - toks) / capacity) puts each
-    // doc in the pack where its first token lands (contiguous fill)
+    // is placed — pack_id = (cumsum - toks) div capacity puts each doc
+    // in the pack where its first token lands (contiguous fill).
+    // Integer div, not floor(double /): past 2^53 cumulative tokens the
+    // double quotient can land one pack off — and packSegments computes
+    // the same index with div, so the two views must share the math
     chunked.withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("pack_in_chunk",
-        floor((col("cum") - col("toks")) / capacity).cast("long"))
+      .withColumn("pack_in_chunk", expr(s"(cum - toks) div ${capacity}L"))
       .select(col("doc_id"), col("chunk"),
         (col("chunk") * 1000000L + col("pack_in_chunk")).as("pack_id"),
         col("toks"), col("cum"))
@@ -523,10 +525,15 @@ object CorpusOps {
     * distinct + two hash aggregations, map-side combinable. */
   def invertedIndex(docs: DataFrame, maxDf: Int, idCol: String = "doc_id",
       textCol: String = "text",
-      termsOf: Column => Column = c => TextFunctions.tokens(c)): DataFrame = {
+      termsOf: Column => Column =
+        c => array_distinct(TextFunctions.tokens(c))): DataFrame = {
     require(maxDf > 0, "maxDf bounds the posting arrays; must be positive")
+    // contract: termsOf returns per-doc DISTINCT terms (the default
+    // wraps array_distinct; a kernel like wordShinglesDistinct is
+    // already distinct — wrapping again here would re-dedup every
+    // doc's array in BOTH aggregation passes for nothing)
     val termDocs = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(termsOf(col(textCol)))).as("term"))
+      explode(termsOf(col(textCol))).as("term"))
     val dfreq = termDocs.groupBy(col("term"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     termDocs.join(dfreq, Seq("term"))
@@ -619,8 +626,13 @@ object CorpusOps {
     val firstFail = stages.zipWithIndex.foldRight(lit(-1)) {
       case (((_, pass), i), acc) => when(not(pass), lit(i)).otherwise(acc)
     }
+    // persist the (≤ stages+1)-row aggregate: the `total` action below
+    // materializes it, and the returned frame reuses the cached rows —
+    // without this the corpus would be scanned twice (once for total,
+    // once when the caller collects), breaking the one-pass claim
     val ffCounts = docs.select(firstFail.as("ff"))
       .groupBy(col("ff")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = ffCounts.agg(coalesce(sum(col("n")), lit(0L)))
       .head.getLong(0)
     val dim = stages.zipWithIndex.map { case ((name, _), i) => (i, name) }

@@ -315,7 +315,10 @@ object Dedup {
     // branches below don't each re-scan + re-digest the input: one
     // materialization (spilling to disk past memory) beats recomputing
     // the md5 over the full batch, which is the dominant per-row cost
-    // this routing exists to bound
+    // this routing exists to bound. Cache lifecycle: the handle is
+    // internal, so the entry is released by Spark's ContextCleaner when
+    // the returned plan is garbage-collected; a tight run-over-run loop
+    // that outpaces GC should spark.catalog.clearCache() between runs
     val routed = newDocs.withColumn("fp", storeFingerprint(col(textCol)))
       .withColumn("maybe_dup", mightContain(col("fp")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -438,6 +441,15 @@ object Dedup {
     * join-back), plus one stateful dropDuplicates so a doc pairing with
     * a store doc through several bands emits once.
     *
+    * STATE BOUND: pass `eventTime = Some((tsCol, delay))` on any
+    * long-running stream — the pair dedup then runs
+    * dropDuplicatesWithinWatermark and its state expires with the
+    * watermark (a doc's band matches all arrive in one micro-batch, so
+    * any delay covering reorder slack is semantically enough). Without
+    * it, plain dropDuplicates keeps every (new_id, store_id) pair ever
+    * seen — fine for bounded test streams, unbounded growth in
+    * production.
+    *
     * Emits pairs, not admissions: doc-level admission needs an
     * anti-join against a stream-derived set (not expressible in
     * append mode) — run [[admitNearDupFree]] inside foreachBatch for
@@ -456,10 +468,26 @@ object Dedup {
   def streamingNearDupMatches(docStream: DataFrame, storeMh: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
-      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
-    val mh = minhashed(docStream, idCol, textCol, shingleSize, numHashes, rowsPerBand)
-    val nb = mh.select(col("id").as("new_id"), col("shingles").as("sh_n"),
-      explode(col("band_keys")).as("bk"))
+      threshold: Double = 0.5, maxBucketSize: Option[Int] = None,
+      eventTime: Option[(String, String)] = None): DataFrame = {
+    // minhashed() projects other columns away, so the event-time column
+    // (renamed first — a watermark does not survive a later rename) is
+    // carried through an inline construction of the same shape
+    val base = eventTime match {
+      case Some((tsCol, delay)) =>
+        docStream.withColumnRenamed(tsCol, "_ts").withWatermark("_ts", delay)
+      case None => docStream
+    }
+    val tsCols = eventTime.map(_ => col("_ts")).toSeq
+    val mh = base.select(Seq(col(idCol).as("id"),
+        graft.functions.ShingleExpressions
+          .wordShinglesDistinct(col(textCol), shingleSize).as("shingles"))
+        ++ tsCols: _*)
+      .withColumn("signature",
+        graft.functions.HashExpressions.minhashSignature(col("shingles"), numHashes))
+      .withColumn("band_keys", lshBandKeys(col("signature"), rowsPerBand))
+    val nb = mh.select(Seq(col("id").as("new_id"), col("shingles").as("sh_n"),
+      explode(col("band_keys")).as("bk")) ++ tsCols: _*)
     val sbAll = storeMh.select(col("id").as("store_id"), explode(col("band_keys")).as("bk"))
     val sb = maxBucketSize match {
       case Some(cap) =>
@@ -468,9 +496,13 @@ object Dedup {
         sbAll.join(broadcast(hot), Seq("bk"), "left_anti")
       case None => sbAll
     }
-    nb.join(sb, Seq("bk")) // stream-static inner join: stateless
-      .select(col("new_id"), col("store_id"), col("sh_n"))
-      .dropDuplicates("new_id", "store_id")
+    val cand = nb.join(sb, Seq("bk")) // stream-static inner join: stateless
+      .select(Seq(col("new_id"), col("store_id"), col("sh_n")) ++ tsCols: _*)
+    val deduped = eventTime match {
+      case Some(_) => cand.dropDuplicatesWithinWatermark("new_id", "store_id")
+      case None    => cand.dropDuplicates("new_id", "store_id")
+    }
+    deduped
       .join(storeMh.select(col("id").as("store_id"), col("shingles").as("sh_s")),
         Seq("store_id"))
       .withColumn("jaccard", jaccard(col("sh_n"), col("sh_s")))
@@ -483,8 +515,10 @@ object Dedup {
     * doc. Composes [[incrementalNearDupPairs]] (vs the store) with the
     * within-batch pipeline ([[lshCandidatePairs]] → [[jaccard]] →
     * [[dropNearDuplicates]]); the batch's minhashed table is computed
-    * once and persisted for both uses. Append [[minhashed]] rows of the
-    * admitted docs to the store for the next run. */
+    * once and persisted for both uses (released by the ContextCleaner
+    * once the returned plan is unreachable — clearCache() between runs
+    * if a tight ingestion loop outpaces GC). Append [[minhashed]] rows
+    * of the admitted docs to the store for the next run. */
   def admitNearDupFree(newDocs: DataFrame, storeMh: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,

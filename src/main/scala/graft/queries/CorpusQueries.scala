@@ -551,13 +551,18 @@ object CorpusQueries {
     // (DuckDB has no deflate) -> rows-only check, spec-verified.
     "q88_compression_quality" -> QueryDef.noOracle { (s, dir) =>
       val rep = graft.functions.RepetitionStatsExpr.of(col("text"))
+      // integer permille like every other rate in this module (a double
+      // division here would put fractional values in a _permille column
+      // and int*1000 could overflow past 2.1M distinct tokens)
       Tables(s, dir).documents.select(col("doc_id"),
         graft.functions.CompressionRatioExpr.of(col("text"))
           .as("compression_permille"),
-        when(rep.getField("n_tokens") > 0,
-          expr("1000") - (rep.getField("n_distinct") * 1000)
-            / rep.getField("n_tokens")).otherwise(0)
-          .as("repetition_permille"))
+        rep.getField("n_tokens").cast("long").as("_nt"),
+        rep.getField("n_distinct").cast("long").as("_nd"))
+        .withColumn("repetition_permille",
+          when(col("_nt") > 0, expr("1000L - (_nd * 1000L) div _nt"))
+            .otherwise(lit(0L)))
+        .drop("_nt", "_nd")
         .orderBy(col("doc_id"))
     }
   )

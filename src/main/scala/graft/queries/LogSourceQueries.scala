@@ -66,7 +66,10 @@ object LogSourceQueries {
       // written once per sf dir and reused (_SUCCESS as the marker).
       val logDir = sys.props("java.io.tmpdir") + "/graft_q48_logs_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      if (!new java.io.File(logDir, "_SUCCESS").isFile)
+      // line-count staleness witness, same contract as the q87 fixture
+      val stale = !new java.io.File(logDir, "_SUCCESS").isFile ||
+        s.read.textFile(logDir).count() != typed.count()
+      if (stale)
         LogFileSource.formatLine(typed.repartition(1).sortWithinPartitions("event_id"))
           .write.mode("overwrite").text(logDir)
       val parsed = LogFileSource.read(s, logDir)
@@ -98,7 +101,13 @@ object LogSourceQueries {
       val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
       val jsonDir = sys.props("java.io.tmpdir") + "/graft_q87_jsonl_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      if (!new java.io.File(jsonDir, "_SUCCESS").isFile)
+      // reuse the fixture only while it still matches the source table:
+      // the path keys on the sf DIR, so regenerated data at the same
+      // path (or a tmp cleaner eating files) must trigger a rewrite,
+      // not a silent stale read — line count is the cheap witness
+      val stale = !new java.io.File(jsonDir, "_SUCCESS").isFile ||
+        s.read.textFile(jsonDir).count() != d.count()
+      if (stale)
         d.select(
           when(col("doc_id") % 97 === 0,
             concat(lit("{broken line for doc "), col("doc_id")))

@@ -45,17 +45,29 @@ object FingerprintStore {
     newFps.select(col("fp")).distinct()
       .write.mode("overwrite").parquet(s"$dir/delta/$batchId")
 
-  /** Delta directories whose write COMMITTED (the `_SUCCESS` marker
-    * exists). A crashed append leaves a markerless directory holding at
-    * most `_temporary/` — reading it would throw (no parquet footer to
-    * infer a schema from), so both [[load]] and [[compact]] skip it;
-    * the rerun's overwrite of the same batchId replaces it. */
+  /** Delta directories whose write COMMITTED: the `_SUCCESS` marker
+    * exists, OR the directory holds at least one visible data file —
+    * the fallback matters because marksuccessfuljobs=false is standard
+    * object-store tuning, and gating on the marker alone would silently
+    * hide every delta there (re-admitting duplicates with no error).
+    * A crashed append leaves only hidden content (`_temporary/`), so it
+    * still skips — reading it would throw (no parquet footer to infer
+    * a schema from); the rerun's overwrite of the same batchId replaces
+    * it. Residual window: a v2-committer crash can leave SOME visible
+    * part files, which reads as a partial (subset) delta until the
+    * batch reruns — dedup under-suppresses briefly, never corrupts. */
   private def committedDeltas(f: org.apache.hadoop.fs.FileSystem,
                               dir: String): Seq[Path] = {
     val deltaDir = new Path(s"$dir/delta")
     if (!f.exists(deltaDir)) Nil
     else f.listStatus(deltaDir).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(p => f.exists(new Path(p, "_SUCCESS")))
+      .filter { p =>
+        f.exists(new Path(p, "_SUCCESS")) ||
+          f.listStatus(p).exists { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+      }
   }
 
   /** The full store: base generation ∪ all committed deltas (distinct

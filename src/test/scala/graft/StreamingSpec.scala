@@ -407,4 +407,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(pairs == Set((1L, 100L, 1.0), (3L, 100L, 1.0)))
     } finally q.stop()
   }
+
+  test("streaming near-dup with event-time: watermarked dedup, same matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val storeText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val storeMh = graft.operators.Dedup.minhashed(
+      Seq((100L, storeText)).toDF("doc_id", "text"), "doc_id", "text", 3, 12, 3)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.operators.Dedup.streamingNearDupMatches(
+      stream.toDS().toDF("doc_id", "text", "ts"), storeMh,
+      eventTime = Some(("ts", "10 minutes")))
+      .writeStream.format("memory").queryName("neardup_wm_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, storeText, ts(0)), (2L, "unrelated words", ts(1000)))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT new_id, store_id FROM neardup_wm_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the multi-band duplicate emits ONCE despite matching through
+      // several band keys, and state is watermark-bounded
+      assert(pairs == Set((1L, 100L)))
+    } finally q.stop()
+  }
 }
