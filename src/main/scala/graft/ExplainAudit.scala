@@ -17,7 +17,8 @@ object ExplainAudit {
         "q51_running_counters", "q63_watermark_windows", "q64_ann_recall",
         "q65_decontamination", "q67_tfidf_topk", "q69_repetition_quality",
         "q74_incremental_dedup", "q81_quality_funnel", "q82_corpus_diff",
-        "q83_incremental_neardup", "q84_inverted_index", "q85_pack_segments")
+        "q83_incremental_neardup", "q84_inverted_index", "q85_pack_segments",
+        "q86_source_centroids", "q89_semantic_dedup", "q90_cluster_histogram")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

@@ -44,7 +44,12 @@ object Similarity {
     * semantic dedup makes; tighten with larger nlist + [[IvfAnn]]
     * reassignment, or catch residuals with [[lshNearDupPairs]].
     *
-    * Returns (survivors, skippedLists). */
+    * Returns (survivors, skippedLists). The plan references
+    * `assignments` four times (list sizes, both self-join sides, the
+    * survivor anti-join) — hand it a MATERIALIZED frame: the persisted
+    * IVF index ([[IvfAnn.write]]/[[IvfAnn.read]]) satisfies this
+    * naturally (pruned parquet re-scans); a derived frame should be
+    * persisted by the caller first. */
   def semanticDedup(assignments: DataFrame, threshold: Double,
       maxListSize: Option[Int] = None): (DataFrame, DataFrame) = {
     val base = assignments.select(col("id"), col("v"), col("list_id"))
