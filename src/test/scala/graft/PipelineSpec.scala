@@ -355,6 +355,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptChain.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("minhash store round-trip: the run-over-run near-dup admission loop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhstore").toString
+    def mh(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashed(d, "doc_id", "text", 3, 12, 3)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    // run 1: empty-store bootstrap — admit everything, persist
+    val b1 = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    graft.sources.MinHashStore.write(mh(b1), dir)
+    // run 2: a dup of doc 1 plus a fresh doc, admitted against the store
+    val b2 = Seq((11L, t1), (12L, "totally new content words here now"))
+      .toDF("doc_id", "text")
+    val store = graft.sources.MinHashStore.read(spark, dir)
+    val admitted = Dedup.admitNearDupFree(b2, store)
+    val ids = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(12L))
+    graft.sources.MinHashStore.append(spark, dir,
+      mh(b2.join(admitted.select("doc_id"), Seq("doc_id"))))
+    // run 3: dups of BOTH generations' docs are rejected
+    val b3 = Seq((21L, t2), (22L, "totally new content words here now"),
+      (23L, "never seen before anywhere at all")).toDF("doc_id", "text")
+    val admitted3 = Dedup.admitNearDupFree(b3,
+      graft.sources.MinHashStore.read(spark, dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted3 == Set(23L))
+    // crash-safety: a half-written generation (no _SUCCESS) is invisible
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/gen=99/_temporary"))
+    assert(graft.sources.MinHashStore.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "stable text"), (2L, "will change"), (3L, "goes away"))

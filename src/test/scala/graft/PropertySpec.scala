@@ -219,6 +219,42 @@ class PropertySpec extends AnyFunSuite {
     assert(witness.sameElements(base))
   }
 
+  test("quality funnel invariants: conservation and cascade telescoping") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val docs = (1 to 400).map(i =>
+      (i.toLong, rng.nextInt(1000).toLong, rng.nextInt(1000).toLong))
+      .toDF("id", "a", "b")
+    val rows = graft.operators.CorpusOps.qualityFunnel(docs, Seq(
+      "s0" -> (col("a") < 700), "s1" -> (col("b") < 500),
+      "s2" -> (col("a") + col("b") < 900)))
+      .orderBy("stage_idx")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // entered_0 = total; survived_i = entered_{i+1}; conservation:
+    // total = sum(dropped) + survived_last
+    assert(rows(0)._1 == 400L)
+    rows.sliding(2).foreach { case Array((_, _, s), (e, _, _)) => assert(s == e)
+      case _ => () }
+    assert(rows.map(_._2).sum + rows.last._3 == 400L)
+  }
+
+  test("corpus diff: identity maps to unchanged, empty sides to added/removed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 50).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def statuses(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses(graft.operators.CorpusOps.corpusDiff(docs, docs))
+      == Map("unchanged" -> 50L))
+    assert(statuses(graft.operators.CorpusOps.corpusDiff(empty, docs))
+      == Map("added" -> 50L))
+    assert(statuses(graft.operators.CorpusOps.corpusDiff(docs, empty))
+      == Map("removed" -> 50L))
+  }
+
   test("fnv1a64 rollout matches a reference fold on random user ids") {
     // the reference's truncated offset basis (src/feature_flags.cpp:71),
     // kept bit-for-bit for cohort parity on migration
