@@ -41,6 +41,7 @@ object JobRunner {
     case "parquet" => spark.read.options(io.options).parquet(io.path)
     case "csv"     => spark.read.options(io.options).option("header", "true").csv(io.path)
     case "json"    => spark.read.options(io.options).json(io.path)
+    case "orc"     => spark.read.options(io.options).orc(io.path)
     case "jdbc"    => spark.read.options(io.options).format("jdbc").load()
     case other     => throw new IllegalArgumentException(s"unknown source format: $other")
   }
@@ -50,6 +51,7 @@ object JobRunner {
     case "csv"     => df.write.options(io.options).option("header", "true")
       .mode("overwrite").csv(io.path)
     case "json"    => df.write.options(io.options).mode("overwrite").json(io.path)
+    case "orc"     => df.write.options(io.options).mode("overwrite").orc(io.path)
     case "jdbc"    => df.write.options(io.options).format("jdbc").mode("append").save()
     case other     => throw new IllegalArgumentException(s"unknown target format: $other")
   }

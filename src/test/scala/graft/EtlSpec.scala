@@ -127,4 +127,18 @@ class EtlSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("bucket"), plan)
   }
+
+  test("orc sink/source round-trip through the job pipeline") {
+    val out = Files.createTempDirectory("etl-orc").toString
+    val spec = JobSpec("job_orc", "FULL_ETL",
+      IoConfig("parquet", s"$srcDir/region.parquet"),
+      IoConfig("orc", s"$out/result"),
+      rules = Seq(TransformationRule("r_name", "r_name", "trim")))
+    assert(JobRunner.run(spark, spec).job.status == JobStatus.Completed)
+    // read back through the same source dispatch
+    val back = JobRunner.read(spark,
+      graft.etl.JobRunner.IoConfig("orc", s"$out/result"))
+    assert(back.count() == 5)
+    assert(back.columns.contains("r_name"))
+  }
 }
