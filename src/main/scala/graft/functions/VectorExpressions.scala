@@ -56,6 +56,24 @@ object VectorKernels {
     if (d > 0) dot / d else 0.0
   }
 
+  def sqDist(aa: ArrayData, bb: ArrayData, ca: Int, cb: Int): Double = {
+    val n = aa.numElements()
+    // zip_with null-pads a length mismatch → null sum; the kernel's
+    // contract (pinned by the IvfSqDistParity spec) only covers equal
+    // lengths, so fail loudly rather than diverge quietly
+    if (bb.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq_dist: length mismatch $n vs ${bb.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(aa, i, ca) - get(bb, i, cb)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def normalize(arr: ArrayData, code: Int): ArrayData = {
     val n = arr.numElements()
     val vals = new Array[Double](n)
@@ -142,11 +160,40 @@ case class NormalizeExpr(child: Expression)
       s"${ev.value} = graft.functions.VectorKernels$$.MODULE$$.normalize($c, $code);")
 }
 
+/** One-pass squared-L2 kernel: same sequential fold and double
+  * promotion as the declarative `aggregate(zip_with((x-y)²))` it
+  * replaces in the IVF hot path (per-vector × nlist centroid evals at
+  * assign/probe time), so distances — and therefore nearest-centroid
+  * ties — are bit-identical. */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sq_dist"
+
+  @transient private lazy val codeA = VectorKernels.typeCode(left.dataType)
+  @transient private lazy val codeB = VectorKernels.typeCode(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.sqDist(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], codeA, codeB))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels$$.MODULE$$" +
+        s".sqDist($a, $b, $codeA, $codeB);")
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def sqDist(a: Column, b: Column): Column =
+    Bridge.column(SqDistExpr(Bridge.expression(a), Bridge.expression(b)))
 
   def normalize(a: Column): Column =
     Bridge.column(NormalizeExpr(Bridge.expression(a)))

@@ -63,9 +63,17 @@ object IvfAnn {
         .select(col("id"), col("v"), col("list_id").cast("int").as("list_id")),
       spark.read.parquet(s"$path/centroids"))
 
-  /** Squared L2 distance between a float-array column and a double-array
-    * column (sequential fold, codegen-free HOF like the rest). */
+  /** Squared L2 distance — the one-pass native kernel (same sequential
+    * fold and double promotion as the declarative
+    * `aggregate(zip_with((x-y)²))` predecessor, parity-spec'd, so
+    * nearest-centroid ties cannot move). This sits in the index's
+    * hottest loop: assign/probe evaluate it per (vector, centroid). */
   private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.VectorExpressions.sqDist(a, b)
+
+  /** The declarative predecessor, kept as [[sqDist]]'s parity witness. */
+  private[graft] def sqDistDeclarative(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double")
       d * d

@@ -219,6 +219,24 @@ class PropertySpec extends AnyFunSuite {
     assert(witness.sameElements(base))
   }
 
+  test("sqDist kernel matches the declarative HOF fold bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      val d = 16
+      (i.toLong, Seq.fill(d)(rng.nextFloat()), Seq.fill(d)(rng.nextDouble()))
+    }.toDF("id", "a", "b")
+    val got = rows.select(col("id"),
+      graft.functions.VectorExpressions.sqDist(col("a"), col("b")).as("k"),
+      graft.operators.IvfAnn.sqDistDeclarative(col("a"), col("b")).as("h"))
+      .collect()
+    // bit-identical (same fold order and promotion), not just close —
+    // nearest-centroid tie-breaks depend on it
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id ${r.getLong(0)}: kernel ${r.getDouble(1)} != hof ${r.getDouble(2)}"))
+  }
+
   test("quality funnel invariants: conservation and cascade telescoping") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
