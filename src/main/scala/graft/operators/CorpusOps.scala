@@ -585,7 +585,13 @@ object CorpusOps {
     * ONE full-outer equi-join on id over (id, fp) projections — text
     * never shuffles, content equality rides the 32-byte md5 (same
     * normalized fingerprint as the dedup family; null text gets the
-    * dedup sentinel so it classifies rather than null-propagates). */
+    * dedup sentinel so it classifies rather than null-propagates).
+    *
+    * Contract: `idCol` is unique WITHIN each snapshot (the corpus
+    * invariant every other id-keyed operator here assumes) — a
+    * duplicated id would fan out through the join and over-count its
+    * classes. Dedup first ([[Dedup.dropExactDuplicates]] or keep-first
+    * by id) if the invariant isn't guaranteed upstream. */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fpOf = (df: DataFrame, fpName: String) => df.select(col(idCol),
