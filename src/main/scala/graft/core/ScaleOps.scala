@@ -76,14 +76,15 @@ object ScaleOps {
     * then does the full single-pass write run. Returns the records/file
     * used.
     *
-    * The sample takes the first rows of EVERY partition (the partition
-    * index rides in monotonically_increasing_id's high bits), not a
-    * `limit()` prefix: a prefix sees only the leading partitions, and a
-    * corpus laid out by size (sources sorted by doc length) would yield
-    * a per-row estimate off by orders of magnitude in the dangerous
-    * direction. Within-partition ordering bias remains — rows later in
-    * a partition never sampled — the usual trade against paying a full
-    * extra pass for a uniform sample.
+    * The sample takes the first rows of EVERY partition via a
+    * per-partition iterator `take` — each sampling task stops reading
+    * after its quota, so the pass costs ~sampleRows of input, not a
+    * full scan. Not a `limit()` prefix: a prefix sees only the leading
+    * partitions, and a corpus laid out by size (sources sorted by doc
+    * length) would yield a per-row estimate off by orders of magnitude
+    * in the dangerous direction. Within-partition ordering bias
+    * remains — rows later in a partition are never sampled — the usual
+    * trade against paying a full extra pass for a uniform sample.
     *
     * Caveats by design: the sample pays parquet's fixed footer/
     * dictionary overhead on few rows, so per-row cost tends to
@@ -96,13 +97,12 @@ object ScaleOps {
     val spark = df.sparkSession
     val scratch = new org.apache.hadoop.fs.Path(path + "_sizing")
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nParts = math.max(1, df.rdd.getNumPartitions)
-    val perPartition = math.max(1L, sampleRows.toLong / nParts)
-    // mono id = (partition << 33) | row-in-partition: the low 33 bits
-    // select the first rows of each partition
-    df.withColumn("_rowInPart",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .filter(col("_rowInPart") < perPartition).drop("_rowInPart")
+    val rdd = df.rdd
+    val nParts = math.max(1, rdd.getNumPartitions)
+    val perPartition = math.max(1, (sampleRows.toLong / nParts).toInt)
+    // iterator take = early termination per task: upstream reads stop
+    // once the quota is met (a filter on mono-id would scan everything)
+    spark.createDataFrame(rdd.mapPartitions(_.take(perPartition)), df.schema)
       .write.mode("overwrite").parquet(scratch.toString)
     val sampleBytes = fs.getContentSummary(scratch).getLength
     val sampleCount = spark.read.parquet(scratch.toString).count()

@@ -56,22 +56,24 @@ object VectorKernels {
     if (d > 0) dot / d else 0.0
   }
 
-  def sqDist(aa: ArrayData, bb: ArrayData, ca: Int, cb: Int): Double = {
+  /** Boxed so NULL can propagate exactly like the declarative
+    * `aggregate(zip_with((x-y)²))`: a length mismatch (zip_with
+    * null-pads) or a null element (nulls the lambda) makes the fold
+    * NULL there — so it must here too, not throw and not read a zeroed
+    * slot. Nearest-centroid windows then order the null distance last,
+    * identically in both formulations. */
+  def sqDist(aa: ArrayData, bb: ArrayData, ca: Int, cb: Int): java.lang.Double = {
     val n = aa.numElements()
-    // zip_with null-pads a length mismatch → null sum; the kernel's
-    // contract (pinned by the IvfSqDistParity spec) only covers equal
-    // lengths, so fail loudly rather than diverge quietly
-    if (bb.numElements() != n)
-      throw new IllegalArgumentException(
-        s"sq_dist: length mismatch $n vs ${bb.numElements()}")
+    if (bb.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
       val d = get(aa, i, ca) - get(bb, i, cb)
       acc += d * d
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   def normalize(arr: ArrayData, code: Int): ArrayData = {
@@ -169,6 +171,10 @@ case class SqDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // produces null from NON-null inputs (null element, length mismatch),
+  // so nullability cannot be inherited from the children — without this
+  // the projection layer ignores the null result entirely
+  override def nullable: Boolean = true
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistExpr =
     copy(left = l, right = r)
   override def prettyName: String = "sq_dist"
@@ -177,13 +183,15 @@ case class SqDistExpr(left: Expression, right: Expression)
   @transient private lazy val codeB = VectorKernels.typeCode(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    java.lang.Double.valueOf(VectorKernels.sqDist(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], codeA, codeB))
+    VectorKernels.sqDist(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], codeA, codeB)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorKernels$$.MODULE$$" +
-        s".sqDist($a, $b, $codeA, $codeB);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_boxed = graft.functions.VectorKernels$$.MODULE$$
+        .sqDist($a, $b, $codeA, $codeB);
+      if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }""")
 }
 
 object VectorExpressions {

@@ -525,15 +525,16 @@ object CorpusOps {
     * distinct + two hash aggregations, map-side combinable. */
   def invertedIndex(docs: DataFrame, maxDf: Int, idCol: String = "doc_id",
       textCol: String = "text",
-      termsOf: Column => Column =
-        c => array_distinct(TextFunctions.tokens(c))): DataFrame = {
+      termsOf: Column => Column = c => TextFunctions.tokens(c)): DataFrame = {
     require(maxDf > 0, "maxDf bounds the posting arrays; must be positive")
-    // contract: termsOf returns per-doc DISTINCT terms (the default
-    // wraps array_distinct; a kernel like wordShinglesDistinct is
-    // already distinct — wrapping again here would re-dedup every
-    // doc's array in BOTH aggregation passes for nothing)
+    // per-doc distinctness is ENFORCED here, not delegated to termsOf:
+    // a non-distinct extractor would silently inflate df and duplicate
+    // postings. Over an already-distinct kernel (wordShinglesDistinct)
+    // the extra array_distinct is one linear pass per doc — measured
+    // noise next to the explode it guards (q84's cost was the HOF
+    // shingle lambdas, not this)
     val termDocs = docs.select(col(idCol).as("doc_id"),
-      explode(termsOf(col(textCol))).as("term"))
+      explode(array_distinct(termsOf(col(textCol)))).as("term"))
     val dfreq = termDocs.groupBy(col("term"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     termDocs.join(dfreq, Seq("term"))
@@ -635,7 +636,10 @@ object CorpusOps {
     // persist the (≤ stages+1)-row aggregate: the `total` action below
     // materializes it, and the returned frame reuses the cached rows —
     // without this the corpus would be scanned twice (once for total,
-    // once when the caller collects), breaking the one-pass claim
+    // once when the caller collects), breaking the one-pass claim.
+    // Unpersisting here would reintroduce exactly that rescan, so the
+    // (tiny) entry is left to the ContextCleaner once the returned plan
+    // is unreachable; a tight tuning loop can clearCache() between runs
     val ffCounts = docs.select(firstFail.as("ff"))
       .groupBy(col("ff")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -82,27 +82,41 @@ object FingerprintStore {
       else if (f.exists(new Path(s"$dir/base.old"))) Seq(s"$dir/base.old")
       else Nil
     val parts = base ++ committedDeltas(f, dir).map(_.toString)
-    if (parts.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("fp",
-            org.apache.spark.sql.types.StringType))))
+    if (parts.isEmpty) emptyStore(spark)
     else parts.map(spark.read.parquet(_).select(col("fp"))).reduce(_ unionByName _)
   }
 
   /** Fold base + committed deltas into a fresh distinct base generation
-    * of `numFiles` hash-disjoint files, then drop the folded deltas.
+    * of `numFiles` hash-disjoint files, then drop what was folded.
     * Returns the number of deltas folded.
     *
     * Swap protocol (no step deletes the only copy): write `base.tmp`,
     * rename base→base.old, rename tmp→base, delete base.old + folded
-    * deltas. Recovery is in two places: [[load]] reads `base.old` when
-    * `base` is missing (crash between the renames), and the cleanup
-    * below drops a stale `base.old` that survived a crash after the
-    * second rename (at that point `base` supersedes it). */
+    * delta FILES. Recovery is in two places: [[load]] reads `base.old`
+    * when `base` is missing (crash between the renames), and the
+    * cleanup below drops a stale `base.old` that survived a crash after
+    * the second rename (at that point `base` supersedes it).
+    *
+    * Deletion is FILE-precise, not directory-precise: the data files of
+    * each delta are SNAPSHOTTED up front, exactly that snapshot is read
+    * into the new base, and exactly that snapshot is deleted after the
+    * swap. A marker-less delta whose append is still IN FLIGHT (visible
+    * part files, job not done — possible under
+    * marksuccessfuljobs=false or a v2 committer) therefore keeps any
+    * files that landed after the snapshot: they stay readable as the
+    * delta's remainder instead of being deleted unread, which is what a
+    * whole-directory delete would have done. The delta dir itself goes
+    * only when nothing data-bearing remains. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 32): Int = {
     val f = fs(spark, dir)
     val folded = committedDeltas(f, dir)
+    val foldedFiles: Seq[(Path, Seq[Path])] = folded.map { p =>
+      p -> f.listStatus(p).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath)
+    }
     val tmp = new Path(s"$dir/base.tmp")
     val base = new Path(s"$dir/base")
     val old = new Path(s"$dir/base.old")
@@ -110,7 +124,18 @@ object FingerprintStore {
     // meaningful while base is absent
     if (f.exists(tmp)) f.delete(tmp, true)
     if (f.exists(old) && f.exists(base)) f.delete(old, true)
-    load(spark, dir).distinct()
+    val baseSide =
+      if (f.exists(base)) Seq(base.toString)
+      else if (f.exists(old)) Seq(old.toString)
+      else Nil
+    val deltaFileStrs = foldedFiles.flatMap(_._2).map(_.toString)
+    val parts = baseSide.map(p => spark.read.parquet(p).select(col("fp"))) ++
+      (if (deltaFileStrs.nonEmpty)
+        Seq(spark.read.parquet(deltaFileStrs: _*).select(col("fp"))) else Nil)
+    val unioned =
+      if (parts.isEmpty) emptyStore(spark)
+      else parts.reduce(_ unionByName _)
+    unioned.distinct()
       .repartition(numFiles, col("fp"))
       .write.mode("overwrite").parquet(tmp.toString)
     if (f.exists(base) && !f.rename(base, old))
@@ -118,7 +143,20 @@ object FingerprintStore {
     if (!f.rename(tmp, base))
       sys.error(s"compaction rename failed: $tmp -> $base")
     if (f.exists(old)) f.delete(old, true)
-    folded.foreach(p => f.delete(p, true))
+    foldedFiles.foreach { case (deltaDir, files) =>
+      files.foreach(p => f.delete(p, false))
+      val remainder = f.listStatus(deltaDir).exists { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (!remainder) f.delete(deltaDir, true)
+    }
     folded.size
   }
+
+  private def emptyStore(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType))))
 }

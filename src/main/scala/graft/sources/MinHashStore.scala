@@ -38,10 +38,20 @@ object MinHashStore {
       .sortBy(_._1)
   }
 
-  /** Initialize (or reset) the store from a minhashed corpus. */
-  def write(mh: DataFrame, dir: String, numFiles: Int = 32): Unit =
+  /** Initialize (or reset) the store from a minhashed corpus. A reset
+    * writes ABOVE the current generation — read() picks the highest
+    * complete one, so writing gen=0 under an appended-to store would
+    * leave the reset silently unreachable. Retired generations are
+    * dropped after the new one commits. */
+  def write(mh: DataFrame, dir: String, numFiles: Int = 32): Unit = {
+    val spark = mh.sparkSession
+    val prior = generations(spark, dir)
+    val next = prior.lastOption.map(_._1 + 1).getOrElse(0L)
     mh.repartition(numFiles, col("id"))
-      .write.mode("overwrite").parquet(s"$dir/gen=0")
+      .write.mode("overwrite").parquet(s"$dir/gen=$next")
+    val f = fs(spark, dir)
+    prior.foreach { case (_, p) => f.delete(new org.apache.hadoop.fs.Path(p), true) }
+  }
 
   /** The latest complete generation (empty-schema-safe only via an
     * existing store — initialize with [[write]] first). */
@@ -52,9 +62,14 @@ object MinHashStore {
   }
 
   /** Append newly-admitted minhashed rows as generation n+1 =
-    * current ∪ new (re-partitioned by id), then drop retired
-    * generations. A crash before the new generation's `_SUCCESS`
-    * leaves the old one as the visible store. */
+    * current ∪ new (re-partitioned by id), then drop generations older
+    * than n — generation n ITSELF is retired lazily (deleted by the
+    * NEXT append), because a live reader may still hold a lazy plan
+    * over it: a streaming query's static store side, or an `admitted`
+    * frame the caller acts on after appending. One-generation grace
+    * covers one append cycle; readers must re-`read` between cycles.
+    * A crash before the new generation's `_SUCCESS` leaves the old one
+    * as the visible store. */
   def append(spark: SparkSession, dir: String, newMh: DataFrame,
       numFiles: Int = 32): Unit = {
     val gens = generations(spark, dir)
@@ -64,6 +79,7 @@ object MinHashStore {
       .repartition(numFiles, col("id"))
       .write.mode("overwrite").parquet(s"$dir/gen=$next")
     val f = fs(spark, dir)
-    gens.foreach { case (_, p) => f.delete(new org.apache.hadoop.fs.Path(p), true) }
+    gens.dropRight(1).foreach { case (_, p) =>
+      f.delete(new org.apache.hadoop.fs.Path(p), true) }
   }
 }

@@ -118,6 +118,39 @@ class FingerprintStoreSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == before)
   }
 
+  test("compaction of an in-flight delta deletes only what it folded") {
+    val dir = Files.createTempDirectory("graft-fpstore-inflight").toString
+    def fpsOf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"))
+    FingerprintStore.appendDelta(fpsOf(Seq((1L, "one doc"))), dir, "b0001")
+    // simulate a marker-less in-flight delta: one part file visible NOW,
+    // a second landing AFTER compact snapshots the directory — model the
+    // "after" state by adding the late file post-compaction and checking
+    // it is still readable (a whole-dir delete would have eaten it)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fpsOf(Seq((2L, "two doc"))).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/delta/b0002.tmp")
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/delta/b0002.tmp/_SUCCESS"), false)
+    f.rename(new org.apache.hadoop.fs.Path(s"$dir/delta/b0002.tmp"),
+      new org.apache.hadoop.fs.Path(s"$dir/delta/b0002"))
+    assert(FingerprintStore.compact(spark, dir) == 2) // both data-bearing
+    // the late-arriving file of the in-flight append
+    fpsOf(Seq((3L, "three doc"))).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/delta/b0003.tmp")
+    val late = f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/delta/b0003.tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/delta/b0002"))
+    f.rename(late, new org.apache.hadoop.fs.Path(s"$dir/delta/b0002/late.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/delta/b0003.tmp"), true)
+    // all three fingerprints visible: base (1, 2) ∪ the remainder (3)
+    assert(FingerprintStore.load(spark, dir).distinct().count() == 3)
+    // and the next compaction folds the remainder file too
+    assert(FingerprintStore.compact(spark, dir) == 1)
+    assert(FingerprintStore.load(spark, dir).distinct().count() == 3)
+  }
+
   test("uncommitted delta (no _SUCCESS) is skipped, not fatal, not folded") {
     val dir = Files.createTempDirectory("graft-fpstore-partial").toString
     val b1 = Seq((1L, "one doc")).toDF("doc_id", "text")

@@ -387,6 +387,20 @@ class PipelineSpec extends AnyFunSuite {
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/gen=99/_temporary"))
     assert(graft.sources.MinHashStore.read(spark, dir)
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/gen=99"), true)
+    // reset on an appended-to store must become THE visible store (a
+    // fixed gen=0 would sit below the current generation, unreachable)
+    graft.sources.MinHashStore.write(
+      mh(Seq((50L, "reset corpus only doc")).toDF("doc_id", "text")), dir)
+    assert(graft.sources.MinHashStore.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(50L))
+    // append retires lazily: the PREVIOUS generation survives one cycle
+    // (live lazy readers), older ones are dropped
+    graft.sources.MinHashStore.append(spark, dir,
+      mh(Seq((51L, "second corpus doc here")).toDF("doc_id", "text")))
+    val gens = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.length == 2, gens.mkString(","))
   }
 
   test("corpus diff classifies added/removed/changed/unchanged") {

@@ -235,6 +235,22 @@ class PropertySpec extends AnyFunSuite {
     // nearest-centroid tie-breaks depend on it
     got.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
       s"id ${r.getLong(0)}: kernel ${r.getDouble(1)} != hof ${r.getDouble(2)}"))
+    // null propagation parity: a null element or a length mismatch
+    // NULLs the declarative fold — the kernel must match, not throw
+    // and not read a zeroed slot
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)),
+        |  (2L, array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)),
+        |  (3L, array(1.0D, 2.0D), array(3.0D, 4.0D))
+        |AS t(id, a, b)""".stripMargin)
+      .select(col("id"),
+        graft.functions.VectorExpressions.sqDist(col("a"), col("b")).as("k"),
+        graft.operators.IvfAnn.sqDistDeclarative(col("a"), col("b")).as("h"))
+      .orderBy("id").collect()
+    assert(edge(0).isNullAt(1) && edge(0).isNullAt(2)) // null element
+    assert(edge(1).isNullAt(1) && edge(1).isNullAt(2)) // length mismatch
+    assert(edge(2).getDouble(1) == 8.0 && edge(2).getDouble(2) == 8.0)
   }
 
   test("quality funnel invariants: conservation and cascade telescoping") {
