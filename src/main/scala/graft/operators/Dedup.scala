@@ -342,13 +342,19 @@ object Dedup {
     * closure that turns pairwise matches into dedup clusters with a
     * canonical representative (keep comp == id, drop the rest).
     *
-    * Iterative min-label propagation: each round joins current labels
-    * across symmetric edges and keeps the per-node min; convergence in
-    * ≤ graph-diameter rounds (near-dup clusters are shallow — dup pairs
-    * and small chains — so typically 2-3). Each round is one shuffle on
-    * node id; lineage is cut per round with localCheckpoint so the plan
-    * does not grow with iterations. `maxIter` is a safety bound — hitting
-    * it throws rather than returning silently-unconverged labels. */
+    * Iterative min-label propagation — but ONLY over the frontier (nodes
+    * that appear in at least one edge): a node with no edges can never
+    * change labels, so looping it is pure shuffle waste. For a near-dup
+    * graph the frontier is a tiny fraction of the corpus (pairs ≪ docs),
+    * which turns each round's shuffles from O(corpus) into O(endpoints).
+    * Isolated nodes are re-attached once at the end via a left join with
+    * comp defaulting to the node's own id.
+    *
+    * Convergence in ≤ graph-diameter rounds (near-dup clusters are
+    * shallow — dup pairs and small chains — so typically 2-3). Lineage is
+    * cut per round with localCheckpoint so the plan does not grow with
+    * iterations. `maxIter` is a safety bound — hitting it throws rather
+    * than returning silently-unconverged labels. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
@@ -356,7 +362,9 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // symmetric edges ⇒ the src column alone covers every endpoint
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -375,7 +383,9 @@ object Dedup {
     }
     edges.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("comp", "frontier_comp"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("frontier_comp"), col("id")).as("comp"))
   }
 
   /** The keep-policy over [[connectedComponents]]: retain only each

@@ -317,6 +317,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(comp.size == 9)
   }
 
+  test("connected components: empty edge set -> every node is its own comp") {
+    import graft.operators.Dedup
+    val nodes = (1L to 5L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("packing: contiguous fill, chunk isolation, long-doc truncation") {
     val docs = Seq(
       (0L, 300L), (1L, 300L), (2L, 300L),     // chunk 0: cum 300/600/900
