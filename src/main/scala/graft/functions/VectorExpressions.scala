@@ -76,6 +76,41 @@ object VectorKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Symmetric int8 quantization in one pass: scale = max|x|/127, then
+    * code_i = floor(x_i/scale + 0.5) — EXPLICIT half-up rounding, so the
+    * formula (not an engine's round() tie convention, which differs
+    * between Spark's HALF_UP and DuckDB's binary rounding) defines the
+    * codes. |x_i| ≤ max|x| keeps every code in [-127, 127] without a
+    * clamp (floor(±127 + 0.5) = ±127 at the extremes). The zero vector
+    * takes scale 0.0 and all-zero codes. A null ELEMENT stays null in
+    * the code array and is skipped by the max fold — mirroring the
+    * declarative witness, where `greatest` skips nulls and `transform`
+    * maps null through. */
+  def quantizeInt8(arr: ArrayData, code: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val a = math.abs(get(arr, i, code))
+        if (a > maxabs) maxabs = a
+      }
+      i += 1
+    }
+    val scale = if (maxabs > 0) maxabs / 127.0 else 0.0
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) out(j) = null
+      else if (scale > 0)
+        out(j) = java.lang.Integer.valueOf(math.floor(get(arr, j, code) / scale + 0.5).toInt)
+      else out(j) = java.lang.Integer.valueOf(0)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(out), scale))
+  }
+
   def normalize(arr: ArrayData, code: Int): ArrayData = {
     val n = arr.numElements()
     val vals = new Array[Double](n)
@@ -194,6 +229,35 @@ case class SqDistExpr(left: Expression, right: Expression)
       else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }""")
 }
 
+/** One-pass int8 quantization kernel: max-abs fold + code emission in a
+  * single traversal, returned as struct<codes: array<int>, scale: double>
+  * so the 4×-smaller representation and its dequant factor travel
+  * together. Value-identical to [[graft.operators.Embeddings.quantizeInt8Declarative]]
+  * (same fold, same explicit floor(x/scale + 0.5) half-up formula —
+  * pinned by the q91 oracle and a PropertySpec parity case). At 100 TB
+  * this is the storage lever: an embedding column drops from 4 B to 1 B
+  * per dimension with the scale amortized per vector. */
+case class QuantizeInt8Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "codes", ArrayType(IntegerType, containsNull = true), nullable = false),
+      org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false)))
+  override protected def withNewChildInternal(c: Expression): QuantizeInt8Expr = copy(c)
+  override def prettyName: String = "quantize_int8"
+
+  @transient private lazy val code = VectorKernels.typeCode(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantizeInt8(v.asInstanceOf[ArrayData], code)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels$$.MODULE$$.quantizeInt8($c, $code);")
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -205,4 +269,7 @@ object VectorExpressions {
 
   def normalize(a: Column): Column =
     Bridge.column(NormalizeExpr(Bridge.expression(a)))
+
+  def quantizeInt8(a: Column): Column =
+    Bridge.column(QuantizeInt8Expr(Bridge.expression(a)))
 }

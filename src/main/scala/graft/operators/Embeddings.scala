@@ -36,6 +36,26 @@ object Embeddings {
       .otherwise(transform(vec, _ => lit(0.0)))
   }
 
+  /** Symmetric int8 quantization as struct<codes, scale> — the 4×
+    * storage lever for embedding columns at corpus scale. One-pass
+    * native kernel; [[quantizeInt8Declarative]] is the parity witness. */
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.VectorExpressions.quantizeInt8(vec)
+
+  /** Pure-HOF formulation — parity witness for [[quantizeInt8]]. The
+    * explicit floor(x/scale + 0.5) half-up formula (never an engine
+    * round()) and greatest-skips-null max fold define the contract. */
+  def quantizeInt8Declarative(vec: Column): Column = {
+    val maxabs = aggregate(transform(vec, x => abs(x.cast("double"))),
+      lit(0.0), (acc, v) => greatest(acc, v))
+    val scale = when(maxabs > 0, maxabs / lit(127.0)).otherwise(lit(0.0))
+    val codes = transform(vec, x =>
+      when(x.isNull, lit(null).cast("int"))
+        .when(scale > 0, floor(x.cast("double") / scale + lit(0.5)).cast("int"))
+        .otherwise(lit(0)))
+    struct(codes.as("codes"), scale.as("scale"))
+  }
+
   /** Mean vector per group, emitted as (group, pos, mean, n) rows —
     * the shape that feeds both downstream joins and a collect_list
     * re-assembly. The per-(group,pos) sum folds member values sorted by

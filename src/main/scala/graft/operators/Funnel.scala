@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: for each user, the
+  * earliest timestamp of step 1, then for each later step the earliest
+  * matching event STRICTLY after that user's previous-step time — the
+  * classic view → click → purchase conversion measurement (an analytics
+  * extension over the reference's event tables, same family as
+  * [[Sessionize]] / [[AsofJoin]]).
+  *
+  * Shape at scale: k steps = k chained aggregations + joins, every one
+  * keyed on the user column — the SAME shuffle key throughout, so a
+  * pre-partitioned (bucketed) event table pays one exchange total, and
+  * the per-step tables shrink monotonically (each is a subset of the
+  * previous step's users), letting AQE broadcast the accumulator side of
+  * every join after the first. No window over the raw event stream, no
+  * per-user event materialization: each step touches only its own
+  * filtered slice of events.
+  */
+object Funnel {
+
+  /** One row per user that completed step 1: `<step>_ts` columns
+    * (null once the user falls out of the funnel) and `steps_reached`.
+    * `steps` maps output-column prefix → event predicate, in funnel
+    * order. Strict ordering: a step-k event at exactly the step-(k-1)
+    * timestamp does NOT count (same-instant events are one action). */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val (n1, p1) = steps.head
+    var acc = events.filter(p1).groupBy(col(userCol))
+      .agg(min(col(tsCol)).as(s"${n1}_ts"))
+    var prev = s"${n1}_ts"
+    steps.tail.foreach { case (nm, p) =>
+      val nxt = events.filter(p)
+        .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+        .filter(col(tsCol) > col(prev))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"${nm}_ts"))
+      acc = acc.join(nxt, Seq(userCol), "left")
+      prev = s"${nm}_ts"
+    }
+    val reached = steps.map { case (nm, _) =>
+      when(col(s"${nm}_ts").isNotNull, 1).otherwise(0)
+    }.reduce(_ + _)
+    acc.withColumn("steps_reached", reached)
+  }
+
+  /** The funnel summary: users reaching each step (the conversion
+    * curve), derived from [[funnel]] output — one tiny aggregation. */
+  def conversionCurve(perUser: DataFrame, steps: Seq[String]): DataFrame = {
+    val aggs = steps.zipWithIndex.map { case (nm, i) =>
+      sum(when(col("steps_reached") >= i + 1, 1L).otherwise(0L)).as(s"${nm}_users")
+    }
+    perUser.agg(aggs.head, aggs.tail: _*)
+  }
+}

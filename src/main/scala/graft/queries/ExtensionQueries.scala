@@ -166,6 +166,45 @@ object ExtensionQueries {
         .orderBy(col("g"), col("pos"))
     },
 
+    // Symmetric int8 quantization of the embedding column: per-vector
+    // scale = max|x|/127, code = floor(x/scale + 0.5) — the explicit
+    // half-up formula, NOT an engine round(), so both engines compute
+    // identical codes; err = |code*scale - x| is the per-dimension
+    // dequantization error (same double arithmetic both sides). The 4×
+    // storage cut is the point at corpus scale; one-pass native kernel.
+    "q91_embedding_quantize" -> QueryDef(
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+        |m AS (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |      FROM e),
+        |s AS (SELECT vec_id, embedding,
+        |        CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0.0 END AS scale
+        |      FROM m),
+        |c AS (SELECT vec_id, scale,
+        |        CASE WHEN scale > 0
+        |             THEN list_transform(embedding,
+        |                  x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+        |             ELSE list_transform(embedding, x -> 0) END AS codes,
+        |        embedding
+        |      FROM s)
+        |SELECT vec_id, i AS pos, codes[CAST(i+1 AS INT)] AS code, scale,
+        |       abs(codes[CAST(i+1 AS INT)] * scale
+        |           - CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)) AS err
+        |FROM c, unnest(range(len(embedding))) AS u(i)
+        |ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      import graft.operators.Embeddings
+      Tables(s, dir).embeddings.filter(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding"),
+          Embeddings.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"), col("qz.scale").as("scale"),
+          posexplode(arrays_zip(col("qz.codes").as("code"), col("embedding").as("x")))
+            .as(Seq("pos", "zp")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("zp.code").as("code"), col("scale"),
+          abs(col("zp.code") * col("scale") - col("zp.x").cast("double")).as("err"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
     // Per-source embedding centroids: the semantic-mix monitor — one
     // mean vector per corpus source. The (doc_id, source) projection is
     // O(corpus), NOT a broadcastable dim: the join hashes both sides on
@@ -192,6 +231,43 @@ object ExtensionQueries {
         .select(col("g"), col("pos").cast("long").as("pos"),
           col("mean"), col("n"))
         .orderBy(col("g"), col("pos"))
+    },
+
+    // Ordered conversion funnel view -> click -> purchase: per user, the
+    // earliest step-1 event, then each later step's earliest event
+    // strictly after the previous step's time. Every stage keys on
+    // user_id (one logical shuffle key end-to-end; the per-step tables
+    // shrink monotonically and broadcast). Timestamps emitted as
+    // formatted strings per the determinism rules.
+    "q92_event_funnel" -> QueryDef(
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |       strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       (1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS steps_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Funnel
+      val ev = Tables(s, dir).events
+      Funnel.funnel(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+        .select(col("user_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("steps_reached"))
+        .orderBy(col("user_id"))
     },
 
     // Vocabulary statistics: top-20 tokens per language by frequency.

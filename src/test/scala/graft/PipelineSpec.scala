@@ -192,6 +192,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 105.0 && r.getString(4) == "new") // one row, both fields
   }
 
+  test("funnel: ordering is strict, out-of-order steps don't count, curve is monotone") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 completes in order
+      (1L, "view", ts("2025-01-01 10:00:00")),
+      (1L, "click", ts("2025-01-01 10:01:00")),
+      (1L, "purchase", ts("2025-01-01 10:02:00")),
+      // u2: click BEFORE the first view -> click must not count;
+      // a later click resumes the funnel
+      (2L, "click", ts("2025-01-01 09:00:00")),
+      (2L, "view", ts("2025-01-01 10:00:00")),
+      (2L, "click", ts("2025-01-01 10:30:00")),
+      // u3: click at EXACTLY the view timestamp -> strict > rejects it
+      (3L, "view", ts("2025-01-01 10:00:00")),
+      (3L, "click", ts("2025-01-01 10:00:00")),
+      // u4: purchase only -> not in the funnel at all (no step 1)
+      (4L, "purchase", ts("2025-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase"))
+    val per = Funnel.funnel(ev, "user_id", "ts", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(per == Map(1L -> 3, 2L -> 2, 3L -> 1))
+    val curve = Funnel.conversionCurve(
+      Funnel.funnel(ev, "user_id", "ts", steps), steps.map(_._1))
+      .collect().head
+    assert((curve.getLong(0), curve.getLong(1), curve.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
   test("range join: interval spanning 3+ buckets still matches exactly once") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -192,6 +192,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantizeInt8 kernel: declarative parity, code range, dequant bound") {
+    import spark.implicits._
+    import graft.operators.Embeddings
+    // adversarial vectors: zeros, single element, tiny/huge magnitudes,
+    // mixed signs, exact half-step boundaries (x/scale + 0.5 integral)
+    val vecs = Seq(
+      Array(0.0f, 0.0f),
+      Array(1.0f),
+      Array(-127.0f, 127.0f, 63.5f),
+      Array(1e-30f, -1e-30f),
+      Array(3.4e18f, -1.0f)) ++
+      (0 until 200).map(i => Array.tabulate(8)(d => (math.sin(i * 1.7 + d) * 5).toFloat))
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), col("v"),
+        Embeddings.quantizeInt8(col("v")).as("k"),
+        Embeddings.quantizeInt8Declarative(col("v")).as("d"))
+      .select(col("id"), col("k.codes").as("kc"), col("k.scale").as("ks"),
+        col("d.codes").as("dc"), col("d.scale").as("ds"), col("v"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](3), s"codes diverge: $r")
+      assert(r.getDouble(2) == r.getDouble(4), s"scale diverges: $r")
+      val codes = r.getSeq[Int](1)
+      val scale = r.getDouble(2)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code range: $r")
+      // half-up rounding keeps every dequant error within scale/2 + ulps
+      val xs = r.getSeq[Float](5)
+      codes.zip(xs).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 * (1 + 1e-9) + 1e-300,
+          s"err bound: c=$c x=$x scale=$scale")
+      }
+    }
+    // null elements: skipped by the max fold, null in the code array
+    val edge = spark.sql(
+      "SELECT array(CAST(NULL AS FLOAT), 2.0F, -1.0F) AS v")
+      .select(Embeddings.quantizeInt8(col("v")).as("k"),
+        Embeddings.quantizeInt8Declarative(col("v")).as("d"))
+      .select(col("k.codes"), col("k.scale"), col("d.codes"), col("d.scale"))
+      .head()
+    // scale = 2/127; -1.0/scale = -63.5 -> floor(-63.5 + 0.5) = -63
+    assert(edge.getSeq[Any](0) == Seq(null, 127, -63))
+    assert(edge.getSeq[Any](0) == edge.getSeq[Any](2))
+    assert(edge.getDouble(1) == edge.getDouble(3))
+  }
+
   test("meanPool streaming fold: declarative parity, partitioning invariance, skewed group") {
     import spark.implicits._
     import graft.operators.Embeddings
