@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Morton (Z-order) interleaving and a
+  * z-clustered parquet writer. At 100 TB the scan you never run is the
+  * cheapest one — sorting a table by ONE column gives parquet row-group
+  * min/max pruning on that column only, while interleaving the bits of
+  * two (or more) filter columns before the sort keeps BOTH dimensions'
+  * per-file ranges narrow, so selective filters on either column (or
+  * both) skip most files. Same idea as Delta/Iceberg Z-ORDER clustering,
+  * built from native codegen'd bit expressions — no UDF, no kernel
+  * needed: shift/and/or compose into one whole-stage-codegen expression.
+  *
+  * Codes are built from the LOW `bits` of each dimension (callers bucket
+  * or range-rank real values into [0, 2^bits) first); two dims at
+  * ≤ 31 bits each fit a non-negative long.
+  */
+object Layout {
+
+  /** Interleave the low `bits` of `a` (even positions) and `b` (odd
+    * positions) into one z-code. Inputs must be non-negative. */
+  def mortonCode(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Recover dimension `dim` (0 = even bits, 1 = odd bits) from a
+    * z-code — the round-trip witness for [[mortonCode]]. */
+  def mortonDecode(z: Column, dim: Int, bits: Int = 21): Column = {
+    require(dim == 0 || dim == 1, s"dim must be 0 or 1, got $dim")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(z.cast("long"), 2 * i + dim).bitwiseAND(lit(1L)), i)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-cluster `df` on two dimension columns and write parquet: range
+    * partition on the z-code (equal-size output tasks even when the
+    * dims are skewed — range boundaries come from a sample of the
+    * actual code distribution), sort within partitions, drop the
+    * transient code column at the writer. Files then hold z-contiguous
+    * blocks, which is exactly what keeps per-file min/max tight on BOTH
+    * dims. Returns the written path for chaining. */
+  def zorderWrite(df: DataFrame, dimA: Column, dimB: Column, path: String,
+      numFiles: Int, bits: Int = 21): String = {
+    require(numFiles > 0)
+    val coded = df.withColumn("__z", mortonCode(dimA, dimB, bits))
+    coded.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+}

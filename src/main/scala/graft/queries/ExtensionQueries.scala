@@ -233,6 +233,27 @@ object ExtensionQueries {
         .orderBy(col("g"), col("pos"))
     },
 
+    // Morton (Z-order) codes over two bucketed dimensions — the layout
+    // key behind Layout.zorderWrite's multi-dimensional file clustering.
+    // Pure native bit arithmetic (shift/and/or compose into one
+    // whole-stage-codegen expression; no UDF, no kernel), reproduced
+    // bit-for-bit by DuckDB integer ops.
+    "q93_zorder_code" -> QueryDef(
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(10), i ->
+        |    (((user_id % 1024) >> CAST(i AS INT)) & 1)
+        |      * (CAST(1 AS BIGINT) << CAST(2*i AS INT))
+        |    + (((event_id % 1024) >> CAST(i AS INT)) & 1)
+        |      * (CAST(1 AS BIGINT) << CAST(2*i+1 AS INT))
+        |  )) AS BIGINT) AS z
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Layout
+      Tables(s, dir).events
+        .select(col("event_id"),
+          Layout.mortonCode(col("user_id") % 1024, col("event_id") % 1024, 10).as("z"))
+        .orderBy(col("event_id"))
+    },
+
     // Ordered conversion funnel view -> click -> purchase: per user, the
     // earliest step-1 event, then each later step's earliest event
     // strictly after the previous step's time. Every stage keys on

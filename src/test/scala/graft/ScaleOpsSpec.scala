@@ -101,4 +101,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     // scratch dir cleaned up
     assert(!new java.io.File(out + "_sizing").exists())
   }
+
+  test("morton code round-trips and stays within 2*bits") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map(_ =>
+      (rng.nextInt(1 << 21).toLong, rng.nextInt(1 << 21).toLong))
+      .toDF("a", "b")
+    val got = rows.select(col("a"), col("b"),
+      Layout.mortonCode(col("a"), col("b")).as("z"))
+      .select(col("a"), col("b"), col("z"),
+        Layout.mortonDecode(col("z"), 0).as("da"),
+        Layout.mortonDecode(col("z"), 1).as("db"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(3) && r.getLong(1) == r.getLong(4),
+        s"round-trip: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 42), s"range: $r")
+    }
+  }
+
+  test("zorderWrite keeps BOTH dims' per-file extents narrow") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val out = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    // full 256x256 grid, shuffled input order
+    val grid = spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("x"), (col("id") % 256).as("y"))
+      .repartition(8)
+    Layout.zorderWrite(grid, col("x"), col("y"), out, numFiles = 16, bits = 8)
+    val extents = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("ex"),
+        (max(col("y")) - min(col("y"))).as("ey"))
+      .collect()
+    assert(extents.length >= 8, s"expected >=8 files, got ${extents.length}")
+    // 16 z-contiguous blocks of a 256x256 grid sit in ~64x64 quadrant
+    // regions; sampled range boundaries can straddle two, so allow 2x64
+    // plus slack — but far below 255, which is what every file would
+    // show on the non-sorted dim of a single-column sort
+    val avgX = extents.map(_.getLong(1)).sum.toDouble / extents.length
+    val avgY = extents.map(_.getLong(2)).sum.toDouble / extents.length
+    assert(avgX < 192, s"avg x-extent $avgX")
+    assert(avgY < 192, s"avg y-extent $avgY")
+  }
 }
