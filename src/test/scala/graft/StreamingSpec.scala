@@ -380,6 +380,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: cross-batch advance, strict order, batch parity") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.advance(stream.toDS(), numSteps = 3)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 view+click arrive OUT of ts order within the batch
+      // (the group sort absorbs it); u2 click with no view -> nothing;
+      // u3 click at exactly its view ts -> strict > rejects step 2
+      stream.addData(
+        FunnelEvent(1L, 2, ts("2025-01-01 10:01:00")),
+        FunnelEvent(1L, 1, ts("2025-01-01 10:00:00")),
+        FunnelEvent(2L, 2, ts("2025-01-01 09:00:00")),
+        FunnelEvent(3L, 1, ts("2025-01-01 10:00:00")),
+        FunnelEvent(3L, 2, ts("2025-01-01 10:00:00")))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT userId, step FROM funnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(b1 == Set((1L, 1), (1L, 2), (3L, 1)))
+      // batch 2: u1 purchases (state carried across batches); u2's view
+      // arrives now — too late for its batch-1 click, step 1 only;
+      // a duplicate u1 click is ignored (funnel already past step 2)
+      stream.addData(
+        FunnelEvent(1L, 3, ts("2025-01-01 10:02:00")),
+        FunnelEvent(2L, 1, ts("2025-01-01 10:00:00")),
+        FunnelEvent(1L, 2, ts("2025-01-01 10:03:00")))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT userId, step, ts FROM funnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+      assert(all.map(t => (t._1, t._2)).toSet ==
+        Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1)))
+      // parity with the batch operator on the in-order union (u1: all
+      // events in event-time order across batches -> identical times)
+      val batchEvents = Seq(
+        (1L, "s1", ts("2025-01-01 10:00:00")),
+        (1L, "s2", ts("2025-01-01 10:01:00")),
+        (1L, "s3", ts("2025-01-01 10:02:00")),
+        (1L, "s2", ts("2025-01-01 10:03:00"))).toDF("user_id", "et", "ts")
+      val batchRow = graft.operators.Funnel.funnel(batchEvents, "user_id", "ts",
+        Seq("a" -> (org.apache.spark.sql.functions.col("et") === "s1"),
+          "b" -> (org.apache.spark.sql.functions.col("et") === "s2"),
+          "c" -> (org.apache.spark.sql.functions.col("et") === "s3"))).head()
+      val streamU1 = all.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+      assert(Seq(batchRow.getTimestamp(1), batchRow.getTimestamp(2),
+        batchRow.getTimestamp(3)) == streamU1.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming near-dup matches against a static minhashed store") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
