@@ -56,6 +56,24 @@ object Embeddings {
     struct(codes.as("codes"), scale.as("scale"))
   }
 
+  /** The storage form of [[quantizeInt8]]: codes narrowed to
+    * array<tinyint> (every code fits [-127, 127]) plus the per-vector
+    * scale — 1 byte per dimension on parquet instead of 4, the cut that
+    * turns a 100 TB embedding column into 25 TB. [[dequantize]] is the
+    * lossy inverse. */
+  def quantizeForStorage(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    // two-step projection so the kernel runs once per row (a single
+    // select with two getFields would evaluate the struct twice)
+    df.select(col(idCol), quantizeInt8(col(vecCol)).as("__qz"))
+      .select(col(idCol),
+        transform(col("__qz.codes"), _.cast("byte")).as("codes"),
+        col("__qz.scale").as("scale"))
+
+  /** Reconstruct approximate double vectors from stored codes. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Mean vector per group, emitted as (group, pos, mean, n) rows —
     * the shape that feeds both downstream joins and a collect_list
     * re-assembly. The per-(group,pos) sum folds member values sorted by

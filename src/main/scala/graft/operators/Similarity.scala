@@ -110,6 +110,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Approximate top-k over int8-quantized vectors: cosine is
+    * scale-invariant, so the per-vector quantization scale cancels and
+    * the codes alone score the candidates — the same brute-force plan
+    * as [[bruteForceTopK]] but reading 1-byte codes instead of 4-byte
+    * floats (the bandwidth that dominates a 100 TB corpus pass).
+    * Ranks can differ from full precision only where true cosines sit
+    * within quantization noise; the recall floor is spec-pinned. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def codes(df: DataFrame) = df.select(col(idCol),
+      graft.functions.VectorExpressions.quantizeInt8(col(vecCol))
+        .getField("codes").as(vecCol))
+    bruteForceTopK(codes(queries), codes(corpus), k, idCol, vecCol)
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient in {-1,+1} for
     * (plane p, dimension d): sign of a bit of md5("p:d") — reproducible in
     * any engine with md5 (the DuckDB oracle re-derives the same signs).

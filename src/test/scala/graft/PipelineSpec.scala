@@ -297,6 +297,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs > 0)
   }
 
+  test("quantized top-k: high recall vs full precision, 4x smaller storage") {
+    import graft.operators.Embeddings
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 10)
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k))
+    val quant = pairs(Similarity.quantizedTopK(queries, corpus, k))
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@$k = $recall")
+    // storage: byte codes land ~4x smaller than float32 on parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-q8").toString
+    corpus.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(dir + "/full")
+    Embeddings.quantizeForStorage(corpus)
+      .write.mode("overwrite").parquet(dir + "/q8")
+    def bytes(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val ratio = bytes(dir + "/full").toDouble / bytes(dir + "/q8")
+    assert(ratio > 2.5, s"storage ratio $ratio")
+    // dequantized vectors stay close: cosine(full, dequant) ~ 1
+    val back = Embeddings.quantizeForStorage(corpus)
+      .join(corpus, "vec_id")
+      .select(Similarity.cosine(
+        Embeddings.dequantize(col("codes"), col("scale")),
+        col("embedding")).as("c"))
+      .agg(min(col("c"))).head.getDouble(0)
+    assert(back > 0.999, s"min cosine after dequant $back")
+  }
+
   test("lshTopK returns a subset of brute-force results with equal scores") {
     val q = embeddings.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(q, embeddings, k = 50)
