@@ -344,6 +344,37 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // Quantized brute-force top-k: the q31 plan over int8 codes (scale
+    // cancels in cosine). The oracle re-derives the q91 quantization
+    // formula per vector, then scores with the same sequential-fold
+    // cosine — proving the full quantize -> search composition, not
+    // just the kernel, matches cross-engine.
+    "q94_quantized_topk" -> QueryDef(
+      s"""WITH m AS (SELECT vec_id,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+         |  embedding FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |  CASE WHEN maxabs > 0
+         |    THEN list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) / (maxabs/127.0) + 0.5) AS INT))
+         |    ELSE list_transform(embedding, x -> 0) END AS codes
+         |  FROM m),
+         |q AS (SELECT vec_id AS query_id, codes AS qv FROM qz WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, codes AS cv FROM qz),
+         |scored AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+         |           FROM c JOIN q ON query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // Character-5-gram MinHash near-dup: the char-level robustness
     // variant (catches token-boundary edits word shingles miss).
     "q41_char_ngram_minhash" -> QueryDef(
