@@ -74,6 +74,37 @@ object Embeddings {
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  /** Per-dimension max-abs across the corpus, as a driver-side literal
+    * vector (dims are a plan-time constant, like the IVF centroids and
+    * LSH sign matrix). One narrow aggregation pass: posexplode → max per
+    * pos — order-independent, so partitioning never changes the scales. */
+  def perDimScales(df: DataFrame, vecCol: String = "embedding"): Seq[Double] =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(max(abs(col("v").cast("double"))).as("m"))
+      .orderBy(col("pos")).collect()
+      .map { r => val m = r.getDouble(1); if (m > 0) m / 127.0 else 0.0 }
+      .toSeq
+
+  /** Per-dimension (per-channel) int8 quantization: scale_d =
+    * max|x_d|/127 over the corpus, so ONE outlier dimension no longer
+    * flattens every other dimension's resolution — the failure mode of
+    * the per-vector scheme when embeddings have a few high-variance
+    * channels. Adds `codes` (array<int>); pass the same `scales` to
+    * [[dequantizePerDim]]. Codes stay in [-127, 127] because |x_d| ≤
+    * the dimension's max by construction. */
+  def quantizePerDim(df: DataFrame, scales: Seq[Double],
+      vecCol: String = "embedding"): DataFrame = {
+    val sc = typedlit(scales)
+    df.withColumn("codes", zip_with(col(vecCol), sc, (x, s) =>
+      when(x.isNull, lit(null).cast("int"))
+        .when(s > 0, floor(x.cast("double") / s + lit(0.5)).cast("int"))
+        .otherwise(lit(0))))
+  }
+
+  /** Lossy inverse of [[quantizePerDim]]. */
+  def dequantizePerDim(codes: Column, scales: Seq[Double]): Column =
+    zip_with(codes, typedlit(scales), (c, s) => c.cast("double") * s)
+
   /** Mean vector per group, emitted as (group, pos, mean, n) rows —
     * the shape that feeds both downstream joins and a collect_list
     * re-assembly. The per-(group,pos) sum folds member values sorted by

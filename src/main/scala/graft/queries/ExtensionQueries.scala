@@ -205,6 +205,39 @@ object ExtensionQueries {
         .orderBy(col("vec_id"), col("pos"))
     },
 
+    // Per-dimension (per-channel) int8 quantization: scale_d =
+    // max|x_d|/127 across the corpus — the robust production scheme when
+    // a few embedding channels carry outliers. Scales come from one
+    // narrow posexplode->max pass (order-independent) and ride as a
+    // plan-time literal vector, the same driver-side-constant shape as
+    // the IVF centroids.
+    "q95_perdim_quantize" -> QueryDef(
+      """WITH s AS (SELECT i AS pos,
+        |        max(abs(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE))) AS m
+        |      FROM embeddings, unnest(range(len(embedding))) AS u(i) GROUP BY 1),
+        |sc AS (SELECT pos, CASE WHEN m > 0 THEN m / 127.0 ELSE 0.0 END AS scale
+        |       FROM s),
+        |x AS (SELECT vec_id, i AS pos,
+        |        CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) AS v
+        |      FROM embeddings, unnest(range(len(embedding))) AS u(i))
+        |SELECT x.vec_id, x.pos,
+        |  CASE WHEN sc.scale > 0 THEN CAST(floor(x.v / sc.scale + 0.5) AS INT)
+        |       ELSE 0 END AS code,
+        |  sc.scale
+        |FROM x JOIN sc USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      import graft.operators.Embeddings
+      val e = Tables(s, dir).embeddings
+      val scales = Embeddings.perDimScales(e)
+      Embeddings.quantizePerDim(e, scales)
+        .select(col("vec_id"),
+          posexplode(arrays_zip(col("codes").as("code"),
+            typedlit(scales).as("scale"))).as(Seq("pos", "zp")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("zp.code").as("code"), col("zp.scale").as("scale"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
     // Per-source embedding centroids: the semantic-mix monitor — one
     // mean vector per corpus source. The (doc_id, source) projection is
     // O(corpus), NOT a broadcastable dim: the join hashes both sides on

@@ -238,6 +238,38 @@ class PropertySpec extends AnyFunSuite {
     assert(edge.getDouble(1) == edge.getDouble(3))
   }
 
+  test("perDim quantization: partitioning-invariant scales, outlier isolation") {
+    import spark.implicits._
+    import graft.operators.Embeddings
+    // dim 0 carries one huge outlier; dims 1-3 live in [-1, 1]
+    val rows = (0 until 100).map { i =>
+      val d0 = if (i == 0) 10000.0f else (math.sin(i * 0.9) * 0.8).toFloat
+      (i.toLong, Array(d0,
+        (math.cos(i * 0.7) * 0.9).toFloat,
+        (math.sin(i * 1.3) * 0.5).toFloat,
+        (math.cos(i * 2.1) * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val scales = Embeddings.perDimScales(rows)
+    assert(scales == Embeddings.perDimScales(rows.repartition(7))) // order-free
+    // per-dim: dims 1-3 keep fine resolution despite dim 0's outlier
+    (1 to 3).foreach(d => assert(scales(d) <= 1.0 / 127.0 * 1.01, s"dim $d"))
+    val err = Embeddings.quantizePerDim(rows, scales)
+      .select(posexplode(arrays_zip(col("codes").as("c"), col("embedding").as("x")))
+        .as(Seq("pos", "z")))
+      .filter(col("pos") > 0)
+      .select(abs(col("z.c") *
+        element_at(typedlit(scales), col("pos").cast("int") + 1) -
+        col("z.x").cast("double")).as("e"))
+      .agg(max(col("e"))).head.getDouble(0)
+    assert(err <= 1.0 / 254.0 * 1.01, s"per-dim max err $err")
+    // per-VECTOR quantization of the outlier row loses everything else:
+    // its scale is 10000/127, so dims 1-3 all collapse to code 0
+    val collapsed = rows.filter(col("vec_id") === 0)
+      .select(Embeddings.quantizeInt8(col("embedding")).getField("codes").as("c"))
+      .head.getSeq[Int](0)
+    assert(collapsed.tail.forall(_ == 0), s"expected collapse, got $collapsed")
+  }
+
   test("meanPool streaming fold: declarative parity, partitioning invariance, skewed group") {
     import spark.implicits._
     import graft.operators.Embeddings
