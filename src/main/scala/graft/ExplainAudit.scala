@@ -18,7 +18,9 @@ object ExplainAudit {
         "q65_decontamination", "q67_tfidf_topk", "q69_repetition_quality",
         "q74_incremental_dedup", "q81_quality_funnel", "q82_corpus_diff",
         "q83_incremental_neardup", "q84_inverted_index", "q85_pack_segments",
-        "q86_source_centroids", "q89_semantic_dedup", "q90_cluster_histogram")
+        "q86_source_centroids", "q89_semantic_dedup", "q90_cluster_histogram",
+        "q91_embedding_quantize", "q92_event_funnel", "q93_zorder_code",
+        "q94_quantized_topk", "q95_perdim_quantize")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

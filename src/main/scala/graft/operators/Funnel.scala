@@ -25,18 +25,30 @@ object Funnel {
     * (null once the user falls out of the funnel) and `steps_reached`.
     * `steps` maps output-column prefix → event predicate, in funnel
     * order. Strict ordering: a step-k event at exactly the step-(k-1)
-    * timestamp does NOT count (same-instant events are one action). */
+    * timestamp does NOT count (same-instant events are one action).
+    * `windowMillis` bounds the whole conversion: every later step must
+    * land within that many millis of the user's step-1 time
+    * (inclusive) — the "converted within 7 days" form. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      steps: Seq[(String, Column)]): DataFrame = {
+      steps: Seq[(String, Column)],
+      windowMillis: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val (n1, p1) = steps.head
+    val first = s"${n1}_ts"
     var acc = events.filter(p1).groupBy(col(userCol))
-      .agg(min(col(tsCol)).as(s"${n1}_ts"))
-    var prev = s"${n1}_ts"
+      .agg(min(col(tsCol)).as(first))
+    var prev = first
     steps.tail.foreach { case (nm, p) =>
+      val inWindow = windowMillis match {
+        case Some(w) => unix_millis(col(tsCol).cast("timestamp")) -
+          unix_millis(col(first).cast("timestamp")) <= w
+        case None => lit(true)
+      }
+      val carry = if (prev == first) Seq(col(userCol), col(prev))
+        else Seq(col(userCol), col(prev), col(first))
       val nxt = events.filter(p)
-        .join(acc.select(col(userCol), col(prev)), Seq(userCol))
-        .filter(col(tsCol) > col(prev))
+        .join(acc.select(carry: _*), Seq(userCol))
+        .filter(col(tsCol) > col(prev) && inWindow)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"${nm}_ts"))
       acc = acc.join(nxt, Seq(userCol), "left")
       prev = s"${nm}_ts"

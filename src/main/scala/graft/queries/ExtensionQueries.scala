@@ -324,6 +324,63 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     },
 
+    // Conversion-window funnel: same ordered funnel as q92, but every
+    // later step must land within 3 days of the user's step-1 time —
+    // epoch-millis arithmetic on both engines (the q56 precedent).
+    "q96_windowed_funnel" -> QueryDef(
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND epoch_ms(e.ts) - epoch_ms(s1.t1) <= 259200000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND epoch_ms(e.ts) - epoch_ms(s1.t1) <= 259200000 GROUP BY 1)
+        |SELECT s1.user_id,
+        |       strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       (1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS steps_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Funnel
+      Funnel.funnel(Tables(s, dir).events, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")),
+        windowMillis = Some(259200000L))
+        .select(col("user_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("steps_reached"))
+        .orderBy(col("user_id"))
+    },
+
+    // Weekly cohort retention triangle: cohort = week of first
+    // activity; n_users = distinct cohort members active k weeks
+    // later. The event stream collapses FIRST to distinct
+    // (user, week) — map-side combinable, bounded by users × weeks —
+    // and everything else runs on that collapsed table.
+    "q97_cohort_retention" -> QueryDef(
+      """WITH weeks AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+        |               FROM events),
+        |first AS (SELECT u, min(w) AS cohort FROM weeks GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cohort, w) // 7 AS INT) AS k,
+        |       count(*) AS n_users
+        |FROM weeks JOIN first USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.operators.Cohorts
+      Cohorts.retention(Tables(s, dir).events, "user_id", "ts")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("k"), col("n_users"))
+        .orderBy(col("cohort_week"), col("k"))
+    },
+
     // Vocabulary statistics: top-20 tokens per language by frequency.
     // The corpus explodes to (lang, token) and aggregates with map-side
     // combine; the top-k window runs over the AGGREGATED vocab table

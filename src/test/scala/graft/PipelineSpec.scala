@@ -223,6 +223,13 @@ class PipelineSpec extends AnyFunSuite {
       Funnel.funnel(ev, "user_id", "ts", steps), steps.map(_._1))
       .collect().head
     assert((curve.getLong(0), curve.getLong(1), curve.getLong(2)) == ((3L, 2L, 1L)))
+    // conversion window measured from step 1: u1's purchase at +2min
+    // and u2's resumed click at +30min fall outside a 90s window;
+    // u1's click at +60s stays inside
+    val windowed = Funnel.funnel(ev, "user_id", "ts", steps,
+      windowMillis = Some(90000L))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(windowed == Map(1L -> 2, 2L -> 1, 3L -> 1))
   }
 
   test("range join: interval spanning 3+ buckets still matches exactly once") {
