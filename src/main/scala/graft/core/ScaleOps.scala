@@ -60,6 +60,26 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Key-skew diagnostic: the top-`topK` keys by row count with each
+    * key's exact share in permille — what you run BEFORE a 100 TB join
+    * to decide whether a key needs salting. One map-side-combinable
+    * count per key, then TakeOrdered for the top slice (never a global
+    * window over the full key set — that would serialize millions of
+    * keys through one task); the rank window and the broadcast total
+    * only ever see ≤ topK + 1 rows. Integer `div` keeps the permille
+    * exact on both engines. */
+  def keySkew(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("key"), col("n"),
+        expr("CAST((n * 1000) div total AS BIGINT)").as("permille"))
+  }
+
   /** True if the executed join plan contains no shuffle exchange —
     * the co-location check for bucketed joins. */
   def isShuffleFreeJoin(joined: DataFrame): Boolean = {

@@ -354,7 +354,11 @@ object Dedup {
     * shallow — dup pairs and small chains — so typically 2-3). Lineage is
     * cut per round with localCheckpoint so the plan does not grow with
     * iterations. `maxIter` is a safety bound — hitting it throws rather
-    * than returning silently-unconverged labels. */
+    * than returning silently-unconverged labels.
+    *
+    * Output is keyed by `nodes`: an edge endpoint absent from `nodes`
+    * still RELAYS labels (it sits in the frontier, so chains passing
+    * through it merge) but emits no row of its own. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {

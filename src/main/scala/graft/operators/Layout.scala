@@ -39,6 +39,29 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** k-dimensional Morton interleave: bit i of dimension d lands at
+    * code position i*k + d. `bits * dims` must stay ≤ 62 (non-negative
+    * long). The 2-dim [[mortonCode]] is the k = 2 special case. */
+  def mortonCodeN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, "need at least 2 dimensions")
+    require(bits > 0 && bits * cols.size <= 62,
+      s"bits*dims must be in (0, 62], got ${bits * cols.size}")
+    val k = cols.size
+    cols.zipWithIndex.flatMap { case (c, d) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + d)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Recover dimension `dim` of a [[mortonCodeN]] code. */
+  def mortonDecodeN(z: Column, dim: Int, dims: Int, bits: Int): Column = {
+    require(dim >= 0 && dim < dims)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(z.cast("long"), i * dims + dim).bitwiseAND(lit(1L)), i)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Z-cluster `df` on two dimension columns and write parquet: range
     * partition on the z-code (equal-size output tasks even when the
     * dims are skewed — range boundaries come from a sample of the

@@ -360,6 +360,21 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     },
 
+    // Key-skew diagnostic: top keys by row count with exact permille
+    // share — the pre-join report that decides whether a key needs
+    // salting. Counts are map-side combinable; the top slice comes
+    // from TakeOrdered, never a global window over the key set.
+    "q98_key_skew" -> QueryDef(
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c),
+        |r AS (SELECT key, n,
+        |        ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank FROM c)
+        |SELECT rank, key, n, CAST(n * 1000 // total AS BIGINT) AS permille
+        |FROM r, t WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.core.ScaleOps.keySkew(Tables(s, dir).events, col("user_id"), 10)
+        .orderBy(col("rank"))
+    },
+
     // Weekly cohort retention triangle: cohort = week of first
     // activity; n_users = distinct cohort members active k weeks
     // later. The event stream collapses FIRST to distinct

@@ -317,6 +317,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(comp.size == 9)
   }
 
+  test("connected components: unlisted endpoints relay labels but emit no row") {
+    import graft.operators.Dedup
+    // node 2 is absent from `nodes`, yet 1-2 and 2-3 must still merge
+    // 1 and 3 through it
+    val nodes = Seq(1L, 3L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("connected components: empty edge set -> every node is its own comp") {
     import graft.operators.Dedup
     val nodes = (1L to 5L).toDF("id")

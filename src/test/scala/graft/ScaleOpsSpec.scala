@@ -122,6 +122,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("3-dim morton round-trips and agrees with the 2-dim form") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 300).map(_ => (rng.nextInt(1 << 12).toLong,
+      rng.nextInt(1 << 12).toLong, rng.nextInt(1 << 12).toLong))
+      .toDF("a", "b", "c")
+    val got = rows.select(col("a"), col("b"), col("c"),
+      Layout.mortonCodeN(Seq(col("a"), col("b"), col("c")), 12).as("z"),
+      Layout.mortonCode(col("a"), col("b"), 12).as("z2"),
+      Layout.mortonCodeN(Seq(col("a"), col("b")), 12).as("z2n"))
+      .select(col("a"), col("b"), col("c"), col("z2"), col("z2n"),
+        Layout.mortonDecodeN(col("z"), 0, 3, 12).as("da"),
+        Layout.mortonDecodeN(col("z"), 1, 3, 12).as("db"),
+        Layout.mortonDecodeN(col("z"), 2, 3, 12).as("dc"))
+      .collect()
+    got.foreach { r =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+        ((r.getLong(5), r.getLong(6), r.getLong(7))), s"round-trip: $r")
+      assert(r.getLong(3) == r.getLong(4), s"2-dim forms agree: $r")
+    }
+  }
+
   test("zorderWrite keeps BOTH dims' per-file extents narrow") {
     import spark.implicits._
     import graft.operators.Layout
