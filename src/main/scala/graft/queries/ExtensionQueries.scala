@@ -360,6 +360,25 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     },
 
+    // Event transition matrix: consecutive-pair counts per user (the
+    // sankey/Markov edge weights). One lag window per user (bounded by
+    // that user's event count), then a map-side-combinable count over
+    // the tiny (from, to) key space.
+    "q99_event_transitions" -> QueryDef(
+      """WITH s AS (SELECT user_id, event_type,
+        |       lag(event_type) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS prev
+        |     FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM s WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.operators.EventPaths
+      EventPaths.transitions(Tables(s, dir).events,
+        "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // Key-skew diagnostic: top keys by row count with exact permille
     // share — the pre-join report that decides whether a key needs
     // salting. Counts are map-side combinable; the top slice comes
