@@ -33,6 +33,8 @@ object Funnel {
       steps: Seq[(String, Column)],
       windowMillis: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.map(_._1).distinct.size == steps.size,
+      "step names must be unique")
     val (n1, p1) = steps.head
     val first = s"${n1}_ts"
     var acc = events.filter(p1).groupBy(col(userCol))
@@ -46,7 +48,10 @@ object Funnel {
       }
       val carry = if (prev == first) Seq(col(userCol), col(prev))
         else Seq(col(userCol), col(prev), col(first))
-      val nxt = events.filter(p)
+      // project the event side down to (user, ts) BEFORE the join: the
+      // step columns carried from `acc` must never collide with event
+      // columns, and the scan is pruned to the two needed columns
+      val nxt = events.filter(p).select(col(userCol), col(tsCol))
         .join(acc.select(carry: _*), Seq(userCol))
         .filter(col(tsCol) > col(prev) && inWindow)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"${nm}_ts"))
