@@ -111,6 +111,35 @@ object VectorKernels {
       Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(out), scale))
   }
 
+  /** One-pass hyperplane-LSH bucket: all plane projections in a single
+    * vector traversal against the literal sign matrix (planes × dims).
+    * Mirrors the declarative per-plane `aggregate(zip_with(x*s))` fold
+    * exactly: same sequential order and double promotion per plane, and
+    * the null/mismatch routes — a null element nulls EVERY plane's
+    * projection, a length mismatch null-pads — both collapse every
+    * `when(proj > 0)` to its 0 branch, so the bucket is 0. */
+  def lshBucket(arr: ArrayData, code: Int, m: Array[Array[Double]]): Int = {
+    val planes = m.length
+    if (planes == 0) return 0
+    val dims = m(0).length
+    val n = arr.numElements()
+    if (n != dims) return 0
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return 0; i += 1 }
+    val proj = new Array[Double](planes)
+    i = 0
+    while (i < n) {
+      val x = get(arr, i, code)
+      var p = 0
+      while (p < planes) { proj(p) += x * m(p)(i); p += 1 }
+      i += 1
+    }
+    var bucket = 0
+    var p = 0
+    while (p < planes) { if (proj(p) > 0) bucket |= 1 << p; p += 1 }
+    bucket
+  }
+
   def normalize(arr: ArrayData, code: Int): ArrayData = {
     val n = arr.numElements()
     val vals = new Array[Double](n)
@@ -258,6 +287,32 @@ case class QuantizeInt8Expr(child: Expression)
       s"${ev.value} = graft.functions.VectorKernels$$.MODULE$$.quantizeInt8($c, $code);")
 }
 
+/** One-pass hyperplane-LSH bucket kernel: the declarative form walks the
+  * vector once per plane through interpreted `aggregate(zip_with(...))`
+  * lambdas (planes × dims multiplies, planes traversals); this kernel
+  * does all planes in one traversal against the baked-in sign matrix.
+  * Value-identical to [[graft.operators.Similarity.lshBucketDeclarative]]
+  * (parity spec'd — same fold order and promotion per plane). */
+case class LshBucketExpr(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr =
+    copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+
+  @transient private lazy val code = VectorKernels.typeCode(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucket(v.asInstanceOf[ArrayData], code, matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("lshMatrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels$$.MODULE$$.lshBucket($c, $code, $m);")
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -272,4 +327,7 @@ object VectorExpressions {
 
   def quantizeInt8(a: Column): Column =
     Bridge.column(QuantizeInt8Expr(Bridge.expression(a)))
+
+  def lshBucket(a: Column, matrix: Array[Array[Double]]): Column =
+    Bridge.column(LshBucketExpr(Bridge.expression(a), matrix))
 }

@@ -148,10 +148,15 @@ object Similarity {
     df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane over the
-    * signed sum of vector components. The sign matrix is embedded as
-    * literal arrays (no per-row hashing); the fold order matches the
-    * previous per-row formulation bit-for-bit. */
-  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column = {
+    * signed sum of vector components. One-pass native kernel against
+    * the baked-in sign matrix ([[lshBucketDeclarative]] is the parity
+    * witness — its per-plane interpreted folds walk the vector
+    * `numPlanes` times). */
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column =
+    graft.functions.VectorExpressions.lshBucket(vec, signMatrix(numPlanes, dims))
+
+  /** Per-plane HOF formulation — parity witness for [[lshBucket]]. */
+  def lshBucketDeclarative(vec: Column, numPlanes: Int, dims: Int): Column = {
     val m = signMatrix(numPlanes, dims) // computed once, not per plane
     val bits = (0 until numPlanes).map { p =>
       val signs = typedlit(m(p).toSeq)

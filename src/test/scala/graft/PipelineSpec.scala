@@ -304,6 +304,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs > 0)
   }
 
+  test("lshBucket kernel matches the per-plane declarative folds exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(16)((rng.nextDouble() - 0.5).toFloat)))
+      .toDF("id", "v")
+    val got = rows.select(col("id"),
+      Similarity.lshBucket(col("v"), 8, 16).as("k"),
+      Similarity.lshBucketDeclarative(col("v"), 8, 16).as("d"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)}"))
+    assert(got.map(_.getInt(1)).distinct.length > 1) // buckets do spread
+    // null element / length mismatch -> every projection nulls -> bucket 0
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(NULL AS FLOAT), 1.0F)),
+        |  (2L, array(1.0F, 2.0F, 3.0F))
+        |AS t(id, v)""".stripMargin)
+      .select(col("id"),
+        Similarity.lshBucket(col("v"), 4, 2).as("k"),
+        Similarity.lshBucketDeclarative(col("v"), 4, 2).as("d"))
+      .collect()
+    edge.foreach(r => assert(r.getInt(1) == 0 && r.getInt(2) == 0, r.toString))
+  }
+
   test("quantized top-k: high recall vs full precision, 4x smaller storage") {
     import graft.operators.Embeddings
     val corpus = embeddings
