@@ -118,6 +118,23 @@ object IvfAnn {
     IvfIndex(None, all, centroids)
   }
 
+  /** The int8 form of an index: assignment vectors are replaced by
+    * their quantization codes as array<tinyint> (1 B per dimension on
+    * the persisted, list-partitioned layout — the 4× cut applied to
+    * the structure that IS the 100 TB corpus copy). Probing stays
+    * ASYMMETRIC, the FAISS-SQ shape: list selection and scoring both
+    * keep the query at full precision — cosine(q, codes) equals
+    * cosine(q, dequantized corpus vector) because the per-vector scale
+    * cancels — so only the corpus side pays quantization noise.
+    * [[topK]] works unchanged on the result (the cosine kernel
+    * dispatches on the element type). */
+  def quantized(index: IvfIndex): IvfIndex =
+    index.copy(model = None, assignments = index.assignments.select(
+      col("id"),
+      transform(graft.functions.VectorExpressions.quantizeInt8(col("v"))
+        .getField("codes"), _.cast("byte")).as("v"),
+      col("list_id")))
+
   /** ANN top-k through the index: probe the nprobe nearest lists.
     *
     * Against a persisted index ([[read]]), the probe equi-join on

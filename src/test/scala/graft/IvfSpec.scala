@@ -66,6 +66,38 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall collapsed: $recall")
   }
 
+  test("quantized index: asymmetric probe keeps recall, shrinks storage 4x") {
+    implicit val s: SparkSession = spark
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 10)
+    val index = IvfAnn.build(corpus, nlist = 8)
+    val q8 = IvfAnn.quantized(index)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(IvfAnn.topK(queries, index, k = 10, nprobe = 4))
+    val quant = pairs(IvfAnn.topK(queries, q8, k = 10, nprobe = 4))
+    val recall = (full & quant).size.toDouble / full.size
+    assert(recall >= 0.9, s"asymmetric recall $recall")
+    // the persisted, list-partitioned layout shrinks ~4x
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfq").toString
+    IvfAnn.write(index, dir + "/full")
+    IvfAnn.write(q8, dir + "/q8")
+    def bytes(p: String): Long = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(root)
+    }
+    val ratio = bytes(dir + "/full/assignments").toDouble / bytes(dir + "/q8/assignments")
+    assert(ratio > 2.0, s"storage ratio $ratio")
+    // reloaded quantized index probes identically
+    val back = pairs(IvfAnn.topK(queries, IvfAnn.read(spark, dir + "/q8"),
+      k = 10, nprobe = 4))
+    assert(back == quant)
+  }
+
   test("refresh absorbs a batch: nearest-list assignment, one Lloyd step") {
     implicit val s: SparkSession = spark
     val old = embeddings.filter(col("vec_id") % 2 === 0)
