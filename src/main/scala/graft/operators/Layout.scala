@@ -70,9 +70,14 @@ object Layout {
     * blocks, which is exactly what keeps per-file min/max tight on BOTH
     * dims. Returns the written path for chaining. */
   def zorderWrite(df: DataFrame, dimA: Column, dimB: Column, path: String,
-      numFiles: Int, bits: Int = 21): String = {
+      numFiles: Int, bits: Int = 21): String =
+    zorderWriteN(df, Seq(dimA, dimB), path, numFiles, bits)
+
+  /** k-dimensional [[zorderWrite]] via [[mortonCodeN]] (bits·dims ≤ 62). */
+  def zorderWriteN(df: DataFrame, dims: Seq[Column], path: String,
+      numFiles: Int, bits: Int): String = {
     require(numFiles > 0)
-    val coded = df.withColumn("__z", mortonCode(dimA, dimB, bits))
+    val coded = df.withColumn("__z", mortonCodeN(dims, bits))
     coded.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -31,6 +31,15 @@ object StreamingFunnel {
   /** Emitted when `userId` completes `step` at `ts`. */
   case class FunnelProgress(userId: Long, step: Int, ts: Timestamp)
 
+  /** The live conversion curve: users-per-step over [[advance]]'s
+    * progress stream (update- or complete-mode sink). Each progress row is one
+    * (user, step) advance, emitted exactly once, so a running count per
+    * step IS the curve — state is `numSteps` counters, nothing per
+    * user. */
+  def curve(progress: Dataset[FunnelProgress]): org.apache.spark.sql.DataFrame =
+    progress.groupBy(org.apache.spark.sql.functions.col("step"))
+      .count().withColumnRenamed("count", "n_users")
+
   def advance(events: Dataset[FunnelEvent], numSteps: Int)
       : Dataset[FunnelProgress] = {
     require(numSteps > 0)

@@ -433,6 +433,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel curve: running users-per-step in update mode") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.curve(
+      StreamingFunnel.advance(stream.toDS(), numSteps = 2))
+      .writeStream.format("memory").queryName("curve_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(
+        FunnelEvent(1L, 1, ts("2025-01-01 10:00:00")),
+        FunnelEvent(2L, 1, ts("2025-01-01 10:00:00")))
+      q.processAllAvailable()
+      def curve() = spark.sql("SELECT step, n_users FROM curve_out")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(curve() == Map(1 -> 2L))
+      stream.addData(FunnelEvent(1L, 2, ts("2025-01-01 10:01:00")))
+      q.processAllAvailable()
+      assert(curve() == Map(1 -> 2L, 2 -> 1L)) // counts accumulate
+    } finally q.stop()
+  }
+
   test("streaming near-dup matches against a static minhashed store") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
