@@ -93,11 +93,20 @@ object VectorKernels {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val a = math.abs(get(arr, i, code))
-        if (a > maxabs) maxabs = a
+        // NaN wins the fold AND stays won, mirroring Spark's `greatest`
+        // ordering (NaN sorts above every number): a finite a never
+        // overwrites a NaN maxabs because `a > NaN` is false
+        if (java.lang.Double.isNaN(a) || a > maxabs) maxabs = a
       }
       i += 1
     }
-    val scale = if (maxabs > 0) maxabs / 127.0 else 0.0
+    // NaN maxabs -> NaN scale, and the `scale > 0` branch below is then
+    // false, emitting code 0 — exactly the declarative witness's route
+    // (Spark evaluates NaN > 0 as true, takes the floor branch, and the
+    // non-ANSI NaN-to-int cast yields 0)
+    val scale =
+      if (java.lang.Double.isNaN(maxabs)) Double.NaN
+      else if (maxabs > 0) maxabs / 127.0 else 0.0
     val out = new Array[Any](n)
     var j = 0
     while (j < n) {
@@ -136,7 +145,13 @@ object VectorKernels {
     }
     var bucket = 0
     var p = 0
-    while (p < planes) { if (proj(p) > 0) bucket |= 1 << p; p += 1 }
+    while (p < planes) {
+      // Spark's `when(proj > 0)` evaluates NaN > 0 as TRUE (NaN sorts
+      // above every number) — mirror it, or a NaN projection would
+      // bucket differently between kernel and witness
+      if (proj(p) > 0 || java.lang.Double.isNaN(proj(p))) bucket |= 1 << p
+      p += 1
+    }
     bucket
   }
 

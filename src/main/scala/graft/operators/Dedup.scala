@@ -358,7 +358,11 @@ object Dedup {
     *
     * Output is keyed by `nodes`: an edge endpoint absent from `nodes`
     * still RELAYS labels (it sits in the frontier, so chains passing
-    * through it merge) but emits no row of its own. */
+    * through it merge) but emits no row of its own — and can never BE
+    * a component's representative: after convergence, each component's
+    * label is remapped to the minimum id among its `nodes` members, so
+    * `comp` always names a real row and the keep-policy
+    * `comp == id` always keeps exactly one member per cluster. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
@@ -387,9 +391,16 @@ object Dedup {
     }
     edges.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    nodes.select(col(idCol).as("id"))
+    val nodeLabels = nodes.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("comp", "frontier_comp"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("frontier_comp"), col("id")).as("comp"))
+      .select(col("id"), coalesce(col("frontier_comp"), col("id")).as("raw_comp"))
+    // canonicalize: the propagated label can be an edge-only relay id
+    // (never a `nodes` row); remap each component to its minimum NODE
+    // id so `comp == id` always names a real member. One extra
+    // aggregation over the node table, once, after convergence.
+    val canon = nodeLabels.groupBy(col("raw_comp"))
+      .agg(min(col("id")).as("comp"))
+    nodeLabels.join(canon, Seq("raw_comp")).select(col("id"), col("comp"))
   }
 
   /** The keep-policy over [[connectedComponents]]: retain only each

@@ -20,23 +20,18 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Interleave the low `bits` of `a` (even positions) and `b` (odd
-    * positions) into one z-code. Inputs must be non-negative. */
+    * positions) into one z-code. Inputs must be non-negative. The k = 2
+    * case of [[mortonCodeN]] (position 2i / 2i+1 ≡ i·2 + d). */
   def mortonCode(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    mortonCodeN(Seq(a, b), bits)
   }
 
   /** Recover dimension `dim` (0 = even bits, 1 = odd bits) from a
     * z-code — the round-trip witness for [[mortonCode]]. */
   def mortonDecode(z: Column, dim: Int, bits: Int = 21): Column = {
     require(dim == 0 || dim == 1, s"dim must be 0 or 1, got $dim")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(z.cast("long"), 2 * i + dim).bitwiseAND(lit(1L)), i)
-    }.reduce(_ bitwiseOR _)
+    mortonDecodeN(z, dim, 2, bits)
   }
 
   /** k-dimensional Morton interleave: bit i of dimension d lands at

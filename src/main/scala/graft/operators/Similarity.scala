@@ -113,10 +113,14 @@ object Similarity {
   /** Approximate top-k over int8-quantized vectors: cosine is
     * scale-invariant, so the per-vector quantization scale cancels and
     * the codes alone score the candidates — the same brute-force plan
-    * as [[bruteForceTopK]] but reading 1-byte codes instead of 4-byte
-    * floats (the bandwidth that dominates a 100 TB corpus pass).
-    * Ranks can differ from full precision only where true cosines sit
-    * within quantization noise; the recall floor is spec-pinned. */
+    * as [[bruteForceTopK]]. THIS convenience quantizes a float corpus
+    * in-flight (it proves the composition; it does not save scan
+    * bytes) — the bandwidth win at 100 TB comes from scoring a corpus
+    * ALREADY STORED as codes via [[Embeddings.quantizeForStorage]] or
+    * [[IvfAnn.quantized]], where the scan reads 1 byte per dimension
+    * instead of 4. Ranks can differ from full precision only where
+    * true cosines sit within quantization noise; the recall floor is
+    * spec-pinned. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def codes(df: DataFrame) = df.select(col(idCol),

@@ -184,7 +184,8 @@ object ExtensionQueries {
         |        CASE WHEN scale > 0
         |             THEN list_transform(embedding,
         |                  x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
-        |             ELSE list_transform(embedding, x -> 0) END AS codes,
+        |             ELSE list_transform(embedding,
+        |                  x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END) END AS codes,
         |        embedding
         |      FROM s)
         |SELECT vec_id, i AS pos, codes[CAST(i+1 AS INT)] AS code, scale,
@@ -222,7 +223,7 @@ object ExtensionQueries {
         |      FROM embeddings, unnest(range(len(embedding))) AS u(i))
         |SELECT x.vec_id, x.pos,
         |  CASE WHEN sc.scale > 0 THEN CAST(floor(x.v / sc.scale + 0.5) AS INT)
-        |       ELSE 0 END AS code,
+        |       WHEN x.v IS NULL THEN NULL ELSE 0 END AS code,
         |  sc.scale
         |FROM x JOIN sc USING (pos)
         |ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>

@@ -357,7 +357,8 @@ object PipelineQueries {
          |  CASE WHEN maxabs > 0
          |    THEN list_transform(embedding,
          |         x -> CAST(floor(CAST(x AS DOUBLE) / (maxabs/127.0) + 0.5) AS INT))
-         |    ELSE list_transform(embedding, x -> 0) END AS codes
+         |    ELSE list_transform(embedding,
+         |         x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END) END AS codes
          |  FROM m),
          |q AS (SELECT vec_id AS query_id, codes AS qv FROM qz WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, codes AS cv FROM qz),

@@ -326,6 +326,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val comp = Dedup.connectedComponents(nodes, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 3L -> 1L, 9L -> 9L))
+    // a relay id SMALLER than every node id must not become the
+    // representative: comp is remapped to the minimum NODE id, so the
+    // keep-policy comp == id still keeps one member per cluster
+    val low = Dedup.connectedComponents(
+      Seq(3L, 5L).toDF("id"), Seq((0L, 3L), (0L, 5L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(low == Map(3L -> 3L, 5L -> 3L))
   }
 
   test("connected components: empty edge set -> every node is its own comp") {

@@ -327,6 +327,13 @@ class PipelineSpec extends AnyFunSuite {
         Similarity.lshBucketDeclarative(col("v"), 4, 2).as("d"))
       .collect()
     edge.foreach(r => assert(r.getInt(1) == 0 && r.getInt(2) == 0, r.toString))
+    // NaN projections: Spark's when(proj > 0) is TRUE for NaN — kernel
+    // and witness must set the same bits
+    val nan = spark.sql("SELECT array(CAST('NaN' AS FLOAT), 1.0F) AS v")
+      .select(Similarity.lshBucket(col("v"), 4, 2).as("k"),
+        Similarity.lshBucketDeclarative(col("v"), 4, 2).as("d"))
+      .head()
+    assert(nan.getInt(0) == nan.getInt(1), s"NaN parity: $nan")
   }
 
   test("quantized top-k: high recall vs full precision, 4x smaller storage") {

@@ -236,6 +236,18 @@ class PropertySpec extends AnyFunSuite {
     assert(edge.getSeq[Any](0) == Seq(null, 127, -63))
     assert(edge.getSeq[Any](0) == edge.getSeq[Any](2))
     assert(edge.getDouble(1) == edge.getDouble(3))
+    // NaN parity: NaN wins the max fold in BOTH formulations (Spark's
+    // greatest sorts NaN above all), scale goes NaN, every non-null
+    // code lands at 0 (kernel else-branch == witness's NaN-to-int cast)
+    val nan = spark.sql(
+      "SELECT array(CAST('NaN' AS FLOAT), 2.0F) AS v")
+      .select(Embeddings.quantizeInt8(col("v")).as("k"),
+        Embeddings.quantizeInt8Declarative(col("v")).as("d"))
+      .select(col("k.codes"), col("k.scale"), col("d.codes"), col("d.scale"))
+      .head()
+    assert(nan.getSeq[Any](0) == Seq(0, 0))
+    assert(nan.getSeq[Any](0) == nan.getSeq[Any](2))
+    assert(nan.getDouble(1).isNaN && nan.getDouble(3).isNaN)
   }
 
   test("perDim quantization: partitioning-invariant scales, outlier isolation") {
