@@ -205,6 +205,39 @@ object CorpusOps {
           .otherwise(0.0).as("top2gram_frac"))
   }
 
+  /** Banded redundancy histogram — the SQL-expressible companion of the
+    * deflate compression signal ([[graft.functions.CompressionRatioExpr]],
+    * q88): token repetition permille and distinct-2-gram redundancy
+    * permille per doc, rolled up into permille-decile bands. Same
+    * quality-signal intent (boilerplate/near-repeat detection for corpus
+    * filtering) with exact integer arithmetic both engines reproduce, so
+    * the compression-quality component keeps a hash-green oracle row
+    * next to the rows-only deflate kernel. One corpus scan: the token
+    * stats ride the RepetitionStats kernel, the gram columns one shingle
+    * projection; the roll-up is a map-side-combinable aggregation on a
+    * 11-value key. */
+  def redundancyBands(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    // two-step projection: kernel and shingle array evaluate once per row
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.RepetitionStatsExpr.of(col(textCol)).as("_rs"),
+        TextFunctions.wordShingles(col(textCol), 2).as("_g"))
+      .select(col("doc_id"),
+        col("_rs.n_tokens").cast("long").as("_nt"),
+        col("_rs.n_distinct").cast("long").as("_nd"),
+        size(col("_g")).cast("long").as("_ng"),
+        size(array_distinct(col("_g"))).cast("long").as("_ndg"))
+      .select(col("doc_id"),
+        when(col("_nt") > 0, expr("1000L - (_nd * 1000L) div _nt"))
+          .otherwise(lit(0L)).as("rep_permille"),
+        when(col("_ng") > 0, expr("1000L - (_ndg * 1000L) div _ng"))
+          .otherwise(lit(0L)).as("gram_permille"))
+      .groupBy(expr("rep_permille div 100").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rep_permille")).as("min_rep"),
+        max(col("rep_permille")).as("max_rep"),
+        sum(col("gram_permille")).as("sum_gram_permille"))
+
   /** PII scrubbing: redact email addresses and phone-shaped digit runs.
     * Patterns restricted to syntax with identical semantics in Java regex
     * and RE2 (no backrefs/lookarounds), so the oracle can reproduce the

@@ -351,10 +351,25 @@ object Dedup {
     * comp defaulting to the node's own id.
     *
     * Convergence in ≤ graph-diameter rounds (near-dup clusters are
-    * shallow — dup pairs and small chains — so typically 2-3). Lineage is
-    * cut per round with localCheckpoint so the plan does not grow with
-    * iterations. `maxIter` is a safety bound — hitting it throws rather
-    * than returning silently-unconverged labels.
+    * shallow — dup pairs and small chains — so typically 2-3), with two
+    * per-round economies: (a) DELTA propagation — only labels that
+    * changed last round are pushed to neighbors, so after round 1 the
+    * join touches frontier-incident edges, not all of them, and the
+    * terminating round is a near-empty probe instead of a full
+    * propagation+compare; (b) the change test is a narrow filter over
+    * the round's already-materialized output, never a separate
+    * labels⋈labels join. `maxIter` is a safety bound — hitting it
+    * throws rather than returning silently-unconverged labels.
+    *
+    * Lineage/fault story: by default each round is cut with
+    * `localCheckpoint(true)` — eager executor-stored blocks with NO
+    * lineage, the fast choice on a healthy cluster but unrecoverable if
+    * an executor dies mid-propagation. For multi-hour 100 TB dedup runs
+    * pass `checkpointDir = Some(dir)`: every `checkpointEvery`-th round
+    * writes a RELIABLE checkpoint (HDFS/object store) and intermediate
+    * rounds persist WITH lineage, so losing an executor recomputes at
+    * most `checkpointEvery` rounds from the last durable cut instead of
+    * failing the job.
     *
     * Output is keyed by `nodes`: an edge endpoint absent from `nodes`
     * still RELAYS labels (it sits in the frontier, so chains passing
@@ -365,31 +380,68 @@ object Dedup {
     * `comp == id` always keeps exactly one member per cluster. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): DataFrame =
+    connectedComponentsWithRounds(nodes, pairs, idCol, aCol, bCol,
+      maxIter, checkpointDir, checkpointEvery)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds run —
+    * the early-exit witness (a pair-only graph must cost exactly 2: one
+    * full round, one frontier-only probe that finds no changes). */
+  def connectedComponentsWithRounds(nodes: DataFrame, pairs: DataFrame,
+      idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20, checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): (DataFrame, Int) = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    // reliable mode keeps lineage between durable cuts (persist, not
+    // localCheckpoint) so recomputation after executor loss is possible
+    var persistedRounds = List.empty[DataFrame]
+    def materialize(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(_) if round % checkpointEvery == 0 => df.checkpoint()
+      case Some(_) =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        persistedRounds ::= p
+        p
+      case None => df.localCheckpoint(true)
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // symmetric edges ⇒ the src column alone covers every endpoint
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")), 0)
+    // frontier = labels that changed last round; only THEIR neighbors
+    // can improve, so pushing anything else is shuffle waste
+    var frontier = labels
+    var lastRound: DataFrame = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate labels: own + every neighbor's current label
-      val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      val changed = next.alias("n").join(labels.alias("p"), Seq("id"))
-        .filter(col("n.comp") =!= col("p.comp")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val candidates = edges
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("cand"))
+      val next = materialize(
+        labels.join(candidates, Seq("id"), "left")
+          .select(col("id"),
+            when(col("cand") < col("comp"), col("cand"))
+              .otherwise(col("comp")).as("comp"),
+            // null cand (no frontier neighbor) is falsy — unchanged
+            (col("cand") < col("comp")).as("chg")),
+        iter + 1)
+      frontier = next.filter(col("chg")).select(col("id"), col("comp"))
+      converged = frontier.limit(1).count() == 0
+      labels = next.select(col("id"), col("comp"))
+      lastRound = next
       iter += 1
     }
     edges.unpersist()
+    // release intermediate rounds; the FINAL round's frame stays cached —
+    // the returned (lazy) plan reads it, and in reliable mode dropping it
+    // would re-derive every post-checkpoint round on each downstream use
+    persistedRounds.filterNot(_ eq lastRound).foreach(_.unpersist())
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     val nodeLabels = nodes.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("comp", "frontier_comp"), Seq("id"), "left")
@@ -400,7 +452,7 @@ object Dedup {
     // aggregation over the node table, once, after convergence.
     val canon = nodeLabels.groupBy(col("raw_comp"))
       .agg(min(col("id")).as("comp"))
-    nodeLabels.join(canon, Seq("raw_comp")).select(col("id"), col("comp"))
+    (nodeLabels.join(canon, Seq("raw_comp")).select(col("id"), col("comp")), iter)
   }
 
   /** The keep-policy over [[connectedComponents]]: retain only each

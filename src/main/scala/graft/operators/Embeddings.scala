@@ -44,7 +44,9 @@ object Embeddings {
 
   /** Pure-HOF formulation — parity witness for [[quantizeInt8]]. The
     * explicit floor(x/scale + 0.5) half-up formula (never an engine
-    * round()) and greatest-skips-null max fold define the contract. */
+    * round()) and greatest-skips-null max fold define the contract.
+    * A NULL input vector yields a NULL struct (matching the kernel's
+    * null-safe eval), not struct(NULL, 0.0). */
   def quantizeInt8Declarative(vec: Column): Column = {
     val maxabs = aggregate(transform(vec, x => abs(x.cast("double"))),
       lit(0.0), (acc, v) => greatest(acc, v))
@@ -53,7 +55,7 @@ object Embeddings {
       when(x.isNull, lit(null).cast("int"))
         .when(scale > 0, floor(x.cast("double") / scale + lit(0.5)).cast("int"))
         .otherwise(lit(0)))
-    struct(codes.as("codes"), scale.as("scale"))
+    when(vec.isNotNull, struct(codes.as("codes"), scale.as("scale")))
   }
 
   /** The storage form of [[quantizeInt8]]: codes narrowed to
@@ -77,12 +79,18 @@ object Embeddings {
   /** Per-dimension max-abs across the corpus, as a driver-side literal
     * vector (dims are a plan-time constant, like the IVF centroids and
     * LSH sign matrix). One narrow aggregation pass: posexplode → max per
-    * pos — order-independent, so partitioning never changes the scales. */
+    * pos — order-independent, so partitioning never changes the scales.
+    * A dimension that is NULL in every vector (max() → NULL) or whose
+    * max is NaN gets scale 0.0 — its codes then take the degenerate
+    * 0/NULL branch instead of throwing or poisoning the literal. */
   def perDimScales(df: DataFrame, vecCol: String = "embedding"): Seq[Double] =
     df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("pos")).agg(max(abs(col("v").cast("double"))).as("m"))
       .orderBy(col("pos")).collect()
-      .map { r => val m = r.getDouble(1); if (m > 0) m / 127.0 else 0.0 }
+      .map { r =>
+        val m = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+        if (m > 0) m / 127.0 else 0.0 // Java semantics: NaN > 0 false → 0.0
+      }
       .toSeq
 
   /** Per-dimension (per-channel) int8 quantization: scale_d =

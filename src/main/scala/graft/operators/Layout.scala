@@ -22,9 +22,10 @@ object Layout {
   /** Interleave the low `bits` of `a` (even positions) and `b` (odd
     * positions) into one z-code. Inputs must be non-negative. The k = 2
     * case of [[mortonCodeN]] (position 2i / 2i+1 ≡ i·2 + d). */
-  def mortonCode(a: Column, b: Column, bits: Int = 21): Column = {
+  def mortonCode(a: Column, b: Column, bits: Int = 21,
+      validate: Boolean = false): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    mortonCodeN(Seq(a, b), bits)
+    mortonCodeN(Seq(a, b), bits, validate)
   }
 
   /** Recover dimension `dim` (0 = even bits, 1 = odd bits) from a
@@ -36,15 +37,27 @@ object Layout {
 
   /** k-dimensional Morton interleave: bit i of dimension d lands at
     * code position i*k + d. `bits * dims` must stay ≤ 62 (non-negative
-    * long). The 2-dim [[mortonCode]] is the k = 2 special case. */
-  def mortonCodeN(cols: Seq[Column], bits: Int): Column = {
+    * long). Values ≥ 2^bits contribute only their low bits (documented
+    * bucketing contract); NEGATIVE values would silently interleave
+    * two's-complement low bits into codes that neither round-trip nor
+    * cluster — pass `validate = true` to fail the task instead (one
+    * codegen'd comparison per dim per row; the z-writer turns it on).
+    * The 2-dim [[mortonCode]] is the k = 2 special case. */
+  def mortonCodeN(cols: Seq[Column], bits: Int,
+      validate: Boolean = false): Column = {
     require(cols.size >= 2, "need at least 2 dimensions")
     require(bits > 0 && bits * cols.size <= 62,
       s"bits*dims must be in (0, 62], got ${bits * cols.size}")
     val k = cols.size
-    cols.zipWithIndex.flatMap { case (c, d) =>
+    val checked = cols.map { c =>
+      if (!validate) c.cast("long")
+      else when(c.cast("long") < 0, raise_error(concat(
+        lit("mortonCodeN: negative dimension value "), c.cast("string"))))
+        .otherwise(c.cast("long"))
+    }
+    checked.zipWithIndex.flatMap { case (c, d) =>
       (0 until bits).map { i =>
-        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + d)
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + d)
       }
     }.reduce(_ bitwiseOR _)
   }
@@ -68,11 +81,13 @@ object Layout {
       numFiles: Int, bits: Int = 21): String =
     zorderWriteN(df, Seq(dimA, dimB), path, numFiles, bits)
 
-  /** k-dimensional [[zorderWrite]] via [[mortonCodeN]] (bits·dims ≤ 62). */
+  /** k-dimensional [[zorderWrite]] via [[mortonCodeN]] (bits·dims ≤ 62).
+    * Dimension values are validated non-negative — a silent layout
+    * corruption at write time costs every future scan. */
   def zorderWriteN(df: DataFrame, dims: Seq[Column], path: String,
       numFiles: Int, bits: Int): String = {
     require(numFiles > 0)
-    val coded = df.withColumn("__z", mortonCodeN(dims, bits))
+    val coded = df.withColumn("__z", mortonCodeN(dims, bits, validate = true))
     coded.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

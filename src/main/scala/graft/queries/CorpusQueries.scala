@@ -564,6 +564,38 @@ object CorpusQueries {
             .otherwise(lit(0L)))
         .drop("_nt", "_nd")
         .orderBy(col("doc_id"))
+    },
+
+    // The hash-green companion of q88: the deflate kernel has no DuckDB
+    // equivalent, so the compression-quality component is ALSO verified
+    // through this oracled proxy — token-repetition and distinct-2-gram
+    // redundancy permille (integer-exact cross-engine), banded by
+    // permille decile. Same signal intent: redundant text compresses
+    // well AND repeats tokens/grams; the banded histogram is the
+    // keep/drop decision surface.
+    "q100_redundancy_bands" -> QueryDef(
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         len($ToksSql) AS n_tokens,
+         |         len(list_distinct($ToksSql)) AS n_distinct,
+         |         len($Grams2Sql) AS n_grams,
+         |         len(list_distinct($Grams2Sql)) AS n_distinct_grams
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens > 0
+         |         THEN 1000 - (n_distinct * 1000) // n_tokens ELSE 0 END AS rep_permille,
+         |    CASE WHEN n_grams > 0
+         |         THEN 1000 - (n_distinct_grams * 1000) // n_grams ELSE 0 END AS gram_permille
+         |  FROM base)
+         |SELECT CAST(rep_permille // 100 AS BIGINT) AS band,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(min(rep_permille) AS BIGINT) AS min_rep,
+         |       CAST(max(rep_permille) AS BIGINT) AS max_rep,
+         |       CAST(sum(gram_permille) AS BIGINT) AS sum_gram_permille
+         |FROM p GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      CorpusOps.redundancyBands(Tables(s, dir).documents)
+        .orderBy(col("band"))
     }
   )
 }

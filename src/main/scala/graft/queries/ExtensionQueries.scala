@@ -181,7 +181,10 @@ object ExtensionQueries {
         |        CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0.0 END AS scale
         |      FROM m),
         |c AS (SELECT vec_id, scale,
-        |        CASE WHEN scale > 0
+        |        CASE WHEN isnan(scale)
+        |             THEN list_transform(embedding,
+        |                  x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END)
+        |             WHEN scale > 0
         |             THEN list_transform(embedding,
         |                  x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
         |             ELSE list_transform(embedding,
@@ -216,7 +219,8 @@ object ExtensionQueries {
       """WITH s AS (SELECT i AS pos,
         |        max(abs(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE))) AS m
         |      FROM embeddings, unnest(range(len(embedding))) AS u(i) GROUP BY 1),
-        |sc AS (SELECT pos, CASE WHEN m > 0 THEN m / 127.0 ELSE 0.0 END AS scale
+        |sc AS (SELECT pos, CASE WHEN m > 0 AND NOT isnan(m)
+        |                        THEN m / 127.0 ELSE 0.0 END AS scale
         |       FROM s),
         |x AS (SELECT vec_id, i AS pos,
         |        CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) AS v

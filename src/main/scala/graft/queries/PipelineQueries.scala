@@ -354,7 +354,10 @@ object PipelineQueries {
          |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
          |  embedding FROM embeddings),
          |qz AS (SELECT vec_id,
-         |  CASE WHEN maxabs > 0
+         |  CASE WHEN isnan(maxabs)
+         |    THEN list_transform(embedding,
+         |         x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END)
+         |    WHEN maxabs > 0
          |    THEN list_transform(embedding,
          |         x -> CAST(floor(CAST(x AS DOUBLE) / (maxabs/127.0) + 0.5) AS INT))
          |    ELSE list_transform(embedding,

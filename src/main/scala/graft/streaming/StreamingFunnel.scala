@@ -40,29 +40,72 @@ object StreamingFunnel {
     progress.groupBy(org.apache.spark.sql.functions.col("step"))
       .count().withColumnRenamed("count", "n_users")
 
-  def advance(events: Dataset[FunnelEvent], numSteps: Int)
-      : Dataset[FunnelProgress] = {
+  /** Advance per-user funnel state over micro-batches.
+    *
+    * State lifetime: with `ttlMillis = None` state lives forever (the
+    * RateLimiter/JobRegistry stance — fine for bounded key universes,
+    * unbounded growth otherwise). Funnels have a natural horizon — the
+    * conversion window — so pass `ttlMillis = Some(windowMillis)` to
+    * expire a user once the event-time watermark passes
+    * `anchor + ttlMillis`, where the anchor is the user's step-1 time
+    * (an abandoned funnel) or, for users yet to complete step 1, their
+    * latest seen event time. Requires `events.withWatermark("ts", ...)`
+    * upstream (EventTimeTimeout contract). After expiry the funnel is
+    * RESTARTABLE: a fresh step-1 event begins a new attempt and emits a
+    * new progress row — [[curve]] then counts attempts, not distinct
+    * users, which is the honest reading once state is bounded.
+    *
+    * Cross-batch disorder contract (pinned by spec): a step-k event
+    * delivered in an EARLIER micro-batch than its step-(k-1) predecessor
+    * is NOT buffered — the user advances only if a later step-k event
+    * arrives. Streaming progress is therefore a lower bound on the batch
+    * funnel over the same events; within one batch, ts-sorting absorbs
+    * disorder exactly like the batch operator. */
+  def advance(events: Dataset[FunnelEvent], numSteps: Int,
+      ttlMillis: Option[Long] = None): Dataset[FunnelProgress] = {
     require(numSteps > 0)
+    require(ttlMillis.forall(_ > 0), "ttlMillis must be positive")
     implicit val evEnc = Encoders.product[FunnelEvent]
     implicit val stEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[FunnelProgress]
+    val timeoutConf =
+      if (ttlMillis.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.userId)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var done = state.getOption.map(_.stepTsMillis).getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
-          // sort the batch's group by event time so intra-batch disorder
-          // cannot skip a step that arrived "late" within the same batch
-          evs.toSeq.sortBy(e => (e.ts.getTime, e.step)).foreach { e =>
-            val next = done.length + 1
-            if (next <= numSteps && e.step == next &&
-                (done.isEmpty || e.ts.getTime > done.last)) {
-              done = done :+ e.ts.getTime
-              out += FunnelProgress(uid, e.step, e.ts)
+          if (state.hasTimedOut) {
+            // conversion window lapsed with no further progress: drop the
+            // abandoned funnel (state is what's bounded; emitted progress
+            // rows stand — the no-retraction stance)
+            state.remove()
+            Iterator.empty
+          } else {
+            var done = state.getOption.map(_.stepTsMillis).getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
+            var latestSeen = 0L
+            // sort the batch's group by event time so intra-batch disorder
+            // cannot skip a step that arrived "late" within the same batch
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.step)).foreach { e =>
+              if (e.ts.getTime > latestSeen) latestSeen = e.ts.getTime
+              val next = done.length + 1
+              if (next <= numSteps && e.step == next &&
+                  (done.isEmpty || e.ts.getTime > done.last)) {
+                done = done :+ e.ts.getTime
+                out += FunnelProgress(uid, e.step, e.ts)
+              }
             }
+            state.update(FunnelState(done))
+            ttlMillis.foreach { ttl =>
+              val anchor = done.headOption.getOrElse(latestSeen)
+              // setTimeoutTimestamp rejects values at or below the current
+              // watermark; clamp so an already-lapsed anchor expires at the
+              // next batch rather than failing the query
+              state.setTimeoutTimestamp(
+                math.max(anchor + ttl, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          state.update(FunnelState(done))
-          out.iterator
       }
   }
 }

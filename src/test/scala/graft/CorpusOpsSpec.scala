@@ -344,6 +344,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(comp == (1L to 5L).map(i => i -> i).toMap)
   }
 
+  test("connected components: pair-only graph exits after 2 rounds") {
+    import graft.operators.Dedup
+    val nodes = (1L to 8L).toDF("id")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(nodes, pairs)
+    val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    // the common near-dup case: one full propagation round, then one
+    // frontier-only probe (3 changed labels, not the whole graph) that
+    // finds nothing to improve — NOT a second full propagate+compare
+    assert(rounds == 2, s"expected early exit after 2 rounds, got $rounds")
+  }
+
+  test("connected components: reliable checkpoint dir, identical components") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val nodes = (1L to 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("id_a", "id_b")
+    val base = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every round durable (pure-checkpoint path)
+    val ck1 = Dedup.connectedComponents(nodes, pairs,
+      checkpointDir = Some(dir), checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ck1 == base)
+    // mixed path: durable every 2nd round, lineage-bearing persist between
+    val ck2 = Dedup.connectedComponents(nodes, pairs,
+      checkpointDir = Some(dir), checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ck2 == base)
+    // the durable cuts were actually written
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data under $dir")
+  }
+
   test("packing: contiguous fill, chunk isolation, long-doc truncation") {
     val docs = Seq(
       (0L, 300L), (1L, 300L), (2L, 300L),     // chunk 0: cum 300/600/900

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ExplainAudit findings frozen as regression tests: each test pins a
+  * plan property that matters at 100 TB — predicate pushdown reaching the
+  * parquet scan, column-pruned ReadSchema, dimension broadcasts, top-N
+  * planned as TakeOrderedAndProject, bounded shuffle counts — so a future
+  * change that un-pushes a filter or adds an exchange fails the suite
+  * instead of the cluster bill. Plan SHAPE is scale-independent; sf0.001
+  * keeps the executed-plan finalization (AQE needs a real run) cheap.
+  *
+  * Broadcast assertions pin the EXPLICIT broadcasts (dimension chains):
+  * at test scale AQE also broadcast-converts fact⋈fact joins, so those
+  * tests assert the absence of a planner HINT rather than the runtime
+  * join strategy, which legitimately differs at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("plan-audit-spec", "4").getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def query(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  /** Executed plan string with AQE finalized on THIS QueryExecution. */
+  private def executed(df: DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def pushed(plan: String): String =
+    "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString("; ")
+
+  private def readSchemas(plan: String): String =
+    "ReadSchema: [^\n]*".r.findAllIn(plan).mkString("; ")
+
+  private def shuffles(executedPlan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(executedPlan).size
+
+  test("q01: status filter pushed to the scan, ReadSchema pruned") {
+    val plan = formatted(query("q01_filter_status"))
+    val pf = pushed(plan)
+    assert(pf.contains("EqualTo(o_orderstatus,F)"), s"pushdown lost: $pf")
+    val rs = readSchemas(plan)
+    // 5 needed columns only — the 4 unused (clerk, priority, comment,
+    // shippriority) must not reach the scan
+    assert(rs.contains("o_orderkey") && rs.contains("o_orderdate"), rs)
+    assert(!rs.contains("o_comment") && !rs.contains("o_clerk"),
+      s"ReadSchema not pruned: $rs")
+  }
+
+  test("q02: time-range AND in-list pushed, ReadSchema pruned") {
+    val plan = formatted(query("q02_filter_time_in"))
+    val pf = pushed(plan)
+    assert(pf.contains("GreaterThanOrEqual(l_shipdate"), s"range lower lost: $pf")
+    assert(pf.contains("LessThan(l_shipdate"), s"range upper lost: $pf")
+    assert(pf.contains("In(l_returnflag"), s"in-list lost: $pf")
+    val rs = readSchemas(plan)
+    assert(!rs.contains("l_comment") && !rs.contains("l_shipinstruct"),
+      s"ReadSchema not pruned: $rs")
+  }
+
+  test("q31: query-side vec_id filter pushed; corpus scan reads only id+vector") {
+    val plan = formatted(query("q31_cosine_topk"))
+    val pf = pushed(plan)
+    assert(pf.contains("LessThan(vec_id,10)"), s"query-side pushdown lost: $pf")
+    val rs = readSchemas(plan)
+    assert(rs.contains("embedding"), rs)
+  }
+
+  test("q12/q46: dimension chain broadcasts explicit; fact joins unhinted") {
+    // q12: nation and region ride explicit broadcast() hints
+    val q12 = executed(query("q12_join_dim_chain"))
+    val bhj = "BroadcastHashJoin".r.findAllIn(q12).size
+    assert(bhj >= 2, s"expected >=2 broadcast joins in q12, got $bhj:\n$q12")
+    // q11/q46 join fact-sized tables: the LOGICAL plan must carry no
+    // broadcast hint (AQE may still broadcast at test scale — that is
+    // the optimizer's call, not a baked-in assumption that breaks at
+    // 100 TB where both sides are huge)
+    Seq("q11_join_fk", "q46_auth_login").foreach { name =>
+      val optimized = query(name).queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("ResolvedHint"),
+        s"$name: unexpected broadcast hint on a fact-sized join")
+    }
+  }
+
+  test("q03/q98: top-N plans as TakeOrderedAndProject, never a global sort") {
+    Seq("q03_top_recent", "q98_key_skew").foreach { name =>
+      val ex = executed(query(name))
+      assert(ex.contains("TakeOrderedAndProject"),
+        s"$name: top-N lost TakeOrderedAndProject:\n$ex")
+    }
+    // q03 must not pay a full global sort for its 100 rows
+    val q03 = executed(query("q03_top_recent"))
+    assert(!q03.contains("Exchange rangepartitioning"),
+      s"q03: global sort snuck in:\n$q03")
+  }
+
+  test("q82/q92: shuffle-exchange budget holds") {
+    // q82 corpus diff: two snapshot scans, md5 fingerprints, ONE id-keyed
+    // join path — the text column never shuffles; budget 4 exchanges
+    // (left/right of the diff join + the summary agg pair)
+    val q82 = shuffles(executed(query("q82_corpus_diff")))
+    assert(q82 <= 4, s"q82 exchange budget blown: $q82 hash exchanges")
+    // q92 funnel: every stage keys on user_id — 3 step aggregations and
+    // their joins must stay within one exchange per step table plus the
+    // final assembly; budget 6
+    val q92 = shuffles(executed(query("q92_event_funnel")))
+    assert(q92 <= 6, s"q92 exchange budget blown: $q92 hash exchanges")
+  }
+}

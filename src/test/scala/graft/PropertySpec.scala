@@ -248,6 +248,13 @@ class PropertySpec extends AnyFunSuite {
     assert(nan.getSeq[Any](0) == Seq(0, 0))
     assert(nan.getSeq[Any](0) == nan.getSeq[Any](2))
     assert(nan.getDouble(1).isNaN && nan.getDouble(3).isNaN)
+    // NULL input vector: BOTH formulations yield a NULL struct (the
+    // witness must not decay to struct(codes=NULL, scale=0.0))
+    val nul = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS v")
+      .select(Embeddings.quantizeInt8(col("v")).as("k"),
+        Embeddings.quantizeInt8Declarative(col("v")).as("d"))
+      .head()
+    assert(nul.isNullAt(0) && nul.isNullAt(1), s"NULL-vec parity: $nul")
   }
 
   test("perDim quantization: partitioning-invariant scales, outlier isolation") {
@@ -280,6 +287,21 @@ class PropertySpec extends AnyFunSuite {
       .select(Embeddings.quantizeInt8(col("embedding")).getField("codes").as("c"))
       .head.getSeq[Int](0)
     assert(collapsed.tail.forall(_ == 0), s"expected collapse, got $collapsed")
+    // a dimension that is NULL in EVERY vector: max() aggregates to NULL
+    // -> scale 0.0 (not an NPE), and its codes take the 0/NULL branch
+    val withNullDim = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))),
+        |  (1L, array(CAST(-2.0 AS FLOAT), CAST(NULL AS FLOAT)))
+        |  AS t(vec_id, embedding)""".stripMargin)
+    val ns = Embeddings.perDimScales(withNullDim)
+    assert(ns.length == 2 && ns(1) == 0.0 && ns(0) > 0.0, ns.toString)
+    val nullCodes = Embeddings.quantizePerDim(withNullDim, ns)
+      .orderBy(col("vec_id")).select(col("codes")).collect()
+      .map(_.getSeq[Any](0))
+    // dim-0 scale = 2/127: 1.0 -> floor(63.5 + 0.5) = 64; -2.0 -> -127
+    assert(nullCodes(0) == Seq(64, null) && nullCodes(1) == Seq(-127, null),
+      nullCodes.mkString(","))
   }
 
   test("meanPool streaming fold: declarative parity, partitioning invariance, skewed group") {

@@ -145,6 +145,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("morton validate: negative dimension fails fast; z-writer validates") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val bad = Seq((3L, -2L)).toDF("a", "b")
+    // unvalidated: the documented low-bits contract silently interleaves
+    // two's-complement bits — the hazard the validate flag exists for
+    assert(bad.select(Layout.mortonCode(col("a"), col("b"), 8)).head.getLong(0) >= 0)
+    val ex = intercept[Exception] {
+      bad.select(Layout.mortonCode(col("a"), col("b"), 8, validate = true)).collect()
+    }
+    assert(exMessageChain(ex).contains("mortonCodeN: negative dimension"),
+      exMessageChain(ex))
+    // the writer validates by default: corrupt layout must not reach disk
+    val out = java.nio.file.Files.createTempDirectory("graft-zneg").toString + "/t"
+    val wex = intercept[Exception] {
+      Layout.zorderWriteN(bad, Seq(col("a"), col("b")), out, numFiles = 2, bits = 8)
+    }
+    assert(exMessageChain(wex).contains("mortonCodeN: negative dimension"),
+      exMessageChain(wex))
+    // nulls still propagate to a null code (validation must not eat them)
+    val nullRow = spark.sql("SELECT CAST(NULL AS BIGINT) AS a, 5L AS b")
+      .select(Layout.mortonCode(col("a"), col("b"), 8, validate = true).as("z"))
+      .head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  private def exMessageChain(e: Throwable): String = {
+    val sb = new StringBuilder
+    var cur = e
+    while (cur != null) { sb.append(cur.getMessage).append(" | "); cur = cur.getCause }
+    sb.toString
+  }
+
   test("zorderWrite keeps BOTH dims' per-file extents narrow") {
     import spark.implicits._
     import graft.operators.Layout

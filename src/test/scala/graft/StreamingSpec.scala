@@ -433,6 +433,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: out-of-order cross-batch contract + event-time TTL") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[FunnelEvent]
+    // conversion window (= state TTL) of one minute, zero watermark delay
+    val q = StreamingFunnel.advance(
+      stream.toDS().withWatermark("ts", "0 seconds"),
+      numSteps = 3, ttlMillis = Some(60000L))
+      .writeStream.format("memory").queryName("funnel_ttl_out")
+      .outputMode("append").start()
+    def rows() = spark.sql("SELECT userId, step FROM funnel_ttl_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    try {
+      // batch 1: u1 starts; u2's step-2 arrives BEFORE its step-1's batch
+      stream.addData(
+        FunnelEvent(1L, 1, ts("2025-01-01 10:00:00")),
+        FunnelEvent(2L, 2, ts("2025-01-01 10:00:30")))
+      q.processAllAvailable()
+      assert(rows().toSet == Set((1L, 1)), "early step-2 is NOT buffered")
+      // batch 2: u2's step-1 lands, and a RE-DELIVERED step-2 — only the
+      // re-delivery advances (the pinned no-buffering contract: streaming
+      // progress is a lower bound on the batch funnel under cross-batch
+      // disorder, recovered exactly by re-delivery)
+      stream.addData(
+        FunnelEvent(2L, 1, ts("2025-01-01 10:00:40")),
+        FunnelEvent(2L, 2, ts("2025-01-01 10:00:50")))
+      q.processAllAvailable()
+      assert(rows().toSet == Set((1L, 1), (2L, 1), (2L, 2)))
+      // batches 3-4: push the watermark past u1's window (10:01:00);
+      // EventTimeTimeout fires in the batch AFTER the watermark passes,
+      // so a second carrier batch lets the expiry actually run
+      stream.addData(FunnelEvent(9L, 1, ts("2025-01-01 10:05:00")))
+      q.processAllAvailable()
+      stream.addData(FunnelEvent(8L, 1, ts("2025-01-01 10:06:00")))
+      q.processAllAvailable()
+      // batch 5: u1's state expired — step-2 no longer advances (the
+      // funnel was abandoned), while a fresh step-1 RESTARTS the funnel
+      // and re-emits a step-1 progress row (attempt semantics under TTL)
+      stream.addData(
+        FunnelEvent(1L, 2, ts("2025-01-01 10:06:30")),
+        FunnelEvent(1L, 1, ts("2025-01-01 10:07:00")))
+      q.processAllAvailable()
+      val u1 = rows().filter(_._1 == 1L)
+      assert(u1.count(_._2 == 1) == 2, s"restart re-emits step 1: ${u1.toSeq}")
+      assert(!u1.exists(_._2 == 2), s"expired funnel must not advance: ${u1.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming funnel curve: running users-per-step in update mode") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
