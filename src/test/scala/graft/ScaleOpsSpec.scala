@@ -75,6 +75,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("funnel over a user-bucketed events table pays ZERO hash exchanges") {
+    import graft.operators.Funnel
+    val steps = Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase"))
+    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("user_id"), col("ts"), col("event_type"))
+    // the SCALE claim behind q92: every funnel stage keys on user_id, so
+    // a user-bucketed event table satisfies every distribution requirement
+    // from the scan — k chained agg+join steps, ZERO shuffles (this
+    // session has broadcasts disabled, so bucketing alone carries it)
+    ScaleOps.writeBucketed(ev, "ev_funnel_bucketed", "user_id", 8)
+    val f = Funnel.funnel(spark.table("ev_funnel_bucketed"), "user_id", "ts", steps)
+    f.queryExecution.toRdd.count()
+    val fPlan = f.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(fPlan).size
+    assert(n == 0, s"bucketed funnel should pay zero hash exchanges, got $n")
+    // sanity of the check: the unbucketed frame DOES shuffle
+    val g = Funnel.funnel(ev, "user_id", "ts", steps)
+    g.queryExecution.toRdd.count()
+    assert("Exchange hashpartitioning".r
+      .findAllIn(g.queryExecution.executedPlan.toString).nonEmpty)
+    // and the results agree (bucketing is layout, not semantics)
+    assert(f.orderBy(col("user_id")).collect().toSeq ==
+      g.orderBy(col("user_id")).collect().toSeq)
+  }
+
   test("sized parquet output: files land near target, data intact") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-sized").toString + "/t"
@@ -176,6 +204,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     var cur = e
     while (cur != null) { sb.append(cur.getMessage).append(" | "); cur = cur.getCause }
     sb.toString
+  }
+
+  test("z-order read side: selective filters skip most data on BOTH dims") {
+    import graft.operators.Layout
+    val base = java.nio.file.Files.createTempDirectory("graft-zskip").toString
+    val grid = spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("x"), (col("id") % 256).as("y"))
+      .repartition(8)
+    val total = 256L * 256L
+    Layout.zorderWrite(grid, col("x"), col("y"), base + "/z", numFiles = 16, bits = 8)
+    // rows EMITTED by the parquet scan = rows of row groups/pages that
+    // survived min/max skipping under the pushed filter — the actual
+    // read-side win, measured from the scan's own metrics
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numOutputRows").value).sum
+    }
+    // 16 z-files tile the grid in ~64x64 blocks: a point filter on either
+    // dim intersects ~one block-row/column ≈ 25% of the data (sampled
+    // range boundaries smear the tiling a bit — allow 45%, still nowhere
+    // near the 100% a mis-sorted layout pays)
+    val zx = scanRows(spark.read.parquet(base + "/z").filter(col("x") === 17))
+    val zy = scanRows(spark.read.parquet(base + "/z").filter(col("y") === 200))
+    assert(zx <= total * 45 / 100, s"x-filter scanned $zx of $total rows")
+    assert(zy <= total * 45 / 100, s"y-filter scanned $zy of $total rows")
+    // the failure mode z-order exists to fix: sort by x ONLY, and a
+    // y-filter's stats ranges cover everything — no skipping at all
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(base + "/xsorted")
+    val sy = scanRows(spark.read.parquet(base + "/xsorted").filter(col("y") === 200))
+    assert(sy >= total * 95 / 100, s"expected ~full scan, got $sy of $total")
+    // file-level view of the same proof: count files whose min/max range
+    // on the filtered dim contains the literal — both dims prune most
+    val stats = spark.read.parquet(base + "/z")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("x")).as("minx"), max(col("x")).as("maxx"),
+        min(col("y")).as("miny"), max(col("y")).as("maxy"))
+      .collect()
+    val nFiles = stats.length
+    val xHit = stats.count(r => r.getLong(1) <= 17 && 17 <= r.getLong(2))
+    val yHit = stats.count(r => r.getLong(3) <= 200 && 200 <= r.getLong(4))
+    assert(xHit < nFiles / 2, s"x=17 hits $xHit of $nFiles files")
+    assert(yHit < nFiles / 2, s"y=200 hits $yHit of $nFiles files")
   }
 
   test("zorderWrite keeps BOTH dims' per-file extents narrow") {
