@@ -11,7 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass repetition statistics: tokenize once, count distinct tokens
   * and word-2-gram occurrences in the same traversal, emit
-  * (n_tokens, n_distinct, n_grams, top_n).
+  * (n_tokens, n_distinct, n_grams, top_n, n_distinct_grams).
   *
   * Value-identical to the declarative explode→count→max pipeline over
   * `TextFunctions.wordShingles(text, 2)` (q69's oracle re-derives that
@@ -30,7 +30,8 @@ case class RepetitionStatsExpr(child: Expression)
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("n_distinct", IntegerType, nullable = false),
     StructField("n_grams", IntegerType, nullable = false),
-    StructField("top_n", LongType, nullable = false)))
+    StructField("top_n", LongType, nullable = false),
+    StructField("n_distinct_grams", IntegerType, nullable = false)))
 
   override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr = copy(c)
   override def prettyName: String = "repetition_stats"
@@ -65,6 +66,7 @@ object RepetitionStatsExpr {
     }
     var nGrams = 0
     var topN = 0L
+    var nDistinctGrams = 0
     if (n >= 2) {
       nGrams = n - 1
       val counts = new java.util.HashMap[String, Long]()
@@ -75,12 +77,14 @@ object RepetitionStatsExpr {
         if (c > topN) topN = c
         j += 1
       }
+      nDistinctGrams = counts.size()
     } else {
       // wordShingles' degenerate branch: one gram = join of all tokens
       nGrams = 1
       topN = 1L
+      nDistinctGrams = 1
     }
-    InternalRow(n, distinct.size, nGrams, topN)
+    InternalRow(n, distinct.size, nGrams, topN, nDistinctGrams)
   }
 
   def of(text: Column): Column = {

@@ -109,6 +109,47 @@ object Dedup {
       .groupBy(col("bk")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > cap)
 
+  /** Candidate-quality report for the LSH banding dial: recall and
+    * precision of band-join CANDIDATES against exact pairwise-Jaccard
+    * ground truth, over a caller-bounded evaluation sample. One row:
+    * (n_true, n_candidates, n_hits, recall_permille, precision_permille),
+    * exact integer permille both engines reproduce.
+    *
+    * This is the engine's ONE deliberate all-pairs computation — an
+    * evaluation harness, not a pipeline operator: you price a
+    * (numHashes, rowsPerBand) setting on a few-hundred-doc sample
+    * BEFORE a 100 TB dedup run, the same way [[graft.operators.IvfAnn
+    * .recallCurve]] prices nprobe. Cost is |sample|² by construction;
+    * the caller supplies the (small) sample and owns that bound. */
+  def lshCandidateQuality(sample: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3)
+      : DataFrame = {
+    val mh = minhashed(sample, idCol, textCol, shingleSize, numHashes,
+      rowsPerBand).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = mh.select(col("id"), col("shingles"))
+    val truth = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        col("id_a") < col("id_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val cand = mh.select(col("id").as("id_a"), explode(col("band_keys")).as("bk"))
+      .join(mh.select(col("id").as("id_b"), explode(col("band_keys")).as("bk")),
+        Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val t = truth.agg(count(lit(1)).as("n_true"))
+    val c = cand.agg(count(lit(1)).as("n_candidates"))
+    val h = truth.join(cand, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hits"))
+    // three 1-row aggregates — broadcast by construction
+    t.crossJoin(broadcast(c)).crossJoin(broadcast(h))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        when(col("n_true") > 0, expr("n_hits * 1000L div n_true"))
+          .otherwise(lit(1000L)).as("recall_permille"),
+        when(col("n_candidates") > 0, expr("n_hits * 1000L div n_candidates"))
+          .otherwise(lit(1000L)).as("precision_permille"))
+  }
+
   /** Exact Jaccard over distinct-shingle arrays — one-pass native kernel
     * ([[jaccardDeclarative]] is the parity witness). */
   def jaccard(a: Column, b: Column): Column =

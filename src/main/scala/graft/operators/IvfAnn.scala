@@ -135,6 +135,52 @@ object IvfAnn {
         .getField("codes"), _.cast("byte")).as("v"),
       col("list_id")))
 
+  /** Recall-vs-nprobe curve: recall@k of the probed index against the
+    * exact brute-force baseline over the SAME corpus, one row per
+    * nprobe — the measurement that prices the accuracy/cost dial before
+    * a 100 TB rollout (each +1 nprobe reads one more list partition per
+    * query). Exact integer permille, deterministic at a fixed build
+    * seed. A diagnostic run over a bounded query batch: the per-point
+    * counts are driver actions by design (like [[graft.core.ScaleOps
+    * .keySkew]], this is something you run once per index build, not
+    * per query). KMeans is not SQL-expressible, so this surface is
+    * spec-pinned (IvfSpec) rather than DuckDB-oracled. */
+  def recallCurve(queries: DataFrame, index: IvfIndex, k: Int,
+      nprobes: Seq[Int], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one nprobe point")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val corpus = index.assignments
+      .select(col("id").as(idCol), col("v").as(vecCol))
+    val truth = Similarity.bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrue = truth.count()
+    val rows = nprobes.sorted.map { np =>
+      val hits = topK(queries, index, k, np, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id")).count()
+      (np, hits, nTrue, if (nTrue > 0) hits * 1000L / nTrue else 1000L)
+    }
+    truth.unpersist()
+    rows.toDF("nprobe", "n_hits", "n_true", "recall_permille")
+  }
+
+  /** The production semantic-dedup entry: the SemDeDup keep policy
+    * ([[Similarity.semanticDedup]]) over a PERSISTED index — centroids
+    * and list-partitioned assignments read from disk, which satisfies
+    * semanticDedup's materialized-frame contract naturally (its four
+    * plan references become pruned parquet re-scans, never a recompute
+    * of the KMeans assignment). The oracled q89 pins the identical
+    * keep-policy math on SQL-replicable LSH clusters; this path swaps
+    * in the learned lists. */
+  def semanticDedupPersisted(spark: SparkSession, path: String,
+      threshold: Double, maxListSize: Option[Int] = None)
+      : (DataFrame, DataFrame) =
+    Similarity.semanticDedup(read(spark, path).assignments, threshold,
+      maxListSize)
+
   /** ANN top-k through the index: probe the nprobe nearest lists.
     *
     * Against a persisted index ([[read]]), the probe equi-join on

@@ -205,6 +205,44 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // LSH banding quality: candidate recall/precision vs exact pairwise
+    // Jaccard over a BOUNDED evaluation sample (doc_id % 100000 < 300
+    // keeps 300 originals + their planted clones) — the measurement that
+    // prices a (numHashes, rowsPerBand) setting before a 100 TB dedup,
+    // the banding analog of q64's ANN recall. The all-pairs ground truth
+    // is the sample's deliberate cost; the pipeline itself never pays it.
+    "q101_lsh_quality" -> QueryDef(
+      s"""WITH corpus AS (SELECT * FROM ($DupDocsSql) dd WHERE doc_id % 100000 < 300),
+         |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
+         |${minhashSigSql(12)},
+         |bands AS (SELECT id,
+         |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |truth AS (SELECT a.id AS id_a, b.id AS id_b
+         |          FROM sh a JOIN sh b ON a.id < b.id
+         |          WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+         |                THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |                     / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+         |                ELSE 0.0 END >= 0.5),
+         |tt AS (SELECT count(*) AS n_true FROM truth),
+         |cc AS (SELECT count(*) AS n_candidates FROM cand),
+         |hh AS (SELECT count(*) AS n_hits
+         |       FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_hits AS BIGINT) AS n_hits,
+         |       CAST(CASE WHEN n_true > 0 THEN n_hits * 1000 // n_true
+         |                 ELSE 1000 END AS BIGINT) AS recall_permille,
+         |       CAST(CASE WHEN n_candidates > 0 THEN n_hits * 1000 // n_candidates
+         |                 ELSE 1000 END AS BIGINT) AS precision_permille
+         |FROM tt, cc, hh""".stripMargin) { (s, dir) =>
+      Dedup.lshCandidateQuality(
+        dupDocs(Tables(s, dir)).filter(col("doc_id") % 100000 < 300),
+        threshold = 0.5)
+    },
+
     // Incremental near-dup: LSH pairs between a new batch (id%3!=0) and
     // the persisted corpus (id%3=0) — the run-over-run admission check
     // against everything already ingested, without re-pairing the whole
@@ -527,8 +565,10 @@ object PipelineQueries {
     // keep policy on top of clustered cosine pruning — drop any vector
     // with a lower-id neighbor at cosine >= 0.99 inside its cluster.
     // Clusters here are the SQL-replicable hyperplane-LSH buckets (the
-    // production path uses IVF k-means lists, spec-verified — KMeans is
-    // not expressible in the oracle; the keep-policy math is identical).
+    // production path is IvfAnn.semanticDedupPersisted — the same keep
+    // policy over a persisted KMeans index, centroids on disk; KMeans is
+    // not expressible in the oracle, so that path is pinned by IvfSpec's
+    // planted-duplicate spec instead; the keep-policy math is identical).
     "q89_semantic_dedup" -> QueryDef(
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings

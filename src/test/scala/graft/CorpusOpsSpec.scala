@@ -231,6 +231,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     // sanity on the edge semantics
     assert(k(900004L)._3 == 1.0 - 1.0 / 6.0)  // heavy repetition
     assert(k(900003L)._1 == 1 && k(900003L)._2 == 1)
+    // the kernel's n_distinct_grams matches the declarative
+    // size(array_distinct(wordShingles)) on the same corpus, incl. the
+    // degenerate single-gram convention for sub-2-token docs
+    val kg = corpus.select(col("doc_id"),
+        graft.functions.RepetitionStatsExpr.of(col("text"))
+          .getField("n_distinct_grams").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dg = corpus.select(col("doc_id"),
+        size(array_distinct(graft.functions.TextFunctions
+          .wordShingles(col("text"), 2))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kg == dg)
+    assert(kg(900004L) == 1 && kg(900003L) == 1 && kg(900005L) == 2)
   }
 
   test("chunking: overlap arithmetic, short docs, empty docs") {

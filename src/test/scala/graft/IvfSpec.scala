@@ -98,6 +98,56 @@ class IvfSpec extends AnyFunSuite {
     assert(back == quant)
   }
 
+  test("recall curve: monotone in nprobe, exact 1000 permille at full probe") {
+    implicit val s: SparkSession = spark
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 10)
+    val index = IvfAnn.build(corpus, nlist = 8) // fixed seed 42
+    val curve = IvfAnn.recallCurve(queries, index, k = 10,
+      nprobes = Seq(1, 2, 4, 8))
+      .orderBy(col("nprobe")).collect()
+      .map(r => r.getInt(0) -> r.getLong(3))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // recall can only improve as more lists are probed
+    curve.sliding(2).foreach { case Array((_, lo), (_, hi)) =>
+      assert(lo <= hi, s"recall not monotone: ${curve.toSeq}")
+    }
+    // nprobe == nlist IS brute force (the q64/IvfSpec invariant) — the
+    // curve must end at exactly 1000 permille, not approximately
+    assert(curve.last._2 == 1000L, s"full probe short of exact: ${curve.toSeq}")
+    // seed-fixed floor at the cheap end (measured 0.60+ at seed 42)
+    assert(curve.head._2 >= 400L, s"nprobe=1 recall collapsed: ${curve.toSeq}")
+    info(s"recall curve (permille): ${curve.toSeq}")
+  }
+
+  test("semantic dedup production path: persisted index, centroids on disk") {
+    implicit val s: SparkSession = spark
+    // the q33/q89 planted corpus: every 10th vector re-appears as an
+    // exact duplicate under a shifted id
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val index = IvfAnn.build(corpus, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sem").toString
+    IvfAnn.write(index, dir)
+    val (kept, skipped) = IvfAnn.semanticDedupPersisted(spark, dir, threshold = 0.99)
+    val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(skipped.count() == 0)
+    // identical survivors to the in-memory assignment path
+    val (memKept, _) = Similarity.semanticDedup(index.assignments, threshold = 0.99)
+    assert(keptIds == memKept.select("id").collect().map(_.getLong(0)).toSet)
+    // every planted duplicate (exact copy -> cosine 1.0) sharing a list
+    // with its lower-id original must be dropped; KMeans puts identical
+    // vectors in the same list, so ALL planted dups go
+    val planted = corpus.filter(col("vec_id") >= 100000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    assert(planted.intersect(keptIds).isEmpty,
+      s"planted dups survived: ${planted.intersect(keptIds).take(5)}")
+    // and no original was over-dropped below the planted count
+    assert(keptIds.size == corpus.count() - planted.size)
+  }
+
   test("refresh absorbs a batch: nearest-list assignment, one Lloyd step") {
     implicit val s: SparkSession = spark
     val old = embeddings.filter(col("vec_id") % 2 === 0)
