@@ -33,7 +33,7 @@ object Bench {
       def attempt(label: String): Option[Double] = {
         val t0 = System.nanoTime()
         try { runOnce(fn); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $label $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           None
         }
@@ -45,29 +45,41 @@ object Bench {
     }.toMap
     spark.sharedState.cacheManager.clearCache()
 
+    // Median of 3 timed passes per query: the official per-query number
+    // must not be one environment stall away from a false 10x regression
+    // (round 4 recorded 9.38 s for a query whose steady-state is 0.97 s).
+    // The median absorbs a single outlier pass in either direction; the
+    // full spread still goes to stderr so a real bimodal query is visible.
+    val timedPasses = 3
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try runOnce(fn)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val t = (System.nanoTime() - t0) / 1e9
-      // deterministic cache release between queries (the dedup pipelines
-      // persist their per-doc signature tables); outside the timed window
-      spark.sharedState.cacheManager.clearCache()
-      name -> t
+      val samples = (1 to timedPasses).map { _ =>
+        val t0 = System.nanoTime()
+        try runOnce(fn)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // deterministic cache release between passes (the dedup pipelines
+        // persist their per-doc signature tables); outside the timed window
+        spark.sharedState.cacheManager.clearCache()
+        t
+      }.sorted
+      name -> samples
     }
-    // warm-vs-timed deltas: a timed run much slower than its warm run
-    // means the timed window absorbed one-time cost — flag it loudly.
-    results.foreach { case (name, timed) =>
+    def median(xs: Seq[Double]): Double = xs(xs.length / 2)
+    // warm-vs-timed deltas: a median much slower than its warm run means
+    // every timed pass absorbed one-time cost — flag it loudly.
+    results.foreach { case (name, samples) =>
+      val timed = median(samples)
       val warm = warmTimes.get(name).flatten
       val flag = warm match {
         case Some(w) if timed > w * 2 && timed - w > 1.0 => "  <-- timed >> warm: first-touch leak?"
-        case None => "  <-- WARM FAILED: timed run includes first-touch cost"
+        case None => "  <-- WARM FAILED: timed runs include first-touch cost"
         case _ => ""
       }
-      System.err.println(f"[bench] $name%-28s warm=${warm.map(w => f"$w%.2f").getOrElse("FAIL")}%-8s timed=$timed%.2f$flag")
+      System.err.println(f"[bench] $name%-28s warm=${warm.map(w => f"$w%.2f").getOrElse("FAIL")}%-8s median=$timed%.2f min=${samples.head}%.2f max=${samples.last}%.2f$flag")
     }
+    val medians = results.map { case (name, samples) => name -> median(samples) }
     // ONE JSON line, field order chosen for tail-truncation survival:
     // the harness preserves a bounded TAIL of this artifact, so the
     // queries map goes FIRST and the headline fields go LAST — a
@@ -75,14 +87,15 @@ object Bench {
     // part of the map (the full map is also in the stderr per-query
     // lines above and in bench_full.json). Millisecond resolution keeps
     // the line as short as the 100-query surface allows.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = f"${medians.map(_._2).sum}%.3f"
     val line =
       s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       line.getBytes("UTF-8"))
-    catch { case _: Throwable => () } // best-effort local copy
+    catch { case scala.util.control.NonFatal(_) => () } // best-effort local copy
     println(line)
     spark.stop()
   }

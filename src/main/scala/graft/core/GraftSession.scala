@@ -44,6 +44,16 @@ object GraftSession {
     f.toString
   }
 
+  /** Per-JVM temp warehouse so `saveAsTable` (bucketed-layout specs and
+    * demos) never writes `spark-warehouse/` into the process CWD. The
+    * engine's durable outputs are always explicit parquet paths; the
+    * catalog is scratch space, so a temp dir is the right default. */
+  private lazy val tempWarehouse: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   def builder(appName: String = "graft", cpus: String = DefaultCpus): SparkSession.Builder =
     SparkSession
       .builder()
@@ -56,6 +66,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.warehouse.dir", tempWarehouse)
       // FAIR task scheduling so concurrent jobs (JobRunner.runConcurrent's
       // spark.scheduler.pool=etl) time-share executors instead of queuing
       // FIFO behind each other; the allocation file makes the etl pool

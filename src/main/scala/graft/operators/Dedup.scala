@@ -138,16 +138,25 @@ object Dedup {
         Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val t = truth.agg(count(lit(1)).as("n_true"))
-    val c = cand.agg(count(lit(1)).as("n_candidates"))
-    val h = truth.join(cand, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hits"))
-    // three 1-row aggregates — broadcast by construction
-    t.crossJoin(broadcast(c)).crossJoin(broadcast(h))
-      .select(col("n_true"), col("n_candidates"), col("n_hits"),
-        when(col("n_true") > 0, expr("n_hits * 1000L div n_true"))
-          .otherwise(lit(1000L)).as("recall_permille"),
-        when(col("n_candidates") > 0, expr("n_hits * 1000L div n_candidates"))
-          .otherwise(lit(1000L)).as("precision_permille"))
+    // the three counts are driver-scale scalars (like recallCurve's):
+    // compute them eagerly so the persisted sample can be unpersisted
+    // HERE instead of leaking cached blocks for the session lifetime,
+    // and so re-running actions on the returned 1-row frame never
+    // re-runs the all-pairs truth join
+    val (nTrue, nCand, nHits) =
+      try {
+        val t = truth.count()
+        val c = cand.count()
+        val h = truth.join(cand, Seq("id_a", "id_b")).count()
+        (t, c, h)
+      } finally mh.unpersist()
+    val recall = if (nTrue > 0) nHits * 1000L / nTrue else 1000L
+    val precision = if (nCand > 0) nHits * 1000L / nCand else 1000L
+    val sess = sample.sparkSession
+    import sess.implicits._
+    Seq((nTrue, nCand, nHits, recall, precision))
+      .toDF("n_true", "n_candidates", "n_hits",
+        "recall_permille", "precision_permille")
   }
 
   /** Exact Jaccard over distinct-shingle arrays — one-pass native kernel
@@ -434,7 +443,13 @@ object Dedup {
       maxIter: Int = 20, checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5): (DataFrame, Int) = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    // only set the context checkpoint dir when none is configured — the
+    // application may have pointed it at durable storage globally, and
+    // silently redirecting every other checkpoint user would be rude
+    checkpointDir.foreach { dir =>
+      val sc = nodes.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
     // reliable mode keeps lineage between durable cuts (persist, not
     // localCheckpoint) so recomputation after executor loss is possible
     var persistedRounds = List.empty[DataFrame]

@@ -46,11 +46,18 @@ object StreamingFunnel {
     * RateLimiter/JobRegistry stance — fine for bounded key universes,
     * unbounded growth otherwise). Funnels have a natural horizon — the
     * conversion window — so pass `ttlMillis = Some(windowMillis)` to
-    * expire a user once the event-time watermark passes
-    * `anchor + ttlMillis`, where the anchor is the user's step-1 time
-    * (an abandoned funnel) or, for users yet to complete step 1, their
-    * latest seen event time. Requires `events.withWatermark("ts", ...)`
-    * upstream (EventTimeTimeout contract). After expiry the funnel is
+    * bound each attempt to `anchor + ttlMillis`, where the anchor is the
+    * user's step-1 time (an abandoned funnel) or, for users yet to
+    * complete step 1, their latest seen event time. The window is
+    * enforced TWICE: state expires via EventTimeTimeout once the
+    * watermark passes the bound (bounding memory), and — because that
+    * timeout only fires on a trigger with no data for the key — every
+    * incoming event is also gated against the bound directly, so a
+    * step-k event event-timed after the window lapsed ends the attempt
+    * instead of converting it (same inclusive `ts - step1_ts <= window`
+    * rule as the batch operator's `windowMillis`). Requires
+    * `events.withWatermark("ts", ...)` upstream (EventTimeTimeout
+    * contract). After expiry the funnel is
     * RESTARTABLE: a fresh step-1 event begins a new attempt and emits a
     * new progress row — [[curve]] then counts attempts, not distinct
     * users, which is the honest reading once state is bounded.
@@ -88,6 +95,18 @@ object StreamingFunnel {
             // cannot skip a step that arrived "late" within the same batch
             evs.toSeq.sortBy(e => (e.ts.getTime, e.step)).foreach { e =>
               if (e.ts.getTime > latestSeen) latestSeen = e.ts.getTime
+              // window enforcement IN the event path, not just at timeout:
+              // EventTimeTimeout only fires on a trigger with no data for
+              // the key, so a step-k event landing after the window lapsed
+              // (but before the timeout fired) must not convert the
+              // abandoned attempt. Same inclusive bound as the batch
+              // operator's windowMillis (ts - step1_ts <= ttl counts).
+              // The lapsed attempt ends here; the event itself is then
+              // processed normally, so a fresh step-1 event restarts.
+              ttlMillis.foreach { ttl =>
+                if (done.nonEmpty && e.ts.getTime > done.head + ttl)
+                  done = Seq.empty
+              }
               val next = done.length + 1
               if (next <= numSteps && e.step == next &&
                   (done.isEmpty || e.ts.getTime > done.last)) {

@@ -17,6 +17,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  /** getOrCreate() may hand back another suite's session whose warehouse
+    * already holds a previous run's table — drop from the catalog AND
+    * delete the location, or the CTAS dies with LOCATION_ALREADY_EXISTS
+    * on any rerun from a dirty worktree. */
+  private def dropBucketedTables(names: String*): Unit = names.foreach { name =>
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, name)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
   test("salted aggregation equals plain aggregation (skewed key)") {
     val li = graft.core.Tables(spark, "/root/testdata/sf0.001").lineitem
     val plain = li.groupBy(col("l_returnflag").as("_key"))
@@ -49,20 +66,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-    // getOrCreate() may hand back another suite's session with its own
-    // warehouse — drop tables AND their locations so re-runs are clean
-    Seq("li_bucketed", "o_bucketed").foreach { name =>
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = new java.io.File(wh, name)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
-    }
+    dropBucketedTables("li_bucketed", "o_bucketed")
     ScaleOps.writeBucketed(t.lineitem, "li_bucketed", "l_orderkey", 8)
     ScaleOps.writeBucketed(t.orders, "o_bucketed", "o_orderkey", 8)
     val joined = spark.table("li_bucketed")
@@ -87,6 +91,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     // a user-bucketed event table satisfies every distribution requirement
     // from the scan — k chained agg+join steps, ZERO shuffles (this
     // session has broadcasts disabled, so bucketing alone carries it)
+    dropBucketedTables("ev_funnel_bucketed")
     ScaleOps.writeBucketed(ev, "ev_funnel_bucketed", "user_id", 8)
     val f = Funnel.funnel(spark.table("ev_funnel_bucketed"), "user_id", "ts", steps)
     f.queryExecution.toRdd.count()
