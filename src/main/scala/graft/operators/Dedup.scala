@@ -124,9 +124,16 @@ object Dedup {
   def lshCandidateQuality(sample: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3)
+      : DataFrame =
+    lshCandidateQualityOf(
+      minhashed(sample, idCol, textCol, shingleSize, numHashes, rowsPerBand),
+      threshold)
+
+  /** [[lshCandidateQuality]] over an already-minhashed sample (e.g. a
+    * filtered slice of a persisted [[graft.sources.MinHashStore]]). */
+  def lshCandidateQualityOf(sampleMh: DataFrame, threshold: Double)
       : DataFrame = {
-    val mh = minhashed(sample, idCol, textCol, shingleSize, numHashes,
-      rowsPerBand).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = sampleMh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = mh.select(col("id"), col("shingles"))
     val truth = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
@@ -152,7 +159,7 @@ object Dedup {
       } finally mh.unpersist()
     val recall = if (nTrue > 0) nHits * 1000L / nTrue else 1000L
     val precision = if (nCand > 0) nHits * 1000L / nCand else 1000L
-    val sess = sample.sparkSession
+    val sess = sampleMh.sparkSession
     import sess.implicits._
     Seq((nTrue, nCand, nHits, recall, precision))
       .toDF("n_true", "n_candidates", "n_hits",
@@ -185,11 +192,21 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     val mh = minhashed(docs, idCol, textCol, shingleSize, numHashes, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupPairsFromMinhashed(mh, threshold, maxBucketSize)
+  }
+
+  /** [[minhashNearDupPairs]] over an ALREADY-minhashed corpus — the form
+    * every downstream consumer should use when a persisted signature
+    * table exists ([[graft.sources.MinHashStore]]): at 100 TB signatures
+    * are computed once at admission and stored; re-digesting the corpus
+    * per consumer (pairing, clustering, quality measurement) pays the
+    * shingle+hash pass k times for no reason. */
+  def nearDupPairsFromMinhashed(mh: DataFrame, threshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame =
     lshCandidatePairs(mh, maxBucketSize)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Bit i (0-based, LSB-first within the first 16 bits) of a token's
     * md5: hex digit i/4, bit (3 - i%4) of that nibble. */
@@ -462,8 +479,15 @@ object Dedup {
         p
       case None => df.localCheckpoint(true)
     }
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // symmetrize with ONE pass over `pairs` (explode, not union): the
+    // pair frame is typically the tail of an expensive LSH+verify
+    // pipeline, and a union of two selections evaluates that pipeline
+    // twice unless exchange reuse happens to fire
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // symmetric edges ⇒ the src column alone covers every endpoint

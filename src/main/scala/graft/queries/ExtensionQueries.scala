@@ -166,6 +166,22 @@ object ExtensionQueries {
         .orderBy(col("g"), col("pos"))
     },
 
+    // IVF recall-vs-nprobe curve as a registered query row: the
+    // measurement that prices the accuracy/cost dial (each +1 nprobe
+    // reads one more list partition per query) before committing an ANN
+    // configuration to a 100 TB corpus. KMeans is not SQL-expressible,
+    // so there is no DuckDB oracle (rows-only row, like q88); the shape
+    // invariants — monotone in nprobe, exactly 1000 permille at full
+    // probe, a seed-fixed floor at nprobe=1 — are pinned by IvfSpec.
+    "q102_ivf_recall" -> QueryDef.noOracle { (s, dir) =>
+      import graft.operators.IvfAnn
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      val e = Tables(s, dir).embeddings
+      val index = IvfAnn.build(e, nlist = 8) // fixed seed 42
+      IvfAnn.recallCurve(e.filter(col("vec_id") < 10), index, k = 10,
+        nprobes = Seq(1, 2, 4, 8)).orderBy(col("nprobe"))
+    },
+
     // Symmetric int8 quantization of the embedding column: per-vector
     // scale = max|x|/127, code = floor(x/scale + 0.5) — the explicit
     // half-up formula, NOT an engine round(), so both engines compute
