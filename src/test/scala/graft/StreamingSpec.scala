@@ -484,6 +484,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed funnel: batch parity with the q96 conversion window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the q96 scenario, streamed: a 60 s conversion window; u1 converts
+    // fully in-window, u2's step-2 lands OUTSIDE the window (must not
+    // convert), u3's step-2 lands at EXACTLY anchor+window (inclusive
+    // bound — must convert). In-order events, no restarts: on this
+    // ground the streaming state machine must equal the batch operator.
+    // batch split at index 5; every batch-2 event sits above batch 1's
+    // closing watermark (10:00:50), so nothing is dropped as late and
+    // the parity ground is purely the window rule
+    val events = Seq(
+      FunnelEvent(1L, 1, ts("2025-01-01 10:00:00")),
+      FunnelEvent(1L, 2, ts("2025-01-01 10:00:30")),
+      FunnelEvent(1L, 3, ts("2025-01-01 10:00:50")),
+      FunnelEvent(2L, 1, ts("2025-01-01 10:00:00")),
+      FunnelEvent(3L, 1, ts("2025-01-01 10:00:40")),
+      FunnelEvent(2L, 2, ts("2025-01-01 10:02:00")),
+      FunnelEvent(3L, 2, ts("2025-01-01 10:01:40")))
+    val stream = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.advance(
+      stream.toDS().withWatermark("ts", "0 seconds"),
+      numSteps = 3, ttlMillis = Some(60000L))
+      .writeStream.format("memory").queryName("funnel_win_out")
+      .outputMode("append").start()
+    try {
+      // two in-order batches so cross-batch state carries
+      stream.addData(events.take(5))
+      q.processAllAvailable()
+      stream.addData(events.drop(5))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT userId, step, ts FROM funnel_win_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getTimestamp(2)).toMap
+      val batch = graft.operators.Funnel.funnel(
+        events.map(e => (e.userId, e.step, e.ts)).toDF("user_id", "step", "ts"),
+        "user_id", "ts",
+        Seq("a" -> (col("step") === 1), "b" -> (col("step") === 2),
+          "c" -> (col("step") === 3)),
+        windowMillis = Some(60000L))
+      val expected = batch.collect().flatMap { r =>
+        Seq(1, 2, 3).flatMap { k =>
+          Option(r.getTimestamp(k)).map(t => (r.getLong(0), k) -> t)
+        }
+      }.toMap
+      assert(streamed == expected,
+        s"streamed=$streamed\nexpected=$expected")
+      // and the specific window semantics the scenario plants
+      assert(streamed.contains((1L, 3)), "u1 converts in-window")
+      assert(!streamed.contains((2L, 2)), "u2 step-2 is outside the window")
+      assert(streamed.contains((3L, 2)), "anchor+window is inclusive")
+    } finally q.stop()
+  }
+
   test("streaming funnel curve: running users-per-step in update mode") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
