@@ -101,6 +101,85 @@ object CorpusOps {
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
 
+  /** Serialized Bloom filter over the (df-capped) benchmark gram set,
+    * keyed on xxhash64 of the gram — the prefilter constant for
+    * [[bloomContamination]]. Built with Spark's distributed
+    * `stat.bloomFilter` aggregation and collected to the driver: the
+    * benchmark side is tiny BY DESIGN (that is the decontamination
+    * premise), so like the LSH sign matrix this is a plan-time constant,
+    * a few hundred KB at fpp=0.03 for a million grams. */
+  def benchGramBloomBytes(bench: DataFrame, n: Int = 8,
+      maxDf: Option[Int] = None, fpp: Double = 0.03,
+      idCol: String = "doc_id", textCol: String = "text"): Array[Byte] = {
+    val hashed = cappedBenchGrams(bench, n, maxDf, idCol, textCol)
+      .select(xxhash64(col("g")).as("h")).distinct()
+    // expectedNumItems needs a real count; one narrow pass over the tiny
+    // bench side, same class of plan-time action as Similarity.dimsOf.
+    val items = math.max(hashed.count(), 1L)
+    val bloom = hashed.stat.bloomFilter("h", items, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Membership predicate against a serialized gram Bloom filter —
+    * Spark's own codegen'd `BloomFilterMightContain` over `xxhash64(g)`,
+    * the exact expression Catalyst's runtime-filter injection plants on
+    * shuffle-join probe sides. No UDF; the filter deserializes once per
+    * task from the literal. */
+  def bloomMightContain(bloomBytes: Array[Byte], g: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(g))))
+  }
+
+  /** Bloom-prefiltered benchmark decontamination — identical OUTPUT to
+    * [[ngramContamination]] (the confirm join removes Bloom false
+    * positives; false negatives are impossible), different SCALE shape:
+    * the corpus side's exploded grams pass a broadcast-sized Bloom
+    * predicate BEFORE the equi-join, so only candidate grams — the
+    * contaminated fraction plus fpp of the corpus — ever shuffle. At
+    * 100 TB this is the difference between shuffling every corpus gram
+    * and shuffling a few percent of them; the plain join form shuffles
+    * the full corpus side no matter how clean it is. */
+  def bloomContamination(train: DataFrame, bench: DataFrame, n: Int = 8,
+      maxDf: Option[Int] = None, fpp: Double = 0.03,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bloomBytes = benchGramBloomBytes(bench, n, maxDf, fpp, idCol, textCol)
+    val tg = train.select(col(idCol).as("train_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+    tg.filter(bloomMightContain(bloomBytes, col("g")))
+      .join(cappedBenchGrams(bench, n, maxDf, idCol, textCol), Seq("g"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Chunk-level exact dedup (paragraph dedup adapted to token-window
+    * chunks, RefinedWeb-style): across the whole corpus, each distinct
+    * chunk fingerprint keeps its FIRST occurrence in (doc_id, chunk_idx)
+    * order; every other occurrence is a duplicate chunk. Emits per-doc
+    * retention accounting — the signal used to rewrite or drop
+    * boilerplate-heavy documents.
+    *
+    * Shape: chunks travel as 32-byte fingerprints (never text); ONE
+    * hash-shuffle by fingerprint ranks occurrences (the per-fingerprint
+    * sort is bounded by that chunk's duplication count), then a doc-keyed
+    * aggregation. No join, no all-pairs path. */
+  def chunkDedup(docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = chunkTokens(docs, size, stride, idCol, textCol)
+    val w = Window.partitionBy(col("chunk_fp"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    chunks.withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_chunks"),
+        sum(when(col("kept"), col("n_chunk_tokens").cast("long"))
+          .otherwise(0L)).as("n_kept_tokens"))
+  }
+
   /** Stable train/val/test assignment from the document id: FNV-1a64 of
     * the id string, taken to an UNSIGNED bucket in [0, 10000) exactly as
     * the feature-flag rollout does (2^64 mod 10000 = 1616 congruence

@@ -452,6 +452,27 @@ object Dedup {
     connectedComponentsWithRounds(nodes, pairs, idCol, aCol, bCol,
       maxIter, checkpointDir, checkpointEvery)._1
 
+  /** Keep-BEST dedup policy over near-dup components: per component,
+    * survive the member with the highest quality score (ties broken by
+    * lowest id — fully deterministic). Complements the keep-first policy
+    * ([[dedupExact]] / the q75 canonical-min representative): keep-first
+    * is cheapest, but a production near-dup pass usually wants to retain
+    * the best-quality copy of each cluster, not the lowest-id one.
+    *
+    * Shape: components (id, comp) join scores (id, score) on id — both
+    * narrow — then ONE map-side-combinable aggregation per component:
+    * argmax as max(struct(score, -id)) so no per-component sort and no
+    * window. Scales as the component table, not the corpus. */
+  def keepBestPerComponent(components: DataFrame, scores: DataFrame,
+      idCol: String = "id", compCol: String = "comp",
+      scoreCol: String = "score"): DataFrame =
+    components.join(scores, Seq(idCol))
+      .groupBy(col(compCol))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negId"))).as("w"))
+      .select(col(compCol), col("w.s").as("kept_score"),
+        (-col("w.negId")).as("kept_id"), col("n_docs"))
+
   /** [[connectedComponents]] plus the number of propagation rounds run —
     * the early-exit witness (a pair-only graph must cost exactly 2: one
     * full round, one frontier-only probe that finds no changes). */

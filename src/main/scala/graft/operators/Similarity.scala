@@ -110,6 +110,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the nearest wrong answers, which carry the most gradient
+    * signal. Same broadcast-query one-corpus-pass plan as
+    * [[bruteForceTopK]]; the label inequality rides the join condition
+    * so excluded candidates never score. At 100 TB the corpus side
+    * streams through one scan per mining batch; swap in the IVF probe
+    * path when the query batch is large. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("n_label"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Approximate top-k over int8-quantized vectors: cosine is
     * scale-invariant, so the per-vector quantization scale cancels and
     * the codes alone score the candidates — the same brute-force plan

@@ -142,6 +142,56 @@ object CorpusQueries {
         .orderBy(col("train_id"), col("bench_id"))
     },
 
+    // Bloom-prefiltered decontamination: SAME answer as the exact join
+    // (the confirm join strips Bloom false positives; false negatives
+    // cannot exist), different scale shape — corpus grams pass a
+    // broadcast Bloom predicate BEFORE any shuffle, so only the
+    // contaminated-plus-fpp fraction of the corpus ever moves. The
+    // oracle is therefore the plain exact-contamination SQL.
+    "q103_bloom_decontamination" -> QueryDef(
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 0),
+         |train AS (SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |bg0 AS (SELECT doc_id AS bench_id, unnest($Grams8Sql) AS g FROM bench),
+         |hot AS (SELECT g FROM bg0 GROUP BY g HAVING count(*) > 20),
+         |bg AS (SELECT * FROM bg0 WHERE g NOT IN (SELECT g FROM hot)),
+         |tg AS (SELECT doc_id AS train_id, unnest($Grams8Sql) AS g FROM train)
+         |SELECT train_id, bench_id, count(*) AS n_shared
+         |FROM tg JOIN bg USING (g)
+         |GROUP BY train_id, bench_id
+         |ORDER BY train_id, bench_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val bench = d.filter(col("doc_id") % 30 === 0).select(col("doc_id"), col("text"))
+      val train = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      CorpusOps.bloomContamination(train, bench, n = 8, maxDf = Some(20),
+        fpp = 0.03)
+        .orderBy(col("train_id"), col("bench_id"))
+    },
+
+    // Chunk-level exact dedup (paragraph dedup over token-window chunks):
+    // first occurrence of each chunk fingerprint in (doc_id, chunk_idx)
+    // order survives; per-doc retention accounting. The oracle re-derives
+    // the q72 chunking then ranks occurrences per fingerprint.
+    "q104_chunk_dedup" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |             ts[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)] AS c
+         |      FROM t, unnest(range((len(ts) - 1) // 48 + 1)) AS u(i)
+         |      WHERE len(ts) > 0),
+         |f AS (SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_toks,
+         |             md5(array_to_string(c, ' ')) AS fp FROM c),
+         |r AS (SELECT doc_id, chunk_idx, n_toks,
+         |             ROW_NUMBER() OVER (PARTITION BY fp
+         |               ORDER BY doc_id ASC, chunk_idx ASC) = 1 AS kept
+         |      FROM f)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+         |       CAST(coalesce(sum(CASE WHEN kept THEN n_toks END), 0) AS BIGINT) AS n_kept_tokens
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.chunkDedup(Tables(s, dir).documents, size = 64, stride = 48)
+        .orderBy(col("doc_id"))
+    },
+
     // Stable hash split: every doc's bucket and train/val/test assignment
     // from FNV-1a64(doc_id) — grows-stable, engine-exact (the q50 kernel).
     "q66_hash_split" -> QueryDef(

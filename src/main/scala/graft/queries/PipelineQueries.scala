@@ -343,6 +343,58 @@ object PipelineQueries {
         .orderBy(col("canonical_id"))
     },
 
+    // Keep-BEST dedup policy over the q75 components: per near-dup
+    // cluster, survive the member with the most tokens (ties -> lowest
+    // id) instead of the lowest-id one — the production retention rule
+    // when copies differ in quality. Argmax is a map-side-combinable
+    // max(struct(score, -id)) — no window, no per-component sort.
+    "q105_component_keep_best" -> QueryDef(
+      s"""WITH RECURSIVE corpus AS ($DupDocsSql),
+         |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
+         |${minhashSigSql(12)},
+         |bands AS (SELECT id, shingles,
+         |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                a.shingles AS sh_a, b.shingles AS sh_b
+         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+         |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+         |       ELSE 0.0 END >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM corpus
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |sc AS (SELECT doc_id AS id, CAST(len($ToksSql) AS BIGINT) AS score
+         |       FROM corpus),
+         |j AS (SELECT comp.comp, comp.id, sc.score FROM comp JOIN sc USING (id)),
+         |best AS (SELECT comp, id, score,
+         |  count(*) OVER (PARTITION BY comp) AS n_docs,
+         |  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY score DESC, id ASC) AS rk
+         |  FROM j)
+         |SELECT comp AS component_id, id AS kept_id, score AS kept_score, n_docs
+         |FROM best WHERE rk = 1 AND n_docs > 1
+         |ORDER BY component_id""".stripMargin) { (s, dir) =>
+      val mh = dupDocsMinhashed(s, dir)
+      val pairs = Dedup.nearDupPairsFromMinhashed(mh,
+        threshold = 0.5, maxBucketSize = Some(100))
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(mh.select(col("id")), pairs)
+      val scores = dupDocs(Tables(s, dir))
+        .select(col("doc_id").as("id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("score"))
+      Dedup.keepBestPerComponent(comps, scores)
+        .filter(col("n_docs") > 1)
+        .select(col("comp").as("component_id"), col("kept_id"),
+          col("kept_score"), col("n_docs"))
+        .orderBy(col("component_id"))
+    },
+
     // SimHash fingerprints + duplicate clusters.
     "q29_simhash" -> QueryDef(
       s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks
@@ -396,6 +448,28 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir).embeddings
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Hard-negative mining for contrastive training: per query vector,
+    // the top-5 most-similar vectors with a DIFFERENT label — the q31
+    // broadcast-query plan with the label inequality riding the join.
+    "q106_hard_negatives" -> QueryDef(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+         |      FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+         |           FROM c JOIN q ON ql <> nl),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.hardNegatives(e.filter(col("vec_id") < 10), e, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cosine"),
           col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))

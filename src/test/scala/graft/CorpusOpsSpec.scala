@@ -40,6 +40,57 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hot.nonEmpty && hot.forall(_.getLong(1) == 30L))
   }
 
+  test("bloom contamination: identical output to exact join, grams pruned") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.core.Tables(spark, dir).documents
+    val bench = d.filter(col("doc_id") % 30 === 0).select(col("doc_id"), col("text"))
+    val train = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+
+    // 1. the Bloom path and the exact path agree row-for-row
+    val exact = CorpusOps.ngramContamination(train, bench, n = 8, maxDf = Some(20))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = CorpusOps.bloomContamination(train, bench, n = 8,
+      maxDf = Some(20), fpp = 0.03)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomed == exact)
+    assert(exact.nonEmpty) // the planted corpus guarantees hits
+
+    // 2. the prefilter actually prunes: candidate grams passing the Bloom
+    // are a small fraction of all train grams (this corpus is mostly
+    // clean), yet include every gram that truly matches.
+    val bytes = CorpusOps.benchGramBloomBytes(bench, n = 8, maxDf = Some(20),
+      fpp = 0.03)
+    val tg = train.select(col("doc_id").as("train_id"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.wordShingles(col("text"), 8))).as("g"))
+    val total = tg.count()
+    val candidates = tg.filter(CorpusOps.bloomMightContain(bytes, col("g"))).count()
+    val trueMatching = tg.join(
+      CorpusOps.benchGramTable(bench, n = 8, maxDf = Some(20)), Seq("g")).count()
+    assert(candidates >= trueMatching)      // no false negatives, ever
+    assert(candidates < total / 2,
+      s"bloom pruned nothing: $candidates of $total grams passed")
+  }
+
+  test("chunk dedup: first occurrence survives, within and across docs") {
+    // doc 1: chunk A + chunk B; doc 2: chunk A again (cross-doc dup) +
+    // chunk C; doc 3: two copies of chunk D (within-doc dup at stride
+    // boundaries). size=stride=4 -> non-overlapping 4-token chunks.
+    val a = "w1 w2 w3 w4"; val b = "x1 x2 x3 x4"
+    val c = "y1 y2 y3 y4"; val d = "z1 z2 z3 z4"
+    val docs = Seq(
+      (1L, s"$a $b"),
+      (2L, s"$a $c"),
+      (3L, s"$d $d")).toDF("doc_id", "text")
+    val out = CorpusOps.chunkDedup(docs, size = 4, stride = 4)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, 2L, 2L, 8L)))  // both chunks novel
+    assert(out(1) == ((2L, 2L, 1L, 4L)))  // chunk A lost to doc 1
+    assert(out(2) == ((3L, 2L, 1L, 4L)))  // second D lost to the first
+  }
+
   test("streaming contamination gate flags docs against a static bench table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext

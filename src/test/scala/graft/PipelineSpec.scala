@@ -383,6 +383,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best component policy: argmax score, ties to lowest id") {
+    import spark.implicits._
+    // comp 10: scores 5 < 9 -> keep id 12; comp 20: tie at 7 -> keep the
+    // LOWER id 21; comp 30: singleton
+    val comps = Seq((11L, 10L), (12L, 10L), (21L, 20L), (22L, 20L), (31L, 30L))
+      .toDF("id", "comp")
+    val scores = Seq((11L, 5L), (12L, 9L), (21L, 7L), (22L, 7L), (31L, 1L))
+      .toDF("id", "score")
+    val out = Dedup.keepBestPerComponent(comps, scores)
+      .orderBy(col("comp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 9L, 12L, 2L), (20L, 7L, 21L, 2L), (30L, 1L, 31L, 1L)))
+  }
+
+  test("hard negatives exclude same-label neighbors entirely") {
+    val e = embeddings
+    val out = Similarity.hardNegatives(e.filter(col("vec_id") < 10), e, k = 5)
+    // join back the labels: every (query, neighbor) pair must differ
+    val q = e.select(col("vec_id").as("query_id"), col("label").as("ql"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("label").as("nl"))
+    val sameLabel = out.join(q, "query_id").join(n, "neighbor_id")
+      .filter(col("ql") === col("nl")).count()
+    assert(sameLabel == 0L)
+    // and each query got a full k (corpus has both labels at sf0.001)
+    val perQuery = out.groupBy(col("query_id")).count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == 5L))
+    // the top hard negative is the brute-force top-1 after filtering:
+    // ranks within a query strictly increase with falling cosine
+    val bad = out.as("a").join(out.as("b"),
+      col("a.query_id") === col("b.query_id") &&
+      col("a.rank") < col("b.rank") && col("a.cosine") < col("b.cosine")).count()
+    assert(bad == 0L)
+  }
+
   test("cosine of a vector with itself is ~1.0") {
     val r = embeddings.limit(3)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
