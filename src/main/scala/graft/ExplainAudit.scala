@@ -20,7 +20,9 @@ object ExplainAudit {
         "q83_incremental_neardup", "q84_inverted_index", "q85_pack_segments",
         "q86_source_centroids", "q89_semantic_dedup", "q90_cluster_histogram",
         "q91_embedding_quantize", "q92_event_funnel", "q93_zorder_code",
-        "q94_quantized_topk", "q95_perdim_quantize")
+        "q94_quantized_topk", "q95_perdim_quantize",
+        "q103_bloom_decontamination", "q104_chunk_dedup",
+        "q105_component_keep_best", "q106_hard_negatives")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

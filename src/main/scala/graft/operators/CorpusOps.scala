@@ -192,6 +192,26 @@ object CorpusOps {
       lit(10000L))
   }
 
+  /** Leakage-safe train/val/test split: bucket on the near-dup COMPONENT
+    * canonical id, not the document id, so every member of a duplicate
+    * cluster lands in the same split — the guard against the classic
+    * eval leak where a near-copy of a test doc sits in train. Input is
+    * the (id, comp) frame from [[Dedup.connectedComponents]] (singletons
+    * have comp = id, so unclustered docs split exactly like [[hashSplit]]
+    * on their component id). Same FNV-1a64 permille arithmetic as
+    * [[splitBucket]]; narrow projection, no shuffle beyond the component
+    * computation itself. */
+  def leakageSafeSplit(components: DataFrame, idCol: String = "id",
+      compCol: String = "comp", testPermille: Int = 500,
+      valPermille: Int = 500): DataFrame = {
+    val b = splitBucket(col(compCol))
+    components.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < testPermille, "test")
+          .when(col("bucket") < testPermille + valPermille, "val")
+          .otherwise("train"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String = "doc_id",
       testPermille: Int = 500, valPermille: Int = 500): DataFrame = {
     val b = splitBucket(col(idCol))

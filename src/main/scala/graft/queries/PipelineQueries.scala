@@ -70,6 +70,20 @@ object PipelineQueries {
        |         % 2305843009213693951 AS BIGINT))) AS VARCHAR)) AS signature FROM hv)""".stripMargin
   }
 
+  /** The FNV-1a64 HUGEINT fold over a string expression, reduced to the
+    * UNSIGNED bucket in [0, 10000) — mirrors
+    * [[graft.operators.CorpusOps.splitBucket]] (same SQL as the q66
+    * oracle; the 1616 congruence shift is absorbed by the unsigned
+    * HUGEINT fold here). */
+  private def fnvBucketSql(s: String): String =
+    s"""CAST(list_reduce(
+       |  list_prepend(CAST('1469598103934665603' AS HUGEINT),
+       |    list_transform(range(length($s)),
+       |      i -> CAST(unicode(substr($s, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+       |  (h, c) -> (xor(h, c) * CAST('1099511628211' AS HUGEINT))
+       |            % CAST('18446744073709551616' AS HUGEINT))
+       |  % 10000 AS BIGINT)""".stripMargin
+
   /** DuckDB word-3-gram distinct shingles (mirrors TextFunctions.wordShingles n=3). */
   private val ShinglesSql =
     s"""list_distinct(CASE WHEN len($ToksSql) >= 3
@@ -393,6 +407,49 @@ object PipelineQueries {
         .select(col("comp").as("component_id"), col("kept_id"),
           col("kept_score"), col("n_docs"))
         .orderBy(col("component_id"))
+    },
+
+    // Leakage-safe split: the q66 FNV-1a64 bucket taken on the near-dup
+    // COMPONENT canonical id, so a near-copy of a test doc can never sit
+    // in train — the split every dedup-aware training pipeline actually
+    // ships. Singleton comp = id, so clean docs split like plain
+    // hashSplit on their own id.
+    "q107_leakage_safe_split" -> QueryDef(
+      s"""WITH RECURSIVE corpus AS ($DupDocsSql),
+         |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
+         |${minhashSigSql(12)},
+         |bands AS (SELECT id, shingles,
+         |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                a.shingles AS sh_a, b.shingles AS sh_b
+         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+         |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+         |       ELSE 0.0 END >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM corpus
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT id, comp,
+         |       ${fnvBucketSql("CAST(comp AS VARCHAR)")} AS bucket,
+         |       CASE WHEN ${fnvBucketSql("CAST(comp AS VARCHAR)")} < 500 THEN 'test'
+         |            WHEN ${fnvBucketSql("CAST(comp AS VARCHAR)")} < 1000 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM comp ORDER BY id""".stripMargin) { (s, dir) =>
+      val mh = dupDocsMinhashed(s, dir)
+      val pairs = Dedup.nearDupPairsFromMinhashed(mh,
+        threshold = 0.5, maxBucketSize = Some(100))
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(mh.select(col("id")), pairs)
+      graft.operators.CorpusOps.leakageSafeSplit(comps)
+        .select(col("id"), col("comp"), col("bucket"), col("split"))
+        .orderBy(col("id"))
     },
 
     // SimHash fingerprints + duplicate clusters.

@@ -121,4 +121,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q92 shuffles on more than user_id: $keys")
     assert(keys.size <= 12, s"q92 exchange count canary blown: ${keys.size}")
   }
+
+  test("q103: bloom prefilter sits between gram explode and the shuffle") {
+    // The 100 TB claim of bloomContamination is that corpus grams are
+    // Bloom-filtered BEFORE they shuffle for the confirm join. In the
+    // executed plan (printed root-down) that is: ... Exchange ->
+    // Filter(might_contain) -> Generate(explode) -> scan, i.e. no
+    // Exchange may appear between the bloom predicate and the explode
+    // feeding it.
+    val plan = executed(query("q103_bloom_decontamination"))
+    val mcIdx = plan.indexOf("might_contain")
+    assert(mcIdx >= 0, "bloom predicate missing from the executed plan")
+    val below = plan.substring(mcIdx)
+    val genIdx = below.indexOf("Generate explode")
+    assert(genIdx >= 0, "gram explode not below the bloom filter")
+    assert(!below.substring(0, genIdx).contains("Exchange"),
+      "an Exchange sits between the bloom filter and the gram explode — " +
+        "the prefilter is no longer pre-shuffle")
+  }
 }
