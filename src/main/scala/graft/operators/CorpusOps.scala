@@ -156,6 +156,26 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Doc-level Bloom admission gate: drop any document at least one of
+    * whose n-grams MIGHT be in the benchmark filter. Like
+    * [[contaminationGate]] this is a pure per-row predicate (legal in any
+    * streaming position — no join, no regrouping), but the broadcast
+    * payload is the fixed-size filter from [[benchGramBloomBytes]] /
+    * [[graft.sources.BloomStore]] instead of a literal gram list that
+    * grows with the benchmark suite.
+    *
+    * Semantics: CONSERVATIVE. False negatives are impossible (every truly
+    * contaminated doc is dropped); false positives drop clean docs at
+    * ~fpp per gram-lookup worst case — the standard trade for a
+    * decontamination admission filter, where dropping a few clean docs
+    * is free and admitting a contaminated one is not. Batch pipelines
+    * that cannot afford the FP loss should confirm with
+    * [[bloomContamination]] (prefilter + exact join) instead. */
+  def bloomContaminationGate(docs: DataFrame, bloomBytes: Array[Byte],
+      n: Int = 8, textCol: String = "text"): DataFrame =
+    docs.filter(!exists(TextFunctions.wordShingles(col(textCol), n),
+      g => bloomMightContain(bloomBytes, g)))
+
   /** Chunk-level exact dedup (paragraph dedup adapted to token-window
     * chunks, RefinedWeb-style): across the whole corpus, each distinct
     * chunk fingerprint keeps its FIRST occurrence in (doc_id, chunk_idx)

@@ -192,6 +192,40 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Doc-level decontaminated ADMISSION, bloom-prefiltered: only docs
+    // the Bloom filter flags as possibly-contaminated enter the exact
+    // confirm join; the admitted set equals the exact anti-join (the
+    // oracle), because the confirm strips Bloom false positives and
+    // false negatives cannot exist. Bench docs are drawn from the corpus
+    // itself, so each is its own guaranteed contamination hit.
+    "q108_bloom_admission" -> QueryDef(
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 0),
+         |bg0 AS (SELECT doc_id AS bench_id, unnest($Grams8Sql) AS g FROM bench),
+         |hot AS (SELECT g FROM bg0 GROUP BY g HAVING count(*) > 20),
+         |bg AS (SELECT * FROM bg0 WHERE g NOT IN (SELECT g FROM hot)),
+         |dg AS (SELECT doc_id, unnest($Grams8Sql) AS g FROM documents),
+         |bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (g))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val bench = d.filter(col("doc_id") % 30 === 0).select(col("doc_id"), col("text"))
+      val bytes = CorpusOps.benchGramBloomBytes(bench, n = 8, maxDf = Some(20),
+        fpp = 0.03)
+      // bloom marks candidate DOCS (per-row predicate, no shuffle);
+      // only those explode into the exact confirm join
+      val candidates = d.filter(exists(
+        graft.functions.TextFunctions.wordShingles(col("text"), 8),
+        g => CorpusOps.bloomMightContain(bytes, g)))
+      val confirmed = CorpusOps.contaminationMatches(
+        candidates.select(col("doc_id"), col("text")),
+        CorpusOps.benchGramTable(bench, n = 8, maxDf = Some(20)), n = 8)
+        .select(col("doc_id")).distinct()
+      d.join(confirmed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Stable hash split: every doc's bucket and train/val/test assignment
     // from FNV-1a64(doc_id) — grows-stable, engine-exact (the q50 kernel).
     "q66_hash_split" -> QueryDef(

@@ -73,6 +73,54 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"bloom pruned nothing: $candidates of $total grams passed")
   }
 
+  test("bloom store round-trips; gate is conservative and streaming-legal") {
+    val bench = Seq(
+      (100L, "a very specific secret eval question about spark internals here"))
+      .toDF("doc_id", "text")
+    val bytes = CorpusOps.benchGramBloomBytes(bench, n = 8, fpp = 0.01)
+
+    // store round-trip through the Hadoop FS API
+    val path = java.nio.file.Files.createTempDirectory("graft-bloomstore")
+      .resolve("bench.bloom").toString
+    graft.sources.BloomStore.write(spark, bytes, path)
+    val back = graft.sources.BloomStore.read(spark, path)
+    assert(java.util.Arrays.equals(bytes, back))
+    // overwrite is atomic-rename, old generation replaced
+    graft.sources.BloomStore.write(spark, bytes ++ Array(0.toByte), path)
+    assert(graft.sources.BloomStore.read(spark, path).length == bytes.length + 1)
+
+    // gate: the contaminated doc ALWAYS drops (no false negatives);
+    // this fixture's clean docs pass (deterministic given fixed data)
+    val docs = Seq(
+      (1L, "a very specific secret eval question about spark internals here"),
+      (2L, "totally unrelated clean text with nothing shared at all okay"),
+      (3L, "another clean document about entirely different things to discuss today"))
+      .toDF("doc_id", "text")
+    val admitted = CorpusOps.bloomContaminationGate(docs, back, n = 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(1L))
+    assert(admitted == Set(2L, 3L))
+
+    // streaming position: the gate is a per-row predicate, so it plans
+    // inside a streaming query with no stateful operator
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = CorpusOps.bloomContaminationGate(
+      stream.toDF().toDF("doc_id", "text"), back, n = 8)
+      .writeStream.format("memory").queryName("bloom_gate_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "a very specific secret eval question about spark internals here"),
+        (2L, "totally unrelated clean text with nothing shared at all okay"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM bloom_gate_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L))
+    } finally q.stop()
+  }
+
   test("chunk dedup: first occurrence survives, within and across docs") {
     // doc 1: chunk A + chunk B; doc 2: chunk A again (cross-doc dup) +
     // chunk C; doc 3: two copies of chunk D (within-doc dup at stride
