@@ -438,6 +438,28 @@ object CorpusOps {
         col("p90_len"), col("max_len"))
   }
 
+  /** Approximate per-group token-length quantiles — the 100 TB form of
+    * [[lengthQuantiles]]. The exact form ranks every row inside its group
+    * (a full per-group sort: one giant shuffle whose partition sizes are
+    * the strata sizes); this form runs `percentile_approx` — Spark's
+    * Greenwald-Khanna sketch — which is map-side combinable, needs no
+    * sort, and bounds memory at O(accuracy·log n) per group regardless of
+    * corpus size. The GK contract: a returned value's true rank is within
+    * n/accuracy of the target rank. CorpusOpsSpec pins that contract
+    * against the exact operator; the trade is the standard one — pay an
+    * ε rank error to turn a sort into a sketch. */
+  def lengthQuantilesApprox(docs: DataFrame, groupCol: String,
+      accuracy: Int = 1000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol).as("g"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("len"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).as("min_len"),
+        percentile_approx(col("len"), lit(0.5), lit(accuracy)).as("median_len"),
+        percentile_approx(col("len"), lit(0.9), lit(accuracy)).as("p90_len"),
+        max(col("len")).as("max_len"))
+
   /** Deterministic stratified sample: the k docs per group with the
     * smallest md5(id) — hash order is uniform but stable, so the sample
     * never changes across runs or engines. The per-group top-k runs as a

@@ -462,6 +462,16 @@ object CorpusQueries {
         .orderBy(col("g"))
     },
 
+    // GK-sketch approximate quantiles — the 100 TB form of q73 (no
+    // per-group sort; map-side combinable). No SQL oracle: DuckDB's
+    // approx_quantile is t-digest, a different sketch with different
+    // (valid) answers; the rank-error contract vs the exact operator is
+    // spec-pinned instead (CorpusOpsSpec).
+    "q109_approx_quantiles" -> QueryDef.noOracle { (s, dir) =>
+      CorpusOps.lengthQuantilesApprox(Tables(s, dir).documents, groupCol = "lang")
+        .orderBy(col("g"))
+    },
+
     // Chunked contiguous sequence packing into 512-token windows,
     // 100-doc chunks (the parallel packing shape: global first-fit is
     // sequential; chunks pack independently).

@@ -73,6 +73,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"bloom pruned nothing: $candidates of $total grams passed")
   }
 
+  test("approx length quantiles honor the GK rank-error contract") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables(spark, dir).documents
+    val accuracy = 1000
+    val approx = CorpusOps.lengthQuantilesApprox(docs, "lang", accuracy)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // per group: the true rank of each returned value must be within
+    // n/accuracy (+1 slack for rank-definition off-by-one) of the target
+    val lens = docs.select(col("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    for ((g, sortedLens) <- lens) {
+      val (n, mn, med, p90, mx) = approx(g)
+      assert(n == sortedLens.length && mn == sortedLens.head && mx == sortedLens.last)
+      val tol = n.toDouble / accuracy + 1
+      def rankRange(v: Long): (Int, Int) =  // ranks occupied by value v
+        (sortedLens.indexWhere(_ >= v) + 1, sortedLens.lastIndexWhere(_ <= v) + 1)
+      val (medLo, medHi) = rankRange(med)
+      assert(medLo - tol <= 0.5 * n && 0.5 * n <= medHi + tol,
+        s"$g median $med rank [$medLo,$medHi] vs target ${0.5 * n} +- $tol")
+      val (p90Lo, p90Hi) = rankRange(p90)
+      assert(p90Lo - tol <= 0.9 * n && 0.9 * n <= p90Hi + tol,
+        s"$g p90 $p90 rank [$p90Lo,$p90Hi] vs target ${0.9 * n} +- $tol")
+    }
+  }
+
   test("bloom store round-trips; gate is conservative and streaming-legal") {
     val bench = Seq(
       (100L, "a very specific secret eval question about spark internals here"))
