@@ -460,6 +460,52 @@ object CorpusOps {
         percentile_approx(col("len"), lit(0.9), lit(accuracy)).as("p90_len"),
         max(col("len")).as("max_len"))
 
+  /** Chunk-level dedup with document REWRITE: [[chunkDedup]]'s keep rule
+    * (first corpus-wide occurrence of each chunk fingerprint survives),
+    * but emitting the deduplicated text — each doc reassembled from its
+    * surviving chunks in order — plus the retention counts. This is the
+    * production form of paragraph dedup: the corpus that continues down
+    * the pipeline, not just the accounting.
+    *
+    * Chunks must tile (stride >= size): overlapping chunks share tokens
+    * and cannot be reassembled without double-writing them. A doc whose
+    * every chunk was seen earlier rewrites to the empty string (kept so
+    * the caller's drop policy, not this operator, decides its fate).
+    * Whitespace inside a chunk is normalized to single spaces by the
+    * token round-trip — same convention as the fingerprint itself.
+    *
+    * Scale shape: unlike [[chunkDedup]] the chunk TEXT travels through
+    * the fingerprint shuffle (it must — the output is text); the rows
+    * stay chunk-sized, the window per fingerprint is bounded by that
+    * chunk's duplication count, and the doc-side reassembly groups by
+    * doc_id with a sort_array over O(chunks-per-doc) structs. */
+  def chunkDedupRewrite(docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride >= size, "rewrite needs tiling (non-overlapping) chunks")
+    require(size > 0, "size must be positive")
+    val ts = TextFunctions.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(ts)
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
+        i => slice(ts, i * stride + 1, lit(size))))
+      .otherwise(array())
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("c")).as("chunk_text"))
+      .withColumn("fp", md5(col("chunk_text")))
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    exploded.withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_chunks"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("kept"),
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("text"))
+  }
+
   /** Deterministic stratified sample: the k docs per group with the
     * smallest md5(id) — hash order is uniform but stable, so the sample
     * never changes across runs or engines. The per-group top-k runs as a

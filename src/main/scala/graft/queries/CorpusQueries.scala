@@ -192,6 +192,31 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Chunk dedup with document rewrite: the corpus that continues down
+    // the pipeline — each doc reassembled from its surviving (first-
+    // occurrence) chunks in order. Tiling 48-token chunks.
+    "q110_chunk_dedup_rewrite" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |             ts[CAST(i*48+1 AS INT):CAST(i*48+48 AS INT)] AS c
+         |      FROM t, unnest(range((len(ts) - 1) // 48 + 1)) AS u(i)
+         |      WHERE len(ts) > 0),
+         |f AS (SELECT doc_id, chunk_idx, array_to_string(c, ' ') AS ctext,
+         |             md5(array_to_string(c, ' ')) AS fp FROM c),
+         |r AS (SELECT doc_id, chunk_idx, ctext,
+         |             ROW_NUMBER() OVER (PARTITION BY fp
+         |               ORDER BY doc_id ASC, chunk_idx ASC) = 1 AS kept
+         |      FROM f)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+         |       coalesce(string_agg(CASE WHEN kept THEN ctext END, ' '
+         |                           ORDER BY chunk_idx), '') AS text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.chunkDedupRewrite(Tables(s, dir).documents, size = 48, stride = 48)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept_chunks"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // Doc-level decontaminated ADMISSION, bloom-prefiltered: only docs
     // the Bloom filter flags as possibly-contaminated enter the exact
     // confirm join; the admitted set equals the exact anti-join (the

@@ -167,6 +167,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 2L, 1L, 4L)))  // second D lost to the first
   }
 
+  test("chunk dedup rewrite reassembles survivors in order; rejects overlap") {
+    val a = "w1 w2 w3 w4"; val b = "x1 x2 x3 x4"; val c = "y1 y2 y3 y4"
+    val docs = Seq(
+      (1L, s"$a $b"),          // both survive
+      (2L, s"$c $a $b"),       // a and b lost to doc 1, c survives
+      (3L, s"$b $b")           // both copies lost (doc 1 has b)
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkDedupRewrite(docs, size = 4, stride = 4)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2L, 2L, s"$a $b")))
+    assert(out(1) == ((2L, 3L, 1L, c)))       // order preserved, dups gone
+    assert(out(2) == ((3L, 2L, 0L, "")))      // fully-dup doc -> empty text
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkDedupRewrite(docs, size = 4, stride = 3)
+    }
+  }
+
   test("streaming contamination gate flags docs against a static bench table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
