@@ -506,6 +506,99 @@ object CorpusOps {
           s => s.getField("chunk_text"))).as("text"))
   }
 
+  /** Robust per-group outlier flagging: median/MAD z-score, the outlier
+    * detector that survives the outliers it hunts (mean/stddev move with
+    * the anomaly; median and MAD don't). A row is anomalous when
+    * |x − median| > z · 1.4826 · MAD (1.4826 scales MAD to σ under
+    * normality). Two exact `percentile` aggregations per group — the
+    * right tool for corpus strata (languages, sources); at extreme group
+    * cardinality swap the medians for the GK quantile path
+    * ([[lengthQuantilesApprox]]'s kernel) and keep the same flag rule.
+    * All emitted columns are input integers: the float median/MAD stay
+    * internal, so the output is engine-exact. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val dev = df.join(med, groupCol)
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(_dev, 0.5)").as("_mad"))
+    dev.join(mad, groupCol)
+      .filter(col("_dev") > lit(z) * lit(1.4826) * col("_mad"))
+      .drop("_med", "_dev", "_mad")
+  }
+
+  /** Substring-level exact dedup report: for every document, how many of
+    * its token positions sit inside a duplicated n-token span — a window
+    * of n consecutive tokens that also occurs earlier in the corpus
+    * (earlier = smaller (doc_id, pos); the FIRST occurrence stays clean,
+    * the keep-one convention of suffix-array substring dedup per
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022). Finer than [[chunkDedup]]: chunk dedup only catches
+    * duplication aligned to chunk boundaries; this catches a copied
+    * paragraph at ANY offset.
+    *
+    * Shape, 100 TB honest:
+    *   1. one pass emits the NARROW (fp, doc_id, pos) stream — md5 of
+    *      each n-token window, one hash per position (same budget the
+    *      MinHash shingle pass already pays); text never shuffles;
+    *   2. first occurrence per fp is a map-side-combinable
+    *      min(struct(doc_id, pos)) aggregation — NOT a row_number
+    *      window, so a boilerplate gram repeated a billion times
+    *      combines partially on the map side instead of funneling one
+    *      reducer;
+    *   3. duplicated positions join back on fp (AQE handles residual
+    *      skew), then per-doc interval union via gaps-and-islands: a
+    *      position starts a new island iff it clears the running
+    *      max(pos + n) of everything before it — windows partitioned by
+    *      doc_id, bounded by the doc's own dup positions.
+    * Output per doc: n_tokens, n_dup_tokens (union length of duplicated
+    * spans), n_dup_spans (merged islands), dup_permille (exact integer
+    * div). Docs shorter than n tokens report zero duplication. */
+  def duplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, "span length must be positive")
+    val ts = TextFunctions.tokens(col(textCol))
+    val toks = docs.select(col(idCol).as("doc_id"), ts.as("ts"))
+    val nTok = toks.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("ts")).cast("long").as("n_tokens"))
+    val grams = toks
+      .filter(org.apache.spark.sql.functions.size(col("ts")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("ts")) - n),
+          i => md5(concat_ws(" ", slice(col("ts"), i + 1, lit(n))))))
+        .as(Seq("pos", "fp")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+    val firsts = grams.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = grams.join(firsts, "fp")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islanded = dups
+      .withColumn("new_island",
+        when(col("pos") > coalesce(max(col("pos") + n).over(prevEnd), lit(-1L)),
+          1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val perDoc = islanded.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + n).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("n_dup_tokens"))
+    nTok.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_tokens") === 0, 0L).otherwise(
+          expr("coalesce(n_dup_tokens, CAST(0 AS BIGINT)) * 1000 div n_tokens"))
+          .as("dup_permille"))
+  }
+
   /** Deterministic stratified sample: the k docs per group with the
     * smallest md5(id) — hash order is uniform but stable, so the sample
     * never changes across runs or engines. The per-group top-k runs as a
@@ -519,6 +612,41 @@ object CorpusOps {
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
+  }
+
+  /** Per-source retention cap: keep at most `k` documents per source,
+    * the argtop-k by `scoreCol` (ties broken by lowest id) — the
+    * per-domain cap a web-corpus curation pass applies so no single
+    * site dominates the training mix (the reference has no analog; the
+    * policy mirrors published web-corpus pipelines' per-domain limits).
+    *
+    * Exact and skew-resistant by construction: a plain
+    * `row_number() OVER (PARTITION BY source ...)` funnels every row of
+    * a hot source through ONE reducer — at 100 TB a single crawl domain
+    * can be billions of rows. Instead the top-k runs in two phases on a
+    * NARROW (source, id, score) projection (the text never shuffles):
+    *   1. rank within (source, salt) where salt = pmod(id, saltBuckets)
+    *      — the hot source spreads over `saltBuckets` reducers, and any
+    *      global top-k row is necessarily in its salt-group's top-k;
+    *   2. re-rank the ≤ k·saltBuckets survivors per source — a window
+    *      over a provably tiny frame.
+    * Deterministic salt (id-derived, not partition-derived) keeps the
+    * operator replayable under task retries. Returns (source, id,
+    * score, rank) for the kept docs; join back on id for the text. */
+  def sourceCapTopK(docs: DataFrame, k: Int, scoreCol: String,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0)
+    val narrow = docs.select(col(sourceCol).as("source"),
+      col(idCol).as("id"), col(scoreCol).as("score"))
+    val phase1 = Window.partitionBy(col("source"), pmod(col("id"), lit(saltBuckets)))
+      .orderBy(col("score").desc, col("id").asc)
+    val survivors = narrow.withColumn("_r1", row_number().over(phase1))
+      .filter(col("_r1") <= k).drop("_r1")
+    val phase2 = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("id").asc)
+    survivors.withColumn("rank", row_number().over(phase2))
+      .filter(col("rank") <= k)
   }
 
   /** Per-source quality roll-up: the corpus-health report a mixing/

@@ -72,4 +72,86 @@ object Sketches {
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
     t.collect().map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
   }
+
+  /** The HLL error contract as an oracle-checkable row set: per group,
+    * the EXACT distinct count next to a boolean verdict that the HLL++
+    * estimate landed within `sigmas`·rsd of it (floor of ±1 for tiny
+    * groups, where HLL++ is exact by its sparse mode anyway). The
+    * estimate itself is deliberately NOT a result column — it is
+    * engine-specific — so a value-for-value oracle (which computes the
+    * exact count and asserts the verdict TRUE) verifies the contract
+    * without replicating the sketch. Production uses [[distinctEstimate]]
+    * (no exact companion); this is its correctness witness. */
+  def distinctEstimateChecked(df: DataFrame, groupCol: String,
+      valueCol: String, rsd: Double = 0.05, sigmas: Double = 3.0): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"),
+        approx_count_distinct(col(valueCol), rsd).as("_approx"))
+      .select(col(groupCol), col("exact_distinct"),
+        (abs(col("_approx") - col("exact_distinct")).cast("double") <=
+          greatest(lit(1.0),
+            lit(sigmas * rsd) * col("exact_distinct").cast("double")))
+          .as("hll_ok"))
+
+  /** Mergeable-HLL contract: the property an INCREMENTAL distinct-count
+    * pipeline stands on — union of per-partition sketches ≡ sketch of
+    * the union, so yesterday's persisted sketch plus today's delta
+    * sketch answers "distinct ids to date" without rescanning history.
+    * Per group: the exact distinct count, `merge_consistent` (the
+    * one-shot sketch estimate equals the estimate from uniting
+    * per-(group, sub) sketches — Datasketches HLL union of same-lgK
+    * sketches is lossless, so this must hold EXACTLY), and `hll_ok`
+    * (the estimate within `sigmas`·rsd of exact, rsd ≈ 1.04/√2^lgK,
+    * floored at ±1). Estimates stay OUT of the result columns — a
+    * DuckDB oracle computes the exact count and asserts both verdicts
+    * TRUE, proving the contracts without replicating the sketch. */
+  def hllMergeContract(df: DataFrame, groupCol: String, subCol: String,
+      valueCol: String, lgK: Int = 12, sigmas: Double = 3.0): DataFrame = {
+    val rsd = 1.04 / math.sqrt((1L << lgK).toDouble)
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    val whole = df.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col(valueCol).cast("string"), lit(lgK))).as("_whole"))
+    val merged = df.groupBy(col(groupCol), col(subCol))
+      .agg(hll_sketch_agg(col(valueCol).cast("string"), lit(lgK)).as("_sk"))
+      .groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false))).as("_merged"))
+    exact.join(whole, groupCol).join(merged, groupCol)
+      .select(col(groupCol), col("exact_distinct"),
+        (col("_whole") === col("_merged")).as("merge_consistent"),
+        (abs(col("_whole") - col("exact_distinct")).cast("double") <=
+          greatest(lit(1.0),
+            lit(sigmas * rsd) * col("exact_distinct").cast("double")))
+          .as("hll_ok"))
+  }
+
+  /** The count-min error contract over the exact top-`k` tokens:
+    * (token, exact count, verdict) where the verdict asserts the sketch
+    * estimate never under-counts and over-counts by at most eps·N
+    * (N = total token occurrences) — count-min's two-sided guarantee.
+    * Like [[distinctEstimateChecked]], the estimate stays out of the
+    * result so a DuckDB oracle (exact top-k + literal TRUE) hashes the
+    * contract. The probe terms are the exact top-k — a driver-side
+    * collect bounded by `k`, the same plan-time-constant pattern as the
+    * LSH sign matrix. Two corpus passes (counts, sketch); at 100 TB the
+    * sketch pass is the one you keep and this witness runs on a sample. */
+  def cmsCheckedTopTokens(docs: DataFrame, k: Int, textCol: String = "text",
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(
+      graft.functions.TextFunctions.tokens(col(textCol))).as("t"))
+    val top = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalN = toks.count().max(1L) // the N in the eps·N over-count bound
+    val sketch = countMinSketch(toks, "t", eps, confidence)
+    val checked = top.map { case (tok, exact) =>
+      val est = sketch.estimateCount(tok)
+      (tok, exact, est >= exact && est <= exact + (eps * totalN).ceil.toLong)
+    }
+    import spark.implicits._
+    spark.createDataset(checked.toSeq)
+      .toDF("tok", "exact_n", "cms_ok")
+  }
 }

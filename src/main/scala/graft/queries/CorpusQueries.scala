@@ -52,6 +52,63 @@ object CorpusQueries {
 
   val entries: Map[String, QueryDef] = Map(
 
+    // Substring-level exact dedup (Lee et al. 2022 keep-one semantics):
+    // per doc, tokens covered by a duplicated 16-token window occurring
+    // earlier in the corpus, merged into maximal spans. The oracle
+    // re-derives the position stream, ranks occurrences per fingerprint,
+    // and re-runs the gaps-and-islands interval union in SQL.
+    "q116_dup_spans" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |             md5(array_to_string(ts[CAST(i+1 AS INT):CAST(i+16 AS INT)], ' ')) AS fp
+         |      FROM t, unnest(range(len(ts) - 15)) AS u(i)
+         |      WHERE len(ts) >= 16),
+         |r AS (SELECT doc_id, pos,
+         |             ROW_NUMBER() OVER (PARTITION BY fp
+         |               ORDER BY doc_id ASC, pos ASC) AS rk FROM g),
+         |d AS (SELECT doc_id, pos FROM r WHERE rk > 1),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > coalesce(max(pos + 16) OVER (
+         |               PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS new_island FROM d),
+         |s AS (SELECT doc_id, pos, sum(new_island) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM i),
+         |isl AS (SELECT doc_id, island, min(pos) AS s, max(pos + 16) AS e
+         |        FROM s GROUP BY 1, 2),
+         |a AS (SELECT doc_id, count(*) AS n_dup_spans,
+         |             sum(e - s) AS n_dup_tokens FROM isl GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         |       CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |       CAST(CASE WHEN len(t.ts) = 0 THEN 0
+         |            ELSE (coalesce(a.n_dup_tokens, 0) * 1000) // len(t.ts)
+         |       END AS BIGINT) AS dup_permille
+         |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.duplicatedSpans(Tables(s, dir).documents, n = 16)
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source retention cap: top-5 docs per source by n_chars (the
+    // generic scoreCol) — a hot source never funnels through one
+    // reducer because the rank runs two-phase over (source, salt) then
+    // the ≤ k·saltBuckets survivors. The oracle is the plain one-window
+    // form the operator must equal exactly.
+    "q113_source_cap" -> QueryDef(
+      """WITH r AS (SELECT source, doc_id AS id, n_chars AS score,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |SELECT source, id, score, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      CorpusOps.sourceCapTopK(Tables(s, dir).documents, k = 5,
+        scoreCol = "n_chars")
+        .orderBy(col("source"), col("rank"))
+    },
+
     // Per-source quality roll-up: doc/token totals and per-gate drop
     // counts (short / repetitive / top-2-gram-dominated) with the exact
     // survivor permille. All flags are integer inequalities — engine-

@@ -400,6 +400,106 @@ object ExtensionQueries {
         .orderBy(col("from_type"), col("to_type"))
     },
 
+    // Salted two-stage rollup: the skew-mitigation aggregation must
+    // equal the plain groupBy — the oracle IS the unsalted form. The
+    // decimal cast keeps the two-stage double sum engine-exact.
+    "q111_salted_rollup" -> QueryDef(
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty_sum,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.core.ScaleOps.saltedSumCount(Tables(s, dir).lineitem,
+        col("l_returnflag"), col("l_quantity").cast("decimal(28,2)"),
+        saltBuckets = 16)
+        .select(col("_key").as("l_returnflag"),
+          col("sum").cast("double").as("qty_sum"), col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Salted skew join: replicate-small/salt-big must produce EXACTLY
+    // the plain equi-join's rows — oracle is the plain join. The small
+    // side is a filtered orders slice (the hot-dim case salting exists
+    // for).
+    "q112_salted_join" -> QueryDef(
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderpriority
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 500 = 0
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val hotDim = t.orders.filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      graft.core.ScaleOps.saltedJoin(t.lineitem, hotDim,
+        col("l_orderkey"), col("o_orderkey"), saltBuckets = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderpriority"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // HLL++ error contract, oracle-checked: per language, the exact
+    // distinct doc count and a verdict that the approx_count_distinct
+    // estimate landed within 3·rsd of it. The estimate itself is
+    // engine-specific so it stays OUT of the row; DuckDB asserts the
+    // verdict as literal TRUE — a hash match PROVES the bound held.
+    "q114_distinct_estimate" -> QueryDef(
+      """SELECT lang, count(DISTINCT doc_id) AS exact_distinct,
+        |       TRUE AS hll_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.distinctEstimateChecked(
+        Tables(s, dir).documents, "lang", "doc_id", rsd = 0.05)
+        .orderBy(col("lang"))
+    },
+
+    // Count-min error contract over the exact top-20 tokens: estimates
+    // never under-count and over-count ≤ eps·N. Same witness pattern as
+    // q114 — the oracle recomputes the exact top-k and asserts TRUE.
+    "q115_cms_bounds" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                t -> t != '')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+        |SELECT tok, n AS exact_n, TRUE AS cms_ok FROM c
+        |ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.cmsCheckedTopTokens(
+        Tables(s, dir).documents, k = 20, eps = 0.001)
+    },
+
+    // Mergeable-HLL contract: per source, uniting per-(source, lang)
+    // sketches must equal the one-shot sketch EXACTLY (lossless same-lgK
+    // union — the property incremental distinct counting stands on), and
+    // the estimate must sit within 3 sigma of exact. Oracle: exact
+    // distinct + both verdicts literal TRUE.
+    "q117_hll_merge" -> QueryDef(
+      """SELECT source, count(DISTINCT doc_id) AS exact_distinct,
+        |       TRUE AS merge_consistent, TRUE AS hll_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.hllMergeContract(
+        Tables(s, dir).documents, "source", "lang", "doc_id")
+        .orderBy(col("source"))
+    },
+
+    // Robust outliers: per event type, events whose value sits more than
+    // 3 robust sigmas (median/MAD) from the type median — the detector
+    // that survives the anomalies it hunts (mean/stddev move with the
+    // outlier; median and MAD don't). The float median/MAD stay internal;
+    // emitted value is the raw input double (bit-identical in both
+    // engines), so the row set is engine-exact.
+    "q118_robust_outliers" -> QueryDef(
+      """WITH m AS (SELECT event_type, median(value) AS med
+        |           FROM events GROUP BY event_type),
+        |a AS (SELECT e.event_type, e.event_id, e.value,
+        |             abs(e.value - m.med) AS dev
+        |      FROM events e JOIN m USING(event_type)),
+        |md AS (SELECT event_type, median(dev) AS mad FROM a GROUP BY event_type)
+        |SELECT a.event_type, a.event_id, a.value FROM a JOIN md USING(event_type)
+        |WHERE a.dev > 3 * 1.4826 * md.mad
+        |ORDER BY a.event_type, a.event_id""".stripMargin) { (s, dir) =>
+      graft.operators.CorpusOps.robustOutliers(
+        Tables(s, dir).events.select(col("event_type"), col("event_id"), col("value")),
+        groupCol = "event_type", valueCol = "value", z = 3.0)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
     // Key-skew diagnostic: top keys by row count with exact permille
     // share — the pre-join report that decides whether a key needs
     // salting. Counts are map-side combinable; the top slice comes

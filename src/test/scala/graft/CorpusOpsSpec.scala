@@ -719,4 +719,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("robustOutliers flags the planted spike and survives a moved mean") {
+    // group a: tight cluster 100±2 plus one 10000 spike — classic z-score
+    // would ALSO flag it, but the spike drags the mean/stddev; median/MAD
+    // don't move, so the spike alone is flagged. group b: constant values
+    // (MAD 0) — any deviation flags, sameness doesn't.
+    val rows = ((1 to 99).map(i => ("a", i.toLong, 98.0 + (i % 5))) ++
+      Seq(("a", 500L, 10000.0)) ++
+      (1 to 50).map(i => ("b", 1000L + i, 7.0))).toDF("g", "id", "v")
+    val got = CorpusOps.robustOutliers(rows, "g", "v", z = 3.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(500L), s"expected only the spike, got $got")
+  }
+
+  test("duplicatedSpans: keep-one spans at any offset, island merge, self-repeat") {
+    val base = (0 until 20).map(i => s"t$i").mkString(" ") // doc 1: all first
+    val d2 = (0 until 18).map(i => s"t$i").mkString(" ") + " x y" // prefix copy
+    val d3 = "too short to have any window at all" // < 16 tokens
+    val d4 = ((0 until 16).map(i => s"t$i") ++ (0 until 20).map(i => s"u$i") ++
+      (0 until 16).map(i => s"t$i")).mkString(" ") // two disjoint copies
+    val d5 = Seq.fill(20)("w").mkString(" ") // self-repetition
+    val docs = Seq((1L, base), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.duplicatedSpans(docs, n = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((20L, 0L, 0L, 0L)), s"first occurrence stays clean: ${got(1L)}")
+    // doc 2: dup windows at pos 0,1,2 merge into ONE span [0,18)
+    assert(got(2L) == ((20L, 18L, 1L, 900L)), got(2L).toString)
+    assert(got(3L) == ((8L, 0L, 0L, 0L)), got(3L).toString)
+    // doc 4: copies at pos 0 and pos 36 stay SEPARATE islands
+    assert(got(4L) == ((52L, 32L, 2L, 615L)), got(4L).toString)
+    // doc 5: pos 0 is the first "w"*16 occurrence, pos 1..4 dup -> [1,20)
+    assert(got(5L) == ((20L, 19L, 1L, 950L)), got(5L).toString)
+  }
+
+  test("sourceCapTopK equals the one-window top-k, incl. a hot source and ties") {
+    import org.apache.spark.sql.expressions.Window
+    // hot source: 5000 docs (spread over every salt bucket); cold: 3 docs
+    // (fewer than k, all kept); tied scores resolved by lowest id
+    val rows = (0L until 5000L).map(i => ("hot", i, (i % 7).toInt)) ++
+      Seq(("cold", 9001L, 1), ("cold", 9002L, 1), ("cold", 9003L, 5))
+    val df = rows.toDF("source", "doc_id", "quality")
+    val got = CorpusOps.sourceCapTopK(df, k = 10, scoreCol = "quality",
+      saltBuckets = 16)
+      .select("source", "id", "score", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("doc_id"), col("quality"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "cold") == 3) // under-k group fully kept
+    assert(got.count(_._1 == "hot") == 10)
+  }
 }

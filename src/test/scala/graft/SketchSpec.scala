@@ -123,4 +123,40 @@ class SketchSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bloomFalseIds ++ checkedFresh == exactFresh)
   }
+
+  test("distinctEstimateChecked: verdict TRUE everywhere, exact counts exact") {
+    val rows = Sketches.distinctEstimateChecked(docs, "lang", "doc_id",
+      rsd = 0.05).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "an HLL estimate left the 3-sigma band")
+    val exact = docs.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
+  }
+
+  test("hllMergeContract: sub-sketch union is lossless and within band") {
+    val rows = Sketches.hllMergeContract(docs, "lang", "source", "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "same-lgK HLL union must be lossless")
+    assert(rows.forall(_.getBoolean(3)), "an HLL estimate left the 3-sigma band")
+    val exact = docs.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
+  }
+
+  test("cmsCheckedTopTokens: top-k exact counts with an all-TRUE contract") {
+    val rows = Sketches.cmsCheckedTopTokens(docs, k = 20).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getBoolean(2)), "a CMS estimate broke its bound")
+    // the emitted exact counts really are the global top-20
+    val top = docs.select(explode(
+      graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == top)
+  }
 }
