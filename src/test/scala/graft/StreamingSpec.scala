@@ -433,6 +433,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: closed sessions match batch byGap summaries") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.{ClosedSession, SessionEvent}
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[SessionEvent]
+    val q = StreamingSessionize.sessions(
+      stream.toDS().withWatermark("ts", "0 seconds"), gapMillis = 10000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 two events 4 s apart; u2 one event
+      stream.addData(SessionEvent(1L, ts(1000)), SessionEvent(1L, ts(5000)),
+        SessionEvent(2L, ts(2000)))
+      q.processAllAvailable()
+      // batch 2: u1 jumps 20 s -> event-path close of session 1 (no quiet
+      // trigger needed); u2 extends within gap
+      stream.addData(SessionEvent(1L, ts(25000)), SessionEvent(2L, ts(9000)))
+      q.processAllAvailable()
+      // u1's first session closed by the EVENT path (gap exceeded inside
+      // batch 2) — visible immediately; Spark may also have run a no-data
+      // batch on the watermark advance and timeout-closed u2's idle
+      // session, so assert containment, not equality
+      val afterGap = spark.table("sess_out").as[ClosedSession].collect()
+        .map(c => (c.userId, c.startTs, c.endTs, c.nEvents)).toSet
+      assert(afterGap.contains((1L, ts(1000), ts(5000), 2L)),
+        s"gap close must not wait for timeout: $afterGap")
+      // sentinel far-future events advance the watermark, then one more
+      // trigger fires the EventTimeTimeout that closes the idle sessions
+      stream.addData(SessionEvent(99L, ts(10000000)))
+      q.processAllAvailable()
+      stream.addData(SessionEvent(98L, ts(20000000)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[ClosedSession].collect()
+        .filter(_.userId < 90L)
+        .map(c => (c.userId, c.startTs, c.endTs, c.nEvents)).toSet
+      // batch equivalent over the same (in-order) event feed
+      val batch = Seq((1L, ts(1000)), (1L, ts(5000)), (1L, ts(25000)),
+        (2L, ts(2000)), (2L, ts(9000))).toDF("user_id", "ts")
+        .withColumn("seq", monotonically_increasing_id())
+      val want = graft.operators.Sessionize
+        .byGap(batch, "user_id", "ts", "seq", gapSeconds = 10)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+          r.getLong(4))).toSet
+      assert(got == want, s"streaming $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("streaming funnel: out-of-order cross-batch contract + event-time TTL") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
