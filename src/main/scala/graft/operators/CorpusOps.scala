@@ -558,11 +558,32 @@ object CorpusOps {
     * div). Docs shorter than n tokens report zero duplication. */
   def duplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(n > 0, "span length must be positive")
-    val ts = TextFunctions.tokens(col(textCol))
-    val toks = docs.select(col(idCol).as("doc_id"), ts.as("ts"))
+    val toks = tokensFrame(docs, idCol, textCol)
     val nTok = toks.select(col("doc_id"),
       org.apache.spark.sql.functions.size(col("ts")).cast("long").as("n_tokens"))
+    val perDoc = dupSpanIslands(toks, n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("n_dup_tokens"))
+    nTok.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_tokens") === 0, 0L).otherwise(
+          expr("coalesce(n_dup_tokens, CAST(0 AS BIGINT)) * 1000 div n_tokens"))
+          .as("dup_permille"))
+  }
+
+  private def tokensFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+
+  /** The merged duplicated-span intervals per doc — (doc_id, island, s,
+    * e) with [s, e) half-open token positions. Shared core of
+    * [[duplicatedSpans]] (report) and [[duplicatedSpansRewrite]]
+    * (applied). */
+  private def dupSpanIslands(toks: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "span length must be positive")
     val grams = toks
       .filter(org.apache.spark.sql.functions.size(col("ts")) >= n)
       .select(col("doc_id"), posexplode(
@@ -579,24 +600,53 @@ object CorpusOps {
       .select(col("doc_id"), col("pos"))
     val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val islanded = dups
+    dups
       .withColumn("new_island",
         when(col("pos") > coalesce(max(col("pos") + n).over(prevEnd), lit(-1L)),
           1L).otherwise(0L))
       .withColumn("island", sum(col("new_island")).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
           .rowsBetween(Window.unboundedPreceding, 0)))
-    val perDoc = islanded.groupBy(col("doc_id"), col("island"))
+      .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), max(col("pos") + n).as("e"))
+  }
+
+  /** [[duplicatedSpans]] APPLIED: the corpus that continues down the
+    * pipeline, with every duplicated span cut out (keep-one: the first
+    * occurrence keeps its text). Token positions inside a merged island
+    * are removed; survivors reassemble in order (whitespace normalizes
+    * to single spaces, same as every token-level rewrite here).
+    *
+    * The containment test never runs an interval join: islands are
+    * DISJOINT by construction (that is what the merge guarantees), so
+    * exploding each island to its positions emits exactly n_dup_tokens
+    * narrow rows per doc — no overlap amplification — and removal is a
+    * left-anti equi-join on (doc_id, pos). Everything after the fp
+    * shuffle keys on doc_id. */
+  def duplicatedSpansRewrite(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokensFrame(docs, idCol, textCol)
+    val nTok = toks.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("ts")).cast("long").as("n_tokens"))
+    val removed = dupSpanIslands(toks, n)
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val keptAgg = positions.join(removed, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("n_dup_tokens"))
-    nTok.join(perDoc, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_kept_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("text"))
+    // left join from the FULL doc list: an empty doc has no positions,
+    // and a fully-duplicated doc has no surviving ones — both must stay
+    // in the rewritten corpus as (0, "") rows, not vanish
+    nTok.join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        when(col("n_tokens") === 0, 0L).otherwise(
-          expr("coalesce(n_dup_tokens, CAST(0 AS BIGINT)) * 1000 div n_tokens"))
-          .as("dup_permille"))
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("text"), lit("")).as("text"))
   }
 
   /** Deterministic stratified sample: the k docs per group with the

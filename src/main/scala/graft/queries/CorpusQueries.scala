@@ -50,6 +50,31 @@ object CorpusQueries {
        |       i -> array_to_string(($ToksSql)[i+1:i+2], ' '))
        |  ELSE [array_to_string($ToksSql, ' ')] END""".stripMargin
 
+  /** Shared CTE chain for q116/q119: tokenized docs → duplicated
+    * 16-token window positions (keep-one: rank>1 per fingerprint) →
+    * merged half-open islands [s, e) per doc, via gaps-and-islands. */
+  private val SpanIslandsSql =
+    s"""t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |             md5(array_to_string(ts[CAST(i+1 AS INT):CAST(i+16 AS INT)], ' ')) AS fp
+       |      FROM t, unnest(range(len(ts) - 15)) AS u(i)
+       |      WHERE len(ts) >= 16),
+       |r AS (SELECT doc_id, pos,
+       |             ROW_NUMBER() OVER (PARTITION BY fp
+       |               ORDER BY doc_id ASC, pos ASC) AS rk FROM g),
+       |d AS (SELECT doc_id, pos FROM r WHERE rk > 1),
+       |i AS (SELECT doc_id, pos,
+       |        CASE WHEN pos > coalesce(max(pos + 16) OVER (
+       |               PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |             THEN 1 ELSE 0 END AS new_island FROM d),
+       |s AS (SELECT doc_id, pos, sum(new_island) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |      FROM i),
+       |isl AS (SELECT doc_id, island, min(pos) AS s, max(pos + 16) AS e
+       |        FROM s GROUP BY 1, 2)""".stripMargin
+
   val entries: Map[String, QueryDef] = Map(
 
     // Substring-level exact dedup (Lee et al. 2022 keep-one semantics):
@@ -58,26 +83,7 @@ object CorpusQueries {
     // re-derives the position stream, ranks occurrences per fingerprint,
     // and re-runs the gaps-and-islands interval union in SQL.
     "q116_dup_spans" -> QueryDef(
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
-         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |             md5(array_to_string(ts[CAST(i+1 AS INT):CAST(i+16 AS INT)], ' ')) AS fp
-         |      FROM t, unnest(range(len(ts) - 15)) AS u(i)
-         |      WHERE len(ts) >= 16),
-         |r AS (SELECT doc_id, pos,
-         |             ROW_NUMBER() OVER (PARTITION BY fp
-         |               ORDER BY doc_id ASC, pos ASC) AS rk FROM g),
-         |d AS (SELECT doc_id, pos FROM r WHERE rk > 1),
-         |i AS (SELECT doc_id, pos,
-         |        CASE WHEN pos > coalesce(max(pos + 16) OVER (
-         |               PARTITION BY doc_id ORDER BY pos
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |             THEN 1 ELSE 0 END AS new_island FROM d),
-         |s AS (SELECT doc_id, pos, sum(new_island) OVER (
-         |        PARTITION BY doc_id ORDER BY pos
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |      FROM i),
-         |isl AS (SELECT doc_id, island, min(pos) AS s, max(pos + 16) AS e
-         |        FROM s GROUP BY 1, 2),
+      s"""WITH $SpanIslandsSql,
          |a AS (SELECT doc_id, count(*) AS n_dup_spans,
          |             sum(e - s) AS n_dup_tokens FROM isl GROUP BY 1)
          |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
@@ -89,6 +95,32 @@ object CorpusQueries {
          |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       CorpusOps.duplicatedSpans(Tables(s, dir).documents, n = 16)
+        .orderBy(col("doc_id"))
+    },
+
+    // Span dedup APPLIED: the rewritten corpus with every duplicated
+    // 16-token span cut out (first occurrence keeps its text). The
+    // oracle removes positions covered by the same islands and
+    // reassembles survivors in order (1-based WITH ORDINALITY -> pos =
+    // i - 1).
+    "q119_dup_spans_rewrite" -> QueryDef(
+      s"""WITH $SpanIslandsSql,
+         |p AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         |             ts[CAST(u.i + 1 AS INT)] AS tok
+         |      FROM t, unnest(range(len(ts))) AS u(i)),
+         |k AS (SELECT p.doc_id, p.pos, p.tok FROM p
+         |      WHERE NOT EXISTS (SELECT 1 FROM isl
+         |        WHERE isl.doc_id = p.doc_id
+         |          AND p.pos >= isl.s AND p.pos < isl.e)),
+         |a2 AS (SELECT doc_id, count(*) AS n,
+         |              string_agg(tok, ' ' ORDER BY pos) AS text
+         |       FROM k GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a2.n, 0) AS BIGINT) AS n_kept_tokens,
+         |       coalesce(a2.text, '') AS text
+         |FROM t LEFT JOIN a2 ON t.doc_id = a2.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.duplicatedSpansRewrite(Tables(s, dir).documents, n = 16)
         .orderBy(col("doc_id"))
     },
 

@@ -755,6 +755,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((20L, 19L, 1L, 950L)), got(5L).toString)
   }
 
+  test("duplicatedSpansRewrite cuts exactly the islands, keeps survivors in order") {
+    val base = (0 until 20).map(i => s"t$i").mkString(" ")
+    val d2 = (0 until 18).map(i => s"t$i").mkString(" ") + " x y"
+    val d4 = ((0 until 16).map(i => s"t$i") ++ (0 until 20).map(i => s"u$i") ++
+      (0 until 16).map(i => s"t$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, d2), (3L, ""), (4L, d4))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.duplicatedSpansRewrite(docs, n = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((20L, 20L, base)), "first occurrence keeps its text")
+    // doc 2: island [0,18) removed -> only "x y" survives
+    assert(got(2L) == ((20L, 2L, "x y")), got(2L).toString)
+    assert(got(3L) == ((0L, 0L, "")), "empty doc survives as an empty row")
+    // doc 4: islands [0,16) and [36,52) removed -> the 20 u-fillers remain
+    assert(got(4L) == ((52L, 20L, (0 until 20).map(i => s"u$i").mkString(" "))),
+      got(4L).toString)
+    // report and rewrite agree: n_tokens - n_dup_tokens == n_kept_tokens
+    val rep = CorpusOps.duplicatedSpans(docs, n = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    got.foreach { case (id, (_, kept, _)) => assert(rep(id) == kept) }
+  }
+
   test("sourceCapTopK equals the one-window top-k, incl. a hot source and ties") {
     import org.apache.spark.sql.expressions.Window
     // hot source: 5000 docs (spread over every salt bucket); cold: 3 docs

@@ -122,6 +122,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keys.size <= 12, s"q92 exchange count canary blown: ${keys.size}")
   }
 
+  test("q116: span dedup shuffles only on fp and doc_id, windows all partitioned") {
+    // the scale shape: position stream shuffles ONCE by fingerprint
+    // (first-occurrence agg + join-back), then everything else keys on
+    // doc_id (island windows + per-doc rollup). Any other key — or an
+    // unpartitioned window's SinglePartition exchange — is a regression
+    // that moves the whole corpus through one reducer at 100 TB.
+    val plan = executed(query("q116_dup_spans"))
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSeq
+    assert(keys.nonEmpty && keys.forall(k => k == "fp" || k == "doc_id"),
+      s"q116 shuffles on unexpected keys: $keys")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "q116 must not move data through a single partition")
+  }
+
   test("q103: bloom prefilter sits between gram explode and the shuffle") {
     // The 100 TB claim of bloomContamination is that corpus grams are
     // Bloom-filtered BEFORE they shuffle for the confirm join. In the
