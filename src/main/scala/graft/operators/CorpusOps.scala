@@ -391,6 +391,41 @@ object CorpusOps {
     df.filter(splitBucket(col(idCol)) < rate * 10)
   }
 
+  /** Temperature-balanced source mixing (T = 0.5), the re-weighting a
+    * multi-source training mix applies so giant crawl sources stop
+    * drowning curated ones: target share per source ∝ √n_s instead of
+    * n_s. All arithmetic is INTEGER-exact so the mix is reproducible in
+    * any engine: weight w_s = ⌊√n_s⌋, and the sampling rate normalizes
+    * the SMALLEST source to full rate —
+    * rate_s = min(1000, ⌊1000·w_s·n_p / (n_s·w_p)⌋) with pivot p the
+    * min-count source (ties by source name). Sampling itself is the
+    * stable FNV permille bucket ([[splitBucket]]), so membership never
+    * changes across runs, engines, or corpus growth. Returns the
+    * per-source report (n_total, weight, rate_permille, n_kept) — the
+    * sampled corpus is a `splitBucket(id) < rate·10` filter away, same
+    * as [[mixSources]]. Products stay within BIGINT for n_s up to ~1e12
+    * per source (1000·w·n ≤ 1e21 overflows first at n ≈ 1e12; salt the
+    * formula with a common divisor if a source ever exceeds that). */
+  def temperatureMixReport(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val tot = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("weight", floor(sqrt(col("n_total"))).cast("long"))
+    val pivot = tot.orderBy(col("n_total").asc, col("source").asc).limit(1)
+      .select(col("n_total").as("n_p"), col("weight").as("w_p"))
+    val rates = tot.crossJoin(broadcast(pivot))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("1000 * weight * n_p div (n_total * w_p)")))
+      .select(col("source"), col("n_total"), col("weight"), col("rate_permille"))
+    val kept = docs.select(col(sourceCol).as("source"), col(idCol).as("id"))
+      .join(broadcast(rates.select(col("source"), col("rate_permille"))), "source")
+      .filter(splitBucket(col("id")) < col("rate_permille") * 10)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("weight"),
+        col("rate_permille"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Overlapping token-window chunking: split each document into chunks
     * of `size` tokens starting at multiples of `stride` (the standard
     * chunk→embed→pool front half; [[Embeddings.meanPool]] is the back
