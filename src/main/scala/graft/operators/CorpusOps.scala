@@ -710,7 +710,7 @@ object CorpusOps {
     * a hot source through ONE reducer — at 100 TB a single crawl domain
     * can be billions of rows. Instead the top-k runs in two phases on a
     * NARROW (source, id, score) projection (the text never shuffles):
-    *   1. rank within (source, salt) where salt = pmod(id, saltBuckets)
+    *   1. rank within (source, salt) where salt = pmod(hash(id), saltBuckets)
     *      — the hot source spreads over `saltBuckets` reducers, and any
     *      global top-k row is necessarily in its salt-group's top-k;
     *   2. re-rank the ≤ k·saltBuckets survivors per source — a window
@@ -724,7 +724,12 @@ object CorpusOps {
     require(k > 0 && saltBuckets > 0)
     val narrow = docs.select(col(sourceCol).as("source"),
       col(idCol).as("id"), col(scoreCol).as("score"))
-    val phase1 = Window.partitionBy(col("source"), pmod(col("id"), lit(saltBuckets)))
+    // salt on a HASH of the id, not the id itself: pmod(id, n) is null
+    // for non-numeric id columns (string doc ids would silently collapse
+    // a hot source into one salt partition); hash() spreads any type and
+    // stays deterministic under task retries
+    val phase1 = Window.partitionBy(col("source"),
+        pmod(hash(col("id")), lit(saltBuckets)))
       .orderBy(col("score").desc, col("id").asc)
     val survivors = narrow.withColumn("_r1", row_number().over(phase1))
       .filter(col("_r1") <= k).drop("_r1")

@@ -141,17 +141,27 @@ object Sketches {
     val spark = docs.sparkSession
     val toks = docs.select(explode(
       graft.functions.TextFunctions.tokens(col(textCol))).as("t"))
-    val top = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("t").asc).limit(k)
+    // one counts aggregation serves BOTH the top-k collect and N (the
+    // eps·N over-count bound): persisted so the corpus is tokenized once
+    // for the exact side; the sketch pass is the second (and only other)
+    // corpus pass
+    val counts = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = counts.orderBy(col("n").desc, col("t").asc).limit(k)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val totalN = toks.count().max(1L) // the N in the eps·N over-count bound
+    val totalN = counts.agg(sum(col("n"))).collect()(0).getLong(0).max(1L)
+    counts.unpersist(false)
     val sketch = countMinSketch(toks, "t", eps, confidence)
     val checked = top.map { case (tok, exact) =>
       val est = sketch.estimateCount(tok)
       (tok, exact, est >= exact && est <= exact + (eps * totalN).ceil.toLong)
     }
     import spark.implicits._
+    // explicit output order: the contract row set is tiny (k rows) but
+    // the oracle comparison must not lean on createDataset preserving
+    // local collection order
     spark.createDataset(checked.toSeq)
       .toDF("tok", "exact_n", "cms_ok")
+      .orderBy(col("exact_n").desc, col("tok").asc)
   }
 }

@@ -491,6 +491,36 @@ object CorpusQueries {
         .orderBy(col("source"))
     },
 
+    // Temperature-balanced (T = 0.5) source mixing report: target share
+    // per source ∝ √n instead of n, rate normalized so the smallest
+    // source keeps full rate. All arithmetic integer-exact
+    // (w = ⌊√n⌋, rate = min(1000, ⌊1000·w·n_p / (n·w_p)⌋) with pivot p
+    // the min-count source, ties by name) and membership is the stable
+    // FNV permille bucket — both engines reproduce the report
+    // bit-for-bit.
+    "q120_temperature_mix" -> QueryDef(
+      s"""WITH tot AS (SELECT source, count(*) AS n_total,
+         |             CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+         |             FROM documents GROUP BY source),
+         |p AS (SELECT n_total AS n_p, weight AS w_p FROM tot
+         |      ORDER BY n_total ASC, source ASC LIMIT 1),
+         |r AS (SELECT source, n_total, weight,
+         |        CAST(least(1000, 1000 * weight * n_p // (n_total * w_p))
+         |             AS BIGINT) AS rate_permille
+         |      FROM tot, p),
+         |kept AS (SELECT d.source, count(*) AS n_kept
+         |         FROM documents d JOIN r USING (source)
+         |         WHERE ${fnvBucketSql("CAST(doc_id AS VARCHAR)")}
+         |               < rate_permille * 10
+         |         GROUP BY d.source)
+         |SELECT r.source, r.n_total, r.weight, r.rate_permille,
+         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM r LEFT JOIN kept k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin) { (s, dir) =>
+      CorpusOps.temperatureMixReport(Tables(s, dir).documents)
+        .orderBy(col("source"))
+    },
+
     // Deterministic global training order: pos == the rank in md5-hash
     // order, computed bucket-parallel (hash-prefix ranges + offsets)
     // instead of a one-partition global sort. The oracle IS the naive

@@ -221,9 +221,11 @@ object PipelineQueries {
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |hot AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |                a.shingles AS sh_a, b.shingles AS sh_b
-         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |         FROM bands a JOIN bands b USING (bk)
+         |         WHERE a.id < b.id AND bk NOT IN (SELECT bk FROM hot)),
          |scored AS (SELECT id_a, id_b,
          |  CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
          |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
@@ -293,10 +295,12 @@ object PipelineQueries {
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |hot AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
          |cand AS (SELECT DISTINCT n.id AS new_id, s.id AS store_id,
          |                n.shingles AS sh_n, s.shingles AS sh_s
          |         FROM bands n JOIN bands s USING (bk)
-         |         WHERE n.id % 3 != 0 AND s.id % 3 = 0),
+         |         WHERE n.id % 3 != 0 AND s.id % 3 = 0
+         |           AND bk NOT IN (SELECT bk FROM hot)),
          |scored AS (SELECT new_id, store_id,
          |  CASE WHEN len(list_distinct(list_concat(sh_n, sh_s))) > 0
          |       THEN CAST(len(list_intersect(sh_n, sh_s)) AS DOUBLE)
@@ -328,9 +332,11 @@ object PipelineQueries {
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |hot AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |                a.shingles AS sh_a, b.shingles AS sh_b
-         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |         FROM bands a JOIN bands b USING (bk)
+         |         WHERE a.id < b.id AND bk NOT IN (SELECT bk FROM hot)),
          |pairs AS (SELECT id_a, id_b FROM cand
          |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
          |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
@@ -369,9 +375,11 @@ object PipelineQueries {
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |hot AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |                a.shingles AS sh_a, b.shingles AS sh_b
-         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |         FROM bands a JOIN bands b USING (bk)
+         |         WHERE a.id < b.id AND bk NOT IN (SELECT bk FROM hot)),
          |pairs AS (SELECT id_a, id_b FROM cand
          |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
          |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
@@ -421,9 +429,11 @@ object PipelineQueries {
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |hot AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |                a.shingles AS sh_a, b.shingles AS sh_b
-         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |         FROM bands a JOIN bands b USING (bk)
+         |         WHERE a.id < b.id AND bk NOT IN (SELECT bk FROM hot)),
          |pairs AS (SELECT id_a, id_b FROM cand
          |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
          |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
@@ -580,8 +590,10 @@ object PipelineQueries {
          |bands AS (SELECT id, shingles,
          |  unnest(list_transform(range(2), b -> CAST(b AS VARCHAR) || ':' ||
          |    md5(array_to_string(signature[b*4+1:b*4+4], '|')))) AS bk FROM sig),
+         |hot AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM bands a JOIN bands b USING (bk) WHERE a.id < b.id),
+         |         FROM bands a JOIN bands b USING (bk)
+         |         WHERE a.id < b.id AND bk NOT IN (SELECT bk FROM hot)),
          |withsh AS (SELECT c.id_a, c.id_b, x.shingles AS sh_a, y.shingles AS sh_b
          |           FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id)
          |SELECT id_a, id_b,
