@@ -495,6 +495,56 @@ object CorpusOps {
         percentile_approx(col("len"), lit(0.9), lit(accuracy)).as("p90_len"),
         max(col("len")).as("max_len"))
 
+  /** The GK rank-error contract of [[lengthQuantilesApprox]] as a
+    * verdict row — the q114/q115/q117 sketch-contract pattern applied to
+    * quantiles. Per group: the exact n/min/max plus two booleans
+    * asserting the sketch's median and p90 estimates each have a true
+    * rank within ±max(1, ⌈n/accuracy⌉) of the target rank ⌈p·n⌉. The
+    * sketch ESTIMATES stay out of the result (DuckDB's approx_quantile
+    * is t-digest — a different sketch with different valid answers), so
+    * an oracle computing the exact columns and literal TRUE hash-checks
+    * the contract without replicating GK.
+    *
+    * Two passes over the narrow (group, len) projection: one for the
+    * sketch + exact extrema, one for the estimates' true rank bounds
+    * (count of rows strictly below / at-or-below each estimate — an
+    * estimate is a real data element, so its rank is an interval). The
+    * per-group estimate table is tiny and broadcasts. */
+  def lengthQuantilesApproxChecked(docs: DataFrame, groupCol: String,
+      accuracy: Int = 1000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lens = docs.select(col(groupCol).as("g"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("len"))
+    val est = lens.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"),
+        percentile_approx(col("len"), lit(0.5), lit(accuracy))
+          .cast("long").as("_med"),
+        percentile_approx(col("len"), lit(0.9), lit(accuracy))
+          .cast("long").as("_p90"))
+    val ranks = lens
+      .join(broadcast(est.select(col("g"), col("_med"), col("_p90"))), "g")
+      .groupBy(col("g"))
+      .agg(sum(when(col("len") < col("_med"), 1L).otherwise(0L)).as("lt_med"),
+        sum(when(col("len") <= col("_med"), 1L).otherwise(0L)).as("le_med"),
+        sum(when(col("len") < col("_p90"), 1L).otherwise(0L)).as("lt_p90"),
+        sum(when(col("len") <= col("_p90"), 1L).otherwise(0L)).as("le_p90"))
+    // integer-exact: target = ceil(p·n), err = max(1, ceil(n/accuracy));
+    // ok ⇔ the estimate's true-rank interval [lt+1, le] intersects
+    // [target − err, target + err]
+    val err = greatest(lit(1L),
+      expr(s"(n_docs + ${accuracy - 1}) div $accuracy"))
+    def ok(target: Column, lt: Column, le: Column): Column =
+      (lt + 1L <= target + err) && (le >= target - err)
+    est.join(ranks, "g")
+      .select(col("g"), col("n_docs"), col("min_len"), col("max_len"),
+        ok(expr("(n_docs + 1) div 2"), col("lt_med"), col("le_med"))
+          .as("gk_median_ok"),
+        ok(expr("(9 * n_docs + 9) div 10"), col("lt_p90"), col("le_p90"))
+          .as("gk_p90_ok"))
+  }
+
   /** Chunk-level dedup with document REWRITE: [[chunkDedup]]'s keep rule
     * (first corpus-wide occurrence of each chunk fingerprint survives),
     * but emitting the deduplicated text — each doc reassembled from its

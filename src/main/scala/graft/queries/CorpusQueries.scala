@@ -607,12 +607,23 @@ object CorpusQueries {
     },
 
     // GK-sketch approximate quantiles — the 100 TB form of q73 (no
-    // per-group sort; map-side combinable). No SQL oracle: DuckDB's
-    // approx_quantile is t-digest, a different sketch with different
-    // (valid) answers; the rank-error contract vs the exact operator is
-    // spec-pinned instead (CorpusOpsSpec).
-    "q109_approx_quantiles" -> QueryDef.noOracle { (s, dir) =>
-      CorpusOps.lengthQuantilesApprox(Tables(s, dir).documents, groupCol = "lang")
+    // per-group sort; map-side combinable). DuckDB's approx_quantile is
+    // t-digest — a different sketch with different (valid) answers — so
+    // the ESTIMATES stay out of the row: the result is the exact
+    // n/min/max plus per-percentile rank-error verdicts (true rank of
+    // the GK estimate within ±max(1, ⌈n/accuracy⌉) of ⌈p·n⌉), which the
+    // oracle asserts as literal TRUE. A hash match PROVES the GK
+    // contract held; the raw-estimate form stays available as
+    // lengthQuantilesApprox (spec-pinned in CorpusOpsSpec).
+    "q109_approx_quantiles" -> QueryDef(
+      s"""WITH l AS (SELECT lang AS g, CAST(len($ToksSql) AS BIGINT) AS len
+         |           FROM documents)
+         |SELECT g, count(*) AS n_docs, min(len) AS min_len,
+         |       max(len) AS max_len,
+         |       TRUE AS gk_median_ok, TRUE AS gk_p90_ok
+         |FROM l GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+      CorpusOps.lengthQuantilesApproxChecked(
+        Tables(s, dir).documents, groupCol = "lang")
         .orderBy(col("g"))
     },
 

@@ -12,6 +12,29 @@ import graft.operators.{AsofJoin, RangeJoin, Sessionize}
   */
 object ExtensionQueries {
 
+  /** DuckDB dot product matching Similarity.dot's sequential double fold
+    * (same helper as PipelineQueries'). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** DuckDB squared L2 distance matching VectorExpressions.sqDist. */
+  private def sqDistSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+
+  /** The q102 IVF fixture location: sf-INDEPENDENT on purpose — each
+    * Verify run overwrites it with the index built from ITS corpus, and
+    * the paired oracle run reads it back, so one static SQL string works
+    * at every scale factor (runs are sequential: Spark writes, DuckDB
+    * reads). Only the KMeans TRAINING stays outside the oracle; probe
+    * selection, scoring, top-k, and the recall permille are all
+    * re-derived by DuckDB from the persisted assignments + centroids. */
+  private val IvfFixturePath = "/tmp/graft-ivf-fixture"
+
   val entries: Map[String, QueryDef] = Map(
 
     // Rolling Rabin-Karp window fingerprints with mod-sampling: the
@@ -169,16 +192,69 @@ object ExtensionQueries {
     // IVF recall-vs-nprobe curve as a registered query row: the
     // measurement that prices the accuracy/cost dial (each +1 nprobe
     // reads one more list partition per query) before committing an ANN
-    // configuration to a 100 TB corpus. KMeans is not SQL-expressible,
-    // so there is no DuckDB oracle (rows-only row, like q88); the shape
-    // invariants — monotone in nprobe, exactly 1000 permille at full
-    // probe, a seed-fixed floor at nprobe=1 — are pinned by IvfSpec.
-    "q102_ivf_recall" -> QueryDef.noOracle { (s, dir) =>
+    // configuration to a 100 TB corpus. The Spark side builds the index
+    // (seed-fixed KMeans), PERSISTS it to the fixture path, and probes
+    // the persisted copy; the oracle re-derives the entire recall
+    // arithmetic — probe-list ranking by squared L2 to the centroids,
+    // cosine scoring over probed lists, top-k, hit join vs brute-force
+    // truth, integer permille — from the same fixture parquet. Only
+    // KMeans training itself stays spec-land (IvfSpec pins the curve's
+    // shape invariants: monotone, 1000 at full probe).
+    "q102_ivf_recall" -> QueryDef(
+      s"""WITH a AS (SELECT id, v, CAST(list_id AS INT) AS list_id
+         |  FROM read_parquet('$IvfFixturePath/assignments/*/*.parquet',
+         |                    hive_partitioning = true)),
+         |c AS (SELECT CAST(list_id AS INT) AS list_id, centroid
+         |      FROM read_parquet('$IvfFixturePath/centroids/*.parquet')),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |bs AS (SELECT query_id, vec_id AS neighbor_id,
+         |         ${cosineSql("qv", "embedding")} AS cosine
+         |       FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM bs)
+         |  WHERE rnk <= 10),
+         |tt AS (SELECT count(*) AS n_true FROM truth),
+         |cd AS (SELECT query_id, qv, list_id,
+         |         ${sqDistSql("qv", "centroid")} AS cdist
+         |       FROM q CROSS JOIN c),
+         |cr AS (SELECT query_id, qv, list_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cdist ASC, list_id ASC) AS crank FROM cd),
+         |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |probes AS (SELECT np.nprobe, cr.query_id, cr.qv, cr.list_id
+         |           FROM np JOIN cr ON cr.crank <= np.nprobe),
+         |scored AS (SELECT nprobe, query_id, a.id AS neighbor_id,
+         |             ${cosineSql("qv", "a.v")} AS cosine
+         |           FROM probes JOIN a USING (list_id)
+         |           WHERE query_id <> a.id),
+         |ann AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |  SELECT nprobe, query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+         |           ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+         |  WHERE rnk <= 10),
+         |hits AS (SELECT nprobe, count(*) AS n_hits
+         |         FROM ann JOIN truth USING (query_id, neighbor_id)
+         |         GROUP BY nprobe)
+         |SELECT CAST(np.nprobe AS INT) AS nprobe,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(tt.n_true AS BIGINT) AS n_true,
+         |       CAST(CASE WHEN tt.n_true > 0
+         |            THEN coalesce(h.n_hits, 0) * 1000 // tt.n_true
+         |            ELSE 1000 END AS BIGINT) AS recall_permille
+         |FROM np LEFT JOIN hits h USING (nprobe), tt
+         |ORDER BY nprobe""".stripMargin) { (s, dir) =>
       import graft.operators.IvfAnn
       implicit val sess: org.apache.spark.sql.SparkSession = s
       val e = Tables(s, dir).embeddings
       val index = IvfAnn.build(e, nlist = 8) // fixed seed 42
-      IvfAnn.recallCurve(e.filter(col("vec_id") < 10), index, k = 10,
+      IvfAnn.write(index, IvfFixturePath)
+      // probe the PERSISTED copy: the exact bytes the oracle reads drive
+      // the Spark side too (and the probe join runs partition-pruned)
+      val persisted = IvfAnn.read(s, IvfFixturePath)
+      IvfAnn.recallCurve(e.filter(col("vec_id") < 10), persisted, k = 10,
         nprobes = Seq(1, 2, 4, 8)).orderBy(col("nprobe"))
     },
 
