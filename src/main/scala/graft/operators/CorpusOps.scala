@@ -663,26 +663,43 @@ object CorpusOps {
     docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("ts"))
 
-  /** The merged duplicated-span intervals per doc — (doc_id, island, s,
-    * e) with [s, e) half-open token positions. Shared core of
-    * [[duplicatedSpans]] (report) and [[duplicatedSpansRewrite]]
-    * (applied). */
-  private def dupSpanIslands(toks: DataFrame, n: Int): DataFrame = {
-    require(n > 0, "span length must be positive")
-    val grams = toks
-      .filter(org.apache.spark.sql.functions.size(col("ts")) >= n)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0),
-          org.apache.spark.sql.functions.size(col("ts")) - n),
-          i => md5(concat_ws(" ", slice(col("ts"), i + 1, lit(n))))))
-        .as(Seq("pos", "fp")))
+  /** The per-position n-token window fingerprint array of a token-array
+    * column: element i = md5 of tokens [i, i+n). Empty for docs shorter
+    * than n. Pure per-row expression — shared by the batch span-dedup
+    * gram stream and the streaming [[spanGate]] predicate. */
+  private def spanFpArray(ts: Column, n: Int): Column =
+    when(org.apache.spark.sql.functions.size(ts) >= n,
+      transform(sequence(lit(0), org.apache.spark.sql.functions.size(ts) - n),
+        i => md5(concat_ws(" ", slice(ts, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The narrow (doc_id, pos, fp) span-fingerprint stream of a
+    * tokenized corpus — one md5 per n-token window position. */
+  private def spanGrams(toks: DataFrame, n: Int): DataFrame =
+    toks.filter(org.apache.spark.sql.functions.size(col("ts")) >= n)
+      .select(col("doc_id"),
+        posexplode(spanFpArray(col("ts"), n)).as(Seq("pos", "fp")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
-    val firsts = grams.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    val dups = grams.join(firsts, "fp")
-      .filter(!(col("doc_id") === col("first.doc_id") &&
-        col("pos") === col("first.pos")))
-      .select(col("doc_id"), col("pos"))
+
+  /** Distinct span fingerprints of a corpus — what an ingestion run
+    * appends to the persisted span store
+    * ([[graft.sources.FingerprintStore]], which stores any (fp) set) so
+    * the NEXT batch can span-dedup against everything already admitted
+    * without rescanning it. Membership is all incremental span dedup
+    * needs: any store hit is by definition a duplicate of an earlier
+    * occurrence, so (first doc, pos) provenance stays with the store
+    * owner's accounting, not in the hot path. */
+  def spanFingerprints(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    spanGrams(tokensFrame(docs, idCol, textCol), n)
+      .select(col("fp")).distinct()
+
+  /** Gaps-and-islands interval union of duplicated positions: merge a
+    * (doc_id, pos) set into maximal [s, e) spans of n-token windows. A
+    * position starts a new island iff it clears the running max(pos+n)
+    * of everything before it; windows partitioned per doc, bounded by
+    * the doc's own dup positions. */
+  private def islandsOf(dups: DataFrame, n: Int): DataFrame = {
     val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     dups
@@ -695,6 +712,102 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), max(col("pos") + n).as("e"))
   }
+
+  /** The merged duplicated-span intervals per doc — (doc_id, island, s,
+    * e) with [s, e) half-open token positions. Shared core of
+    * [[duplicatedSpans]] (report) and [[duplicatedSpansRewrite]]
+    * (applied). */
+  private def dupSpanIslands(toks: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "span length must be positive")
+    val grams = spanGrams(toks, n)
+    val firsts = grams.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = grams.join(firsts, "fp")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    islandsOf(dups, n)
+  }
+
+  /** Incremental substring-span dedup: [[duplicatedSpans]] for a NEW
+    * batch against the persisted span-fingerprint store — the
+    * run-over-run admission shape (q74/q83's story applied to span
+    * dedup). A batch position is duplicated iff its window fingerprint
+    * is ALREADY IN THE STORE (everything persisted is by definition
+    * earlier, so even a batch-first occurrence of a stored span is a
+    * dup) or a smaller (doc_id, pos) in the same batch carries the same
+    * fingerprint (the within-batch keep-one rule, unchanged). After
+    * admission, append [[spanFingerprints]] of the batch to the store
+    * for the next run.
+    *
+    * Scale shape: the store side joins as a NARROW distinct (fp) set —
+    * signatures are never recomputed from stored text (there is none);
+    * the batch pays one gram pass and the join keys on fp, exactly the
+    * [[dupSpanIslands]] shuffle with a left-semi store probe added. */
+  def incrementalDuplicatedSpans(newDocs: DataFrame, storeFps: DataFrame,
+      n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, "span length must be positive")
+    val toks = tokensFrame(newDocs, idCol, textCol)
+    val nTok = toks.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("ts")).cast("long").as("n_tokens"))
+    val grams = spanGrams(toks, n)
+    val storeHits = grams
+      .join(storeFps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val firsts = grams.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val batchDups = grams.join(firsts, "fp")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val perDoc = islandsOf(
+      storeHits.unionByName(batchDups).dropDuplicates("doc_id", "pos"), n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).as("n_dup_tokens"))
+    nTok.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_tokens") === 0, 0L).otherwise(
+          expr("coalesce(n_dup_tokens, CAST(0 AS BIGINT)) * 1000 div n_tokens"))
+          .as("dup_permille"))
+  }
+
+  /** Serialized Bloom filter over a persisted span-fingerprint store —
+    * the broadcast payload for [[spanGate]]. Unlike the benchmark gram
+    * bloom the SOURCE here can be huge (every n-gram of the admitted
+    * corpus), which is exactly why the gate ships a fixed-size filter
+    * instead of a literal set; fpp trades clean-doc loss for size. */
+  def spanStoreBloomBytes(storeFps: DataFrame, fpp: Double = 0.03): Array[Byte] = {
+    val hashed = storeFps.select(xxhash64(col("fp")).as("h")).distinct()
+    val items = math.max(hashed.count(), 1L)
+    val bloom = hashed.stat.bloomFilter("h", items, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Streaming span-gate admission: drop any incoming document one of
+    * whose n-token window fingerprints MIGHT be in the persisted span
+    * store — the last batch-only dedup operator in streaming admission
+    * form. Pure per-row predicate over [[spanFpArray]] + the codegen'd
+    * bloom probe ([[bloomMightContain]]): no join, no regrouping, legal
+    * in any streaming position, composable with the quality and
+    * contamination gates in one pass.
+    *
+    * Semantics are CONSERVATIVE, same trade as
+    * [[bloomContaminationGate]]: false negatives impossible (a doc
+    * containing any stored span is always dropped), false positives
+    * drop clean docs at ~fpp per window probe. Note the admission grain
+    * is the DOCUMENT — a streaming pipeline cannot rewrite spans
+    * mid-flight (that needs the batch [[duplicatedSpansRewrite]]); the
+    * gate keeps the stream clean and defers surgical rewriting to the
+    * next batch compaction. */
+  def spanGate(docs: DataFrame, bloomBytes: Array[Byte], n: Int,
+      textCol: String = "text"): DataFrame =
+    docs.filter(!exists(spanFpArray(TextFunctions.tokens(col(textCol)), n),
+      f => bloomMightContain(bloomBytes, f)))
 
   /** [[duplicatedSpans]] APPLIED: the corpus that continues down the
     * pipeline, with every duplicated span cut out (keep-one: the first

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -75,6 +76,27 @@ object CorpusQueries {
        |isl AS (SELECT doc_id, island, min(pos) AS s, max(pos + 16) AS e
        |        FROM s GROUP BY 1, 2)""".stripMargin
 
+  /** Session-scoped persisted SPAN-fingerprint store over the store
+    * batch (doc_id % 3 == 0) — the q121 fixture, same lazy one-time
+    * pattern as PipelineQueries' signature store: appended once via
+    * [[graft.sources.FingerprintStore]] (delta + compaction, so the
+    * query reads the exact on-disk layout a production run-over-run
+    * pipeline would), parquet-backed across bench passes. */
+  private val spanStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def spanStoreDir(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    spanStorePaths.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-spanstore").toString
+      graft.sources.FingerprintStore.appendDelta(
+        CorpusOps.spanFingerprints(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0), n = 16),
+        p, "b1")
+      graft.sources.FingerprintStore.compact(s, p)
+      p
+    })
+  }
+
   val entries: Map[String, QueryDef] = Map(
 
     // Substring-level exact dedup (Lee et al. 2022 keep-one semantics):
@@ -121,6 +143,58 @@ object CorpusQueries {
          |FROM t LEFT JOIN a2 ON t.doc_id = a2.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       CorpusOps.duplicatedSpansRewrite(Tables(s, dir).documents, n = 16)
+        .orderBy(col("doc_id"))
+    },
+
+    // Incremental span dedup: the NEW batch (doc_id % 3 != 0) span-
+    // deduplicated against the PERSISTED span-fingerprint store of the
+    // earlier batch (doc_id % 3 == 0) — q74/q83's run-over-run story
+    // applied to the strongest dedup operator. A batch position is dup
+    // iff its 16-token window fp is in the store (store content is by
+    // definition earlier) or occurs earlier within the batch. The store
+    // side is the real FingerprintStore on-disk layout (delta append +
+    // compaction), read back, never re-digested.
+    "q121_incremental_span_dedup" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |             md5(array_to_string(ts[CAST(i+1 AS INT):CAST(i+16 AS INT)], ' ')) AS fp
+         |      FROM t, unnest(range(len(ts) - 15)) AS u(i)
+         |      WHERE len(ts) >= 16),
+         |store AS (SELECT DISTINCT fp FROM g WHERE doc_id % 3 = 0),
+         |bg AS (SELECT doc_id, pos, fp FROM g WHERE doc_id % 3 != 0),
+         |sh AS (SELECT doc_id, pos FROM bg
+         |       WHERE fp IN (SELECT fp FROM store)),
+         |r AS (SELECT doc_id, pos,
+         |        ROW_NUMBER() OVER (PARTITION BY fp
+         |          ORDER BY doc_id ASC, pos ASC) AS rk FROM bg),
+         |bd AS (SELECT doc_id, pos FROM r WHERE rk > 1),
+         |d AS (SELECT doc_id, pos FROM sh UNION SELECT doc_id, pos FROM bd),
+         |ni AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > coalesce(max(pos + 16) OVER (
+         |               PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS new_island FROM d),
+         |si AS (SELECT doc_id, pos, sum(new_island) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM ni),
+         |isl AS (SELECT doc_id, island, min(pos) AS s, max(pos + 16) AS e
+         |        FROM si GROUP BY 1, 2),
+         |a AS (SELECT doc_id, count(*) AS n_dup_spans,
+         |             sum(e - s) AS n_dup_tokens FROM isl GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         |       CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |       CAST(CASE WHEN len(t.ts) = 0 THEN 0
+         |            ELSE (coalesce(a.n_dup_tokens, 0) * 1000) // len(t.ts)
+         |       END AS BIGINT) AS dup_permille
+         |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+         |WHERE t.doc_id % 3 != 0
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val store = graft.sources.FingerprintStore.load(s, spanStoreDir(s, dir))
+      CorpusOps.incrementalDuplicatedSpans(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0),
+        store, n = 16)
         .orderBy(col("doc_id"))
     },
 

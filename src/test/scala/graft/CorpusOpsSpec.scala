@@ -778,6 +778,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     got.foreach { case (id, (_, kept, _)) => assert(rep(id) == kept) }
   }
 
+  test("incremental span dedup: two-run admission against a persisted store") {
+    import graft.sources.FingerprintStore
+    // run 1: the admitted corpus; its span fps go to the store on disk
+    val batch1 = Seq((1L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanstore-spec").toString
+    FingerprintStore.appendDelta(
+      CorpusOps.spanFingerprints(batch1, n = 4), dir, "run1")
+    assert(FingerprintStore.compact(spark, dir) == 1) // round-trip thru compaction
+    val store = FingerprintStore.load(spark, dir)
+    assert(store.count() == 2) // spans at pos 0 and 1
+
+    // run 2: a NEW batch judged against the store + itself
+    val batch2 = Seq(
+      (10L, "a1 a2 s1 s2 s3 s4 b1 b2"),             // store hit at pos 2
+      (11L, "c1 c2 c3 c4 zz c1 c2 c3 c4"),          // within-batch dup at pos 5
+      (12L, "d1 d2 d3 d4"),                          // clean
+      (13L, "x y")                                   // shorter than n
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.incrementalDuplicatedSpans(batch2, store, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 10: its FIRST occurrence of the stored span is still a dup —
+    // the store is by definition earlier
+    assert(got(10L) == ((8L, 4L, 1L, 500L)), got(10L).toString)
+    assert(got(11L) == ((9L, 4L, 1L, 444L)), got(11L).toString)
+    assert(got(12L) == ((4L, 0L, 0L, 0L)), got(12L).toString)
+    assert(got(13L) == ((2L, 0L, 0L, 0L)), got(13L).toString)
+
+    // appending run 2's survivors keeps the store incremental: a THIRD
+    // run re-sending doc 12's content now hits the store
+    FingerprintStore.appendDelta(
+      CorpusOps.spanFingerprints(batch2, n = 4), dir, "run2")
+    val store2 = FingerprintStore.load(spark, dir)
+    val got3 = CorpusOps.incrementalDuplicatedSpans(
+      Seq((20L, "d1 d2 d3 d4")).toDF("doc_id", "text"), store2, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got3(20L) == 4L, "run-3 copy of run-2 content must hit the store")
+  }
+
+  test("spanGate drops store-span carriers per-row; no false negatives") {
+    val batch1 = Seq((1L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    val bytes = CorpusOps.spanStoreBloomBytes(
+      CorpusOps.spanFingerprints(batch1, n = 4), fpp = 0.01)
+    val incoming = Seq(
+      (10L, "a1 a2 s1 s2 s3 s4 b1 b2"), // carries a stored span -> drop
+      (11L, "s2 s3 s4 s5 tail here"),   // the OTHER stored span -> drop
+      (12L, "d1 d2 d3 d4 clean doc"),   // clean -> admit
+      (13L, "x y")                       // no window at all -> admit
+    ).toDF("doc_id", "text")
+    val kept = CorpusOps.spanGate(incoming, bytes, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(10L) && !kept.contains(11L), kept.toString)
+    assert(kept == Set(12L, 13L), kept.toString)
+  }
+
   test("sourceCapTopK equals the one-window top-k, incl. a hot source and ties") {
     import org.apache.spark.sql.expressions.Window
     // hot source: 5000 docs (spread over every salt bucket); cold: 3 docs

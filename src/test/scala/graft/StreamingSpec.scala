@@ -380,6 +380,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span-gate admission: quality gate -> span gate -> first-seen dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    // the persisted corpus' span fingerprints, shipped as a bloom — the
+    // gate is a pure per-row predicate, so the whole chain stays
+    // stateless until the final dedup
+    val corpus = Seq((1L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    val bytes = graft.operators.CorpusOps.spanStoreBloomBytes(
+      graft.operators.CorpusOps.spanFingerprints(corpus, n = 4), fpp = 0.01)
+    val stream = MemoryStream[(Long, String)]
+    val gated = graft.operators.CorpusOps.spanGate(
+      stream.toDS().toDF("doc_id", "text")
+        .filter(graft.functions.RepetitionStatsExpr.of(col("text"))
+          .getField("n_tokens") >= 3), // quality gate first
+      bytes, n = 4)
+    val admitted = graft.operators.Dedup.streamingDedupFirstSeen(
+      gated.select(
+        graft.operators.Dedup.storeFingerprint(col("text")).as("fp"),
+        col("doc_id"), col("text"))
+        .as[(String, Long, String)])
+      .toDF("fp", "doc_id", "text")
+    val q = admitted.writeStream.format("memory").queryName("span_gate_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (10L, "a1 a2 s1 s2 s3 s4 b1 b2"), // carries a stored span -> gated
+        (11L, "x y"),                     // quality: 2 tokens
+        (12L, "d1 d2 d3 d4 clean doc"))   // admitted
+      q.processAllAvailable()
+      stream.addData(
+        (13L, "d1  d2 d3 d4 CLEAN doc"),  // dup of 12 (normalized) -> dedup
+        (14L, "fresh second batch content here"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM span_gate_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(12L, 14L), ids.toString)
+    } finally q.stop()
+  }
+
   test("streaming funnel: cross-batch advance, strict order, batch parity") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
