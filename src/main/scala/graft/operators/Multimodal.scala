@@ -62,6 +62,124 @@ object Multimodal {
     }
   }
 
+  /** A REAL image codec over the same plumbing: `javax.imageio` ships in
+    * the JDK (PNG/JPEG/GIF/BMP via the ImageIO service registry), so the
+    * decode/resize path needs no external dependency. FakeCodec stays as
+    * the deterministic stand-in for the ORACLE rows (q37/q52 hash the
+    * byte-derived fake features, which any engine reproduces); this codec
+    * is what a production deployment actually runs, spec'd against
+    * real PNG/JPEG fixtures. */
+  object ImageIoCodec {
+    /** Decode an image payload into (width, height, luminance sum,
+      * 16-bin luminance histogram normalized to [0,1]). None for
+      * payloads ImageIO cannot parse — a real pipeline quarantines
+      * those rather than failing the task. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](16)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma — deterministic across JVMs
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            sum += lum
+            hist(lum >> 4) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        Some((w, h, sum, hist.map(_ / n)))
+      }
+    }
+
+    /** Aspect-preserving bilinear resize into a `maxDim` box (never
+      * upscales), re-encoded as PNG. None if the payload doesn't parse. */
+    def resize(payload: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+      require(maxDim > 0, "maxDim must be positive")
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val scale = math.min(1.0,
+          maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val w = math.max(1, math.floor(img.getWidth * scale).toInt)
+        val h = math.max(1, math.floor(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    }
+  }
+
+  /** [[decodeAndFeaturize]] with the REAL codec: same mapPartitions
+    * shape (per-partition init, rows streamed), JDK ImageIO decode.
+    * Undecodable rows emit `decoded = false` with zeroed features so
+    * the caller's quarantine policy — not a task failure — decides
+    * their fate. */
+  final case class DecodedImageRow(
+      id: Long, mediaType: String, sizeBytes: Long, decoded: Boolean,
+      width: Int, height: Int, lumaSum: Long, features: Array[Float])
+
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImageRow] = {
+    implicit val enc = Encoders.product[DecodedImageRow]
+    media.mapPartitions { rows =>
+      // per-partition init: ImageIO's disk cache is pure overhead for
+      // byte-array sources, and this is exactly the once-per-partition
+      // hook a JNI codec would use for its context setup
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        ImageIoCodec.decode(r.payload) match {
+          case Some((w, h, sum, feats)) =>
+            DecodedImageRow(r.id, r.meta.mediaType, r.meta.sizeBytes,
+              decoded = true, w, h, sum, feats)
+          case None =>
+            DecodedImageRow(r.id, r.meta.mediaType, r.meta.sizeBytes,
+              decoded = false, 0, 0, 0L, Array.empty[Float])
+        }
+      }
+    }
+  }
+
+  /** Real aspect-preserving resize over the partition-batched shape:
+    * payload replaced by the re-encoded PNG, metadata updated to match.
+    * Undecodable rows pass through UNCHANGED (same quarantine stance as
+    * [[decodeImages]] — their original format field still says what
+    * they claimed to be). */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        ImageIoCodec.resize(r.payload, maxDim) match {
+          case Some(bytes) =>
+            MediaRow(r.id,
+              MediaMeta(r.meta.mediaType, "png", bytes.length.toLong), bytes)
+          case None => r
+        }
+      }
+    }
+  }
+
   /** Decode + feature-extract as a partition-batched transform. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     implicit val enc = Encoders.product[DecodedRow]

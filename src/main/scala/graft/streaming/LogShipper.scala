@@ -68,6 +68,44 @@ object LogShipper {
       batch.select(to_json(struct(batch.columns.map(col): _*)).as("value"))
         .foreachPartition((rows: Iterator[Row]) => transport(rows.map(_.getString(0))))
 
+  /** HTTP_ENDPOINT transport: POST each partition's JSON-lines payload
+    * to the destination URL — a REAL wire writer in
+    * [[executorNetworkWriter]]'s executor-side shape (JDK
+    * HttpURLConnection, no added dependency; reference transport:
+    * src/log_aggregator.cpp HTTP_ENDPOINT branch). A non-2xx status or
+    * connect failure throws, which fails the Spark job for this batch
+    * and surfaces to [[shipBatch]]'s retry/backoff/isolation machinery —
+    * delivery is therefore AT-LEAST-ONCE per partition payload across
+    * retries, the same contract as the reference's resend loop.
+    * Empty partitions send nothing. */
+  def httpEndpointWriter(url: String, connectTimeoutMillis: Int = 5000,
+      readTimeoutMillis: Int = 10000): Writer =
+    executorNetworkWriter { rows =>
+      val payload = rows.mkString("\n")
+      if (payload.nonEmpty) {
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setConnectTimeout(connectTimeoutMillis)
+          conn.setReadTimeout(readTimeoutMillis)
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/x-ndjson")
+          conn.setDoOutput(true)
+          val out = conn.getOutputStream
+          try out.write(payload.getBytes("UTF-8")) finally out.close()
+          val code = conn.getResponseCode
+          // drain whichever stream the status selects so the connection
+          // can be reused by the JVM's keep-alive cache
+          val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+          if (in != null) try {
+            while (in.read() != -1) {}
+          } finally in.close()
+          if (code < 200 || code >= 300)
+            sys.error(s"HTTP $code from $url")
+        } finally conn.disconnect()
+      }
+    }
+
   /** TEST-ONLY transport stub: collects the batch to the driver so specs
     * can assert on the payload in-process. Never use as a template for a
     * real transport — that is [[executorNetworkWriter]]. */

@@ -18,6 +18,69 @@ class MultimodalSpec extends AnyFunSuite {
     Multimodal.decodeAndFeaturize(Multimodal.syntheticMediaFrame(docs)).toDF()
   }
 
+  // -- real codec (javax.imageio) ------------------------------------
+
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def mediaOf(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    spark.createDataset(rows.map { case (id, p) =>
+      Multimodal.MediaRow(id,
+        Multimodal.MediaMeta("image", "png", p.length.toLong), p)
+    })
+  }
+
+  test("ImageIO decode: real PNG and JPEG dims + luma features; garbage quarantined") {
+    val red = pngBytes(64, 48)((_, _) => 0xFF0000) // luma 76 -> bin 4
+    val grad = pngBytes(20, 10)((x, _) => x * 12 << 16 | x * 12 << 8 | x * 12)
+    val jpegImg = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jpegImg, "jpg", jbos)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val out = Multimodal.decodeImages(
+      mediaOf((1L, red), (2L, grad), (3L, jbos.toByteArray), (4L, garbage)))
+      .collect().map(r => r.id -> r).toMap
+
+    assert(out(1L).decoded && out(1L).width == 64 && out(1L).height == 48)
+    // solid red: every pixel's Rec.601 luma is 76 -> all mass in bin 4
+    assert(out(1L).features(76 >> 4) == 1.0f)
+    assert(out(1L).lumaSum == 76L * 64 * 48)
+    assert(out(2L).decoded && out(2L).width == 20 && out(2L).height == 10)
+    assert(math.abs(out(2L).features.sum - 1.0f) < 1e-5)
+    assert(out(3L).decoded && out(3L).width == 8 && out(3L).height == 8)
+    assert(!out(4L).decoded && out(4L).features.isEmpty,
+      "undecodable payload must quarantine, not fail the task")
+  }
+
+  test("ImageIO resize: box-bounded, aspect-preserving, output re-decodes") {
+    val red = pngBytes(64, 48)((_, _) => 0xFF0000)
+    val tiny = pngBytes(5, 4)((_, _) => 0x00FF00)
+    val garbage = Array.tabulate[Byte](32)(i => (i * 3).toByte)
+    val resized = Multimodal.resizeImages(
+      mediaOf((1L, red), (2L, tiny), (3L, garbage)), maxDim = 16)
+      .collect().map(r => r.id -> r).toMap
+    // 64x48 -> 16x12; re-decode the actual output bytes and check color
+    val dec = Multimodal.ImageIoCodec.decode(resized(1L).payload).get
+    assert((dec._1, dec._2) == ((16, 12)), s"got ${(dec._1, dec._2)}")
+    assert(dec._4(76 >> 4) == 1.0f, "solid red survives bilinear resize")
+    assert(resized(1L).meta.format == "png" &&
+      resized(1L).meta.sizeBytes == resized(1L).payload.length.toLong)
+    // under the box: untouched dims (never upscale)
+    val dec2 = Multimodal.ImageIoCodec.decode(resized(2L).payload).get
+    assert((dec2._1, dec2._2) == ((5, 4)))
+    // garbage passes through unchanged, original metadata intact
+    assert(resized(3L).payload.sameElements(garbage))
+    assert(resized(3L).meta.sizeBytes == garbage.length.toLong)
+  }
+
   test("resizeMeta preserves aspect ratio and never upscales") {
     val out = Multimodal.resizeMeta(decoded, maxDim = 256).collect()
     out.foreach { r =>

@@ -308,6 +308,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(shipped.exists(_.contains("boom")) && shipped.exists(_.contains("slow")))
   }
 
+  test("S8: real HTTP transport vs an in-JVM flaky server — retry, batch, isolation") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    LogShipper.resetStats()
+    // in-JVM HTTP sink (com.sun.net.httpserver — loopback, no egress):
+    // /flaky 503s the first two requests then accepts; /dead always 503s
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val flakyFails = new java.util.concurrent.atomic.AtomicInteger(2)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      if (flakyFails.getAndDecrement() > 0) ex.sendResponseHeaders(503, -1)
+      else {
+        body.split("\n").filter(_.nonEmpty).foreach(received.add)
+        ex.sendResponseHeaders(200, -1)
+      }
+      ex.close()
+    })
+    server.createContext("/dead", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(503, -1); ex.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    val port = server.getAddress.getPort
+    // one partition per attempt so the flaky counter maps 1:1 to attempts
+    def onePartition(w: LogShipper.Writer): LogShipper.Writer =
+      (b, id, d) => w(b.repartition(1), id, d)
+    val dests = Seq(
+      // dead FIRST: its exhausted retries must not block the next sink
+      LogShipper.Destination("dead", "HTTP_ENDPOINT",
+        Seq("INFO", "WARN", "ERROR", "FATAL"),
+        maxRetries = 2, retryDelayMillis = 1) ->
+        onePartition(LogShipper.httpEndpointWriter(s"http://127.0.0.1:$port/dead")),
+      LogShipper.Destination("flaky", "HTTP_ENDPOINT", Seq("ERROR", "FATAL"),
+        maxRetries = 3, retryDelayMillis = 1) ->
+        onePartition(LogShipper.httpEndpointWriter(s"http://127.0.0.1:$port/flaky")))
+    val stream = MemoryStream[graft.model.LogMessage]
+    val query = LogShipper.start(stream.toDF(), dests,
+      checkpoint = java.nio.file.Files.createTempDirectory("ship-http").toString,
+      triggerMillis = 100)
+    try {
+      stream.addData(
+        graft.model.LogMessage("j1", "ERROR", "db", "boom", ts(0)),
+        graft.model.LogMessage("j1", "INFO", "api", "ok", ts(1)),
+        graft.model.LogMessage("j2", "FATAL", "api", "bad", ts(2)))
+      query.processAllAvailable()
+      val byName = LogShipper.stats.groupBy(_.destination)
+        .view.mapValues(_.head).toMap
+      // dead: exhausted 1 + 2 retries, recorded failed — and the batch
+      // CONTINUED to flaky (isolation)
+      assert(!byName("dead").delivered && byName("dead").attempts == 3,
+        byName("dead").toString)
+      // flaky: two real 503s then a real 200 over the wire
+      assert(byName("flaky").delivered && byName("flaky").attempts == 3,
+        byName("flaky").toString)
+      assert(byName("flaky").shipped == 2) // ERROR + FATAL, INFO filtered
+      val lines = received.toArray(Array.empty[String])
+      assert(lines.length == 2 && lines.exists(_.contains("boom")) &&
+        lines.exists(_.contains("bad")), lines.mkString("|"))
+    } finally {
+      query.stop()
+      server.stop(0)
+    }
+  }
+
   test("log shipper filters per destination and records stats") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
