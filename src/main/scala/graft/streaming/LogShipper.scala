@@ -14,11 +14,15 @@ import graft.operators.LogQuery
   * Each destination declares the reference's config: allowed levels,
   * allowed components (empty = wildcard), and a writer. The FILE writer is
   * real (JSON-lines partitioned output — at scale this is an append-only
-  * date-partitioned parquet/json sink); network destinations
-  * (ELASTICSEARCH / HTTP / SYSLOG / CLOUDWATCH / SPLUNK) share the same
-  * interface with transport stubbed, since this environment has no egress
-  * — the Spark-side semantics (filter, batch, dispatch) are identical and
-  * tested.
+  * date-partitioned parquet/json sink). Network transports are REAL wire
+  * writers integration-tested against in-JVM servers (no egress needed):
+  * HTTP_ENDPOINT ([[httpEndpointWriter]]), ELASTICSEARCH `_bulk`
+  * ([[elasticsearchWriter]]), SPLUNK HEC ([[splunkHecWriter]]), SYSLOG
+  * RFC 5424/TCP ([[syslogTcpWriter]]) — all in
+  * [[executorNetworkWriter]]'s per-partition executor-side shape. Only
+  * CLOUDWATCH stays a stub: PutLogEvents requires the AWS SigV4
+  * credential chain, which has no meaningful in-sandbox form; its
+  * filter/batch/retry/isolation semantics are the same tested path.
   */
 object LogShipper {
 
@@ -82,29 +86,113 @@ object LogShipper {
       readTimeoutMillis: Int = 10000): Writer =
     executorNetworkWriter { rows =>
       val payload = rows.mkString("\n")
-      if (payload.nonEmpty) {
-        val conn = new java.net.URL(url).openConnection()
-          .asInstanceOf[java.net.HttpURLConnection]
-        try {
-          conn.setConnectTimeout(connectTimeoutMillis)
-          conn.setReadTimeout(readTimeoutMillis)
-          conn.setRequestMethod("POST")
-          conn.setRequestProperty("Content-Type", "application/x-ndjson")
-          conn.setDoOutput(true)
-          val out = conn.getOutputStream
-          try out.write(payload.getBytes("UTF-8")) finally out.close()
-          val code = conn.getResponseCode
-          // drain whichever stream the status selects so the connection
-          // can be reused by the JVM's keep-alive cache
-          val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
-          if (in != null) try {
-            while (in.read() != -1) {}
-          } finally in.close()
-          if (code < 200 || code >= 300)
-            sys.error(s"HTTP $code from $url")
-        } finally conn.disconnect()
+      if (payload.nonEmpty)
+        postString(url, payload, Seq("Content-Type" -> "application/x-ndjson"),
+          connectTimeoutMillis, readTimeoutMillis)
+    }
+
+  /** Executor-side HTTP POST; returns the response body, throws on
+    * non-2xx (into the retry machinery). Shared by every HTTP-family
+    * transport. */
+  private def postString(url: String, body: String,
+      headers: Seq[(String, String)], connectTimeoutMillis: Int = 5000,
+      readTimeoutMillis: Int = 10000): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMillis)
+      conn.setReadTimeout(readTimeoutMillis)
+      conn.setRequestMethod("POST")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val code = conn.getResponseCode
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val resp = if (in == null) "" else try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n != -1) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+      if (code < 200 || code >= 300) sys.error(s"HTTP $code from $url")
+      resp
+    } finally conn.disconnect()
+  }
+
+  /** ELASTICSEARCH transport: the real `_bulk` wire format — one
+    * `{"index":{"_index":...}}` action line per document, ndjson,
+    * trailing newline — POSTed per partition (reference transport:
+    * src/log_aggregator.cpp ELASTICSEARCH branch). ES acknowledges bulk
+    * requests with HTTP 200 even when individual items failed, so the
+    * writer also fails on `"errors":true` in the response — without
+    * that check a partially-rejected batch would be recorded delivered,
+    * the classic ES bulk-ingestion bug. */
+  def elasticsearchWriter(baseUrl: String, index: String,
+      connectTimeoutMillis: Int = 5000, readTimeoutMillis: Int = 10000): Writer =
+    executorNetworkWriter { rows =>
+      val sb = new StringBuilder
+      rows.foreach { doc =>
+        sb.append("{\"index\":{\"_index\":\"").append(index).append("\"}}\n")
+          .append(doc).append('\n')
+      }
+      if (sb.nonEmpty) {
+        val resp = postString(s"$baseUrl/_bulk", sb.toString,
+          Seq("Content-Type" -> "application/x-ndjson"),
+          connectTimeoutMillis, readTimeoutMillis)
+        if (resp.replace(" ", "").contains("\"errors\":true"))
+          sys.error(s"ES _bulk reported item errors: ${resp.take(200)}")
       }
     }
+
+  /** SPLUNK transport: the HTTP Event Collector wire format — each row
+    * wrapped as `{"event": ...}`, concatenated (HEC accepts back-to-back
+    * event objects), with the `Splunk <token>` authorization header
+    * (reference transport: src/log_aggregator.cpp SPLUNK branch). A
+    * wrong token is a 401/403 → retry machinery, visible in stats. */
+  def splunkHecWriter(url: String, token: String,
+      connectTimeoutMillis: Int = 5000, readTimeoutMillis: Int = 10000): Writer =
+    executorNetworkWriter { rows =>
+      val payload = rows.map(j => s"""{"event":$j}""").mkString("\n")
+      if (payload.nonEmpty)
+        postString(url, payload,
+          Seq("Authorization" -> s"Splunk $token",
+            "Content-Type" -> "application/json"),
+          connectTimeoutMillis, readTimeoutMillis)
+    }
+
+  /** SYSLOG transport: RFC 5424 frames over TCP, newline-delimited
+    * (non-transparent framing), one connection per partition
+    * (reference transport: src/log_aggregator.cpp SYSLOG branch). The
+    * severity in the PRI field maps from the row's `level` column; the
+    * timestamp field is NILVALUE so a frame is a pure function of the
+    * row (deterministic under retries — the collector's arrival time is
+    * authoritative, standard practice for relayed syslog). */
+  def syslogTcpWriter(host: String, port: Int, facility: Int = 16,
+      appName: String = "graft"): Writer = (batch, _, _) => {
+    val payload = batch.select(
+      coalesce(col("level"), lit("INFO")).cast("string").as("level"),
+      to_json(struct(batch.columns.map(col): _*)).as("value"))
+    payload.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val sock = new java.net.Socket(host, port)
+        try {
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+          rows.foreach { r =>
+            val sev = r.getString(0) match {
+              case "FATAL" => 2; case "ERROR" => 3; case "WARN" => 4
+              case "DEBUG" => 7; case "TRACE" => 7; case _ => 6
+            }
+            val frame =
+              s"<${facility * 8 + sev}>1 - - $appName - - - ${r.getString(1)}\n"
+            out.write(frame.getBytes("UTF-8"))
+          }
+          out.flush()
+        } finally sock.close()
+      }
+    }
+  }
 
   /** TEST-ONLY transport stub: collects the batch to the driver so specs
     * can assert on the payload in-process. Never use as a template for a

@@ -62,6 +62,42 @@ class ApiSpec extends AnyFunSuite {
     assert(r.toOption.get.count() == 1)
   }
 
+  test("HTTP wire: real GETs against the bound REST surface") {
+    import spark.implicits._
+    val logs = Seq(
+      graft.model.LogMessage("j1", "ERROR", "db", "boom", ts("2025-09-01 10:00:00")),
+      graft.model.LogMessage("j1", "INFO", "db", "fine", ts("2025-09-01 10:00:01"))).toDF()
+    val server = graft.api.HttpApi.start(0, spark, jobs, logs)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def get(path: String): (Int, String) = {
+      val conn = new java.net.URL(base + path).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        val code = conn.getResponseCode
+        val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (in == null) ""
+          else try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        (code, body)
+      } finally conn.disconnect()
+    }
+    try {
+      val (c1, b1) = get("/api/monitor/jobs?status=COMPLETED&limit=10")
+      assert(c1 == 200 && b1.startsWith("[{") && b1.contains("\"jobId\":\"j2\"")
+        && !b1.contains("\"j1\""), s"$c1 $b1")
+      // the validator's rejection comes back as a 400 JSON error envelope
+      val (c2, b2) = get("/api/monitor/jobs?limit=0")
+      assert(c2 == 400 && b2.contains("\"error\""), s"$c2 $b2")
+      val (c3, b3) = get("/api/logs/search?minLevel=WARN&q=boo")
+      assert(c3 == 200 && b3.contains("boom") && !b3.contains("fine"), s"$c3 $b3")
+      val (c4, b4) = get("/api/logs/search?sortBy=bogus")
+      assert(c4 == 400 && b4.contains("invalid sortBy"), s"$c4 $b4")
+      val (c5, b5) = get("/api/health")
+      assert(c5 == 200 && b5.contains("\"spark_alive\":true"), s"$c5 $b5")
+      assert(b5.contains("\"active_jobs\":1"), b5) // j1 is RUNNING
+    } finally server.stop(0)
+  }
+
   test("log search params compile, bad sortBy/levels rejected") {
     import spark.implicits._
     val logs = Seq(

@@ -374,6 +374,114 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S8: ES bulk / Splunk HEC / syslog wire formats against in-JVM servers") {
+    import spark.implicits._
+    LogShipper.resetStats()
+    // --- in-JVM HTTP server for the ES and Splunk endpoints ---
+    val esBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val esRejectFirst = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val hecBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) { ex.getResponseBody.write(bytes) }
+      ex.close()
+    }
+    server.createContext("/_bulk", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      // first bulk: HTTP 200 but item errors — the writer MUST treat
+      // this as a failure (the classic silent-loss bug) and retry
+      if (esRejectFirst.getAndSet(false)) respond(ex, 200, """{"errors": true}""")
+      else { esBodies.add(body); respond(ex, 200, """{"errors": false}""") }
+    })
+    server.createContext("/services/collector/event",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val auth = ex.getRequestHeaders.getFirst("Authorization")
+        val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+        if (auth != "Splunk good-token") respond(ex, 403, """{"text":"bad token"}""")
+        else { hecBodies.add(body); respond(ex, 200, """{"text":"Success","code":0}""") }
+      })
+    server.setExecutor(null)
+    server.start()
+    val httpPort = server.getAddress.getPort
+    // --- in-JVM TCP collector for syslog ---
+    val sysLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sysServer = new java.net.ServerSocket(0, 50,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val sysThread = new Thread(() => {
+      try while (true) {
+        val s = sysServer.accept()
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+        var line = rd.readLine()
+        while (line != null) { sysLines.add(line); line = rd.readLine() }
+        s.close()
+      } catch { case _: Throwable => () } // server closed -> exit
+    })
+    sysThread.setDaemon(true)
+    sysThread.start()
+
+    try {
+      val batch = Seq(
+        graft.model.LogMessage("j1", "ERROR", "db", "boom", ts(0)),
+        graft.model.LogMessage("j1", "INFO", "api", "ok", ts(1))).toDF()
+        .repartition(1)
+      def onePart(w: LogShipper.Writer): LogShipper.Writer =
+        (b, id, d) => w(b.repartition(1), id, d)
+      val noSleep: Long => Unit = _ => ()
+      LogShipper.shipBatch(batch, 7L, Seq(
+        LogShipper.Destination("es", "ELASTICSEARCH",
+          Seq("INFO", "WARN", "ERROR", "FATAL"), retryDelayMillis = 1) ->
+          onePart(LogShipper.elasticsearchWriter(
+            s"http://127.0.0.1:$httpPort", index = "graft-logs")),
+        LogShipper.Destination("splunk", "SPLUNK",
+          Seq("ERROR", "FATAL"), retryDelayMillis = 1) ->
+          onePart(LogShipper.splunkHecWriter(
+            s"http://127.0.0.1:$httpPort/services/collector/event", "good-token")),
+        LogShipper.Destination("splunk-bad", "SPLUNK",
+          Seq("ERROR"), maxRetries = 1, retryDelayMillis = 1) ->
+          onePart(LogShipper.splunkHecWriter(
+            s"http://127.0.0.1:$httpPort/services/collector/event", "wrong")),
+        LogShipper.Destination("syslog", "SYSLOG",
+          Seq("INFO", "WARN", "ERROR", "FATAL"), retryDelayMillis = 1) ->
+          LogShipper.syslogTcpWriter("127.0.0.1", sysServer.getLocalPort)),
+        sleeper = noSleep)
+
+      val byName = LogShipper.stats.groupBy(_.destination)
+        .view.mapValues(_.head).toMap
+      // ES: item-error bulk counted as a FAILED attempt, then delivered
+      assert(byName("es").delivered && byName("es").attempts == 2,
+        byName("es").toString)
+      val bulk = esBodies.toArray(Array.empty[String]).mkString
+      val bulkLines = bulk.split("\n").filter(_.nonEmpty)
+      assert(bulkLines.length == 4, s"2 action + 2 source lines: $bulk")
+      assert(bulkLines(0) == """{"index":{"_index":"graft-logs"}}""")
+      assert(bulkLines(1).contains("boom") || bulkLines(3).contains("boom"))
+      // Splunk: event-wrapped payload under the right token; wrong token 403s out
+      assert(byName("splunk").delivered && byName("splunk").shipped == 1)
+      val hec = hecBodies.toArray(Array.empty[String]).mkString
+      assert(hec.startsWith("""{"event":{""") && hec.contains("boom"), hec)
+      assert(!byName("splunk-bad").delivered && byName("splunk-bad").attempts == 2)
+      // syslog: RFC 5424 frames with level-mapped PRI (16*8+3=131 ERROR,
+      // 16*8+6=134 INFO), nil timestamp, JSON payload. The collector
+      // thread drains asynchronously — poll briefly.
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (sysLines.size() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val frames = sysLines.toArray(Array.empty[String])
+      assert(frames.length == 2, frames.mkString("|"))
+      assert(frames.exists(f => f.startsWith("<131>1 - - graft - - - ") &&
+        f.contains("boom")), frames.mkString("|"))
+      assert(frames.exists(f => f.startsWith("<134>1 - - graft - - - ") &&
+        f.contains("\"ok\"")), frames.mkString("|"))
+    } finally {
+      server.stop(0)
+      sysServer.close()
+    }
+  }
+
   test("log shipper filters per destination and records stats") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
