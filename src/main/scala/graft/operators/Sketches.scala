@@ -94,17 +94,27 @@ object Sketches {
           .as("hll_ok"))
 
   /** Mergeable-HLL contract: the property an INCREMENTAL distinct-count
-    * pipeline stands on — union of per-partition sketches ≡ sketch of
-    * the union, so yesterday's persisted sketch plus today's delta
-    * sketch answers "distinct ids to date" without rescanning history.
-    * Per group: the exact distinct count, `merge_consistent` (the
-    * one-shot sketch estimate equals the estimate from uniting
-    * per-(group, sub) sketches — Datasketches HLL union of same-lgK
-    * sketches is lossless, so this must hold EXACTLY), and `hll_ok`
-    * (the estimate within `sigmas`·rsd of exact, rsd ≈ 1.04/√2^lgK,
-    * floored at ±1). Estimates stay OUT of the result columns — a
-    * DuckDB oracle computes the exact count and asserts both verdicts
-    * TRUE, proving the contracts without replicating the sketch. */
+    * pipeline stands on — uniting per-partition sketches answers
+    * "distinct ids to date" within the sketch's error bound, so
+    * yesterday's persisted sketch plus today's delta sketch replaces a
+    * rescan of history. Per group: the exact distinct count,
+    * `merge_ok` (the estimate from uniting per-(group, sub) sketches
+    * lands within `sigmas`·rsd of exact) and `hll_ok` (same bound for
+    * the one-shot sketch), rsd ≈ 1.04/√2^lgK, both floored at ±1.
+    *
+    * SCALE FINDING (sf1.0, round 6): the earlier form of this contract
+    * asserted whole == merged EXACTLY. That held at sf0.01/sf0.1 only
+    * because every sketch was still in sparse (coupon) mode, where a
+    * same-lgK union really is lossless; once groups grow into dense HLL
+    * mode, a streamed sketch answers with the HIP estimator while a
+    * union must fall back to the composite estimator (merging
+    * invalidates HIP), so the two estimates legitimately diverge by a
+    * sub-rsd amount. The durable production property is the ERROR BAND
+    * of the merged path, not bit-equality with the one-shot path — and
+    * that is what `merge_ok` pins. Estimates stay OUT of the result
+    * columns — a DuckDB oracle computes the exact count and asserts
+    * both verdicts TRUE, proving the contracts without replicating the
+    * sketch. */
   def hllMergeContract(df: DataFrame, groupCol: String, subCol: String,
       valueCol: String, lgK: Int = 12, sigmas: Double = 3.0): DataFrame = {
     val rsd = 1.04 / math.sqrt((1L << lgK).toDouble)
@@ -117,13 +127,14 @@ object Sketches {
       .agg(hll_sketch_agg(col(valueCol).cast("string"), lit(lgK)).as("_sk"))
       .groupBy(col(groupCol))
       .agg(hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false))).as("_merged"))
+    def within(est: Column) =
+      abs(est - col("exact_distinct")).cast("double") <=
+        greatest(lit(1.0),
+          lit(sigmas * rsd) * col("exact_distinct").cast("double"))
     exact.join(whole, groupCol).join(merged, groupCol)
       .select(col(groupCol), col("exact_distinct"),
-        (col("_whole") === col("_merged")).as("merge_consistent"),
-        (abs(col("_whole") - col("exact_distinct")).cast("double") <=
-          greatest(lit(1.0),
-            lit(sigmas * rsd) * col("exact_distinct").cast("double")))
-          .as("hll_ok"))
+        within(col("_merged")).as("merge_ok"),
+        within(col("_whole")).as("hll_ok"))
   }
 
   /** The count-min error contract over the exact top-`k` tokens:
