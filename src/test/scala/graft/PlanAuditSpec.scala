@@ -137,6 +137,39 @@ class PlanAuditSpec extends AnyFunSuite {
       "q116 must not move data through a single partition")
   }
 
+  test("q121: incremental span dedup keeps the q116 key discipline with the store probe") {
+    // the store side joins as a narrow distinct (fp) set, so the ONLY
+    // legal shuffle keys stay fp (first-occurrence agg, store semi-join)
+    // and doc_id (islands + rollup) — and no SinglePartition anywhere.
+    val plan = executed(query("q121_incremental_span_dedup"))
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSeq
+    assert(keys.nonEmpty && keys.forall(k => k == "fp" || k == "doc_id"),
+      s"q121 shuffles on unexpected keys: $keys")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "q121 must not move data through a single partition")
+  }
+
+  test("q109/q120: verdict quantiles and temperature mix stay group-keyed and broadcast") {
+    // q109: two passes over the narrow (g, len) projection; the only
+    // shuffle key is the group, and the tiny per-group estimate table
+    // reaches the rank pass as a broadcast, never a shuffled join side.
+    val p109 = executed(query("q109_approx_quantiles"))
+    val k109 = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(p109).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(k109.subsetOf(Set("g")), s"q109 shuffles on unexpected keys: $k109")
+    assert(p109.contains("BroadcastExchange") ||
+      p109.contains("BroadcastHashJoin"),
+      "q109's estimate table must broadcast to the rank pass")
+    // q120: the pivot is a 1-row TakeOrdered (never a global sort) and
+    // the per-source rate table broadcasts back onto the corpus.
+    val p120 = executed(query("q120_temperature_mix"))
+    assert(p120.contains("TakeOrderedAndProject"),
+      "q120's min-count pivot must plan as TakeOrderedAndProject")
+    assert(!p120.matches("(?s).*Sort \\[n_total.*global=true.*"),
+      "q120 must not globally sort the source table for the pivot")
+  }
+
   test("q103: bloom prefilter sits between gram explode and the shuffle") {
     // The 100 TB claim of bloomContamination is that corpus grams are
     // Bloom-filtered BEFORE they shuffle for the confirm join. In the
