@@ -135,6 +135,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Semantic decontamination: the embedding-space sibling of the n-gram
+    * decontamination family — per TRAIN vector, its max cosine against
+    * the (small, broadcast) BENCHMARK embedding set, the nearest bench
+    * item achieving it (ties → lowest bench id), and the `contaminated`
+    * flag at threshold `tau`. Catches the leaks n-grams miss:
+    * paraphrased or translated copies of an eval item score near-1
+    * cosine with zero shared 8-grams.
+    *
+    * Scale shape: benchmark suites are tiny by the decontamination
+    * premise, so the bench side broadcasts and the whole computation is
+    * ONE corpus pass with a map-side-combinable max(struct) argmax — no
+    * window, no shuffle of the train side beyond the final per-id agg.
+    * For a bench side too big to broadcast, gate through the IVF probe
+    * path ([[IvfAnn.topK]]) and apply the same threshold. */
+  def semanticContamination(train: DataFrame, bench: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"))
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    t.crossJoin(broadcast(b))
+      .withColumn("cosine", cosine(col("tv"), col("bv")))
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("cosine"),
+        (-col("bench_id")).cast("long").as("_nb"))).as("_m"))
+      .select(col("train_id"),
+        (-col("_m._nb")).as("bench_id"),
+        col("_m.cosine").as("max_cosine"),
+        (col("_m.cosine") >= tau).as("contaminated"))
+  }
+
   /** Approximate top-k over int8-quantized vectors: cosine is
     * scale-invariant, so the per-vector quantization scale cancels and
     * the codes alone score the candidates — the same brute-force plan

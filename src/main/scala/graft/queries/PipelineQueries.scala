@@ -539,6 +539,30 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // Semantic decontamination: per train vector, max cosine against the
+    // broadcast benchmark embedding set + nearest bench id + threshold
+    // flag — the embedding-space leak detector (catches paraphrased /
+    // translated eval copies that share zero 8-grams). One corpus pass,
+    // map-side-combinable argmax, no window.
+    "q122_semantic_decontamination" -> QueryDef(
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS bv
+         |           FROM embeddings WHERE vec_id < 20),
+         |t AS (SELECT vec_id AS train_id, embedding AS tv
+         |      FROM embeddings WHERE vec_id >= 20),
+         |sc AS (SELECT train_id, bench_id, ${cosineSql("tv", "bv")} AS cosine
+         |       FROM t CROSS JOIN b),
+         |r AS (SELECT train_id, bench_id, cosine,
+         |        ROW_NUMBER() OVER (PARTITION BY train_id
+         |          ORDER BY cosine DESC, bench_id ASC) AS rk FROM sc)
+         |SELECT train_id, bench_id, cosine AS max_cosine,
+         |       cosine >= 0.4 AS contaminated
+         |FROM r WHERE rk = 1 ORDER BY train_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.semanticContamination(
+        e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20), tau = 0.4)
+        .orderBy(col("train_id"))
+    },
+
     // Hard-negative mining for contrastive training: per query vector,
     // the top-5 most-similar vectors with a DIFFERENT label — the q31
     // broadcast-query plan with the label inequality riding the join.
