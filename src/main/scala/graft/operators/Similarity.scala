@@ -164,6 +164,23 @@ object Similarity {
         (col("_m.cosine") >= tau).as("contaminated"))
   }
 
+  /** Streaming admission form of [[semanticContamination]]: drop any
+    * incoming row whose embedding's max cosine against the bench set
+    * reaches `tau`. The bench matrix ships as a nested array LITERAL
+    * (same plan-time-constant pattern as the LSH sign matrix), so the
+    * gate is a pure per-row predicate — `exists` over the bench rows,
+    * each scored by the one-pass cosine kernel — legal in any streaming
+    * position and short-circuiting on the first hit. Benchmark suites
+    * are small by the decontamination premise; a bench side beyond
+    * literal size belongs on the batch [[semanticContamination]] path. */
+  def semanticGate(rows: DataFrame, benchVecs: Seq[Seq[Float]], tau: Double,
+      vecCol: String = "embedding"): DataFrame = {
+    require(benchVecs.nonEmpty, "empty benchmark set gates nothing")
+    val benchLit = typedLit(benchVecs)
+    rows.filter(!exists(benchLit,
+      bv => cosine(col(vecCol), bv) >= tau))
+  }
+
   /** Approximate top-k over int8-quantized vectors: cosine is
     * scale-invariant, so the per-vector quantization scale cancels and
     * the codes alone score the candidates — the same brute-force plan

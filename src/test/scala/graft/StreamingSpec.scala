@@ -594,6 +594,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic gate: per-row max-cosine admission vs a literal bench set") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // bench = one eval embedding; a paraphrase-copy points the same way
+    // (cosine ≈ 1 against it), a clean doc is near-orthogonal
+    val bench = Seq(Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val gated = graft.operators.Similarity.semanticGate(
+      stream.toDS().toDF("doc_id", "embedding"), bench, tau = 0.95)
+    val q = gated.writeStream.format("memory").queryName("sem_gate_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, Array(0.99f, 0.1f, 0f, 0f)),   // cosine ~0.995 -> dropped
+        (2L, Array(0.1f, 0.99f, 0f, 0f)),   // near-orthogonal -> admitted
+        (3L, Array(-1f, 0f, 0f, 0f)))       // opposite direction -> admitted
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM sem_gate_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 3L), ids.toString)
+    } finally q.stop()
+    // batch parity: the gate equals semanticContamination's flag
+    val batch = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.1f, 0.99f, 0f, 0f))).toDF("doc_id", "embedding")
+    val kept = graft.operators.Similarity.semanticGate(batch, bench, tau = 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("streaming funnel: cross-batch advance, strict order, batch parity") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
