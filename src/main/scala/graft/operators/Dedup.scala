@@ -473,6 +473,46 @@ object Dedup {
       .select(col(compCol), col("w.s").as("kept_score"),
         (-col("w.negId")).as("kept_id"), col("n_docs"))
 
+  /** Incremental connected components: fold a NEW batch's verified
+    * near-dup pairs into the PERSISTED components table without
+    * relabeling the corpus — the run-over-run form of clustering, one
+    * level up from [[incrementalNearDupPairs]]. Only components TOUCHED
+    * by a new edge are re-solved: any cross-run merge path must use at
+    * least one new edge, so a component with no endpoint among
+    * `newPairs` cannot change and carries over as-is. The touched slice
+    * re-labels over its STAR edges (member — canonical; the canonical
+    * is itself the min member, so stars reproduce the old connectivity
+    * exactly) plus the new pairs — history replays from the compressed
+    * (id, comp) table, never by re-pairing stored text.
+    *
+    * Caller contract: `newIds` (the full batch, singletons included)
+    * is id-disjoint from the store; `newPairs` holds every verified
+    * pair with ≥1 batch endpoint (batch↔store from
+    * [[incrementalNearDupPairs]], batch↔batch from the within-batch
+    * pipeline). Contract pinned by spec AND oracle (q123): the merged
+    * table EQUALS from-scratch [[connectedComponents]] over the whole
+    * graph. Cost scales with touched components + batch, not corpus. */
+  def mergeComponents(storeComps: DataFrame, newIds: DataFrame,
+      newPairs: DataFrame, idCol: String = "id", compCol: String = "comp",
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val endpoints = newPairs.select(col(aCol).as(idCol))
+      .unionByName(newPairs.select(col(bCol).as(idCol))).distinct()
+    val affected = storeComps.join(endpoints, Seq(idCol), "left_semi")
+      .select(col(compCol)).distinct()
+    val touched = storeComps.join(affected, Seq(compCol), "left_semi")
+    val starEdges = touched
+      .select(col(idCol).as(aCol), col(compCol).as(bCol))
+    val nodes = touched.select(col(idCol))
+      .unionByName(newIds.select(col(idCol))).distinct()
+    val solved = connectedComponents(nodes,
+      newPairs.select(col(aCol), col(bCol)).unionByName(starEdges),
+      idCol, aCol, bCol)
+      .select(col("id").as(idCol), col("comp").as(compCol))
+    storeComps.join(affected, Seq(compCol), "left_anti")
+      .select(col(idCol), col(compCol))
+      .unionByName(solved)
+  }
+
   /** [[connectedComponents]] plus the number of propagation rounds run —
     * the early-exit witness (a pair-only graph must cost exactly 2: one
     * full round, one frontier-only probe that finds no changes). */

@@ -388,6 +388,63 @@ object PipelineQueries {
         .orderBy(col("canonical_id"))
     },
 
+    // Incremental connected components: the store batch (id%3=0) is
+    // clustered first and PERSISTED as (id, comp); the new batch's
+    // verified pairs (batch<->store via the incremental path +
+    // batch<->batch) then fold in via mergeComponents, which re-solves
+    // ONLY the touched components over their star edges. The oracle is
+    // the FULL-corpus recursive closure — a hash match proves
+    // incremental == from-scratch, the invariant the operator stands on.
+    "q123_incremental_components" -> QueryDef(
+      s"""WITH RECURSIVE corpus AS ($DupDocsSql),
+         |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
+         |${minhashSigSql(12)},
+         |bands AS (SELECT id, shingles,
+         |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |hot AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                a.shingles AS sh_a, b.shingles AS sh_b
+         |         FROM bands a JOIN bands b USING (bk)
+         |         WHERE a.id < b.id AND bk NOT IN (SELECT bk FROM hot)),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+         |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+         |       ELSE 0.0 END >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM corpus
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS canonical_id, count(*) AS n_docs, max(id) AS max_id
+         |FROM comp GROUP BY comp HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin) { (s, dir) =>
+      val mh = dupDocsMinhashed(s, dir)
+      val storeMh = mh.filter(col("id") % 3 === 0)
+      val batchMh = mh.filter(col("id") % 3 =!= 0)
+      val storePairs = Dedup.nearDupPairsFromMinhashed(storeMh,
+        threshold = 0.5, maxBucketSize = Some(100))
+        .select(col("id_a"), col("id_b"))
+      val storeComps = Dedup.connectedComponents(
+        storeMh.select(col("id")), storePairs)
+      val crossPairs = Dedup.incrementalNearDupPairs(batchMh, storeMh,
+        threshold = 0.5, maxBucketSize = Some(100))
+        .select(col("new_id").as("id_a"), col("store_id").as("id_b"))
+      val withinPairs = Dedup.lshCandidatePairs(batchMh, maxBucketSize = Some(100))
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.mergeComponents(storeComps, batchMh.select(col("id")),
+        crossPairs.unionByName(withinPairs))
+        .groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("canonical_id"))
+    },
+
     // Keep-BEST dedup policy over the q75 components: per near-dup
     // cluster, survive the member with the most tokens (ties -> lowest
     // id) instead of the lowest-id one — the production retention rule

@@ -461,6 +461,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L, 5L)) // chain -> 1; island 4; pair -> 5
   }
 
+  test("mergeComponents: incremental fold equals from-scratch CC") {
+    import graft.operators.Dedup
+    // run 1: ids 1-10; comps {1,2,3} (chain), {5,6} (pair), singletons
+    val storeIds = (1L to 10L).toDF("id")
+    val storePairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val store = Dedup.connectedComponents(storeIds, storePairs)
+    // run 2: ids 11-15. New edges: 11 BRIDGES comps {1,2,3} and {5,6}
+    // (a cross-run merge through a new node), 12-13 pair among
+    // themselves only, 14 attaches to untouched singleton 9; 15 stays
+    // a singleton. Comp {7..} untouched entirely.
+    val newIds = (11L to 15L).toDF("id")
+    val newPairs = Seq((11L, 3L), (11L, 5L), (12L, 13L), (14L, 9L))
+      .toDF("id_a", "id_b")
+    val merged = Dedup.mergeComponents(store, newIds, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(
+      storeIds.unionByName(newIds), storePairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == scratch,
+      s"incremental != from-scratch:\n$merged\n$scratch")
+    // and the specific shapes: the bridge united both store comps under
+    // canonical 1; untouched singletons kept their labels
+    assert(merged(5L) == 1L && merged(11L) == 1L)
+    assert(merged(12L) == 12L && merged(13L) == 12L)
+    assert(merged(9L) == 9L && merged(14L) == 9L)
+    assert(merged(7L) == 7L && merged(15L) == 15L)
+    assert(merged.size == 15)
+  }
+
   test("connected components: chains close transitively, islands stay apart") {
     import graft.operators.Dedup
     val nodes = (1L to 9L).toDF("id")
