@@ -18,11 +18,11 @@ import graft.operators.LogQuery
   * writers integration-tested against in-JVM servers (no egress needed):
   * HTTP_ENDPOINT ([[httpEndpointWriter]]), ELASTICSEARCH `_bulk`
   * ([[elasticsearchWriter]]), SPLUNK HEC ([[splunkHecWriter]]), SYSLOG
-  * RFC 5424/TCP ([[syslogTcpWriter]]) — all in
-  * [[executorNetworkWriter]]'s per-partition executor-side shape. Only
-  * CLOUDWATCH stays a stub: PutLogEvents requires the AWS SigV4
-  * credential chain, which has no meaningful in-sandbox form; its
-  * filter/batch/retry/isolation semantics are the same tested path.
+  * RFC 5424/TCP ([[syslogTcpWriter]]), and CLOUDWATCH PutLogEvents with
+  * real SigV4 signing ([[cloudWatchLogsWriter]], [[SigV4]] pinned
+  * against the signing spec's published vector) — all in the
+  * per-partition executor-side shape. All six reference destination
+  * kinds now have real wire writers.
   */
 object LogShipper {
 
@@ -190,6 +190,62 @@ object LogShipper {
           }
           out.flush()
         } finally sock.close()
+      }
+    }
+  }
+
+  /** CLOUDWATCH transport: the real PutLogEvents wire format — a SigV4-
+    * signed `application/x-amz-json-1.1` POST with `X-Amz-Target:
+    * Logs_20140328.PutLogEvents`, events in the REQUIRED chronological
+    * order within each call (sorted per partition before building the
+    * body; reference transport: src/log_aggregator.cpp CLOUDWATCH
+    * branch). Timestamps come from the rows' `timestamp` column, so a
+    * retried partition re-sends byte-identical events (modulo the
+    * signing date, which is protocol metadata). A signature the server
+    * rejects (403) throws into the shared retry/isolation machinery.
+    * The JDK's HttpURLConnection refuses a caller-set Host header; the
+    * host is still SIGNED (required), and the connection sends the same
+    * value automatically. */
+  def cloudWatchLogsWriter(endpoint: String, region: String,
+      logGroup: String, logStream: String, accessKey: String,
+      secretKey: String, connectTimeoutMillis: Int = 5000,
+      readTimeoutMillis: Int = 10000): Writer = (batch, _, _) => {
+    val payload = batch.select(
+      unix_millis(col("timestamp").cast("timestamp")).as("ts_ms"),
+      to_json(struct(batch.columns.map(col): _*)).as("value"))
+    payload.foreachPartition { (rows: Iterator[Row]) =>
+      val events = rows.map(r => (r.getLong(0), r.getString(1)))
+        .toArray.sortBy(_._1)
+      if (events.nonEmpty) {
+        def esc(s: String): String = s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        val body = events.map { case (ts, msg) =>
+          s"""{"timestamp":$ts,"message":"${esc(msg)}"}"""
+        }.mkString(
+          s"""{"logGroupName":"${esc(logGroup)}","logStreamName":"${esc(logStream)}","logEvents":[""",
+          ",", "]}")
+        val url = new java.net.URL(endpoint)
+        val amzDate = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        val host = Option(url.getAuthority).getOrElse(url.getHost)
+        val uri = Option(url.getPath).filter(_.nonEmpty).getOrElse("/")
+        val signedHeaders = Seq(
+          "content-type" -> "application/x-amz-json-1.1",
+          "host" -> host,
+          "x-amz-date" -> amzDate,
+          "x-amz-target" -> "Logs_20140328.PutLogEvents")
+        val auth = SigV4.authorization("POST", uri, "", signedHeaders, body,
+          accessKey, secretKey, region, "logs", amzDate)
+        postString(endpoint, body,
+          signedHeaders.filterNot(_._1 == "host") :+ ("Authorization" -> auth),
+          connectTimeoutMillis, readTimeoutMillis)
+        ()
       }
     }
   }

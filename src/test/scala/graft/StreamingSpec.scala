@@ -482,6 +482,65 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S8: CloudWatch PutLogEvents — SigV4 verified server-side, bad creds isolate") {
+    import spark.implicits._
+    LogShipper.resetStats()
+    val goodSecret = "test-secret-key"
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      val h = ex.getRequestHeaders
+      // full server-side SigV4 verification: recompute the signature
+      // from the received request with the REAL secret and compare
+      val expected = graft.streaming.SigV4.authorization(
+        "POST", "/", "",
+        Seq("content-type" -> h.getFirst("Content-type"),
+          "host" -> h.getFirst("Host"),
+          "x-amz-date" -> h.getFirst("X-amz-date"),
+          "x-amz-target" -> h.getFirst("X-amz-target")),
+        body, "AKIDTEST", goodSecret, "us-east-1", "logs",
+        h.getFirst("X-amz-date"))
+      if (h.getFirst("Authorization") == expected) {
+        bodies.add(body); ex.sendResponseHeaders(200, -1)
+      } else ex.sendResponseHeaders(403, -1)
+      ex.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/"
+    try {
+      val batch = Seq(
+        graft.model.LogMessage("j1", "ERROR", "db", "boom", ts(5)),
+        graft.model.LogMessage("j1", "WARN", "api", "slow", ts(1))).toDF()
+        .repartition(1)
+      def onePart(w: LogShipper.Writer): LogShipper.Writer =
+        (b, id, d) => w(b.repartition(1), id, d)
+      LogShipper.shipBatch(batch, 9L, Seq(
+        LogShipper.Destination("cw-bad", "CLOUDWATCH",
+          Seq("ERROR", "WARN"), maxRetries = 1, retryDelayMillis = 1) ->
+          onePart(LogShipper.cloudWatchLogsWriter(endpoint, "us-east-1",
+            "graft-group", "graft-stream", "AKIDTEST", "wrong-secret")),
+        LogShipper.Destination("cw", "CLOUDWATCH",
+          Seq("ERROR", "WARN"), retryDelayMillis = 1) ->
+          onePart(LogShipper.cloudWatchLogsWriter(endpoint, "us-east-1",
+            "graft-group", "graft-stream", "AKIDTEST", goodSecret))),
+        sleeper = _ => ())
+      val byName = LogShipper.stats.groupBy(_.destination)
+        .view.mapValues(_.head).toMap
+      assert(!byName("cw-bad").delivered && byName("cw-bad").attempts == 2,
+        byName("cw-bad").toString)
+      assert(byName("cw").delivered && byName("cw").shipped == 2,
+        byName("cw").toString)
+      val body = bodies.toArray(Array.empty[String]).mkString
+      assert(body.contains("\"logGroupName\":\"graft-group\"") &&
+        body.contains("\"logStreamName\":\"graft-stream\""), body.take(200))
+      // chronological order within the call: WARN (ts 1) before ERROR (ts 5)
+      assert(body.indexOf("slow") < body.indexOf("boom"), body)
+    } finally server.stop(0)
+  }
+
   test("log shipper filters per destination and records stats") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
