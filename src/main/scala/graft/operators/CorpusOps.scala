@@ -781,8 +781,13 @@ object CorpusOps {
     * instead of a literal set; fpp trades clean-doc loss for size. */
   def spanStoreBloomBytes(storeFps: DataFrame, fpp: Double = 0.03): Array[Byte] = {
     val hashed = storeFps.select(xxhash64(col("fp")).as("h")).distinct()
-    val items = math.max(hashed.count(), 1L)
-    val bloom = hashed.stat.bloomFilter("h", items, fpp)
+    val items = hashed.count()
+    // an EMPTY store (first ingestion run) must yield a contains-nothing
+    // filter: the distributed aggregation over zero rows returns a
+    // bitless filter that NPEs on probe, so build the empty one directly
+    val bloom =
+      if (items == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else hashed.stat.bloomFilter("h", items, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     bos.toByteArray
@@ -808,6 +813,36 @@ object CorpusOps {
       textCol: String = "text"): DataFrame =
     docs.filter(!exists(spanFpArray(TextFunctions.tokens(col(textCol)), n),
       f => bloomMightContain(bloomBytes, f)))
+
+  /** The full streaming span-dedup ingestion loop, as a foreachBatch
+    * body: each micro-batch is [[spanGate]]d against the CURRENT
+    * persisted store (the bloom rebuilds per batch — foreachBatch plans
+    * the batch fresh, so the literal refreshes with the store),
+    * survivors go to `sink`, and their span fingerprints append to the
+    * store as this batch's delta — batch N+1 is therefore gated against
+    * everything batch N admitted, with no state held in the stream
+    * itself (the store IS the state, crash-safe per
+    * [[graft.sources.FingerprintStore]]'s commit protocol; a replayed
+    * batch overwrites its own delta idempotently).
+    *
+    * An EMPTY store admits everything (the bloom contains nothing), so
+    * the loop bootstraps itself. Within-batch span dups are not the
+    * gate's job (a per-row predicate cannot see sibling rows) — compose
+    * [[incrementalDuplicatedSpans]] inside `sink` when micro-batches
+    * are large enough to self-duplicate. */
+  def spanGateIngest(storeDir: String, n: Int, fpp: Double = 0.03,
+      sink: (DataFrame, Long) => Unit = (_, _) => ())
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val store = graft.sources.FingerprintStore.load(spark, storeDir)
+    val admitted = spanGate(batch, spanStoreBloomBytes(store, fpp), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sink(admitted, batchId)
+      graft.sources.FingerprintStore.appendDelta(
+        spanFingerprints(admitted, n), storeDir, s"b$batchId")
+    } finally admitted.unpersist()
+  }
 
   /** [[duplicatedSpans]] APPLIED: the corpus that continues down the
     * pipeline, with every duplicated span cut out (keep-one: the first

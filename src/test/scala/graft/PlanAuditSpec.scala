@@ -170,6 +170,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "q120 must not globally sort the source table for the pivot")
   }
 
+  test("q122: semantic decontamination is one broadcast pass, argmax not window") {
+    // the bench side must broadcast (never shuffle the corpus for a
+    // tiny bench set) and the argmax must be the combinable aggregate —
+    // a Window here would re-introduce the per-key sort the operator
+    // exists to avoid.
+    val plan = executed(query("q122_semantic_decontamination"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "bench side must reach the corpus as a broadcast")
+    assert(!plan.contains("Window"),
+      "argmax must stay a combinable aggregate, not a window")
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(keys.subsetOf(Set("train_id")),
+      s"q122 shuffles on unexpected keys: $keys")
+  }
+
   test("q103: bloom prefilter sits between gram explode and the shuffle") {
     // The 100 TB claim of bloomContamination is that corpus grams are
     // Bloom-filtered BEFORE they shuffle for the confirm join. In the

@@ -653,6 +653,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("span-gate ingestion loop: batch N+1 gated by what batch N admitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch(graft.operators.CorpusOps.spanGateIngest(
+        storeDir, n = 4,
+        sink = (df, _) => df.select("doc_id").collect()
+          .foreach(r => admitted.add(r.getLong(0)))) _)
+      .start()
+    try {
+      // batch 0: empty store admits everything (bootstrap)
+      stream.addData((1L, "s1 s2 s3 s4 s5"))
+      q.processAllAvailable()
+      // batch 1: doc 2 carries a span batch 0 admitted -> gated by the
+      // DELTA batch 0 wrote; doc 3 is clean -> admitted
+      stream.addData(
+        (2L, "x1 x2 s1 s2 s3 s4"),
+        (3L, "c1 c2 c3 c4 clean"))
+      q.processAllAvailable()
+      // batch 2: doc 4 copies doc 3's span -> gated by batch 1's delta
+      stream.addData((4L, "c1 c2 c3 c4 другое"))
+      q.processAllAvailable()
+      assert(admitted.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+        == Set(1L, 3L), admitted.toString)
+      // the store holds one committed delta per admitting batch
+      val store = graft.sources.FingerprintStore.load(spark, storeDir)
+      assert(store.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming semantic gate: per-row max-cosine admission vs a literal bench set") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
