@@ -495,8 +495,16 @@ object Dedup {
   def mergeComponents(storeComps: DataFrame, newIds: DataFrame,
       newPairs: DataFrame, idCol: String = "id", compCol: String = "comp",
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val endpoints = newPairs.select(col(aCol).as(idCol))
-      .unionByName(newPairs.select(col(bCol).as(idCol))).distinct()
+    // newPairs is typically the tail of an expensive LSH+verify
+    // pipeline and is referenced three times below (endpoints, the CC
+    // edge set, and through the untouched-side anti-join) — persist it
+    // so the pipeline runs once (released by the ContextCleaner once
+    // the returned plan is unreachable, same contract as
+    // [[admitNearDupFree]]'s batch table)
+    val np = newPairs.select(col(aCol), col(bCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val endpoints = np.select(col(aCol).as(idCol))
+      .unionByName(np.select(col(bCol).as(idCol))).distinct()
     val affected = storeComps.join(endpoints, Seq(idCol), "left_semi")
       .select(col(compCol)).distinct()
     val touched = storeComps.join(affected, Seq(compCol), "left_semi")
@@ -504,8 +512,7 @@ object Dedup {
       .select(col(idCol).as(aCol), col(compCol).as(bCol))
     val nodes = touched.select(col(idCol))
       .unionByName(newIds.select(col(idCol))).distinct()
-    val solved = connectedComponents(nodes,
-      newPairs.select(col(aCol), col(bCol)).unionByName(starEdges),
+    val solved = connectedComponents(nodes, np.unionByName(starEdges),
       idCol, aCol, bCol)
       .select(col("id").as(idCol), col("comp").as(compCol))
     storeComps.join(affected, Seq(compCol), "left_anti")
