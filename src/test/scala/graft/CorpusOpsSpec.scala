@@ -846,6 +846,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got3(20L) == 4L, "run-3 copy of run-2 content must hit the store")
   }
 
+  test("empty-store degenerations: incremental forms equal their batch forms") {
+    import graft.operators.Dedup
+    // incremental span dedup against an EMPTY store must be exactly the
+    // batch operator — the bootstrap-run invariant
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c d"),        // shares span "a b c d" at pos 1
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val emptyStore = graft.sources.FingerprintStore.load(spark, emptyDir)
+    val inc = CorpusOps.incrementalDuplicatedSpans(docs, emptyStore, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = CorpusOps.duplicatedSpans(docs, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(inc == batch, s"$inc vs $batch")
+    // mergeComponents over an EMPTY store must be from-scratch CC
+    val ids = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val emptyComps = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType))))
+    val merged = Dedup.mergeComponents(emptyComps, ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == scratch, s"$merged vs $scratch")
+  }
+
   test("spanGate drops store-span carriers per-row; no false negatives") {
     val batch1 = Seq((1L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
     val bytes = CorpusOps.spanStoreBloomBytes(
