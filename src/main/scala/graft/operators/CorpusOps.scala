@@ -122,6 +122,50 @@ object CorpusOps {
     bos.toByteArray
   }
 
+  /** One-pass n-token window hashes (no gram strings) — see
+    * [[graft.functions.TokenWindowHashExpr]]. The corpus-side probe for
+    * [[benchWindowBloomBytes]]. */
+  def tokenWindowHashes(text: Column, n: Int): Column =
+    graft.functions.TokenWindowHashExpr.of(text, n)
+
+  /** The single window hash of an exactly-n-token gram STRING — the
+    * bench-side twin of [[tokenWindowHashes]] (a gram is one window;
+    * concat_ws(" ") token separation hashes identically through the
+    * kernel). Null for grams with fewer than n tokens (the under-n
+    * single-gram convention rows), which simply never enter the bloom. */
+  def gramWindowHash(gram: Column, n: Int): Column =
+    element_at(tokenWindowHashes(gram, n), 1)
+
+  /** Serialized Bloom filter over the WINDOW HASHES of a (df-capped)
+    * bench gram table — the probe constant for the string-free
+    * admission path. Built from the exact capped gram STRINGS (tiny
+    * side) through the same kernel the corpus probe runs, so candidate
+    * generation has no false negatives — the property the exact
+    * confirm join relies on. */
+  def benchWindowBloomBytes(benchGrams: DataFrame, n: Int,
+      fpp: Double = 0.03): Array[Byte] = {
+    val hashed = benchGrams.select(gramWindowHash(col("g"), n).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val items = hashed.count()
+    val bloom =
+      if (items == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else hashed.stat.bloomFilter("h", items, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[bloomMightContain]] for an already-LONG key (window hashes):
+    * probes the filter's long-insertion path directly, matching
+    * `stat.bloomFilter` over a long column. */
+  def bloomMightContainLong(bloomBytes: Array[Byte], h: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(h)))
+  }
+
   /** Membership predicate against a serialized gram Bloom filter —
     * Spark's own codegen'd `BloomFilterMightContain` over `xxhash64(g)`,
     * the exact expression Catalyst's runtime-filter injection plants on

@@ -112,11 +112,16 @@ object CorpusQueries {
       val p = java.nio.file.Files.createTempDirectory("graft-benchfix").toString
       val bench = Tables(s, dir).documents
         .filter(col("doc_id") % 30 === 0).select(col("doc_id"), col("text"))
+      val grams = CorpusOps.benchGramTable(bench, n = 8, maxDf = Some(20))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      grams.write.mode("overwrite").parquet(s"$p/grams")
+      // bloom keyed on one-pass WINDOW hashes of the exact capped gram
+      // strings (tiny side), so the corpus probe never builds a gram
+      // string; same kernel both sides => no false negatives
       graft.sources.BloomStore.write(s,
-        CorpusOps.benchGramBloomBytes(bench, n = 8, maxDf = Some(20), fpp = 0.03),
+        CorpusOps.benchWindowBloomBytes(grams, n = 8, fpp = 0.03),
         s"$p/bench.bloom")
-      CorpusOps.benchGramTable(bench, n = 8, maxDf = Some(20))
-        .write.mode("overwrite").parquet(s"$p/grams")
+      grams.unpersist(false)
       p
     })
     (graft.sources.BloomStore.read(s, s"$base/bench.bloom"),
@@ -427,11 +432,12 @@ object CorpusQueries {
       // persisted fixture — shipped once per benchmark release, not
       // rebuilt per ingestion pass
       val (bytes, benchGrams) = benchDecontamFixture(s, dir)
-      // bloom marks candidate DOCS (per-row predicate, no shuffle);
-      // only those explode into the exact confirm join
+      // bloom marks candidate DOCS via the one-pass string-free kernel
+      // probe (per-row predicate, no shuffle); only confirmed
+      // candidates ever materialize gram strings, in the exact join
       val candidates = d.filter(exists(
-        graft.functions.TextFunctions.wordShingles(col("text"), 8),
-        g => CorpusOps.bloomMightContain(bytes, g)))
+        CorpusOps.tokenWindowHashes(col("text"), 8),
+        h => CorpusOps.bloomMightContainLong(bytes, h)))
       val confirmed = CorpusOps.contaminationMatches(
         candidates.select(col("doc_id"), col("text")), benchGrams, n = 8)
         .select(col("doc_id")).distinct()

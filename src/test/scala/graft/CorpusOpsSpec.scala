@@ -846,6 +846,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got3(20L) == 4L, "run-3 copy of run-2 content must hit the store")
   }
 
+  test("token window hash kernel: doc windows equal gram-string hashes") {
+    // the no-false-negative property the string-free bloom probe stands
+    // on: element i of a doc's window-hash array == the single window
+    // hash of its i-th gram STRING (the bench side's representation),
+    // including under messy whitespace
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "  spaced \t out\ttokens \r\n here  now ok fine really truly"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val n = 8
+    val fromDoc = docs.select(col("doc_id"),
+      posexplode(CorpusOps.tokenWindowHashes(col("text"), n))
+        .as(Seq("pos", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fromGram = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.wordShingles(col("text"), n))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        CorpusOps.gramWindowHash(col("g"), n).as("hg"))
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fromDoc.count(_._1._1 == 1L) == 5)  // 12 tokens -> 5 windows
+    assert(!fromDoc.exists(_._1._1 == 3L))     // under n -> none
+    assert(fromDoc.nonEmpty)
+    fromDoc.foreach { case (k, h) =>
+      assert(fromGram.get(k).contains(h), s"window hash mismatch at $k") }
+  }
+
   test("empty-store degenerations: incremental forms equal their batch forms") {
     import graft.operators.Dedup
     // incremental span dedup against an EMPTY store must be exactly the
