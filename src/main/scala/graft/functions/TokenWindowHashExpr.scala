@@ -23,7 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `concat_ws(" ", tokens)` therefore hashes to exactly the same window
   * value through this kernel (its single window), which is what lets a
   * tiny bench side key a Bloom filter off gram strings while the corpus
-  * probe never builds one. Docs under n tokens yield an empty array.
+  * probe never builds one.
+  *
+  * Under-n inputs yield ONE hash — the fold over however many tokens
+  * there are (zero tokens fold to 0) — mirroring `wordShingles`' whole-
+  * text single-gram convention, so a short bench gram and the short doc
+  * that equals it meet in the bloom exactly like their strings meet in
+  * the exact join. No-false-negative candidate generation therefore
+  * holds for EVERY document length, not just docs with >= n tokens.
   */
 case class TokenWindowHashExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -75,7 +82,14 @@ object TokenWindowHashExpr {
       if (nTok == hs.length) hs = java.util.Arrays.copyOf(hs, nTok * 2)
       hs(nTok) = h; nTok += 1
     }
-    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    if (nTok < n) {
+      // whole-text single-gram convention: one fold over all nTok
+      // tokens (nTok == 0 folds to 0 — the empty-text gram)
+      var w0 = 0L
+      var j = 0
+      while (j < nTok) { w0 = w0 * P + hs(j); j += 1 }
+      return new GenericArrayData(Array(w0))
+    }
     // P^(n-1) mod 2^64 for the O(1) rolling update
     var pow = 1L
     i = 0

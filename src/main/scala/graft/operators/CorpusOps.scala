@@ -128,11 +128,11 @@ object CorpusOps {
   def tokenWindowHashes(text: Column, n: Int): Column =
     graft.functions.TokenWindowHashExpr.of(text, n)
 
-  /** The single window hash of an exactly-n-token gram STRING — the
-    * bench-side twin of [[tokenWindowHashes]] (a gram is one window;
-    * concat_ws(" ") token separation hashes identically through the
-    * kernel). Null for grams with fewer than n tokens (the under-n
-    * single-gram convention rows), which simply never enter the bloom. */
+  /** The single window hash of a gram STRING — the bench-side twin of
+    * [[tokenWindowHashes]] (an n-token gram is one window; an under-n
+    * single-gram-convention gram folds whole, exactly like the short
+    * docs it can match; concat_ws(" ") token separation hashes
+    * identically through the kernel). */
   def gramWindowHash(gram: Column, n: Int): Column =
     element_at(tokenWindowHashes(gram, n), 1)
 
@@ -191,11 +191,19 @@ object CorpusOps {
   def bloomContamination(train: DataFrame, bench: DataFrame, n: Int = 8,
       maxDf: Option[Int] = None, fpp: Double = 0.03,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bloomBytes = benchGramBloomBytes(bench, n, maxDf, fpp, idCol, textCol)
-    val tg = train.select(col(idCol).as("train_id"),
+    // the prefilter runs DOC-level on the one-pass window-hash kernel —
+    // the corpus side materializes NO gram strings at all until a doc
+    // is a candidate; only the candidate sliver explodes into the exact
+    // confirm join (which removes bloom false positives; false
+    // negatives are impossible — same kernel keys both sides)
+    val grams = cappedBenchGrams(bench, n, maxDf, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloomBytes = benchWindowBloomBytes(grams.select(col("g")).distinct(), n, fpp)
+    val candidates = train.filter(exists(tokenWindowHashes(col(textCol), n),
+      h => bloomMightContainLong(bloomBytes, h)))
+    candidates.select(col(idCol).as("train_id"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
-    tg.filter(bloomMightContain(bloomBytes, col("g")))
-      .join(cappedBenchGrams(bench, n, maxDf, idCol, textCol), Seq("g"))
+      .join(grams, Seq("g"))
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -868,7 +868,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().filter(!_.isNullAt(2))
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(fromDoc.count(_._1._1 == 1L) == 5)  // 12 tokens -> 5 windows
-    assert(!fromDoc.exists(_._1._1 == 3L))     // under n -> none
+    // under-n doc: ONE whole-text hash, equal to its single-gram hash
+    // (the wordShingles convention) — short docs keep no-false-negatives
+    assert(fromDoc.count(_._1._1 == 3L) == 1)
     assert(fromDoc.nonEmpty)
     fromDoc.foreach { case (k, h) =>
       assert(fromGram.get(k).contains(h), s"window hash mismatch at $k") }
