@@ -187,6 +187,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q122 shuffles on unexpected keys: $keys")
   }
 
+  test("fleet invariant: no query plans a SinglePartition exchange outside the whitelist") {
+    // Exchange SinglePartition is the one-reducer funnel that breaks at
+    // 100 TB: EVERY registered query's physical plan is scanned for it.
+    // A new query that sneaks in an unpartitioned window or a
+    // single-partition aggregation fails here by name, not in the
+    // cluster bill. (CollectLimit/TakeOrdered are fine and distinct.)
+    val whitelist: Set[String] = Set()
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan =
+        try formatted(SparkEntry.queries(name)(spark, dir))
+        catch { case scala.util.control.NonFatal(e) =>
+          fail(s"$name failed to plan: ${e.getMessage}")
+        }
+      if (plan.contains("Exchange SinglePartition")) Some(name) else None
+    }
+    assert(offenders.toSet.subsetOf(whitelist),
+      s"SinglePartition exchanges outside whitelist: " +
+        s"${offenders.filterNot(whitelist)}")
+  }
+
   test("q103: bloom prefilter sits between gram explode and the shuffle") {
     // The 100 TB claim of bloomContamination is that corpus grams are
     // Bloom-filtered BEFORE they shuffle for the confirm join. In the
