@@ -35,6 +35,25 @@ object ExtensionQueries {
     * re-derived by DuckDB from the persisted assignments + centroids. */
   private val IvfFixturePath = "/tmp/graft-ivf-fixture"
 
+  /** Build-once-per-(session, sf) guard for the IVF fixture: q102 and
+    * q124 both consume it, and either may run first (or alone). The
+    * KMeans build is seed-fixed, so whichever caller builds writes the
+    * same bytes. */
+  private val ivfFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ensureIvfFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    ivfFixtureBuilt.computeIfAbsent(key, _ => {
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      graft.operators.IvfAnn.write(
+        graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8),
+        IvfFixturePath)
+      true
+    })
+    ()
+  }
+
   val entries: Map[String, QueryDef] = Map(
 
     // Rolling Rabin-Karp window fingerprints with mod-sampling: the
@@ -247,15 +266,40 @@ object ExtensionQueries {
          |FROM np LEFT JOIN hits h USING (nprobe), tt
          |ORDER BY nprobe""".stripMargin) { (s, dir) =>
       import graft.operators.IvfAnn
-      implicit val sess: org.apache.spark.sql.SparkSession = s
       val e = Tables(s, dir).embeddings
-      val index = IvfAnn.build(e, nlist = 8) // fixed seed 42
-      IvfAnn.write(index, IvfFixturePath)
+      ensureIvfFixture(s, dir) // seed-fixed build, written once per sf
       // probe the PERSISTED copy: the exact bytes the oracle reads drive
       // the Spark side too (and the probe join runs partition-pruned)
       val persisted = IvfAnn.read(s, IvfFixturePath)
       IvfAnn.recallCurve(e.filter(col("vec_id") < 10), persisted, k = 10,
         nprobes = Seq(1, 2, 4, 8)).orderBy(col("nprobe"))
+    },
+
+    // Incremental index maintenance, the ingestion half: a new vector
+    // batch assigned to its nearest persisted centroid (squared-L2,
+    // ties to the lower list id) WITHOUT retraining — what keeps an IVF
+    // index current as the corpus grows; q102 prices the probe side,
+    // this prices admission. The oracle re-derives every assignment
+    // from the fixture's centroids parquet.
+    "q124_ivf_assign" -> QueryDef(
+      s"""WITH c AS (SELECT CAST(list_id AS INT) AS list_id, centroid
+         |      FROM read_parquet('$IvfFixturePath/centroids/*.parquet')),
+         |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+         |d AS (SELECT vec_id, list_id,
+         |        ${sqDistSql("embedding", "centroid")} AS cdist
+         |      FROM v CROSS JOIN c),
+         |r AS (SELECT vec_id, list_id,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id
+         |          ORDER BY cdist ASC, list_id ASC) AS rk FROM d)
+         |SELECT vec_id AS id, list_id FROM r WHERE rk = 1
+         |ORDER BY id""".stripMargin) { (s, dir) =>
+      import graft.operators.IvfAnn
+      ensureIvfFixture(s, dir)
+      val centroids = IvfAnn.read(s, IvfFixturePath).centroids
+      IvfAnn.assign(
+        Tables(s, dir).embeddings.filter(col("vec_id") % 10 === 7), centroids)
+        .select(col("id"), col("list_id"))
+        .orderBy(col("id"))
     },
 
     // Symmetric int8 quantization of the embedding column: per-vector
