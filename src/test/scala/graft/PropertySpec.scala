@@ -151,6 +151,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("token window hashes: count law and gram parity on random docs") {
+    import graft.operators.CorpusOps
+    // random docs over a small alphabet with messy whitespace; for every
+    // doc: (a) the window count law (0 tokens -> 0 hashes; 0 < t < n ->
+    // 1 whole-text hash; t >= n -> t-n+1), (b) each window hash equals
+    // the kernel over the corresponding gram STRING — the bloom probe's
+    // no-false-negative property, exercised across 200 random shapes
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val wsGen = Gen.nonEmptyListOf(Gen.oneOf(" ", "\t", "\n", "\r", "  "))
+      .map(_.mkString)
+    val docGen = for {
+      toks <- Gen.listOfN(11, tokGen).flatMap(ts =>
+        Gen.chooseNum(0, 11).map(ts.take))
+      seps <- Gen.listOfN(12, wsGen)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield (toks, lead + toks.zip(seps).map { case (t, w) => t + w }.mkString)
+    val docs = sample(docGen, 200)
+    val n = 4
+    import spark.implicits._
+    val df = docs.zipWithIndex
+      .map { case ((toks, text), i) => (i.toLong, toks.size.toLong, text) }
+      .toDF("doc_id", "n_toks", "text")
+    val got = df.select(col("doc_id"), col("n_toks"),
+      CorpusOps.tokenWindowHashes(col("text"), n).as("hs"),
+      graft.functions.TextFunctions.wordShingles(col("text"), n).as("grams"))
+    val rows = got.withColumn("gram_hs",
+      transform(col("grams"), g => CorpusOps.gramWindowHash(g, n)))
+      .collect()
+    rows.foreach { r =>
+      val nToks = r.getLong(1)
+      val hs = r.getSeq[Long](2)
+      // count law: zero-or-under-n tokens -> ONE whole-text hash (the
+      // single-gram convention; empty folds to 0), else t-n+1 windows
+      val expected = math.max(1L, nToks - n + 1).toInt
+      assert(hs.length == expected, s"doc ${r.getLong(0)}: $nToks tokens -> ${hs.length}")
+      val gramHs = r.getSeq[Long](4)
+      assert(hs == gramHs, s"doc ${r.getLong(0)}: kernel vs gram-string hashes differ")
+    }
+  }
+
   test("minhash mix arithmetic matches a BigInt reference fold") {
     import graft.functions.MinHashMix
     // pinned cross-engine reference values (same literals verified in
