@@ -1334,7 +1334,7 @@ object CorpusOps {
       .groupBy(col("ff")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = ffCounts.agg(coalesce(sum(col("n")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     val dim = stages.zipWithIndex.map { case ((name, _), i) => (i, name) }
       .toDF("stage_idx", "stage")
     val w = Window.orderBy(col("stage_idx"))

@@ -316,7 +316,7 @@ object Dedup {
               }
             val lastTs = rowSeq.map(_._4.getTime).max
             state.setTimeoutTimestamp(
-              math.max(lastTs + ttlMillis, state.getCurrentWatermarkMs + 1))
+              math.max(lastTs + ttlMillis, state.getCurrentWatermarkMs() + 1))
             out
           }
       }

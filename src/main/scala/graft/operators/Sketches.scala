@@ -26,7 +26,7 @@ object Sketches {
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): CountMinSketch = {
     val bytes = df.select(count_min_sketch(col(colName), lit(eps),
-      lit(confidence), lit(seed)).as("sk")).head.getAs[Array[Byte]](0)
+      lit(confidence), lit(seed)).as("sk")).head().getAs[Array[Byte]](0)
     CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
   }
 

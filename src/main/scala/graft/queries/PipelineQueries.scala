@@ -817,7 +817,7 @@ object PipelineQueries {
       s"""SELECT ${lshBucketSql("embedding", 6)} AS bucket, count(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir).embeddings
-      val dims = emb.select(size(col("embedding"))).head.getInt(0)
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
       emb
         .select(Similarity.lshBucket(col("embedding"), 6, dims).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -869,7 +869,7 @@ object PipelineQueries {
       val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
       val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      val dims = corpus.select(size(col("embedding"))).head.getInt(0)
+      val dims = corpus.select(size(col("embedding"))).head().getInt(0)
       val assignments = corpus.select(col("vec_id").as("id"),
         col("embedding").as("v"),
         Similarity.lshBucket(col("embedding"), 6, dims).cast("long").as("list_id"))

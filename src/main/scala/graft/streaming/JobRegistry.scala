@@ -118,7 +118,7 @@ object JobRegistry {
               val lastTs = evSeq.map(_.ts.getTime).max
               // must be strictly later than the current watermark
               state.setTimeoutTimestamp(
-                math.max(lastTs + retentionMillis, state.getCurrentWatermarkMs + 1))
+                math.max(lastTs + retentionMillis, state.getCurrentWatermarkMs() + 1))
             }
             out
           }

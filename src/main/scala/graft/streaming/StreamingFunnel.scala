@@ -121,7 +121,7 @@ object StreamingFunnel {
               // watermark; clamp so an already-lapsed anchor expires at the
               // next batch rather than failing the query
               state.setTimeoutTimestamp(
-                math.max(anchor + ttl, state.getCurrentWatermarkMs + 1))
+                math.max(anchor + ttl, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

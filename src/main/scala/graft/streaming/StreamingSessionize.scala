@@ -87,7 +87,7 @@ object StreamingSessionize {
               // the current watermark (setTimeoutTimestamp rejects values
               // at or below it)
               state.setTimeoutTimestamp(
-                math.max(s.lastMillis + gapMillis, state.getCurrentWatermarkMs + 1))
+                math.max(s.lastMillis + gapMillis, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
