@@ -934,6 +934,84 @@ object CorpusOps {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Positions of n-gram windows that hit the benchmark gram set —
+    * the narrow (doc_id, pos) stream feeding the contamination span
+    * report/rewrite. Gram strings are built positionally (not distinct:
+    * every occurrence matters for interval union) and semi-joined
+    * against the (df-capped) bench gram table; only the doc side's
+    * gram column shuffles, and only for docs of >= n tokens — sub-n
+    * docs are the doc-level gate's domain ([[contaminationGate]] /
+    * [[bloomContaminationGate]]), not span surgery's. */
+  private def contamPositions(toks: DataFrame, benchGrams: DataFrame,
+      n: Int): DataFrame =
+    toks.filter(org.apache.spark.sql.functions.size(col("ts")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("ts")) - n),
+          i => concat_ws(" ", slice(col("ts"), i + 1, lit(n)))))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
+      .join(benchGrams.select(col("g")).distinct(), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+
+  /** Contamination SPAN report: per document, how many token positions
+    * sit inside an n-gram window shared with the benchmark set, merged
+    * into maximal spans — WHERE the leak is, not just that it exists.
+    * The positional-attribution member of the decontamination family
+    * (pair report [[ngramContamination]], doc gates, bloom forms,
+    * [[Similarity.semanticContamination]]); same gaps-and-islands
+    * machinery as [[duplicatedSpans]], same output shape. */
+  def contaminationSpans(docs: DataFrame, benchGrams: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokensFrame(docs, idCol, textCol)
+    val nTok = toks.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("ts")).cast("long").as("n_tokens"))
+    val perDoc = islandsOf(contamPositions(toks, benchGrams, n), n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bad_spans"),
+        sum(col("e") - col("s")).as("n_bad_tokens"))
+    nTok.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bad_tokens"), lit(0L)).as("n_bad_tokens"),
+        coalesce(col("n_bad_spans"), lit(0L)).as("n_bad_spans"),
+        when(col("n_tokens") === 0, 0L).otherwise(
+          expr("coalesce(n_bad_tokens, CAST(0 AS BIGINT)) * 1000 div n_tokens"))
+          .as("bad_permille"))
+  }
+
+  /** Contamination REWRITE: surgical decontamination — cut every
+    * benchmark-shared span out of the document and keep the rest,
+    * instead of dropping whole documents (the modern pipeline's choice
+    * when a long clean doc embeds one leaked eval item). Same disjoint-
+    * island reassembly as [[duplicatedSpansRewrite]]: islands explode
+    * to exactly n_bad_tokens narrow rows, removal is a left-anti on
+    * (doc_id, pos), survivors rejoin in order. Wholly-contaminated and
+    * sub-n docs stay in the output (as empty resp. untouched rows) —
+    * the caller's drop policy decides their fate, typically the
+    * doc-level gate for the sub-n tail. */
+  def contaminationRewrite(docs: DataFrame, benchGrams: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokensFrame(docs, idCol, textCol)
+    val nTok = toks.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("ts")).cast("long").as("n_tokens"))
+    val removed = islandsOf(contamPositions(toks, benchGrams, n), n)
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val keptAgg = positions.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("text"))
+    nTok.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Deterministic stratified sample: the k docs per group with the
     * smallest md5(id) — hash order is uniform but stable, so the sample
     * never changes across runs or engines. The per-group top-k runs as a

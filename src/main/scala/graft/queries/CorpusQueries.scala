@@ -446,6 +446,94 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Contamination SPAN report: WHERE the leak is — per doc, token
+    // positions inside an 8-gram window shared with the (df-capped)
+    // bench set, merged gaps-and-islands into maximal spans. Positional
+    // attribution for the decontamination family; sub-8-token docs are
+    // the doc gate's domain and report zero here.
+    "q125_contamination_spans" -> QueryDef(
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 0),
+         |bg0 AS (SELECT doc_id AS bench_id, unnest($Grams8Sql) AS g FROM bench),
+         |hot AS (SELECT g FROM bg0 GROUP BY g HAVING count(*) > 20),
+         |bg AS (SELECT DISTINCT g FROM bg0 WHERE g NOT IN (SELECT g FROM hot)),
+         |t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |             array_to_string(ts[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+         |      FROM t, unnest(range(len(ts) - 7)) AS u(i)
+         |      WHERE len(ts) >= 8),
+         |bad AS (SELECT doc_id, pos FROM p WHERE g IN (SELECT g FROM bg)),
+         |ni AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > coalesce(max(pos + 8) OVER (
+         |               PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS new_island FROM bad),
+         |si AS (SELECT doc_id, pos, sum(new_island) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM ni),
+         |isl AS (SELECT doc_id, island, min(pos) AS s, max(pos + 8) AS e
+         |        FROM si GROUP BY 1, 2),
+         |a AS (SELECT doc_id, count(*) AS n_bad_spans,
+         |             sum(e - s) AS n_bad_tokens FROM isl GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_bad_tokens, 0) AS BIGINT) AS n_bad_tokens,
+         |       CAST(coalesce(a.n_bad_spans, 0) AS BIGINT) AS n_bad_spans,
+         |       CAST(CASE WHEN len(t.ts) = 0 THEN 0
+         |            ELSE (coalesce(a.n_bad_tokens, 0) * 1000) // len(t.ts)
+         |       END AS BIGINT) AS bad_permille
+         |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val (_, benchGrams) = benchDecontamFixture(s, dir)
+      CorpusOps.contaminationSpans(Tables(s, dir).documents, benchGrams, n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // Contamination REWRITE: surgical decontamination — the corpus that
+    // continues down the pipeline with every bench-shared span cut out,
+    // instead of dropping whole documents (q108's admission gate is the
+    // drop policy; this is the keep-the-clean-remainder policy).
+    "q126_contamination_rewrite" -> QueryDef(
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 0),
+         |bg0 AS (SELECT doc_id AS bench_id, unnest($Grams8Sql) AS g FROM bench),
+         |hot AS (SELECT g FROM bg0 GROUP BY g HAVING count(*) > 20),
+         |bg AS (SELECT DISTINCT g FROM bg0 WHERE g NOT IN (SELECT g FROM hot)),
+         |t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |pg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |             array_to_string(ts[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+         |      FROM t, unnest(range(len(ts) - 7)) AS u(i)
+         |      WHERE len(ts) >= 8),
+         |bad AS (SELECT doc_id, pos FROM pg WHERE g IN (SELECT g FROM bg)),
+         |ni AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > coalesce(max(pos + 8) OVER (
+         |               PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS new_island FROM bad),
+         |si AS (SELECT doc_id, pos, sum(new_island) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM ni),
+         |isl AS (SELECT doc_id, island, min(pos) AS s, max(pos + 8) AS e
+         |        FROM si GROUP BY 1, 2),
+         |p AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         |             ts[CAST(u.i + 1 AS INT)] AS tok
+         |      FROM t, unnest(range(len(ts))) AS u(i)),
+         |k AS (SELECT p.doc_id, p.pos, p.tok FROM p
+         |      WHERE NOT EXISTS (SELECT 1 FROM isl
+         |        WHERE isl.doc_id = p.doc_id
+         |          AND p.pos >= isl.s AND p.pos < isl.e)),
+         |a2 AS (SELECT doc_id, count(*) AS n,
+         |              string_agg(tok, ' ' ORDER BY pos) AS text
+         |       FROM k GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a2.n, 0) AS BIGINT) AS n_kept_tokens,
+         |       coalesce(a2.text, '') AS text
+         |FROM t LEFT JOIN a2 ON t.doc_id = a2.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val (_, benchGrams) = benchDecontamFixture(s, dir)
+      CorpusOps.contaminationRewrite(Tables(s, dir).documents, benchGrams, n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Stable hash split: every doc's bucket and train/val/test assignment
     // from FNV-1a64(doc_id) — grows-stable, engine-exact (the q50 kernel).
     "q66_hash_split" -> QueryDef(

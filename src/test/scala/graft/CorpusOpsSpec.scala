@@ -926,6 +926,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept == Set(12L, 13L), kept.toString)
   }
 
+  test("contamination spans + rewrite: surgical cut, report agreement, short-doc domain") {
+    // bench gram "b1 b2 b3 b4": doc 10 embeds it mid-document (span cut,
+    // clean remainder survives); doc 11 is clean; doc 12 is wholly the
+    // bench item (rewrites to empty); doc 13 is sub-n (span surgery
+    // leaves it alone — the doc gate's domain)
+    val benchGrams = Seq("b1 b2 b3 b4").toDF("g")
+    val docs = Seq(
+      (10L, "c1 c2 b1 b2 b3 b4 c3 c4"),
+      (11L, "x1 x2 x3 x4 x5"),
+      (12L, "b1 b2 b3 b4"),
+      (13L, "b1 b2")).toDF("doc_id", "text")
+    val rep = CorpusOps.contaminationSpans(docs, benchGrams, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rep(10L) == ((8L, 4L, 1L, 500L)), rep(10L).toString)
+    assert(rep(11L) == ((5L, 0L, 0L, 0L)))
+    assert(rep(12L) == ((4L, 4L, 1L, 1000L)))
+    assert(rep(13L) == ((2L, 0L, 0L, 0L)), "sub-n docs are the doc gate's domain")
+    val rw = CorpusOps.contaminationRewrite(docs, benchGrams, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rw(10L) == ((8L, 4L, "c1 c2 c3 c4")), rw(10L).toString)
+    assert(rw(11L) == ((5L, 5L, "x1 x2 x3 x4 x5")))
+    assert(rw(12L) == ((4L, 0L, "")), "wholly-contaminated doc stays as an empty row")
+    assert(rw(13L) == ((2L, 2L, "b1 b2")))
+    // report and rewrite agree: n_tokens - n_bad_tokens == n_kept_tokens
+    rep.foreach { case (id, (nt, bad, _, _)) => assert(rw(id)._2 == nt - bad) }
+  }
+
   test("sourceCapTopK equals the one-window top-k, incl. a hot source and ties") {
     import org.apache.spark.sql.expressions.Window
     // hot source: 5000 docs (spread over every salt bucket); cold: 3 docs
