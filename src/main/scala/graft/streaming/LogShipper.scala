@@ -141,10 +141,52 @@ object LogShipper {
         val resp = postString(s"$baseUrl/_bulk", sb.toString,
           Seq("Content-Type" -> "application/x-ndjson"),
           connectTimeoutMillis, readTimeoutMillis)
-        if (resp.replace(" ", "").contains("\"errors\":true"))
+        if (topLevelBool(resp, "errors").contains(true))
           sys.error(s"ES _bulk reported item errors: ${resp.take(200)}")
       }
     }
+
+  /** Value of a boolean key at the TOP LEVEL of a JSON object — a single
+    * character scan tracking nesting depth and string state, so an
+    * `"errors":true` echoed inside an item's document body (depth ≥ 2, or
+    * inside a string value) never false-positives, and any whitespace
+    * between key, colon, and value (tabs, newlines — ES pretty-print)
+    * is accepted. Returns None when the key is absent or non-boolean. */
+  private[graft] def topLevelBool(json: String, key: String): Option[Boolean] = {
+    val n = json.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      json.charAt(i) match {
+        case '"' =>
+          // consume the string literal (handles escaped quotes)
+          val start = i + 1
+          var j = start
+          var escaped = false
+          while (j < n && (escaped || json.charAt(j) != '"')) {
+            escaped = !escaped && json.charAt(j) == '\\'
+            j += 1
+          }
+          val s = if (j <= n) json.substring(start, math.min(j, n)) else ""
+          i = j + 1
+          if (depth == 1 && s == key) {
+            var k = i
+            while (k < n && json.charAt(k).isWhitespace) k += 1
+            if (k < n && json.charAt(k) == ':') {
+              k += 1
+              while (k < n && json.charAt(k).isWhitespace) k += 1
+              if (json.startsWith("true", k)) return Some(true)
+              if (json.startsWith("false", k)) return Some(false)
+              return None // key present but not a boolean literal
+            }
+          }
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
 
   /** SPLUNK transport: the HTTP Event Collector wire format — each row
     * wrapped as `{"event": ...}`, concatenated (HEC accepts back-to-back
@@ -206,10 +248,51 @@ object LogShipper {
     * The JDK's HttpURLConnection refuses a caller-set Host header; the
     * host is still SIGNED (required), and the connection sends the same
     * value automatically. */
+  /** PutLogEvents hard per-call limits (the service rejects an
+    * over-limit call with a NON-RETRYABLE 400 — InvalidParameterException
+    * — so retries can never fix it; the writer must chunk below them). */
+  val CloudWatchMaxEventsPerCall: Int = 10000
+  val CloudWatchMaxBatchBytes: Int = 1048576
+  val CloudWatchPerEventOverheadBytes: Int = 26
+  val CloudWatchMaxSpanMillis: Long = 24L * 60 * 60 * 1000
+
+  /** Greedily split CHRONOLOGICALLY SORTED events into PutLogEvents-legal
+    * chunks: ≤ maxEvents events, ≤ maxBytes of (UTF-8 message bytes + 26
+    * per event), and ≤ maxSpan between a chunk's first and last event.
+    * Greedy over a sorted input keeps every chunk sorted and contiguous,
+    * so within-call chronological order is preserved by construction.
+    * A single event larger than maxBytes still gets its own chunk — the
+    * service's 256 KiB event cap makes that unreachable with the 1 MiB
+    * batch limit, and dropping it silently would be worse. */
+  private[graft] def cloudWatchChunks(events: Array[(Long, String)],
+      maxEvents: Int = CloudWatchMaxEventsPerCall,
+      maxBytes: Int = CloudWatchMaxBatchBytes,
+      maxSpanMillis: Long = CloudWatchMaxSpanMillis): Seq[Array[(Long, String)]] = {
+    val chunks = Vector.newBuilder[Array[(Long, String)]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var curBytes = 0L
+    events.foreach { case ev @ (ts, msg) =>
+      val evBytes = msg.getBytes("UTF-8").length.toLong + CloudWatchPerEventOverheadBytes
+      val wouldOverflow = cur.nonEmpty && (
+        cur.length >= maxEvents ||
+        curBytes + evBytes > maxBytes ||
+        ts - cur.head._1 > maxSpanMillis)
+      if (wouldOverflow) {
+        chunks += cur.toArray; cur.clear(); curBytes = 0L
+      }
+      cur += ev; curBytes += evBytes
+    }
+    if (cur.nonEmpty) chunks += cur.toArray
+    chunks.result()
+  }
+
   def cloudWatchLogsWriter(endpoint: String, region: String,
       logGroup: String, logStream: String, accessKey: String,
       secretKey: String, connectTimeoutMillis: Int = 5000,
-      readTimeoutMillis: Int = 10000): Writer = (batch, _, _) => {
+      readTimeoutMillis: Int = 10000,
+      maxEventsPerCall: Int = CloudWatchMaxEventsPerCall,
+      maxBatchBytes: Int = CloudWatchMaxBatchBytes,
+      maxSpanMillis: Long = CloudWatchMaxSpanMillis): Writer = (batch, _, _) => {
     val payload = batch.select(
       unix_millis(col("timestamp").cast("timestamp")).as("ts_ms"),
       to_json(struct(batch.columns.map(col): _*)).as("value"))
@@ -223,29 +306,35 @@ object LogShipper {
           case c if c < ' ' => f"\\u${c.toInt}%04x"
           case c => c.toString
         }
-        val body = events.map { case (ts, msg) =>
-          s"""{"timestamp":$ts,"message":"${esc(msg)}"}"""
-        }.mkString(
-          s"""{"logGroupName":"${esc(logGroup)}","logStreamName":"${esc(logStream)}","logEvents":[""",
-          ",", "]}")
-        val url = new java.net.URL(endpoint)
-        val amzDate = java.time.format.DateTimeFormatter
-          .ofPattern("yyyyMMdd'T'HHmmss'Z'")
-          .withZone(java.time.ZoneOffset.UTC)
-          .format(java.time.Instant.now())
-        val host = Option(url.getAuthority).getOrElse(url.getHost)
-        val uri = Option(url.getPath).filter(_.nonEmpty).getOrElse("/")
-        val signedHeaders = Seq(
-          "content-type" -> "application/x-amz-json-1.1",
-          "host" -> host,
-          "x-amz-date" -> amzDate,
-          "x-amz-target" -> "Logs_20140328.PutLogEvents")
-        val auth = SigV4.authorization("POST", uri, "", signedHeaders, body,
-          accessKey, secretKey, region, "logs", amzDate)
-        postString(endpoint, body,
-          signedHeaders.filterNot(_._1 == "host") :+ ("Authorization" -> auth),
-          connectTimeoutMillis, readTimeoutMillis)
-        ()
+        // one signed request per limit-respecting chunk; chunks are sent
+        // oldest-first so a mid-sequence failure leaves a clean prefix
+        // delivered and the whole partition retries at-least-once
+        cloudWatchChunks(events, maxEventsPerCall, maxBatchBytes,
+            maxSpanMillis).foreach { chunk =>
+          val body = chunk.map { case (ts, msg) =>
+            s"""{"timestamp":$ts,"message":"${esc(msg)}"}"""
+          }.mkString(
+            s"""{"logGroupName":"${esc(logGroup)}","logStreamName":"${esc(logStream)}","logEvents":[""",
+            ",", "]}")
+          val url = new java.net.URL(endpoint)
+          val amzDate = java.time.format.DateTimeFormatter
+            .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.now())
+          val host = Option(url.getAuthority).getOrElse(url.getHost)
+          val uri = Option(url.getPath).filter(_.nonEmpty).getOrElse("/")
+          val signedHeaders = Seq(
+            "content-type" -> "application/x-amz-json-1.1",
+            "host" -> host,
+            "x-amz-date" -> amzDate,
+            "x-amz-target" -> "Logs_20140328.PutLogEvents")
+          val auth = SigV4.authorization("POST", uri, "", signedHeaders, body,
+            accessKey, secretKey, region, "logs", amzDate)
+          postString(endpoint, body,
+            signedHeaders.filterNot(_._1 == "host") :+ ("Authorization" -> auth),
+            connectTimeoutMillis, readTimeoutMillis)
+          ()
+        }
       }
     }
   }

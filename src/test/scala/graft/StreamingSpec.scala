@@ -541,6 +541,152 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("S8: CloudWatch chunking — over-limit calls are rejected server-side, " +
+      "an oversized partition still delivers every event") {
+    import spark.implicits._
+    LogShipper.resetStats()
+    // limit-ENFORCING server: parses the body and 400s (the service's
+    // non-retryable InvalidParameterException) any call that exceeds the
+    // configured per-call limits — so a limit-unaware writer could never
+    // pass this test no matter how many retries it had
+    val maxEvents = 3
+    val maxSpan = 1000L
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tsRe = """"timestamp":(\d+)""".r
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      val stamps = tsRe.findAllMatchIn(body).map(_.group(1).toLong).toVector
+      val overLimit = stamps.size > maxEvents ||
+        (stamps.nonEmpty && stamps.max - stamps.min > maxSpan) ||
+        stamps != stamps.sorted // chronological order is also a hard rule
+      if (overLimit) { rejected.incrementAndGet(); ex.sendResponseHeaders(400, -1) }
+      else { calls.add(body); ex.sendResponseHeaders(200, -1) }
+      ex.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/"
+    try {
+      // 8 events in ONE partition: greedy chunking over (0,10,20,30,
+      // 5000,5010,5020,5030) with maxEvents=3/maxSpan=1000 gives
+      // [0,10,20] (count), [30] (span cut), [5000,5010,5020] (count),
+      // [5030] — 4 calls exercising BOTH limits
+      val rows = (0 until 4).map(i =>
+        graft.model.LogMessage("j1", "ERROR", "db", s"m$i", ts(i * 10L))) ++
+        (0 until 4).map(i =>
+          graft.model.LogMessage("j1", "ERROR", "db", s"m${4 + i}", ts(5000L + i * 10L)))
+      val batch = rows.toDF().repartition(1)
+      LogShipper.shipBatch(batch, 11L, Seq(
+        LogShipper.Destination("cw", "CLOUDWATCH", Seq("ERROR"),
+          retryDelayMillis = 1) ->
+          ((b: org.apache.spark.sql.DataFrame, id: Long, d: LogShipper.Destination) =>
+            LogShipper.cloudWatchLogsWriter(endpoint, "us-east-1",
+              "g", "s", "AKIDTEST", "sk",
+              maxEventsPerCall = maxEvents,
+              maxSpanMillis = maxSpan)(b.repartition(1), id, d))),
+        sleeper = _ => ())
+      val st = LogShipper.stats.head
+      assert(st.delivered && st.shipped == 8, st.toString)
+      assert(rejected.get() == 0, s"writer sent ${rejected.get()} over-limit calls")
+      val bodies = calls.toArray(Array.empty[String])
+      assert(bodies.length == 4, s"expected 4 limit-respecting calls, got ${bodies.length}")
+      // every event delivered exactly once across the chunked calls
+      val delivered = bodies.flatMap(b => """m\d""".r.findAllIn(b)).toSeq
+      assert(delivered.sorted == (0 until 8).map(i => s"m$i"),
+        delivered.mkString(","))
+    } finally server.stop(0)
+  }
+
+  test("cloudWatchChunks: count, byte, and span limits; order preserved") {
+    def ev(ts: Long, msg: String) = (ts, msg)
+    // count limit: 25 events -> 10/10/5
+    val byCount = LogShipper.cloudWatchChunks(
+      Array.tabulate(25)(i => ev(i, "x")), maxEvents = 10)
+    assert(byCount.map(_.length) == Seq(10, 10, 5))
+    // byte limit: each event is 4 msg bytes + 26 overhead = 30; cap 100
+    // fits 3 per chunk
+    val byBytes = LogShipper.cloudWatchChunks(
+      Array.tabulate(7)(i => ev(i, "abcd")), maxBytes = 100)
+    assert(byBytes.map(_.length) == Seq(3, 3, 1))
+    // span limit: exactly maxSpan apart stays together, one past splits
+    val bySpan = LogShipper.cloudWatchChunks(
+      Array(ev(0, "a"), ev(1000, "b"), ev(1001, "c")), maxSpanMillis = 1000)
+    assert(bySpan.map(_.map(_._2).toSeq) == Seq(Seq("a", "b"), Seq("c")))
+    // multi-byte UTF-8 counts bytes, not chars: "é" = 2 bytes -> 28/event,
+    // cap 56 fits exactly 2
+    val utf8 = LogShipper.cloudWatchChunks(
+      Array.tabulate(3)(i => ev(i, "é")), maxBytes = 56)
+    assert(utf8.map(_.length) == Seq(2, 1))
+    // order within and across chunks is the input (sorted) order
+    assert(byCount.flatten.map(_._1).toSeq == (0L until 25L))
+  }
+
+  test("topLevelBool: whitespace-tolerant, nesting- and string-aware") {
+    import LogShipper.topLevelBool
+    // real ES shape
+    assert(topLevelBool("""{"took":5,"errors":true,"items":[]}""", "errors")
+      == Some(true))
+    // tabs/newlines around the colon (pretty-printed) — the old
+    // replace-spaces check missed exactly this
+    assert(topLevelBool("{\n\t\"took\" : 7,\n\t\"errors\"\t:\n\ttrue\n}", "errors")
+      == Some(true))
+    // echoed document body containing the literal substring must NOT
+    // false-positive: the real top-level value is false
+    assert(topLevelBool(
+      """{"errors":false,"items":[{"index":{"error":{"reason":"doc was {\"errors\":true}"}}}]}""",
+      "errors") == Some(false))
+    // nested-only occurrence (depth 2) is not the top-level key
+    assert(topLevelBool("""{"items":[{"errors":true}]}""", "errors") == None)
+    assert(topLevelBool("""{"wrapped":{"errors":true},"errors":false}""", "errors")
+      == Some(false))
+    // absent / non-boolean
+    assert(topLevelBool("""{"took":5}""", "errors") == None)
+    assert(topLevelBool("""{"errors":"true"}""", "errors") == None)
+  }
+
+  test("S8: ES bulk item-error detection survives pretty-printed responses " +
+      "and ignores echoed bodies") {
+    import spark.implicits._
+    LogShipper.resetStats()
+    val phase = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    }
+    server.createContext("/_bulk", (ex: com.sun.net.httpserver.HttpExchange) => {
+      scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      phase.getAndIncrement() match {
+        // attempt 1: item errors reported in PRETTY-PRINTED JSON (tab
+        // before the colon) — must still be detected -> retry
+        case 0 => respond(ex, "{\n  \"took\" : 3,\n  \"errors\"\t: true,\n  \"items\" : []\n}")
+        // attempt 2: success, but an item's echoed body contains the
+        // literal substring "errors":true — must NOT be a failure
+        case _ => respond(ex,
+          """{"took":1,"errors":false,"items":[{"index":{"status":201,"result":"{\"errors\":true}"}}]}""")
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val batch = Seq(graft.model.LogMessage("j1", "ERROR", "db",
+        """payload says "errors":true inside""", ts(0))).toDF().repartition(1)
+      LogShipper.shipBatch(batch, 13L, Seq(
+        LogShipper.Destination("es", "ELASTICSEARCH", Seq("ERROR"),
+          retryDelayMillis = 1) ->
+          LogShipper.elasticsearchWriter(
+            s"http://127.0.0.1:${server.getAddress.getPort}", "ix")),
+        sleeper = _ => ())
+      val st = LogShipper.stats.head
+      assert(st.delivered && st.attempts == 2, st.toString)
+    } finally server.stop(0)
+  }
+
   test("log shipper filters per destination and records stats") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
