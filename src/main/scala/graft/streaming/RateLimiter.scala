@@ -47,24 +47,35 @@ object RateLimiter {
   /** window-id → count, for the minute and hour granularities. */
   final case class WindowCounts(minute: Map[Long, Long], hour: Map[Long, Long])
 
+  /** One request against one key's window state: the check-then-increment
+    * core shared by the streaming path ([[decide]]) and the HTTP edge
+    * ([[EdgeRateLimiter]]), so both enforce identical semantics — a
+    * denied request does not consume quota; only current+previous windows
+    * are retained (reference: src/rate_limiter.cpp:48-88, 132-187). */
+  def step(cur: WindowCounts, rule: RateRule, epochSeconds: Long)
+      : (WindowCounts, Boolean, Long, Long) = {
+    val mWin = epochSeconds / 60
+    val hWin = epochSeconds / 3600
+    val mCount = cur.minute.getOrElse(mWin, 0L)
+    val hCount = cur.hour.getOrElse(hWin, 0L)
+    val allowed = mCount < rule.perMinute && hCount < rule.perHour
+    val next =
+      if (allowed) // denied requests do NOT consume quota
+        WindowCounts(
+          cur.minute.updated(mWin, mCount + 1).filter(_._1 >= mWin - 1),
+          cur.hour.updated(hWin, hCount + 1).filter(_._1 >= hWin - 1))
+      else cur
+    (next, allowed, next.minute.getOrElse(mWin, 0L), next.hour.getOrElse(hWin, 0L))
+  }
+
   def decide(key: (String, String), requests: Iterator[Request],
       state: GroupState[WindowCounts], rule: RateRule): Iterator[Decision] = {
     var cur = state.getOption.getOrElse(WindowCounts(Map.empty, Map.empty))
     val out = scala.collection.mutable.ArrayBuffer.empty[Decision]
     requests.toSeq.sortBy(_.ts.getTime).foreach { r =>
-      val epoch = r.ts.getTime / 1000
-      val mWin = epoch / 60
-      val hWin = epoch / 3600
-      val mCount = cur.minute.getOrElse(mWin, 0L)
-      val hCount = cur.hour.getOrElse(hWin, 0L)
-      val allowed = mCount < rule.perMinute && hCount < rule.perHour
-      if (allowed) { // denied requests do NOT consume quota
-        cur = WindowCounts(
-          cur.minute.updated(mWin, mCount + 1).filter(_._1 >= mWin - 1),
-          cur.hour.updated(hWin, hCount + 1).filter(_._1 >= hWin - 1))
-      }
-      out += Decision(r.clientId, r.endpoint, r.ts, allowed,
-        cur.minute.getOrElse(mWin, 0L), cur.hour.getOrElse(hWin, 0L))
+      val (next, allowed, mCount, hCount) = step(cur, rule, r.ts.getTime / 1000)
+      cur = next
+      out += Decision(r.clientId, r.endpoint, r.ts, allowed, mCount, hCount)
     }
     state.update(cur)
     out.iterator
@@ -89,5 +100,38 @@ object RateLimiter {
               Decision(r.clientId, r.endpoint, r.ts, allowed = true, 0L, 0L))
           }
       }
+  }
+
+  /** Outcome of an edge check, with the reference's X-RateLimit header
+    * fields (reference: createRateLimitResponse exposes
+    * X-RateLimit-Limit / -Remaining / -Reset and Retry-After). */
+  final case class EdgeDecision(allowed: Boolean, limit: Int, remaining: Long,
+      resetEpochSeconds: Long, retryAfterSeconds: Long)
+
+  /** Driver-local enforcement for the HTTP socket layer: one window-state
+    * per (clientId, rule endpoint), same [[step]] math as the streaming
+    * operator. The map is bounded by live (client, endpoint-group) pairs
+    * — a control-plane cardinality; at a bigger edge the same keyed state
+    * lives in the streaming operator instead. */
+  final class EdgeRateLimiter(rules: Seq[RateRule] = DefaultRules,
+      clock: () => Long = () => System.currentTimeMillis() / 1000) {
+    private val states =
+      scala.collection.mutable.HashMap.empty[(String, String), WindowCounts]
+
+    def check(clientId: String, endpoint: String): EdgeDecision = synchronized {
+      matchRule(endpoint, rules) match {
+        case None => EdgeDecision(allowed = true, 0, 0L, 0L, 0L)
+        case Some(rule) =>
+          val now = clock()
+          val key = (clientId, rule.endpoint)
+          val cur = states.getOrElse(key, WindowCounts(Map.empty, Map.empty))
+          val (next, allowed, mCount, _) = step(cur, rule, now)
+          states.update(key, next)
+          val resetAt = (now / 60 + 1) * 60
+          EdgeDecision(allowed, rule.perMinute,
+            math.max(0L, rule.perMinute - mCount), resetAt,
+            if (allowed) 0L else resetAt - now)
+      }
+    }
   }
 }
