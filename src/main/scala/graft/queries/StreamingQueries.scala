@@ -173,7 +173,10 @@ object StreamingQueries {
         |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
       val ev = Tables(s, dir).events.select(
         col("event_id"), col("event_type"), col("value"),
-        (unix_micros(col("ts")) -
+        // cast: parquet event ts may read as TIMESTAMP_NTZ (Spark 4 infers
+        // NTZ when the file is not UTC-adjusted); session tz is pinned UTC,
+        // so the cast is instant-preserving and unix_micros stays exact.
+        (unix_micros(col("ts").cast("timestamp")) -
           when(col("event_id") % 53 === 0, 300L).otherwise(col("event_id") % 7)
             * 60000000L).as("ets_us"),
         floor(col("event_id") / 50).cast("long").as("batch"))
