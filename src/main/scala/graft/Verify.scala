@@ -38,7 +38,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Resolve run-scoped fixture placeholders (q102/q124's IVF index root
+    // is a per-(appId, sf) temp dir): the queries above already built the
+    // fixture for THIS sfDir, so the substituted path is the index the
+    // oracle must read.
+    val ivfPath = graft.queries.ExtensionQueries.ivfFixturePath(spark, sfDir)
     val json = SparkEntry.oracleSql
+      .map { case (k, v) =>
+        k -> v.replace(graft.queries.ExtensionQueries.IvfFixtureToken, ivfPath)
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -26,32 +26,45 @@ object ExtensionQueries {
        |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
        |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
 
-  /** The q102 IVF fixture location: sf-INDEPENDENT on purpose — each
-    * Verify run overwrites it with the index built from ITS corpus, and
-    * the paired oracle run reads it back, so one static SQL string works
-    * at every scale factor (runs are sequential: Spark writes, DuckDB
-    * reads). Only the KMeans TRAINING stays outside the oracle; probe
-    * selection, scoring, top-k, and the recall permille are all
-    * re-derived by DuckDB from the persisted assignments + centroids. */
-  private val IvfFixturePath = "/tmp/graft-ivf-fixture"
+  /** Placeholder the q102/q124 oracle SQL embeds for the IVF fixture
+    * root. The real location is a per-(applicationId, sf-dir) temp
+    * directory — a fixed world-shared `/tmp` path would let concurrent
+    * runs clobber each other, and a second scale factor in the same
+    * session would overwrite the first sf's index so a later probe at
+    * the first sf reads the wrong data. Verify substitutes the resolved
+    * path when dumping oracle_sql.json (queries run before the dump, so
+    * the index the oracle reads is the one built from the SAME sf). */
+  val IvfFixtureToken = "__GRAFT_IVF_FIXTURE__"
+
+  private val ivfFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The run-scoped fixture root for (this session, this sf dir) —
+    * created on first use, same value for every later caller. */
+  def ivfFixturePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfFixtureDirs.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => java.nio.file.Files.createTempDirectory("graft-ivf").toString)
 
   /** Build-once-per-(session, sf) guard for the IVF fixture: q102 and
     * q124 both consume it, and either may run first (or alone). The
     * KMeans build is seed-fixed, so whichever caller builds writes the
-    * same bytes. */
+    * same bytes. Returns the fixture root. */
   private val ivfFixtureBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   private def ensureIvfFixture(s: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String): String = {
     val key = s.sparkContext.applicationId + ":" + dir
+    val path = ivfFixturePath(s, dir)
     ivfFixtureBuilt.computeIfAbsent(key, _ => {
       implicit val sess: org.apache.spark.sql.SparkSession = s
       graft.operators.IvfAnn.write(
         graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8),
-        IvfFixturePath)
+        path)
       true
     })
-    ()
+    path
   }
 
   val entries: Map[String, QueryDef] = Map(
@@ -221,10 +234,10 @@ object ExtensionQueries {
     // shape invariants: monotone, 1000 at full probe).
     "q102_ivf_recall" -> QueryDef(
       s"""WITH a AS (SELECT id, v, CAST(list_id AS INT) AS list_id
-         |  FROM read_parquet('$IvfFixturePath/assignments/*/*.parquet',
+         |  FROM read_parquet('$IvfFixtureToken/assignments/*/*.parquet',
          |                    hive_partitioning = true)),
          |c AS (SELECT CAST(list_id AS INT) AS list_id, centroid
-         |      FROM read_parquet('$IvfFixturePath/centroids/*.parquet')),
+         |      FROM read_parquet('$IvfFixtureToken/centroids/*.parquet')),
          |q AS (SELECT vec_id AS query_id, embedding AS qv
          |      FROM embeddings WHERE vec_id < 10),
          |bs AS (SELECT query_id, vec_id AS neighbor_id,
@@ -267,10 +280,10 @@ object ExtensionQueries {
          |ORDER BY nprobe""".stripMargin) { (s, dir) =>
       import graft.operators.IvfAnn
       val e = Tables(s, dir).embeddings
-      ensureIvfFixture(s, dir) // seed-fixed build, written once per sf
+      val fixture = ensureIvfFixture(s, dir) // seed-fixed, once per sf
       // probe the PERSISTED copy: the exact bytes the oracle reads drive
       // the Spark side too (and the probe join runs partition-pruned)
-      val persisted = IvfAnn.read(s, IvfFixturePath)
+      val persisted = IvfAnn.read(s, fixture)
       IvfAnn.recallCurve(e.filter(col("vec_id") < 10), persisted, k = 10,
         nprobes = Seq(1, 2, 4, 8)).orderBy(col("nprobe"))
     },
@@ -283,7 +296,7 @@ object ExtensionQueries {
     // from the fixture's centroids parquet.
     "q124_ivf_assign" -> QueryDef(
       s"""WITH c AS (SELECT CAST(list_id AS INT) AS list_id, centroid
-         |      FROM read_parquet('$IvfFixturePath/centroids/*.parquet')),
+         |      FROM read_parquet('$IvfFixtureToken/centroids/*.parquet')),
          |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
          |d AS (SELECT vec_id, list_id,
          |        ${sqDistSql("embedding", "centroid")} AS cdist
@@ -294,8 +307,8 @@ object ExtensionQueries {
          |SELECT vec_id AS id, list_id FROM r WHERE rk = 1
          |ORDER BY id""".stripMargin) { (s, dir) =>
       import graft.operators.IvfAnn
-      ensureIvfFixture(s, dir)
-      val centroids = IvfAnn.read(s, IvfFixturePath).centroids
+      val fixture = ensureIvfFixture(s, dir)
+      val centroids = IvfAnn.read(s, fixture).centroids
       IvfAnn.assign(
         Tables(s, dir).embeddings.filter(col("vec_id") % 10 === 7), centroids)
         .select(col("id"), col("list_id"))
