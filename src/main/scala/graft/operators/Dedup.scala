@@ -77,17 +77,27 @@ object Dedup {
     * above the cap are dropped from candidate generation (their members
     * still pair through their OTHER bands); [[hotBuckets]] reports what a
     * cap drops so the loss is accounted, not silent. The hot-bucket list
-    * is tiny by construction, so the anti-join broadcasts. */
+    * is tiny by construction, so the anti-join broadcasts.
+    *
+    * `hotBucketKeys` overrides the internally-computed hot set with a
+    * caller-supplied `bk` column of band keys to exclude — the incremental
+    * paths use it so the cap is evaluated over the COMBINED corpus
+    * population (store ∪ batch) rather than each sub-population
+    * separately: a bucket holding 60 store + 60 batch docs is hot at
+    * cap 100 even though neither side alone crosses it. */
   def lshCandidatePairs(minhashedDocs: DataFrame,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      hotBucketKeys: Option[DataFrame] = None): DataFrame = {
     val allBanded = minhashedDocs.select(col("id"), explode(col("band_keys")).as("bk"))
-    val banded = maxBucketSize match {
-      case Some(cap) =>
+    val banded = (hotBucketKeys, maxBucketSize) match {
+      case (Some(hot), _) =>
+        allBanded.join(broadcast(hot.select(col("bk"))), Seq("bk"), "left_anti")
+      case (None, Some(cap)) =>
         val hot = allBanded.groupBy(col("bk"))
           .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") > cap)
           .select(col("bk"))
         allBanded.join(broadcast(hot), Seq("bk"), "left_anti")
-      case None => allBanded
+      case (None, None) => allBanded
     }
     val a = banded.select(col("bk"), col("id").as("id_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"))
@@ -202,8 +212,9 @@ object Dedup {
     * per consumer (pairing, clustering, quality measurement) pays the
     * shingle+hash pass k times for no reason. */
   def nearDupPairsFromMinhashed(mh: DataFrame, threshold: Double = 0.5,
-      maxBucketSize: Option[Int] = None): DataFrame =
-    lshCandidatePairs(mh, maxBucketSize)
+      maxBucketSize: Option[Int] = None,
+      hotBucketKeys: Option[DataFrame] = None): DataFrame =
+    lshCandidatePairs(mh, maxBucketSize, hotBucketKeys)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -632,19 +643,25 @@ object Dedup {
     * band bucket — a boilerplate bucket with S store docs meets every
     * new doc it contains, so the quadratic risk is the combined count;
     * over-cap buckets drop from candidate generation with the same
-    * accounting contract as [[hotBuckets]]. */
+    * accounting contract as [[hotBuckets]]. `hotBucketKeys` supplies the
+    * hot set explicitly (same contract as [[lshCandidatePairs]]) so all
+    * pair populations of an incremental solve share one exclusion. */
   def incrementalNearDupPairs(newMh: DataFrame, storeMh: DataFrame,
-      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Option[Int] = None,
+      hotBucketKeys: Option[DataFrame] = None): DataFrame = {
     val nb = newMh.select(col("id").as("new_id"), explode(col("band_keys")).as("bk"))
     val sb = storeMh.select(col("id").as("store_id"), explode(col("band_keys")).as("bk"))
-    val (nbF, sbF) = maxBucketSize match {
-      case Some(cap) =>
+    val (nbF, sbF) = (hotBucketKeys, maxBucketSize) match {
+      case (Some(hot), _) =>
+        (nb.join(broadcast(hot.select(col("bk"))), Seq("bk"), "left_anti"),
+          sb.join(broadcast(hot.select(col("bk"))), Seq("bk"), "left_anti"))
+      case (None, Some(cap)) =>
         val hot = nb.select(col("bk")).unionAll(sb.select(col("bk")))
           .groupBy(col("bk")).agg(count(lit(1)).as("n_docs"))
           .filter(col("n_docs") > cap).select(col("bk"))
         (nb.join(broadcast(hot), Seq("bk"), "left_anti"),
           sb.join(broadcast(hot), Seq("bk"), "left_anti"))
-      case None => (nb, sb)
+      case (None, None) => (nb, sb)
     }
     val pairs = nbF.join(sbF, Seq("bk"))
       .select(col("new_id"), col("store_id"))

@@ -425,6 +425,13 @@ object PipelineQueries {
       val mh = dupDocsMinhashed(s, dir)
       val storeMh = mh.filter(col("id") % 3 === 0)
       val batchMh = mh.filter(col("id") % 3 =!= 0)
+      // ONE hot-bucket exclusion for every pair population, evaluated on
+      // the COMBINED corpus (store ∪ batch) — capping store-only /
+      // batch-only / cross populations separately diverges from the
+      // full-corpus closure near the boundary (60 store + 60 batch in a
+      // bucket is hot at cap 100 even though neither side alone is), and
+      // incremental == from-scratch is this operator's whole invariant
+      val hotKeys = Some(Dedup.hotBuckets(mh, cap = 100).select(col("bk")))
       // the store's components are the PERSISTED table (the previous
       // run's output) — a session-scoped fixture like the signature
       // store, so the timed operator is the incremental fold, not a
@@ -433,7 +440,7 @@ object PipelineQueries {
       val storePath = compStorePaths.computeIfAbsent(storeKey, _ => {
         val p = java.nio.file.Files.createTempDirectory("graft-storecomps").toString
         val storePairs = Dedup.nearDupPairsFromMinhashed(storeMh,
-          threshold = 0.5, maxBucketSize = Some(100))
+          threshold = 0.5, hotBucketKeys = hotKeys)
           .select(col("id_a"), col("id_b"))
         Dedup.connectedComponents(storeMh.select(col("id")), storePairs)
           .write.mode("overwrite").parquet(p)
@@ -448,9 +455,9 @@ object PipelineQueries {
       val pairsPath = compStorePaths.computeIfAbsent(pairsKey, _ => {
         val p = java.nio.file.Files.createTempDirectory("graft-newpairs").toString
         val crossPairs = Dedup.incrementalNearDupPairs(batchMh, storeMh,
-          threshold = 0.5, maxBucketSize = Some(100))
+          threshold = 0.5, hotBucketKeys = hotKeys)
           .select(col("new_id").as("id_a"), col("store_id").as("id_b"))
-        val withinPairs = Dedup.lshCandidatePairs(batchMh, maxBucketSize = Some(100))
+        val withinPairs = Dedup.lshCandidatePairs(batchMh, hotBucketKeys = hotKeys)
           .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"))

@@ -490,6 +490,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(merged.size == 15)
   }
 
+  test("incremental components: hot-bucket cap evaluated on the combined population") {
+    import graft.operators.Dedup
+    // planted boundary bucket: 60 store + 60 batch docs share identical
+    // boilerplate text, so every band bucket they occupy holds 120 docs —
+    // hot at cap 100 on the COMBINED population while neither side alone
+    // crosses it (the q123 cap-semantics landmine). A second, small
+    // near-dup cluster spans store and batch through a cold bucket.
+    val boiler = "the same boilerplate license header text repeated in every page " * 3
+    val rare = "a genuinely unique near duplicate cluster of four documents"
+    val storeDocs = ((0L until 120L by 2).map(i => (i, boiler)) ++
+      Seq((200L, rare), (202L, rare))).toDF("doc_id", "text")
+    val batchDocs = ((1L until 120L by 2).map(i => (i, boiler)) ++
+      Seq((201L, rare), (203L, rare))).toDF("doc_id", "text")
+    val cap = 100
+    val mh = Dedup.minhashed(storeDocs.unionByName(batchDocs), "doc_id", "text",
+      shingleSize = 3, numHashes = 12, rowsPerBand = 3).persist()
+    try {
+      val storeMh = mh.filter(col("id") % 2 === 0)
+      val batchMh = mh.filter(col("id") % 2 =!= 0)
+      // the boundary really is a boundary: per-side populations are cold,
+      // the combined population is hot
+      assert(Dedup.hotBuckets(storeMh, cap).count() == 0)
+      assert(Dedup.hotBuckets(batchMh, cap).count() == 0)
+      assert(Dedup.hotBuckets(mh, cap).count() > 0)
+      // from-scratch truth: cap applied to the full corpus
+      val scratch = Dedup.connectedComponents(mh.select(col("id")),
+        Dedup.nearDupPairsFromMinhashed(mh, threshold = 0.5,
+          maxBucketSize = Some(cap)).select(col("id_a"), col("id_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // incremental solve: all three pair populations share ONE hot set
+      // computed over store ∪ batch
+      val hot = Some(Dedup.hotBuckets(mh, cap).select(col("bk")))
+      val store = Dedup.connectedComponents(storeMh.select(col("id")),
+        Dedup.nearDupPairsFromMinhashed(storeMh, threshold = 0.5,
+          hotBucketKeys = hot).select(col("id_a"), col("id_b")))
+      val cross = Dedup.incrementalNearDupPairs(batchMh, storeMh,
+        threshold = 0.5, hotBucketKeys = hot)
+        .select(col("new_id").as("id_a"), col("store_id").as("id_b"))
+      val within = Dedup.lshCandidatePairs(batchMh, hotBucketKeys = hot)
+        .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("j") >= 0.5).select(col("id_a"), col("id_b"))
+      val merged = Dedup.mergeComponents(store, batchMh.select(col("id")),
+        cross.unionByName(within))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == scratch,
+        s"incremental != from-scratch at the cap boundary:\n$merged\n$scratch")
+      // the hot bucket suppressed the boilerplate cluster entirely...
+      assert((0L until 120L).forall(i => scratch(i) == i))
+      // ...while the cold-bucket cluster still closed across store+batch
+      assert(Seq(201L, 202L, 203L).forall(i => scratch(i) == 200L))
+    } finally { mh.unpersist(); () }
+  }
+
   test("connected components: chains close transitively, islands stay apart") {
     import graft.operators.Dedup
     val nodes = (1L to 9L).toDF("id")
