@@ -2,16 +2,25 @@ package graft.api
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Jwt, MiniJson}
+import graft.model.ConnectionFilters
+import graft.streaming.{FilterManager, RateLimiter}
 
 /** The thin HTTP wire over the §2.11 surface — the last layer of the
   * reference's REST stack (reference: src/http_server.cpp routing,
-  * src/request_handler.cpp:1172-1318 monitor/jobs, :1489-1820 health).
-  * Everything below the route handler — param parse, validation, the
-  * compiled query plan, the JSON row shape — lives in [[QueryApi]] and is
-  * oracle-/spec-verified; this file only binds sockets, which is why the
-  * JDK's built-in server suffices (no dependency, loopback-testable in a
-  * no-egress sandbox).
+  * src/request_handler.cpp:488-508 route table; :638-830 auth;
+  * :918-1015 point status/metrics; :1020-1138 jobs list/create/update;
+  * :1172-1318 monitor/jobs; :1320-1353 monitor status/metrics;
+  * :1489-1820 health; include/websocket_filter_manager.hpp:26-100 the
+  * WS-filter REST ops). Everything below the route handler — param
+  * parse, validation, the compiled query plan, the JSON row shape —
+  * lives in [[QueryApi]] / [[graft.operators.Sessions]] /
+  * [[graft.streaming.FilterManager]] and is oracle-/spec-verified; this
+  * file only binds sockets, which is why the JDK's built-in server
+  * suffices (no dependency, loopback-testable in a no-egress sandbox).
   *
   * Response sizes are bounded BY THE VALIDATOR (limit/maxResults ≤ 1000,
   * reference: src/input_validator.cpp:782-795), so the driver-side
@@ -19,65 +28,415 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scale hazard: this surface serves operators' dashboards, not bulk
   * export — bulk egress is the job of the sinks (parquet/JDBC/log
   * shipping), never the REST layer.
+  *
+  * Rate limiting is enforced AT THE EDGE (reference:
+  * src/rate_limiter.cpp:12-22 defaults, createRateLimitResponse headers):
+  * every request passes the [[RateLimiter.EdgeRateLimiter]] before its
+  * handler runs; denials are 429 with X-RateLimit-Limit / -Remaining /
+  * -Reset and Retry-After.
   */
 object HttpApi {
+
+  /** Process-default JWT secret for dev/test binds; production callers
+    * pass their own. */
+  private val DefaultSecret = "graft-dev-jwt-secret".getBytes("UTF-8")
+
+  /** JWT TTL matches the session TTL (reference:
+    * src/auth_manager.cpp:212 / getJWTExpiryHours — 24 h). */
+  private val TokenTtlSeconds: Long = 24L * 3600
 
   /** Bind and start. `port` 0 picks an ephemeral port (tests); the
     * returned server reports it via `getAddress.getPort`. `jobs` and
     * `logs` are the prepared frames the routes query — at scale these
     * are registered views over the job store / log source, planned per
-    * request with the caller's filters pushed down. */
+    * request with the caller's filters pushed down. `users` (user_id,
+    * username, password_hash, password_salt, is_active, optionally
+    * email/created_at) backs the auth group; without it auth returns
+    * 401 like the reference's ETL_ENABLE_JWT=off build. `rateRules`
+    * Nil disables edge limiting (unit tests that hammer one route). */
   def start(port: Int, spark: SparkSession, jobs: DataFrame,
-      logs: DataFrame): HttpServer = {
+      logs: DataFrame, users: Option[DataFrame] = None,
+      jwtSecret: Array[Byte] = DefaultSecret,
+      rateRules: Seq[RateLimiter.RateRule] = RateLimiter.DefaultRules,
+      clock: () => Long = () => System.currentTimeMillis() / 1000)
+      : HttpServer = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    val limiter =
+      if (rateRules.isEmpty) None
+      else Some(new RateLimiter.EdgeRateLimiter(rateRules, clock))
 
-    server.createContext("/api/monitor/jobs", (ex: HttpExchange) =>
-      handle(ex) {
-        QueryApi.monitorJobs(jobs, rawQuery(ex)).map { df =>
+    // -- control-plane state owned by this bind ------------------------
+    // WS filter table: one row per live connection (reference keeps it in
+    // WebSocketFilterManager); scheduled-job buffer: POST /api/jobs.
+    val filters = new java.util.concurrent.atomic.AtomicReference[
+      Seq[ConnectionFilters]](Seq.empty)
+    val scheduled =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, String)]())
+
+    def ctx(path: String)(body: HttpExchange => (Int, String)): Unit = {
+      server.createContext(path, (ex: HttpExchange) =>
+        handle(ex, limiter)(body(ex)))
+      ()
+    }
+
+    // -- monitor + logs + health (the original three groups) -----------
+
+    ctx("/api/monitor/jobs") { ex =>
+      QueryApi.monitorJobs(jobs, rawQuery(ex)) match {
+        case Right(df) =>
           // monitorJobsJson emits one pre-rendered JSON object per row
-          "[" + df.collect().map(_.getString(0)).mkString(",") + "]"
-        }
-      })
+          (200, "[" + df.collect().map(_.getString(0)).mkString(",") + "]")
+        case Left(err) => (400, errJson(err))
+      }
+    }
 
-    server.createContext("/api/logs/search", (ex: HttpExchange) =>
-      handle(ex) {
-        QueryApi.logSearch(logs, rawQuery(ex)).map { df =>
-          "[" + df.toJSON.collect().mkString(",") + "]"
-        }
-      })
+    ctx("/api/monitor/status") { _ =>
+      val alive = !spark.sparkContext.isStopped
+      (200, s"""{"server_status":"running","db_connected":$alive,""" +
+        s""""etl_manager_running":$alive}""")
+    }
 
-    server.createContext("/api/health", (ex: HttpExchange) =>
-      handle(ex) {
-        Right(QueryApi.health(spark, Some(jobs)).toJSON.collect().head)
-      })
+    ctx("/api/monitor/metrics") { _ =>
+      val counts = jobs.groupBy(lower(col("status")).as("s")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = counts.valuesIterator.sum
+      (200, s"""{"total_jobs":$total,""" +
+        s""""running_jobs":${counts.getOrElse("running", 0L)},""" +
+        s""""completed_jobs":${counts.getOrElse("completed", 0L)},""" +
+        s""""failed_jobs":${counts.getOrElse("failed", 0L)}}""")
+    }
 
-    server.setExecutor(null)
+    ctx("/api/logs/search") { ex =>
+      QueryApi.logSearch(logs, rawQuery(ex)) match {
+        case Right(df) => (200, "[" + df.toJSON.collect().mkString(",") + "]")
+        case Left(err) => (400, errJson(err))
+      }
+    }
+
+    ctx("/api/health") { _ =>
+      (200, QueryApi.health(spark, Some(jobs)).toJSON.collect().head)
+    }
+
+    // -- auth (reference: src/request_handler.cpp:638-830) -------------
+
+    ctx("/api/auth") { ex =>
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      (method, path) match {
+        case ("POST", "/api/auth/login") =>
+          val body = readBody(ex)
+          (MiniJson.topLevelString(body, "username"),
+            MiniJson.topLevelString(body, "password")) match {
+            case (Some(u), Some(p)) =>
+              users.flatMap(lookupUser(_, u)) match {
+                case Some(row) if authOk(row, p) =>
+                  val uid = row.getAs[Any]("user_id").toString
+                  val now = clock()
+                  val token = Jwt.issueJvm(uid, u, now,
+                    now + TokenTtlSeconds, jwtSecret)
+                  (200, s"""{"token":${quote(token)},""" +
+                    s""""user_id":${quote(uid)},""" +
+                    s""""username":${quote(u)},""" +
+                    s""""expires_in":$TokenTtlSeconds,""" +
+                    s""""token_type":"Bearer"}""")
+                case _ => (401, errJson("Invalid username or password"))
+              }
+            case _ => (400, errJson("Login validation failed"))
+          }
+        case ("POST", "/api/auth/logout") =>
+          (200, """{"message":"Logged out successfully"}""")
+        case ("GET", "/api/auth/profile") =>
+          bearerSubject(ex, jwtSecret, clock())
+            .flatMap(uid => users.flatMap(lookupUserById(_, uid))) match {
+            case Some(row) => (200, profileJson(row))
+            case None => (401, errJson("Authentication required"))
+          }
+        case _ => (400, errJson("Invalid auth endpoint"))
+      }
+    }
+
+    // -- ETL jobs (reference: src/request_handler.cpp:918-1138) --------
+
+    ctx("/api/jobs") { ex =>
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      val rest = path.stripPrefix("/api/jobs").stripPrefix("/")
+      (method, rest) match {
+        case ("GET", "") =>
+          val listed = jobs.select(col("jobId"), lower(col("status")).as("s"))
+            .collect()
+            .map(r => s"""{"id":${quote(r.getString(0))},"status":${quote(r.getString(1))}}""")
+          val extra = {
+            val it = scheduled.toArray(Array.empty[(String, String)])
+            it.map { case (id, st) =>
+              s"""{"id":${quote(id)},"status":${quote(st)}}"""
+            }
+          }
+          (200, """{"jobs":[""" + (listed ++ extra).mkString(",") + "]}")
+        case ("POST", "") =>
+          val body = readBody(ex)
+          if (MiniJson.topLevelString(body, "type").isEmpty)
+            (400, errJson("Job creation validation failed"))
+          else {
+            val id = s"job_${clock()}_${scheduled.size()}"
+            scheduled.add((id, "scheduled"))
+            (200, s"""{"job_id":${quote(id)},"status":"scheduled"}""")
+          }
+        case ("GET", p) if p.endsWith("/status") =>
+          val id = p.stripSuffix("/status")
+          if (!validJobId(id)) (400, errJson("Invalid job ID format"))
+          else jobRow(jobs, id) match {
+            case Some(r) => (200, jobStatusJson(r, clock()))
+            case None => (404, errJson("Job not found"))
+          }
+        case ("GET", p) if p.endsWith("/metrics") =>
+          val id = p.stripSuffix("/metrics")
+          if (!validJobId(id)) (400, errJson("Invalid job ID format"))
+          else jobRow(jobs, id) match {
+            case Some(r) => (200, jobMetricsJson(r, clock()))
+            case None => (404, errJson("Job not found"))
+          }
+        case ("PUT", id) if id.nonEmpty && !id.contains("/") =>
+          if (!validJobId(id)) (400, errJson("Invalid job ID format"))
+          else {
+            val body = readBody(ex)
+            if (MiniJson.topLevelToken(body, "status").isEmpty &&
+              MiniJson.topLevelToken(body, "type").isEmpty)
+              (400, errJson("Job update validation failed"))
+            else (200, s"""{"job_id":${quote(id)},"status":"updated"}""")
+          }
+        case _ => (400, errJson("Invalid jobs endpoint"))
+      }
+    }
+
+    // -- WS filter management REST (reference:
+    //    include/websocket_filter_manager.hpp:26-100) ------------------
+
+    ctx("/api/ws/filters") { ex =>
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      val rest = path.stripPrefix("/api/ws/filters").stripPrefix("/")
+      val parts = rest.split("/", -1).toList
+      (method, parts) match {
+        case ("GET", "stats" :: Nil) =>
+          val subs = filters.get()
+          (200, s"""{"n_connections":${subs.size},"templates":[""" +
+            FilterManager.Templates.keys.toSeq.sorted
+              .map(quote).mkString(",") + "]}")
+        case ("GET", conn :: Nil) if conn.nonEmpty =>
+          val f = FilterManager.get(filters.get(), conn)
+            .getOrElse(ConnectionFilters(conn))
+          (200, filterJson(f))
+        case ("PUT", conn :: Nil) if conn.nonEmpty =>
+          val body = readBody(ex)
+          val f = ConnectionFilters(conn,
+            MiniJson.topLevelStringArray(body, "jobIds").getOrElse(Seq.empty),
+            MiniJson.topLevelStringArray(body, "logLevels").getOrElse(Seq.empty),
+            MiniJson.topLevelStringArray(body, "messageTypes").getOrElse(Seq.empty),
+            MiniJson.topLevelBoolean(body, "includeSystemNotifications")
+              .getOrElse(true))
+          filters.updateAndGet(subs => FilterManager.set(subs, f))
+          (200, filterJson(f))
+        case ("DELETE", conn :: Nil) if conn.nonEmpty =>
+          // clear = reset to match-all (reference semantics); ensure the
+          // connection exists so a clear after set really resets
+          filters.updateAndGet(subs => FilterManager.clear(
+            if (FilterManager.get(subs, conn).isDefined) subs
+            else FilterManager.set(subs, ConnectionFilters(conn)), conn))
+          (200, filterJson(ConnectionFilters(conn)))
+        case ("POST", conn :: "template" :: name :: Nil) if conn.nonEmpty =>
+          val subsWith =
+            if (FilterManager.get(filters.get(), conn).isDefined) filters.get()
+            else FilterManager.set(filters.get(), ConnectionFilters(conn))
+          FilterManager.applyTemplate(subsWith, conn, name) match {
+            case Right(next) =>
+              filters.set(next)
+              (200, filterJson(FilterManager.get(next, conn).get))
+            case Left(err) => (400, errJson(err))
+          }
+        case ("POST", conn :: "test" :: Nil) if conn.nonEmpty =>
+          val body = readBody(ex)
+          val msg = graft.model.WebSocketMessage(
+            MiniJson.topLevelString(body, "msgType").getOrElse(""),
+            new java.sql.Timestamp(clock() * 1000L), "",
+            MiniJson.topLevelString(body, "targetJobId"),
+            MiniJson.topLevelString(body, "targetLevel"))
+          val f = FilterManager.get(filters.get(), conn)
+            .getOrElse(ConnectionFilters(conn))
+          (200, s"""{"matches":${FilterManager.testFilter(f, msg)}}""")
+        case _ => (400, errJson("Invalid ws-filter endpoint"))
+      }
+    }
+
+    // A small fixed pool: request handling must not serialize on one
+    // dispatch thread (a slow driver-side collect would block /api/health
+    // exactly when monitors poll). Daemon threads so an un-stopped server
+    // never pins the JVM.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.start()
     server
   }
 
+  // -- request plumbing ------------------------------------------------
+
   private def rawQuery(ex: HttpExchange): String =
     Option(ex.getRequestURI.getRawQuery).getOrElse("")
 
-  /** Uniform envelope: validation failures are 400 with a JSON error
-    * (the reference's handleValidationError shape); handler crashes are
-    * 500, never a dropped connection. */
-  private def handle(ex: HttpExchange)(body: => Either[String, String]): Unit = {
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+
+  private def bearerSubject(ex: HttpExchange, secret: Array[Byte],
+      nowEpoch: Long): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .map(_.substring(7))
+      .flatMap(Jwt.subjectJvm(_, secret, nowEpoch))
+
+  /** Uniform envelope: the rate limiter runs first (429 + the reference's
+    * X-RateLimit headers on denial); validation failures are 400 with a
+    * JSON error (the reference's handleValidationError shape); handler
+    * crashes are 500 with a GENERIC body — the exception text goes to the
+    * server log, never to the client (path/config disclosure). */
+  private def handle(ex: HttpExchange,
+      limiter: Option[RateLimiter.EdgeRateLimiter])
+      (body: => (Int, String)): Unit = {
+    val decision = limiter.map(_.check(
+      ex.getRemoteAddress.getAddress.getHostAddress,
+      ex.getRequestURI.getPath))
+    decision.filter(d => d.limit > 0).foreach { d =>
+      ex.getResponseHeaders.set("X-RateLimit-Limit", d.limit.toString)
+      ex.getResponseHeaders.set("X-RateLimit-Remaining", d.remaining.toString)
+      ex.getResponseHeaders.set("X-RateLimit-Reset", d.resetEpochSeconds.toString)
+    }
     val (code, payload) =
-      try body match {
-        case Right(json) => (200, json)
-        case Left(err)   => (400, s"""{"error":${quote(err)}}""")
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          (500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
-      }
+      if (decision.exists(!_.allowed)) {
+        decision.foreach(d => ex.getResponseHeaders.set(
+          "Retry-After", d.retryAfterSeconds.toString))
+        (429, errJson("Rate limit exceeded"))
+      } else
+        try body
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[http] ${ex.getRequestURI} failed: $e")
+            (500, errJson("internal server error"))
+        }
     val bytes = payload.getBytes("UTF-8")
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()
   }
+
+  // -- auth/jobs row helpers -------------------------------------------
+
+  /** Job-id charset/length rule (reference:
+    * src/input_validator.cpp isValidJobId). */
+  private def validJobId(id: String): Boolean =
+    id.nonEmpty && id.length <= 64 &&
+      id.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+
+  private def lookupUser(users: DataFrame, username: String): Option[Row] =
+    users.filter(col("username") === lit(username)).limit(1)
+      .collect().headOption
+
+  private def lookupUserById(users: DataFrame, uid: String): Option[Row] =
+    users.filter(col("user_id").cast("string") === lit(uid)).limit(1)
+      .collect().headOption
+
+  /** Driver-side mirror of [[graft.operators.Sessions.passwordHash]]
+    * (sha256(password || salt), lowercase hex) plus the is_active gate. */
+  private def authOk(row: Row, password: String): Boolean = {
+    val active = opt(row, "is_active").forall {
+      case b: Boolean => b
+      case other => other.toString.toBoolean
+    }
+    val salt = opt(row, "password_salt").map(_.toString).getOrElse("")
+    val stored = opt(row, "password_hash").map(_.toString).getOrElse("")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest((password + salt).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    active && stored.nonEmpty &&
+      java.security.MessageDigest.isEqual(
+        hex.getBytes("UTF-8"), stored.toLowerCase.getBytes("UTF-8"))
+  }
+
+  private def opt(row: Row, field: String): Option[Any] =
+    if (row.schema.fieldNames.contains(field) &&
+      !row.isNullAt(row.fieldIndex(field))) Some(row.getAs[Any](field))
+    else None
+
+  private def profileJson(row: Row): String = {
+    val uid = opt(row, "user_id").map(_.toString).getOrElse("")
+    val name = opt(row, "username").map(_.toString).getOrElse("")
+    val email = opt(row, "email").map(_.toString).getOrElse("")
+    val active = opt(row, "is_active").map(_.toString).getOrElse("true")
+    val created = opt(row, "created_at").map(_.toString).getOrElse("")
+    s"""{"user_id":${quote(uid)},"username":${quote(name)},""" +
+      s""""email":${quote(email)},"roles":["user"],""" +
+      s""""is_active":$active,"created_at":${quote(created)}}"""
+  }
+
+  private def jobRow(jobs: DataFrame, id: String): Option[Row] =
+    jobs.filter(col("jobId") === lit(id)).limit(1).collect().headOption
+
+  private def tsMs(row: Row, field: String): Option[Long] =
+    opt(row, field).collect { case t: java.sql.Timestamp => t.getTime }
+
+  /** executionTimeMs per the reference: completed−started, or now−started
+    * while RUNNING (src/request_handler.cpp:957-965). */
+  private def execMs(row: Row, nowEpoch: Long): Long = {
+    val started = tsMs(row, "startedAt")
+    val ended =
+      if (opt(row, "status").contains("RUNNING")) Some(nowEpoch * 1000L)
+      else tsMs(row, "completedAt")
+    (for (s <- started; e <- ended) yield math.max(0L, e - s)).getOrElse(0L)
+  }
+
+  private def jobStatusJson(row: Row, nowEpoch: Long): String = {
+    def s(f: String) = opt(row, f).map(_.toString).getOrElse("")
+    def n(f: String) = opt(row, f).map(_.toString).getOrElse("0")
+    val err = opt(row, "errorMessage").map(_.toString)
+      .filter(_.nonEmpty)
+      .map(e => s""","errorMessage":${quote(e)}""").getOrElse("")
+    s"""{"jobId":${quote(s("jobId"))},"type":${quote(s("jobType"))},""" +
+      s""""status":${quote(s("status"))},"createdAt":${quote(s("createdAt"))},""" +
+      s""""startedAt":${quote(s("startedAt"))},""" +
+      s""""completedAt":${quote(s("completedAt"))},""" +
+      s""""recordsProcessed":${n("recordsProcessed")},""" +
+      s""""recordsSuccessful":${n("recordsSuccessful")},""" +
+      s""""recordsFailed":${n("recordsFailed")}$err,""" +
+      s""""executionTimeMs":${execMs(row, nowEpoch)}}"""
+  }
+
+  /** processingRate/successRate math per src/request_handler.cpp:984-1001. */
+  private def jobMetricsJson(row: Row, nowEpoch: Long): String = {
+    def s(f: String) = opt(row, f).map(_.toString).getOrElse("")
+    def l(f: String) = opt(row, f).collect { case x: Long => x }.getOrElse(0L)
+    val ms = execMs(row, nowEpoch)
+    val rate = if (ms > 0) l("recordsProcessed").toDouble / (ms / 1000.0) else 0.0
+    val success =
+      if (l("recordsProcessed") > 0)
+        l("recordsSuccessful").toDouble / l("recordsProcessed") * 100.0
+      else 0.0
+    s"""{"jobId":${quote(s("jobId"))},""" +
+      s""""recordsProcessed":${l("recordsProcessed")},""" +
+      s""""recordsSuccessful":${l("recordsSuccessful")},""" +
+      s""""recordsFailed":${l("recordsFailed")},""" +
+      s""""processingRate":$rate,"successRate":$success,""" +
+      s""""executionTimeMs":$ms,"status":${quote(s("status"))}}"""
+  }
+
+  private def filterJson(f: ConnectionFilters): String =
+    s"""{"connectionId":${quote(f.connectionId)},""" +
+      s""""jobIds":[${f.jobIds.map(quote).mkString(",")}],""" +
+      s""""logLevels":[${f.logLevels.map(quote).mkString(",")}],""" +
+      s""""messageTypes":[${f.messageTypes.map(quote).mkString(",")}],""" +
+      s""""includeSystemNotifications":${f.includeSystemNotifications}}"""
+
+  private def errJson(err: String): String = s"""{"error":${quote(err)}}"""
 
   private def quote(s: String): String =
     "\"" + s.flatMap {

@@ -23,12 +23,12 @@ object RateLimiter {
 
   val DefaultRules: Seq[RateRule] = Seq(
     RateRule("/api/auth/login", 5, 20),
-    RateRule("/api/auth/logout", 10, 100),
-    RateRule("/api/auth/profile", 30, 300),
-    RateRule("/api/logs", 60, 1000),
-    RateRule("/api/jobs", 30, 500),
-    RateRule("/api/monitor", 120, 2000),
-    RateRule("/api/health", 300, 5000))
+    RateRule("/api/auth/logout", 10, 50),
+    RateRule("/api/auth/profile", 30, 200),
+    RateRule("/api/logs", 60, 500),
+    RateRule("/api/jobs", 30, 200),
+    RateRule("/api/monitor", 120, 1000),
+    RateRule("/api/health", 300, 2000))
 
   /** Longest-prefix rule match: the endpoint equals the rule or extends it
     * right after a delimiter (reference: src/rate_limiter.cpp:196-201). */

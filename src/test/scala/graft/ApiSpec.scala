@@ -98,6 +98,173 @@ class ApiSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  private def request(base: String, method: String, path: String,
+      body: Option[String] = None, headers: Map[String, String] = Map.empty)
+      : (Int, String, Map[String, String]) = {
+    val conn = new java.net.URL(base + path).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        val out = conn.getOutputStream
+        try out.write(b.getBytes("UTF-8")) finally out.close()
+      }
+      val code = conn.getResponseCode
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text = if (in == null) ""
+        else try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      import scala.jdk.CollectionConverters._
+      val hs = conn.getHeaderFields.asScala.collect {
+        case (k, v) if k != null => k -> v.get(0)
+      }.toMap
+      (code, text, hs)
+    } finally conn.disconnect()
+  }
+
+  private def users = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(("u1", "alice", "pw1", "salt1", true, "alice@example.com"),
+      ("u2", "bob", "pw2", "salt2", false, "bob@example.com"))
+      .toDF("user_id", "username", "password", "password_salt",
+        "is_active", "email")
+      .withColumn("password_hash", graft.operators.Sessions
+        .passwordHash(col("password"), col("password_salt")))
+      .drop("password")
+  }
+
+  test("HTTP wire: auth, jobs CRUD, monitor, WS filters (all groups bound)") {
+    import spark.implicits._
+    val logs = Seq(
+      graft.model.LogMessage("j1", "ERROR", "db", "boom", ts("2025-09-01 10:00:00"))).toDF()
+    // functional pass: rate limiting disabled so request counts here can't
+    // interfere (the 429 contract has its own server below)
+    val server = graft.api.HttpApi.start(0, spark, jobs, logs, Some(users),
+      rateRules = Nil, clock = () => 1700000000L)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      // -- auth group --
+      val (cBad, bBad, _) = request(base, "POST", "/api/auth/login",
+        Some("""{"username":"alice","password":"wrong"}"""))
+      assert(cBad == 401 && bBad.contains("Invalid username or password"))
+      // inactive accounts don't authenticate even with the right password
+      val (cInact, _, _) = request(base, "POST", "/api/auth/login",
+        Some("""{"username":"bob","password":"pw2"}"""))
+      assert(cInact == 401)
+      val (cNoBody, _, _) = request(base, "POST", "/api/auth/login", Some("{}"))
+      assert(cNoBody == 400)
+      val (cOk, bOk, _) = request(base, "POST", "/api/auth/login",
+        Some("""{"username":"alice","password":"pw1"}"""))
+      assert(cOk == 200 && bOk.contains("\"token_type\":\"Bearer\"")
+        && bOk.contains("\"user_id\":\"u1\""), s"$cOk $bOk")
+      val token = graft.functions.MiniJson.topLevelString(bOk, "token").get
+      val (cProf, bProf, _) = request(base, "GET", "/api/auth/profile",
+        headers = Map("Authorization" -> s"Bearer $token"))
+      assert(cProf == 200 && bProf.contains("alice@example.com"), s"$cProf $bProf")
+      val (cAnon, _, _) = request(base, "GET", "/api/auth/profile")
+      assert(cAnon == 401)
+      val (cForged, _, _) = request(base, "GET", "/api/auth/profile",
+        headers = Map("Authorization" -> ("Bearer " + token.dropRight(2) + "xx")))
+      assert(cForged == 401)
+      val (cOut, bOut, _) = request(base, "POST", "/api/auth/logout")
+      assert(cOut == 200 && bOut.contains("Logged out successfully"))
+
+      // -- jobs CRUD group --
+      val (cList, bList, _) = request(base, "GET", "/api/jobs")
+      assert(cList == 200 && bList.contains("\"id\":\"j1\"")
+        && bList.contains("\"status\":\"completed\""), s"$cList $bList")
+      val (cCreateBad, _, _) = request(base, "POST", "/api/jobs", Some("{}"))
+      assert(cCreateBad == 400)
+      val (cCreate, bCreate, _) = request(base, "POST", "/api/jobs",
+        Some("""{"type":"FULL_ETL","source_config":"s","target_config":"t"}"""))
+      assert(cCreate == 200 && bCreate.contains("\"status\":\"scheduled\""))
+      val newId = graft.functions.MiniJson.topLevelString(bCreate, "job_id").get
+      val (_, bList2, _) = request(base, "GET", "/api/jobs")
+      assert(bList2.contains(s"\"id\":\"$newId\""), bList2)
+      val (cUpd, bUpd, _) = request(base, "PUT", s"/api/jobs/j1",
+        Some("""{"status":"cancelled"}"""))
+      assert(cUpd == 200 && bUpd.contains("\"status\":\"updated\""))
+      val (cUpdBadId, _, _) = request(base, "PUT", "/api/jobs/bad%20id",
+        Some("""{"status":"x"}"""))
+      assert(cUpdBadId == 400)
+      val (cSt, bSt, _) = request(base, "GET", "/api/jobs/j1/status")
+      assert(cSt == 200 && bSt.contains("\"jobId\":\"j1\"")
+        && bSt.contains("\"executionTimeMs\":"), s"$cSt $bSt")
+      val (cMet, bMet, _) = request(base, "GET", "/api/jobs/j2/metrics")
+      assert(cMet == 200 && bMet.contains("\"successRate\":")
+        && bMet.contains("\"processingRate\":"), s"$cMet $bMet")
+      val (c404, _, _) = request(base, "GET", "/api/jobs/nope/status")
+      assert(c404 == 404)
+
+      // -- monitor group --
+      val (cMs, bMs, _) = request(base, "GET", "/api/monitor/status")
+      assert(cMs == 200 && bMs.contains("\"server_status\":\"running\"")
+        && bMs.contains("\"etl_manager_running\":true"))
+      val (cMm, bMm, _) = request(base, "GET", "/api/monitor/metrics")
+      assert(cMm == 200 && bMm.contains("\"total_jobs\":2")
+        && bMm.contains("\"running_jobs\":1")
+        && bMm.contains("\"completed_jobs\":1"), s"$cMm $bMm")
+
+      // -- WS filter REST group --
+      val (cSet, bSet, _) = request(base, "PUT", "/api/ws/filters/c1",
+        Some("""{"jobIds":["job_1"],"logLevels":["ERROR"],"messageTypes":["JOB_LOG_MESSAGE"],"includeSystemNotifications":false}"""))
+      assert(cSet == 200 && bSet.contains("\"jobIds\":[\"job_1\"]"), s"$cSet $bSet")
+      val (cGetF, bGetF, _) = request(base, "GET", "/api/ws/filters/c1")
+      assert(cGetF == 200 && bGetF.contains("\"logLevels\":[\"ERROR\"]"))
+      val (cTest1, bTest1, _) = request(base, "POST", "/api/ws/filters/c1/test",
+        Some("""{"msgType":"JOB_LOG_MESSAGE","targetJobId":"job_1","targetLevel":"ERROR"}"""))
+      assert(cTest1 == 200 && bTest1.contains("\"matches\":true"))
+      val (cTest2, bTest2, _) = request(base, "POST", "/api/ws/filters/c1/test",
+        Some("""{"msgType":"JOB_LOG_MESSAGE","targetJobId":"job_2","targetLevel":"ERROR"}"""))
+      assert(cTest2 == 200 && bTest2.contains("\"matches\":false"))
+      val (cTpl, bTpl, _) = request(base, "POST",
+        "/api/ws/filters/c2/template/errors-only", Some(""))
+      assert(cTpl == 200 && bTpl.contains("FATAL"), s"$cTpl $bTpl")
+      val (cTplBad, _, _) = request(base, "POST",
+        "/api/ws/filters/c2/template/nope", Some(""))
+      assert(cTplBad == 400)
+      val (cStats, bStats, _) = request(base, "GET", "/api/ws/filters/stats")
+      assert(cStats == 200 && bStats.contains("\"n_connections\":2")
+        && bStats.contains("errors-only"), s"$cStats $bStats")
+      val (cClr, bClr, _) = request(base, "DELETE", "/api/ws/filters/c1")
+      assert(cClr == 200 && bClr.contains("\"jobIds\":[]"))
+      val (_, bGetF2, _) = request(base, "GET", "/api/ws/filters/c1")
+      assert(bGetF2.contains("\"includeSystemNotifications\":true"))
+    } finally server.stop(0)
+  }
+
+  test("HTTP wire: edge rate limiter returns 429 with the reference headers") {
+    import spark.implicits._
+    val logs = Seq(
+      graft.model.LogMessage("j1", "INFO", "db", "ok", ts("2025-09-01 10:00:00"))).toDF()
+    // default reference rules: /api/auth/login is 5/minute; fixed clock
+    // keeps all requests in one window
+    val server = graft.api.HttpApi.start(0, spark, jobs, logs, Some(users),
+      clock = () => 1700000000L)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val results = (1 to 6).map { _ =>
+        request(base, "POST", "/api/auth/login",
+          Some("""{"username":"alice","password":"wrong"}"""))
+      }
+      assert(results.take(5).forall(_._1 == 401),
+        results.map(_._1).mkString(","))
+      val (c6, b6, h6) = results.last
+      assert(c6 == 429 && b6.contains("Rate limit exceeded"), s"$c6 $b6")
+      assert(h6.get("X-ratelimit-limit").orElse(h6.get("X-RateLimit-Limit"))
+        .contains("5"), h6.toString)
+      assert(h6.contains("Retry-after") || h6.contains("Retry-After"), h6.toString)
+      // an allowed response still exposes the remaining budget
+      val (cH, _, hH) = request(base, "GET", "/api/health")
+      assert(cH == 200 &&
+        hH.get("X-ratelimit-remaining").orElse(hH.get("X-RateLimit-Remaining"))
+          .exists(_.toLong < 300L), hH.toString)
+    } finally server.stop(0)
+  }
+
   test("log search params compile, bad sortBy/levels rejected") {
     import spark.implicits._
     val logs = Seq(
