@@ -866,16 +866,96 @@ object CorpusOps {
     docs.filter(!exists(spanFpArray(TextFunctions.tokens(col(textCol)), n),
       f => bloomMightContain(bloomBytes, f)))
 
+  /** Default fixed geometry for the rolling span-gate bloom: ~4.2 M
+    * expected items ≈ 3.7 MB at fpp 0.03. Every delta filter of one
+    * store must share the geometry or the byte-level OR is undefined —
+    * which is also why this is a parameter, not something derived from
+    * the delta's item count the way [[spanStoreBloomBytes]] sizes. */
+  val DefaultSpanBloomCapacity: Long = 1L << 22
+
+  /** Fixed-geometry Bloom filter over ONE delta's span fingerprints —
+    * the per-batch increment of the rolling gate filter. Same insertion
+    * hashing as [[spanStoreBloomBytes]] (xxhash64 longs), but geometry
+    * comes from `capacity`, NOT the item count, so filters of every
+    * delta are mergeable. A store grown past `capacity` total items
+    * degrades fpp (saturation), never correctness — the gate stays
+    * false-negative-free. */
+  def spanDeltaBloomBytes(deltaFps: DataFrame, fpp: Double = 0.03,
+      capacity: Long = DefaultSpanBloomCapacity): Array[Byte] = {
+    val hashed = deltaFps.select(xxhash64(col("fp")).as("h")).distinct()
+    // an EMPTY delta must yield a contains-nothing filter: the
+    // distributed aggregation over zero rows returns a bitless filter
+    // that NPEs on probe (same guard as [[spanStoreBloomBytes]])
+    val bloom =
+      if (hashed.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+      else hashed.stat.bloomFilter("h", capacity, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Byte-level union of same-geometry Bloom filters: membership in the
+    * OR equals membership in any input (bitwise property of the
+    * structure), so the union of per-delta filters covers the whole
+    * store without ever reading a fingerprint row. */
+  def mergeBloomBytes(parts: Seq[Array[Byte]]): Array[Byte] = {
+    require(parts.nonEmpty, "mergeBloomBytes: no filters")
+    val first = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(parts.head))
+    parts.tail.foreach { p =>
+      first.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(p)))
+      ()
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    first.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** The rolling gate filter for a span store: OR of the per-delta
+    * filters persisted under `storeDir/bloom/`. Per-batch cost is
+    * O(#filter files × filter size) — independent of how many
+    * fingerprints the store holds, which is what makes the streaming
+    * loop viable at corpus scale (the old shape re-scanned and
+    * re-aggregated the FULL store every micro-batch; at 10¹¹ stored
+    * fps that is both a per-batch full-store pass and a driver filter
+    * sized by the store).
+    *
+    * Bootstrap: a store that already has fingerprints but no filter
+    * files (built by batch ingestion before streaming started) gets a
+    * ONE-TIME full-store build persisted as `bootstrap.bloom`; every
+    * later batch reads filters only. An empty store yields a
+    * contains-nothing filter (first-run self-bootstrap). */
+  def rollingSpanBloom(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, fpp: Double = 0.03,
+      capacity: Long = DefaultSpanBloomCapacity): Array[Byte] = {
+    val bloomDir = s"$storeDir/bloom"
+    val files = graft.sources.BloomStore.list(spark, bloomDir)
+    if (files.nonEmpty)
+      mergeBloomBytes(files.map(graft.sources.BloomStore.read(spark, _)))
+    else {
+      val store = graft.sources.FingerprintStore.load(spark, storeDir)
+      val bytes = spanDeltaBloomBytes(store, fpp, capacity)
+      if (!store.isEmpty)
+        graft.sources.BloomStore.write(spark, bytes,
+          s"$bloomDir/bootstrap.bloom")
+      bytes
+    }
+  }
+
   /** The full streaming span-dedup ingestion loop, as a foreachBatch
-    * body: each micro-batch is [[spanGate]]d against the CURRENT
-    * persisted store (the bloom rebuilds per batch — foreachBatch plans
-    * the batch fresh, so the literal refreshes with the store),
+    * body: each micro-batch is [[spanGate]]d against the ROLLING bloom
+    * ([[rollingSpanBloom]] — the OR of per-delta filters, so per-batch
+    * work is O(batch + filters), never a re-scan of the store),
     * survivors go to `sink`, and their span fingerprints append to the
-    * store as this batch's delta — batch N+1 is therefore gated against
-    * everything batch N admitted, with no state held in the stream
-    * itself (the store IS the state, crash-safe per
-    * [[graft.sources.FingerprintStore]]'s commit protocol; a replayed
-    * batch overwrites its own delta idempotently).
+    * store as this batch's delta alongside the delta's own filter —
+    * batch N+1 is therefore gated against everything batch N admitted,
+    * with no state held in the stream itself (the store IS the state,
+    * crash-safe per [[graft.sources.FingerprintStore]]'s commit
+    * protocol; a replayed batch overwrites its own delta AND its delta
+    * filter idempotently, which closes the crash window between the
+    * two writes).
     *
     * An EMPTY store admits everything (the bloom contains nothing), so
     * the loop bootstraps itself. Within-batch span dups are not the
@@ -883,16 +963,23 @@ object CorpusOps {
     * [[incrementalDuplicatedSpans]] inside `sink` when micro-batches
     * are large enough to self-duplicate. */
   def spanGateIngest(storeDir: String, n: Int, fpp: Double = 0.03,
-      sink: (DataFrame, Long) => Unit = (_, _) => ())
+      sink: (DataFrame, Long) => Unit = (_, _) => (),
+      bloomCapacity: Long = DefaultSpanBloomCapacity)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val store = graft.sources.FingerprintStore.load(spark, storeDir)
-    val admitted = spanGate(batch, spanStoreBloomBytes(store, fpp), n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val admitted =
+      spanGate(batch, rollingSpanBloom(spark, storeDir, fpp, bloomCapacity), n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sink(admitted, batchId)
-      graft.sources.FingerprintStore.appendDelta(
-        spanFingerprints(admitted, n), storeDir, s"b$batchId")
+      val fps = spanFingerprints(admitted, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.sources.FingerprintStore.appendDelta(fps, storeDir, s"b$batchId")
+        graft.sources.BloomStore.write(spark,
+          spanDeltaBloomBytes(fps, fpp, bloomCapacity),
+          s"$storeDir/bloom/b$batchId.bloom")
+      } finally fps.unpersist()
     } finally admitted.unpersist()
   }
 

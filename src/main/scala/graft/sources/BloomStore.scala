@@ -31,6 +31,16 @@ object BloomStore {
       sys.error(s"BloomStore: rename $tmp -> $dst failed")
   }
 
+  /** Committed filter files under `dir` (no .tmp), sorted by name. */
+  def list(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val d = new Path(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".bloom"))
+      .map(_.getPath.toString).sorted
+  }
+
   def read(spark: SparkSession, path: String): Array[Byte] = {
     val f = fs(spark, path)
     val in = f.open(new Path(path))

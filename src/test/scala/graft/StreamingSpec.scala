@@ -834,6 +834,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("span-gate ingestion: per-batch work reads rolling filters, not the store") {
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ingest-roll").toString
+    val ingest = graft.operators.CorpusOps.spanGateIngest(storeDir, n = 4) _
+    // foreachBatch bodies are plain functions — drive two batches directly
+    ingest(Seq((1L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text"), 0L)
+    ingest(Seq((2L, "c1 c2 c3 c4 clean")).toDF("doc_id", "text"), 1L)
+    // each admitting batch persisted its own delta filter
+    val blooms = graft.sources.BloomStore.list(spark, s"$storeDir/bloom")
+    assert(blooms.size == 2, blooms.toString)
+    // the O(store) anti-pattern this guards against: rebuilding the gate
+    // filter by re-scanning every stored fingerprint per micro-batch.
+    // Proof the rolling path never does: REMOVE the fingerprint rows
+    // (delta + base parquet) and the gate must still answer from the
+    // persisted filters alone.
+    for (sub <- Seq("delta", "base")) {
+      val p = java.nio.file.Paths.get(storeDir, sub)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+      }
+    }
+    val bytes = graft.operators.CorpusOps.rollingSpanBloom(spark, storeDir)
+    val gated = graft.operators.CorpusOps.spanGate(
+      Seq((9L, "x1 s1 s2 s3 s4"),   // batch-0 span -> dropped
+        (10L, "c1 c2 c3 c4 zzz"),   // batch-1 span -> dropped
+        (11L, "f1 f2 f3 f4 fresh")) // clean -> kept
+        .toDF("doc_id", "text"), bytes, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == Set(11L), gated.toString)
+  }
+
   test("streaming semantic gate: per-row max-cosine admission vs a literal bench set") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
