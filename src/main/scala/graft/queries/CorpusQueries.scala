@@ -990,8 +990,18 @@ object CorpusQueries {
 
     // Deflate-ratio quality signal alongside the repetition family:
     // byte-level redundancy the token heuristics can't see (near-repeats,
-    // long-range copies). Deterministic per JVM but not cross-engine
-    // (DuckDB has no deflate) -> rows-only check, spec-verified.
+    // long-range copies).
+    //
+    // DELIBERATELY UNORACLED — the one registered query the driver
+    // records as rows-only (err: "no_oracle"): DuckDB has no deflate, so
+    // no cross-engine SQL can reproduce compression_permille. Its
+    // verification is three-legged instead: (1) CorpusOpsSpec pins the
+    // kernel's behavioral bounds + determinism on fixed vectors; (2)
+    // CorpusOpsSpec re-derives the column over the REAL documents table
+    // with an independent driver-side deflate and asserts exact
+    // equality; (3) the oracled companion q100 hash-checks the
+    // repetition_permille math this query shares. A green round
+    // therefore covers q88 through specs, not through the DuckDB gate.
     "q88_compression_quality" -> QueryDef.noOracle { (s, dir) =>
       val rep = graft.functions.RepetitionStatsExpr.of(col("text"))
       // integer permille like every other rate in this module (a double

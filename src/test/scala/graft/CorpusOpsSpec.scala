@@ -773,6 +773,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ratios == r1) // deterministic across evaluations
   }
 
+  test("q88's deflate column equals an independent driver-side deflate (real data)") {
+    // q88_compression_quality is the one registered query with NO DuckDB
+    // oracle (DuckDB has no deflate) — this is its substitute gate: the
+    // codegen'd kernel's output over the REAL sf0.001 documents table
+    // must equal a from-scratch driver-side implementation (plain
+    // String.getBytes + a fresh Deflater per doc — none of the kernel's
+    // UTF8String/thread-cache/codegen plumbing is shared).
+    def independentPermille(text: String): Int = {
+      val bytes = text.getBytes("UTF-8")
+      if (bytes.isEmpty) 0
+      else {
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        try {
+          d.setInput(bytes); d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          ((n * 1000L) / bytes.length).toInt
+        } finally d.end()
+      }
+    }
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        graft.functions.CompressionRatioExpr.of(col("text")).as("kernel"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val expected = independentPermille(r.getString(1))
+      assert(r.getInt(2) == expected,
+        s"doc ${r.getLong(0)}: kernel ${r.getInt(2)} != independent $expected")
+    }
+  }
+
   test("contamination gate agrees with the match accounting view") {
     // gate survivors == docs with zero rows in contaminationMatches
     val bench = Seq((900L, "held out eval question one")).toDF("doc_id", "text")
