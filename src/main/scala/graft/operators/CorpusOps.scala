@@ -944,6 +944,34 @@ object CorpusOps {
     }
   }
 
+  /** Fold all persisted per-delta filters into one `folded.bloom` so the
+    * per-batch load stays O(1) files on long-running streams (one filter
+    * lands per micro-batch; a week of 1-minute batches is 10k files).
+    * Pure byte-level OR — the store's fingerprint rows are never read.
+    * Crash-safe by idempotence: the merged filter writes (tmp + rename)
+    * BEFORE the inputs are deleted, and an interrupted delete leaves
+    * extra filters whose OR is unchanged. Call from the same maintenance
+    * cadence as [[graft.sources.FingerprintStore.compact]]. Returns the
+    * number of files folded. */
+  def compactSpanBlooms(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Int = {
+    val bloomDir = s"$storeDir/bloom"
+    val files = graft.sources.BloomStore.list(spark, bloomDir)
+    if (files.size <= 1) 0
+    else {
+      val merged = mergeBloomBytes(
+        files.map(graft.sources.BloomStore.read(spark, _)))
+      graft.sources.BloomStore.write(spark, merged, s"$bloomDir/folded.bloom")
+      val fs = new org.apache.hadoop.fs.Path(bloomDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      files.filterNot(_.endsWith("/folded.bloom")).foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false)
+        ()
+      }
+      files.size
+    }
+  }
+
   /** The full streaming span-dedup ingestion loop, as a foreachBatch
     * body: each micro-batch is [[spanGate]]d against the ROLLING bloom
     * ([[rollingSpanBloom]] — the OR of per-delta filters, so per-batch

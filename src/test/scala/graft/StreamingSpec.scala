@@ -858,13 +858,20 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
     val bytes = graft.operators.CorpusOps.rollingSpanBloom(spark, storeDir)
-    val gated = graft.operators.CorpusOps.spanGate(
+    def gateWith(b: Array[Byte]): Set[Long] = graft.operators.CorpusOps.spanGate(
       Seq((9L, "x1 s1 s2 s3 s4"),   // batch-0 span -> dropped
         (10L, "c1 c2 c3 c4 zzz"),   // batch-1 span -> dropped
         (11L, "f1 f2 f3 f4 fresh")) // clean -> kept
-        .toDF("doc_id", "text"), bytes, n = 4)
+        .toDF("doc_id", "text"), b, n = 4)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(gated == Set(11L), gated.toString)
+    assert(gateWith(bytes) == Set(11L))
+    // maintenance fold: many per-delta filters -> one file, same answers
+    assert(graft.operators.CorpusOps.compactSpanBlooms(spark, storeDir) == 2)
+    assert(graft.sources.BloomStore.list(spark, s"$storeDir/bloom").size == 1)
+    assert(gateWith(
+      graft.operators.CorpusOps.rollingSpanBloom(spark, storeDir)) == Set(11L))
+    // idempotent: nothing left to fold
+    assert(graft.operators.CorpusOps.compactSpanBlooms(spark, storeDir) == 0)
   }
 
   test("streaming semantic gate: per-row max-cosine admission vs a literal bench set") {
