@@ -15,6 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are recorded in the output artifact, not just stderr: a
+    // query that throws here produces NO result dir, and a downstream
+    // compare that merely iterates result dirs would silently drop the
+    // row (round 9 lost q63 exactly this way — an AnalysisException left
+    // 125 of 126 entries and nothing red). _failures.json makes the gap
+    // impossible to miss, and oracle_check.py independently fails any
+    // oracle entry with no result dir.
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -22,6 +30,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage)
       }
       // deterministic release of per-query persisted frames
       spark.sharedState.cacheManager.clearCache()
@@ -49,6 +58,13 @@ object Verify {
       }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} QUERY FAILURE(S): " +
+          failures.map(_._1).mkString(", "))
     spark.stop()
   }
 }

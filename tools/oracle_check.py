@@ -56,8 +56,20 @@ def main():
 
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    # Verify records queries that THREW in _failures.json — surface them
+    # here even when they have no oracle entry (a rows-only query like
+    # q88 would otherwise fail invisibly: no result dir, no oracle row).
+    fail_file = out_dir / "_failures.json"
+    threw = set()
+    if fail_file.exists():
+        for name, err in sorted(json.loads(fail_file.read_text()).items()):
+            if only and name not in only:
+                continue
+            print(f"FAIL {name}: query threw during Verify: {err}")
+            threw.add(name)
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
-        if only and name not in only:
+        if (only and name not in only) or name in threw:
             continue
         res_dir = out_dir / name
         try:
