@@ -150,6 +150,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "q121 must not move data through a single partition")
   }
 
+  test("q123: incremental components — no single partition, hot set broadcasts") {
+    // round-10 shape: one combined-population hot-bucket exclusion feeds
+    // all three pair populations as a BROADCAST anti-join (the hot list
+    // is tiny by construction), the iterative merge never funnels through
+    // one reducer, and the multi-stage pipeline stays inside a bounded
+    // exchange budget (24 at last audit; slack for AQE variation).
+    val df = query("q123_incremental_components")
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "q123 must not move data through a single partition")
+    assert(plan.contains("BroadcastExchange"),
+      "the hot-bucket exclusion must reach the band stream as a broadcast")
+    val n = shuffles(plan)
+    assert(n <= 28, s"q123 exchange budget blown: $n hash exchanges")
+  }
+
   test("q109/q120: verdict quantiles and temperature mix stay group-keyed and broadcast") {
     // q109: two passes over the narrow (g, len) projection; the only
     // shuffle key is the group, and the tiny per-group estimate table
