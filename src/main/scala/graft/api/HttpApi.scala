@@ -98,14 +98,17 @@ object HttpApi {
         s""""etl_manager_running":$alive}""")
     }
 
-    ctx("/api/monitor/metrics") { _ =>
+    def jobCounts(): (Long, Long, Long, Long) = {
       val counts = jobs.groupBy(lower(col("status")).as("s")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val total = counts.valuesIterator.sum
-      (200, s"""{"total_jobs":$total,""" +
-        s""""running_jobs":${counts.getOrElse("running", 0L)},""" +
-        s""""completed_jobs":${counts.getOrElse("completed", 0L)},""" +
-        s""""failed_jobs":${counts.getOrElse("failed", 0L)}}""")
+      (counts.valuesIterator.sum, counts.getOrElse("running", 0L),
+        counts.getOrElse("completed", 0L), counts.getOrElse("failed", 0L))
+    }
+
+    ctx("/api/monitor/metrics") { _ =>
+      val (total, running, completed, failed) = jobCounts()
+      (200, s"""{"total_jobs":$total,"running_jobs":$running,""" +
+        s""""completed_jobs":$completed,"failed_jobs":$failed}""")
     }
 
     ctx("/api/logs/search") { ex =>
@@ -115,8 +118,80 @@ object HttpApi {
       }
     }
 
-    ctx("/api/health") { _ =>
-      (200, QueryApi.health(spark, Some(jobs)).toJSON.collect().head)
+    // The reference's 10 health sub-endpoints
+    // (src/request_handler.cpp:1489-1820), re-expressed with engine
+    // analogs: "database" = the Spark session/catalog backing every
+    // query, "websocket" = the live WS filter table, system/memory =
+    // JVM runtime metrics, jobs = status counts over the jobs frame.
+    val startedEpoch = clock()
+    ctx("/api/health") { ex =>
+      val path = ex.getRequestURI.getPath
+      val now = clock()
+      val alive = !spark.sparkContext.isStopped
+      val rt = Runtime.getRuntime
+      val usedBytes = rt.totalMemory() - rt.freeMemory()
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val cpu = if (load < 0) 0.0 else load
+      def dbJson =
+        s"""{"connected":$alive,"pool_healthy":$alive}"""
+      def wsJson =
+        s"""{"running":true,"connections":${filters.get().size}}"""
+      path.stripPrefix("/api/health") match {
+        case "" =>
+          (200, QueryApi.health(spark, Some(jobs)).toJSON.collect().head)
+        case "/status" =>
+          (200, s"""{"status":"${if (alive) "healthy" else "degraded"}",""" +
+            s""""timestamp":"$now","version":"1.0.0",""" +
+            s""""uptime":${now - startedEpoch},""" +
+            s""""components":{"database":$dbJson,"websocket":$wsJson,""" +
+            s""""system":{"cpu_usage":$cpu,"memory_usage":$usedBytes}}}""")
+        case "/ready" =>
+          (200, s"""{"status":"${if (alive) "ready" else "not_ready"}",""" +
+            s""""timestamp":"$now","database":$dbJson,"websocket":$wsJson}""")
+        case "/live" =>
+          (200, s"""{"status":"alive","timestamp":"$now",""" +
+            s""""pid":${ProcessHandle.current().pid()},""" +
+            s""""memory":{"used_bytes":$usedBytes,"cpu_percent":$cpu}}""")
+        case "/metrics" =>
+          val (total, running, completed, failed) = jobCounts()
+          (200, s"""{"status":"healthy","timestamp":"$now","metrics":{""" +
+            s""""cpu_usage":$cpu,"memory_usage":$usedBytes,""" +
+            s""""database":{"connections_active":${spark.sparkContext.defaultParallelism},"connections_idle":0,"connection_timeouts":0},""" +
+            s""""websocket":{"connections":${filters.get().size},"messages_sent":0,"messages_queued":0},""" +
+            s""""jobs":{"total":$total,"running":$running,"completed":$completed,"failed":$failed}}}""")
+        case "/database" =>
+          (200, s"""{"status":"${if (alive) "healthy" else "unhealthy"}",""" +
+            s""""timestamp":"$now","database":{"connected":$alive,""" +
+            s""""pool_healthy":$alive,""" +
+            s""""active_connections":${spark.sparkContext.defaultParallelism},""" +
+            s""""idle_connections":0,"total_connections":${spark.sparkContext.defaultParallelism},""" +
+            s""""connection_timeouts":0,"average_wait_time_ms":0}}""")
+        case "/websocket" =>
+          (200, s"""{"status":"healthy","timestamp":"$now",""" +
+            s""""websocket":{"running":true,"connections":${filters.get().size},""" +
+            s""""pool_size":${filters.get().size},"active_sessions":${filters.get().size},""" +
+            s""""messages_sent":0,"messages_queued":0,"broadcast_errors":0}}""")
+        case "/memory" =>
+          (200, s"""{"status":"healthy","timestamp":"$now",""" +
+            s""""memory":{"process_used_bytes":$usedBytes,""" +
+            s""""system_used_bytes":$usedBytes,"system_cpu_percent":$cpu,""" +
+            s""""process_cpu_percent":$cpu}}""")
+        case "/system" =>
+          (200, s"""{"status":"healthy","timestamp":"$now",""" +
+            s""""system":{"cpu_usage_percent":$cpu,""" +
+            s""""memory_used_bytes":$usedBytes,""" +
+            s""""process_memory_bytes":$usedBytes,""" +
+            s""""uptime_seconds":${now - startedEpoch},""" +
+            s""""process_id":${ProcessHandle.current().pid()}}}""")
+        case "/jobs" =>
+          val (total, running, completed, failed) = jobCounts()
+          (200, s"""{"status":"healthy","timestamp":"$now",""" +
+            s""""jobs":{"total":$total,"running":$running,""" +
+            s""""completed":$completed,"failed":$failed,""" +
+            s""""etl_manager_available":true}}""")
+        case _ => (400, errJson("Invalid health endpoint"))
+      }
     }
 
     // -- auth (reference: src/request_handler.cpp:638-830) -------------

@@ -233,6 +233,28 @@ class ApiSpec extends AnyFunSuite {
       assert(cClr == 200 && bClr.contains("\"jobIds\":[]"))
       val (_, bGetF2, _) = request(base, "GET", "/api/ws/filters/c1")
       assert(bGetF2.contains("\"includeSystemNotifications\":true"))
+
+      // -- health sub-endpoints (reference: request_handler.cpp:1489-1820) --
+      val (cHs, bHs, _) = request(base, "GET", "/api/health/status")
+      assert(cHs == 200 && bHs.contains("\"status\":\"healthy\"")
+        && bHs.contains("\"components\":{\"database\""), s"$cHs $bHs")
+      val (cHr, bHr, _) = request(base, "GET", "/api/health/ready")
+      assert(cHr == 200 && bHr.contains("\"status\":\"ready\""))
+      val (cHl, bHl, _) = request(base, "GET", "/api/health/live")
+      assert(cHl == 200 && bHl.contains("\"status\":\"alive\"")
+        && bHl.contains("\"pid\":"))
+      val (cHm, bHm, _) = request(base, "GET", "/api/health/metrics")
+      assert(cHm == 200 && bHm.contains("\"jobs\":{\"total\":2"), s"$cHm $bHm")
+      val (cHj, bHj, _) = request(base, "GET", "/api/health/jobs")
+      assert(cHj == 200 && bHj.contains("\"running\":1")
+        && bHj.contains("\"completed\":1"), s"$cHj $bHj")
+      Seq("/api/health/database", "/api/health/websocket",
+        "/api/health/memory", "/api/health/system").foreach { p =>
+        val (c, b, _) = request(base, "GET", p)
+        assert(c == 200 && b.contains("\"status\":\"healthy\""), s"$p -> $c $b")
+      }
+      val (cHx, _, _) = request(base, "GET", "/api/health/nope")
+      assert(cHx == 400)
     } finally server.stop(0)
   }
 
