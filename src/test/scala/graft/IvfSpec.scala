@@ -186,6 +186,28 @@ class IvfSpec extends AnyFunSuite {
       key(Similarity.bruteForceTopK(queries, embeddings, k = 5)))
   }
 
+  test("q102/q124 fixtures: two scale factors interleave in one session") {
+    // the round-7 defect: a fixed world-shared fixture path meant a
+    // second scale factor overwrote the first sf's index, so a later
+    // probe at the first sf read the wrong data. The fixture is now
+    // keyed per (applicationId, sf dir) — running sf A, then sf B, then
+    // sf A again must reproduce sf A's exact result.
+    def run(name: String, dir: String) =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toSeq).toSet
+    val a1 = run("q124_ivf_assign", "/root/testdata/sf0.001")
+    val b1 = run("q124_ivf_assign", "/root/testdata/sf0.01")
+    val a2 = run("q124_ivf_assign", "/root/testdata/sf0.001")
+    assert(a1 == a2, "sf0.001 assignment changed after an sf0.01 build " +
+      "— fixture isolation between scale factors is broken")
+    assert(a1 != b1, "distinct scale factors should assign differently " +
+      "(sanity: the two fixtures are actually different indexes)")
+    val r1 = run("q102_ivf_recall", "/root/testdata/sf0.001")
+    run("q102_ivf_recall", "/root/testdata/sf0.01")
+    assert(run("q102_ivf_recall", "/root/testdata/sf0.001") == r1,
+      "sf0.001 recall curve changed after an sf0.01 build")
+  }
+
   test("partial probe returns a subset of true neighbors with exact scores") {
     implicit val s: SparkSession = spark
     val corpus = embeddings
