@@ -74,10 +74,26 @@ object HttpApi {
     val scheduled =
       java.util.Collections.synchronizedList(
         new java.util.ArrayList[(String, String)]())
+    val jobSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    // JWT middleware (reference: request_handler.cpp:216-228
+    // isProtectedEndpoint + :471-486): with auth enabled (a users table
+    // bound), these prefixes require a valid bearer token. /api/jobs is
+    // NOT in the reference's list (it guards "/api/etl/jobs", a path its
+    // router never serves) — mirrored faithfully. Without a users table
+    // (the ETL_ENABLE_JWT=off build) nothing is gated.
+    val protectedPrefixes =
+      Seq("/api/logs", "/api/monitor", "/api/auth/profile", "/api/auth/logout")
+    def authorized(ex: HttpExchange): Boolean =
+      users.isEmpty ||
+        !protectedPrefixes.exists(ex.getRequestURI.getPath.startsWith) ||
+        bearerSubject(ex, jwtSecret, clock()).isDefined
 
     def ctx(path: String)(body: HttpExchange => (Int, String)): Unit = {
       server.createContext(path, (ex: HttpExchange) =>
-        handle(ex, limiter)(body(ex)))
+        handle(ex, limiter)(
+          if (!authorized(ex)) (401, errJson("Authentication required"))
+          else body(ex)))
       ()
     }
 
@@ -251,11 +267,18 @@ object HttpApi {
           }
           (200, """{"jobs":[""" + (listed ++ extra).mkString(",") + "]}")
         case ("POST", "") =>
+          // reference validation (input_validator.cpp:242-272): type from
+          // the job-type whitelist plus source_config and target_config
           val body = readBody(ex)
-          if (MiniJson.topLevelString(body, "type").isEmpty)
+          val typeOk = MiniJson.topLevelString(body, "type").exists(
+            Set("FULL_ETL", "INCREMENTAL_ETL", "DATA_SYNC", "VALIDATION"))
+          val cfgOk = MiniJson.topLevelString(body, "source_config")
+            .exists(_.nonEmpty) &&
+            MiniJson.topLevelString(body, "target_config").exists(_.nonEmpty)
+          if (!typeOk || !cfgOk)
             (400, errJson("Job creation validation failed"))
           else {
-            val id = s"job_${clock()}_${scheduled.size()}"
+            val id = s"job_${clock()}_${jobSeq.getAndIncrement()}"
             scheduled.add((id, "scheduled"))
             (200, s"""{"job_id":${quote(id)},"status":"scheduled"}""")
           }
@@ -276,9 +299,11 @@ object HttpApi {
         case ("PUT", id) if id.nonEmpty && !id.contains("/") =>
           if (!validJobId(id)) (400, errJson("Invalid job ID format"))
           else {
+            // reference (input_validator.cpp:284-299): at least one of
+            // status/config must be present
             val body = readBody(ex)
             if (MiniJson.topLevelToken(body, "status").isEmpty &&
-              MiniJson.topLevelToken(body, "type").isEmpty)
+              MiniJson.topLevelToken(body, "config").isEmpty)
               (400, errJson("Job update validation failed"))
             else (200, s"""{"job_id":${quote(id)},"status":"updated"}""")
           }
@@ -322,14 +347,19 @@ object HttpApi {
             else FilterManager.set(subs, ConnectionFilters(conn)), conn))
           (200, filterJson(ConnectionFilters(conn)))
         case ("POST", conn :: "template" :: name :: Nil) if conn.nonEmpty =>
-          val subsWith =
-            if (FilterManager.get(filters.get(), conn).isDefined) filters.get()
-            else FilterManager.set(filters.get(), ConnectionFilters(conn))
-          FilterManager.applyTemplate(subsWith, conn, name) match {
-            case Right(next) =>
-              filters.set(next)
-              (200, filterJson(FilterManager.get(next, conn).get))
-            case Left(err) => (400, errJson(err))
+          if (!FilterManager.Templates.contains(name))
+            (400, errJson(s"unknown template: $name"))
+          else {
+            // single atomic read-modify-write — a get()/set() pair here
+            // would erase concurrent PUTs from other executor threads
+            val next = filters.updateAndGet { subs =>
+              val withConn =
+                if (FilterManager.get(subs, conn).isDefined) subs
+                else FilterManager.set(subs, ConnectionFilters(conn))
+              FilterManager.applyTemplate(withConn, conn, name)
+                .getOrElse(withConn)
+            }
+            (200, filterJson(FilterManager.get(next, conn).get))
           }
         case ("POST", conn :: "test" :: Nil) if conn.nonEmpty =>
           val body = readBody(ex)
@@ -353,6 +383,18 @@ object HttpApi {
       r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.start()
     server
+  }
+
+  /** Stop the server AND its executor pool — `server.stop` alone leaves
+    * the 8 pool threads alive for the JVM's lifetime, which adds up in a
+    * driver that binds/stops repeatedly (each test suite bind leaks 8). */
+  def stop(server: HttpServer, delaySeconds: Int = 0): Unit = {
+    val ex = server.getExecutor
+    server.stop(delaySeconds)
+    ex match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
   }
 
   // -- request plumbing ------------------------------------------------
@@ -407,11 +449,13 @@ object HttpApi {
 
   // -- auth/jobs row helpers -------------------------------------------
 
-  /** Job-id charset/length rule (reference:
-    * src/input_validator.cpp isValidJobId). */
+  /** Job-id charset/length rule — ASCII-only, matching the reference's
+    * `^[a-zA-Z0-9_-]{1,64}$` (src/input_validator.cpp:15); Unicode
+    * letters/digits must NOT pass. */
   private def validJobId(id: String): Boolean =
-    id.nonEmpty && id.length <= 64 &&
-      id.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+    id.nonEmpty && id.length <= 64 && id.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-')
 
   private def lookupUser(users: DataFrame, username: String): Option[Row] =
     users.filter(col("username") === lit(username)).limit(1)

@@ -926,18 +926,33 @@ object CorpusOps {
     * files (built by batch ingestion before streaming started) gets a
     * ONE-TIME full-store build persisted as `bootstrap.bloom`; every
     * later batch reads filters only. An empty store yields a
-    * contains-nothing filter (first-run self-bootstrap). */
+    * contains-nothing filter (first-run self-bootstrap).
+    *
+    * `excludeBatchId` is the REPLAY-SAFETY hook: a re-run of batch N
+    * (foreachBatch is at-least-once — the batch's writes can commit
+    * while the streaming log doesn't) must gate against everything
+    * EXCEPT its own crashed prior write. Including it would suppress
+    * the batch's own documents and then overwrite its delta + filter
+    * with the empty result — permanent fingerprint loss. Excluding the
+    * batch's own filter (and, on the bootstrap path, its own delta)
+    * makes the replay reproduce the original admission decisions
+    * exactly, which is what makes the overwrite idempotent. The
+    * bootstrap filter is NOT persisted when an exclusion is active
+    * (it would bake the exclusion into every later batch). */
   def rollingSpanBloom(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, fpp: Double = 0.03,
-      capacity: Long = DefaultSpanBloomCapacity): Array[Byte] = {
+      capacity: Long = DefaultSpanBloomCapacity,
+      excludeBatchId: Option[String] = None): Array[Byte] = {
     val bloomDir = s"$storeDir/bloom"
     val files = graft.sources.BloomStore.list(spark, bloomDir)
+      .filterNot(f => excludeBatchId.exists(id => f.endsWith(s"/$id.bloom")))
     if (files.nonEmpty)
       mergeBloomBytes(files.map(graft.sources.BloomStore.read(spark, _)))
     else {
-      val store = graft.sources.FingerprintStore.load(spark, storeDir)
+      val store = graft.sources.FingerprintStore.load(spark, storeDir,
+        excludeDelta = excludeBatchId)
       val bytes = spanDeltaBloomBytes(store, fpp, capacity)
-      if (!store.isEmpty)
+      if (!store.isEmpty && excludeBatchId.isEmpty)
         graft.sources.BloomStore.write(spark, bytes,
           s"$bloomDir/bootstrap.bloom")
       bytes
@@ -951,8 +966,10 @@ object CorpusOps {
     * Crash-safe by idempotence: the merged filter writes (tmp + rename)
     * BEFORE the inputs are deleted, and an interrupted delete leaves
     * extra filters whose OR is unchanged. Call from the same maintenance
-    * cadence as [[graft.sources.FingerprintStore.compact]]. Returns the
-    * number of files folded. */
+    * cadence as [[graft.sources.FingerprintStore.compact]], and ONLY on
+    * a quiesced stream: folding the newest batch's filter into
+    * `folded.bloom` defeats [[rollingSpanBloom]]'s per-batch replay
+    * exclusion for that batch. Returns the number of files folded. */
   def compactSpanBlooms(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): Int = {
     val bloomDir = s"$storeDir/bloom"
@@ -981,9 +998,17 @@ object CorpusOps {
     * batch N+1 is therefore gated against everything batch N admitted,
     * with no state held in the stream itself (the store IS the state,
     * crash-safe per [[graft.sources.FingerprintStore]]'s commit
-    * protocol; a replayed batch overwrites its own delta AND its delta
-    * filter idempotently, which closes the crash window between the
-    * two writes).
+    * protocol). Replay safety: foreachBatch is at-least-once, and a
+    * replayed batch's own prior delta/filter may already be committed —
+    * the gate therefore EXCLUDES the current batchId's artifacts
+    * (rollingSpanBloom's `excludeBatchId`), so the replay reproduces
+    * the original admission decisions and its overwrite of delta +
+    * filter is genuinely idempotent. Without the exclusion a replay
+    * self-gates: it admits nothing and overwrites its own delta with
+    * the empty set — permanent fingerprint loss. For the same reason,
+    * run [[compactSpanBlooms]] only on a quiesced stream: a fold merges
+    * the last batch's filter into `folded.bloom`, where a subsequent
+    * replay of that batch can no longer exclude it.
     *
     * An EMPTY store admits everything (the bloom contains nothing), so
     * the loop bootstraps itself. Within-batch span dups are not the
@@ -996,7 +1021,8 @@ object CorpusOps {
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val admitted =
-      spanGate(batch, rollingSpanBloom(spark, storeDir, fpp, bloomCapacity), n)
+      spanGate(batch, rollingSpanBloom(spark, storeDir, fpp, bloomCapacity,
+        excludeBatchId = Some(s"b$batchId")), n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sink(admitted, batchId)

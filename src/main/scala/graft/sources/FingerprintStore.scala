@@ -75,13 +75,23 @@ object FingerprintStore {
     * Falls back to the retired `base.old` generation when `base` is
     * absent — the state a crash between compaction's two renames
     * leaves behind. */
-  def load(spark: SparkSession, dir: String): DataFrame = {
+  def load(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, excludeDelta = None)
+
+  /** [[load]] with one delta left out — the replay-safety hook: a
+    * re-run of batch N must gate against everything EXCEPT its own
+    * crashed prior write, or it suppresses its own documents and then
+    * overwrites its delta with the empty result (permanent fingerprint
+    * loss). */
+  def load(spark: SparkSession, dir: String,
+      excludeDelta: Option[String]): DataFrame = {
     val f = fs(spark, dir)
     val base =
       if (f.exists(new Path(s"$dir/base"))) Seq(s"$dir/base")
       else if (f.exists(new Path(s"$dir/base.old"))) Seq(s"$dir/base.old")
       else Nil
-    val parts = base ++ committedDeltas(f, dir).map(_.toString)
+    val parts = base ++ committedDeltas(f, dir)
+      .filterNot(p => excludeDelta.contains(p.getName)).map(_.toString)
     if (parts.isEmpty) emptyStore(spark)
     else parts.map(spark.read.parquet(_).select(col("fp"))).reduce(_ unionByName _)
   }

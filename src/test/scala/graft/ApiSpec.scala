@@ -95,7 +95,7 @@ class ApiSpec extends AnyFunSuite {
       val (c5, b5) = get("/api/health")
       assert(c5 == 200 && b5.contains("\"spark_alive\":true"), s"$c5 $b5")
       assert(b5.contains("\"active_jobs\":1"), b5) // j1 is RUNNING
-    } finally server.stop(0)
+    } finally graft.api.HttpApi.stop(server)
   }
 
   private def request(base: String, method: String, path: String,
@@ -169,8 +169,23 @@ class ApiSpec extends AnyFunSuite {
       val (cForged, _, _) = request(base, "GET", "/api/auth/profile",
         headers = Map("Authorization" -> ("Bearer " + token.dropRight(2) + "xx")))
       assert(cForged == 401)
-      val (cOut, bOut, _) = request(base, "POST", "/api/auth/logout")
+      val auth = Map("Authorization" -> s"Bearer $token")
+      val (cOut, bOut, _) = request(base, "POST", "/api/auth/logout",
+        headers = auth)
       assert(cOut == 200 && bOut.contains("Logged out successfully"))
+
+      // -- JWT middleware: protected prefixes reject anonymous calls --
+      // (reference isProtectedEndpoint: /api/logs, /api/monitor,
+      // /api/auth/profile, /api/auth/logout; /api/jobs and /api/health
+      // stay open)
+      Seq("/api/logs/search?minLevel=WARN", "/api/monitor/jobs?limit=10",
+        "/api/monitor/status").foreach { p =>
+        val (c, _, _) = request(base, "GET", p)
+        assert(c == 401, s"anonymous $p should be 401, got $c")
+      }
+      val (cAuthed, _, _) = request(base, "GET", "/api/monitor/status",
+        headers = auth)
+      assert(cAuthed == 200)
 
       // -- jobs CRUD group --
       val (cList, bList, _) = request(base, "GET", "/api/jobs")
@@ -187,9 +202,28 @@ class ApiSpec extends AnyFunSuite {
       val (cUpd, bUpd, _) = request(base, "PUT", s"/api/jobs/j1",
         Some("""{"status":"cancelled"}"""))
       assert(cUpd == 200 && bUpd.contains("\"status\":\"updated\""))
+      // config-only update is valid; type-only is not (reference
+      // validateJobUpdateRequest: at least one of status/config)
+      val (cUpdCfg, _, _) = request(base, "PUT", "/api/jobs/j1",
+        Some("""{"config":"new_cfg"}"""))
+      assert(cUpdCfg == 200)
+      val (cUpdType, _, _) = request(base, "PUT", "/api/jobs/j1",
+        Some("""{"type":"FULL_ETL"}"""))
+      assert(cUpdType == 400)
       val (cUpdBadId, _, _) = request(base, "PUT", "/api/jobs/bad%20id",
         Some("""{"status":"x"}"""))
       assert(cUpdBadId == 400)
+      // unicode letters must not pass the ASCII job-id gate
+      val (cUpdUni, _, _) = request(base, "PUT", "/api/jobs/job%C3%A9",
+        Some("""{"status":"x"}"""))
+      assert(cUpdUni == 400)
+      // creation requires a whitelisted type AND both configs
+      val (cCreateNoCfg, _, _) = request(base, "POST", "/api/jobs",
+        Some("""{"type":"FULL_ETL"}"""))
+      assert(cCreateNoCfg == 400)
+      val (cCreateBadType, _, _) = request(base, "POST", "/api/jobs",
+        Some("""{"type":"BOGUS","source_config":"s","target_config":"t"}"""))
+      assert(cCreateBadType == 400)
       val (cSt, bSt, _) = request(base, "GET", "/api/jobs/j1/status")
       assert(cSt == 200 && bSt.contains("\"jobId\":\"j1\"")
         && bSt.contains("\"executionTimeMs\":"), s"$cSt $bSt")
@@ -199,11 +233,13 @@ class ApiSpec extends AnyFunSuite {
       val (c404, _, _) = request(base, "GET", "/api/jobs/nope/status")
       assert(c404 == 404)
 
-      // -- monitor group --
-      val (cMs, bMs, _) = request(base, "GET", "/api/monitor/status")
+      // -- monitor group (protected -> authenticated calls) --
+      val (cMs, bMs, _) = request(base, "GET", "/api/monitor/status",
+        headers = auth)
       assert(cMs == 200 && bMs.contains("\"server_status\":\"running\"")
         && bMs.contains("\"etl_manager_running\":true"))
-      val (cMm, bMm, _) = request(base, "GET", "/api/monitor/metrics")
+      val (cMm, bMm, _) = request(base, "GET", "/api/monitor/metrics",
+        headers = auth)
       assert(cMm == 200 && bMm.contains("\"total_jobs\":2")
         && bMm.contains("\"running_jobs\":1")
         && bMm.contains("\"completed_jobs\":1"), s"$cMm $bMm")
@@ -255,7 +291,7 @@ class ApiSpec extends AnyFunSuite {
       }
       val (cHx, _, _) = request(base, "GET", "/api/health/nope")
       assert(cHx == 400)
-    } finally server.stop(0)
+    } finally graft.api.HttpApi.stop(server)
   }
 
   test("HTTP wire: edge rate limiter returns 429 with the reference headers") {
@@ -284,7 +320,7 @@ class ApiSpec extends AnyFunSuite {
       assert(cH == 200 &&
         hH.get("X-ratelimit-remaining").orElse(hH.get("X-RateLimit-Remaining"))
           .exists(_.toLong < 300L), hH.toString)
-    } finally server.stop(0)
+    } finally graft.api.HttpApi.stop(server)
   }
 
   test("log search params compile, bad sortBy/levels rejected") {

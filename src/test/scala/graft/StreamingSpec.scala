@@ -874,6 +874,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.CorpusOps.compactSpanBlooms(spark, storeDir) == 0)
   }
 
+  test("span-gate ingestion: replaying a committed batch is idempotent, not destructive") {
+    import spark.implicits._
+    // foreachBatch is at-least-once: a batch's delta + filter can commit
+    // while the streaming log does not, and the SAME batchId replays.
+    // The replay must reproduce the original admissions — not gate the
+    // batch against its own prior write, admit nothing, and overwrite
+    // the delta with the empty set (permanent fingerprint loss).
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val ingest = graft.operators.CorpusOps.spanGateIngest(storeDir, n = 4,
+      sink = (df, _) => {
+        admitted += df.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+      }) _
+    val b0 = Seq((1L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    ingest(b0, 0L)
+    assert(admitted.last == Set(1L))
+    // crash-replay of batch 0 (its delta + filter are already committed)
+    ingest(b0, 0L)
+    assert(admitted.last == Set(1L),
+      "replay self-gated: the batch was suppressed by its own prior write")
+    // the store still holds batch 0's fingerprints after the replay...
+    assert(graft.sources.FingerprintStore.load(spark, storeDir).count() > 0,
+      "replay overwrote the batch delta with the empty set")
+    // ...so a LATER batch carrying batch 0's span is still gated
+    ingest(Seq((2L, "x1 s1 s2 s3 s4"), (3L, "f1 f2 f3 f4"))
+      .toDF("doc_id", "text"), 1L)
+    assert(admitted.last == Set(3L), admitted.last.toString)
+  }
+
   test("streaming semantic gate: per-row max-cosine admission vs a literal bench set") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
