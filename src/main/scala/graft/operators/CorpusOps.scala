@@ -1014,7 +1014,13 @@ object CorpusOps {
     * the loop bootstraps itself. Within-batch span dups are not the
     * gate's job (a per-row predicate cannot see sibling rows) — compose
     * [[incrementalDuplicatedSpans]] inside `sink` when micro-batches
-    * are large enough to self-duplicate. */
+    * are large enough to self-duplicate.
+    *
+    * Namespace note: this loop owns the `b<batchId>` delta names. A
+    * store pre-seeded by BATCH ingestion should use a different naming
+    * scheme for its deltas (dates, run ids) — a pre-existing delta that
+    * happens to collide with a streaming batch id would be excluded
+    * from that one batch's gate by the replay rule above. */
   def spanGateIngest(storeDir: String, n: Int, fpp: Double = 0.03,
       sink: (DataFrame, Long) => Unit = (_, _) => (),
       bloomCapacity: Long = DefaultSpanBloomCapacity)
