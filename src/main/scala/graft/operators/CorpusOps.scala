@@ -936,9 +936,23 @@ object CorpusOps {
     * with the empty result — permanent fingerprint loss. Excluding the
     * batch's own filter (and, on the bootstrap path, its own delta)
     * makes the replay reproduce the original admission decisions
-    * exactly, which is what makes the overwrite idempotent. The
-    * bootstrap filter is NOT persisted when an exclusion is active
-    * (it would bake the exclusion into every later batch). */
+    * exactly, which is what makes the overwrite idempotent.
+    *
+    * The bootstrap filter IS persisted even when an exclusion is
+    * active — [[spanGateIngest]] always gates with its own batch id
+    * excluded, so a pre-seeded store's very first streaming batch runs
+    * this path, and skipping the write would leave the seeded
+    * fingerprints out of every later batch's merged filter (batch 1
+    * would find only `b0.bloom`, take the files-nonEmpty path, and
+    * admit duplicates of the seeded corpus forever — a silent
+    * false-negative hole in a gate whose contract is
+    * false-negative-free). Persisting under exclusion is safe: the
+    * build excludes only the replaying batch's own delta, and that
+    * batch rewrites its own `b<id>.bloom` when it commits, so once the
+    * batch lands the OR of bootstrap + per-delta filters covers the
+    * whole store; until it lands, every replay of that same batch id
+    * re-excludes the delta anyway (streaming replays a batch id until
+    * its commit succeeds — no other batch runs in between). */
   def rollingSpanBloom(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, fpp: Double = 0.03,
       capacity: Long = DefaultSpanBloomCapacity,
@@ -952,7 +966,7 @@ object CorpusOps {
       val store = graft.sources.FingerprintStore.load(spark, storeDir,
         excludeDelta = excludeBatchId)
       val bytes = spanDeltaBloomBytes(store, fpp, capacity)
-      if (!store.isEmpty && excludeBatchId.isEmpty)
+      if (!store.isEmpty)
         graft.sources.BloomStore.write(spark, bytes,
           s"$bloomDir/bootstrap.bloom")
       bytes

@@ -874,6 +874,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.CorpusOps.compactSpanBlooms(spark, storeDir) == 0)
   }
 
+  test("span-gate ingestion: a pre-seeded store stays in the gate past batch 0") {
+    import spark.implicits._
+    // The documented bootstrap scenario: a store built by BATCH
+    // ingestion (date-named delta, no filter files) before streaming
+    // starts. Batch 0 builds the gate from the store rows; the
+    // bootstrap filter it builds MUST persist even though the ingest
+    // loop always runs with its own batch id excluded — otherwise
+    // batch 1 finds only b0.bloom, takes the files-nonEmpty merge
+    // path, and every seeded fingerprint silently leaves the gate.
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ingest-seed").toString
+    graft.sources.FingerprintStore.appendDelta(
+      graft.operators.CorpusOps.spanFingerprints(
+        Seq((100L, "p1 p2 p3 p4 p5")).toDF("doc_id", "text"), n = 4),
+      storeDir, "2026-08-14")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val ingest = graft.operators.CorpusOps.spanGateIngest(storeDir, n = 4,
+      sink = (df, _) => {
+        admitted += df.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+      }) _
+    // batch 0: seeded span gated, fresh doc admitted (bootstrap path)
+    ingest(Seq((1L, "x1 p1 p2 p3 p4"), (2L, "a1 a2 a3 a4 a5"))
+      .toDF("doc_id", "text"), 0L)
+    assert(admitted.last == Set(2L), admitted.last.toString)
+    assert(graft.sources.BloomStore.list(spark, s"$storeDir/bloom")
+      .exists(_.endsWith("/bootstrap.bloom")),
+      "bootstrap filter not persisted — seeded fps leave the gate after batch 0")
+    // batch 1: a duplicate of the SEEDED corpus (not of batch 0's
+    // admissions) must still be gated — the regression this pins
+    ingest(Seq((3L, "y1 p1 p2 p3 p4"),  // seeded span -> gated
+      (4L, "z1 a2 a3 a4 a5"),           // batch-0 span -> gated
+      (5L, "f1 f2 f3 f4 f5"))           // clean -> admitted
+      .toDF("doc_id", "text"), 1L)
+    assert(admitted.last == Set(5L), admitted.last.toString)
+  }
+
   test("span-gate ingestion: replaying a committed batch is idempotent, not destructive") {
     import spark.implicits._
     // foreachBatch is at-least-once: a batch's delta + filter can commit
