@@ -52,9 +52,11 @@ object Verify {
     // fixture for THIS sfDir, so the substituted path is the index the
     // oracle must read.
     val ivfPath = graft.queries.ExtensionQueries.ivfFixturePath(spark, sfDir)
+    val deflatePath = graft.queries.CorpusQueries.deflateFixturePath(spark, sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         k -> v.replace(graft.queries.ExtensionQueries.IvfFixtureToken, ivfPath)
+          .replace(graft.queries.CorpusQueries.DeflateFixtureToken, deflatePath)
       }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -866,6 +866,27 @@ object CorpusOps {
     docs.filter(!exists(spanFpArray(TextFunctions.tokens(col(textCol)), n),
       f => bloomMightContain(bloomBytes, f)))
 
+  /** EXACT admission twin of [[spanGate]]: drop any document one of
+    * whose window fingerprints IS in the store — a stream-static
+    * left-semi against the fp rows instead of a filter probe. No false
+    * positives (clean docs never drop) and no false negatives, at the
+    * cost of reading the store per batch; this is the gate for a store
+    * grown past its filter geometry, where the saturated bloom's
+    * "false positive" rate converges on dropping every document. The
+    * batch side is micro-batch-sized, so Spark broadcasts it and
+    * streams the store through the semi-join — one store scan, no
+    * store shuffle; `FingerprintStore`'s fp-spread layout keeps that
+    * scan parallel. Docs shorter than n have no windows and are
+    * admitted, same as the bloom path. */
+  def spanGateExact(docs: DataFrame, storeFps: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hit = docs.select(col(idCol),
+      explode(spanFpArray(TextFunctions.tokens(col(textCol)), n)).as("fp"))
+      .join(storeFps.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Default fixed geometry for the rolling span-gate bloom: ~4.2 M
     * expected items ≈ 3.7 MB at fpp 0.03. Every delta filter of one
     * store must share the geometry or the byte-level OR is undefined —
@@ -881,18 +902,26 @@ object CorpusOps {
     * degrades fpp (saturation), never correctness — the gate stays
     * false-negative-free. */
   def spanDeltaBloomBytes(deltaFps: DataFrame, fpp: Double = 0.03,
-      capacity: Long = DefaultSpanBloomCapacity): Array[Byte] = {
+      capacity: Long = DefaultSpanBloomCapacity): Array[Byte] =
+    spanDeltaBloomBytesCounted(deltaFps, fpp, capacity)._1
+
+  /** [[spanDeltaBloomBytes]] plus the delta's distinct-fp count — the
+    * number the `.bloom.n` sidecar persists so [[storedSpanItems]] can
+    * answer "how full is this store" from file reads alone. */
+  def spanDeltaBloomBytesCounted(deltaFps: DataFrame, fpp: Double = 0.03,
+      capacity: Long = DefaultSpanBloomCapacity): (Array[Byte], Long) = {
     val hashed = deltaFps.select(xxhash64(col("fp")).as("h")).distinct()
+    val items = hashed.count()
     // an EMPTY delta must yield a contains-nothing filter: the
     // distributed aggregation over zero rows returns a bitless filter
     // that NPEs on probe (same guard as [[spanStoreBloomBytes]])
     val bloom =
-      if (hashed.isEmpty)
+      if (items == 0)
         org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
       else hashed.stat.bloomFilter("h", capacity, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    bos.toByteArray
+    (bos.toByteArray, items)
   }
 
   /** Byte-level union of same-geometry Bloom filters: membership in the
@@ -965,12 +994,45 @@ object CorpusOps {
     else {
       val store = graft.sources.FingerprintStore.load(spark, storeDir,
         excludeDelta = excludeBatchId)
-      val bytes = spanDeltaBloomBytes(store, fpp, capacity)
-      if (!store.isEmpty)
+      val (bytes, items) = spanDeltaBloomBytesCounted(store, fpp, capacity)
+      if (items > 0) {
         graft.sources.BloomStore.write(spark, bytes,
           s"$bloomDir/bootstrap.bloom")
+        writeSpanItemCount(spark, s"$bloomDir/bootstrap.bloom.n", items)
+      }
       bytes
     }
+  }
+
+  private def writeSpanItemCount(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Long): Unit =
+    graft.sources.BloomStore.write(spark,
+      n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), path)
+
+  /** How many distinct span fingerprints the store's filter set covers —
+    * the number that decides the gate regime in [[spanGateIngest]]. Read
+    * from the `.bloom.n` sidecars each filter writer persists, so the
+    * answer costs O(#filter files), never a store scan. Per-delta counts
+    * are distinct WITHIN a delta, so cross-delta repeats over-count —
+    * the conservative direction (switches to the exact gate early, never
+    * late). `excludeBatchId` mirrors [[rollingSpanBloom]]'s replay rule.
+    *
+    * A store with no sidecars and no filters (pre-seeded by batch
+    * ingestion, never streamed) is counted directly from its rows — the
+    * same one-time full-store pass its filter bootstrap pays. A store
+    * with filters but no sidecars (written before sidecars existed)
+    * answers 0, preserving that store's pre-policy bloom-gate behavior. */
+  def storedSpanItems(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, excludeBatchId: Option[String] = None): Long = {
+    val bloomDir = s"$storeDir/bloom"
+    val sidecars = graft.sources.BloomStore.list(spark, bloomDir, ".bloom.n")
+      .filterNot(f => excludeBatchId.exists(id => f.endsWith(s"/$id.bloom.n")))
+    if (sidecars.nonEmpty)
+      sidecars.map(f => new String(graft.sources.BloomStore.read(spark, f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).sum
+    else if (graft.sources.BloomStore.list(spark, bloomDir).nonEmpty) 0L
+    else graft.sources.FingerprintStore.load(spark, storeDir,
+      excludeDelta = excludeBatchId).select(col("fp")).distinct().count()
   }
 
   /** Fold all persisted per-delta filters into one `folded.bloom` so the
@@ -993,12 +1055,25 @@ object CorpusOps {
       val merged = mergeBloomBytes(
         files.map(graft.sources.BloomStore.read(spark, _)))
       graft.sources.BloomStore.write(spark, merged, s"$bloomDir/folded.bloom")
+      // fold the item-count sidecars the same way: their sum is the
+      // store total [[storedSpanItems]] reads, and an interrupted
+      // delete only OVER-counts (folded + leftover originals), which
+      // biases the gate policy toward the exact path — safe
+      val counts = graft.sources.BloomStore.list(spark, bloomDir, ".bloom.n")
+      if (counts.nonEmpty) {
+        val total = counts.map(f => new String(
+          graft.sources.BloomStore.read(spark, f),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).sum
+        writeSpanItemCount(spark, s"$bloomDir/folded.bloom.n", total)
+      }
       val fs = new org.apache.hadoop.fs.Path(bloomDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      files.filterNot(_.endsWith("/folded.bloom")).foreach { f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false)
-        ()
-      }
+      (files ++ counts)
+        .filterNot(f => f.endsWith("/folded.bloom") || f.endsWith("/folded.bloom.n"))
+        .foreach { f =>
+          fs.delete(new org.apache.hadoop.fs.Path(f), false)
+          ()
+        }
       files.size
     }
   }
@@ -1030,6 +1105,24 @@ object CorpusOps {
     * [[incrementalDuplicatedSpans]] inside `sink` when micro-batches
     * are large enough to self-duplicate.
     *
+    * Saturation boundary: the rolling filter's geometry is fixed at
+    * `bloomCapacity` expected items, and for a DROP-policy gate a
+    * saturated filter is not a soft degradation — false positives are
+    * dropped clean documents, and past a few × capacity the gate
+    * converges on rejecting everything. The loop therefore tracks the
+    * store's item count in `.bloom.n` sidecars ([[storedSpanItems]],
+    * O(filter files) per batch) and, once the count crosses
+    * `bloomCapacity`, switches the ADMISSION decision to
+    * [[spanGateExact]] — the fp-partitioned stream-static semi-join,
+    * which is exact at any store size and pays one parallel store scan
+    * per batch (the right trade exactly when the store has outgrown a
+    * broadcastable filter; the batch side stays broadcast-sized).
+    * Per-delta filters and sidecars are still written in BOTH regimes,
+    * so the filter set stays complete (saturated but false-negative-
+    * free) for direct [[rollingSpanBloom]] consumers, and replay
+    * exclusion keeps working if the stream is rebuilt with a larger
+    * geometry.
+    *
     * Namespace note: this loop owns the `b<batchId>` delta names. A
     * store pre-seeded by BATCH ingestion should use a different naming
     * scheme for its deltas (dates, run ids) — a pre-existing delta that
@@ -1037,22 +1130,36 @@ object CorpusOps {
     * from that one batch's gate by the replay rule above. */
   def spanGateIngest(storeDir: String, n: Int, fpp: Double = 0.03,
       sink: (DataFrame, Long) => Unit = (_, _) => (),
-      bloomCapacity: Long = DefaultSpanBloomCapacity)
+      bloomCapacity: Long = DefaultSpanBloomCapacity,
+      idCol: String = "doc_id")
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val admitted =
-      spanGate(batch, rollingSpanBloom(spark, storeDir, fpp, bloomCapacity,
-        excludeBatchId = Some(s"b$batchId")), n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exclude = Some(s"b$batchId")
+    val stored = storedSpanItems(spark, storeDir, exclude)
+    val admitted = (if (stored > bloomCapacity) {
+        // a never-streamed store entering directly in the exact regime
+        // still gets its one-time bootstrap filter, so the filter set
+        // stays complete for any direct rollingSpanBloom consumer
+        if (graft.sources.BloomStore.list(spark, s"$storeDir/bloom").isEmpty) {
+          rollingSpanBloom(spark, storeDir, fpp, bloomCapacity, exclude)
+          ()
+        }
+        spanGateExact(batch, graft.sources.FingerprintStore.load(spark,
+          storeDir, excludeDelta = exclude), n, idCol)
+      } else
+        spanGate(batch, rollingSpanBloom(spark, storeDir, fpp, bloomCapacity,
+          excludeBatchId = exclude), n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sink(admitted, batchId)
-      val fps = spanFingerprints(admitted, n)
+      val fps = spanFingerprints(admitted, n, idCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         graft.sources.FingerprintStore.appendDelta(fps, storeDir, s"b$batchId")
-        graft.sources.BloomStore.write(spark,
-          spanDeltaBloomBytes(fps, fpp, bloomCapacity),
+        val (bytes, items) = spanDeltaBloomBytesCounted(fps, fpp, bloomCapacity)
+        graft.sources.BloomStore.write(spark, bytes,
           s"$storeDir/bloom/b$batchId.bloom")
+        writeSpanItemCount(spark, s"$storeDir/bloom/b$batchId.bloom.n", items)
       } finally fps.unpersist()
     } finally admitted.unpersist()
   }

@@ -16,6 +16,66 @@ object CorpusQueries {
 
   private val ToksSql = """list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"""
 
+  /** Placeholder in q88's oracle SQL for the deflate witness fixture
+    * root — Verify substitutes the per-(session, sf) path the same way
+    * it resolves [[ExtensionQueries.IvfFixtureToken]]. */
+  val DeflateFixtureToken = "__GRAFT_DEFLATE_FIXTURE__"
+
+  private val deflateFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def deflateFixturePath(s: SparkSession, dir: String): String =
+    deflateFixtureDirs.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => java.nio.file.Files.createTempDirectory("graft-deflate").toString)
+
+  /** Build-once-per-(session, sf) deflate WITNESS for q88: the permille
+    * column recomputed by an implementation that shares no code with
+    * [[graft.functions.CompressionRatioExpr]] — String→UTF-8 bytes (not
+    * UTF8String), a per-row DeflaterOutputStream draining into a
+    * byte-counting sink (not the reset-and-loop drain), plain closure
+    * (not codegen). DuckDB has no deflate, so the oracle can never
+    * recompute this column itself; joining the witness instead makes
+    * the hash compare check the EXPRESSION against an independent
+    * derivation while DuckDB still recomputes the repetition leg.
+    * One-time per session+sf and fixture-sized, so the closure is a
+    * witness tool, not a data-plane operator. */
+  private val deflateFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ensureDeflateFixture(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val path = deflateFixturePath(s, dir)
+    deflateFixtureBuilt.computeIfAbsent(key, _ => {
+      import s.implicits._
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val permille =
+            if (bytes.isEmpty) 0
+            else {
+              val counter = new java.io.OutputStream {
+                var n = 0L
+                override def write(b: Int): Unit = n += 1
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  n += len
+              }
+              val d = new java.util.zip.Deflater()
+              val out = new java.util.zip.DeflaterOutputStream(counter, d)
+              out.write(bytes)
+              out.close()
+              d.end()
+              ((counter.n * 1000L) / bytes.length).toInt
+            }
+          (id, permille)
+        }
+        .toDF("doc_id", "witness_permille")
+        .write.mode("overwrite").parquet(s"$path/witness")
+      true
+    })
+    path
+  }
+
   /** DuckDB distinct word-8-gram shingles (mirrors
     * array_distinct(TextFunctions.wordShingles(text, 8))). */
   private val Grams8Sql =
@@ -992,17 +1052,29 @@ object CorpusQueries {
     // byte-level redundancy the token heuristics can't see (near-repeats,
     // long-range copies).
     //
-    // DELIBERATELY UNORACLED — the one registered query the driver
-    // records as rows-only (err: "no_oracle"): DuckDB has no deflate, so
-    // no cross-engine SQL can reproduce compression_permille. Its
-    // verification is three-legged instead: (1) CorpusOpsSpec pins the
-    // kernel's behavioral bounds + determinism on fixed vectors; (2)
-    // CorpusOpsSpec re-derives the column over the REAL documents table
-    // with an independent driver-side deflate and asserts exact
-    // equality; (3) the oracled companion q100 hash-checks the
-    // repetition_permille math this query shares. A green round
-    // therefore covers q88 through specs, not through the DuckDB gate.
-    "q88_compression_quality" -> QueryDef.noOracle { (s, dir) =>
+    // DuckDB has no deflate, so no cross-engine SQL can recompute
+    // compression_permille — the oracle instead JOINS a witness fixture
+    // ([[ensureDeflateFixture]]): the same column re-derived by an
+    // implementation sharing no code with CompressionRatioExpr, built
+    // once per (session, sf) and path-substituted into the SQL by
+    // Verify (the IVF-fixture pattern). The hash compare therefore
+    // checks the codegen'd expression against an independent deflate
+    // AND the repetition leg against DuckDB's own recomputation.
+    "q88_compression_quality" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, witness_permille
+         |           FROM read_parquet('$DeflateFixtureToken/witness/*.parquet')),
+         |r AS (SELECT doc_id,
+         |        CASE WHEN len($ToksSql) > 0
+         |             THEN 1000 - (len(list_distinct($ToksSql)) * 1000)
+         |                  // len($ToksSql)
+         |             ELSE 0 END AS repetition_permille
+         |      FROM documents)
+         |SELECT r.doc_id,
+         |       CAST(w.witness_permille AS INTEGER) AS compression_permille,
+         |       CAST(r.repetition_permille AS BIGINT) AS repetition_permille
+         |FROM r JOIN w ON r.doc_id = w.doc_id
+         |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      ensureDeflateFixture(s, dir)
       val rep = graft.functions.RepetitionStatsExpr.of(col("text"))
       // integer permille like every other rate in this module (a double
       // division here would put fractional values in a _permille column

@@ -32,12 +32,18 @@ object BloomStore {
   }
 
   /** Committed filter files under `dir` (no .tmp), sorted by name. */
-  def list(spark: SparkSession, dir: String): Seq[String] = {
+  def list(spark: SparkSession, dir: String): Seq[String] =
+    list(spark, dir, ".bloom")
+
+  /** Committed files under `dir` with the given suffix — `.bloom` for
+    * filters, `.bloom.n` for their item-count sidecars (a `.bloom.n`
+    * file never matches the `.bloom` listing and vice versa). */
+  def list(spark: SparkSession, dir: String, suffix: String): Seq[String] = {
     val f = fs(spark, dir)
     val d = new Path(dir)
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".bloom"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
       .map(_.getPath.toString).sorted
   }
 

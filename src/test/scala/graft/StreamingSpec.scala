@@ -940,6 +940,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.last == Set(3L), admitted.last.toString)
   }
 
+  test("span-gate ingestion: a store grown past the filter capacity falls back to the exact gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The 100 TB cliff this pins: the rolling filter's geometry is fixed
+    // at stream birth, and for a DROP-policy gate a saturated filter's
+    // false positives are dropped CLEAN documents. Capacity 8 here plays
+    // the role of 4.2M at scale; batch 0 stores ~hundreds of distinct
+    // fps, saturating the 8-item geometry essentially to all-ones.
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ingest-sat").toString
+    val cap = 8L
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val ingest = graft.operators.CorpusOps.spanGateIngest(storeDir, n = 4,
+      bloomCapacity = cap,
+      sink = (df, _) => {
+        admitted += df.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+      }) _
+    // batch 0: 60 docs x 5 windows -> ~300 distinct fps into the store
+    val seed = (1 to 60).map(i =>
+      (i.toLong, s"a$i b$i c$i d$i e$i f$i g$i h$i"))
+    ingest(seed.toDF("doc_id", "text"), 0L)
+    assert(admitted.last.size == 60, "empty store must admit everything")
+    val stored = graft.operators.CorpusOps.storedSpanItems(spark, storeDir)
+    assert(stored > cap, s"store must exceed capacity, counted $stored")
+    // batch 1: clean docs + one true duplicate of a stored span + one
+    // sub-n doc (no windows, always admitted)
+    val b1 = Seq(
+      (1001L, "fresh w1 w2 w3 w4 w5"),    // clean -> must be admitted
+      (1002L, "more v1 v2 v3 v4 words"),  // clean -> must be admitted
+      (1003L, "zz a5 b5 c5 d5"),          // stored span -> must be gated
+      (1004L, "too short")                // < n tokens -> admitted
+    ).toDF("doc_id", "text")
+    // the saturated rolling filter is the cliff: it drops the clean docs
+    val satBloom = graft.operators.CorpusOps.rollingSpanBloom(
+      spark, storeDir, capacity = cap, excludeBatchId = Some("b1"))
+    val bloomSays = graft.operators.CorpusOps.spanGate(b1, satBloom, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!bloomSays.contains(1001L) && !bloomSays.contains(1002L),
+      s"expected the saturated filter to drop the clean docs, kept $bloomSays")
+    // ...but the ingest loop's admissions equal the EXACT anti-join
+    val exact = graft.operators.CorpusOps.spanGateExact(b1,
+      graft.sources.FingerprintStore.load(spark, storeDir,
+        excludeDelta = Some("b1")), n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1001L, 1002L, 1004L), exact.toString)
+    ingest(b1, 1L)
+    assert(admitted.last == exact,
+      s"saturated gate diverged from exact: ${admitted.last} vs $exact")
+    // replay of the committed batch in the exact regime stays idempotent
+    ingest(b1, 1L)
+    assert(admitted.last == exact, "exact-regime replay self-gated")
+    // batch 2 is gated by what batch 1 admitted (exact regime end-to-end)
+    ingest(Seq((2001L, "x fresh w1 w2 w3 w4"), (2002L, "brand new q1 q2 q3 q4"))
+      .toDF("doc_id", "text"), 2L)
+    assert(admitted.last == Set(2002L), admitted.last.toString)
+    // compaction folds filters AND count sidecars; the regime survives it
+    assert(graft.operators.CorpusOps.compactSpanBlooms(spark, storeDir) > 0)
+    val foldedCount = graft.operators.CorpusOps.storedSpanItems(spark, storeDir)
+    assert(foldedCount >= stored, s"count lost in fold: $foldedCount < $stored")
+    ingest(Seq((3001L, "brand new q1 q2 q3 q4"), (3002L, "all fresh r1 r2 r3 r4"))
+      .toDF("doc_id", "text"), 3L)
+    assert(admitted.last == Set(3002L), admitted.last.toString)
+  }
+
+  test("span-gate ingestion: a pre-seeded store past capacity gates exactly from batch 0") {
+    import spark.implicits._
+    // storedSpanItems must not answer 0 for a virgin store with no
+    // sidecars — it counts the rows once (the same one-time pass the
+    // filter bootstrap pays) so a giant batch-built store never spends
+    // a single batch behind a saturated filter.
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ingest-satseed").toString
+    val seed = (1 to 60).map(i =>
+      (i.toLong, s"a$i b$i c$i d$i e$i f$i g$i h$i"))
+    graft.sources.FingerprintStore.appendDelta(
+      graft.operators.CorpusOps.spanFingerprints(
+        seed.toDF("doc_id", "text"), n = 4), storeDir, "2026-08-14")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val ingest = graft.operators.CorpusOps.spanGateIngest(storeDir, n = 4,
+      bloomCapacity = 8L,
+      sink = (df, _) => {
+        admitted += df.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+      }) _
+    ingest(Seq(
+      (1001L, "fresh w1 w2 w3 w4 w5"),   // clean: saturated bloom would drop it
+      (1002L, "zz a5 b5 c5 d5"))         // seeded span -> gated
+      .toDF("doc_id", "text"), 0L)
+    assert(admitted.last == Set(1001L), admitted.last.toString)
+    // the one-time bootstrap still persisted a complete (if saturated)
+    // filter set for direct rollingSpanBloom consumers
+    assert(graft.sources.BloomStore.list(spark, s"$storeDir/bloom")
+      .exists(_.endsWith("/bootstrap.bloom")))
+    // batch 1 is gated against batch 0's admissions too
+    ingest(Seq((2001L, "x fresh w1 w2 w3 w4"), (2002L, "clean k1 k2 k3 k4"))
+      .toDF("doc_id", "text"), 1L)
+    assert(admitted.last == Set(2002L), admitted.last.toString)
+  }
+
   test("streaming semantic gate: per-row max-cosine admission vs a literal bench set") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
