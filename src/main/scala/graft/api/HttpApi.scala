@@ -58,7 +58,11 @@ object HttpApi {
       logs: DataFrame, users: Option[DataFrame] = None,
       jwtSecret: Array[Byte] = DefaultSecret,
       rateRules: Seq[RateLimiter.RateRule] = RateLimiter.DefaultRules,
-      clock: () => Long = () => System.currentTimeMillis() / 1000)
+      clock: () => Long = () => System.currentTimeMillis() / 1000,
+      filtersRef: java.util.concurrent.atomic.AtomicReference[
+        Seq[ConnectionFilters]] =
+        new java.util.concurrent.atomic.AtomicReference(Seq.empty),
+      ws: Option[graft.streaming.WsServer.Server] = None)
       : HttpServer = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
@@ -69,12 +73,19 @@ object HttpApi {
     // -- control-plane state owned by this bind ------------------------
     // WS filter table: one row per live connection (reference keeps it in
     // WebSocketFilterManager); scheduled-job buffer: POST /api/jobs.
-    val filters = new java.util.concurrent.atomic.AtomicReference[
-      Seq[ConnectionFilters]](Seq.empty)
+    // `filtersRef` is shared with the WS wire transport when one is
+    // bound (WsServer.start's `filters` supplier), so the REST CRUD
+    // below mutates the routing the live push layer reads.
+    val filters = filtersRef
     val scheduled =
       java.util.Collections.synchronizedList(
-        new java.util.ArrayList[(String, String)]())
+        new java.util.ArrayList[(String, String, String)]())  // (id, status, type)
     val jobSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    // POST-created jobs live only in this buffer until an ETL run lands
+    // them in the frame — status/metrics/PUT must resolve them here too,
+    // as the reference resolves created jobs through the ETL manager
+    def scheduledJob(id: String): Option[(String, String, String)] =
+      scheduled.toArray(Array.empty[(String, String, String)]).find(_._1 == id)
 
     // JWT middleware (reference: request_handler.cpp:216-228
     // isProtectedEndpoint + :471-486): with auth enabled (a users table
@@ -171,10 +182,15 @@ object HttpApi {
             s""""memory":{"used_bytes":$usedBytes,"cpu_percent":$cpu}}""")
         case "/metrics" =>
           val (total, running, completed, failed) = jobCounts()
+          // messages_sent: the reference's own endpoint hardcodes 0 here
+          // (src/request_handler.cpp:1350-1352); with a live WS bind the
+          // real delivery counter stands behind it (the A13 running-
+          // counter family — same number q51's observe() path computes)
+          val wsSent = ws.map(_.messagesSent).getOrElse(0L)
           (200, s"""{"status":"healthy","timestamp":"$now","metrics":{""" +
             s""""cpu_usage":$cpu,"memory_usage":$usedBytes,""" +
             s""""database":{"connections_active":${spark.sparkContext.defaultParallelism},"connections_idle":0,"connection_timeouts":0},""" +
-            s""""websocket":{"connections":${filters.get().size},"messages_sent":0,"messages_queued":0},""" +
+            s""""websocket":{"connections":${filters.get().size},"messages_sent":$wsSent,"messages_queued":0},""" +
             s""""jobs":{"total":$total,"running":$running,"completed":$completed,"failed":$failed}}}""")
         case "/database" =>
           (200, s"""{"status":"${if (alive) "healthy" else "unhealthy"}",""" +
@@ -184,10 +200,13 @@ object HttpApi {
             s""""idle_connections":0,"total_connections":${spark.sparkContext.defaultParallelism},""" +
             s""""connection_timeouts":0,"average_wait_time_ms":0}}""")
         case "/websocket" =>
+          val live = ws.map(_.connectionIds.size).getOrElse(filters.get().size)
           (200, s"""{"status":"healthy","timestamp":"$now",""" +
-            s""""websocket":{"running":true,"connections":${filters.get().size},""" +
-            s""""pool_size":${filters.get().size},"active_sessions":${filters.get().size},""" +
-            s""""messages_sent":0,"messages_queued":0,"broadcast_errors":0}}""")
+            s""""websocket":{"running":true,"connections":$live,""" +
+            s""""pool_size":${filters.get().size},"active_sessions":$live,""" +
+            s""""messages_sent":${ws.map(_.messagesSent).getOrElse(0L)},""" +
+            s""""messages_queued":0,""" +
+            s""""broadcast_errors":${ws.map(_.broadcastErrors).getOrElse(0L)}}}""")
         case "/memory" =>
           (200, s"""{"status":"healthy","timestamp":"$now",""" +
             s""""memory":{"process_used_bytes":$usedBytes,""" +
@@ -260,8 +279,8 @@ object HttpApi {
             .collect()
             .map(r => s"""{"id":${quote(r.getString(0))},"status":${quote(r.getString(1))}}""")
           val extra = {
-            val it = scheduled.toArray(Array.empty[(String, String)])
-            it.map { case (id, st) =>
+            val it = scheduled.toArray(Array.empty[(String, String, String)])
+            it.map { case (id, st, _) =>
               s"""{"id":${quote(id)},"status":${quote(st)}}"""
             }
           }
@@ -279,7 +298,8 @@ object HttpApi {
             (400, errJson("Job creation validation failed"))
           else {
             val id = s"job_${clock()}_${jobSeq.getAndIncrement()}"
-            scheduled.add((id, "scheduled"))
+            scheduled.add((id, "scheduled",
+              MiniJson.topLevelString(body, "type").getOrElse("")))
             (200, s"""{"job_id":${quote(id)},"status":"scheduled"}""")
           }
         case ("GET", p) if p.endsWith("/status") =>
@@ -287,17 +307,27 @@ object HttpApi {
           if (!validJobId(id)) (400, errJson("Invalid job ID format"))
           else jobRow(jobs, id) match {
             case Some(r) => (200, jobStatusJson(r, clock()))
-            case None => (404, errJson("Job not found"))
+            case None => scheduledJob(id) match {
+              case Some((_, st, tpe)) =>
+                (200, scheduledStatusJson(id, st, tpe))
+              case None => (404, errJson("Job not found"))
+            }
           }
         case ("GET", p) if p.endsWith("/metrics") =>
           val id = p.stripSuffix("/metrics")
           if (!validJobId(id)) (400, errJson("Invalid job ID format"))
           else jobRow(jobs, id) match {
             case Some(r) => (200, jobMetricsJson(r, clock()))
-            case None => (404, errJson("Job not found"))
+            case None => scheduledJob(id) match {
+              case Some((_, st, _)) =>
+                (200, scheduledMetricsJson(id, st))
+              case None => (404, errJson("Job not found"))
+            }
           }
         case ("PUT", id) if id.nonEmpty && !id.contains("/") =>
           if (!validJobId(id)) (400, errJson("Invalid job ID format"))
+          else if (jobRow(jobs, id).isEmpty && scheduledJob(id).isEmpty)
+            (404, errJson("Job not found"))
           else {
             // reference (input_validator.cpp:284-299): at least one of
             // status/config must be present
@@ -505,11 +535,15 @@ object HttpApi {
     opt(row, field).collect { case t: java.sql.Timestamp => t.getTime }
 
   /** executionTimeMs per the reference: completed−started, or now−started
-    * while RUNNING (src/request_handler.cpp:957-965). */
+    * while RUNNING (src/request_handler.cpp:957-965). Case-insensitive,
+    * matching jobCounts' lower(status) handling — a job stored as
+    * "running" must not report 0 while in flight. */
   private def execMs(row: Row, nowEpoch: Long): Long = {
     val started = tsMs(row, "startedAt")
+    val running = opt(row, "status")
+      .exists(_.toString.equalsIgnoreCase("RUNNING"))
     val ended =
-      if (opt(row, "status").contains("RUNNING")) Some(nowEpoch * 1000L)
+      if (running) Some(nowEpoch * 1000L)
       else tsMs(row, "completedAt")
     (for (s <- started; e <- ended) yield math.max(0L, e - s)).getOrElse(0L)
   }
@@ -547,6 +581,22 @@ object HttpApi {
       s""""processingRate":$rate,"successRate":$success,""" +
       s""""executionTimeMs":$ms,"status":${quote(s("status"))}}"""
   }
+
+  /** Status document for a job that exists only in the scheduled buffer
+    * (POST-created, no ETL run yet) — same shape as [[jobStatusJson]]
+    * with the not-yet-started fields zeroed. */
+  private def scheduledStatusJson(id: String, status: String,
+      jobType: String): String =
+    s"""{"jobId":${quote(id)},"type":${quote(jobType)},""" +
+      s""""status":${quote(status)},"createdAt":"","startedAt":"",""" +
+      s""""completedAt":"","recordsProcessed":0,"recordsSuccessful":0,""" +
+      s""""recordsFailed":0,"executionTimeMs":0}"""
+
+  private def scheduledMetricsJson(id: String, status: String): String =
+    s"""{"jobId":${quote(id)},"recordsProcessed":0,""" +
+      s""""recordsSuccessful":0,"recordsFailed":0,""" +
+      s""""processingRate":0.0,"successRate":0.0,""" +
+      s""""executionTimeMs":0,"status":${quote(status)}}"""
 
   private def filterJson(f: ConnectionFilters): String =
     s"""{"connectionId":${quote(f.connectionId)},""" +

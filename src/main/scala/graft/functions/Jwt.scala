@@ -52,15 +52,28 @@ object Jwt {
     Bridge.column(HmacSha256B64UrlExpr(
       Bridge.expression(signingInput), Bridge.expression(lit(secret))))
 
+  /** JSON string escape for interpolated claim values — without it a
+    * username containing a quote or backslash yields malformed payload
+    * JSON and lets a crafted users-table row inject extra claims into
+    * its own signed token. Same two-char rule in the column and JVM
+    * paths so both compose identical bytes for identical inputs. */
+  private def jsonEscaped(c: Column): Column =
+    org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(c, lit("\\"), lit("\\\\")),
+      lit("\""), lit("\\\""))
+
+  private def jsonEscapedJvm(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   /** Canonical payload JSON for the reference's claim set. Field order is
     * fixed so the oracle can recompose the identical bytes. */
   def payloadJson(sub: Column, username: Column, iatEpoch: Column,
       expEpoch: Column): Column =
     concat(
-      lit(s"""{"iss":"$Issuer","sub":""""), sub,
+      lit(s"""{"iss":"$Issuer","sub":""""), jsonEscaped(sub),
       lit(s"""","aud":"$Audience","iat":"""), iatEpoch.cast("long"),
       lit(""","exp":"""), expEpoch.cast("long"),
-      lit(""","username":""""), username, lit("\"}"))
+      lit(""","username":""""), jsonEscaped(username), lit("\"}"))
 
   /** Issue a token: b64url(header).b64url(payload).b64url(sig)
     * (reference: src/auth_manager.cpp generateJWTToken). */
@@ -105,8 +118,9 @@ object Jwt {
 
   def issueJvm(sub: String, username: String, iatEpoch: Long, expEpoch: Long,
       secret: Array[Byte]): String = {
-    val payload = s"""{"iss":"$Issuer","sub":"$sub","aud":"$Audience",""" +
-      s""""iat":$iatEpoch,"exp":$expEpoch,"username":"$username"}"""
+    val payload =
+      s"""{"iss":"$Issuer","sub":"${jsonEscapedJvm(sub)}","aud":"$Audience",""" +
+      s""""iat":$iatEpoch,"exp":$expEpoch,"username":"${jsonEscapedJvm(username)}"}"""
     val hp = JwtKernel.b64url(HeaderJson.getBytes("UTF-8")) + "." +
       JwtKernel.b64url(payload.getBytes("UTF-8"))
     hp + "." + JwtKernel.hmacB64Url(hp.getBytes("UTF-8"), secret)

@@ -232,6 +232,23 @@ class ApiSpec extends AnyFunSuite {
         && bMet.contains("\"processingRate\":"), s"$cMet $bMet")
       val (c404, _, _) = request(base, "GET", "/api/jobs/nope/status")
       assert(c404 == 404)
+      // a POST-created job resolves through the scheduled buffer (the
+      // reference resolves created jobs through the ETL manager)
+      val (cStSched, bStSched, _) =
+        request(base, "GET", s"/api/jobs/$newId/status")
+      assert(cStSched == 200 && bStSched.contains("\"status\":\"scheduled\"")
+        && bStSched.contains("\"type\":\"FULL_ETL\""), s"$cStSched $bStSched")
+      val (cMetSched, bMetSched, _) =
+        request(base, "GET", s"/api/jobs/$newId/metrics")
+      assert(cMetSched == 200
+        && bMetSched.contains("\"executionTimeMs\":0"), s"$cMetSched $bMetSched")
+      val (cPutSched, _, _) = request(base, "PUT", s"/api/jobs/$newId",
+        Some("""{"status":"cancelled"}"""))
+      assert(cPutSched == 200)
+      // well-formed but unknown id: 404 from PUT, not a blind "updated"
+      val (cPut404, _, _) = request(base, "PUT", "/api/jobs/ghost",
+        Some("""{"status":"x"}"""))
+      assert(cPut404 == 404)
 
       // -- monitor group (protected -> authenticated calls) --
       val (cMs, bMs, _) = request(base, "GET", "/api/monitor/status",
@@ -321,6 +338,132 @@ class ApiSpec extends AnyFunSuite {
         hH.get("X-ratelimit-remaining").orElse(hH.get("X-RateLimit-Remaining"))
           .exists(_.toLong < 300L), hH.toString)
     } finally graft.api.HttpApi.stop(server)
+  }
+
+  test("WS wire: live RFC 6455 push delivers exactly what q34's routing predicts; 401 unauthenticated") {
+    import spark.implicits._
+    import graft.model.{ConnectionFilters, MessageType, WebSocketMessage}
+    val clock = () => 1700000000L
+    val secret = "ws-spec-secret".getBytes("UTF-8")
+    // the REST CRUD and the wire transport share ONE filter table
+    val filtersRef = new java.util.concurrent.atomic.AtomicReference[
+      Seq[ConnectionFilters]](Seq.empty)
+    val ws = graft.streaming.WsServer.start(0, secret,
+      () => filtersRef.get(), clock)
+    val logs = Seq(graft.model.LogMessage("j1", "ERROR", "db", "x",
+      ts("2025-09-01 10:00:00"))).toDF()
+    val server = graft.api.HttpApi.start(0, spark, jobs, logs, Some(users),
+      jwtSecret = secret, rateRules = Nil, clock = clock,
+      filtersRef = filtersRef, ws = Some(ws))
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val clients = scala.collection.mutable.ArrayBuffer.empty[java.net.http.WebSocket]
+    try {
+      val (cOk, bOk, _) = request(base, "POST", "/api/auth/login",
+        Some("""{"username":"alice","password":"pw1"}"""))
+      assert(cOk == 200, s"$cOk $bOk")
+      val token = graft.functions.MiniJson.topLevelString(bOk, "token").get
+
+      // c1 subscribes narrow via the REST CRUD; c2 stays unregistered
+      // (empty-filter wildcard)
+      val (cSet, _, _) = request(base, "PUT", "/api/ws/filters/c1",
+        Some("""{"jobIds":["job_1"],"logLevels":["ERROR"],""" +
+          """"messageTypes":["JOB_LOG_MESSAGE"],"includeSystemNotifications":false}"""))
+      assert(cSet == 200)
+
+      def listener(q: java.util.concurrent.ConcurrentLinkedQueue[String]) =
+        new java.net.http.WebSocket.Listener {
+          private val sb = new StringBuilder
+          override def onText(w: java.net.http.WebSocket, data: CharSequence,
+              last: Boolean): java.util.concurrent.CompletionStage[_] = {
+            sb.append(data)
+            if (last) { q.add(sb.toString); sb.setLength(0) }
+            w.request(1)
+            null
+          }
+        }
+      def connect(connId: String,
+          q: java.util.concurrent.ConcurrentLinkedQueue[String],
+          bearer: Option[String]): java.net.http.WebSocket = {
+        val b = java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+        bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+        val c = b.buildAsync(java.net.URI.create(
+          s"ws://127.0.0.1:${ws.port}/ws?connection_id=$connId"),
+          listener(q)).join()
+        clients += c
+        c
+      }
+      def poll(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+
+      // unauthenticated upgrade never completes: the server answers 401
+      val thrown = intercept[java.util.concurrent.CompletionException] {
+        java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+          .buildAsync(java.net.URI.create(
+            s"ws://127.0.0.1:${ws.port}/ws?connection_id=x"),
+            listener(new java.util.concurrent.ConcurrentLinkedQueue[String]()))
+          .join()
+      }
+      assert(thrown.getCause.isInstanceOf[java.net.http.WebSocketHandshakeException])
+
+      val got1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val got2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      connect("c1", got1, Some(token))
+      val ws2 = connect("c2", got2, Some(token))
+      poll(ws.connectionIds == Seq("c1", "c2"))
+      assert(ws.connectionIds == Seq("c1", "c2"), ws.connectionIds.toString)
+
+      val t0 = ts("2025-09-01 10:00:00")
+      val msgs = Seq(
+        WebSocketMessage(MessageType.JobLogMessage, t0, "m1", Some("job_1"), Some("ERROR")),
+        WebSocketMessage(MessageType.JobLogMessage, t0, "m2", Some("job_2"), Some("ERROR")),
+        WebSocketMessage(MessageType.JobLogMessage, t0, "m3", Some("job_1"), Some("INFO")),
+        WebSocketMessage(MessageType.JobStatusUpdate, t0, "m4", Some("job_1"), None),
+        WebSocketMessage(MessageType.SystemNotification, t0, "m5", None, None))
+      msgs.foreach(ws.broadcast)
+
+      // the ORACLE for the live pushes: q34's routing join over the same
+      // events and the same filter table (plus c2's wildcard default,
+      // which is exactly what the broadcaster substitutes)
+      val events = msgs.map(m => (m.msgType, m.data, m.targetJobId, m.targetLevel))
+        .toDF("msgType", "data", "targetJobId", "targetLevel")
+      val subs = graft.streaming.FilterManager.toDF(
+        filtersRef.get() ++ Seq(ConnectionFilters("c2")))(spark)
+      val predicted = graft.streaming.Routing.route(events, subs)
+        .select("connectionId", "data").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      def received(q: java.util.concurrent.ConcurrentLinkedQueue[String],
+          conn: String): Set[(String, String)] =
+        q.toArray(Array.empty[String]).map(p =>
+          (conn, graft.functions.MiniJson.topLevelString(p, "data").get)).toSet
+      poll(got1.size + got2.size >= predicted.size)
+      assert(received(got1, "c1") ++ received(got2, "c2") == predicted,
+        s"live=${received(got1, "c1") ++ received(got2, "c2")} vs q34=$predicted")
+      assert(received(got1, "c1") == Set(("c1", "m1")))
+
+      // the pushed frame carries the reference's message shape
+      val frame = got1.peek()
+      assert(frame.contains("\"type\":\"JOB_LOG_MESSAGE\"")
+        && frame.contains("\"jobId\":\"job_1\"")
+        && frame.contains("\"level\":\"ERROR\""), frame)
+
+      // real delivery counters behind the health endpoints
+      val (cHm, bHm, _) = request(base, "GET", "/api/health/metrics")
+      assert(cHm == 200 &&
+        bHm.contains(s"\"messages_sent\":${predicted.size}"), s"$cHm $bHm")
+      val (cHw, bHw, _) = request(base, "GET", "/api/health/websocket")
+      assert(cHw == 200 && bHw.contains("\"connections\":2"), s"$cHw $bHw")
+
+      // close handshake: the registry drops the connection
+      ws2.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
+      poll(ws.connectionIds == Seq("c1"))
+      assert(ws.connectionIds == Seq("c1"), ws.connectionIds.toString)
+    } finally {
+      clients.foreach(c => c.abort())
+      ws.close()
+      graft.api.HttpApi.stop(server)
+    }
   }
 
   test("log search params compile, bad sortBy/levels rejected") {

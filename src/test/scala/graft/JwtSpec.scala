@@ -120,6 +120,31 @@ class JwtSpec extends AnyFunSuite {
     assert(Jwt.subjectJvm(t, Secret, 0L).isEmpty)
   }
 
+  test("claim values with quotes/backslashes are escaped, not injected") {
+    import spark.implicits._
+    // a crafted username that would otherwise close the string and add
+    // its own claims to the signed payload
+    val evil = """u","iss":"intruder","x":"""
+    val t = Jwt.issueJvm("7", evil, 1000L, 9999999999L, Secret)
+    // the token validates (its payload is well-formed JSON)...
+    assert(Jwt.subjectJvm(t, Secret, 2000L).contains("7"))
+    // ...and the username round-trips as DATA: the iss claim is still
+    // the real issuer, not the injected one
+    val payload = new String(java.util.Base64.getUrlDecoder.decode(
+      t.split("\\.")(1) + "=" * ((4 - t.split("\\.")(1).length % 4) % 4)), "UTF-8")
+    assert(MiniJson.topLevelString(payload, "iss").contains(Jwt.Issuer))
+    assert(MiniJson.topLevelString(payload, "username").contains(evil))
+    assert(MiniJson.topLevelString(payload, "x").isEmpty)
+    // backslash alone must not swallow the closing quote
+    val bs = Jwt.issueJvm("8", """trailing\""", 1000L, 9999999999L, Secret)
+    assert(Jwt.subjectJvm(bs, Secret, 2000L).contains("8"))
+    // column path composes the identical bytes for the same inputs
+    val colToken = Seq((evil, "7")).toDF("u", "s")
+      .select(Jwt.issue(col("s"), col("u"), lit(1000L), lit(9999999999L),
+        Secret).as("t")).collect().head.getString(0)
+    assert(colToken == t, "JVM and column escaping diverged")
+  }
+
   test("MiniJson: top-level extraction is depth- and escape-aware") {
     val j = """{"username":"al\"ice","password":"p w","n":42,"ok":true,""" +
       """"nested":{"username":"evil"},"roles":["a","b\"c"]}"""
