@@ -1004,6 +1004,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.last == Set(3002L), admitted.last.toString)
   }
 
+  test("span-gate soak: 100 micro-batches with periodic compaction stay flat and bounded") {
+    import spark.implicits._
+    // Steady-state proof for the rolling-gate design: per-batch cost is
+    // O(batch + filter files), so a long-running stream with periodic
+    // maintenance (compactSpanBlooms + FingerprintStore.compact on the
+    // quiesced stream) must show FLAT per-batch wall time and BOUNDED
+    // file counts — the O(store)-per-batch anti-pattern this replaced
+    // would grow per-batch time linearly (~5x across this run).
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ingest-soak").toString
+    var admitted = 0L
+    val ingest = graft.operators.CorpusOps.spanGateIngest(storeDir, n = 4,
+      sink = (df, _) => { admitted += df.count(); () }) _
+    val times = new Array[Double](100)
+    var prevFirst = ""
+    for (b <- 0 until 100) {
+      val fresh = (0 until 3).map(i =>
+        ((b * 10 + i).toLong, s"w${b}_$i x${b}_$i y${b}_$i z${b}_$i tail"))
+      val docs = if (b == 0) fresh
+        else fresh :+ ((b * 10 + 9).toLong, prevFirst) // dup of batch b-1
+      prevFirst = fresh.head._2
+      val t0 = System.nanoTime()
+      ingest(docs.toDF("doc_id", "text"), b.toLong)
+      times(b) = (System.nanoTime() - t0) / 1e9
+      if (b % 20 == 19) {
+        graft.operators.CorpusOps.compactSpanBlooms(spark, storeDir)
+        graft.sources.FingerprintStore.compact(spark, storeDir)
+        assert(graft.sources.BloomStore.list(spark, s"$storeDir/bloom").size == 1,
+          s"fold left more than one filter at batch $b")
+      }
+    }
+    // every dup was gated, every fresh doc admitted — across compactions
+    assert(admitted == 3 + 99 * 3, s"admitted $admitted")
+    // file counts bounded by the maintenance cadence, not the stream age
+    assert(graft.sources.BloomStore.list(spark, s"$storeDir/bloom").size <= 21)
+    // flatness: medians are robust to host throttle spikes; O(store)
+    // growth would put the late window far past 3x the early one
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = median(times.slice(10, 40).toSeq)
+    val late = median(times.slice(70, 100).toSeq)
+    assert(late / early < 3.0,
+      f"per-batch time grew: early=$early%.3fs late=$late%.3fs (${late / early}%.2fx)")
+  }
+
   test("span-gate ingestion: a pre-seeded store past capacity gates exactly from batch 0") {
     import spark.implicits._
     // storedSpanItems must not answer 0 for a virgin store with no
