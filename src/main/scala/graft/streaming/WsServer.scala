@@ -108,7 +108,10 @@ object WsServer {
 
     private def drop(conn: Connection): Unit = {
       conn.open = false
-      registry.remove(conn.connectionId)
+      // two-arg remove: a connection that was REPLACED in the registry
+      // (client reconnected under the same connection_id) must not
+      // deregister its replacement when its old socket finally closes
+      registry.remove(conn.connectionId, conn)
       try conn.socket.close() catch { case _: java.io.IOException => () }
     }
 
@@ -174,7 +177,14 @@ object WsServer {
           s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
         out.flush()
         val conn = new Connection(connId, sock, out)
-        registry.put(connId, conn)
+        // a reconnect under the same connection_id supersedes the old
+        // socket (reference: registerConnection replaces); close the
+        // superseded one so it can't linger half-open
+        val prev = registry.put(connId, conn)
+        if (prev != null) {
+          prev.open = false
+          try prev.socket.close() catch { case _: java.io.IOException => () }
+        }
         readLoop(conn, in)
       } catch {
         case _: java.io.IOException =>
