@@ -466,6 +466,98 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("WS push: a streaming query's micro-batches reach live clients; cap drops deterministically") {
+    import spark.implicits._
+    import graft.model.{ConnectionFilters, MessageType}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val clock = () => 1700000000L
+    val secret = "ws-push-secret".getBytes("UTF-8")
+    // c1 narrow, c2 wildcard (no registered filters)
+    val filtersRef = new java.util.concurrent.atomic.AtomicReference[
+      Seq[ConnectionFilters]](Seq(ConnectionFilters("c1",
+        jobIds = Seq("job_1"), logLevels = Seq("ERROR"),
+        messageTypes = Seq(MessageType.JobLogMessage),
+        includeSystemNotifications = false)))
+    val ws = graft.streaming.WsServer.start(0, secret,
+      () => filtersRef.get(), clock)
+    val clients = scala.collection.mutable.ArrayBuffer.empty[java.net.http.WebSocket]
+    try {
+      val token = graft.functions.Jwt.issueJvm("u1", "alice",
+        clock(), clock() + 3600, secret)
+      def listener(q: java.util.concurrent.ConcurrentLinkedQueue[String]) =
+        new java.net.http.WebSocket.Listener {
+          private val sb = new StringBuilder
+          override def onText(w: java.net.http.WebSocket, data: CharSequence,
+              last: Boolean): java.util.concurrent.CompletionStage[_] = {
+            sb.append(data)
+            if (last) { q.add(sb.toString); sb.setLength(0) }
+            w.request(1)
+            null
+          }
+        }
+      val got1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val got2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      Seq("c1" -> got1, "c2" -> got2).foreach { case (id, q) =>
+        clients += java.net.http.HttpClient.newHttpClient()
+          .newWebSocketBuilder()
+          .header("Authorization", s"Bearer $token")
+          .buildAsync(java.net.URI.create(
+            s"ws://127.0.0.1:${ws.port}/ws?connection_id=$id"),
+            listener(q)).join()
+      }
+      def poll(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      poll(ws.connectionIds == Seq("c1", "c2"))
+
+      val t0 = ts("2025-09-01 10:00:00")
+      implicit val sql = spark.sqlContext
+      val stream = MemoryStream[(String, java.sql.Timestamp, String,
+        Option[String], Option[String])]
+      val q = stream.toDF()
+        .toDF("msgType", "timestamp", "data", "targetJobId", "targetLevel")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch(graft.streaming.WsPush.sink(ws, maxPerBatch = 3) _)
+        .start()
+      try {
+        val dropped0 = graft.streaming.WsPush.droppedTotal.get()
+        // batch 1: under the cap — everything routes
+        stream.addData(
+          (MessageType.JobLogMessage, t0, "m1", Some("job_1"), Some("ERROR")),
+          (MessageType.JobLogMessage, t0, "m2", Some("job_2"), Some("ERROR")),
+          (MessageType.SystemNotification, t0, "m3", None, None))
+        q.processAllAvailable()
+        def data(qq: java.util.concurrent.ConcurrentLinkedQueue[String]) =
+          qq.toArray(Array.empty[String]).map(p =>
+            graft.functions.MiniJson.topLevelString(p, "data").get).toSet
+        poll(got2.size >= 3 && got1.size >= 1)
+        // c1's narrow filter admits only m1; c2's wildcard takes all
+        // (m3 is a system notification — wildcard includes those)
+        assert(data(got1) == Set("m1"), data(got1).toString)
+        assert(data(got2) == Set("m1", "m2", "m3"), data(got2).toString)
+        assert(graft.streaming.WsPush.droppedTotal.get() == dropped0)
+        // batch 2: 5 rows against cap 3 — the deterministic head
+        // (earliest timestamp, ties by payload) is pushed, 2 counted
+        val t1 = ts("2025-09-01 10:00:01")
+        stream.addData(
+          (MessageType.JobLogMessage, t1, "z-late", Some("job_1"), Some("ERROR")),
+          (MessageType.JobLogMessage, t0, "a1", Some("job_1"), Some("ERROR")),
+          (MessageType.JobLogMessage, t0, "a2", Some("job_1"), Some("ERROR")),
+          (MessageType.JobLogMessage, t0, "a3", Some("job_1"), Some("ERROR")),
+          (MessageType.JobLogMessage, t1, "z-later", Some("job_1"), Some("ERROR")))
+        q.processAllAvailable()
+        poll(data(got1).size >= 4)
+        assert(graft.streaming.WsPush.droppedTotal.get() == dropped0 + 2)
+        assert(data(got1) == Set("m1", "a1", "a2", "a3"), data(got1).toString)
+      } finally q.stop()
+    } finally {
+      clients.foreach(_.abort())
+      ws.close()
+    }
+  }
+
   test("log search params compile, bad sortBy/levels rejected") {
     import spark.implicits._
     val logs = Seq(
