@@ -558,6 +558,54 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("WS wire: frame length encodings — 125B inline, 64KB 2-byte, >64KB 8-byte — arrive intact") {
+    import graft.model.{ConnectionFilters, MessageType, WebSocketMessage}
+    val clock = () => 1700000000L
+    val secret = "ws-frame-secret".getBytes("UTF-8")
+    val ws = graft.streaming.WsServer.start(0, secret,
+      () => Seq.empty[ConnectionFilters], clock)
+    val clients = scala.collection.mutable.ArrayBuffer.empty[java.net.http.WebSocket]
+    try {
+      val token = graft.functions.Jwt.issueJvm("u1", "alice",
+        clock(), clock() + 3600, secret)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      clients += java.net.http.HttpClient.newHttpClient()
+        .newWebSocketBuilder()
+        .header("Authorization", s"Bearer $token")
+        .buildAsync(java.net.URI.create(
+          s"ws://127.0.0.1:${ws.port}/ws?connection_id=big"),
+          new java.net.http.WebSocket.Listener {
+            private val sb = new StringBuilder
+            override def onText(w: java.net.http.WebSocket, data: CharSequence,
+                last: Boolean): java.util.concurrent.CompletionStage[_] = {
+              sb.append(data)
+              if (last) { got.add(sb.toString); sb.setLength(0) }
+              w.request(1)
+              null
+            }
+          }).join()
+      def poll(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      poll(ws.connectionIds == Seq("big"))
+      val t0 = ts("2025-09-01 10:00:00")
+      // three payload sizes straddling the RFC 6455 length encodings:
+      // < 126 inline, 126..65535 two-byte, > 65535 eight-byte
+      val payloads = Seq("x" * 50, "y" * 60000, "z" * 70000)
+      payloads.foreach(p => ws.broadcast(
+        WebSocketMessage(MessageType.SystemNotification, t0, p)))
+      poll(got.size >= 3)
+      val datas = got.toArray(Array.empty[String])
+        .map(f => graft.functions.MiniJson.topLevelString(f, "data").get)
+      assert(datas.toSet == payloads.toSet,
+        datas.map(d => (d.take(1), d.length)).mkString(","))
+    } finally {
+      clients.foreach(_.abort())
+      ws.close()
+    }
+  }
+
   test("log search params compile, bad sortBy/levels rejected") {
     import spark.implicits._
     val logs = Seq(
