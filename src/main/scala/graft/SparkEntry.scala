@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.ExtensionQueries.entries,
     graft.queries.JsonQueries.entries,
     graft.queries.WindowQueries.entries,
-    graft.queries.CorpusQueries.entries
+    graft.queries.CorpusQueries.entries,
+    graft.queries.LmQueries.entries
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -53,10 +53,12 @@ object Verify {
     // oracle must read.
     val ivfPath = graft.queries.ExtensionQueries.ivfFixturePath(spark, sfDir)
     val deflatePath = graft.queries.CorpusQueries.deflateFixturePath(spark, sfDir)
+    val bpePath = graft.queries.LmQueries.bpeFixturePath(spark, sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         k -> v.replace(graft.queries.ExtensionQueries.IvfFixtureToken, ivfPath)
           .replace(graft.queries.CorpusQueries.DeflateFixtureToken, deflatePath)
+          .replace(graft.queries.LmQueries.BpeFixtureToken, bpePath)
       }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

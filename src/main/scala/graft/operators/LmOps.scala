@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Language-model-flavored corpus operators: unigram surprisal quality
+  * scoring (the CCNet idea — score documents by how surprising their
+  * tokens are under a corpus LM), DSIR-style hashed-n-gram importance
+  * weighting (rank documents by how target-domain-like their features
+  * are), and BPE tokenizer training/application (Sennrich et al. 2016).
+  *
+  * Every score is INTEGER-exact so any engine reproduces it bit-for-bit:
+  * where the published methods use log-probabilities, these use the
+  * floor-log2 bucket `bitLen(x) = length(bin(x)) - 1` — exact integer
+  * arithmetic with the same monotonicity as log2, and therefore the same
+  * ORDERING of documents, which is all a filter/resample threshold
+  * consumes. No floating-point value ever crosses rows.
+  *
+  * Scale shapes (the 100 TB contract):
+  *   - surprisal: one corpus-sized shuffle to (doc, token) partial counts
+  *     (map-side combined), a vocab-sized aggregation, then a BROADCAST
+  *     join back — the vocabulary is capped at `vocabSize` by
+  *     construction, so the probe side never shuffles. OOV tokens take a
+  *     fixed worst-case bucket, exactly like a fixed-vocab LM.
+  *   - importance: the feature table is hashed into a FIXED number of
+  *     buckets (10,000 — the [[CorpusOps.splitBucket]] space), so the
+  *     weight table is bounded and broadcast regardless of corpus size.
+  *   - BPE training runs its pair-count iterations over the WORD
+  *     HISTOGRAM, not the corpus: the corpus-sized work is one token
+  *     histogram shuffle, after which each merge iteration is
+  *     vocabulary-sized (and the histogram shrinks as merges apply).
+  */
+object LmOps {
+
+  /** floor(log2(x)) for a positive integral column, computed exactly via
+    * the binary string length — no floating point. bin() is bit-identical
+    * across Spark and DuckDB, so oracles can re-derive every score. */
+  private def bitLen(x: Column): Column = length(bin(x)) - 1
+
+  // ---------------------------------------------------------------------
+  // Unigram surprisal quality score (CCNet-style, integer-exact)
+  // ---------------------------------------------------------------------
+
+  /** Per-document unigram surprisal score over a capped vocabulary.
+    *
+    * Model: the corpus's own token counts. A token in the top-`vocabSize`
+    * vocabulary (by count desc, token asc — a total order both engines
+    * reproduce) scores `floor(log2(N div c))` — its surprisal rounded to
+    * the containing power of two (`N` = total token count, `c` = the
+    * token's count; `floor(log2(N/c)) == bitLen(N div c)` exactly, since
+    * c ≤ N). An out-of-vocabulary token takes the worst-case bucket
+    * `bitLen(N)` (a count-1 token's surprisal) — the fixed-vocab LM
+    * convention. A document's score is the k-weighted sum over its
+    * distinct tokens; `low_quality` flags empty documents and documents
+    * whose MEAN surprisal exceeds `threshMilli/1000` bits per token
+    * (cross-multiplied, so the comparison is integer-exact).
+    *
+    * Returns (idCol, n_tokens, total_surprisal, low_quality) — one row
+    * per input document, zero-token documents included.
+    */
+  def surprisalScores(docs: DataFrame, vocabSize: Int = 16,
+      threshMilli: Long = 8500, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // (doc, token) partial counts: the only corpus-sized shuffle, and it
+    // map-side combines (distinct tokens per doc, not occurrences).
+    val pd = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("k"))
+    val cnt = pd.groupBy(col("t")).agg(sum(col("k")).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"))
+    // vocab is capped ⇒ TakeOrdered, then broadcast — never a shuffle on
+    // the probe side, no matter how large the corpus vocabulary grows.
+    val voc = cnt.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
+      .crossJoin(broadcast(tot))
+      .select(col("t"), bitLen(expr("n div c")).cast("long").as("sb"))
+    val scored = pd
+      .join(broadcast(voc), Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("sbv", coalesce(col("sb"), bitLen(col("n")).cast("long")))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * col("sbv")).as("total_surprisal"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("total_surprisal"), lit(0L)).as("total_surprisal"))
+      .withColumn("low_quality",
+        col("n_tokens") === 0 ||
+          col("total_surprisal") * 1000L > lit(threshMilli) * col("n_tokens"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DSIR-style hashed-n-gram importance weighting
+  // ---------------------------------------------------------------------
+
+  /** Per-document importance weight for target-domain resampling (the
+    * DSIR recipe, Xie et al. 2023): features are word-2-grams hashed into
+    * the fixed 10,000-bucket [[CorpusOps.splitBucket]] space; a bucket's
+    * weight is the integer log-ratio estimate
+    * `bitLen(t_f+1) − bitLen(r_f+1) + bitLen(R div T)` (target count,
+    * raw count, and the size-normalization constant that makes the two
+    * distributions comparable); a document's weight is the sum over its
+    * gram occurrences. Positive-leaning weights mean "looks more like the
+    * target domain than the corpus average"; `keep` applies the
+    * `keepThreshold` acceptance knob (corpus-tuned, like DSIR's
+    * resampling temperature).
+    *
+    * The bucket space is FIXED, so the weight table is ≤10,000 rows and
+    * broadcast — the only corpus-sized shuffles are the two hash counts
+    * (both map-side combinable) and the final per-doc sum.
+    *
+    * `targetPred` selects the target-domain sample (e.g. a curated
+    * source). Empty documents follow the [[TextFunctions.wordShingles]]
+    * convention (a single empty-string gram), so every doc gets a row.
+    */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      keepThreshold: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // The hashed feature stream is consumed twice (bucket counts, then
+    // the per-doc probe) — persist it so the explode + hash runs ONCE.
+    // Raw and target counts come out of a single aggregation pass
+    // (count + conditional count), not two scans.
+    val gb = docs
+      .select(col(idCol), targetPred.as("is_target"),
+        explode(TextFunctions.wordShingles(col(textCol), 2)).as("g"))
+      .select(col(idCol), col("is_target"),
+        CorpusOps.splitBucket(col("g")).as("bucket"))
+      .persist()
+    val counts = gb.groupBy(col("bucket")).agg(
+      count(lit(1)).as("r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"))
+    val tots = counts.agg(sum(col("r")).as("rt"), sum(col("t")).as("tt"))
+    val w = counts.crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (bitLen(col("t") + 1L) - bitLen(col("r") + 1L) +
+          bitLen(expr("rt div tt"))).cast("long").as("w"))
+    gb.join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("weight_sum"))
+      .withColumn("keep", col("weight_sum") > lit(keepThreshold))
+  }
+
+  // ---------------------------------------------------------------------
+  // BPE tokenizer: distributed training + witness + application
+  // ---------------------------------------------------------------------
+
+  /** One learned merge: at `rank`, symbols `a`+`b` → `merged`, chosen
+    * because the pair occurred `pairCount` times (weighted by word
+    * frequency) — the classic byte-pair-encoding step. */
+  final case class BpeMerge(rank: Int, a: String, b: String,
+      merged: String, pairCount: Long)
+
+  /** Corpus word histogram — the ONE corpus-sized pass BPE training
+    * needs; every merge iteration afterwards runs over this (vocab-sized)
+    * frame. */
+  def wordHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Adjacent symbol pairs of a symbol array, as (a, b) structs. Callers
+    * filter to size ≥ 2 first. */
+  private def adjacentPairs(syms: Column): Column =
+    transform(sequence(lit(0), size(syms) - 2),
+      i => struct(get(syms, i).as("a"), get(syms, i + 1).as("b")))
+
+  /** Left-to-right non-overlapping merge of adjacent (a, b) into a+b —
+    * the BPE apply step for ONE rule, as a pure fold (equivalent to the
+    * index scan: after a merge the new last element is a+b, which is
+    * strictly longer than a, so it can never immediately re-match as the
+    * `a` of the same rule — the fold merges exactly the scan's pairs). */
+  private def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, typedlit(Array.empty[String]),
+      (acc, s) =>
+        when(get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Distributed BPE training (Sennrich et al. 2016, algorithm 1) over a
+    * word histogram: each iteration counts adjacent symbol pairs
+    * frequency-weighted (an explode + hash aggregation over the
+    * VOCABULARY, not the corpus), takes the argmax under the
+    * deterministic total order (count desc, a asc, b asc), applies the
+    * merge to every word, and repeats — until `maxMerges` rules exist or
+    * the best pair drops below `minPairCount`. The driver holds only the
+    * per-iteration 1-row argmax and the merge list; symbol frames stay
+    * distributed, persisted per step, with lineage cut periodically
+    * (localCheckpoint here; a reliable checkpoint dir on a real
+    * cluster). */
+  def bpeTrain(hist: DataFrame, maxMerges: Int,
+      minPairCount: Long = 2L): Seq[BpeMerge] = {
+    var words = hist
+      .select(filter(split(col("word"), ""), s => s =!= "").as("syms"),
+        col("n"))
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
+    var done = false
+    var rank = 1
+    while (!done && rank <= maxMerges) {
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getAs[Long]("cnt") < minPairCount) done = true
+      else {
+        val (a, b, cnt) = (best(0).getAs[String]("a"),
+          best(0).getAs[String]("b"), best(0).getAs[Long]("cnt"))
+        merges += BpeMerge(rank, a, b, a + b, cnt)
+        val next = words
+          .select(mergeOnce(col("syms"), a, b).as("syms"), col("n"))
+        // cut lineage every 8 merges so the plan depth stays bounded
+        val materialized =
+          if (rank % 8 == 0) next.localCheckpoint(true) else next.persist()
+        materialized.count()
+        words.unpersist()
+        words = materialized
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toList
+  }
+
+  /** Learned merges as a frame (the q129 result shape). */
+  def mergesToDf(spark: SparkSession, merges: Seq[BpeMerge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "a", "b", "merged", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+        col("merged"), col("pair_count"))
+  }
+
+  /** Textbook sequential BPE — the INDEPENDENT witness implementation
+    * the q129 oracle compares the distributed path against. Shares no
+    * mechanism with [[bpeTrain]]: code-point splitting (not regex),
+    * an index scan with explicit skip-ahead (not the fold), and a plain
+    * hash-map pair count (not a Spark aggregation). */
+  def bpeTrainWitness(hist: Seq[(String, Long)], maxMerges: Int,
+      minPairCount: Long = 2L): Seq[BpeMerge] = {
+    def chars(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    var words: Seq[(Vector[String], Long)] =
+      hist.map { case (w, n) => (chars(w), n) }
+    val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
+    var rank = 1
+    var done = false
+    while (!done && rank <= maxMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minPairCount) done = true
+        else {
+          merges += BpeMerge(rank, a, b, a + b, cnt)
+          words = words.map { case (syms, n) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), n)
+          }
+          rank += 1
+        }
+      }
+    }
+    merges.toList
+  }
+
+  /** The fixed merge table q130 pins APPLY semantics with (training
+    * produces the real table; a fixed one keeps the oracle fully
+    * recomputable in SQL). Chosen for this corpus's vocabulary so the
+    * chained rules actually fire — note rules 2, 4, 6, 8 and 10 consume
+    * symbols merged by earlier rules, exercising rank-order chaining. */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "s" -> "c", "sc" -> "a", "h" -> "a",
+    "ha" -> "s", "a" -> "g", "ag" -> "g", "b" -> "a", "ba" -> "t")
+
+  /** Number of BPE symbols a word tokenizes into under `merges`, applied
+    * in rank order — as a pure Column expression. The word is spaced
+    * into sentinel-delimited symbols (" a b c ") and each rule is one
+    * global left-to-right `replace(" a b " → " ab ")` pass: the
+    * replacement re-emits its delimiter spaces, so adjacent matches
+    * chain exactly like the scan (and since a+b is strictly longer than
+    * a, a replacement can never create a fresh match for its own rule —
+    * single-pass replace equals fixpoint). */
+  def bpeSymbolCount(word: Column,
+      merges: Seq[(String, String)] = FixedMerges): Column = {
+    val spaced = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+    val mergedCol = merges.foldLeft(spaced) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    size(filter(split(trim(mergedCol), " "), x => x =!= ""))
+  }
+
+  /** Per-document BPE tokenization cost under the fixed merge table:
+    * word count and post-merge symbol count. A narrow per-row map plus
+    * one per-doc aggregation — embarrassingly parallel. Zero-token
+    * documents keep a (0, 0) row. */
+  def bpeApplyReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      merges: Seq[(String, String)] = FixedMerges): DataFrame = {
+    val perWord = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .select(col(idCol), bpeSymbolCount(col("w"), merges).as("ns"))
+    docs.select(col(idCol))
+      .join(perWord.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).cast("long").as("n_subwords"))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.LmOps
+
+/** LM-flavored corpus operators as oracle-verified queries: unigram
+  * surprisal quality scoring, DSIR-style importance weighting, BPE
+  * tokenizer training (oracled against an independent sequential witness
+  * fixture, the q88 pattern) and BPE application under a fixed merge
+  * table (fully DuckDB-recomputable). All integer-exact — see
+  * [[graft.operators.LmOps]] for the bitLen/log2 argument.
+  */
+object LmQueries {
+
+  private val ToksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"""
+
+  /** DuckDB word-2-gram list (mirrors TextFunctions.wordShingles(text, 2)
+    * incl. the single-gram convention for docs under 2 tokens). */
+  private val Grams2Sql =
+    s"""CASE WHEN len($ToksSql) >= 2
+       |  THEN list_transform(range(len($ToksSql) - 1),
+       |       i -> array_to_string(($ToksSql)[i+1:i+2], ' '))
+       |  ELSE [array_to_string($ToksSql, ' ')] END""".stripMargin
+
+  /** The q50 FNV-1a64 HUGEINT fold over a string expression, reduced to
+    * the UNSIGNED bucket in [0, 10000) — same arithmetic as
+    * [[graft.operators.CorpusOps.splitBucket]]. */
+  private def fnvBucketSql(s: String): String =
+    s"""CAST(list_reduce(
+       |  list_prepend(CAST('1469598103934665603' AS HUGEINT),
+       |    list_transform(range(length($s)),
+       |      i -> CAST(unicode(substr($s, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+       |  (h, c) -> (xor(h, c) * CAST('1099511628211' AS HUGEINT))
+       |            % CAST('18446744073709551616' AS HUGEINT))
+       |  % 10000 AS BIGINT)""".stripMargin
+
+  /** Placeholder in q129's oracle SQL for the BPE witness fixture root —
+    * Verify substitutes the per-(session, sf) path the same way it
+    * resolves [[CorpusQueries.DeflateFixtureToken]]. */
+  val BpeFixtureToken = "__GRAFT_BPE_FIXTURE__"
+
+  private val bpeFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def bpeFixturePath(s: SparkSession, dir: String): String =
+    bpeFixtureDirs.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => java.nio.file.Files.createTempDirectory("graft-bpe").toString)
+
+  private val BpeMaxMerges = 24
+
+  /** Build-once-per-(session, sf) BPE WITNESS for q129: the merge table
+    * recomputed by [[LmOps.bpeTrainWitness]] — textbook sequential BPE
+    * sharing no mechanism with the distributed trainer (code-point
+    * splitting vs regex, index-scan merge vs fold, hash-map counts vs
+    * Spark aggregation). DuckDB cannot train BPE itself, so the oracle
+    * reads the witness fixture; the hash compare then checks the
+    * DISTRIBUTED path against an independent derivation. The histogram
+    * collect is vocab-sized (bounded by the generator's vocabulary), so
+    * the witness is a fixture tool, not a data-plane operator. */
+  private val bpeFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ensureBpeFixture(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val path = bpeFixturePath(s, dir)
+    bpeFixtureBuilt.computeIfAbsent(key, _ => {
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val merges = LmOps.bpeTrainWitness(hist, BpeMaxMerges)
+      LmOps.mergesToDf(s, merges)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+      true
+    })
+    path
+  }
+
+  /** DuckDB chained-replace over a word for the fixed merge table —
+    * identical construction to [[LmOps.bpeSymbolCount]]: space the word
+    * into sentinel-delimited symbols, then one global replace per rule in
+    * rank order. */
+  private val BpeApplySql: String = {
+    val spaced = """(' ' || regexp_replace(w, '(.)', '\1 ', 'g'))"""
+    val chained = LmOps.FixedMerges.foldLeft(spaced) { case (s, (a, b)) =>
+      s"replace($s, ' $a $b ', ' $a$b ')"
+    }
+    s"len(list_filter(string_split(trim($chained), ' '), x -> x != ''))"
+  }
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // Unigram surprisal quality score: vocab = top-16 tokens (count
+    // desc, token asc), in-vocab surprisal = bitLen(N div c), OOV takes
+    // the count-1 worst case bitLen(N); low_quality flags empty docs and
+    // mean surprisal > 8.5 bits/token (integer cross-multiplied).
+    "q127_surprisal_quality" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+         |pd AS (SELECT doc_id, t, count(*) AS k FROM tok GROUP BY doc_id, t),
+         |cnt AS (SELECT t, CAST(sum(k) AS BIGINT) AS c FROM pd GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         |voc AS (SELECT t, c FROM cnt ORDER BY c DESC, t ASC LIMIT 16),
+         |sb AS (SELECT t, CAST(length(bin(n // c)) - 1 AS BIGINT) AS s
+         |       FROM voc, tot),
+         |ds AS (SELECT pd.doc_id, CAST(sum(pd.k) AS BIGINT) AS n_tokens,
+         |         CAST(sum(pd.k * coalesce(sb.s,
+         |           (SELECT length(bin(n)) - 1 FROM tot))) AS BIGINT)
+         |           AS total_surprisal
+         |       FROM pd LEFT JOIN sb USING (t) GROUP BY pd.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(ds.total_surprisal, 0) AS BIGINT)
+         |         AS total_surprisal,
+         |       (coalesce(ds.n_tokens, 0) = 0 OR
+         |        coalesce(ds.total_surprisal, 0) * 1000 >
+         |          8500 * coalesce(ds.n_tokens, 0)) AS low_quality
+         |FROM documents d LEFT JOIN ds USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      LmOps.surprisalScores(Tables(s, dir).documents,
+        vocabSize = 16, threshMilli = 8500L)
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR-style importance weights: word-2-grams hashed into the fixed
+    // 10k FNV bucket space, target domain = source 'src0', bucket weight
+    // = bitLen(t+1) − bitLen(r+1) + bitLen(R div T), doc weight = sum
+    // over gram occurrences, keep = weight above the corpus-tuned
+    // acceptance knob (30).
+    "q128_importance_weights" -> QueryDef(
+      s"""WITH gr AS (SELECT doc_id, source, unnest($Grams2Sql) AS g
+         |            FROM documents),
+         |gb AS (SELECT doc_id, source, ${fnvBucketSql("g")} AS bucket
+         |       FROM gr),
+         |raw AS (SELECT bucket, count(*) AS r FROM gb GROUP BY bucket),
+         |tgt AS (SELECT bucket, count(*) AS t FROM gb
+         |        WHERE source = 'src0' GROUP BY bucket),
+         |tots AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS rt,
+         |                (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS tt),
+         |w AS (SELECT raw.bucket,
+         |        CAST((length(bin(coalesce(tgt.t, 0) + 1)) - 1) -
+         |             (length(bin(raw.r + 1)) - 1) +
+         |             (length(bin(rt // tt)) - 1) AS BIGINT) AS w
+         |      FROM raw LEFT JOIN tgt USING (bucket), tots)
+         |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |       CAST(sum(w.w) AS BIGINT) AS weight_sum,
+         |       (sum(w.w) > 30) AS keep
+         |FROM gb JOIN w USING (bucket)
+         |GROUP BY gb.doc_id ORDER BY gb.doc_id""".stripMargin) { (s, dir) =>
+      LmOps.importanceWeights(Tables(s, dir).documents,
+        targetPred = col("source") === "src0", keepThreshold = 30L)
+        .orderBy(col("doc_id"))
+    },
+
+    // Distributed BPE training vs the sequential witness fixture: the
+    // Spark side trains over the word histogram with per-iteration
+    // distributed pair counts; the oracle reads the independently-derived
+    // witness merge table — hash equality proves the two implementations
+    // learned the identical merge sequence.
+    "q129_bpe_train" -> QueryDef(
+      s"""SELECT CAST(rank AS BIGINT) AS rank, a, b, merged,
+         |       CAST(pair_count AS BIGINT) AS pair_count
+         |FROM read_parquet('$BpeFixtureToken/merges/*.parquet')
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      ensureBpeFixture(s, dir)
+      val merges = LmOps.bpeTrain(
+        LmOps.wordHistogram(Tables(s, dir).documents), LmQueries.BpeMaxMerges)
+      LmOps.mergesToDf(s, merges).orderBy(col("rank"))
+    },
+
+    // BPE application under the FIXED merge table (rank-order chained
+    // rules, several consuming earlier merges): per-doc word count and
+    // post-merge symbol count, fully recomputed by DuckDB via the same
+    // sentinel-delimited chained-replace construction.
+    "q130_bpe_apply" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS w FROM documents),
+         |sub AS (SELECT doc_id, $BpeApplySql AS ns FROM tok),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |               CAST(sum(ns) AS BIGINT) AS n_subwords
+         |        FROM sub GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(coalesce(agg.n_subwords, 0) AS BIGINT) AS n_subwords
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      LmOps.bpeApplyReport(Tables(s, dir).documents)
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LmOps
+
+/** LM-flavored operators: unigram surprisal scoring, DSIR-style
+  * importance weights, BPE training (distributed == sequential witness)
+  * and BPE application semantics, all pinned on hand-computed examples.
+  */
+class LmOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("lm-ops-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q127
+
+  test("surprisal: hand-computed buckets, OOV worst case, empty-doc row") {
+    // corpus: 8 'x', 4 'y', 2 'z', 2 'zz' = 16 tokens. vocab=3 keeps
+    // x, y and (tie at 2, token asc) z — 'zz' is the OOV probe.
+    val docs = Seq(
+      (1L, "x x x x y y z"), // in-vocab mix
+      (2L, "x x x x y y z zz zz"), // has OOV
+      (3L, "")) // zero tokens
+      .toDF("doc_id", "text")
+    val out = LmOps.surprisalScores(docs, vocabSize = 3, threshMilli = 2000)
+      .orderBy("doc_id").collect()
+    // N=16: sb(x)=bitLen(16 div 8)=1, sb(y)=bitLen(4)=2, sb(z)=bitLen(8)=3,
+    // OOV('zz')=bitLen(16)=4.
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_tokens") == 7)
+    assert(d1.getAs[Long]("total_surprisal") == 4 * 1 + 2 * 2 + 1 * 3) // 11
+    // mean 11/7 ≈ 1.571 bits < 2.0 → not low quality
+    assert(!d1.getAs[Boolean]("low_quality"))
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_tokens") == 9)
+    assert(d2.getAs[Long]("total_surprisal") == 11 + 2 * 4) // 19
+    // mean 19/9 ≈ 2.111 > 2.0 → low quality
+    assert(d2.getAs[Boolean]("low_quality"))
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_tokens") == 0)
+    assert(d3.getAs[Long]("total_surprisal") == 0)
+    assert(d3.getAs[Boolean]("low_quality")) // empty ⇒ junk
+  }
+
+  test("surprisal: vocab tie-break is (count desc, token asc)") {
+    // 'a' and 'b' tie at 2 occurrences; vocabSize=1 must keep 'a'.
+    val docs = Seq((1L, "a a b b")).toDF("doc_id", "text")
+    val out = LmOps.surprisalScores(docs, vocabSize = 1, threshMilli = 9999)
+      .collect()(0)
+    // N=4: in-vocab a: bitLen(4 div 2)=1; OOV b: bitLen(4)=2.
+    assert(out.getAs[Long]("total_surprisal") == 2 * 1 + 2 * 2)
+  }
+
+  // ---------------------------------------------------------------- q128
+
+  test("importance: target-like docs weigh above off-target docs") {
+    val target = "alpha beta alpha beta alpha beta"
+    val docs = Seq(
+      (1L, target, "tgt"),
+      (2L, "alpha beta alpha beta", "other"), // same grams as target
+      (3L, "gamma delta gamma delta", "other")) // disjoint grams
+      .toDF("doc_id", "text", "source")
+    val out = LmOps.importanceWeights(docs, col("source") === "tgt",
+      keepThreshold = 0L).orderBy("doc_id").collect()
+    val w = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_sum")).toMap
+    val nf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_feats")).toMap
+    assert(nf(1L) == 5 && nf(2L) == 3 && nf(3L) == 3) // n-1 grams each
+    // doc 2 shares the target's grams; doc 3 shares none — per-FEATURE
+    // weight must be strictly higher for target-covered grams.
+    assert(w(2L).toDouble / nf(2L) > w(3L).toDouble / nf(3L))
+  }
+
+  test("importance: every doc gets a row (empty doc = single '' gram)") {
+    val docs = Seq((1L, "a b", "t"), (2L, "", "u")).toDF("doc_id", "text", "source")
+    val out = LmOps.importanceWeights(docs, col("source") === "t")
+    assert(out.count() == 2)
+    assert(out.filter(col("doc_id") === 2).collect()(0).getAs[Long]("n_feats") == 1)
+  }
+
+  // ----------------------------------------------------------- BPE train
+
+  test("bpe: distributed trainer equals the sequential witness") {
+    val hist = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("table", 4L), ("batch", 2L), ("hash", 7L))
+    val distributed = LmOps.bpeTrain(hist.toDF("word", "n"), maxMerges = 12)
+    val witness = LmOps.bpeTrainWitness(hist, maxMerges = 12)
+    assert(distributed == witness)
+    assert(distributed.nonEmpty)
+    // counts must be frequency-weighted: 'es' pair appears in newest(6)
+    // and widest(3) = 9 — the classic textbook first merge for this set.
+    assert(distributed.head.pairCount >= 9)
+  }
+
+  test("bpe: tie-break is deterministic (count desc, a asc, b asc)") {
+    // 'ab' and 'cd' both occur twice; (a, b) < (c, d) must win rank 1.
+    val hist = Seq(("ab", 2L), ("cd", 2L))
+    val w = LmOps.bpeTrainWitness(hist, maxMerges = 1)
+    assert(w.head.a == "a" && w.head.b == "b")
+    val d = LmOps.bpeTrain(hist.toDF("word", "n"), maxMerges = 1)
+    assert(d == w)
+  }
+
+  test("bpe: merge fold is non-overlapping left-to-right (a a a → aa a)") {
+    // witness and distributed must both merge greedily without overlap
+    val hist = Seq(("aaa", 1L))
+    val d = LmOps.bpeTrain(hist.toDF("word", "n"), maxMerges = 3,
+      minPairCount = 1L)
+    val w = LmOps.bpeTrainWitness(hist, maxMerges = 3, minPairCount = 1L)
+    // pass 1 on [a,a,a]: pairs (a,a)x2 → merge → [aa, a];
+    // pass 2: (aa, a) x1 → merge → [aaa]; then no pairs remain.
+    assert(w.map(m => (m.a, m.b, m.pairCount)) ==
+      Seq(("a", "a", 2L), ("aa", "a", 1L)))
+    assert(d == w)
+  }
+
+  test("bpe: stops when best pair drops below minPairCount") {
+    val hist = Seq(("ab", 1L), ("cd", 1L))
+    assert(LmOps.bpeTrainWitness(hist, maxMerges = 5).isEmpty) // min 2
+    assert(LmOps.bpeTrain(hist.toDF("word", "n"), maxMerges = 5).isEmpty)
+  }
+
+  // ----------------------------------------------------------- BPE apply
+
+  test("bpe apply: fixed-table symbol counts match hand derivation") {
+    // FixedMerges chains: table→[tab,l,e]=3, hash→[has,h]=2,
+    // batch→[bat,c,h]=3, agg→[agg]=1, scan→[sca,n]=2 (s c→sc, sc a→sca).
+    val docs = Seq((1L, "table hash batch agg scan")).toDF("doc_id", "text")
+    val out = LmOps.bpeApplyReport(docs).collect()(0)
+    assert(out.getAs[Long]("n_words") == 5)
+    assert(out.getAs[Long]("n_subwords") == 3 + 2 + 3 + 1 + 2)
+  }
+
+  test("bpe apply: empty doc keeps a (0, 0) row") {
+    val docs = Seq((1L, "x"), (2L, " ")).toDF("doc_id", "text")
+    val out = LmOps.bpeApplyReport(docs).orderBy("doc_id").collect()
+    assert(out(1).getAs[Long]("n_words") == 0)
+    assert(out(1).getAs[Long]("n_subwords") == 0)
+  }
+
+  test("bpe apply: single replace pass equals scan semantics on chains") {
+    // rule (a,g) then (ag,g): "aggg" → a g g g → ag g g (first pass
+    // merges leftmost only... replace is global: " a g g g " has one
+    // ' a g ' match → " ag g g "; then (ag,g): ' ag g ' → " agg g ".
+    val docs = Seq((1L, "aggg")).toDF("doc_id", "text")
+    val out = LmOps.bpeApplyReport(docs).collect()(0)
+    assert(out.getAs[Long]("n_subwords") == 2) // [agg, g]
+  }
+}
