@@ -60,25 +60,39 @@ object LmOps {
     * Returns (idCol, n_tokens, total_surprisal, low_quality) — one row
     * per input document, zero-token documents included.
     */
+  /** floor(log2(x)) for a positive long, driver-side companion of the
+    * Column [[bitLen]]. */
+  private def bitLenJvm(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+
   def surprisalScores(docs: DataFrame, vocabSize: Int = 16,
       threshMilli: Long = 8500, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // (doc, token) partial counts: the only corpus-sized shuffle, and it
     // map-side combines (distinct tokens per doc, not occurrences).
+    // Persisted because three consumers read it: the vocab aggregation,
+    // the total-count action, and the scoring plan.
     val pd = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("k"))
+      .persist()
     val cnt = pd.groupBy(col("t")).agg(sum(col("k")).as("c"))
-    val tot = cnt.agg(sum(col("c")).as("n"))
-    // vocab is capped ⇒ TakeOrdered, then broadcast — never a shuffle on
-    // the probe side, no matter how large the corpus vocabulary grows.
+    // Global scalars become DRIVER LITERALS (the tfIdfTopK nDocs
+    // convention): the scoring plan then carries no global-aggregate or
+    // single-partition barrier at all — N and the capped vocab are
+    // plan-time constants, and the vocab side is a broadcast
+    // LocalRelation. The actions run over the persisted pd.
+    val n = math.max(1L,
+      Option(pd.agg(sum(col("k"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
     val voc = cnt.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
-      .crossJoin(broadcast(tot))
-      .select(col("t"), bitLen(expr("n div c")).cast("long").as("sb"))
+      .collect().map(r => (r.getString(0), bitLenJvm(n / r.getLong(1))))
+    val oovSb = bitLenJvm(n)
+    val vocDf = voc.toSeq.toDF("t", "sb")
     val scored = pd
-      .join(broadcast(voc), Seq("t"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("sbv", coalesce(col("sb"), bitLen(col("n")).cast("long")))
+      .join(broadcast(vocDf), Seq("t"), "left")
+      .withColumn("sbv", coalesce(col("sb"), lit(oovSb)))
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_tokens"),
         sum(col("k") * col("sbv")).as("total_surprisal"))
@@ -132,11 +146,18 @@ object LmOps {
     val counts = gb.groupBy(col("bucket")).agg(
       count(lit(1)).as("r"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("t"))
-    val tots = counts.agg(sum(col("r")).as("rt"), sum(col("t")).as("tt"))
-    val w = counts.crossJoin(broadcast(tots))
+    // The normalization constant bitLen(R div T) is a DRIVER LITERAL
+    // (tfIdfTopK nDocs convention): one action over the ≤10k-row bucket
+    // table (reusing the persisted gb), zero global-aggregate barrier in
+    // the returned plan.
+    val totRow = counts.agg(coalesce(sum(col("r")), lit(0L)),
+      coalesce(sum(col("t")), lit(0L))).head()
+    val (rt, tt) = (totRow.getLong(0), math.max(1L, totRow.getLong(1)))
+    val normK = bitLenJvm(math.max(1L, rt / tt))
+    val w = counts
       .select(col("bucket"),
-        (bitLen(col("t") + 1L) - bitLen(col("r") + 1L) +
-          bitLen(expr("rt div tt"))).cast("long").as("w"))
+        (bitLen(col("t") + 1L) - bitLen(col("r") + 1L) + lit(normK))
+          .cast("long").as("w"))
     gb.join(broadcast(w), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("weight_sum"))
