@@ -488,13 +488,17 @@ object CorpusOps {
   def chunkTokens(docs: DataFrame, size: Int, stride: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(stride > 0 && size > 0, "size and stride must be positive")
-    val ts = TextFunctions.tokens(col(textCol))
+    // tokenize once into an attribute — a lambda over the raw
+    // tokens(text) subtree re-splits per chunk (see shinglesFromTokens)
+    val ts = col("__chunk_ts")
     val n = org.apache.spark.sql.functions.size(ts)
     val chunks = when(n > 0,
       transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
         i => slice(ts, i * stride + 1, lit(size))))
       .otherwise(array())
-    docs.select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__chunk_ts"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         org.apache.spark.sql.functions.size(col("c")).as("n_chunk_tokens"),
         md5(concat_ws(" ", col("c"))).as("chunk_fp"))
@@ -620,14 +624,18 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(stride >= size, "rewrite needs tiling (non-overlapping) chunks")
     require(size > 0, "size must be positive")
-    val ts = TextFunctions.tokens(col(textCol))
+    // tokenize once into an attribute — a lambda over the raw
+    // tokens(text) subtree re-splits per chunk (see shinglesFromTokens)
+    val ts = col("__chunk_ts")
     val n = org.apache.spark.sql.functions.size(ts)
     val chunks = when(n > 0,
       transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
         i => slice(ts, i * stride + 1, lit(size))))
       .otherwise(array())
     val exploded = docs
-      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__chunk_ts"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         concat_ws(" ", col("c")).as("chunk_text"))
       .withColumn("fp", md5(col("chunk_text")))
@@ -863,8 +871,13 @@ object CorpusOps {
     * next batch compaction. */
   def spanGate(docs: DataFrame, bloomBytes: Array[Byte], n: Int,
       textCol: String = "text"): DataFrame =
-    docs.filter(!exists(spanFpArray(TextFunctions.tokens(col(textCol)), n),
-      f => bloomMightContain(bloomBytes, f)))
+    // tokenize ONCE into an attribute before the window lambda: a lambda
+    // capturing the raw tokens(text) subtree re-runs the regex split per
+    // WINDOW position (O(len²) per doc — see shinglesFromTokens)
+    docs.withColumn("__gate_ts", TextFunctions.tokens(col(textCol)))
+      .filter(!exists(spanFpArray(col("__gate_ts"), n),
+        f => bloomMightContain(bloomBytes, f)))
+      .drop("__gate_ts")
 
   /** EXACT admission twin of [[spanGate]]: drop any document one of
     * whose window fingerprints IS in the store — a stream-static
@@ -880,8 +893,9 @@ object CorpusOps {
     * admitted, same as the bloom path. */
   def spanGateExact(docs: DataFrame, storeFps: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hit = docs.select(col(idCol),
-      explode(spanFpArray(TextFunctions.tokens(col(textCol)), n)).as("fp"))
+    val hit = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), explode(spanFpArray(col("__ts"), n)).as("fp"))
       .join(storeFps.select(col("fp")), Seq("fp"), "left_semi")
       .select(col(idCol)).distinct()
     docs.join(hit, Seq(idCol), "left_anti")

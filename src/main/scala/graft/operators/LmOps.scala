@@ -139,7 +139,11 @@ object LmOps {
     // (count + conditional count), not two scans.
     val gb = docs
       .select(col(idCol), targetPred.as("is_target"),
-        explode(TextFunctions.wordShingles(col(textCol), 2)).as("g"))
+        // hoist tokenization to a real column: the shingle lambda must
+        // not re-run the regex split per gram (see shinglesFromTokens)
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("is_target"),
+        explode(TextFunctions.shinglesFromTokens(col("ts"), 2)).as("g"))
       .select(col(idCol), col("is_target"),
         CorpusOps.splitBucket(col("g")).as("bucket"))
       .persist()
