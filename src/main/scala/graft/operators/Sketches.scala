@@ -175,4 +175,25 @@ object Sketches {
       .toDF("tok", "exact_n", "cms_ok")
       .orderBy(col("exact_n").desc, col("tok").asc)
   }
+
+  /** Ranked per-group heavy hitters via the mergeable space-saving
+    * summary ([[graft.functions.SpaceSavingAgg]]): one hash aggregation
+    * whose state is O(capacity) per group no matter how many rows flow
+    * through it — the scale path for "top tokens per language" when the
+    * exact (group, item) count table is unaffordable. With
+    * `capacity ≥ distinct(items)` per group the summary is provably
+    * exact (no eviction ⇒ every err = 0), which is the regime the q131
+    * oracle checks value-for-value; the approx regime's guarantees are
+    * pinned by SpaceSavingSpec. Emits (group, item, est, err, rank),
+    * rank 1..k in (est desc, err asc, item asc) order. */
+  def heavyHittersTopK(df: DataFrame, groupCol: String, itemCol: String,
+      capacity: Int, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.SpaceSavingAgg.topK(col(itemCol), capacity)
+        .as("summary"))
+      .select(col(groupCol), posexplode(col("summary")).as(Seq("pos", "s")))
+      .filter(col("pos") < k)
+      .select(col(groupCol), col("s.item").as("item"),
+        col("s.est").as("est"), col("s.err").as("err"),
+        (col("pos") + 1).cast("long").as("rank"))
 }

@@ -613,6 +613,31 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
+    // Space-saving heavy hitters per language: the mergeable O(capacity)
+    // summary at capacity 4096 ≥ the corpus vocabulary, i.e. the
+    // provably-exact regime — the oracle recomputes the ranked top-10
+    // token counts exactly and asserts err = 0 (no eviction ever
+    // happened). The approx regime (tiny capacity, evictions, per-item
+    // error bounds) is SpaceSavingSpec's domain.
+    "q131_heavy_hitters" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                t -> t != '')) AS item FROM documents),
+        |c AS (SELECT lang, item, count(*) AS n FROM toks GROUP BY lang, item),
+        |r AS (SELECT lang, item, n,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY n DESC, item ASC) AS rank FROM c)
+        |SELECT lang, item, CAST(n AS BIGINT) AS est,
+        |       CAST(0 AS BIGINT) AS err, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.heavyHittersTopK(
+        Tables(s, dir).documents
+          .select(col("lang"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("item")),
+        groupCol = "lang", itemCol = "item", capacity = 4096, k = 10)
+        .orderBy(col("lang"), col("rank"))
+    },
+
     // Robust outliers: per event type, events whose value sits more than
     // 3 robust sigmas (median/MAD) from the type median — the detector
     // that survives the anomalies it hunts (mean/stddev move with the

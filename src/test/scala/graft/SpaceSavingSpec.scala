@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SpaceSavingAgg, SpaceSavingState}
+import graft.operators.Sketches
+
+/** Space-saving heavy-hitter guarantees: exact regime == exact counts
+  * under ANY partitioning (the mergeability proof), approx-regime
+  * error contracts, eviction determinism, serialization round-trip.
+  */
+class SpaceSavingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("space-saving-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  /** A stream with known counts: item_i appears (21 - i) times. */
+  private def stream: Seq[String] =
+    (1 to 20).flatMap(i => Seq.fill(21 - i)(f"item$i%02d"))
+
+  private def trueCounts: Map[String, Long] =
+    stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("exact regime: equals exact counts under adversarial partitioning") {
+    // capacity 64 > 20 distinct items ⇒ provably exact, err all 0 —
+    // and the result must be identical no matter how rows are split
+    // across partitions (partial summaries merge losslessly).
+    for (parts <- Seq(1, 7, 32)) {
+      val df = scala.util.Random.shuffle(stream).toDF("item")
+        .repartition(parts)
+        .agg(SpaceSavingAgg.topK(col("item"), 64).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.item"), col("e.est"), col("e.err"))
+      val got = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(g => g._1 -> g._2).toMap == trueCounts,
+        s"exact-regime estimates diverged at $parts partitions")
+      assert(got.forall(_._3 == 0L), "exact regime must report zero error")
+    }
+  }
+
+  test("approx regime: classic guarantees hold under partitioned merge") {
+    val cap = 4
+    // skewed stream so the presence guarantee is NON-vacuous: two items
+    // above N/cap = 50 must survive any eviction pattern.
+    val stream = Seq.fill(80)("hot1") ++ Seq.fill(60)("hot2") ++
+      (1 to 20).flatMap(i => Seq.fill(3)(f"tail$i%02d"))
+    val trueCounts = stream.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val n = stream.size
+    val df = scala.util.Random.shuffle(stream).toDF("item").repartition(8)
+      .agg(SpaceSavingAgg.topK(col("item"), cap).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err"))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length <= cap)
+    for ((item, est, err) <- got) {
+      val t = trueCounts.getOrElse(item, 0L)
+      assert(est >= t, s"$item: est $est under-counts true $t")
+      assert(est - err <= t, s"$item: est-err ${est - err} exceeds true $t")
+    }
+    // every item with true > N/cap must be present. With merged partial
+    // summaries the bound is sum of per-partial N_i/cap = N/cap.
+    val mustHave = trueCounts.filter(_._2 > n.toLong / cap).keySet
+    val present = got.map(_._1).toSet
+    assert(mustHave.subsetOf(present),
+      s"missing guaranteed heavy hitters: ${mustHave -- present}")
+  }
+
+  test("eviction is deterministic: min count, ties evict greatest key") {
+    val st = new SpaceSavingState(2)
+    st.offer("a"); st.offer("b") // a=1, b=1 — full
+    st.offer("c") // ties at 1: evict 'b' (greatest key), c = (2, 1)
+    assert(st.sortedEntries == Seq(("c", 2L, 1L), ("a", 1L, 0L)))
+  }
+
+  test("serialization round-trips entries, capacity and saturation") {
+    val st = new SpaceSavingState(2)
+    Seq("x", "x", "y", "z").foreach(st.offer) // saturates
+    val back = SpaceSavingState.fromBytes(st.toBytes)
+    assert(back.capacity == st.capacity)
+    assert(back.sortedEntries == st.sortedEntries)
+    // merging the deserialized state must behave like the original:
+    // saturation (the substitution constant) survives the round trip
+    val probe1 = new SpaceSavingState(2)
+    probe1.offer("q")
+    probe1.mergeIn(back)
+    val probe2 = new SpaceSavingState(2)
+    probe2.offer("q")
+    probe2.mergeIn(st)
+    assert(probe1.sortedEntries == probe2.sortedEntries)
+  }
+
+  test("merge substitutes the saturated side's min for absent items") {
+    // s1 saturated with min count 2; item 'q' absent from s1.
+    val s1 = new SpaceSavingState(2)
+    Seq("a", "a", "a", "b", "b", "c").foreach(s1.offer)
+    // s1: a=3, c=(3,2) after evicting b... verify by invariant below.
+    val s2 = new SpaceSavingState(2)
+    Seq("q", "q").foreach(s2.offer) // not saturated
+    val m1 = s1.sortedEntries.map(_._2).min // s1's min count
+    s1.mergeIn(s2)
+    val q = s1.sortedEntries.find(_._1 == "q")
+    // q's estimate must include s1's substitution (could have counted
+    // up to m1 in s1 before eviction) — and that substitution is error.
+    q match {
+      case Some((_, est, err)) =>
+        assert(est == 2L + m1, s"q est $est != 2 + $m1")
+        assert(err >= m1)
+      case None => // q was trimmed: legal only if every kept estimate >= q's
+        assert(s1.sortedEntries.forall(_._2 >= 2L + m1))
+    }
+  }
+
+  test("heavyHittersTopK: ranked frame shape on a grouped corpus") {
+    val docs = Seq(
+      ("en", "x x x y z"), ("en", "x y"), ("fr", "a b a")).toDF("lang", "text")
+    val out = Sketches.heavyHittersTopK(
+      docs.select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("item")),
+      "lang", "item", capacity = 16, k = 2).orderBy("lang", "rank").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(4))).toSeq == Seq(
+      ("en", "x", 4L, 1L), ("en", "y", 2L, 2L),
+      ("fr", "a", 2L, 1L), ("fr", "b", 1L, 2L)))
+  }
+}
