@@ -264,20 +264,46 @@ object LmOps {
     * mechanism with [[bpeTrain]]: code-point splitting (not regex),
     * an index scan with explicit skip-ahead (not the fold), and a plain
     * hash-map pair count (not a Spark aggregation). */
+  /** Index-scan left-to-right non-overlapping merge of ONE rule — the
+    * witness-side apply step (structurally independent of the
+    * [[mergeOnce]] fold and the [[bpeSymbolCount]] replace chain). */
+  private def scanMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Code-point split — the witness-side tokenizer-to-symbols step. */
+  def codePointChars(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Witness-side BPE APPLY: symbol count of `word` after the merge
+    * rules run in rank order, each as an index scan. Pairs with
+    * [[bpeTrainWitness]] to give q132's oracle a train→apply path that
+    * shares no mechanism with the distributed trainer + the
+    * [[bpeSymbolCount]] replace chain. */
+  def applyMergesScan(word: String, merges: Seq[(String, String)]): Int =
+    merges.foldLeft(codePointChars(word)) {
+      case (syms, (a, b)) => scanMerge(syms, a, b)
+    }.length
+
   def bpeTrainWitness(hist: Seq[(String, Long)], maxMerges: Int,
       minPairCount: Long = 2L): Seq[BpeMerge] = {
-    def chars(w: String): Vector[String] = {
-      val out = Vector.newBuilder[String]
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        out += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
-      }
-      out.result()
-    }
     var words: Seq[(Vector[String], Long)] =
-      hist.map { case (w, n) => (chars(w), n) }
+      hist.map { case (w, n) => (codePointChars(w), n) }
     val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
     var rank = 1
     var done = false
@@ -292,16 +318,7 @@ object LmOps {
         if (cnt < minPairCount) done = true
         else {
           merges += BpeMerge(rank, a, b, a + b, cnt)
-          words = words.map { case (syms, n) =>
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-                out += a + b; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.result(), n)
-          }
+          words = words.map { case (syms, n) => (scanMerge(syms, a, b), n) }
           rank += 1
         }
       }

@@ -73,6 +73,21 @@ object LmQueries {
       val merges = LmOps.bpeTrainWitness(hist, BpeMaxMerges)
       LmOps.mergesToDf(s, merges)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+      // q132's roundtrip witness: per-doc word/subword counts under the
+      // WITNESS-trained merges, applied by the index-scan path (shares
+      // no mechanism with the distributed trainer or the replace-chain
+      // apply) — a Dataset map like the q88 deflate witness.
+      import s.implicits._
+      val pairs = merges.map(m => (m.a, m.b))
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val words = text.split("\\s+").filter(_.nonEmpty)
+          val nSub = words.map(w => LmOps.applyMergesScan(w, pairs).toLong).sum
+          (id, words.length.toLong, nSub)
+        }
+        .toDF("doc_id", "n_words", "n_subwords")
+        .write.mode("overwrite").parquet(s"$path/apply")
       true
     })
     path
@@ -167,6 +182,25 @@ object LmQueries {
       val merges = LmOps.bpeTrain(
         LmOps.wordHistogram(Tables(s, dir).documents), LmQueries.BpeMaxMerges)
       LmOps.mergesToDf(s, merges).orderBy(col("rank"))
+    },
+
+    // The full tokenizer ROUNDTRIP: train distributed, apply the learned
+    // table via the replace-chain Column path, report per-doc subword
+    // counts — oracled against the witness fixture where BOTH stages are
+    // independently derived (sequential textbook train + index-scan
+    // apply). A hash match proves the end-to-end pipeline, not just each
+    // stage: identical merges AND identical tokenization arithmetic.
+    "q132_bpe_roundtrip" -> QueryDef(
+      s"""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |       CAST(n_subwords AS BIGINT) AS n_subwords
+         |FROM read_parquet('$BpeFixtureToken/apply/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ensureBpeFixture(s, dir)
+      val merges = LmOps.bpeTrain(
+        LmOps.wordHistogram(Tables(s, dir).documents), LmQueries.BpeMaxMerges)
+      LmOps.bpeApplyReport(Tables(s, dir).documents,
+        merges = merges.map(m => (m.a, m.b)))
+        .orderBy(col("doc_id"))
     },
 
     // BPE application under the FIXED merge table (rank-order chained

@@ -142,6 +142,29 @@ class LmOpsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_subwords") == 0)
   }
 
+  test("bpe roundtrip: distributed train + chain apply == witness train + scan apply") {
+    val docs = Seq(
+      (1L, "lower newest table hash"), (2L, "newest newest widest low"),
+      (3L, "")).toDF("doc_id", "text")
+    val hist = LmOps.wordHistogram(docs)
+    val distMerges = LmOps.bpeTrain(hist, maxMerges = 10, minPairCount = 1L)
+    val witMerges = LmOps.bpeTrainWitness(
+      hist.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq,
+      maxMerges = 10, minPairCount = 1L)
+    assert(distMerges == witMerges)
+    val chainApplied = LmOps.bpeApplyReport(docs,
+      merges = distMerges.map(m => (m.a, m.b)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scanApplied = docs.collect().map { r =>
+      val words = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      (r.getLong(0), words.length.toLong,
+        words.map(w => LmOps.applyMergesScan(w,
+          witMerges.map(m => (m.a, m.b))).toLong).sum)
+    }.sortBy(_._1)
+    assert(chainApplied.toSeq == scanApplied.toSeq)
+  }
+
   test("bpe apply: single replace pass equals scan semantics on chains") {
     // rule (a,g) then (ag,g): "aggg" → a g g g → ag g g (first pass
     // merges leftmost only... replace is global: " a g g g " has one
