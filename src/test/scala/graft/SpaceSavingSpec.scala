@@ -116,6 +116,34 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming: summary state merges across micro-batches (complete mode)") {
+    // The aggregate's buffer must serialize into the state store and
+    // merge with each micro-batch's partials — the streaming face of
+    // mergeability. Exact regime ⇒ after N batches the summary equals
+    // the exact running counts.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val q = stream.toDS().toDF("grp", "item")
+      .groupBy(col("grp"))
+      .agg(SpaceSavingAgg.topK(col("item"), 16).as("s"))
+      .writeStream.format("memory").queryName("ss_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(("g", "a"), ("g", "a"), ("g", "b"))
+      q.processAllAvailable()
+      def summary(): Seq[(String, Long, Long)] =
+        spark.sql("SELECT explode(s) AS e FROM ss_out")
+          .select(col("e.item"), col("e.est"), col("e.err"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(summary().toSet == Set(("a", 2L, 0L), ("b", 1L, 0L)))
+      stream.addData(("g", "b"), ("g", "b"), ("g", "c"))
+      q.processAllAvailable()
+      assert(summary().toSet ==
+        Set(("a", 2L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("heavyHittersTopK: ranked frame shape on a grouped corpus") {
     val docs = Seq(
       ("en", "x x x y z"), ("en", "x y"), ("fr", "a b a")).toDF("lang", "text")
