@@ -106,6 +106,49 @@ object LmOps {
           col("total_surprisal") * 1000L > lit(threshMilli) * col("n_tokens"))
   }
 
+  /** Streaming admission twin of [[surprisalScores]]: drop documents
+    * whose mean surprisal under a PRE-TRAINED vocabulary exceeds
+    * `threshMilli/1000` bits per token (and empty documents). The vocab
+    * ships as a literal map — the CCNet deployment shape, where the LM
+    * is trained offline and the filter runs inline — so the gate is a
+    * pure per-row predicate: no join, no aggregation, legal in ANY
+    * streaming position (same family as [[CorpusOps.contaminationGate]]
+    * and [[CorpusOps.spanGate]]). `vocabSb` maps token → surprisal
+    * bucket (what [[surprisalScores]] computes per corpus); `oovSb` is
+    * the out-of-vocabulary worst case. Batch parity with the q127 flag
+    * is pinned by LmOpsSpec. */
+  def surprisalGate(docs: DataFrame, vocabSb: Map[String, Long], oovSb: Long,
+      threshMilli: Long = 8500, textCol: String = "text"): DataFrame = {
+    val sbMap = typedlit(vocabSb)
+    docs
+      .withColumn("__gate_ts", TextFunctions.tokens(col(textCol)))
+      .withColumn("__gate_total",
+        aggregate(col("__gate_ts"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(sbMap, t), lit(oovSb))))
+      .filter(size(col("__gate_ts")) > 0 &&
+        col("__gate_total") * 1000L <=
+          lit(threshMilli) * size(col("__gate_ts")))
+      .drop("__gate_ts", "__gate_total")
+  }
+
+  /** The (vocab → surprisal bucket, OOV bucket) pair [[surprisalGate]]
+    * deploys — trained by one batch pass over a reference corpus, the
+    * exact arithmetic of [[surprisalScores]]. */
+  def trainSurprisalVocab(docs: DataFrame, vocabSize: Int = 16,
+      textCol: String = "text"): (Map[String, Long], Long) = {
+    val cnt = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist()
+    val n = math.max(1L,
+      Option(cnt.agg(sum(col("c"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    val voc = cnt.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> bitLenJvm(n / r.getLong(1))).toMap
+    cnt.unpersist(false)
+    (voc, bitLenJvm(n))
+  }
+
   // ---------------------------------------------------------------------
   // DSIR-style hashed-n-gram importance weighting
   // ---------------------------------------------------------------------

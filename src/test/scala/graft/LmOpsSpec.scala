@@ -55,6 +55,44 @@ class LmOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("total_surprisal") == 2 * 1 + 2 * 2)
   }
 
+  test("surprisal gate: batch parity with the q127 low_quality flag") {
+    val docs = Seq(
+      (1L, "x x x x y y z"), (2L, "x x x x y y z zz zz"), (3L, ""),
+      (4L, "x x x x x x x x"), (5L, "zz zz zz"))
+      .toDF("doc_id", "text")
+    val (voc, oov) = LmOps.trainSurprisalVocab(docs, vocabSize = 3)
+    val admitted = LmOps.surprisalGate(docs, voc, oov, threshMilli = 2000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val notLow = LmOps.surprisalScores(docs, vocabSize = 3, threshMilli = 2000)
+      .filter(!col("low_quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == notLow)
+    assert(admitted.nonEmpty && admitted != docs.collect().map(_.getLong(0)).toSet,
+      "parity test must have both admitted and dropped docs")
+  }
+
+  test("surprisal gate: pure predicate runs in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val trainDocs = Seq((0L, "x x x x y y")).toDF("doc_id", "text")
+    val (voc, oov) = LmOps.trainSurprisalVocab(trainDocs, vocabSize = 2)
+    val stream = MemoryStream[(Long, String)]
+    val q = LmOps.surprisalGate(
+      // vocab from train: x→0 bits, y→1 bit, OOV→bitLen(6)=2 bits;
+      // 1.5 bits/token splits doc1 (1/3 bit) from all-OOV doc2 (2 bits)
+      stream.toDS().toDF("doc_id", "text"), voc, oov, threshMilli = 1500)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "x x y"), (2L, "unseen unseen"), (3L, ""))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM gate_out")
+        .collect().map(_.getLong(0)).toSet
+      // doc1: in-vocab mix under threshold; doc2 all-OOV over it; doc3 empty
+      assert(got == Set(1L))
+    } finally q.stop()
+  }
+
   // ---------------------------------------------------------------- q128
 
   test("importance: target-like docs weigh above off-target docs") {
