@@ -204,6 +204,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q122 shuffles on unexpected keys: $keys")
   }
 
+  test("q127/q128/q131: LM + sketch plans keep their broadcast/shuffle shapes") {
+    // q127: the vocab is a driver-built LocalRelation joined by
+    // BROADCAST — the probe side must never shuffle on the token. Legal
+    // hash exchanges: the (doc, t) partial-count agg and the per-doc
+    // re-agg/join, both keyed on doc_id or (doc_id, t).
+    val q127 = executed(query("q127_surprisal_quality"))
+    assert(q127.contains("BroadcastExchange"),
+      s"q127: vocab lost its broadcast:\n$q127")
+    val k127 = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(q127).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(k127.subsetOf(Set("doc_id", "t")),
+      s"q127 shuffles on unexpected keys: $k127")
+    // q128: the 10k-bucket weight table must broadcast; shuffles only on
+    // bucket (the two hash counts) and doc_id (the per-doc sum).
+    val q128 = executed(query("q128_importance_weights"))
+    assert(q128.contains("BroadcastExchange"),
+      s"q128: weight table lost its broadcast:\n$q128")
+    val k128 = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(q128).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(k128.subsetOf(Set("bucket", "doc_id")),
+      s"q128 shuffles on unexpected keys: $k128")
+    // q131: ONE aggregation shuffle on the group column carries the
+    // O(capacity) summaries — never the raw items — and the ranked
+    // output needs no window.
+    val q131 = executed(query("q131_heavy_hitters"))
+    assert(shuffles(q131) <= 2, // group agg + final small orderBy repartition
+      s"q131 exchange budget blown:\n$q131")
+    assert(!q131.contains("Window"),
+      s"q131: ranking must come from the sorted summary, not a window:\n$q131")
+  }
+
   test("fleet invariant: no query plans a SinglePartition exchange outside the whitelist") {
     // Exchange SinglePartition is the one-reducer funnel that breaks at
     // 100 TB: EVERY registered query's physical plan is scanned for it.
