@@ -379,20 +379,27 @@ object LmOps {
     "ha" -> "s", "a" -> "g", "ag" -> "g", "b" -> "a", "ba" -> "t")
 
   /** Number of BPE symbols a word tokenizes into under `merges`, applied
-    * in rank order — as a pure Column expression. The word is spaced
-    * into sentinel-delimited symbols (" a b c ") and each rule is one
-    * global left-to-right `replace(" a b " → " ab ")` pass: the
-    * replacement re-emits its delimiter spaces, so adjacent matches
-    * chain exactly like the scan (and since a+b is strictly longer than
-    * a, a replacement can never create a fresh match for its own rule —
-    * single-pass replace equals fixpoint). */
+    * in rank order — as a pure Column expression: char split, then the
+    * [[mergeOnce]] fold per rule, which IS the left-to-right
+    * non-overlapping scan (LmOpsSpec pins the equivalence; the
+    * PropertySpec law checks it against the witness scan over random
+    * words and chained merge tables).
+    *
+    * NOT a single-pass string `replace(" a b ", " ab ")` chain: adjacent
+    * disjoint matches share their delimiter space, so one replace pass
+    * misses every other pair of an " a b a b " run — a divergence from
+    * BPE scan semantics that the q130 property test caught on the input
+    * `abab` (the corpus never exercises the pattern; random words do).
+    * A replace chain only equals the scan at its FIXPOINT — which is how
+    * the q130 DuckDB oracle, which has no list fold, mirrors this: each
+    * rule's replace repeated ⌈log2(pairs)⌉+1 times. */
   def bpeSymbolCount(word: Column,
       merges: Seq[(String, String)] = FixedMerges): Column = {
-    val spaced = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
-    val mergedCol = merges.foldLeft(spaced) { case (s, (a, b)) =>
-      call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+    val chars = filter(split(word, ""), s => s =!= "")
+    val merged = merges.foldLeft(chars) { case (syms, (a, b)) =>
+      mergeOnce(syms, a, b)
     }
-    size(filter(split(trim(mergedCol), " "), x => x =!= ""))
+    size(merged)
   }
 
   /** Per-document BPE tokenization cost under the fixed merge table:
@@ -404,7 +411,8 @@ object LmOps {
       merges: Seq[(String, String)] = FixedMerges): DataFrame = {
     val perWord = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .select(col(idCol), bpeSymbolCount(col("w"), merges).as("ns"))
+      .select(col(idCol),
+        graft.functions.BpeApplyExpr.of(col("w"), merges).as("ns"))
     docs.select(col(idCol))
       .join(perWord.groupBy(col(idCol))
         .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords")),

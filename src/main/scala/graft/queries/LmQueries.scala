@@ -93,14 +93,20 @@ object LmQueries {
     path
   }
 
-  /** DuckDB chained-replace over a word for the fixed merge table —
-    * identical construction to [[LmOps.bpeSymbolCount]]: space the word
-    * into sentinel-delimited symbols, then one global replace per rule in
-    * rank order. */
+  /** DuckDB mirror of [[LmOps.bpeSymbolCount]]'s scan semantics. DuckDB
+    * has no list fold with a list accumulator, so each rule is a
+    * sentinel-delimited `replace(' a b ', ' ab ')` run to FIXPOINT by
+    * repetition: a single replace pass misses every other pair of an
+    * " a b a b " run (adjacent disjoint matches share a delimiter
+    * space), and the fixpoint of leftmost non-overlapping replacement
+    * equals the left-to-right scan (the PropertySpec law pins this
+    * against the witness scan). 6 passes per rule cover alternating
+    * runs of up to 2^6 pairs — words to ~128 chars; the corpus'
+    * whitespace tokens are an order of magnitude shorter. */
   private val BpeApplySql: String = {
     val spaced = """(' ' || regexp_replace(w, '(.)', '\1 ', 'g'))"""
     val chained = LmOps.FixedMerges.foldLeft(spaced) { case (s, (a, b)) =>
-      s"replace($s, ' $a $b ', ' $a$b ')"
+      (1 to 6).foldLeft(s)((acc, _) => s"replace($acc, ' $a $b ', ' $a$b ')")
     }
     s"len(list_filter(string_split(trim($chained), ' '), x -> x != ''))"
   }

@@ -203,12 +203,17 @@ class LmOpsSpec extends AnyFunSuite {
     assert(chainApplied.toSeq == scanApplied.toSeq)
   }
 
-  test("bpe apply: single replace pass equals scan semantics on chains") {
-    // rule (a,g) then (ag,g): "aggg" → a g g g → ag g g (first pass
-    // merges leftmost only... replace is global: " a g g g " has one
-    // ' a g ' match → " ag g g "; then (ag,g): ' ag g ' → " agg g ".
+  test("bpe apply: fold follows scan semantics on chained and alternating runs") {
+    // (a,g) then (ag,g): "aggg" → [ag,g,g] → [agg, g] = 2.
     val docs = Seq((1L, "aggg")).toDF("doc_id", "text")
     val out = LmOps.bpeApplyReport(docs).collect()(0)
     assert(out.getAs[Long]("n_subwords") == 2) // [agg, g]
+    // the alternating-pair case a single replace pass gets WRONG (the
+    // second ' t a ' loses its shared delimiter space): "tata" must
+    // merge BOTH pairs under rule (t,a) → [ta, ta] = 2.
+    val alt = Seq((1L, "tata tatata")).toDF("doc_id", "text")
+    val r = LmOps.bpeApplyReport(alt).collect()(0)
+    // tata → [ta, ta] = 2; tatata → [ta, ta, ta] = 3
+    assert(r.getAs[Long]("n_subwords") == 5)
   }
 }

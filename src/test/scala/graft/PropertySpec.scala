@@ -456,4 +456,54 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     ids.foreach(id => assert(got(id) == refFnv(id), id))
   }
+
+  test("bpe apply: chain and scan agree on random words over random merge tables") {
+    import graft.operators.LmOps
+    // random lowercase words + random (possibly chained) merge tables:
+    // the Column replace-chain and the witness index scan must agree on
+    // the symbol count for EVERY (word, table) pair — the q130/q132
+    // apply semantics as an algebraic property, not just on the corpus.
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val words = sample(wordGen, 120).distinct
+    // derive merge tables BPE-style so later rules can consume earlier
+    // merges (the chaining case replace() could plausibly get wrong)
+    val tables: Seq[Seq[(String, String)]] = Seq(
+      Seq("a" -> "b", "ab" -> "c", "abc" -> "d"),
+      Seq("a" -> "a", "aa" -> "aa", "b" -> "c"),
+      Seq("c" -> "c", "cc" -> "c", "d" -> "a", "da" -> "b"))
+    import spark.implicits._
+    for (table <- tables) {
+      val got = words.toDF("w")
+        .select(col("w"), LmOps.bpeSymbolCount(col("w"), table).as("n"),
+          graft.functions.BpeApplyExpr.of(col("w"), table).as("k"))
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+      words.foreach { w =>
+        val scan = LmOps.applyMergesScan(w, table)
+        assert(got(w)._1 == scan, s"fold != scan for '$w' under $table")
+        assert(got(w)._2 == scan, s"native != scan for '$w' under $table")
+      }
+    }
+  }
+
+  test("surprisal gate admits exactly the docs the batch scorer passes") {
+    import graft.operators.LmOps
+    // random corpora: train the vocab on the corpus itself, then the
+    // gate's keep-set must equal the scorer's not-low_quality set for
+    // ANY vocab size and threshold — the parity law, property-scale.
+    val docGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w", "v")).map(_.mkString(" ")))
+    import spark.implicits._
+    val docs = sample(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (vocabSize <- Seq(1, 3); thresh <- Seq(1000L, 2300L)) {
+      val (voc, oov) = LmOps.trainSurprisalVocab(docs, vocabSize)
+      val admitted = LmOps.surprisalGate(docs, voc, oov, thresh)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val passed = LmOps.surprisalScores(docs, vocabSize, thresh)
+        .filter(!col("low_quality"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == passed, s"vocab=$vocabSize thresh=$thresh")
+    }
+  }
 }
