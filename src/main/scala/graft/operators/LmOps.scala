@@ -263,8 +263,13 @@ object LmOps {
       .select(filter(split(col("word"), ""), s => s =!= "").as("syms"),
         col("n"))
       .persist()
-    words.count()
     val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
+    // Deferred unpersist: each iteration's argmax job is ALSO the
+    // materialization of the current frame (reading the previous one's
+    // cache), so no separate count() job is needed — the previous frame
+    // unpersists only after that argmax has run. Halves the job count
+    // of the training loop versus eager count()-then-unpersist.
+    var prev: Option[DataFrame] = None
     var done = false
     var rank = 1
     while (!done && rank <= maxMerges) {
@@ -274,6 +279,8 @@ object LmOps {
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
+      prev.foreach(_.unpersist(false))
+      prev = None
       if (best.isEmpty || best(0).getAs[Long]("cnt") < minPairCount) done = true
       else {
         val (a, b, cnt) = (best(0).getAs[String]("a"),
@@ -282,14 +289,16 @@ object LmOps {
         val next = words
           .select(mergeOnce(col("syms"), a, b).as("syms"), col("n"))
         // cut lineage every 8 merges so the plan depth stays bounded
+        // (localCheckpoint materializes eagerly; plain persist waits for
+        // the next iteration's argmax)
         val materialized =
           if (rank % 8 == 0) next.localCheckpoint(true) else next.persist()
-        materialized.count()
-        words.unpersist()
+        prev = Some(words)
         words = materialized
         rank += 1
       }
     }
+    prev.foreach(_.unpersist(false))
     words.unpersist()
     merges.toList
   }

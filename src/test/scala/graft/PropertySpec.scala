@@ -486,6 +486,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zip-form shingles equal the naive sliding window on random texts") {
+    // shinglesFromTokens was rewritten as arrays_zip of shifted slices
+    // (the lambda-capture fix); this law holds it equal to the obvious
+    // reference — split, slide, join — over random whitespace-noisy
+    // strings and every n the fleet uses, including the under-n
+    // single-gram convention.
+    val textGen = for {
+      n <- Gen.chooseNum(0, 14)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+      sep <- Gen.listOfN(math.max(n - 1, 0) + 2,
+        Gen.oneOf(" ", "  ", "\t", " \n "))
+    } yield {
+      val body = toks.zipAll(sep.slice(1, math.max(n, 1)), "", " ")
+        .map { case (t, s) => t + s }.mkString
+      sep.head + body
+    }
+    val texts = sample(textGen, 150).distinct
+    def reference(text: String, n: Int): Seq[String] = {
+      val ts = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ts.length >= n) ts.sliding(n).map(_.mkString(" ")).toSeq
+      else Seq(ts.mkString(" "))
+    }
+    import spark.implicits._
+    for (n <- Seq(2, 3, 8)) {
+      val got = texts.toDF("t")
+        .select(col("t"),
+          graft.functions.TextFunctions.wordShingles(col("t"), n).as("g"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      texts.foreach { t =>
+        assert(got(t) == reference(t, n), s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("surprisal gate admits exactly the docs the batch scorer passes") {
     import graft.operators.LmOps
     // random corpora: train the vocab on the corpus itself, then the
