@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -44,6 +45,12 @@ final case class SpaceSavingAgg(
   require(capacity > 0, "capacity must be positive")
 
   override def children: Seq[Expression] = child :: Nil
+  // fail at ANALYSIS time on a non-string item column, not with an
+  // executor-side ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING item column, got ${child.dataType}")
   override def nullable: Boolean = false
   override def dataType: DataType = SpaceSavingAgg.ResultType
   override def prettyName: String = "space_saving_topk"
@@ -109,22 +116,26 @@ final class SpaceSavingState(val capacity: Int) {
   private val counts = mutable.HashMap.empty[String, (Long, Long)]
   private var saturated = false
 
+  /** All orderings use UTF-8 BINARY comparison ([[Utf8Order]]) so the
+    * summary's rank/tie-break order is exactly what a Spark orderBy or
+    * a DuckDB ROW_NUMBER produces, non-BMP items included. */
+  private val evictOrd: Ordering[(String, (Long, Long))] =
+    Ordering.by[(String, (Long, Long)), Long](_._2._1)
+      .orElse(Ordering.by[(String, (Long, Long)), String](_._1)(
+        Utf8Order.reverse))
+
   def offer(item: String): Unit = counts.get(item) match {
     case Some((c, e)) => counts(item) = (c + 1, e)
     case None if counts.size < capacity => counts(item) = (1L, 0L)
     case None =>
       saturated = true
-      // evict the min-count entry (ties: lexicographically greatest key,
-      // so the kept prefix is deterministic); the newcomer inherits the
+      // evict the min-count entry (ties: binary-greatest key, so the
+      // kept prefix is deterministic); the newcomer inherits the
       // evictee's count as its overestimate + error — the classic rule.
-      val (mk, (mc, _)) = counts.minBy { case (k, (c, _)) => (c, reverseKey(k)) }
+      val (mk, (mc, _)) = counts.min(evictOrd)
       counts.remove(mk)
       counts(item) = (mc + 1, mc)
   }
-
-  /** Ordering helper: minBy on (count, reverseKey) picks smallest count
-    * and, among ties, the LARGEST key (reverse lexicographic). */
-  private def reverseKey(k: String): ReverseString = new ReverseString(k)
 
   private def minCount: Long =
     if (counts.isEmpty) 0L else counts.valuesIterator.map(_._1).min
@@ -151,17 +162,20 @@ final class SpaceSavingState(val capacity: Int) {
     else {
       saturated = true
       val kept = union.toSeq
-        .sortBy { case (k, (c, _)) => (-c, k) }
+        .sortBy { case (k, (c, _)) => (-c, k) }(
+          Ordering.Tuple2(Ordering.Long, Utf8Order))
         .take(capacity)
       counts ++= kept
     }
   }
 
-  /** Entries sorted (est desc, err asc, item asc) — the deterministic
-    * ranked order the result array carries. */
+  /** Entries sorted (est desc, err asc, item asc in UTF-8 binary
+    * order) — the deterministic ranked order the result array carries,
+    * matching a DuckDB `ORDER BY n DESC, item ASC`. */
   def sortedEntries: Seq[(String, Long, Long)] =
     counts.toSeq.map { case (k, (c, e)) => (k, c, e) }
-      .sortBy { case (k, c, e) => (-c, e, k) }
+      .sortBy { case (k, c, e) => (-c, e, k) }(
+        Ordering.Tuple3(Ordering.Long, Ordering.Long, Utf8Order))
 
   /** Deserialization hooks. */
   private[functions] def put(k: String, c: Long, e: Long): Unit =
@@ -201,8 +215,3 @@ object SpaceSavingState {
   }
 }
 
-/** Reverse-lexicographic String wrapper for deterministic eviction
-  * tie-breaks. */
-final class ReverseString(val s: String) extends Comparable[ReverseString] {
-  override def compareTo(o: ReverseString): Int = o.s.compareTo(s)
-}

@@ -726,12 +726,26 @@ object CorpusOps {
   /** The per-position n-token window fingerprint array of a token-array
     * column: element i = md5 of tokens [i, i+n). Empty for docs shorter
     * than n. Pure per-row expression — shared by the batch span-dedup
-    * gram stream and the streaming [[spanGate]] predicate. */
-  private def spanFpArray(ts: Column, n: Int): Column =
+    * gram stream and the streaming [[spanGate]] predicate.
+    *
+    * Built as arrays_zip of the n shifted slices, NOT a
+    * transform(sequence) lambda slicing `ts`: a lambda capturing `ts`
+    * re-evaluates that whole subtree per WINDOW (no CSE inside
+    * higher-order lambdas), and — worse — a select/withColumn hoist of
+    * the tokenization does not protect a FILTER consumer, because
+    * predicate pushdown re-inlines the alias into the lambda (verified
+    * on the optimized plan: the spanGate hoist alone left
+    * slice(filter(split(text))) inside the per-window md5). The zip
+    * form evaluates `ts` exactly n times per row no matter what the
+    * optimizer substitutes into it. */
+  private def spanFpArray(ts: Column, n: Int): Column = {
+    val len = org.apache.spark.sql.functions.size(ts) - (n - 1)
+    val zipped = arrays_zip((1 to n).map(k => slice(ts, lit(k), len)): _*)
     when(org.apache.spark.sql.functions.size(ts) >= n,
-      transform(sequence(lit(0), org.apache.spark.sql.functions.size(ts) - n),
-        i => md5(concat_ws(" ", slice(ts, i + 1, lit(n))))))
+      transform(zipped, e =>
+        md5(concat_ws(" ", (0 until n).map(j => e.getField(j.toString)): _*))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** The narrow (doc_id, pos, fp) span-fingerprint stream of a
     * tokenized corpus — one md5 per n-token window position. */
@@ -871,13 +885,12 @@ object CorpusOps {
     * next batch compaction. */
   def spanGate(docs: DataFrame, bloomBytes: Array[Byte], n: Int,
       textCol: String = "text"): DataFrame =
-    // tokenize ONCE into an attribute before the window lambda: a lambda
-    // capturing the raw tokens(text) subtree re-runs the regex split per
-    // WINDOW position (O(len²) per doc — see shinglesFromTokens)
-    docs.withColumn("__gate_ts", TextFunctions.tokens(col(textCol)))
-      .filter(!exists(spanFpArray(col("__gate_ts"), n),
-        f => bloomMightContain(bloomBytes, f)))
-      .drop("__gate_ts")
+    // NOTE a select/withColumn hoist of the tokenization would NOT help
+    // here: predicate pushdown re-inlines the alias into the filter
+    // lambda. spanFpArray's zip construction is what bounds the
+    // tokenization to n evaluations per row (see its doc).
+    docs.filter(!exists(spanFpArray(TextFunctions.tokens(col(textCol)), n),
+      f => bloomMightContain(bloomBytes, f)))
 
   /** EXACT admission twin of [[spanGate]]: drop any document one of
     * whose window fingerprints IS in the store — a stream-static

@@ -82,12 +82,17 @@ object LmOps {
     // convention): the scoring plan then carries no global-aggregate or
     // single-partition barrier at all — N and the capped vocab are
     // plan-time constants, and the vocab side is a broadcast
-    // LocalRelation. The actions run over the persisted pd.
+    // LocalRelation. The actions run over the persisted pd, which is
+    // then RELEASED: the returned plan recomputes pd once per
+    // execution instead of pinning a corpus-sized cache entry for the
+    // application's lifetime (at 100 TB you would not cache this frame
+    // for one later read anyway).
     val n = math.max(1L,
       Option(pd.agg(sum(col("k"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L))
     val voc = cnt.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
       .collect().map(r => (r.getString(0), bitLenJvm(n / r.getLong(1))))
+    pd.unpersist(false)
     val oovSb = bitLenJvm(n)
     val vocDf = voc.toSeq.toDF("t", "sb")
     val scored = pd
@@ -176,10 +181,11 @@ object LmOps {
   def importanceWeights(docs: DataFrame, targetPred: Column,
       keepThreshold: Long = 0L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // The hashed feature stream is consumed twice (bucket counts, then
-    // the per-doc probe) — persist it so the explode + hash runs ONCE.
-    // Raw and target counts come out of a single aggregation pass
-    // (count + conditional count), not two scans.
+    // The hashed feature stream backs both the bucket counts (a driver
+    // action below) and the per-doc probe in the returned plan; the
+    // persist covers the action, and is released before return. Raw and
+    // target counts come out of a single aggregation pass (count +
+    // conditional count), not two scans.
     val gb = docs
       .select(col(idCol), targetPred.as("is_target"),
         // hoist tokenization to a real column: the shingle lambda must
@@ -190,22 +196,29 @@ object LmOps {
       .select(col(idCol), col("is_target"),
         CorpusOps.splitBucket(col("g")).as("bucket"))
       .persist()
-    val counts = gb.groupBy(col("bucket")).agg(
+    // The whole ≤10k-row weight table becomes a DRIVER-BUILT broadcast
+    // LocalRelation (the tfIdfTopK nDocs convention, one action over the
+    // persisted gb), so the returned plan contains gb exactly ONCE —
+    // the probe join — with no weight-table subtree to recompute it a
+    // second time. gb is then RELEASED: the plan recomputes the feature
+    // stream once per execution instead of leaking a corpus-sized cache
+    // entry per invocation.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val countRows = gb.groupBy(col("bucket")).agg(
       count(lit(1)).as("r"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("t"))
-    // The normalization constant bitLen(R div T) is a DRIVER LITERAL
-    // (tfIdfTopK nDocs convention): one action over the ≤10k-row bucket
-    // table (reusing the persisted gb), zero global-aggregate barrier in
-    // the returned plan.
-    val totRow = counts.agg(coalesce(sum(col("r")), lit(0L)),
-      coalesce(sum(col("t")), lit(0L))).head()
-    val (rt, tt) = (totRow.getLong(0), math.max(1L, totRow.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    gb.unpersist(false)
+    val rt = countRows.map(_._2).sum
+    val tt = math.max(1L, countRows.map(_._3).sum)
     val normK = bitLenJvm(math.max(1L, rt / tt))
-    val w = counts
-      .select(col("bucket"),
-        (bitLen(col("t") + 1L) - bitLen(col("r") + 1L) + lit(normK))
-          .cast("long").as("w"))
-    gb.join(broadcast(w), Seq("bucket"))
+    val wDf = countRows.toSeq
+      .map { case (bucket, r, t) =>
+        (bucket, bitLenJvm(t + 1L) - bitLenJvm(r + 1L) + normK)
+      }
+      .toDF("bucket", "w")
+    gb.join(broadcast(wDf), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("weight_sum"))
       .withColumn("keep", col("weight_sum") > lit(keepThreshold))
@@ -366,7 +379,11 @@ object LmOps {
           counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in UTF-8 BINARY order — what the distributed path's
+        // Spark orderBy uses; JVM String order would diverge on non-BMP
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, graft.functions.Utf8Order,
+            graft.functions.Utf8Order))
         if (cnt < minPairCount) done = true
         else {
           merges += BpeMerge(rank, a, b, a + b, cnt)

@@ -14,7 +14,7 @@ import graft.operators.CorpusOps
   */
 object CorpusQueries {
 
-  private val ToksSql = """list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"""
+  private val ToksSql = OracleSql.Toks
 
   /** Placeholder in q88's oracle SQL for the deflate witness fixture
     * root — Verify substitutes the per-(session, sf) path the same way
@@ -78,38 +78,14 @@ object CorpusQueries {
 
   /** DuckDB distinct word-8-gram shingles (mirrors
     * array_distinct(TextFunctions.wordShingles(text, 8))). */
-  private val Grams8Sql =
-    s"""list_distinct(CASE WHEN len($ToksSql) >= 8
-       |  THEN list_transform(range(len($ToksSql) - 7),
-       |       i -> array_to_string(($ToksSql)[i+1:i+8], ' '))
-       |  ELSE [array_to_string($ToksSql, ' ')] END)""".stripMargin
+  private val Grams8Sql = s"list_distinct(${OracleSql.grams(8)})"
 
-  /** The q50 FNV-1a64 HUGEINT fold over a string expression, reduced to
-    * the UNSIGNED bucket in [0, 10000). */
-  private def fnvBucketSql(s: String): String =
-    s"""CAST(list_reduce(
-       |  list_prepend(CAST('1469598103934665603' AS HUGEINT),
-       |    list_transform(range(length($s)),
-       |      i -> CAST(unicode(substr($s, CAST(i+1 AS INT), 1)) AS HUGEINT))),
-       |  (h, c) -> (xor(h, c) * CAST('1099511628211' AS HUGEINT))
-       |            % CAST('18446744073709551616' AS HUGEINT))
-       |  % 10000 AS BIGINT)""".stripMargin
+  /** The q50 FNV-1a64 HUGEINT fold — the shared [[OracleSql.fnvBucket]]
+    * contract. */
+  private def fnvBucketSql(s: String): String = OracleSql.fnvBucket(s)
 
-  /** DuckDB word-3-gram list (mirrors TextFunctions.wordShingles(text, 3)
-    * incl. the single-gram convention for docs under 3 tokens). */
-  private val Grams3Sql =
-    s"""CASE WHEN len($ToksSql) >= 3
-       |  THEN list_transform(range(len($ToksSql) - 2),
-       |       i -> array_to_string(($ToksSql)[i+1:i+3], ' '))
-       |  ELSE [array_to_string($ToksSql, ' ')] END""".stripMargin
-
-  /** DuckDB word-2-gram list (mirrors TextFunctions.wordShingles(text, 2)
-    * incl. the single-gram convention for docs under 2 tokens). */
-  private val Grams2Sql =
-    s"""CASE WHEN len($ToksSql) >= 2
-       |  THEN list_transform(range(len($ToksSql) - 1),
-       |       i -> array_to_string(($ToksSql)[i+1:i+2], ' '))
-       |  ELSE [array_to_string($ToksSql, ' ')] END""".stripMargin
+  private val Grams3Sql = OracleSql.grams(3)
+  private val Grams2Sql = OracleSql.grams(2)
 
   /** Shared CTE chain for q116/q119: tokenized docs → duplicated
     * 16-token window positions (keep-one: rank>1 per fingerprint) →

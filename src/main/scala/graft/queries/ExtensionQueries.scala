@@ -613,12 +613,16 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
-    // Space-saving heavy hitters per language: the mergeable O(capacity)
-    // summary at capacity 4096 ≥ the corpus vocabulary, i.e. the
-    // provably-exact regime — the oracle recomputes the ranked top-10
-    // token counts exactly and asserts err = 0 (no eviction ever
-    // happened). The approx regime (tiny capacity, evictions, per-item
-    // error bounds) is SpaceSavingSpec's domain.
+    // Space-saving heavy hitters per language in the provably-exact
+    // regime — the oracle recomputes the ranked top-10 token counts
+    // exactly and asserts err = 0 (no eviction ever happened). The
+    // capacity is DERIVED from the data (2x the max per-lang distinct
+    // count, floored at 4096), because ScaleUp's per-replica salting
+    // grows the vocabulary with scale factor: a fixed 4096 would
+    // silently leave the exact regime around sf30 and fail the oracle
+    // at exactly the scale the witness is meant to cover. The approx
+    // regime (tiny capacity, evictions, per-item error bounds) is
+    // SpaceSavingSpec's domain.
     "q131_heavy_hitters" -> QueryDef(
       """WITH toks AS (
         |  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -630,11 +634,17 @@ object ExtensionQueries {
         |SELECT lang, item, CAST(n AS BIGINT) AS est,
         |       CAST(0 AS BIGINT) AS err, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin) { (s, dir) =>
+      val items = Tables(s, dir).documents
+        .select(col("lang"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("item"))
+      val maxDistinct = items.groupBy(col("lang"))
+        .agg(countDistinct(col("item")).as("d"))
+        .orderBy(col("d").desc).limit(1).select(col("d"))
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      val capacity = math.max(4096L, 2L * maxDistinct).min(Int.MaxValue).toInt
       graft.operators.Sketches.heavyHittersTopK(
-        Tables(s, dir).documents
-          .select(col("lang"),
-            explode(graft.functions.TextFunctions.tokens(col("text"))).as("item")),
-        groupCol = "lang", itemCol = "item", capacity = 4096, k = 10)
+        items, groupCol = "lang", itemCol = "item",
+        capacity = capacity, k = 10)
         .orderBy(col("lang"), col("rank"))
     },
 

@@ -15,28 +15,9 @@ import graft.operators.LmOps
   */
 object LmQueries {
 
-  private val ToksSql =
-    """list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"""
-
-  /** DuckDB word-2-gram list (mirrors TextFunctions.wordShingles(text, 2)
-    * incl. the single-gram convention for docs under 2 tokens). */
-  private val Grams2Sql =
-    s"""CASE WHEN len($ToksSql) >= 2
-       |  THEN list_transform(range(len($ToksSql) - 1),
-       |       i -> array_to_string(($ToksSql)[i+1:i+2], ' '))
-       |  ELSE [array_to_string($ToksSql, ' ')] END""".stripMargin
-
-  /** The q50 FNV-1a64 HUGEINT fold over a string expression, reduced to
-    * the UNSIGNED bucket in [0, 10000) — same arithmetic as
-    * [[graft.operators.CorpusOps.splitBucket]]. */
-  private def fnvBucketSql(s: String): String =
-    s"""CAST(list_reduce(
-       |  list_prepend(CAST('1469598103934665603' AS HUGEINT),
-       |    list_transform(range(length($s)),
-       |      i -> CAST(unicode(substr($s, CAST(i+1 AS INT), 1)) AS HUGEINT))),
-       |  (h, c) -> (xor(h, c) * CAST('1099511628211' AS HUGEINT))
-       |            % CAST('18446744073709551616' AS HUGEINT))
-       |  % 10000 AS BIGINT)""".stripMargin
+  private val ToksSql = OracleSql.Toks
+  private val Grams2Sql = OracleSql.grams(2)
+  private def fnvBucketSql(s: String): String = OracleSql.fnvBucket(s)
 
   /** Placeholder in q129's oracle SQL for the BPE witness fixture root —
     * Verify substitutes the per-(session, sf) path the same way it
@@ -98,12 +79,25 @@ object LmQueries {
     * sentinel-delimited `replace(' a b ', ' ab ')` run to FIXPOINT by
     * repetition: a single replace pass misses every other pair of an
     * " a b a b " run (adjacent disjoint matches share a delimiter
-    * space), and the fixpoint of leftmost non-overlapping replacement
-    * equals the left-to-right scan (the PropertySpec law pins this
-    * against the witness scan). 6 passes per rule cover alternating
-    * runs of up to 2^6 pairs — words to ~128 chars; the corpus'
-    * whitespace tokens are an order of magnitude shorter. */
+    * space).
+    *
+    * The fixpoint equals the left-to-right scan ONLY under two
+    * preconditions, both ASSERTED below rather than assumed:
+    *   - no rule has a == b — for (a,a) on an odd run "a a a a a" the
+    *     replace pairs up (1,2),(4,5) where the scan pairs (1,2),(3,4):
+    *     same count, different SYMBOLS, so a later rule consuming the
+    *     merged symbol could diverge;
+    *   - 6 passes per rule bound the alternating runs covered
+    *     (~2^6 pairs, words to ~128 chars) — the corpus' whitespace
+    *     tokens are an order of magnitude shorter, and the Spark side
+    *     ([[graft.functions.BpeApplyExpr]], exact scan at any length)
+    *     would make the oracle FAIL loudly if a longer word appeared.
+    * (The PropertySpec apply law covers the Spark implementations
+    * against the witness scan; this SQL construction is covered by the
+    * q130 oracle itself under these preconditions.) */
   private val BpeApplySql: String = {
+    require(LmOps.FixedMerges.forall { case (a, b) => a != b },
+      "replace-to-fixpoint mirrors scan semantics only for a != b rules")
     val spaced = """(' ' || regexp_replace(w, '(.)', '\1 ', 'g'))"""
     val chained = LmOps.FixedMerges.foldLeft(spaced) { case (s, (a, b)) =>
       (1 to 6).foldLeft(s)((acc, _) => s"replace($acc, ' $a $b ', ' $a$b ')")
@@ -191,11 +185,15 @@ object LmQueries {
     },
 
     // The full tokenizer ROUNDTRIP: train distributed, apply the learned
-    // table via the replace-chain Column path, report per-doc subword
-    // counts — oracled against the witness fixture where BOTH stages are
+    // table via the native scan kernel, report per-doc subword counts —
+    // oracled against the witness fixture where BOTH stages are
     // independently derived (sequential textbook train + index-scan
     // apply). A hash match proves the end-to-end pipeline, not just each
     // stage: identical merges AND identical tokenization arithmetic.
+    // DELIBERATELY retrains rather than memoizing q129's merges
+    // (bpeFixtureDirs-style): the roundtrip's benchmark number must
+    // price the train stage, or a bench pass would report an apply-only
+    // cost as the pipeline's.
     "q132_bpe_roundtrip" -> QueryDef(
       s"""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
          |       CAST(n_subwords AS BIGINT) AS n_subwords

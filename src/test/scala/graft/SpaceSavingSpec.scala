@@ -144,6 +144,33 @@ class SpaceSavingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("non-string item column fails at analysis, not on executors") {
+    val ex = intercept[Exception] {
+      Seq(1, 2, 3).toDF("n")
+        .agg(SpaceSavingAgg.topK(col("n"), 4)).collect()
+    }
+    assert(ex.getMessage.contains("STRING"),
+      s"expected an analysis-time type error, got: ${ex.getMessage}")
+  }
+
+  test("tie-break order is UTF-8 binary — matches Spark's string sort") {
+    // U+F900 (BMP, sorts HIGH in UTF-8) vs U+10000 (astral, surrogate
+    // pair sorts LOW in UTF-16 code units but HIGH in UTF-8): JVM
+    // String order ranks them opposite to UTF-8 binary order.
+    val bmp = "豈"
+    val astral = new String(Character.toChars(0x10000))
+    assert(bmp.compareTo(astral) > 0, "JVM order: bmp above astral")
+    assert(graft.functions.Utf8Order.compare(bmp, astral) < 0,
+      "UTF-8 order: astral above bmp")
+    // the summary's rank order on a count tie must match Spark's own
+    // orderBy over the same strings
+    val st = new SpaceSavingState(4)
+    Seq(astral, bmp).foreach(st.offer)
+    val sparkOrder = Seq(bmp, astral).toDF("s").orderBy(col("s").asc)
+      .collect().map(_.getString(0)).toSeq
+    assert(st.sortedEntries.map(_._1) == sparkOrder)
+  }
+
   test("heavyHittersTopK: ranked frame shape on a grouped corpus") {
     val docs = Seq(
       ("en", "x x x y z"), ("en", "x y"), ("fr", "a b a")).toDF("lang", "text")
