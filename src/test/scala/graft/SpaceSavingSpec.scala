@@ -144,6 +144,40 @@ class SpaceSavingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: watermarked event-time windows each carry their own summary") {
+    // The windowed form a live heavy-hitter dashboard uses: per
+    // 10-minute event-time window, an independent summary; late data
+    // beyond the watermark is dropped, in-watermark late data merges
+    // into its window's state.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = stream.toDS().toDF("t", "item")
+      .withWatermark("t", "10 minutes")
+      .groupBy(window(col("t"), "10 minutes"), lit(1))
+      .agg(SpaceSavingAgg.topK(col("item"), 8).as("s"))
+      .writeStream.format("memory").queryName("ss_win_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(
+        (ts("2025-01-01 10:01:00"), "a"), (ts("2025-01-01 10:02:00"), "a"),
+        (ts("2025-01-01 10:11:00"), "b"))
+      q.processAllAvailable()
+      // in-watermark late arrival for the first window
+      stream.addData((ts("2025-01-01 10:05:00"), "a"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window.start, explode(s) AS e FROM ss_win_out")
+        .select(col("start").cast("string"), col("e.item"), col("e.est"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == Set(
+        ("2025-01-01 10:00:00", "a", 3L),
+        ("2025-01-01 10:10:00", "b", 1L)))
+    } finally q.stop()
+  }
+
   test("non-string item column fails at analysis, not on executors") {
     val ex = intercept[Exception] {
       Seq(1, 2, 3).toDF("n")
