@@ -111,6 +111,77 @@ object LmOps {
           col("total_surprisal") * 1000L > lit(threshMilli) * col("n_tokens"))
   }
 
+  /** Bigram surprisal with unigram backoff — the next LM order up from
+    * [[surprisalScores]], still integer-exact. The model is capped like
+    * a deployed LM: the top-`bigramVocab` bigrams (count desc, gram asc)
+    * each score `bitLen(c1(prev) div c2(prev,cur))` — the conditional
+    * surprisal of `cur` given `prev`, rounded to the containing power of
+    * two — and any OTHER bigram backs off to the [[surprisalScores]]
+    * unigram bucket of `cur` plus a 1-bit backoff penalty (the
+    * Katz-style discount, integerized). Documents score over their
+    * bigram positions (n_tokens − 1; zero/one-token docs get 0).
+    *
+    * Plan shape mirrors q127: one (doc, bigram) partial-count shuffle,
+    * capped tables as driver-built broadcast LocalRelations (bigram
+    * rows carry their context counts, collected in ONE action via a
+    * join on the unigram table), per-doc re-aggregation. Nothing scales
+    * with vocabulary: both model tables are capped by construction. */
+  def bigramSurprisalScores(docs: DataFrame, bigramVocab: Int = 64,
+      unigramVocab: Int = 16, threshMilli: Long = 8500,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+    val pd2 = toks
+      .select(col(idCol),
+        explode(TextFunctions.shinglesFromTokens(col("ts"), 2)).as("g"))
+      .filter(size(TextFunctions.tokens(col("g"))) === 2) // drop sub-2-token docs' single-gram rows
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("k"))
+      .persist()
+    val c2 = pd2.groupBy(col("g")).agg(sum(col("k")).as("c2"))
+    val c1 = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      .persist()
+    // ONE action: top bigrams joined to their context counts
+    val bigramRows = c2
+      .withColumn("prev", split(col("g"), " ").getItem(0))
+      .join(c1.withColumnRenamed("t", "prev"), Seq("prev"))
+      .orderBy(col("c2").desc, col("g").asc).limit(bigramVocab)
+      .select(col("g"), col("c1"), col("c2"))
+      .collect().map(r => (r.getString(0),
+        bitLenJvm(r.getLong(1) / r.getLong(2))))
+    // unigram backoff buckets: the q127 arithmetic + 1 penalty bit
+    val n = math.max(1L,
+      Option(c1.agg(sum(col("c1"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    val uniRows = c1.orderBy(col("c1").desc, col("t").asc).limit(unigramVocab)
+      .collect().map(r => (r.getString(0), bitLenJvm(n / r.getLong(1)) + 1L))
+    c1.unpersist(false)
+    val oovSb = bitLenJvm(n) + 1L
+    val bigDf = bigramRows.toSeq.toDF("g", "sb")
+    val uniDf = uniRows.toSeq.toDF("cur", "usb")
+    val scored = pd2
+      .join(broadcast(bigDf), Seq("g"), "left")
+      .withColumn("cur", split(col("g"), " ").getItem(1))
+      .join(broadcast(uniDf), Seq("cur"), "left")
+      .withColumn("sbv",
+        coalesce(col("sb"), col("usb"), lit(oovSb)))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("sbv")).as("total_surprisal"))
+    pd2.unpersist(false)
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_surprisal"), lit(0L)).as("total_surprisal"))
+      .withColumn("low_quality",
+        col("n_bigrams") === 0 ||
+          col("total_surprisal") * 1000L > lit(threshMilli) * col("n_bigrams"))
+  }
+
   /** Streaming admission twin of [[surprisalScores]]: drop documents
     * whose mean surprisal under a PRE-TRAINED vocabulary exceeds
     * `threshMilli/1000` bits per token (and empty documents). The vocab

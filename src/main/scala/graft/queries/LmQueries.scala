@@ -138,6 +138,47 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram surprisal with unigram backoff — the next LM order up from
+    // q127: top-64 bigrams score the conditional bitLen(c1_prev div c2),
+    // everything else backs off to the top-16 unigram bucket plus a
+    // 1-bit penalty (OOV worst case bitLen(N)+1). Mean bigram surprisal
+    // above 9.0 bits flags the doc.
+    "q133_bigram_surprisal" -> QueryDef(
+      s"""WITH g2r AS (SELECT doc_id, unnest($Grams2Sql) AS g FROM documents),
+         |pd2 AS (SELECT doc_id, g, count(*) AS k FROM g2r
+         |        WHERE len(list_filter(string_split(g, ' '), x -> x != '')) = 2
+         |        GROUP BY doc_id, g),
+         |c2 AS (SELECT g, CAST(sum(k) AS BIGINT) AS c2 FROM pd2 GROUP BY g),
+         |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM
+         |         (SELECT unnest($ToksSql) AS t FROM documents) GROUP BY t),
+         |big AS (SELECT g, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS sb
+         |        FROM (SELECT c2.g, c2.c2, c1.c1 FROM c2
+         |              JOIN c1 ON string_split(c2.g, ' ')[1] = c1.t
+         |              ORDER BY c2.c2 DESC, c2.g ASC LIMIT 64)),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+         |uni AS (SELECT t, CAST(length(bin(n // c1)) AS BIGINT) AS usb
+         |        FROM (SELECT t, c1 FROM c1
+         |              ORDER BY c1 DESC, t ASC LIMIT 16) u, tot),
+         |ds AS (SELECT pd2.doc_id, CAST(sum(k) AS BIGINT) AS nb,
+         |          CAST(sum(k * coalesce(big.sb, uni.usb,
+         |            (SELECT CAST(length(bin(n)) AS BIGINT) FROM tot)))
+         |            AS BIGINT) AS ts2
+         |       FROM pd2 LEFT JOIN big USING (g)
+         |            LEFT JOIN uni ON string_split(pd2.g, ' ')[2] = uni.t
+         |       GROUP BY pd2.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ds.nb, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(coalesce(ds.ts2, 0) AS BIGINT) AS total_surprisal,
+         |       (coalesce(ds.nb, 0) = 0 OR
+         |        coalesce(ds.ts2, 0) * 1000 > 9000 * coalesce(ds.nb, 0))
+         |         AS low_quality
+         |FROM documents d LEFT JOIN ds USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      LmOps.bigramSurprisalScores(Tables(s, dir).documents,
+        bigramVocab = 64, unigramVocab = 16, threshMilli = 9000L)
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR-style importance weights: word-2-grams hashed into the fixed
     // 10k FNV bucket space, target domain = source 'src0', bucket weight
     // = bitLen(t+1) − bitLen(r+1) + bitLen(R div T), doc weight = sum

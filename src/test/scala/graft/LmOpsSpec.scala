@@ -55,6 +55,27 @@ class LmOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("total_surprisal") == 2 * 1 + 2 * 2)
   }
 
+  test("bigram surprisal: hand-computed conditional buckets with backoff") {
+    // corpus: doc1 "x y x y", doc2 "x z", doc3 "".
+    // c2: "x y"=2, "y x"=1, "x z"=1; c1: x=3, y=2, z=1; N=6.
+    // bigramVocab=2 keeps "x y" and (tie at 1, gram asc) "x z":
+    //   sb("x y") = bitLen(c1(x)=3 div 2) = bitLen(1) = 0
+    //   sb("x z") = bitLen(3 div 1) = 1
+    // "y x" backs off to unigram(x) = bitLen(6 div 3)+1 = 2.
+    val docs = Seq((1L, "x y x y"), (2L, "x z"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = LmOps.bigramSurprisalScores(docs, bigramVocab = 2,
+      unigramVocab = 16, threshMilli = 800).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_bigrams") == 3)
+    assert(out(0).getAs[Long]("total_surprisal") == 2 * 0 + 1 * 2) // 2
+    assert(!out(0).getAs[Boolean]("low_quality")) // 667 milli <= 800
+    assert(out(1).getAs[Long]("n_bigrams") == 1)
+    assert(out(1).getAs[Long]("total_surprisal") == 1)
+    assert(out(1).getAs[Boolean]("low_quality")) // 1000 milli > 800
+    assert(out(2).getAs[Long]("n_bigrams") == 0)
+    assert(out(2).getAs[Boolean]("low_quality")) // no bigrams ⇒ junk
+  }
+
   test("surprisal gate: batch parity with the q127 low_quality flag") {
     val docs = Seq(
       (1L, "x x x x y y z"), (2L, "x x x x y y z zz zz"), (3L, ""),
