@@ -225,6 +225,16 @@ class PlanAuditSpec extends AnyFunSuite {
       .findAllMatchIn(q128).map(_.group(1).takeWhile(_ != '#')).toSet
     assert(k128.subsetOf(Set("bucket", "doc_id")),
       s"q128 shuffles on unexpected keys: $k128")
+    // q133: both LM tables are driver-built broadcasts; shuffles only
+    // on the (doc, gram) partial count, the per-doc re-agg, and the
+    // backoff join key — never on raw text.
+    val q133 = executed(query("q133_bigram_surprisal"))
+    assert(q133.contains("BroadcastExchange"),
+      s"q133: model tables lost their broadcast:\n$q133")
+    val k133 = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(q133).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(k133.subsetOf(Set("doc_id", "g", "cur", "t")),
+      s"q133 shuffles on unexpected keys: $k133")
     // q131: ONE aggregation shuffle on the group column carries the
     // O(capacity) summaries — never the raw items — and the ranked
     // output needs no window.
