@@ -7,18 +7,27 @@ package graft.functions
   * plane characters. Every JVM-side tie-break that must agree with a
   * Spark orderBy or a DuckDB ROW_NUMBER (the BPE witness argmax, the
   * space-saving eviction/rank order) goes through this ordering, so
-  * non-BMP tokens cannot flip a tie across engines. */
+  * non-BMP tokens cannot flip a tie across engines.
+  *
+  * Compares by CODE POINT, which for well-formed strings equals UTF-8
+  * byte order (UTF-8 is order-preserving over code points) — no byte
+  * arrays are materialized. This matters because the ordering sits
+  * inside SpaceSavingState's per-eviction O(capacity) min scan and the
+  * sort of every summary: the previous getBytes-based form allocated
+  * two full byte arrays per element comparison. Agreement with the
+  * byte-wise form is pinned by SpaceSavingSpec's utf8-order law
+  * (including supplementary-plane inputs). */
 object Utf8Order extends Ordering[String] {
   override def compare(x: String, y: String): Int = {
-    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
     }
-    a.length - b.length
+    (x.length - i) - (y.length - j)
   }
 }

@@ -74,6 +74,47 @@ object LmQueries {
     path
   }
 
+  /** The longest whitespace token the q130 oracle construction covers.
+    * [[BpeFixpointPasses]] is DERIVED from this bound, and the bound is
+    * CHECKED against the corpus (once per session+sf, memoized) in the
+    * q130 lambda — so a longer generator token fails with a named
+    * precondition error at the check site instead of a confusing oracle
+    * hash mismatch. */
+  private val MaxOracleWordChars = 256
+
+  /** Replace-to-fixpoint pass count per rule, derived from the word
+    * bound rather than hardcoded: a word of L chars holds at most L/2
+    * adjacent disjoint pairs of one rule, and each replace pass halves
+    * the unmerged remainder of an alternating run, so
+    * ceil(log2(L/2)) passes reach the fixpoint for any word ≤ L chars. */
+  private val BpeFixpointPasses: Int = {
+    val maxPairs = math.max(2, MaxOracleWordChars / 2)
+    32 - Integer.numberOfLeadingZeros(maxPairs - 1) // ceil(log2(maxPairs))
+  }
+
+  /** Once-per-(session, sf) corpus check that every whitespace token is
+    * within [[MaxOracleWordChars]] — the q130 oracle's precondition,
+    * checked where the data can drift. Memoized so bench min-of-runs
+    * prices the query, not the guard; the one pass is a map-side max
+    * over per-doc token-length maxima (no explode shuffle). */
+  private val wordLenChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def assertOracleWordLen(s: SparkSession, dir: String): Unit = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    wordLenChecked.computeIfAbsent(key, _ => {
+      val maxLen = Option(Tables(s, dir).documents
+        .agg(max(array_max(transform(
+          graft.functions.TextFunctions.tokens(col("text")), t => length(t)))))
+        .head().get(0)).map(_.asInstanceOf[Int]).getOrElse(0)
+      require(maxLen <= MaxOracleWordChars,
+        s"q130 oracle precondition: corpus max token length $maxLen exceeds " +
+          s"the $MaxOracleWordChars-char bound $BpeFixpointPasses fixpoint " +
+          "passes cover — raise MaxOracleWordChars")
+      true
+    })
+    ()
+  }
+
   /** DuckDB mirror of [[LmOps.bpeSymbolCount]]'s scan semantics. DuckDB
     * has no list fold with a list accumulator, so each rule is a
     * sentinel-delimited `replace(' a b ', ' ab ')` run to FIXPOINT by
@@ -82,16 +123,17 @@ object LmQueries {
     * space).
     *
     * The fixpoint equals the left-to-right scan ONLY under two
-    * preconditions, both ASSERTED below rather than assumed:
+    * preconditions, both ASSERTED rather than assumed:
     *   - no rule has a == b — for (a,a) on an odd run "a a a a a" the
     *     replace pairs up (1,2),(4,5) where the scan pairs (1,2),(3,4):
     *     same count, different SYMBOLS, so a later rule consuming the
     *     merged symbol could diverge;
-    *   - 6 passes per rule bound the alternating runs covered
-    *     (~2^6 pairs, words to ~128 chars) — the corpus' whitespace
-    *     tokens are an order of magnitude shorter, and the Spark side
-    *     ([[graft.functions.BpeApplyExpr]], exact scan at any length)
-    *     would make the oracle FAIL loudly if a longer word appeared.
+    *   - [[BpeFixpointPasses]] passes per rule cover every word up to
+    *     [[MaxOracleWordChars]] chars — a bound [[assertOracleWordLen]]
+    *     CHECKS against the corpus in the q130 lambda, rather than
+    *     trusting the generator. (The Spark side,
+    *     [[graft.functions.BpeApplyExpr]], is an exact scan at any
+    *     length.)
     * (The PropertySpec apply law covers the Spark implementations
     * against the witness scan; this SQL construction is covered by the
     * q130 oracle itself under these preconditions.) */
@@ -100,7 +142,8 @@ object LmQueries {
       "replace-to-fixpoint mirrors scan semantics only for a != b rules")
     val spaced = """(' ' || regexp_replace(w, '(.)', '\1 ', 'g'))"""
     val chained = LmOps.FixedMerges.foldLeft(spaced) { case (s, (a, b)) =>
-      (1 to 6).foldLeft(s)((acc, _) => s"replace($acc, ' $a $b ', ' $a$b ')")
+      (1 to BpeFixpointPasses).foldLeft(s)((acc, _) =>
+        s"replace($acc, ' $a $b ', ' $a$b ')")
     }
     s"len(list_filter(string_split(trim($chained), ' '), x -> x != ''))"
   }
@@ -193,7 +236,8 @@ object LmQueries {
          |tgt AS (SELECT bucket, count(*) AS t FROM gb
          |        WHERE source = 'src0' GROUP BY bucket),
          |tots AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS rt,
-         |                (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS tt),
+         |                greatest(coalesce(
+         |                  (SELECT CAST(sum(t) AS BIGINT) FROM tgt), 0), 1) AS tt),
          |w AS (SELECT raw.bucket,
          |        CAST((length(bin(coalesce(tgt.t, 0) + 1)) - 1) -
          |             (length(bin(raw.r + 1)) - 1) +
@@ -263,6 +307,7 @@ object LmQueries {
          |       CAST(coalesce(agg.n_subwords, 0) AS BIGINT) AS n_subwords
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      assertOracleWordLen(s, dir)
       LmOps.bpeApplyReport(Tables(s, dir).documents)
         .orderBy(col("doc_id"))
     }

@@ -205,6 +205,47 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(st.sortedEntries.map(_._1) == sparkOrder)
   }
 
+  test("utf8-order law: code-point compare equals byte-wise UTF-8 compare") {
+    // Utf8Order now compares code points without materializing byte
+    // arrays (it sits inside the per-eviction min scan); this law holds
+    // it equal in SIGN to the byte-wise form it replaced, over random
+    // well-formed strings drawn from every UTF-8 length class: ASCII,
+    // 2-byte (U+0080..U+07FF), 3-byte incl. the high-BMP U+E000..U+FFFF
+    // band where UTF-16 order diverges, and 4-byte supplementary plane.
+    def byteCompare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+    val rnd = new scala.util.Random(131)
+    def randCp(): Int = rnd.nextInt(4) match {
+      case 0 => 0x20 + rnd.nextInt(0x5f)            // ASCII
+      case 1 => 0x80 + rnd.nextInt(0x780)           // 2-byte
+      case 2 =>                                      // 3-byte, skip surrogates
+        val cp = 0x800 + rnd.nextInt(0xf800)
+        if (cp >= 0xd800 && cp <= 0xdfff) 0xe000 + (cp - 0xd800) else cp
+      case _ => 0x10000 + rnd.nextInt(0x10000)      // supplementary
+    }
+    def randStr(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(8)).foreach(_ => sb.appendAll(Character.toChars(randCp())))
+      sb.toString
+    }
+    for (_ <- 1 to 2000) {
+      val (x, y) = (randStr(), randStr())
+      assert(Integer.signum(graft.functions.Utf8Order.compare(x, y)) ==
+        Integer.signum(byteCompare(x, y)),
+        s"order diverged on ${x.map(_.toInt.toHexString)} vs ${y.map(_.toInt.toHexString)}")
+    }
+  }
+
   test("heavyHittersTopK: ranked frame shape on a grouped corpus") {
     val docs = Seq(
       ("en", "x x x y z"), ("en", "x y"), ("fr", "a b a")).toDF("lang", "text")
