@@ -254,18 +254,19 @@ object LmQueries {
     },
 
     // Distributed BPE training vs the sequential witness fixture: the
-    // Spark side trains over the word histogram with per-iteration
-    // distributed pair counts; the oracle reads the independently-derived
-    // witness merge table — hash equality proves the two implementations
-    // learned the identical merge sequence.
+    // Spark side trains over the word histogram with the BATCHED
+    // incremental trainer (speculative multi-merge jobs, exact per-level
+    // delta validation — LmOps.bpeTrainFast); the oracle reads the
+    // independently-derived witness merge table — hash equality proves
+    // the two implementations learned the identical merge sequence.
     "q129_bpe_train" -> QueryDef(
       s"""SELECT CAST(rank AS BIGINT) AS rank, a, b, merged,
          |       CAST(pair_count AS BIGINT) AS pair_count
          |FROM read_parquet('$BpeFixtureToken/merges/*.parquet')
          |ORDER BY rank""".stripMargin) { (s, dir) =>
       ensureBpeFixture(s, dir)
-      val merges = LmOps.bpeTrain(
-        LmOps.wordHistogram(Tables(s, dir).documents), LmQueries.BpeMaxMerges)
+      val merges = LmOps.bpeTrainFast(
+        LmOps.wordHistogram(Tables(s, dir).documents), LmQueries.BpeMaxMerges)._1
       LmOps.mergesToDf(s, merges).orderBy(col("rank"))
     },
 
@@ -285,8 +286,8 @@ object LmQueries {
          |FROM read_parquet('$BpeFixtureToken/apply/*.parquet')
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       ensureBpeFixture(s, dir)
-      val merges = LmOps.bpeTrain(
-        LmOps.wordHistogram(Tables(s, dir).documents), LmQueries.BpeMaxMerges)
+      val merges = LmOps.bpeTrainFast(
+        LmOps.wordHistogram(Tables(s, dir).documents), LmQueries.BpeMaxMerges)._1
       LmOps.bpeApplyReport(Tables(s, dir).documents,
         merges = merges.map(m => (m.a, m.b)))
         .orderBy(col("doc_id"))

@@ -114,6 +114,46 @@ class LmOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("surprisal gate: per-row cost flat at a 50k-entry vocabulary") {
+    // The deployment-scale law for VocabSurprisalSumExpr: a CCNet-sized
+    // vocabulary must cost the same per token as a toy one (hash
+    // lookup), where the old literal-map element_at probe paid O(vocab)
+    // comparisons per token — 5e9 comparisons on this corpus at 50k,
+    // minutes vs milliseconds. Correctness at both sizes is checked
+    // against a plain-JVM recomputation with the same map.
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 1000L).map { id =>
+      (id, (0 until 100).map(_ => s"t${rnd.nextInt(200)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def vocabOf(n: Int): Map[String, Long] =
+      (0 until n).map(i => s"t$i" -> (i % 7).toLong).toMap
+    def expected(voc: Map[String, Long], oov: Long, thresh: Long): Set[Long] =
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).filter {
+        case (_, text) =>
+          val ts = text.split("\\s+").filter(_.nonEmpty)
+          val total = ts.map(t => voc.getOrElse(t, oov)).sum
+          ts.nonEmpty && total * 1000L <= thresh * ts.length
+      }.map(_._1).toSet
+    def run(voc: Map[String, Long]): (Set[Long], Long) = {
+      val gate = LmOps.surprisalGate(docs, voc, oovSb = 13L, threshMilli = 4200)
+      gate.count() // warm: plan + codegen + scan cached out of the timing
+      val t0 = System.nanoTime()
+      val got = gate.select("doc_id").collect().map(_.getLong(0)).toSet
+      (got, System.nanoTime() - t0)
+    }
+    val small = vocabOf(100)
+    val big = vocabOf(50000)
+    val (gotSmall, tSmall) = run(small)
+    val (gotBig, tBig) = run(big)
+    assert(gotSmall == expected(small, 13L, 4200L))
+    assert(gotBig == expected(big, 13L, 4200L))
+    assert(gotSmall != gotBig, "sizes must actually change admissions here")
+    // flat-cost bound: generous (job overhead dominates both) but far
+    // below the O(vocab) probe's 500x signature
+    assert(tBig <= 5 * tSmall + 500L * 1000 * 1000,
+      s"50k vocab gate took ${tBig / 1e6} ms vs ${tSmall / 1e6} ms at 100")
+  }
+
   // ---------------------------------------------------------------- q128
 
   test("importance: target-like docs weigh above off-target docs") {
@@ -181,6 +221,48 @@ class LmOpsSpec extends AnyFunSuite {
     val hist = Seq(("ab", 1L), ("cd", 1L))
     assert(LmOps.bpeTrainWitness(hist, maxMerges = 5).isEmpty) // min 2
     assert(LmOps.bpeTrain(hist.toDF("word", "n"), maxMerges = 5).isEmpty)
+    assert(LmOps.bpeTrainFast(hist.toDF("word", "n"), maxMerges = 5)._1.isEmpty)
+  }
+
+  test("bpe fast: batched incremental trainer equals the witness, fewer jobs") {
+    val hist = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("table", 4L), ("batch", 2L), ("hash", 7L))
+    val (fast, stats) = LmOps.bpeTrainFast(hist.toDF("word", "n"),
+      maxMerges = 12, minPairCount = 1L)
+    val witness = LmOps.bpeTrainWitness(hist, maxMerges = 12,
+      minPairCount = 1L)
+    assert(fast == witness)
+    assert(stats.merges == fast.size)
+    assert(stats.sparkJobs == stats.batches + 1, "one job per batch + seed")
+    // (batch-size > 1 on a corpus this small and letter-entangled is not
+    // guaranteed — BpeScaleWitness carries the jobs << merges evidence)
+  }
+
+  test("bpe fast: adversarial random-histogram law vs the witness") {
+    // The q130 lesson applied to the trainer: the corpus never volunteers
+    // the interference counterexamples, so generate them. A 4-letter
+    // alphabet maximizes batch hazards — shared symbols between top
+    // candidates, a==b self-pairs, merged-symbol STRING collisions with
+    // surviving single letters (the "ab" + "a b" case), and count ties
+    // resolved by the UTF-8 order. Any unsound batch prefix diverges
+    // from the sequential witness within a few merges.
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 12) {
+      val alpha = "abcd"
+      val hist = (1 to 30).map { _ =>
+        val len = 1 + rnd.nextInt(10)
+        (Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString,
+          1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val merges = 1 + rnd.nextInt(24)
+      val (fast, _) = LmOps.bpeTrainFast(hist.toDF("word", "n"),
+        maxMerges = merges, minPairCount = 1L)
+      val wit = LmOps.bpeTrainWitness(hist, maxMerges = merges,
+        minPairCount = 1L)
+      assert(fast == wit,
+        s"trial $trial diverged (merges=$merges):\n fast=$fast\n  wit=$wit\n hist=$hist")
+    }
   }
 
   // ----------------------------------------------------------- BPE apply
