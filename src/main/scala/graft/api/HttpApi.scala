@@ -69,6 +69,9 @@ object HttpApi {
     val limiter =
       if (rateRules.isEmpty) None
       else Some(new RateLimiter.EdgeRateLimiter(rateRules, clock))
+    // request-level perf metrics for /api/monitor/perf (the reference's
+    // PerformanceMonitor surface); every handled exchange is recorded
+    val perf = new PerfMonitor()
 
     // -- control-plane state owned by this bind ------------------------
     // WS filter table: one row per live connection (reference keeps it in
@@ -102,7 +105,7 @@ object HttpApi {
 
     def ctx(path: String)(body: HttpExchange => (Int, String)): Unit = {
       server.createContext(path, (ex: HttpExchange) =>
-        handle(ex, limiter)(
+        handle(ex, limiter, perf)(
           if (!authorized(ex)) (401, errJson("Authentication required"))
           else body(ex)))
       ()
@@ -136,6 +139,20 @@ object HttpApi {
       val (total, running, completed, failed) = jobCounts()
       (200, s"""{"total_jobs":$total,"running_jobs":$running,""" +
         s""""completed_jobs":$completed,"failed_jobs":$failed}""")
+    }
+
+    // Request-level performance export — the reference's
+    // getMetricsAsPrometheus / getMetricsAsJson pair
+    // (performance_monitor.hpp:262-366): Prometheus text exposition by
+    // default, the JSON shape under ?format=json. Under /api/monitor,
+    // so the JWT middleware guards it like the rest of the group.
+    ctx("/api/monitor/perf") { ex =>
+      if (rawQuery(ex).split("&").contains("format=json")) (200, perf.json)
+      else {
+        ex.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        (200, perf.prometheus)
+      }
     }
 
     ctx("/api/logs/search") { ex =>
@@ -448,33 +465,44 @@ object HttpApi {
     * crashes are 500 with a GENERIC body — the exception text goes to the
     * server log, never to the client (path/config disclosure). */
   private def handle(ex: HttpExchange,
-      limiter: Option[RateLimiter.EdgeRateLimiter])
+      limiter: Option[RateLimiter.EdgeRateLimiter],
+      perf: PerfMonitor)
       (body: => (Int, String)): Unit = {
-    val decision = limiter.map(_.check(
-      ex.getRemoteAddress.getAddress.getHostAddress,
-      ex.getRequestURI.getPath))
-    decision.filter(d => d.limit > 0).foreach { d =>
-      ex.getResponseHeaders.set("X-RateLimit-Limit", d.limit.toString)
-      ex.getResponseHeaders.set("X-RateLimit-Remaining", d.remaining.toString)
-      ex.getResponseHeaders.set("X-RateLimit-Reset", d.resetEpochSeconds.toString)
-    }
-    val (code, payload) =
-      if (decision.exists(!_.allowed)) {
-        decision.foreach(d => ex.getResponseHeaders.set(
-          "Retry-After", d.retryAfterSeconds.toString))
-        (429, errJson("Rate limit exceeded"))
-      } else
-        try body
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[http] ${ex.getRequestURI} failed: $e")
-            (500, errJson("internal server error"))
-        }
-    val bytes = payload.getBytes("UTF-8")
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
-    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
-    ex.close()
+    // perf accounting brackets the WHOLE exchange, 429s and 500s
+    // included — the reference's recordRequestStart/End sit at the
+    // request boundary the same way
+    perf.requestStart()
+    val t0 = System.nanoTime()
+    try {
+      val decision = limiter.map(_.check(
+        ex.getRemoteAddress.getAddress.getHostAddress,
+        ex.getRequestURI.getPath))
+      decision.filter(d => d.limit > 0).foreach { d =>
+        ex.getResponseHeaders.set("X-RateLimit-Limit", d.limit.toString)
+        ex.getResponseHeaders.set("X-RateLimit-Remaining", d.remaining.toString)
+        ex.getResponseHeaders.set("X-RateLimit-Reset", d.resetEpochSeconds.toString)
+      }
+      val (code, payload) =
+        if (decision.exists(!_.allowed)) {
+          decision.foreach(d => ex.getResponseHeaders.set(
+            "Retry-After", d.retryAfterSeconds.toString))
+          (429, errJson("Rate limit exceeded"))
+        } else
+          try body
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[http] ${ex.getRequestURI} failed: $e")
+              (500, errJson("internal server error"))
+          }
+      val bytes = payload.getBytes("UTF-8")
+      // handlers may pre-set Content-Type (the Prometheus exposition);
+      // everything else defaults to JSON
+      if (ex.getResponseHeaders.getFirst("Content-Type") == null)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    } finally perf.requestEnd((System.nanoTime() - t0) / 1000000L)
   }
 
   // -- auth/jobs row helpers -------------------------------------------

@@ -98,6 +98,58 @@ class ApiSpec extends AnyFunSuite {
     } finally graft.api.HttpApi.stop(server)
   }
 
+  test("HTTP wire: /api/monitor/perf serves the reference's Prometheus shape") {
+    import spark.implicits._
+    val logs = Seq(graft.model.LogMessage(
+      "j1", "INFO", "db", "ok", ts("2025-09-01 10:00:00"))).toDF()
+    val server = graft.api.HttpApi.start(0, spark, jobs, logs)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      // three requests land in the counters before the scrape
+      (1 to 3).foreach(_ => request(base, "GET", "/api/monitor/status"))
+      val (code, text, headers) = request(base, "GET", "/api/monitor/perf")
+      assert(code == 200)
+      assert(headers.get("Content-type").orElse(headers.get("Content-Type"))
+        .exists(_.startsWith("text/plain; version=0.0.4")), headers.toString)
+      // the reference's 11 series, in its order, each with HELP+TYPE
+      val series = Seq("http_requests_total", "http_requests_active",
+        "http_request_duration_ms", "http_connections_reused_total",
+        "http_connections_total", "http_connection_timeouts_total",
+        "http_request_timeouts_total", "http_connection_reuse_rate",
+        "http_requests_per_second", "http_request_duration_p95_ms",
+        "http_request_duration_p99_ms")
+      val idx = series.map(s => text.indexOf(s"# HELP $s "))
+      assert(idx.forall(_ >= 0), s"missing HELP lines in:\n$text")
+      assert(idx == idx.sorted, "series out of reference order")
+      series.foreach { s =>
+        assert(text.contains(s"# TYPE $s "), s"missing TYPE for $s")
+      }
+      // counter values: the scrape itself is request #4 and is ACTIVE
+      // while the body renders (start/end bracket the whole exchange)
+      assert(text.linesIterator.exists(_.matches("http_requests_total 4")), text)
+      assert(text.linesIterator.exists(_.matches("http_requests_active 1")), text)
+      // JSON twin: getMetricsAsJson field set (request #5)
+      val (cj, bj, _) = request(base, "GET", "/api/monitor/perf?format=json")
+      assert(cj == 200 && bj.contains("\"totalRequests\":5") &&
+        bj.contains("\"p95ResponseTime\":") &&
+        bj.contains("\"requestsPerSecond\":"), s"$cj $bj")
+    } finally graft.api.HttpApi.stop(server)
+  }
+
+  test("PerfMonitor: percentile matches the reference's index formula") {
+    val pm = new graft.api.PerfMonitor()
+    // durations 1..100 → sorted; reference index = p*(n-1):
+    // p95 → idx 94 → value 95; p99 → idx 98 → value 99
+    (1L to 100L).foreach { d => pm.requestStart(); pm.requestEnd(d) }
+    assert(pm.percentileMs(0.95) == 95L)
+    assert(pm.percentileMs(0.99) == 99L)
+    assert(pm.total == 100L && pm.active == 0L)
+    assert(math.abs(pm.averageMs - 50.5) < 1e-9)
+    // ring cap: 1000 newest samples survive (reference caps its vector)
+    (101L to 1300L).foreach { d => pm.requestStart(); pm.requestEnd(d) }
+    assert(pm.percentileMs(0.0) == 301L, "oldest retained sample")
+  }
+
   private def request(base: String, method: String, path: String,
       body: Option[String] = None, headers: Map[String, String] = Map.empty)
       : (Int, String, Map[String, String]) = {
