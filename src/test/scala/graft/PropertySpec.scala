@@ -540,4 +540,182 @@ class PropertySpec extends AnyFunSuite {
       assert(admitted == passed, s"vocab=$vocabSize thresh=$thresh")
     }
   }
+
+  // -------------------------------------------------------------------
+  // The q130 lesson generalized: an oracle-green row proves agreement on
+  // the DATA, not the FUNCTION — when two derivations share a
+  // construction, both can be wrong together and every hash matches.
+  // Each law below holds a kernel against an INDEPENDENT JVM witness
+  // that shares no mechanism (direct per-window recomputation instead
+  // of rolling recurrences, brute-force scans instead of deques, regex
+  // tokenization instead of byte scanning), over generated adversarial
+  // inputs the corpus never volunteers.
+  // -------------------------------------------------------------------
+
+  /** Direct BigInt polynomial hash per window — no rolling subtract-
+    * multiply recurrence, no precomputed pow: the mechanism where
+    * rolling-hash bugs live is exactly what this witness does NOT use. */
+  private def witnessWindowHashes(text: String, window: Int): Array[Long] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < window) Array.emptyLongArray
+    else (0 to cps.length - window).map { s =>
+      var acc = BigInt(0)
+      (s until s + window).foreach(j => acc = (acc * 257 + cps(j)) mod 1000000007)
+      acc.toLong
+    }.toArray
+  }
+
+  /** Adversarial text generator for the rolling family: repeated
+    * characters (all-tie windows), monotone runs (deque stress),
+    * multibyte and supplementary-plane code points (codepoint-vs-char
+    * indexing), and random mixes. */
+  private def rollingTextGen: Gen[String] = {
+    val astral = new String(Character.toChars(0x1F600))
+    Gen.oneOf(
+      Gen.chooseNum(0, 40).map("a" * _),
+      Gen.chooseNum(0, 30).map(n => (0 until n).map(i => ('a' + i % 26).toChar).mkString),
+      Gen.chooseNum(0, 30).map(n => (0 until n).map(i => ('z' - i % 26).toChar).mkString),
+      Gen.listOf(Gen.oneOf("a", "b", "é", "日", astral, " ")).map(_.mkString),
+      Gen.listOf(Gen.oneOf("abab", "abba", "xyzzy")).map(_.mkString))
+  }
+
+  test("rolling fingerprints: kernel equals direct BigInt witness; planted windows survive") {
+    import spark.implicits._
+    import graft.functions.RollingHashExpr
+    val window = 6
+    val sampleMod = 4
+    val texts = sample(rollingTextGen, 250).distinct
+    val got = texts.toDF("text")
+      .select(col("text"), RollingHashExpr.of(col("text"), window, sampleMod).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { t =>
+      val wit = witnessWindowHashes(t, window).filter(_ % sampleMod == 0)
+        .distinct.sorted.toSeq
+      assert(got(t) == wit, s"rolling diverged on ${t.take(60).map(_.toInt)}")
+    }
+    // containment law on planted windows: a doc embedded whole inside a
+    // larger doc contributes ALL its sampled hashes to the host's set
+    val inner = "qwertyuiopasdfgh"
+    val host = "zz" * 5 + inner + "kk" * 5
+    val innerFp = witnessWindowHashes(inner, window).filter(_ % sampleMod == 0).toSet
+    val hostFp = witnessWindowHashes(host, window).filter(_ % sampleMod == 0).toSet
+    assert(innerFp.nonEmpty && innerFp.subsetOf(hostFp),
+      "planted substring must keep its sampled fingerprints inside the host")
+  }
+
+  test("winnowed fingerprints: deque kernel equals brute-force window minima") {
+    import spark.implicits._
+    import graft.functions.RollingHashExpr
+    val window = 5
+    for (winnow <- Seq(1, 3, 7)) {
+      val texts = sample(rollingTextGen, 150).distinct
+      val got = texts.toDF("text")
+        .select(col("text"),
+          RollingHashExpr.winnowed(col("text"), window, winnow).as("fp"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      texts.foreach { t =>
+        val hs = witnessWindowHashes(t, window)
+        val wit =
+          if (hs.isEmpty) Seq.empty[Long]
+          else {
+            val w = math.min(winnow, hs.length)
+            // brute-force: min over every w-length stretch by direct scan
+            ((w - 1) until hs.length)
+              .map(i => hs.slice(i - w + 1, i + 1).min)
+              .distinct.sorted
+          }
+        assert(got(t) == wit,
+          s"winnow=$winnow diverged on ${t.take(60).map(_.toInt)}")
+      }
+    }
+  }
+
+  test("token window hashes: kernel equals regex-tokenized direct-fold witness") {
+    import spark.implicits._
+    import graft.functions.TokenWindowHashExpr
+    // the kernel byte-scans UTF-8 and rolls a wrapping polynomial; the
+    // witness regex-splits (TextFunctions.tokens semantics), FNV-hashes
+    // each token string, and folds each window DIRECTLY — no rolling
+    // subtract, no byte-level tokenizer
+    def fnv(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(-3750763034362895579L)(
+        (h, b) => (h ^ (b & 0xffL)) * 1099511628211L)
+    def witness(text: String, n: Int): Seq[Long] = {
+      val hs = text.split("\\s+").filter(_.nonEmpty).map(fnv)
+      if (hs.length < n) Seq(hs.foldLeft(0L)((w, h) => w * 1099511628211L + h))
+      else hs.sliding(n).map(_.foldLeft(0L)((w, h) => w * 1099511628211L + h)).toSeq
+    }
+    val gen = for {
+      words <- Gen.listOf(Gen.oneOf("a", "bb", "ccc", "日本語", "é", "x1",
+        "zzzzzzzzzz"))
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n", "", "\f", "\r", " \r\n ")
+    } yield words.mkString(sep)
+    for (n <- Seq(1, 3, 16)) {
+      val texts = (sample(gen, 200) ++ Seq("", " ", "one", "a b")).distinct
+      val got = texts.toDF("text")
+        .select(col("text"), TokenWindowHashExpr.of(col("text"), n).as("ws"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      texts.foreach { t =>
+        assert(got(t) == witness(t, n),
+          s"n=$n diverged on ${t.map(_.toInt).mkString(",")}")
+      }
+    }
+  }
+
+  test("quantizeInt8: kernel equals two-pass witness on boundary/outlier channels") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions
+    // independent witness: two explicit passes (max-abs, then codes),
+    // structurally unlike the kernel's fused single traversal — same
+    // double formula by contract (floor(x/scale + 0.5) half-up)
+    def witness(xs: Seq[java.lang.Float]): (Seq[Any], Double) = {
+      val finite = xs.filter(_ != null).map(_.toDouble)
+      val maxabs = finite.map(math.abs).foldLeft(0.0)(
+        (m, a) => if (a.isNaN || a > m) a else m)
+      val scale =
+        if (maxabs.isNaN) Double.NaN
+        else if (maxabs > 0) maxabs / 127.0 else 0.0
+      val codes = xs.map { x =>
+        if (x == null) null
+        else if (scale > 0) Int.box(math.floor(x.toDouble / scale + 0.5).toInt)
+        else Int.box(0)
+      }
+      (codes, scale)
+    }
+    val channels: Seq[Seq[java.lang.Float]] = Seq(
+      Seq(1f, -1f, 0.5f, -0.5f),                  // symmetric boundaries
+      Seq(127f, -127f, 63.5f, -63.5f),            // exact half-step codes
+      Seq(1e30f, 1e-30f, -1e-30f, 0f),            // outlier flattens the rest
+      Seq(0f, 0f, 0f),                            // all-zero → scale 0
+      Seq(-5f, -3f, -1f),                         // negative-only
+      Seq(Float.MinPositiveValue, Float.MaxValue), // denormal + extreme
+      Seq(1f, null, -2f),                         // null channel survives
+      Seq(Float.NaN, 1f, 2f))                     // NaN wins the fold
+    val rnd = new scala.util.Random(17)
+    val randoms = (1 to 60).map(_ =>
+      Seq.fill(1 + rnd.nextInt(8))(Float.box((rnd.nextFloat() - 0.5f) * 200f))
+        .map(x => x: java.lang.Float))
+    val all = channels ++ randoms
+    val rows = all.map(v => Tuple1(v)).toDF("v")
+      .select(VectorExpressions.quantizeInt8(col("v")).as("q"))
+      .select(col("q.codes"), col("q.scale")).collect()
+    all.zip(rows).foreach { case (input, row) =>
+      val (wc, wscale) = witness(input)
+      val gotCodes = row.getSeq[Any](0)
+      val gotScale = row.getDouble(1)
+      assert(gotCodes == wc, s"codes diverged on $input: $gotCodes vs $wc")
+      assert(gotScale == wscale ||
+        (gotScale.isNaN && wscale.isNaN), s"scale diverged on $input")
+      // dequant bound: every finite in-range value reconstructs within
+      // half a step (the quantizer's whole contract)
+      if (wscale > 0 && !wscale.isInfinite)
+        input.zip(wc).foreach {
+          case (x, c: Integer) if x != null && !x.isNaN && !x.isInfinite &&
+              math.abs(x.toDouble) <= wscale * 127 + 1e-6 =>
+            assert(math.abs(x.toDouble - c.toInt * wscale) <= wscale / 2 + 1e-9,
+              s"dequant bound broken at $x in $input")
+          case _ => ()
+        }
+    }
+  }
 }
