@@ -211,6 +211,73 @@ object LmOps {
           lit(threshMilli) * size(col("__gate_ts")))
       .drop("__gate_ts", "__gate_total")
 
+  /** Contrastive LM quality filtering — the CCNet pair construction:
+    * train one unigram surprisal model on a TARGET domain slice
+    * (`targetPred`, e.g. a curated source) and one on the rest of the
+    * corpus, and score each document by the DIFFERENCE of its total
+    * surprisals under the two models. A document that looks more like
+    * the target than the background scores low (target model predicts
+    * it better) and is kept when
+    * `contrast·1000 ≤ threshMilli·n_tokens` — the integerized
+    * perplexity-ratio filter, using the same bitLen buckets as
+    * [[surprisalScores]] so every value is engine-exact.
+    *
+    * Plan shape mirrors q127 doubled: ONE (doc, token) partial-count
+    * shuffle feeds both model probes; the two capped vocab tables are
+    * driver-built broadcast LocalRelations; no global-aggregate barrier
+    * in the scoring plan. Empty documents keep a row with keep=false.
+    * Degenerate slices (empty target or background partition) clamp
+    * totals at 1, the [[importanceWeights]] convention — mirrored in
+    * the q134 oracle SQL. */
+  def contrastScores(docs: DataFrame, targetPred: Column,
+      vocabSize: Int = 16, threshMilli: Long = 1500L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pd = docs
+      .select(col(idCol), targetPred.as("is_target"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("is_target"), col("t"))
+      .agg(count(lit(1)).as("k"))
+      .persist()
+    // one aggregation pass yields BOTH models' counts per token
+    val cnt = pd.groupBy(col("t")).agg(
+      sum(when(col("is_target"), col("k")).otherwise(0L)).as("ct"),
+      sum(when(col("is_target"), 0L).otherwise(col("k"))).as("cb"))
+      .persist()
+    def model(countCol: String): (Array[(String, Long)], Long) = {
+      val n = math.max(1L,
+        Option(cnt.agg(sum(col(countCol))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L))
+      val voc = cnt.filter(col(countCol) > 0)
+        .orderBy(col(countCol).desc, col("t").asc).limit(vocabSize)
+        .collect().map(r => (r.getString(0), bitLenJvm(n / r.getAs[Long](countCol))))
+      (voc, bitLenJvm(n))
+    }
+    val (vocT, oovT) = model("ct")
+    val (vocB, oovB) = model("cb")
+    cnt.unpersist(false)
+    val tDf = vocT.toSeq.toDF("t", "sbt")
+    val bDf = vocB.toSeq.toDF("t", "sbb")
+    val scored = pd
+      .join(broadcast(tDf), Seq("t"), "left")
+      .join(broadcast(bDf), Seq("t"), "left")
+      .withColumn("dv",
+        coalesce(col("sbt"), lit(oovT)) - coalesce(col("sbb"), lit(oovB)))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * col("dv")).as("contrast"))
+    pd.unpersist(false)
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("contrast"), lit(0L)).as("contrast"))
+      .withColumn("keep",
+        col("n_tokens") > 0 &&
+          col("contrast") * 1000L <= lit(threshMilli) * col("n_tokens"))
+  }
+
   /** The (vocab → surprisal bucket, OOV bucket) pair [[surprisalGate]]
     * deploys — trained by one batch pass over a reference corpus, the
     * exact arithmetic of [[surprisalScores]]. */

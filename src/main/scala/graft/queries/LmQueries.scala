@@ -293,6 +293,96 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Contrastive LM quality (the CCNet pair): one unigram surprisal
+    // model on the target slice (source='src0'), one on the rest;
+    // score = difference of total surprisals under the two models,
+    // keep = target-like docs (contrast <= -1.7 bits/token, the
+    // corpus-tuned split point: the shared vocabulary makes most docs
+    // mildly target-like, so the knob sits at the observed median). Same
+    // bitLen-bucket arithmetic as q127, doubled — engine-exact.
+    "q134_lm_contrast" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, source = 'src0' AS it,
+         |               unnest($ToksSql) AS t FROM documents),
+         |pd AS (SELECT doc_id, it, t, count(*) AS k FROM tok
+         |       GROUP BY doc_id, it, t),
+         |cnt AS (SELECT t,
+         |          CAST(sum(CASE WHEN it THEN k ELSE 0 END) AS BIGINT) AS ct,
+         |          CAST(sum(CASE WHEN it THEN 0 ELSE k END) AS BIGINT) AS cb
+         |        FROM pd GROUP BY t),
+         |nt AS (SELECT greatest(coalesce(sum(ct), 0), 1) AS n FROM cnt),
+         |nb AS (SELECT greatest(coalesce(sum(cb), 0), 1) AS n FROM cnt),
+         |voct AS (SELECT t, CAST(length(bin(n // ct)) - 1 AS BIGINT) AS sbt
+         |         FROM (SELECT t, ct FROM cnt WHERE ct > 0
+         |               ORDER BY ct DESC, t ASC LIMIT 16), nt),
+         |vocb AS (SELECT t, CAST(length(bin(n // cb)) - 1 AS BIGINT) AS sbb
+         |         FROM (SELECT t, cb FROM cnt WHERE cb > 0
+         |               ORDER BY cb DESC, t ASC LIMIT 16), nb),
+         |ds AS (SELECT pd.doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |         CAST(sum(k * (
+         |           coalesce(voct.sbt, (SELECT length(bin(n)) - 1 FROM nt)) -
+         |           coalesce(vocb.sbb, (SELECT length(bin(n)) - 1 FROM nb))))
+         |           AS BIGINT) AS contrast
+         |       FROM pd LEFT JOIN voct USING (t) LEFT JOIN vocb USING (t)
+         |       GROUP BY pd.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(ds.contrast, 0) AS BIGINT) AS contrast,
+         |       (coalesce(ds.n_tokens, 0) > 0 AND
+         |        coalesce(ds.contrast, 0) * 1000 <=
+         |          -1700 * coalesce(ds.n_tokens, 0)) AS keep
+         |FROM documents d LEFT JOIN ds USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      LmOps.contrastScores(Tables(s, dir).documents,
+        targetPred = col("source") === "src0", vocabSize = 16,
+        threshMilli = -1700L)
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer fertility rollup under the FIXED merge table: per
+    // (lang, source), subwords-per-word and chars-per-subword in exact
+    // integer permille — the fleet-health report a tokenizer owner
+    // watches (fertility spikes flag domains the vocab serves badly).
+    // Only docs with at least one token contribute (explode/unnest drop
+    // empties in both engines).
+    "q135_tokenizer_fertility" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, lang, source, unnest($ToksSql) AS w
+         |             FROM documents),
+         |sub AS (SELECT doc_id, lang, source, length(w) AS chars,
+         |               $BpeApplySql AS ns FROM tok),
+         |agg AS (SELECT lang, source,
+         |          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |          CAST(count(*) AS BIGINT) AS n_words,
+         |          CAST(sum(ns) AS BIGINT) AS n_subwords,
+         |          CAST(sum(chars) AS BIGINT) AS n_chars
+         |        FROM sub GROUP BY lang, source)
+         |SELECT lang, source, n_docs, n_words, n_subwords,
+         |       CAST(n_subwords * 1000 // n_words AS BIGINT)
+         |         AS fertility_permille,
+         |       CAST(n_chars * 1000 // n_subwords AS BIGINT)
+         |         AS chars_per_subword_permille
+         |FROM agg ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      assertOracleWordLen(s, dir)
+      import graft.functions.TextFunctions
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("w")).as("chars"),
+          graft.functions.BpeApplyExpr.of(col("w"), LmOps.FixedMerges).as("ns"))
+        .groupBy(col("lang"), col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("ns")).cast("long").as("n_subwords"),
+          sum(col("chars")).cast("long").as("n_chars"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          expr("CAST(n_subwords * 1000 DIV n_words AS BIGINT)")
+            .as("fertility_permille"),
+          expr("CAST(n_chars * 1000 DIV n_subwords AS BIGINT)")
+            .as("chars_per_subword_permille"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // BPE application under the FIXED merge table (rank-order chained
     // rules, several consuming earlier merges): per-doc word count and
     // post-merge symbol count, fully recomputed by DuckDB via the same

@@ -180,6 +180,28 @@ class LmOpsSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") === 2).collect()(0).getAs[Long]("n_feats") == 1)
   }
 
+  test("contrast: hand-computed two-model difference with per-model OOV") {
+    // target corpus (src=tgt): "x x y" + "x z" → x:3, y:1, z:1, Nt=5
+    // background (src=bg): "z z z" → z:3, Nb=3
+    // vocabSize=2: vocT = {x: bitLen(5/3)=0, y: bitLen(5/1)=2}, oovT=2
+    //              vocB = {z: bitLen(3/3)=0} (only z has cb>0), oovB=1
+    // dv: x = 0-1 = -1, y = 2-1 = 1, z = 2-0 = 2
+    val docs = Seq(
+      (1L, "x x y", "tgt"), (2L, "x z", "tgt"),
+      (3L, "z z z", "bg"), (4L, "", "bg"))
+      .toDF("doc_id", "text", "source")
+    val out = LmOps.contrastScores(docs, col("source") === "tgt",
+      vocabSize = 2, threshMilli = 0L).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("contrast") == 2 * -1 + 1 * 1) // -1
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(out(1).getAs[Long]("contrast") == -1 + 2) // 1
+    assert(!out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Long]("contrast") == 3 * 2) // 6
+    assert(!out(2).getAs[Boolean]("keep"))
+    assert(out(3).getAs[Long]("n_tokens") == 0)
+    assert(!out(3).getAs[Boolean]("keep")) // empty ⇒ never kept
+  }
+
   // ----------------------------------------------------------- BPE train
 
   test("bpe: distributed trainer equals the sequential witness") {

@@ -245,6 +245,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q131: ranking must come from the sorted summary, not a window:\n$q131")
   }
 
+  test("q134/q135: contrast + fertility plans keep their broadcast/shuffle shapes") {
+    // q134: BOTH capped model tables are driver-built broadcast
+    // LocalRelations; legal hash exchanges are the (doc, is_target, t)
+    // partial count, the token-keyed model aggregation, and the per-doc
+    // re-agg/join — never raw text, never a global barrier.
+    val q134 = executed(query("q134_lm_contrast"))
+    assert(q134.contains("BroadcastExchange"),
+      s"q134: model tables lost their broadcast:\n$q134")
+    val k134 = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(q134).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(k134.subsetOf(Set("doc_id", "is_target", "t")),
+      s"q134 shuffles on unexpected keys: $k134")
+    // q135: one combinable aggregation shuffle on the (lang, source)
+    // group — the per-word scan kernel never shuffles rows by token —
+    // and the permille math needs no window.
+    val q135 = executed(query("q135_tokenizer_fertility"))
+    val k135 = "Exchange hashpartitioning\\(([A-Za-z_#0-9]+)".r
+      .findAllMatchIn(q135).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(k135.subsetOf(Set("lang")),
+      s"q135 shuffles on unexpected keys: $k135")
+    assert(!q135.contains("Window"),
+      s"q135: no window allowed:\n$q135")
+  }
+
   test("fleet invariant: no query plans a SinglePartition exchange outside the whitelist") {
     // Exchange SinglePartition is the one-reducer funnel that breaks at
     // 100 TB: EVERY registered query's physical plan is scanned for it.
