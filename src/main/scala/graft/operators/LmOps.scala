@@ -211,6 +211,61 @@ object LmOps {
           lit(threshMilli) * size(col("__gate_ts")))
       .drop("__gate_ts", "__gate_total")
 
+  /** The (bigram → bucket, unigram-backoff → bucket, OOV) triple
+    * [[bigramSurprisalGate]] deploys — trained by one batch pass with
+    * the exact arithmetic of [[bigramSurprisalScores]] (unigram buckets
+    * already carry the 1-bit backoff penalty; OOV is bitLen(N)+1). */
+  def trainBigramVocab(docs: DataFrame, bigramVocab: Int = 64,
+      unigramVocab: Int = 16, textCol: String = "text")
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("ts"))
+    val c2 = toks
+      .select(explode(TextFunctions.shinglesFromTokens(col("ts"), 2)).as("g"))
+      .filter(size(TextFunctions.tokens(col("g"))) === 2)
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      .persist()
+    val bigRows = c2
+      .withColumn("prev", split(col("g"), " ").getItem(0))
+      .join(c1.withColumnRenamed("t", "prev"), Seq("prev"))
+      .orderBy(col("c2").desc, col("g").asc).limit(bigramVocab)
+      .select(col("g"), col("c1"), col("c2"))
+      .collect().map(r => r.getString(0) ->
+        bitLenJvm(r.getLong(1) / r.getLong(2))).toMap
+    val n = math.max(1L,
+      Option(c1.agg(sum(col("c1"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    val uniRows = c1.orderBy(col("c1").desc, col("t").asc).limit(unigramVocab)
+      .collect().map(r => r.getString(0) -> (bitLenJvm(n / r.getLong(1)) + 1L))
+      .toMap
+    c1.unpersist(false)
+    (bigRows, uniRows, bitLenJvm(n) + 1L)
+  }
+
+  /** Streaming admission twin of [[bigramSurprisalScores]] — the
+    * order-2 sibling of [[surprisalGate]]: drop documents whose mean
+    * BIGRAM surprisal under a pre-trained capped bigram model (with
+    * unigram backoff) exceeds `threshMilli/1000` bits per bigram, and
+    * documents with no bigram positions. The probe is
+    * [[graft.functions.BigramSurprisalSumExpr]] — both model tables in
+    * executor-side hash maps, O(1) per position — so the gate stays a
+    * pure per-row predicate, legal in any streaming position. Batch
+    * parity with the q133 flag is pinned by LmOpsSpec. */
+  def bigramSurprisalGate(docs: DataFrame, bigramSb: Map[String, Long],
+      uniSb: Map[String, Long], oovSb: Long, threshMilli: Long = 9000,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__gate_ts", TextFunctions.tokens(col(textCol)))
+      .withColumn("__gate_total",
+        graft.functions.BigramSurprisalSumExpr.of(col("__gate_ts"),
+          bigramSb, uniSb, oovSb))
+      .filter(size(col("__gate_ts")) > 1 &&
+        col("__gate_total") * 1000L <=
+          lit(threshMilli) * (size(col("__gate_ts")) - 1))
+      .drop("__gate_ts", "__gate_total")
+
   /** Contrastive LM quality filtering — the CCNet pair construction:
     * train one unigram surprisal model on a TARGET domain slice
     * (`targetPred`, e.g. a curated source) and one on the rest of the

@@ -114,6 +114,49 @@ class LmOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bigram gate: batch parity with the q133 low_quality flag") {
+    val docs = Seq(
+      (1L, "x y x y x y"), (2L, "x z q q"), (3L, ""), (4L, "solo"),
+      (5L, "q q q q"), (6L, "x y x y"))
+      .toDF("doc_id", "text")
+    val (big, uni, oov) = LmOps.trainBigramVocab(docs, bigramVocab = 2,
+      unigramVocab = 2)
+    for (thresh <- Seq(500L, 2000L, 3500L)) {
+      val admitted = LmOps.bigramSurprisalGate(docs, big, uni, oov, thresh)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val notLow = LmOps.bigramSurprisalScores(docs, bigramVocab = 2,
+        unigramVocab = 2, threshMilli = thresh)
+        .filter(!col("low_quality"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == notLow, s"thresh=$thresh: $admitted vs $notLow")
+    }
+    // the parity corpus must exercise bigram hits, backoff, OOV, and
+    // the no-bigram degenerate docs
+    assert(big.nonEmpty && uni.nonEmpty)
+  }
+
+  test("bigram gate: pure predicate runs in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val trainDocs = Seq((0L, "x y x y x y x z")).toDF("doc_id", "text")
+    val (big, uni, oov) = LmOps.trainBigramVocab(trainDocs, 2, 2)
+    val stream = MemoryStream[(Long, String)]
+    val q = LmOps.bigramSurprisalGate(
+      stream.toDS().toDF("doc_id", "text"), big, uni, oov,
+      threshMilli = 1500)
+      .writeStream.format("memory").queryName("bigate_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "x y x y"), (2L, "unseen unseen unseen"), (3L, "x"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM bigate_out")
+        .collect().map(_.getLong(0)).toSet
+      // doc1 rides the trained bigrams; doc2 is all-OOV; doc3 has no
+      // bigram positions
+      assert(got == Set(1L))
+    } finally q.stop()
+  }
+
   test("surprisal gate: per-row cost flat at a 50k-entry vocabulary") {
     // The deployment-scale law for VocabSurprisalSumExpr: a CCNet-sized
     // vocabulary must cost the same per token as a toy one (hash
