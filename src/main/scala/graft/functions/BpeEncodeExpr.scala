@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-document BPE ENCODE over an ordered token array: apply the
+  * merge table per token (the shared [[BpeApplyExpr.scanSyms]] scan),
+  * map each resulting symbol to its vocabulary id, and fold the
+  * ordered id sequence into (n_ids, checksum) — the tokenize-to-ids
+  * stage a training pipeline actually ships, reduced to a comparable
+  * row (the full id array would bloat the result set; the wrapping
+  * polynomial checksum `h = h·P + (id+1)` over the EXACT sequence
+  * pins order, boundaries, and every id value).
+  *
+  * The id table materializes once per expression instance as a
+  * `UTF8String`-keyed HashMap (the [[VocabSurprisalSumExpr]] pattern);
+  * an out-of-vocabulary symbol (impossible when the alphabet was
+  * derived from the same corpus, kept total for safety) contributes 0
+  * to the fold — real ids contribute id+1 ≥ 1 — so a vocabulary hole
+  * changes the checksum loudly instead of silently.
+  *
+  * Pure per-row scalar — no join, no aggregation. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
+    vocabIds: Map[String, Int])
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ids", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_encode needs ARRAY<STRING>, got ${other.sql}")
+    }
+
+  @transient private lazy val mergeA: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val mergeB: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val ids: java.util.HashMap[UTF8String, java.lang.Integer] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Integer](
+      math.max(16, (vocabIds.size / 0.75).toInt + 1))
+    vocabIds.foreach { case (s, i) =>
+      m.put(UTF8String.fromString(s), java.lang.Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Instance entry point shared by eval and codegen. */
+  def encode(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    var n = 0L
+    var h = BpeEncodeExpr.ChecksumOffset
+    val nTok = arr.numElements()
+    var t = 0
+    while (t < nTok) {
+      val w = arr.getUTF8String(t).toString
+      if (w.nonEmpty) {
+        // code-point split (the BpeApplyExpr.scanCount convention)
+        var syms = new Array[String](w.length)
+        var k = 0
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          val cc = Character.charCount(cp)
+          syms(k) = w.substring(i, i + cc)
+          k += 1
+          i += cc
+        }
+        val m = BpeApplyExpr.scanSyms(syms, k, mergeA, mergeB)
+        var j = 0
+        while (j < m) {
+          val id = ids.get(UTF8String.fromString(syms(j)))
+          h = h * BpeEncodeExpr.ChecksumPrime +
+            (if (id eq null) 0L else id.intValue() + 1L)
+          j += 1
+        }
+        n += m
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, h))
+  }
+
+  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this,
+      classOf[BpeEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+}
+
+object BpeEncodeExpr {
+  /** FNV-64 offset / prime as the sequence-checksum constants — the
+    * CONTRACT both the engine and the witness fixture implement (the
+    * mechanisms around it — tokenizer, merge apply, vocab build — stay
+    * independent). An out-of-vocabulary symbol contributes 0. */
+  val ChecksumOffset: Long = -3750763034362895579L // 0xcbf29ce484222325
+  val ChecksumPrime: Long = 1099511628211L         // 0x100000001b3
+
+  /** Driver-side checksum fold over an id sequence (the witness path). */
+  def checksum(idSeq: IterableOnce[Int]): Long =
+    idSeq.iterator.foldLeft(ChecksumOffset)(
+      (h, id) => h * ChecksumPrime + (id + 1L))
+
+  import org.apache.spark.sql.graftbridge.Bridge
+  def of(tokens: Column, merges: Seq[(String, String)],
+      vocabIds: Map[String, Int]): Column =
+    Bridge.column(BpeEncodeExpr(Bridge.expression(tokens), merges, vocabIds))
+}

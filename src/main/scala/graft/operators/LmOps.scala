@@ -727,15 +727,20 @@ object LmOps {
     out.result()
   }
 
-  /** Witness-side BPE APPLY: symbol count of `word` after the merge
+  /** Witness-side BPE APPLY: the SYMBOLS of `word` after the merge
     * rules run in rank order, each as an index scan. Pairs with
-    * [[bpeTrainWitness]] to give q132's oracle a train→apply path that
-    * shares no mechanism with the distributed trainer + the
-    * [[bpeSymbolCount]] replace chain. */
-  def applyMergesScan(word: String, merges: Seq[(String, String)]): Int =
+    * [[bpeTrainWitness]] to give the q132/q136 oracles a train→apply
+    * path that shares no mechanism with the distributed trainer + the
+    * [[bpeSymbolCount]] replace chain / native kernels. */
+  def applyMergesScanSyms(word: String,
+      merges: Seq[(String, String)]): Vector[String] =
     merges.foldLeft(codePointChars(word)) {
       case (syms, (a, b)) => scanMerge(syms, a, b)
-    }.length
+    }
+
+  /** Symbol COUNT of the witness apply (q132's shape). */
+  def applyMergesScan(word: String, merges: Seq[(String, String)]): Int =
+    applyMergesScanSyms(word, merges).length
 
   def bpeTrainWitness(hist: Seq[(String, Long)], maxMerges: Int,
       minPairCount: Long = 2L): Seq[BpeMerge] = {
@@ -766,6 +771,40 @@ object LmOps {
     }
     merges.toList
   }
+
+  /** Vocabulary id assignment for a trained BPE tokenizer: base
+    * alphabet symbols (sorted UTF-8 binary, ids 0..A-1), then merged
+    * symbols in rank order (id A+rank-1) — the standard layout, fully
+    * determined by (alphabet, merges) so the engine and the sequential
+    * witness derive identical tables from identical training. */
+  def bpeVocabIds(alphabet: Seq[String],
+      merges: Seq[BpeMerge]): Map[String, Int] = {
+    val base = alphabet.sorted(graft.functions.Utf8Order).zipWithIndex.toMap
+    base ++ merges.map(m => m.merged -> (base.size + m.rank - 1))
+  }
+
+  /** The corpus ALPHABET — distinct single-codepoint symbols across the
+    * word histogram, the base of [[bpeVocabIds]]. Vocab-sized driver
+    * collect (the capped-model convention). */
+  def bpeAlphabet(hist: DataFrame): Seq[String] =
+    hist.select(explode(filter(split(col("word"), ""), s => s =!= ""))
+      .as("s")).distinct().collect().map(_.getString(0)).toSeq
+
+  /** Per-document BPE ENCODE report under a trained tokenizer: apply
+    * the merges per token, map symbols to vocabulary ids, and emit the
+    * ordered-sequence (n_ids, checksum) row — the tokenize-to-ids
+    * stage reduced to a comparable shape. The kernel
+    * ([[graft.functions.BpeEncodeExpr]]) holds the merge table and id
+    * map per executor; the scan is one narrow per-row pass, and the
+    * only shuffle is none at all (per-doc rows stay where they are). */
+  def bpeEncodeReport(docs: DataFrame, merges: Seq[(String, String)],
+      vocabIds: Map[String, Int], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.BpeEncodeExpr.of(
+        TextFunctions.tokens(col(textCol)), merges, vocabIds).as("e"))
+      .select(col(idCol), col("e.n_ids").as("n_ids"),
+        col("e.checksum").as("checksum"))
 
   /** The fixed merge table q130 pins APPLY semantics with (training
     * produces the real table; a fixed one keeps the oracle fully

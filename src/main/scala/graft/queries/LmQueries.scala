@@ -69,6 +69,30 @@ object LmQueries {
         }
         .toDF("doc_id", "n_words", "n_subwords")
         .write.mode("overwrite").parquet(s"$path/apply")
+      // q136's encode witness: per-doc (n_ids, checksum) under the
+      // witness-trained merges, witness-derived alphabet (codePointChars
+      // vs the engine's regex split), and the index-scan apply — the
+      // ordered id-sequence checksum pins every id, boundary, and
+      // position of the tokenize-to-ids stage.
+      val witnessAlpha = hist.iterator
+        .flatMap { case (w, _) => LmOps.codePointChars(w) }.distinct.toSeq
+      val vocabIds = LmOps.bpeVocabIds(witnessAlpha, merges)
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          var n = 0L
+          var h = graft.functions.BpeEncodeExpr.ChecksumOffset
+          text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+            LmOps.applyMergesScanSyms(w, pairs).foreach { sym =>
+              h = h * graft.functions.BpeEncodeExpr.ChecksumPrime +
+                (vocabIds.getOrElse(sym, -1) + 1L)
+              n += 1
+            }
+          }
+          (id, n, h)
+        }
+        .toDF("doc_id", "n_ids", "checksum")
+        .write.mode("overwrite").parquet(s"$path/encode")
       true
     })
     path
@@ -381,6 +405,29 @@ object LmQueries {
           expr("CAST(n_chars * 1000 DIV n_subwords AS BIGINT)")
             .as("chars_per_subword_permille"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // The tokenize-to-ids stage end-to-end: train distributed (batched
+    // incremental trainer), derive the vocabulary (sorted alphabet +
+    // merged symbols by rank), encode every document to its ordered id
+    // sequence, emit (n_ids, checksum). Oracled against the witness
+    // fixture where EVERY stage is independently derived (sequential
+    // train, codePointChars alphabet, index-scan apply, driver fold) —
+    // a hash match proves identical merges, identical vocabulary ids,
+    // and identical id sequences position by position.
+    "q136_bpe_encode" -> QueryDef(
+      s"""SELECT doc_id, CAST(n_ids AS BIGINT) AS n_ids,
+         |       CAST(checksum AS BIGINT) AS checksum
+         |FROM read_parquet('$BpeFixtureToken/encode/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ensureBpeFixture(s, dir)
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents).persist()
+      val merges = LmOps.bpeTrainFast(hist, LmQueries.BpeMaxMerges)._1
+      val vocab = LmOps.bpeVocabIds(LmOps.bpeAlphabet(hist), merges)
+      hist.unpersist(false)
+      LmOps.bpeEncodeReport(Tables(s, dir).documents,
+        merges.map(m => (m.a, m.b)), vocab)
+        .orderBy(col("doc_id"))
     },
 
     // BPE application under the FIXED merge table (rank-order chained

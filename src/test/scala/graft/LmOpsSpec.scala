@@ -330,6 +330,27 @@ class LmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode: hand-computed vocabulary ids and sequence checksum") {
+    import graft.functions.BpeEncodeExpr
+    // alphabet {a, b} → a=0, b=1; merge (a,b) → "ab"=2.
+    // "ab ba" → [ab][b, a] → ids 2, 1, 0 (order matters).
+    val merges = Seq(LmOps.BpeMerge(1, "a", "b", "ab", 9L))
+    val vocab = LmOps.bpeVocabIds(Seq("b", "a"), merges) // order-insensitive
+    assert(vocab == Map("a" -> 0, "b" -> 1, "ab" -> 2))
+    val docs = Seq((1L, "ab ba"), (2L, "")).toDF("doc_id", "text")
+    val out = LmOps.bpeEncodeReport(docs, Seq("a" -> "b"), vocab)
+      .orderBy("doc_id").collect()
+    val expect = ((BpeEncodeExpr.ChecksumOffset * BpeEncodeExpr.ChecksumPrime
+      + 3L) * BpeEncodeExpr.ChecksumPrime + 2L) *
+      BpeEncodeExpr.ChecksumPrime + 1L
+    assert(out(0).getAs[Long]("n_ids") == 3L)
+    assert(out(0).getAs[Long]("checksum") == expect)
+    assert(expect == BpeEncodeExpr.checksum(Seq(2, 1, 0)),
+      "driver fold and kernel must share the checksum contract")
+    assert(out(1).getAs[Long]("n_ids") == 0L)
+    assert(out(1).getAs[Long]("checksum") == BpeEncodeExpr.ChecksumOffset)
+  }
+
   // ----------------------------------------------------------- BPE apply
 
   test("bpe apply: fixed-table symbol counts match hand derivation") {
