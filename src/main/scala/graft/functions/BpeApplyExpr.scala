@@ -83,7 +83,12 @@ case class BpeApplyArrayExpr(child: Expression, merges: Seq[(String, String)])
     val n0 = arr.numElements()
     val syms = new Array[String](n0)
     var i = 0
-    while (i < n0) { syms(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < n0) {
+      // null elements (containsNull inputs) degrade to "" rather than NPE
+      val u = arr.getUTF8String(i)
+      syms(i) = if (u eq null) "" else u.toString
+      i += 1
+    }
     val n = BpeApplyExpr.scanSyms(syms, n0, mergeA, mergeB)
     val out = new Array[Any](n)
     i = 0
@@ -153,7 +158,11 @@ case class BpeBatchDeltaExpr(child: Expression, merges: Seq[(String, String)])
     val n0 = arr.numElements()
     var cur = new Array[String](n0)
     var i = 0
-    while (i < n0) { cur(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < n0) {
+      val u = arr.getUTF8String(i)
+      cur(i) = if (u eq null) "" else u.toString // null-tolerant, like applyBatch
+      i += 1
+    }
     var n = n0
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     def emit(lvl: Int, syms: Array[String], len: Int, w: Int): Unit = {

@@ -63,7 +63,8 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
     val nTok = arr.numElements()
     var t = 0
     while (t < nTok) {
-      val w = arr.getUTF8String(t).toString
+      val u = arr.getUTF8String(t)
+      val w = if (u eq null) "" else u.toString // null token = no symbols
       if (w.nonEmpty) {
         // code-point split (the BpeApplyExpr.scanCount convention)
         var syms = new Array[String](w.length)

@@ -14,20 +14,34 @@ package graft.functions
   * arrays are materialized. This matters because the ordering sits
   * inside SpaceSavingState's per-eviction O(capacity) min scan and the
   * sort of every summary: the previous getBytes-based form allocated
-  * two full byte arrays per element comparison. Agreement with the
-  * byte-wise form is pinned by SpaceSavingSpec's utf8-order law
-  * (including supplementary-plane inputs). */
+  * two full byte arrays per element comparison.
+  *
+  * UNPAIRED surrogates (malformed input) follow `String.getBytes`
+  * semantics — the encoder replaces them with '?' (0x3F) — because
+  * that is what Spark's `UTF8String.fromString` does too: a lone
+  * surrogate must sort where Spark's binary orderBy actually puts it,
+  * not at its raw code-point value. Agreement with the byte-wise form
+  * is pinned by SpaceSavingSpec's utf8-order law (supplementary-plane
+  * AND lone-surrogate inputs). */
 object Utf8Order extends Ordering[String] {
   override def compare(x: String, y: String): Int = {
     var i = 0
     var j = 0
     while (i < x.length && j < y.length) {
-      val cx = x.codePointAt(i)
-      val cy = y.codePointAt(j)
+      val cx = codePointAsEncoded(x, i)
+      val cy = codePointAsEncoded(y, j)
       if (cx != cy) return Integer.compare(cx, cy)
-      i += Character.charCount(cx)
-      j += Character.charCount(cy)
+      i += Character.charCount(x.codePointAt(i))
+      j += Character.charCount(y.codePointAt(j))
     }
     (x.length - i) - (y.length - j)
+  }
+
+  /** The code point the UTF-8 ENCODER sees: unpaired surrogates become
+    * '?' (what getBytes/UTF8String emit); paired surrogates already
+    * come back combined from codePointAt. */
+  private def codePointAsEncoded(s: String, i: Int): Int = {
+    val cp = s.codePointAt(i)
+    if (cp >= 0xD800 && cp <= 0xDFFF) '?' else cp
   }
 }

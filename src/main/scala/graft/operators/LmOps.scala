@@ -143,25 +143,12 @@ object LmOps {
     val c1 = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c1"))
-      .persist()
-    // ONE action: top bigrams joined to their context counts
-    val bigramRows = c2
-      .withColumn("prev", split(col("g"), " ").getItem(0))
-      .join(c1.withColumnRenamed("t", "prev"), Seq("prev"))
-      .orderBy(col("c2").desc, col("g").asc).limit(bigramVocab)
-      .select(col("g"), col("c1"), col("c2"))
-      .collect().map(r => (r.getString(0),
-        bitLenJvm(r.getLong(1) / r.getLong(2))))
-    // unigram backoff buckets: the q127 arithmetic + 1 penalty bit
-    val n = math.max(1L,
-      Option(c1.agg(sum(col("c1"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L))
-    val uniRows = c1.orderBy(col("c1").desc, col("t").asc).limit(unigramVocab)
-      .collect().map(r => (r.getString(0), bitLenJvm(n / r.getLong(1)) + 1L))
-    c1.unpersist(false)
-    val oovSb = bitLenJvm(n) + 1L
-    val bigDf = bigramRows.toSeq.toDF("g", "sb")
-    val uniDf = uniRows.toSeq.toDF("cur", "usb")
+    // the ONE model derivation (shared with trainBigramVocab, so the
+    // gate's parity contract cannot drift from the batch scorer's)
+    val (bigMap, uniMap, oovSb) =
+      bigramModelFromCounts(c2, c1, bigramVocab, unigramVocab)
+    val bigDf = bigMap.toSeq.toDF("g", "sb")
+    val uniDf = uniMap.toSeq.toDF("cur", "usb")
     val scored = pd2
       .join(broadcast(bigDf), Seq("g"), "left")
       .withColumn("cur", split(col("g"), " ").getItem(1))
@@ -226,22 +213,37 @@ object LmOps {
     val c1 = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c1"))
-      .persist()
-    val bigRows = c2
+    bigramModelFromCounts(c2, c1, bigramVocab, unigramVocab)
+  }
+
+  /** The capped bigram model derivation BOTH the batch scorer and the
+    * gate trainer use — one implementation so the q133 parity contract
+    * is structural, not two-copies-in-sync. `c2` is (g, c2) bigram
+    * counts, `c1` is (t, c1) unigram counts; returns (bigram gram →
+    * conditional bucket, backoff token → unigram bucket + 1-bit
+    * penalty, OOV = bitLen(N) + 1). Three driver actions over the
+    * persisted unigram table; everything returned is capped. */
+  private def bigramModelFromCounts(c2: DataFrame, c1raw: DataFrame,
+      bigramVocab: Int, unigramVocab: Int)
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val c1 = c1raw.persist()
+    // ONE action: top bigrams joined to their context counts
+    val bigMap = c2
       .withColumn("prev", split(col("g"), " ").getItem(0))
       .join(c1.withColumnRenamed("t", "prev"), Seq("prev"))
       .orderBy(col("c2").desc, col("g").asc).limit(bigramVocab)
       .select(col("g"), col("c1"), col("c2"))
       .collect().map(r => r.getString(0) ->
         bitLenJvm(r.getLong(1) / r.getLong(2))).toMap
+    // unigram backoff buckets: the q127 arithmetic + 1 penalty bit
     val n = math.max(1L,
       Option(c1.agg(sum(col("c1"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L))
-    val uniRows = c1.orderBy(col("c1").desc, col("t").asc).limit(unigramVocab)
+    val uniMap = c1.orderBy(col("c1").desc, col("t").asc).limit(unigramVocab)
       .collect().map(r => r.getString(0) -> (bitLenJvm(n / r.getLong(1)) + 1L))
       .toMap
     c1.unpersist(false)
-    (bigRows, uniRows, bitLenJvm(n) + 1L)
+    (bigMap, uniMap, bitLenJvm(n) + 1L)
   }
 
   /** Streaming admission twin of [[bigramSurprisalScores]] — the
@@ -277,8 +279,12 @@ object LmOps {
     * perplexity-ratio filter, using the same bitLen buckets as
     * [[surprisalScores]] so every value is engine-exact.
     *
-    * Plan shape mirrors q127 doubled: ONE (doc, token) partial-count
-    * shuffle feeds both model probes; the two capped vocab tables are
+    * Plan shape mirrors q127 doubled: ONE (doc, is_target, token)
+    * partial-count aggregation backs BOTH model derivations (persisted
+    * across the model-building driver actions, then RELEASED — the
+    * fleet convention: the returned plan recomputes that aggregation
+    * once per execution rather than pinning a corpus-sized cache entry
+    * for the application's lifetime); the two capped vocab tables are
     * driver-built broadcast LocalRelations; no global-aggregate barrier
     * in the scoring plan. Empty documents keep a row with keep=false.
     * Degenerate slices (empty target or background partition) clamp
@@ -444,15 +450,10 @@ object LmOps {
     transform(sequence(lit(0), size(syms) - 2),
       i => struct(get(syms, i).as("a"), get(syms, i + 1).as("b")))
 
-  /** [[adjacentPairs]] that is SAFE on size-0/1 arrays (empty result
-    * instead of `sequence(0, -1)`'s descending-index surprise) — the
-    * zip-of-shifted-slices shape, which also keeps `syms` an attribute
-    * reference inside the lambda (the fleet-wide lambda-capture rule). */
-  private def adjacentPairsSafe(syms: Column): Column =
-    transform(
-      arrays_zip(slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
-        slice(syms, lit(2), greatest(size(syms) - 1, lit(0)))),
-      z => struct(z.getField("0").as("a"), z.getField("1").as("b")))
+  // NOTE for maintainers: `sequence(0, size-2)` on a 1-element array is
+  // [0, -1] (descending), NOT empty — adjacentPairs is only safe behind
+  // a size >= 2 filter. The delta path uses the native
+  // BpeBatchDeltaExpr, which has no such hazard.
 
   /** Left-to-right non-overlapping merge of adjacent (a, b) into a+b —
     * the BPE apply step for ONE rule, as a pure fold (equivalent to the
@@ -608,15 +609,22 @@ object LmOps {
     val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
     val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     var truncations = 0
-    // frames persisted and still referenced; released only after the
-    // next batch's action has materialized their successor
-    var live = List.empty[DataFrame]
+    // Release discipline: a plain-persisted frame is dropped as soon as
+    // its successor has materialized (a lost successor partition
+    // recomputes through the lineage back to the last CHECKPOINT, which
+    // stays alive). A localCheckpoint-ed frame has NO lineage behind it
+    // — its blocks are the recompute floor for every later plain frame
+    // — so it is released only when a NEWER checkpoint materializes.
+    var lastPlain: Option[DataFrame] = None
+    var lastCheckpoint: Option[DataFrame] = None
     var done = false
     while (!done && merges.size < maxMerges) {
       if (argmax().forall(_._2 < minPairCount)) done = true
       else {
-        // speculative batch: maximal symbol-disjoint prefix of the
-        // sequential candidate order over current counts
+        // speculative batch: the top-`room` prefix of the sequential
+        // candidate order over current counts — UNCONDITIONED; the
+        // validator below, not any selection-time invariant, is what
+        // guarantees exactness
         val entries = {
           val it = cnt.entrySet().iterator()
           val buf = scala.collection.mutable.ArrayBuffer
@@ -634,9 +642,9 @@ object LmOps {
           .select(col("syms").as("old"),
             graft.functions.BpeApplyArrayExpr.of(col("syms"), rules).as("syms"),
             col("n"))
+        val checkpointed = (batchSizes.size + 1) % checkpointEvery == 0
         val materialized =
-          if ((batchSizes.size + 1) % checkpointEvery == 0)
-            applied.localCheckpoint(false)
+          if (checkpointed) applied.localCheckpoint(false)
           else applied.persist()
         val deltaRows = materialized
           .filter(size(col("old")) =!= size(col("syms")))
@@ -671,9 +679,15 @@ object LmOps {
         }
         if (reject) truncations += 1
         batchSizes += accepted
-        // release predecessors now that the new frame is materialized
-        live.foreach(_.unpersist(false))
-        live = List(materialized)
+        // release: plain predecessors always (their recompute path ends
+        // at lastCheckpoint); the old checkpoint only once a NEW one
+        // has materialized
+        lastPlain.foreach(_.unpersist(false))
+        lastPlain = None
+        if (checkpointed) {
+          lastCheckpoint.foreach(_.unpersist(false))
+          lastCheckpoint = Some(materialized)
+        } else lastPlain = Some(materialized)
         words =
           if (accepted == rules.length) materialized.select(col("syms"), col("n"))
           else if (accepted == 0) materialized.select(col("old").as("syms"), col("n"))
@@ -682,7 +696,8 @@ object LmOps {
               .as("syms"), col("n"))
       }
     }
-    live.foreach(_.unpersist(false))
+    lastPlain.foreach(_.unpersist(false))
+    lastCheckpoint.foreach(_.unpersist(false))
     (merges.toList,
       BpeTrainStats(merges.size, batchSizes.size, sparkJobs,
         if (batchSizes.isEmpty) 0 else batchSizes.max, truncations))

@@ -186,14 +186,23 @@ class LmOpsSpec extends AnyFunSuite {
     }
     val small = vocabOf(100)
     val big = vocabOf(50000)
+    // structural pin first: the gate must probe through the native
+    // expression, never an element_at scan over a literal map (checked
+    // on the ANALYZED plan — the optimizer constant-folds this local
+    // test relation away entirely, which is itself fine)
+    val plan = LmOps.surprisalGate(docs, big, 13L, 4200L)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("vocab_surprisal_sum"), s"probe lost the kernel:\n$plan")
+    assert(!plan.contains("element_at"), s"literal-map scan returned:\n$plan")
     val (gotSmall, tSmall) = run(small)
     val (gotBig, tBig) = run(big)
     assert(gotSmall == expected(small, 13L, 4200L))
     assert(gotBig == expected(big, 13L, 4200L))
     assert(gotSmall != gotBig, "sizes must actually change admissions here")
-    // flat-cost bound: generous (job overhead dominates both) but far
-    // below the O(vocab) probe's 500x signature
-    assert(tBig <= 5 * tSmall + 500L * 1000 * 1000,
+    // flat-cost bound: generous (job overhead dominates both, and a GC
+    // pause must not flake the suite) but far below the O(vocab)
+    // probe's 500x signature
+    assert(tBig <= 5 * tSmall + 2000L * 1000 * 1000,
       s"50k vocab gate took ${tBig / 1e6} ms vs ${tSmall / 1e6} ms at 100")
   }
 

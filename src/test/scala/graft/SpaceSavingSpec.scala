@@ -235,7 +235,13 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
     def randStr(): String = {
       val sb = new StringBuilder
-      (0 until rnd.nextInt(8)).foreach(_ => sb.appendAll(Character.toChars(randCp())))
+      (0 until rnd.nextInt(8)).foreach { _ =>
+        // ~1 in 8 units is a LONE surrogate — malformed input the UTF-8
+        // encoder replaces with '?'; the order must follow the encoder
+        if (rnd.nextInt(8) == 0)
+          sb.append((0xd800 + rnd.nextInt(0x800)).toChar)
+        else sb.appendAll(Character.toChars(randCp()))
+      }
       sb.toString
     }
     for (_ <- 1 to 2000) {

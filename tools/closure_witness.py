@@ -80,11 +80,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        else:
-            try:
-                df[c] = df[c].astype("int64")
-            except (TypeError, ValueError):
-                pass
+        elif pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
+            # widen integer families to one dtype so int32-vs-int64
+            # schema noise cannot fail the compare; floats stay floats
+            # (a floor-cast here would MASK numeric divergence — this
+            # tool's one job is to detect it)
+            df[c] = df[c].astype("int64")
     if len(df.columns):
         df = df.sort_values(by=list(df.columns),
                             kind="mergesort").reset_index(drop=True)
