@@ -102,11 +102,49 @@ object Bench {
     val totalMin = f"${mins.map(_._2).sum}%.3f"
     val line =
       s"""{"queries":$qs,"queries_min":$qsMin,"value_min":$totalMin,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Default output is an UNTRACKED scratch path: three rounds running, a
+    // routine bench run overwrote the committed quiet-window baseline
+    // (bench_full.json) with a throttled run and the diff had to be
+    // reverted by hand. The committed baseline now only changes behind an
+    // explicit --repin whose precondition is the SCALE.md rule: the fresh
+    // run's per-query medians must sit at a ~1.1x-or-better UNIFORM ratio
+    // vs the committed baseline (median of ratios <= 1.1) — i.e. the host
+    // is genuinely quiet. Queries absent from the committed baseline
+    // (new this round) are excluded from the ratio and do not block.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last_run.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       line.getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () } // best-effort local copy
+    if (args.contains("--repin")) repin(line, medians.toMap)
     println(line)
     spark.stop()
+  }
+
+  /** Rewrite the committed quiet baseline iff this run qualifies as quiet. */
+  private def repin(line: String, freshMedians: Map[String, Double]): Unit = {
+    val baselinePath = java.nio.file.Paths.get("bench_full.json")
+    val committed: Map[String, Double] =
+      if (!java.nio.file.Files.exists(baselinePath)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+        // minimal extraction of the "queries" object: "name":1.234 pairs
+        val obj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val ratios = freshMedians.toSeq.collect {
+      case (name, fresh) if committed.get(name).exists(_ > 0.0) => fresh / committed(name)
+    }.sorted
+    val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+    if (ratios.nonEmpty && medianRatio > 1.1) {
+      System.err.println(f"[bench] --repin REFUSED: median ratio vs committed baseline " +
+        f"$medianRatio%.2fx > 1.10x over ${ratios.length} shared queries — host not quiet " +
+        f"(band p10=${ratios((ratios.length * 0.1).toInt)}%.2f p90=${ratios((ratios.length * 0.9).toInt)}%.2f). " +
+        "bench_full.json left untouched; fresh run is in bench_last_run.json.")
+    } else {
+      java.nio.file.Files.write(baselinePath, line.getBytes("UTF-8"))
+      System.err.println(f"[bench] --repin ACCEPTED (median ratio $medianRatio%.2fx over " +
+        f"${ratios.length} shared queries): bench_full.json rewritten.")
+    }
   }
 }

@@ -499,9 +499,12 @@ object HttpApi {
       // everything else defaults to JSON
       if (ex.getResponseHeaders.getFirst("Content-Type") == null)
         ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
-      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
-      ex.close()
+      // the write can throw on client disconnect — the exchange must be
+      // closed regardless or the connection lingers on the server side
+      try {
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      } finally ex.close()
     } finally perf.requestEnd((System.nanoTime() - t0) / 1000000L)
   }
 

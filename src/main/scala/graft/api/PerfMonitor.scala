@@ -18,7 +18,9 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * Thread-safe: counters are atomics; the duration reservoir is a
   * synchronized ring (the reference holds a mutex over its sample
-  * vector the same way, capped at 1000 samples). */
+  * vector the same way, keeping the most recent 10000 samples —
+  * performance_monitor.hpp:133-141; a ring buffer gives the same
+  * "most recent N" window without the vector erase). */
 final class PerfMonitor(clock: () => Long = () => System.nanoTime()) {
 
   private val totalRequests = new AtomicLong(0L)
@@ -27,7 +29,7 @@ final class PerfMonitor(clock: () => Long = () => System.nanoTime()) {
   private val totalDurationMs = new AtomicLong(0L)
   private val startedNanos = clock()
 
-  private val SampleCap = 1000
+  private val SampleCap = 10000
   private val samples = new Array[Long](SampleCap)
   private var sampleCount = 0
   private var sampleNext = 0
@@ -68,9 +70,14 @@ final class PerfMonitor(clock: () => Long = () => System.nanoTime()) {
     }
   }
 
-  def requestsPerSecond: Double = {
-    val elapsed = (clock() - startedNanos) / 1e9
-    if (elapsed <= 0) 0.0 else totalRequests.get() / elapsed
+  /** The reference computes INTEGER requests/sec: size_t totalRequests
+    * divided by truncated whole elapsed seconds, only once at least one
+    * full second has passed (performance_monitor.hpp:192-200). Mirrored
+    * exactly — the exported value is a whole number, never scientific
+    * notation. */
+  def requestsPerSecond: Long = {
+    val elapsedSec = (clock() - startedNanos) / 1000000000L
+    if (elapsedSec <= 0) 0L else totalRequests.get() / elapsedSec
   }
 
   /** `getMetricsAsJson` parity (field set and order;

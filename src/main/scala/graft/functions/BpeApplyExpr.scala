@@ -30,10 +30,12 @@ case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
 
   @transient private lazy val mergeA: Array[String] = merges.map(_._1).toArray
   @transient private lazy val mergeB: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val mergeAB: Array[String] =
+    BpeApplyExpr.mergedTable(mergeA, mergeB)
 
   /** Instance entry point shared by eval and codegen. */
   def scanCount(w: UTF8String): Int =
-    BpeApplyExpr.scanCount(w.toString, mergeA, mergeB)
+    BpeApplyExpr.scanCount(w.toString, mergeA, mergeB, mergeAB)
 
   override def nullSafeEval(v: Any): Any =
     Integer.valueOf(scanCount(v.asInstanceOf[UTF8String]))
@@ -77,6 +79,8 @@ case class BpeApplyArrayExpr(child: Expression, merges: Seq[(String, String)])
 
   @transient private lazy val mergeA: Array[String] = merges.map(_._1).toArray
   @transient private lazy val mergeB: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val mergeAB: Array[String] =
+    BpeApplyExpr.mergedTable(mergeA, mergeB)
 
   /** Instance entry point shared by eval and codegen. */
   def applyBatch(arr: ArrayData): ArrayData = {
@@ -89,7 +93,7 @@ case class BpeApplyArrayExpr(child: Expression, merges: Seq[(String, String)])
       syms(i) = if (u eq null) "" else u.toString
       i += 1
     }
-    val n = BpeApplyExpr.scanSyms(syms, n0, mergeA, mergeB)
+    val n = BpeApplyExpr.scanSyms(syms, n0, mergeA, mergeB, mergeAB)
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
@@ -152,6 +156,8 @@ case class BpeBatchDeltaExpr(child: Expression, merges: Seq[(String, String)])
 
   @transient private lazy val mergeA: Array[String] = merges.map(_._1).toArray
   @transient private lazy val mergeB: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val mergeAB: Array[String] =
+    BpeApplyExpr.mergedTable(mergeA, mergeB)
 
   /** Instance entry point shared by eval and codegen. */
   def deltasOf(arr: ArrayData): ArrayData = {
@@ -178,7 +184,7 @@ case class BpeBatchDeltaExpr(child: Expression, merges: Seq[(String, String)])
     while (l < mergeA.length && n > 1) {
       val next = new Array[String](n)
       System.arraycopy(cur, 0, next, 0, n)
-      val m = BpeApplyExpr.scanOneRule(next, n, mergeA(l), mergeB(l))
+      val m = BpeApplyExpr.scanOneRule(next, n, mergeA(l), mergeB(l), mergeAB(l))
       if (m != n) {
         emit(l + 1, cur, n, -1)
         emit(l + 1, next, m, 1)
@@ -207,14 +213,24 @@ object BpeBatchDeltaExpr {
 
 object BpeApplyExpr {
 
+  /** Shared single-char strings for the ASCII range — the overwhelming
+    * majority of split symbols on natural-language corpora; skips one
+    * `substring` allocation per ASCII code point. Equality-compared
+    * only (the scan uses ==/equals, never reference identity). */
+  private val AsciiSyms: Array[String] =
+    Array.tabulate(128)(c => String.valueOf(c.toChar))
+
   /** One rule's left-to-right non-overlapping scan merge, compacting
-    * `syms(0 until n)` in place; returns the new symbol count. */
-  def scanOneRule(syms: Array[String], n: Int, ra: String, rb: String): Int = {
+    * `syms(0 until n)` in place; returns the new symbol count. `rab`
+    * is the precomputed merged string (== ra + rb) — precomputed ONCE
+    * per rule table instead of allocated per merge occurrence. */
+  def scanOneRule(syms: Array[String], n: Int, ra: String, rb: String,
+      rab: String): Int = {
     var out = 0
     var j = 0
     while (j < n) {
       if (j + 1 < n && syms(j) == ra && syms(j + 1) == rb) {
-        syms(out) = ra + rb; j += 2
+        syms(out) = rab; j += 2
       } else {
         syms(out) = syms(j); j += 1
       }
@@ -223,37 +239,59 @@ object BpeApplyExpr {
     out
   }
 
+  def scanOneRule(syms: Array[String], n: Int, ra: String, rb: String): Int =
+    scanOneRule(syms, n, ra, rb, ra + rb)
+
+  /** Precomputed merged-string table for a rule table — build once per
+    * expression instance, pass to the 5-arg [[scanSyms]]. */
+  def mergedTable(a: Array[String], b: Array[String]): Array[String] =
+    Array.tabulate(a.length)(r => a(r) + b(r))
+
   /** Rank-ordered scan merge of a rule table, compacting `syms(0 until
     * n0)` in place; returns the new symbol count. The one scan all
     * three kernels ([[BpeApplyExpr]], [[BpeApplyArrayExpr]],
-    * [[BpeBatchDeltaExpr]]) share. */
+    * [[BpeBatchDeltaExpr]]) share. `ab` is [[mergedTable]](a, b). */
   def scanSyms(syms: Array[String], n0: Int,
-      a: Array[String], b: Array[String]): Int = {
+      a: Array[String], b: Array[String], ab: Array[String]): Int = {
     var n = n0
     var r = 0
     while (r < a.length && n > 1) {
-      n = scanOneRule(syms, n, a(r), b(r))
+      n = scanOneRule(syms, n, a(r), b(r), ab(r))
       r += 1
     }
     n
   }
 
-  /** Code-point split + per-rule scan merge over reusable arrays. */
-  def scanCount(w: String, a: Array[String], b: Array[String]): Int = {
-    if (w.isEmpty) return 0
-    // code-point split
-    var syms = new Array[String](w.length)
+  def scanSyms(syms: Array[String], n0: Int,
+      a: Array[String], b: Array[String]): Int =
+    scanSyms(syms, n0, a, b, mergedTable(a, b))
+
+  /** Code-point split into `syms` (caller-sized ≥ w.length); returns
+    * the symbol count. ASCII code points reuse the shared table. */
+  def splitSyms(w: String, syms: Array[String]): Int = {
     var n = 0
     var i = 0
     while (i < w.length) {
       val cp = w.codePointAt(i)
       val cc = Character.charCount(cp)
-      syms(n) = w.substring(i, i + cc)
+      syms(n) = if (cp < 128) AsciiSyms(cp) else w.substring(i, i + cc)
       n += 1
       i += cc
     }
-    scanSyms(syms, n, a, b)
+    n
   }
+
+  /** Code-point split + per-rule scan merge over reusable arrays. */
+  def scanCount(w: String, a: Array[String], b: Array[String],
+      ab: Array[String]): Int = {
+    if (w.isEmpty) return 0
+    val syms = new Array[String](w.length)
+    val n = splitSyms(w, syms)
+    scanSyms(syms, n, a, b, ab)
+  }
+
+  def scanCount(w: String, a: Array[String], b: Array[String]): Int =
+    scanCount(w, a, b, mergedTable(a, b))
 
   import org.apache.spark.sql.graftbridge.Bridge
   def of(word: Column, merges: Seq[(String, String)]): Column =

@@ -17,11 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * pins order, boundaries, and every id value).
   *
   * The id table materializes once per expression instance as a
-  * `UTF8String`-keyed HashMap (the [[VocabSurprisalSumExpr]] pattern);
-  * an out-of-vocabulary symbol (impossible when the alphabet was
-  * derived from the same corpus, kept total for safety) contributes 0
-  * to the fold — real ids contribute id+1 ≥ 1 — so a vocabulary hole
-  * changes the checksum loudly instead of silently.
+  * `String`-keyed HashMap — the scan already produces `String`
+  * symbols, so keying by `String` (unlike the `UTF8String`-keyed
+  * [[VocabSurprisalSumExpr]], whose probes arrive as `UTF8String`)
+  * avoids a `UTF8String.fromString` allocation per symbol lookup. An
+  * out-of-vocabulary symbol (impossible when the alphabet was derived
+  * from the same corpus, kept total for safety) contributes 0 to the
+  * fold — real ids contribute id+1 ≥ 1 — so a vocabulary hole changes
+  * the checksum loudly instead of silently.
   *
   * Pure per-row scalar — no join, no aggregation. */
 case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
@@ -47,14 +50,18 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
 
   @transient private lazy val mergeA: Array[String] = merges.map(_._1).toArray
   @transient private lazy val mergeB: Array[String] = merges.map(_._2).toArray
-  @transient private lazy val ids: java.util.HashMap[UTF8String, java.lang.Integer] = {
-    val m = new java.util.HashMap[UTF8String, java.lang.Integer](
+  @transient private lazy val mergeAB: Array[String] =
+    BpeApplyExpr.mergedTable(mergeA, mergeB)
+  @transient private lazy val ids: java.util.HashMap[String, java.lang.Integer] = {
+    val m = new java.util.HashMap[String, java.lang.Integer](
       math.max(16, (vocabIds.size / 0.75).toInt + 1))
-    vocabIds.foreach { case (s, i) =>
-      m.put(UTF8String.fromString(s), java.lang.Integer.valueOf(i))
-    }
+    vocabIds.foreach { case (s, i) => m.put(s, java.lang.Integer.valueOf(i)) }
     m
   }
+  // reusable split scratch — safe because each Spark task deserializes
+  // its own closure copy of the plan (the MonotonicallyIncreasingID
+  // mutable-per-instance convention); grown geometrically on demand
+  @transient private var scratch: Array[String] = null
 
   /** Instance entry point shared by eval and codegen. */
   def encode(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
@@ -66,21 +73,13 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
       val u = arr.getUTF8String(t)
       val w = if (u eq null) "" else u.toString // null token = no symbols
       if (w.nonEmpty) {
-        // code-point split (the BpeApplyExpr.scanCount convention)
-        var syms = new Array[String](w.length)
-        var k = 0
-        var i = 0
-        while (i < w.length) {
-          val cp = w.codePointAt(i)
-          val cc = Character.charCount(cp)
-          syms(k) = w.substring(i, i + cc)
-          k += 1
-          i += cc
-        }
-        val m = BpeApplyExpr.scanSyms(syms, k, mergeA, mergeB)
+        if ((scratch eq null) || scratch.length < w.length)
+          scratch = new Array[String](math.max(64, w.length * 2))
+        val k = BpeApplyExpr.splitSyms(w, scratch)
+        val m = BpeApplyExpr.scanSyms(scratch, k, mergeA, mergeB, mergeAB)
         var j = 0
         while (j < m) {
-          val id = ids.get(UTF8String.fromString(syms(j)))
+          val id = ids.get(scratch(j))
           h = h * BpeEncodeExpr.ChecksumPrime +
             (if (id eq null) 0L else id.intValue() + 1L)
           j += 1

@@ -531,7 +531,7 @@ object LmOps {
     * validator cut short (each costs nothing extra — rollback is a
     * lazy recompute from the cached pre-batch frame). */
   final case class BpeTrainStats(merges: Int, batches: Int, sparkJobs: Int,
-      maxBatch: Int, truncations: Int)
+      maxBatch: Int, truncations: Int, pairTablePeak: Int = 0)
 
   /** Incremental, batched BPE training — the production-shape trainer.
     * Learns the IDENTICAL merge sequence to [[bpeTrain]] /
@@ -609,6 +609,9 @@ object LmOps {
     val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
     val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     var truncations = 0
+    // driver-memory evidence: the pair table is the trainer's only
+    // data-shaped driver state — its peak bounds the driver footprint
+    var pairPeak = cnt.size()
     // Release discipline: a plain-persisted frame is dropped as soon as
     // its successor has materialized (a lost successor partition
     // recomputes through the lineage back to the last CHECKPOINT, which
@@ -679,6 +682,7 @@ object LmOps {
         }
         if (reject) truncations += 1
         batchSizes += accepted
+        pairPeak = math.max(pairPeak, cnt.size())
         // release: plain predecessors always (their recompute path ends
         // at lastCheckpoint); the old checkpoint only once a NEW one
         // has materialized
@@ -700,7 +704,7 @@ object LmOps {
     lastCheckpoint.foreach(_.unpersist(false))
     (merges.toList,
       BpeTrainStats(merges.size, batchSizes.size, sparkJobs,
-        if (batchSizes.isEmpty) 0 else batchSizes.max, truncations))
+        if (batchSizes.isEmpty) 0 else batchSizes.max, truncations, pairPeak))
   }
 
   /** Learned merges as a frame (the q129 result shape). */
@@ -791,11 +795,22 @@ object LmOps {
     * alphabet symbols (sorted UTF-8 binary, ids 0..A-1), then merged
     * symbols in rank order (id A+rank-1) — the standard layout, fully
     * determined by (alphabet, merges) so the engine and the sequential
-    * witness derive identical tables from identical training. */
+    * witness derive identical tables from identical training.
+    *
+    * Collision rule, PINNED: two merges can produce the same merged
+    * string (e.g. ("ab","c") and ("a","bc") both yield "abc") — the
+    * FIRST rank wins the id and the later rank's slot id is simply
+    * unused (the encoder only ever looks up by string, so an unused id
+    * is harmless; what matters is that the string→id mapping is a
+    * stated contract, not a Map-update accident). A merged string that
+    * equals a base alphabet symbol likewise keeps the alphabet id. */
   def bpeVocabIds(alphabet: Seq[String],
       merges: Seq[BpeMerge]): Map[String, Int] = {
     val base = alphabet.sorted(graft.functions.Utf8Order).zipWithIndex.toMap
-    base ++ merges.map(m => m.merged -> (base.size + m.rank - 1))
+    merges.foldLeft(base) { (acc, m) =>
+      if (acc.contains(m.merged)) acc
+      else acc + (m.merged -> (base.size + m.rank - 1))
+    }
   }
 
   /** The corpus ALPHABET — distinct single-codepoint symbols across the

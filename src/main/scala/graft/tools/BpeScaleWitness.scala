@@ -29,7 +29,11 @@ import graft.operators.LmOps
   * minPairCount=2 — the regime a deployed tokenizer trains in.
   *
   * Usage: BpeScaleWitness <sfDir> [merges=1024] [anchorMerges=48]
-  * Prints PASS/FAIL plus the stats row for SCALE.md. */
+  *          [zipfDistinct=50000]
+  * `zipfDistinct` scales the fixture vocabulary (100k supports the
+  * ≥8k-merge tokenizer-scale run). Prints PASS/FAIL plus the stats
+  * row for SCALE.md, including the driver pair-table peak — the
+  * trainer's only data-shaped driver state. */
 object BpeScaleWitness {
 
   /** Deterministic natural-language-shaped word histogram: `distinct`
@@ -60,6 +64,7 @@ object BpeScaleWitness {
     val dir = args(0)
     val merges = if (args.length > 1) args(1).toInt else 1024
     val anchorMerges = if (args.length > 2) args(2).toInt else 48
+    val zipfDistinct = if (args.length > 3) args(3).toInt else 50000
     val spark = graft.core.GraftSession.get("bpe-scale-witness")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -80,7 +85,7 @@ object BpeScaleWitness {
     corpusHist.unpersist()
 
     // --- part 2: zipfian fixture at tokenizer scale -----------------
-    val zipfSeq = zipfHistogram(50000)
+    val zipfSeq = zipfHistogram(zipfDistinct)
     val zipfHist = zipfSeq.toDF("word", "n")
       .repartition(32).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     zipfHist.count()
@@ -105,7 +110,8 @@ object BpeScaleWitness {
     println(f"[bpe-witness] zipf fast: ${stats.merges} merges, " +
       f"${stats.batches} batches (${stats.truncations} truncated, max " +
       f"${stats.maxBatch}, mean ${stats.merges.toDouble / math.max(1, stats.batches)}%.1f), " +
-      f"${stats.sparkJobs} jobs, $fastSec%.1f s ($perMergeFast%.3f s/merge)")
+      f"${stats.sparkJobs} jobs, $fastSec%.1f s ($perMergeFast%.3f s/merge), " +
+      f"pair-table peak ${stats.pairTablePeak} entries")
     println(f"[bpe-witness] zipf per-merge-loop anchor: ${anchor.size} merges, " +
       f"$anchorSec%.1f s ($perMergeAnchor%.3f s/merge), prefix-match=$anchorOk")
     println(f"[bpe-witness] identical-to-witness=$identical " +

@@ -145,9 +145,19 @@ class ApiSpec extends AnyFunSuite {
     assert(pm.percentileMs(0.99) == 99L)
     assert(pm.total == 100L && pm.active == 0L)
     assert(math.abs(pm.averageMs - 50.5) < 1e-9)
-    // ring cap: 1000 newest samples survive (reference caps its vector)
-    (101L to 1300L).foreach { d => pm.requestStart(); pm.requestEnd(d) }
+    // ring cap: the 10000 NEWEST samples survive (the reference keeps
+    // the most recent 10000, performance_monitor.hpp:133-141)
+    (101L to 10300L).foreach { d => pm.requestStart(); pm.requestEnd(d) }
     assert(pm.percentileMs(0.0) == 301L, "oldest retained sample")
+    // requests/sec is the reference's INTEGER division — whole number,
+    // never fractional or scientific notation (hpp:192-200)
+    var now = 0L
+    val pm2 = new graft.api.PerfMonitor(() => now)
+    (1 to 7).foreach { _ => pm2.requestStart(); pm2.requestEnd(1L) }
+    now = 900000000L // <1 s elapsed → 0 (reference guards elapsed > 0)
+    assert(pm2.requestsPerSecond == 0L)
+    now = 2000000000L // 7 reqs / 2 whole seconds → 3 (truncated)
+    assert(pm2.requestsPerSecond == 3L)
   }
 
   private def request(base: String, method: String, path: String,

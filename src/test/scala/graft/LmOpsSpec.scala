@@ -360,6 +360,19 @@ class LmOpsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("checksum") == BpeEncodeExpr.ChecksumOffset)
   }
 
+  test("bpe vocab ids: first-rank wins on merged-string collision") {
+    // ("ab","c") at rank 2 and ("a","bc") at rank 3 both merge to "abc":
+    // rank 2's id (base 3 + rank 2 - 1 = 4) wins; rank 3's slot id 5 is
+    // unused. A merged string equal to a base symbol keeps the base id.
+    val merges = Seq(
+      LmOps.BpeMerge(1, "a", "b", "ab", 9L),
+      LmOps.BpeMerge(2, "ab", "c", "abc", 8L),
+      LmOps.BpeMerge(3, "a", "bc", "abc", 7L),
+      LmOps.BpeMerge(4, "", "c", "c", 6L)) // degenerate: collides with base
+    val vocab = LmOps.bpeVocabIds(Seq("a", "b", "c"), merges)
+    assert(vocab == Map("a" -> 0, "b" -> 1, "c" -> 2, "ab" -> 3, "abc" -> 4))
+  }
+
   // ----------------------------------------------------------- BPE apply
 
   test("bpe apply: fixed-table symbol counts match hand derivation") {
