@@ -98,6 +98,57 @@ object LmQueries {
     path
   }
 
+  /** Build-once-per-(session, sf) UNIGRAM-LM WITNESS for q137/q138:
+    * the piece table recomputed by [[graft.operators.UnigramLm
+    * .trainWitness]] — sequential hard-EM sharing no mechanism with the
+    * distributed trainer (memoized-recursion Viterbi vs the iterative
+    * array DP, nested-loop candidate counting vs the explode
+    * aggregation, plain maps vs Spark jobs) — plus the per-doc encode
+    * report under the witness vocabulary and witness segmenter. Written
+    * under the same per-(session, sf) fixture root as the BPE witness
+    * so Verify's one token substitution covers both. */
+  private val unigramFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ensureUnigramFixture(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val path = bpeFixturePath(s, dir)
+    unigramFixtureBuilt.computeIfAbsent(key, _ => {
+      import s.implicits._
+      import graft.operators.UnigramLm
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val pieces = UnigramLm.trainWitness(hist)
+      UnigramLm.piecesToDf(s, pieces)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/unigram_vocab")
+      // q138's encode witness: segmentWitness + driver checksum fold —
+      // both independent of the engine's expression kernels
+      val counts = pieces.map(p => p.piece -> p.count).toMap
+      val n = math.max(1L, counts.valuesIterator.sum)
+      val costs = counts.map { case (p, c) =>
+        p -> graft.functions.UnigramViterbi.cost(n, c) }
+      val unk = graft.functions.UnigramViterbi.unknownCost(n)
+      val ids = pieces.map(p => p.piece -> p.id).toMap
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          var np = 0L
+          var h = graft.functions.BpeEncodeExpr.ChecksumOffset
+          text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+            UnigramLm.segmentWitness(w, costs, unk).foreach { p =>
+              h = h * graft.functions.BpeEncodeExpr.ChecksumPrime +
+                (ids.getOrElse(p, -1) + 1L)
+              np += 1
+            }
+          }
+          (id, np, h)
+        }
+        .toDF("doc_id", "n_pieces", "checksum")
+        .write.mode("overwrite").parquet(s"$path/unigram_encode")
+      true
+    })
+    path
+  }
+
   /** The longest whitespace token the q130 oracle construction covers.
     * [[BpeFixpointPasses]] is DERIVED from this bound, and the bound is
     * CHECKED against the corpus (once per session+sf, memoized) in the
@@ -427,6 +478,50 @@ object LmQueries {
       hist.unpersist(false)
       LmOps.bpeEncodeReport(Tables(s, dir).documents,
         merges.map(m => (m.a, m.b)), vocab)
+        .orderBy(col("doc_id"))
+    },
+
+    // Unigram-LM (SentencePiece-style) tokenizer training: integer-exact
+    // hard EM over the word histogram (seed candidate counts → EM
+    // recounts under Viterbi segmentation → prune → final recount),
+    // all E-steps distributed one-job each. Oracled against the
+    // sequential witness fixture (independent candidate counting,
+    // memoized-recursion Viterbi, plain-map EM) — hash equality proves
+    // the two implementations learned the identical piece table:
+    // pieces, counts, costs, and id layout.
+    "q137_unigram_train" -> QueryDef(
+      s"""SELECT CAST(piece_id AS BIGINT) AS piece_id, piece,
+         |       CAST(piece_count AS BIGINT) AS piece_count,
+         |       CAST(cost AS BIGINT) AS cost
+         |FROM read_parquet('$BpeFixtureToken/unigram_vocab/*.parquet')
+         |ORDER BY piece_id""".stripMargin) { (s, dir) =>
+      ensureUnigramFixture(s, dir)
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents).persist()
+      val (pieces, _) = graft.operators.UnigramLm.train(hist)
+      hist.unpersist(false)
+      graft.operators.UnigramLm.piecesToDf(s, pieces)
+        .orderBy(col("piece_id"))
+    },
+
+    // The unigram tokenize-to-ids stage end-to-end: train distributed,
+    // Viterbi-segment every document token under the trained costs, map
+    // pieces to vocabulary ids, fold the ordered id sequence into
+    // (n_pieces, checksum) — the q136 shape for the OTHER tokenizer
+    // family. Oracled against the witness fixture where every stage is
+    // independently derived; a hash match proves identical vocabulary,
+    // identical segmentations (every piece boundary), and identical ids
+    // position by position. Retrains deliberately (the q132 rule): the
+    // bench number must price the train stage.
+    "q138_unigram_encode" -> QueryDef(
+      s"""SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
+         |       CAST(checksum AS BIGINT) AS checksum
+         |FROM read_parquet('$BpeFixtureToken/unigram_encode/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ensureUnigramFixture(s, dir)
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents).persist()
+      val (pieces, _) = graft.operators.UnigramLm.train(hist)
+      hist.unpersist(false)
+      graft.operators.UnigramLm.encodeReport(Tables(s, dir).documents, pieces)
         .orderBy(col("doc_id"))
     },
 
