@@ -62,6 +62,56 @@ object VectorKernels {
     * NULL there — so it must here too, not throw and not read a zeroed
     * slot. Nearest-centroid windows then order the null distance last,
     * identically in both formulations. */
+  /** [[NearestCentroidExpr]]'s body: strict-less argmin of sequential
+    * squared-L2 folds (same element order and double promotion as
+    * [[sqDist]]), ties to the smaller index; −1 on null elements or a
+    * universal length mismatch. */
+  def nearestCentroid(a: ArrayData, code: Int, cents: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      if (a.numElements() == c.length) {
+        var acc = 0.0
+        var ok = true
+        var i = 0
+        while (ok && i < c.length) {
+          if (a.isNullAt(i)) ok = false
+          else { val d = get(a, i, code) - c(i); acc += d * d; i += 1 }
+        }
+        if (ok && acc < bestD) { bestD = acc; best = j }
+      }
+      j += 1
+    }
+    best
+  }
+
+  /** Min squared-L2 to a fixed centroid table (same fold order as
+    * [[nearestCentroid]]) — the farthest-point init's selection score.
+    * Invalid vectors (null element / length mismatch everywhere) score
+    * −1.0 so they are never selected as "farthest". */
+  def minSqDist(a: ArrayData, code: Int, cents: Array[Array[Double]]): Double = {
+    var bestD = Double.PositiveInfinity
+    var any = false
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      if (a.numElements() == c.length) {
+        var acc = 0.0
+        var ok = true
+        var i = 0
+        while (ok && i < c.length) {
+          if (a.isNullAt(i)) ok = false
+          else { val d = get(a, i, code) - c(i); acc += d * d; i += 1 }
+        }
+        if (ok) { any = true; if (acc < bestD) bestD = acc }
+      }
+      j += 1
+    }
+    if (any) bestD else -1.0
+  }
+
   def sqDist(aa: ArrayData, bb: ArrayData, ca: Int, cb: Int): java.lang.Double = {
     val n = aa.numElements()
     if (bb.numElements() != n) return null
@@ -328,6 +378,64 @@ case class LshBucketExpr(child: Expression, matrix: Array[Array[Double]])
   }
 }
 
+/** Nearest-centroid argmin over a FIXED centroid table — the KMeans
+  * training/assignment kernel ([[graft.operators.IvfAnn.build]]): per
+  * centroid a sequential squared-L2 fold in element order (identical
+  * double arithmetic to [[SqDistExpr]] with a double-typed right side),
+  * strict-less argmin so ties go to the SMALLER list id. The centroid
+  * table is driver state baked into the expression — nlist × dim
+  * doubles, the capped-model convention — so assignment is one
+  * shuffle-free narrow pass (no cross join, no window). A null element
+  * or length mismatch yields list −1 (loud, never silently bucketed). */
+case class NearestCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override protected def withNewChildInternal(c: Expression): NearestCentroidExpr =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val code = VectorKernels.typeCode(child.dataType)
+
+  def nearest(a: ArrayData): Int = VectorKernels.nearestCentroid(a, code, cents)
+
+  override def nullSafeEval(v: Any): Any = nearest(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCent", this,
+      classOf[NearestCentroidExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nearest($c);")
+  }
+}
+
+/** Min squared-L2 to a fixed centroid table — [[VectorKernels
+  * .minSqDist]] as an expression; the farthest-point init's per-vector
+  * score in [[graft.operators.IvfAnn.build]]. */
+case class MinSqDistExpr(child: Expression, centroids: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildInternal(c: Expression): MinSqDistExpr =
+    copy(child = c)
+  override def prettyName: String = "min_sq_dist"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val code = VectorKernels.typeCode(child.dataType)
+
+  def minDist(a: ArrayData): Double = VectorKernels.minSqDist(a, code, cents)
+
+  override def nullSafeEval(v: Any): Any = minDist(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minSqDist", this,
+      classOf[MinSqDistExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.minDist($c);")
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -345,4 +453,12 @@ object VectorExpressions {
 
   def lshBucket(a: Column, matrix: Array[Array[Double]]): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(a), matrix))
+
+  def nearestCentroid(a: Column, centroids: Seq[Array[Double]]): Column =
+    Bridge.column(NearestCentroidExpr(Bridge.expression(a),
+      centroids.map(_.toSeq)))
+
+  def minSqDist(a: Column, centroids: Seq[Array[Double]]): Column =
+    Bridge.column(MinSqDistExpr(Bridge.expression(a),
+      centroids.map(_.toSeq)))
 }

@@ -62,6 +62,26 @@ object ExtensionQueries {
       graft.operators.IvfAnn.write(
         graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8),
         path)
+      // q139/q140's KMEANS WITNESS: the same (seed, nlist, iters) build
+      // recomputed by IvfAnn.buildWitness — sequential arrays-and-loops
+      // Lloyd sharing the contract (fnv-ordered init, strict-less argmin,
+      // id-ordered mean fold) but no mechanism with the distributed
+      // trainer. Centroids exploded to (list_id, pos, c) scalar rows so
+      // the hash compare is per-value.
+      import s.implicits._
+      val vecs = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val (wCents, wAssign) = graft.operators.IvfAnn.buildWitness(vecs, nlist = 8)
+      wCents.zipWithIndex.flatMap { case (c, li) =>
+        c.zipWithIndex.map { case (x, pos) => (li, pos.toLong, x) }
+      }.toSeq.toDF("list_id", "pos", "c")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/kmeans_witness/centroids")
+      wAssign.toDF("id", "list_id")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/kmeans_witness/assignments")
       true
     })
     path
@@ -286,6 +306,46 @@ object ExtensionQueries {
       val persisted = IvfAnn.read(s, fixture)
       IvfAnn.recallCurve(e.filter(col("vec_id") < 10), persisted, k = 10,
         nprobes = Seq(1, 2, 4, 8)).orderBy(col("nprobe"))
+    },
+
+    // The KMeans BUILD itself, oracled (closing the one spec-land stage
+    // of the q102 fixture chain): the engine retrains the deterministic
+    // Lloyd build (fnv-ordered init, strict-less argmin assignment,
+    // id-ordered mean folds) and emits the final centroids as
+    // (list_id, pos, c) scalar rows; the oracle reads the SEQUENTIAL
+    // witness's centroids from the fixture. Bitwise double equality is
+    // the claim — the id-ordered fold makes distributed summation order
+    // deterministic, so the hash compare is exact, not approximate.
+    "q139_kmeans_centroids" -> QueryDef(
+      s"""SELECT CAST(list_id AS INT) AS list_id, CAST(pos AS BIGINT) AS pos, c
+         |FROM read_parquet('$IvfFixtureToken/kmeans_witness/centroids/*.parquet')
+         |ORDER BY list_id, pos""".stripMargin) { (s, dir) =>
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      ensureIvfFixture(s, dir)
+      val idx = graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8)
+      idx.centroids
+        .select(col("list_id").cast("int").as("list_id"),
+          posexplode(col("centroid")).as(Seq("pos", "c")))
+        .select(col("list_id"), col("pos").cast("long").as("pos"), col("c"))
+        .orderBy(col("list_id"), col("pos"))
+    },
+
+    // The build's ASSIGNMENTS against the witness: every corpus vector's
+    // final list under the engine's distributed train must equal the
+    // sequential witness's — together with q139 this pins the whole
+    // clustering, so q102/q124's fixture chain is independently derived
+    // end to end (build by two mechanisms here, probe/assign arithmetic
+    // re-derived by DuckDB there).
+    "q140_kmeans_assign" -> QueryDef(
+      s"""SELECT id, CAST(list_id AS INT) AS list_id
+         |FROM read_parquet('$IvfFixtureToken/kmeans_witness/assignments/*.parquet')
+         |ORDER BY id""".stripMargin) { (s, dir) =>
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      ensureIvfFixture(s, dir)
+      val idx = graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8)
+      idx.assignments
+        .select(col("id"), col("list_id").cast("int").as("list_id"))
+        .orderBy(col("id"))
     },
 
     // Incremental index maintenance, the ingestion half: a new vector

@@ -60,8 +60,10 @@ object ApiScaleWitness {
       rateRules = Nil)
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
 
+    var nReq = 0 // every req() lands in the perf monitor's counters
     def req(method: String, path: String, body: Option[String] = None,
         headers: Map[String, String] = Map.empty): (Int, String, Double) = {
+      nReq += 1
       val t0 = System.nanoTime()
       val conn = new java.net.URL(base + path).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
@@ -139,6 +141,37 @@ object ApiScaleWitness {
       val newId = graft.functions.MiniJson.topLevelString(created._2, "job_id").get
       check("jobs PUT", req("PUT", s"/api/jobs/$newId",
         Some("""{"status":"cancelled"}""")), contains = "updated")
+      // group 10: perf monitor under the load this witness just made —
+      // not just format-asserted (ApiSpec does that) but RECONCILED:
+      // the exposition's request counter must equal the witness's own
+      // request count (the scrape itself included), and the percentile
+      // pair must be ordered with a sane magnitude.
+      val prom = req("GET", "/api/monitor/perf", headers = auth)
+      check("monitor/perf prom", prom, contains = "http_requests_total")
+      val promTotal = prom._2.linesIterator
+        .find(_.startsWith("http_requests_total "))
+        .map(_.split(' ')(1).trim.toLong).getOrElse(-1L)
+      if (promTotal != nReq) {
+        ok = false
+        println(s"[api-scale] perf reconcile FAIL: http_requests_total=" +
+          s"$promTotal, witness made $nReq requests")
+      } else println(s"[api-scale] perf reconcile ok: $promTotal == $nReq")
+      val pj = req("GET", "/api/monitor/perf?format=json", headers = auth)
+      check("monitor/perf json", pj, contains = "\"totalRequests\":")
+      def jLong(k: String): Long =
+        graft.functions.MiniJson.topLevelLong(pj._2, k).getOrElse(-1L)
+      val (tot, p95, p99) = (jLong("totalRequests"),
+        jLong("p95ResponseTime"), jLong("p99ResponseTime"))
+      // json twin counted its own scrape; p95 <= p99 by the sorted-index
+      // formula; rps is the reference's integer division (never
+      // fractional/scientific in the exposition)
+      val rpsIntegral = pj._2.contains("\"requestsPerSecond\":") &&
+        "\"requestsPerSecond\":(\\d+)[,}]".r.findFirstIn(pj._2).isDefined
+      if (tot != nReq || p95 < 0 || p95 > p99 || !rpsIntegral) {
+        ok = false
+        println(s"[api-scale] perf json FAIL: totalRequests=$tot (want $nReq) " +
+          s"p95=$p95 p99=$p99 rpsIntegral=$rpsIntegral body=${pj._2.take(200)}")
+      } else println(s"[api-scale] perf json ok: total=$tot p95=$p95 p99=$p99")
     } finally graft.api.HttpApi.stop(server)
     println(s"[api-scale] ${if (ok) "PASS" else "FAIL"}")
     spark.stop()

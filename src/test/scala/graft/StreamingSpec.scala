@@ -1401,4 +1401,91 @@ class StreamingSpec extends AnyFunSuite {
       assert(pairs == Set((1L, 100L)))
     } finally q.stop()
   }
+
+  test("LM gate soak: 60 micro-batches, flat per-batch time, exact admission") {
+    import spark.implicits._
+    import graft.operators.LmOps
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Deployment shape: train both capped models ONCE on a reference
+    // corpus, then gate a long-running stream. The soak proves what the
+    // single-batch parity specs can't: per-batch cost stays FLAT over a
+    // sustained run (the gates are pure per-row predicates — no state,
+    // no store to grow), and admission stays EXACT on every batch (the
+    // driver twin below recomputes each probe's arithmetic with plain
+    // folds — independent of the executor-side hash-probe expressions).
+    val trainDocs = Seq.tabulate(64)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val (voc, oov) = LmOps.trainSurprisalVocab(trainDocs, vocabSize = 8)
+    val (big, uni, boov) = LmOps.trainBigramVocab(trainDocs,
+      bigramVocab = 16, unigramVocab = 8)
+    val uThresh = 3000L
+    val bThresh = 3000L
+    def uniAdmit(text: String): Boolean = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      ts.nonEmpty &&
+        ts.map(t => voc.getOrElse(t, oov)).sum * 1000L <= uThresh * ts.length
+    }
+    def bigAdmit(text: String): Boolean = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      ts.length > 1 && ts.sliding(2).map(p =>
+        big.getOrElse(p(0) + " " + p(1), uni.getOrElse(p(1), boov))).sum *
+        1000L <= bThresh * (ts.length - 1)
+    }
+    val uStream = MemoryStream[(Long, String)]
+    val bStream = MemoryStream[(Long, String)]
+    val uQ = LmOps.surprisalGate(uStream.toDS().toDF("doc_id", "text"),
+      voc, oov, threshMilli = uThresh)
+      .writeStream.format("memory").queryName("lm_gate_soak_u")
+      .outputMode("append").start()
+    val bQ = LmOps.bigramSurprisalGate(bStream.toDS().toDF("doc_id", "text"),
+      big, uni, boov, threshMilli = bThresh)
+      .writeStream.format("memory").queryName("lm_gate_soak_b")
+      .outputMode("append").start()
+    val times = new Array[Double](60)
+    val expectU = scala.collection.mutable.Set.empty[Long]
+    val expectB = scala.collection.mutable.Set.empty[Long]
+    try {
+      for (b <- 0 until 60) {
+        // per-batch mix varies with b: in-model docs, OOV junk, empties,
+        // and a bigram-breaking shuffle (good tokens, unseen transitions)
+        val docs = (0 until 20).map { i =>
+          val id = b * 100L + i
+          val text = (i % 4) match {
+            case 0 => "the quick brown fox jumps over the lazy dog"
+            case 1 => s"zz$b-$i qq$b-$i vv$b-$i ww$b-$i xx$b-$i yy$b-$i"
+            case 2 => if (i % 8 == 2) "" else s"dog lazy the over jumps fox w$b"
+            case _ => s"the quick brown fox w$b-$i"
+          }
+          (id, text)
+        }
+        docs.foreach { case (id, t) =>
+          if (uniAdmit(t)) expectU += id
+          if (bigAdmit(t)) expectB += id
+        }
+        val t0 = System.nanoTime()
+        uStream.addData(docs)
+        bStream.addData(docs)
+        uQ.processAllAvailable()
+        bQ.processAllAvailable()
+        times(b) = (System.nanoTime() - t0) / 1e9
+      }
+      val gotU = spark.sql("SELECT doc_id FROM lm_gate_soak_u")
+        .collect().map(_.getLong(0)).toSet
+      val gotB = spark.sql("SELECT doc_id FROM lm_gate_soak_b")
+        .collect().map(_.getLong(0)).toSet
+      assert(gotU == expectU.toSet,
+        s"unigram gate drift: extra=${gotU -- expectU} missing=${expectU -- gotU}")
+      assert(gotB == expectB.toSet,
+        s"bigram gate drift: extra=${gotB -- expectB} missing=${expectB -- gotB}")
+      // the mix must exercise both sides of both gates
+      assert(expectU.nonEmpty && expectU.size < 60 * 20)
+      assert(expectB.nonEmpty && expectB.size < 60 * 20)
+      def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val early = median(times.slice(5, 25).toSeq)
+      val late = median(times.slice(40, 60).toSeq)
+      assert(late / early < 3.0,
+        f"per-batch time grew: early=$early%.3fs late=$late%.3fs (${late / early}%.2fx)")
+    } finally { uQ.stop(); bQ.stop() }
+  }
 }
