@@ -306,4 +306,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "an Exchange sits between the bloom filter and the gram explode — " +
         "the prefilter is no longer pre-shuffle")
   }
+
+  test("q138/q140: unigram encode and kmeans assignment are shuffle-free") {
+    // Both operators' 100 TB claim is the NARROW PASS: the trained
+    // model rides inside the expression (capped driver state), so the
+    // per-document / per-vector stage adds ZERO hash exchanges — the
+    // only exchange in either plan is the final presentation sort's
+    // range partitioning. (The training jobs both queries price run
+    // EAGERLY in the lambda; they are not part of the returned plan.)
+    val enc = executed(query("q138_unigram_encode"))
+    assert(enc.contains("unigram_encode"),
+      s"unigram encode kernel missing from plan:\n$enc")
+    assert(shuffles(enc) == 0,
+      s"unigram encode gained a hash shuffle:\n$enc")
+    val asg = executed(query("q140_kmeans_assign"))
+    assert(asg.contains("nearest_centroid"),
+      s"nearest-centroid kernel missing from plan:\n$asg")
+    assert(shuffles(asg) == 0,
+      s"kmeans assignment gained a hash shuffle:\n$asg")
+  }
 }
