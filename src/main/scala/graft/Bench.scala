@@ -115,7 +115,13 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       line.getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () } // best-effort local copy
-    if (args.contains("--repin")) repin(line, medians.toMap)
+    // repin must never cost the run its output line: a read-only
+    // baseline or full disk is reported, not thrown past the println
+    if (args.contains("--repin"))
+      try repin(line, medians.toMap)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] --repin failed: $e — baseline untouched")
+      }
     println(line)
     spark.stop()
   }

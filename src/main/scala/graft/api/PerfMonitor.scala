@@ -60,15 +60,23 @@ final class PerfMonitor(clock: () => Long = () => System.nanoTime()) {
     if (n == 0) 0.0 else totalDurationMs.get().toDouble / n
   }
 
-  /** The reference's percentile: sorted recent samples, index p·(n−1). */
-  def percentileMs(p: Double): Long = samples.synchronized {
-    if (sampleCount == 0) 0L
-    else {
-      val sorted = java.util.Arrays.copyOf(samples, sampleCount)
-      java.util.Arrays.sort(sorted)
-      sorted((p * (sampleCount - 1)).toInt)
+  /** One sorted snapshot of the reservoir: the COPY happens under the
+    * lock (a 10k-long memcpy), the SORT outside it — so a scrape never
+    * blocks concurrent requestEnd calls for the sort's duration, and
+    * one snapshot serves both exported percentiles. */
+  private def sortedSnapshot(): Array[Long] = {
+    val copy = samples.synchronized {
+      java.util.Arrays.copyOf(samples, sampleCount)
     }
+    java.util.Arrays.sort(copy)
+    copy
   }
+
+  /** The reference's percentile index p·(n−1) over a sorted snapshot. */
+  private def pctOf(sorted: Array[Long], p: Double): Long =
+    if (sorted.isEmpty) 0L else sorted((p * (sorted.length - 1)).toInt)
+
+  def percentileMs(p: Double): Long = pctOf(sortedSnapshot(), p)
 
   /** The reference computes INTEGER requests/sec: size_t totalRequests
     * divided by truncated whole elapsed seconds, only once at least one
@@ -82,7 +90,8 @@ final class PerfMonitor(clock: () => Long = () => System.nanoTime()) {
 
   /** `getMetricsAsJson` parity (field set and order;
     * performance_monitor.hpp:262-289). */
-  def json: String =
+  def json: String = {
+    val snap = sortedSnapshot()
     s"""{"totalRequests":${totalRequests.get()},""" +
       s""""activeRequests":${activeRequests.get()},""" +
       s""""averageResponseTime":$averageMs,""" +
@@ -90,12 +99,14 @@ final class PerfMonitor(clock: () => Long = () => System.nanoTime()) {
       s""""connectionTimeouts":0,"requestTimeouts":0,""" +
       s""""connectionReuseRate":0.0,""" +
       s""""requestsPerSecond":$requestsPerSecond,""" +
-      s""""p95ResponseTime":${percentileMs(0.95)},""" +
-      s""""p99ResponseTime":${percentileMs(0.99)}}"""
+      s""""p95ResponseTime":${pctOf(snap, 0.95)},""" +
+      s""""p99ResponseTime":${pctOf(snap, 0.99)}}"""
+  }
 
   /** `getMetricsAsPrometheus` parity (performance_monitor.hpp:296-366):
     * same series names, HELP/TYPE lines, and order, `\n\n` separated. */
   def prometheus: String = {
+    val snap = sortedSnapshot()
     val sb = new StringBuilder
     def metric(name: String, help: String, tpe: String, value: String): Unit = {
       sb.append(s"# HELP $name $help\n")
@@ -124,12 +135,12 @@ final class PerfMonitor(clock: () => Long = () => System.nanoTime()) {
       "gauge", requestsPerSecond.toString)
     metric("http_request_duration_p95_ms",
       "95th percentile request duration in milliseconds", "gauge",
-      percentileMs(0.95).toString)
+      pctOf(snap, 0.95).toString)
     // final series ends with a single newline (reference: one "\n")
     sb.append("# HELP http_request_duration_p99_ms 99th percentile request " +
       "duration in milliseconds\n")
     sb.append("# TYPE http_request_duration_p99_ms gauge\n")
-    sb.append(s"http_request_duration_p99_ms ${percentileMs(0.99)}\n")
+    sb.append(s"http_request_duration_p99_ms ${pctOf(snap, 0.99)}\n")
     sb.toString
   }
 }

@@ -62,6 +62,11 @@ object IvfAnn {
     import spark.implicits._
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guard up front (the witness's require twin): past this point the
+    // farthest-point loop always appends, so a short corpus would
+    // otherwise exit with silently-duplicated centroids
+    require(base.count() >= nlist,
+      s"corpus has fewer than nlist=$nlist vectors")
     val mean: Array[Double] = {
       val dim = base.select(size(col("v"))).head().getInt(0)
       val m = new Array[Double](dim)
@@ -90,8 +95,6 @@ object IvfAnn {
         .collect().map(_.getSeq[Double](0).toArray)
       cents = cents ++ next
     }
-    require(cents.length == nlist,
-      s"corpus has fewer than nlist=$nlist vectors")
     for (_ <- 1 to iters) {
       val assigned = base.withColumn("list_id",
         graft.functions.VectorExpressions.nearestCentroid(col("v"),
@@ -100,7 +103,15 @@ object IvfAnn {
       Embeddings.meanPool(assigned, col("list_id"), idCol = "id",
         vecCol = "v")
         .collect().foreach { r =>
-          next(r.getInt(0))(r.getLong(1).toInt) = r.getDouble(2)
+          val g = r.getInt(0)
+          // the −1 bucket means an invalid vector (null element or
+          // dimension mismatch) reached training — fail NAMED here
+          // rather than with a bare index crash or a silent
+          // unreachable list in the persisted index
+          require(g >= 0, "KMeans corpus contains an invalid vector " +
+            "(null element or dimension mismatch) — it assigned to " +
+            "list −1; clean the corpus before building")
+          next(g)(r.getLong(1).toInt) = r.getDouble(2)
         }
       cents = next
     }
@@ -110,6 +121,10 @@ object IvfAnn {
     val centroids = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
+    // release the training cache: the returned assignments frame pays
+    // one recompute scan when the caller materializes it — the price
+    // of not leaking a cached corpus copy per build for the session
+    base.unpersist(false)
     IvfIndex(assignments, centroids)
   }
 

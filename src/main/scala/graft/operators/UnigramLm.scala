@@ -74,17 +74,25 @@ object UnigramLm {
   def train(hist: DataFrame, params: UnigramParams = UnigramParams())
       : (Seq[UnigramPiece], UnigramStats) = {
     var jobs = 0
-    // 1. seed candidates (one job)
-    val seed = hist
+    // 1. seed candidates (one job) — the CAP is applied DISTRIBUTEDLY
+    // (TakeOrdered on (count desc, piece UTF-8 asc) — Spark string
+    // ordering IS binary UTF-8, the pieceOrd twin), so the driver
+    // collect is alphabet + candidateCap rows, never the corpus-shaped
+    // distinct-substring histogram. Spark's length() counts CODE
+    // POINTS (UTF8String.numChars), the cpCount twin.
+    val cand = hist
       .select(explode(UnigramCandidatesExpr.of(col("word"))).as("piece"),
         col("n"))
       .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+    val seed = cand.filter(length(col("piece")) === 1)
+      .unionByName(
+        cand.filter(length(col("piece")) > 1 && col("c") >= params.minCount)
+          .orderBy(col("c").desc, col("piece").asc)
+          .limit(params.candidateCap))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     jobs += 1
     val alphabet = seed.filter { case (p, _) => cpCount(p) == 1 }.toMap
-    val multis = seed.filter { case (p, c) =>
-      cpCount(p) > 1 && c >= params.minCount }
-      .sorted(pieceOrd).take(params.candidateCap)
+    val multis = seed.filter { case (p, _) => cpCount(p) > 1 }
     var counts: Map[String, Long] = alphabet ++ multis
     val seedSize = counts.size
 

@@ -49,8 +49,8 @@ object ExtensionQueries {
 
   /** Build-once-per-(session, sf) guard for the IVF fixture: q102 and
     * q124 both consume it, and either may run first (or alone). The
-    * KMeans build is seed-fixed, so whichever caller builds writes the
-    * same bytes. Returns the fixture root. */
+    * KMeans build is fully deterministic, so whichever caller builds
+    * writes the same bytes. Returns the fixture root. */
   private val ivfFixtureBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   private def ensureIvfFixture(s: org.apache.spark.sql.SparkSession,
@@ -62,9 +62,9 @@ object ExtensionQueries {
       graft.operators.IvfAnn.write(
         graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8),
         path)
-      // q139/q140's KMEANS WITNESS: the same (seed, nlist, iters) build
+      // q139/q140's KMEANS WITNESS: the same (nlist, iters) build
       // recomputed by IvfAnn.buildWitness — sequential arrays-and-loops
-      // Lloyd sharing the contract (fnv-ordered init, strict-less argmin,
+      // Lloyd sharing the contract (mean-nearest seed + farthest-point init,
       // id-ordered mean fold) but no mechanism with the distributed
       // trainer. Centroids exploded to (list_id, pos, c) scalar rows so
       // the hash compare is per-value.
@@ -310,7 +310,7 @@ object ExtensionQueries {
 
     // The KMeans BUILD itself, oracled (closing the one spec-land stage
     // of the q102 fixture chain): the engine retrains the deterministic
-    // Lloyd build (fnv-ordered init, strict-less argmin assignment,
+    // Lloyd build (mean-nearest seed + farthest-point init, strict-less
     // id-ordered mean folds) and emits the final centroids as
     // (list_id, pos, c) scalar rows; the oracle reads the SEQUENTIAL
     // witness's centroids from the fixture. Bitwise double equality is
