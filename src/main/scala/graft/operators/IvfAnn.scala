@@ -281,12 +281,15 @@ object IvfAnn {
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val all = index.assignments
       .unionByName(assign(newVectors, index.centroids, idCol, vecCol))
-    val centroids = all
-      .select(col("list_id"), posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy(col("list_id"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("list_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+    // the same id-ordered fold as build's update step, so a refreshed
+    // index is as deterministic as a freshly-built one (an avg() here
+    // would float with partial-aggregation order)
+    val centroids = Embeddings.meanPool(all, col("list_id"),
+      idCol = "id", vecCol = "v")
+      .groupBy(col("g"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        s => s.getField("mean")).as("centroid"))
+      .select(col("g").as("list_id"), col("centroid"))
     IvfIndex(all, centroids)
   }
 

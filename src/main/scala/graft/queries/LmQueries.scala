@@ -525,6 +525,39 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Sequence packing under the PRODUCTION tokenizer: the q68 packing
+    // shape (chunked concat-and-chop, 100-doc chunks) re-priced with
+    // REAL subword counts — the fixed BPE merge table's per-doc symbol
+    // count (the q130 arithmetic), not whitespace tokens. This is what
+    // a training pipeline actually packs by: whitespace counts
+    // under-estimate sequence budget wherever fertility > 1, and the
+    // pack boundaries move. Fully DuckDB-recomputable (the q130
+    // chained-replace construction feeding the q68 window cumsum).
+    "q141_pack_tokenized" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS w FROM documents),
+         |sub AS (SELECT doc_id, $BpeApplySql AS ns FROM tok),
+         |agg AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS sw
+         |        FROM sub GROUP BY doc_id),
+         |d AS (SELECT d.doc_id,
+         |        CAST(least(coalesce(agg.sw, 0), 1024) AS BIGINT) AS toks,
+         |        d.doc_id // 100 AS chunk
+         |      FROM documents d LEFT JOIN agg USING (doc_id)),
+         |c AS (SELECT doc_id, chunk, toks,
+         |        CAST(sum(toks) OVER (PARTITION BY chunk ORDER BY doc_id
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM d)
+         |SELECT doc_id, chunk,
+         |       chunk * 1000000 + ((cum - toks) // 1024) AS pack_id,
+         |       toks, cum
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      assertOracleWordLen(s, dir)
+      val counted = LmOps.bpeApplyReport(Tables(s, dir).documents)
+        .select(col("doc_id"), col("n_subwords").as("n_tokens"))
+      graft.operators.CorpusOps.packChunked(counted, capacity = 1024L,
+        chunkSize = 100L)
+        .orderBy(col("doc_id"))
+    },
+
     // BPE application under the FIXED merge table (rank-order chained
     // rules, several consuming earlier merges): per-doc word count and
     // post-merge symbol count, fully recomputed by DuckDB via the same

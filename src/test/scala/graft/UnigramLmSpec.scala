@@ -120,4 +120,28 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("checksum") ==
       graft.functions.BpeEncodeExpr.ChecksumOffset)
   }
+
+  test("encode: pure per-row expression runs in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hist = Seq(("ab", 2L), ("a", 1L)).toDF("word", "n")
+    val (pieces, _) = UnigramLm.train(hist,
+      UnigramLm.UnigramParams(candidateCap = 8, minCount = 2L,
+        emRounds = 1, vocabTarget = 8))
+    val stream = MemoryStream[(Long, String)]
+    val q = UnigramLm.encodeReport(stream.toDS().toDF("doc_id", "text"), pieces)
+      .writeStream.format("memory").queryName("unigram_enc_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "ab ab a"), (2L, ""))
+      q.processAllAvailable()
+      val batch = UnigramLm.encodeReport(
+        Seq((1L, "ab ab a"), (2L, "")).toDF("doc_id", "text"), pieces)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = spark.sql(
+        "SELECT doc_id, n_pieces, checksum FROM unigram_enc_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch, s"stream/batch drift: $got vs $batch")
+    } finally q.stop()
+  }
 }
