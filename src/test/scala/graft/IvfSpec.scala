@@ -233,4 +233,38 @@ class IvfSpec extends AnyFunSuite {
       assert(brute.contains(key) && brute(key) == r.getDouble(2))
     }
   }
+
+  test("build law: distributed == sequential witness on random vector sets") {
+    // The q139/q140 oracle pins the contract on the real embeddings;
+    // this law varies (n, dim, nlist, iters) over seeded random floats
+    // so a contract drift (init pick, tie-break, fold seeding) is
+    // caught at spec time, not at the next oracle run. Bitwise double
+    // equality throughout — the id-ordered fold's whole point.
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(60)
+      val dim = 3 + rnd.nextInt(6)
+      val nlist = 2 + rnd.nextInt(4)
+      val iters = 1 + rnd.nextInt(4)
+      val vecs = (0 until n).map { i =>
+        // non-contiguous ids prove id-ORDER (not position) drives folds
+        (i.toLong * 7 + 3, Array.fill(dim)((rnd.nextInt(2000) - 1000) / 997.0))
+      }
+      val df = vecs.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val idx = IvfAnn.build(df, nlist = nlist, iters = iters)
+      val engCents = idx.centroids.orderBy(col("list_id")).collect()
+        .map(r => r.getSeq[Double](1).toArray)
+      val engAssign = idx.assignments.orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getInt(2)))
+      val (witCents, witAssign) = IvfAnn.buildWitness(vecs, nlist, iters)
+      assert(engAssign.toSeq == witAssign,
+        s"trial $trial (n=$n dim=$dim nlist=$nlist iters=$iters): assignments diverged")
+      assert(engCents.length == witCents.length &&
+        engCents.zip(witCents).forall { case (a, b) => a.sameElements(b) },
+        s"trial $trial: centroids diverged\n eng=${engCents.map(_.toSeq).toSeq}\n wit=${witCents.map(_.toSeq).toSeq}")
+    }
+  }
 }

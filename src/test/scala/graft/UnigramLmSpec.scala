@@ -53,8 +53,12 @@ class UnigramLmSpec extends AnyFunSuite {
 
   test("viterbi law: engine kernel == witness over random words and costs") {
     val rnd = new scala.util.Random(20260814L)
+    // alphabet includes a non-BMP code point (two UTF-16 units): both
+    // splitters are code-point based, and a surrogate-pair piece must
+    // segment identically through the iterative DP and the recursion
+    val cps = Seq("a", "b", "c", new String(Character.toChars(0x1F600)))
     for (trial <- 1 to 300) {
-      val alpha = "abc".take(1 + rnd.nextInt(3))
+      val alpha = cps.take(1 + rnd.nextInt(cps.length))
       val w = Array.fill(1 + rnd.nextInt(12))(
         alpha(rnd.nextInt(alpha.length))).mkString
       // random piece table: all single cps plus random substrings
