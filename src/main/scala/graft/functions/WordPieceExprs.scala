@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Engine kernels for the WordPiece tokenizer family
+  * ([[graft.operators.WordPiece]]) — the third tokenizer a training
+  * pipeline ships next to BPE (merge-table) and unigram-LM (Viterbi):
+  * greedy LONGEST-MATCH-FIRST segmentation against a flat vocabulary
+  * whose continuation pieces carry the `##` prefix (the BERT
+  * convention; Devlin et al. 2019, and the published
+  * WordpieceTokenizer reference algorithm).
+  *
+  * The PINNED segmentation contract (shared with the independent
+  * witness, [[graft.operators.WordPiece.encodeWitness]]):
+  *   - per word, scan from the left; at each position take the LONGEST
+  *     code-point substring (≤ [[UnigramViterbi.MaxPieceLen]] cps)
+  *     present in the vocabulary — looked up as-is at word start,
+  *     `##`-prefixed at any later position;
+  *   - if NO piece matches at some position, the WHOLE word degrades
+  *     to a single UNK piece (the reference algorithm's
+  *     `is_bad` path) — it counts 1 toward n_pieces, increments
+  *     n_unk, and contributes 0 to the id checksum (loud);
+  *   - empty tokens contribute nothing.
+  */
+object WordPieceKernel {
+
+  /** Greedy longest-match of one word against the vocab; appends piece
+    * STRINGS (continuations carrying `##`) to `out`. Returns the piece
+    * count, or −1 if the word is UNK. */
+  def matchWord(w: String, vocab: java.util.HashMap[String, java.lang.Integer],
+      out: Array[String]): Int = {
+    val nCp = w.codePointCount(0, w.length)
+    val cps = new Array[Int](nCp + 1)
+    var i = 0
+    var n = 0
+    while (i < w.length) {
+      cps(n) = i; i += Character.charCount(w.codePointAt(i)); n += 1
+    }
+    cps(n) = w.length
+    var out0 = 0
+    var p = 0
+    while (p < n) {
+      var len = math.min(UnigramViterbi.MaxPieceLen, n - p)
+      var taken = -1
+      while (len >= 1 && taken < 0) {
+        val sub = w.substring(cps(p), cps(p + len))
+        val key = if (p == 0) sub else "##" + sub
+        if (vocab.containsKey(key)) {
+          out(out0) = key
+          taken = len
+        }
+        len -= 1
+      }
+      if (taken < 0) return -1 // is_bad: whole word is UNK
+      out0 += 1
+      p += taken
+    }
+    out0
+  }
+}
+
+/** All WordPiece candidate pieces of a word with the position marking
+  * baked in: substrings at position 0 emit as-is (start pieces), later
+  * positions emit `##`-prefixed (continuation pieces) — so the
+  * trainer's explode+groupBy counts the two roles separately, exactly
+  * as the BERT vocabulary stores them. */
+case class WordPieceCandidatesExpr(child: Expression, maxLen: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): WordPieceCandidatesExpr =
+    copy(child = c)
+  override def prettyName: String = "wordpiece_candidates"
+
+  def candidates(u: UTF8String): ArrayData = {
+    val w = u.toString
+    val nCp = w.codePointCount(0, w.length)
+    val cps = new Array[Int](nCp + 1)
+    var i = 0
+    var n = 0
+    while (i < w.length) {
+      cps(n) = i; i += Character.charCount(w.codePointAt(i)); n += 1
+    }
+    cps(n) = w.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * maxLen)
+    var s = 0
+    while (s < n) {
+      var len = 1
+      val top = math.min(maxLen, n - s)
+      while (len <= top) {
+        val sub = w.substring(cps(s), cps(s + len))
+        out += UTF8String.fromString(if (s == 0) sub else "##" + sub)
+        len += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = candidates(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpCand", this,
+      classOf[WordPieceCandidatesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.candidates($c);")
+  }
+}
+
+object WordPieceCandidatesExpr {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def of(word: Column, maxLen: Int = UnigramViterbi.MaxPieceLen): Column =
+    Bridge.column(WordPieceCandidatesExpr(Bridge.expression(word), maxLen))
+}
+
+/** Whole-document WordPiece encode: greedy-match every token, fold the
+  * ordered id sequence into (n_pieces, n_unk, checksum) — the
+  * [[BpeEncodeExpr]] checksum contract (h = h·P + (id+1); an UNK word
+  * is ONE piece contributing 0, so vocabulary holes are loud). */
+case class WordPieceEncodeExpr(child: Expression, pieceIds: Map[String, Int])
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("n_unk", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+  override protected def withNewChildInternal(c: Expression): WordPieceEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "wordpiece_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"wordpiece_encode needs ARRAY<STRING>, got ${other.sql}")
+    }
+
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Integer] = {
+    val m = new java.util.HashMap[String, java.lang.Integer](
+      math.max(16, (pieceIds.size / 0.75).toInt + 1))
+    pieceIds.foreach { case (s, i) => m.put(s, java.lang.Integer.valueOf(i)) }
+    m
+  }
+  @transient private var scratch: Array[String] = null
+
+  def encode(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    var n = 0L
+    var unk = 0L
+    var h = BpeEncodeExpr.ChecksumOffset
+    val nTok = arr.numElements()
+    var t = 0
+    while (t < nTok) {
+      val u = arr.getUTF8String(t)
+      val w = if (u eq null) "" else u.toString
+      if (w.nonEmpty) {
+        if ((scratch eq null) || scratch.length < w.length)
+          scratch = new Array[String](math.max(64, w.length * 2))
+        val m = WordPieceKernel.matchWord(w, vocab, scratch)
+        if (m < 0) {
+          n += 1; unk += 1
+          h = h * BpeEncodeExpr.ChecksumPrime // UNK contributes 0
+        } else {
+          var j = 0
+          while (j < m) {
+            val id = vocab.get(scratch(j))
+            h = h * BpeEncodeExpr.ChecksumPrime + (id.intValue() + 1L)
+            j += 1
+          }
+          n += m
+        }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, unk, h))
+  }
+
+  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpEnc", this,
+      classOf[WordPieceEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+}
+
+object WordPieceEncodeExpr {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def of(tokens: Column, pieceIds: Map[String, Int]): Column =
+    Bridge.column(WordPieceEncodeExpr(Bridge.expression(tokens), pieceIds))
+}

@@ -149,6 +149,55 @@ object LmQueries {
     path
   }
 
+  /** Build-once-per-(session, sf) WORDPIECE WITNESS for q142/q143:
+    * vocabulary derived by [[graft.operators.WordPiece
+    * .deriveVocabWitness]] (nested driver loops vs the engine's explode
+    * aggregation) and the per-doc encode under [[graft.operators
+    * .WordPiece.encodeWordWitness]] (code-point index walk vs the
+    * kernel's UTF-16-offset scan) — same fixture root as the BPE and
+    * unigram witnesses. */
+  private val wordPieceFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ensureWordPieceFixture(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val path = bpeFixturePath(s, dir)
+    wordPieceFixtureBuilt.computeIfAbsent(key, _ => {
+      import s.implicits._
+      import graft.operators.WordPiece
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val vocab = WordPiece.deriveVocabWitness(hist)
+      WordPiece.vocabToDf(s, vocab)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/wordpiece_vocab")
+      val ids = vocab.map(p => p.piece -> p.id).toMap
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          var np = 0L
+          var unk = 0L
+          var h = graft.functions.BpeEncodeExpr.ChecksumOffset
+          text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+            WordPiece.encodeWordWitness(w, ids) match {
+              case Some(pieces) =>
+                pieces.foreach { p =>
+                  h = h * graft.functions.BpeEncodeExpr.ChecksumPrime +
+                    (ids(p) + 1L)
+                  np += 1
+                }
+              case None =>
+                np += 1; unk += 1
+                h = h * graft.functions.BpeEncodeExpr.ChecksumPrime
+            }
+          }
+          (id, np, unk, h)
+        }
+        .toDF("doc_id", "n_pieces", "n_unk", "checksum")
+        .write.mode("overwrite").parquet(s"$path/wordpiece_encode")
+      true
+    })
+    path
+  }
+
   /** The longest whitespace token the q130 oracle construction covers.
     * [[BpeFixpointPasses]] is DERIVED from this bound, and the bound is
     * CHECKED against the corpus (once per session+sf, memoized) in the
@@ -522,6 +571,43 @@ object LmQueries {
       val (pieces, _) = graft.operators.UnigramLm.train(hist)
       hist.unpersist(false)
       graft.operators.UnigramLm.encodeReport(Tables(s, dir).documents, pieces)
+        .orderBy(col("doc_id"))
+    },
+
+    // WordPiece vocabulary derivation (the BERT tokenizer family —
+    // completing the engine's trio next to BPE and unigram-LM): flat
+    // vocabulary with ##-prefixed continuation pieces, protected
+    // single-code-point pieces in both roles, capped multi-cp pieces.
+    // Oracled against the independent nested-loop witness derivation.
+    "q142_wordpiece_vocab" -> QueryDef(
+      s"""SELECT CAST(piece_id AS BIGINT) AS piece_id, piece,
+         |       CAST(piece_count AS BIGINT) AS piece_count
+         |FROM read_parquet('$BpeFixtureToken/wordpiece_vocab/*.parquet')
+         |ORDER BY piece_id""".stripMargin) { (s, dir) =>
+      ensureWordPieceFixture(s, dir)
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents)
+      graft.operators.WordPiece.vocabToDf(s,
+        graft.operators.WordPiece.deriveVocab(hist))
+        .orderBy(col("piece_id"))
+    },
+
+    // WordPiece encode-to-ids: derive the vocabulary distributed, then
+    // greedy longest-match every document token (whole-word UNK on a
+    // dead end, contributing 0 to the checksum loudly) — one narrow
+    // per-row pass. Oracled against the witness fixture where both the
+    // vocabulary and every greedy segmentation are independently
+    // derived; a hash match pins the piece inventory, the match
+    // lengths, the UNK set, and every id position by position.
+    "q143_wordpiece_encode" -> QueryDef(
+      s"""SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
+         |       CAST(n_unk AS BIGINT) AS n_unk,
+         |       CAST(checksum AS BIGINT) AS checksum
+         |FROM read_parquet('$BpeFixtureToken/wordpiece_encode/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ensureWordPieceFixture(s, dir)
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents)
+      val vocab = graft.operators.WordPiece.deriveVocab(hist)
+      graft.operators.WordPiece.encodeReport(Tables(s, dir).documents, vocab)
         .orderBy(col("doc_id"))
     },
 
