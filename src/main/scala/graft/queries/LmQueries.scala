@@ -611,6 +611,91 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The tokenizer SCORECARD: the trio compared on one report — per
+    // language, fertility (pieces per word, integer permille) under the
+    // fixed BPE table, the trained unigram-LM, and the derived
+    // WordPiece vocabulary, plus WordPiece's UNK permille — the table a
+    // tokenizer owner reads before picking a family for a corpus. The
+    // engine recomputes ALL THREE tokenizations with its own kernels in
+    // ONE corpus pass (three narrow expressions side by side, one
+    // (lang) aggregation); the oracle reassembles the report from the
+    // BPE chained-replace construction plus the per-doc unigram and
+    // WordPiece WITNESS fixtures joined to the documents table — every
+    // number independently derived.
+    "q144_tokenizer_scorecard" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($ToksSql) AS w
+         |             FROM documents),
+         |sub AS (SELECT doc_id, lang, $BpeApplySql AS ns FROM tok),
+         |bpe AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |               CAST(sum(ns) AS BIGINT) AS bpe_pieces
+         |        FROM sub GROUP BY lang),
+         |uni AS (SELECT d.lang, CAST(sum(u.n_pieces) AS BIGINT) AS uni_pieces
+         |        FROM read_parquet('$BpeFixtureToken/unigram_encode/*.parquet') u
+         |        JOIN documents d USING (doc_id) GROUP BY d.lang),
+         |wp AS (SELECT d.lang, CAST(sum(w.n_pieces) AS BIGINT) AS wp_pieces,
+         |              CAST(sum(w.n_unk) AS BIGINT) AS wp_unk
+         |       FROM read_parquet('$BpeFixtureToken/wordpiece_encode/*.parquet') w
+         |       JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT bpe.lang, bpe.n_words, bpe.bpe_pieces, uni.uni_pieces,
+         |       wp.wp_pieces, wp.wp_unk,
+         |       CAST(bpe.bpe_pieces * 1000 // bpe.n_words AS BIGINT)
+         |         AS bpe_fertility_permille,
+         |       CAST(uni.uni_pieces * 1000 // bpe.n_words AS BIGINT)
+         |         AS uni_fertility_permille,
+         |       CAST(wp.wp_pieces * 1000 // bpe.n_words AS BIGINT)
+         |         AS wp_fertility_permille,
+         |       CAST(wp.wp_unk * 1000 // wp.wp_pieces AS BIGINT)
+         |         AS wp_unk_permille
+         |FROM bpe JOIN uni USING (lang) JOIN wp USING (lang)
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      assertOracleWordLen(s, dir)
+      ensureUnigramFixture(s, dir)
+      ensureWordPieceFixture(s, dir)
+      import graft.functions.TextFunctions
+      import graft.operators.{UnigramLm, WordPiece}
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents).persist()
+      val (uniPieces, _) = UnigramLm.train(hist)
+      val wpVocab = WordPiece.deriveVocab(hist)
+      hist.unpersist(false)
+      val uniCounts = uniPieces.map(p => p.piece -> p.count).toMap
+      val uniN = math.max(1L, uniCounts.valuesIterator.sum)
+      val uniCosts = uniCounts.map { case (p, c) =>
+        p -> graft.functions.UnigramViterbi.cost(uniN, c) }.toSeq
+      val uniUnk = graft.functions.UnigramViterbi.unknownCost(uniN)
+      val uniIds = uniPieces.map(p => p.piece -> p.id).toMap
+      val wpIds = wpVocab.map(p => p.piece -> p.id).toMap
+      // ONE corpus pass: all three tokenizers as side-by-side
+      // expressions over the same token array, then one (lang) agg
+      Tables(s, dir).documents
+        .select(col("lang"), TextFunctions.tokens(col("text")).as("ts"))
+        // materialize the wordpiece struct ONCE so both fields read the
+        // same evaluation (not two full greedy matches per doc)
+        .select(col("lang"), col("ts"),
+          graft.functions.WordPieceEncodeExpr.of(col("ts"), wpIds).as("wpe"))
+        .select(col("lang"), size(col("ts")).cast("long").as("nw"),
+          aggregate(transform(col("ts"),
+            w => graft.functions.BpeApplyExpr.of(w, LmOps.FixedMerges)
+              .cast("long")), lit(0L), (a, x) => a + x).as("bp"),
+          graft.functions.UnigramEncodeExpr.of(col("ts"), uniCosts,
+            uniUnk, uniIds).getField("n_pieces").as("up"),
+          col("wpe.n_pieces").as("wp"), col("wpe.n_unk").as("wu"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nw")).as("n_words"), sum(col("bp")).as("bpe_pieces"),
+          sum(col("up")).as("uni_pieces"), sum(col("wp")).as("wp_pieces"),
+          sum(col("wu")).as("wp_unk"))
+        .select(col("lang"), col("n_words"), col("bpe_pieces"),
+          col("uni_pieces"), col("wp_pieces"), col("wp_unk"),
+          expr("CAST(bpe_pieces * 1000 DIV n_words AS BIGINT)")
+            .as("bpe_fertility_permille"),
+          expr("CAST(uni_pieces * 1000 DIV n_words AS BIGINT)")
+            .as("uni_fertility_permille"),
+          expr("CAST(wp_pieces * 1000 DIV n_words AS BIGINT)")
+            .as("wp_fertility_permille"),
+          expr("CAST(wp_unk * 1000 DIV wp_pieces AS BIGINT)")
+            .as("wp_unk_permille"))
+        .orderBy(col("lang"))
+    },
+
     // Sequence packing under the PRODUCTION tokenizer: the q68 packing
     // shape (chunked concat-and-chop, 100-doc chunks) re-priced with
     // REAL subword counts — the fixed BPE merge table's per-doc symbol
