@@ -124,17 +124,25 @@ object UnigramViterbi {
 }
 
 /** All candidate substrings (code-point based, overlapping, length
-  * 1..maxLen) of a word — the unigram trainer's seed-count explode.
+  * 1..maxLen) of a word — the tokenizer trainers' seed-count explode.
   * Output multiplicity matters: each start position contributes one
   * element, so explode+groupBy(sum(n)) yields the weighted occurrence
-  * counts the seed law pins. */
-case class UnigramCandidatesExpr(child: Expression, maxLen: Int)
+  * counts the seed law pins.
+  *
+  * `contPrefix` parameterizes the vocabulary form: "" for unigram-LM
+  * (position-blind pieces); "##" for WordPiece, where a substring at
+  * position > 0 emits prefixed (the BERT continuation convention) —
+  * ONE expression serves both trainers so the candidate enumeration
+  * cannot drift between the families. */
+case class UnigramCandidatesExpr(child: Expression, maxLen: Int,
+    contPrefix: String)
   extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def withNewChildInternal(c: Expression): UnigramCandidatesExpr =
     copy(child = c)
-  override def prettyName: String = "unigram_candidates"
+  override def prettyName: String =
+    if (contPrefix.isEmpty) "unigram_candidates" else "wordpiece_candidates"
 
   def candidates(u: UTF8String): ArrayData = {
     val w = u.toString
@@ -152,7 +160,9 @@ case class UnigramCandidatesExpr(child: Expression, maxLen: Int)
       var len = 1
       val top = math.min(maxLen, n - s)
       while (len <= top) {
-        out += UTF8String.fromString(w.substring(cps(s), cps(s + len)))
+        val sub = w.substring(cps(s), cps(s + len))
+        out += UTF8String.fromString(
+          if (s == 0 || contPrefix.isEmpty) sub else contPrefix + sub)
         len += 1
       }
       s += 1
@@ -171,8 +181,10 @@ case class UnigramCandidatesExpr(child: Expression, maxLen: Int)
 
 object UnigramCandidatesExpr {
   import org.apache.spark.sql.graftbridge.Bridge
-  def of(word: Column, maxLen: Int = UnigramViterbi.MaxPieceLen): Column =
-    Bridge.column(UnigramCandidatesExpr(Bridge.expression(word), maxLen))
+  def of(word: Column, maxLen: Int = UnigramViterbi.MaxPieceLen,
+      contPrefix: String = ""): Column =
+    Bridge.column(UnigramCandidatesExpr(Bridge.expression(word), maxLen,
+      contPrefix))
 }
 
 /** Viterbi segmentation of one word under a fixed integer cost table —

@@ -64,59 +64,6 @@ object WordPieceKernel {
   }
 }
 
-/** All WordPiece candidate pieces of a word with the position marking
-  * baked in: substrings at position 0 emit as-is (start pieces), later
-  * positions emit `##`-prefixed (continuation pieces) — so the
-  * trainer's explode+groupBy counts the two roles separately, exactly
-  * as the BERT vocabulary stores them. */
-case class WordPieceCandidatesExpr(child: Expression, maxLen: Int)
-  extends UnaryExpression {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override protected def withNewChildInternal(c: Expression): WordPieceCandidatesExpr =
-    copy(child = c)
-  override def prettyName: String = "wordpiece_candidates"
-
-  def candidates(u: UTF8String): ArrayData = {
-    val w = u.toString
-    val nCp = w.codePointCount(0, w.length)
-    val cps = new Array[Int](nCp + 1)
-    var i = 0
-    var n = 0
-    while (i < w.length) {
-      cps(n) = i; i += Character.charCount(w.codePointAt(i)); n += 1
-    }
-    cps(n) = w.length
-    val out = new scala.collection.mutable.ArrayBuffer[Any](n * maxLen)
-    var s = 0
-    while (s < n) {
-      var len = 1
-      val top = math.min(maxLen, n - s)
-      while (len <= top) {
-        val sub = w.substring(cps(s), cps(s + len))
-        out += UTF8String.fromString(if (s == 0) sub else "##" + sub)
-        len += 1
-      }
-      s += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  override def nullSafeEval(v: Any): Any = candidates(v.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("wpCand", this,
-      classOf[WordPieceCandidatesExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.candidates($c);")
-  }
-}
-
-object WordPieceCandidatesExpr {
-  import org.apache.spark.sql.graftbridge.Bridge
-  def of(word: Column, maxLen: Int = UnigramViterbi.MaxPieceLen): Column =
-    Bridge.column(WordPieceCandidatesExpr(Bridge.expression(word), maxLen))
-}
-
 /** Whole-document WordPiece encode: greedy-match every token, fold the
   * ordered id sequence into (n_pieces, n_unk, checksum) — the
   * [[BpeEncodeExpr]] checksum contract (h = h·P + (id+1); an UNK word

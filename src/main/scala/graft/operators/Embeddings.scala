@@ -143,18 +143,27 @@ object Embeddings {
       StructField("n", LongType)))
     sorted.mapPartitions { rows =>
       new Iterator[Row] {
+        // a null element would otherwise surface as a bare NPE from
+        // Row.getDouble deep in the fold — name the precondition
+        // instead (the build()/refresh() loudness convention)
+        private def elem(r: Row): Double = {
+          if (r.isNullAt(3)) throw new IllegalArgumentException(
+            "meanPool input contains a null vector element — clean the " +
+              "corpus before aggregating")
+          r.getDouble(3)
+        }
         private var pending: Row = if (rows.hasNext) rows.next() else null
         def hasNext: Boolean = pending != null
         def next(): Row = {
           val g = pending.get(0)
           val pos = pending.getLong(2)
-          var sum = pending.getDouble(3)
+          var sum = elem(pending)
           var n = 1L
           pending = null
           var done = false
           while (!done && rows.hasNext) {
             val r = rows.next()
-            if (r.get(0) == g && r.getLong(2) == pos) { sum += r.getDouble(3); n += 1 }
+            if (r.get(0) == g && r.getLong(2) == pos) { sum += elem(r); n += 1 }
             else { pending = r; done = true }
           }
           Row(g, pos, sum / n, n)

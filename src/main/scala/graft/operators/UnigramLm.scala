@@ -56,7 +56,9 @@ object UnigramLm {
   final case class UnigramStats(sparkJobs: Int, seedCandidates: Int,
       vocabAfterEm: Int, alphabetSize: Int)
 
-  private val pieceOrd: Ordering[(String, Long)] =
+  /** (count desc, piece UTF-8-binary asc) — the one piece ordering all
+    * three tokenizer trainers share for caps, prunes, and id layout. */
+  private[operators] val pieceOrd: Ordering[(String, Long)] =
     Ordering.by[(String, Long), (Long, String)] { case (p, c) => (-c, p) }(
       Ordering.Tuple2(Ordering.Long, graft.functions.Utf8Order))
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{UnigramViterbi, WordPieceCandidatesExpr}
+import graft.functions.{UnigramCandidatesExpr, UnigramViterbi}
 
 /** WordPiece tokenizer family (BERT's tokenizer; Devlin et al. 2019):
   * a flat vocabulary whose continuation pieces carry the `##` prefix,
@@ -34,9 +34,7 @@ object WordPiece {
 
   final case class WpPiece(id: Int, piece: String, count: Long)
 
-  private val pieceOrd: Ordering[(String, Long)] =
-    Ordering.by[(String, Long), (Long, String)] { case (p, c) => (-c, p) }(
-      Ordering.Tuple2(Ordering.Long, graft.functions.Utf8Order))
+  private val pieceOrd = UnigramLm.pieceOrd // the shared piece ordering
 
   private def cpCountVocab(p: String): Int = {
     val body = if (p.startsWith("##")) p.substring(2) else p
@@ -49,17 +47,22 @@ object WordPiece {
   def deriveVocab(hist: DataFrame, cap: Int = 512, minCount: Long = 2L)
       : Seq[WpPiece] = {
     val cand = hist
-      .select(explode(WordPieceCandidatesExpr.of(col("word"))).as("piece"),
-        col("n"))
+      .select(explode(UnigramCandidatesExpr.of(col("word"),
+        contPrefix = "##")).as("piece"), col("n"))
       .groupBy(col("piece")).agg(sum(col("n")).as("c"))
-    // single-cp = 1 cp after stripping a ## prefix; Spark length()
-    // counts code points, so start pieces test length==1 and
-    // continuations length==3 with the ## prefix
-    val isSingle = (col("piece").startsWith("##") && length(col("piece")) === 3) ||
-      (!col("piece").startsWith("##") && length(col("piece")) === 1)
+    // classification is by BODY code-point count (after stripping a ##
+    // prefix; Spark length() counts code points): body 1 = protected
+    // single, body >= 2 = cappable multi. The LITERAL piece "##" (a
+    // word starting with two '#' characters yields it as a START
+    // candidate; body would be empty) is EXCLUDED from both branches —
+    // it would collide with the continuation marker itself, and the
+    // witness's body-count rule drops it the same way.
+    val bodyLen = when(col("piece").startsWith("##"),
+      length(col("piece")) - 2).otherwise(length(col("piece")))
+    val isSingle = bodyLen === 1
     val seed = cand.filter(isSingle)
       .unionByName(
-        cand.filter(!isSingle && col("c") >= minCount)
+        cand.filter(bodyLen >= 2 && col("c") >= minCount)
           .orderBy(col("c").desc, col("piece").asc).limit(cap))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     seed.sorted(pieceOrd).zipWithIndex.map { case ((p, c), i) =>

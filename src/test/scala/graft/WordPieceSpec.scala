@@ -43,7 +43,10 @@ class WordPieceSpec extends AnyFunSuite {
 
   test("matcher law: engine kernel == witness over random words and vocabs") {
     val rnd = new scala.util.Random(20260814L)
-    val cps = Seq("a", "b", "c", new String(Character.toChars(0x1F600)))
+    // '#' is in the alphabet DELIBERATELY: pieces colliding with the
+    // "##" continuation marker are the one class where the two
+    // implementations could genuinely diverge — the laws must reach it
+    val cps = Seq("a", "b", "#", new String(Character.toChars(0x1F600)))
     for (trial <- 1 to 300) {
       val alpha = cps.take(1 + rnd.nextInt(cps.length))
       val wCps = Array.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length)))
@@ -68,8 +71,12 @@ class WordPieceSpec extends AnyFunSuite {
       val wit = WordPiece.encodeWordWitness(w, vocab.toMap)
       assert(eng == wit, s"trial $trial diverged on '$w' " +
         s"(vocab=${vocab.toMap}): engine=$eng witness=$wit")
+      // reassembly: the FIRST piece is verbatim (a start piece may begin
+      // with literal "##" when the word does); only continuations strip
       eng.foreach(ps => assert(
-        ps.map(p => if (p.startsWith("##")) p.substring(2) else p).mkString == w,
+        ps.zipWithIndex.map { case (p, i) =>
+          if (i > 0 && p.startsWith("##")) p.substring(2) else p
+        }.mkString == w,
         s"trial $trial pieces don't reassemble '$w': $ps"))
     }
   }
@@ -77,8 +84,11 @@ class WordPieceSpec extends AnyFunSuite {
   test("vocab law: distributed derivation == witness over random histograms") {
     val rnd = new scala.util.Random(42L)
     for (trial <- 1 to 4) {
+      // alphabet includes '#': words like "##ab" emit the literal "##"
+      // start candidate, which BOTH sides must exclude (empty body) —
+      // the pinned collision rule the laws exist to hold
       val hist = (1 to 5 + rnd.nextInt(10)).map { _ =>
-        (Array.fill(1 + rnd.nextInt(8))("abcd" (rnd.nextInt(4))).mkString,
+        (Array.fill(1 + rnd.nextInt(8))("ab#d" (rnd.nextInt(4))).mkString,
           1L + rnd.nextInt(40))
       }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
       val wit = WordPiece.deriveVocabWitness(hist, cap = 16, minCount = 2L)
