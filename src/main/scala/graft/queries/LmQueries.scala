@@ -93,10 +93,41 @@ object LmQueries {
         }
         .toDF("doc_id", "n_ids", "checksum")
         .write.mode("overwrite").parquet(s"$path/encode")
+      // q145's UPGRADE-BASE encode witness: the same derivation under
+      // only the first UpgradeBaseMerges ranks — the "old tokenizer"
+      // side of the upgrade diff. The id layout of a merge-table PREFIX
+      // is a prefix of the full layout (alphabet ids + rank order), so
+      // an unchanged tokenization keeps its checksum across the
+      // upgrade and `checksum <> checksum` flags exactly the docs whose
+      // token streams moved.
+      val basePairs = merges.take(UpgradeBaseMerges).map(m => (m.a, m.b))
+      val baseVocab = LmOps.bpeVocabIds(witnessAlpha,
+        merges.take(UpgradeBaseMerges))
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          var n = 0L
+          var h = graft.functions.BpeEncodeExpr.ChecksumOffset
+          text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+            LmOps.applyMergesScanSyms(w, basePairs).foreach { sym =>
+              h = h * graft.functions.BpeEncodeExpr.ChecksumPrime +
+                (baseVocab.getOrElse(sym, -1) + 1L)
+              n += 1
+            }
+          }
+          (id, n, h)
+        }
+        .toDF("doc_id", "n_ids", "checksum")
+        .write.mode("overwrite").parquet(s"$path/encode_base")
       true
     })
     path
   }
+
+  /** The "old tokenizer" merge count of q145's upgrade diff — a PREFIX
+    * of the trained table (BPE training is incremental, so yesterday's
+    * tokenizer IS a rank prefix of today's). */
+  private val UpgradeBaseMerges = 16
 
   /** Build-once-per-(session, sf) UNIGRAM-LM WITNESS for q137/q138:
     * the piece table recomputed by [[graft.operators.UnigramLm
@@ -726,6 +757,48 @@ object LmQueries {
         .select(col("doc_id"), col("n_subwords").as("n_tokens"))
       graft.operators.CorpusOps.packChunked(counted, capacity = 1024L,
         chunkSize = 100L)
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer UPGRADE DIFF — the cache-invalidation question a
+    // pre-tokenized 100 TB corpus asks when the merge table grows:
+    // which documents' token streams actually changed? BPE training is
+    // incremental, so the old tokenizer is a RANK PREFIX of the new
+    // one and a prefix's id layout is a prefix of the full layout —
+    // an unchanged tokenization keeps its ordered-id checksum, so
+    // checksum inequality flags exactly the changed docs (re-encode
+    // those, keep the rest of the corpus copy). Engine: train once,
+    // encode twice (two narrow passes), join. Oracle: both encodes
+    // independently derived in the witness fixture.
+    "q145_tokenizer_upgrade_diff" -> QueryDef(
+      s"""WITH old AS (SELECT doc_id, CAST(n_ids AS BIGINT) AS n_ids_old,
+         |               CAST(checksum AS BIGINT) AS c_old
+         |             FROM read_parquet('$BpeFixtureToken/encode_base/*.parquet')),
+         |new AS (SELECT doc_id, CAST(n_ids AS BIGINT) AS n_ids_new,
+         |               CAST(checksum AS BIGINT) AS c_new
+         |        FROM read_parquet('$BpeFixtureToken/encode/*.parquet'))
+         |SELECT doc_id, n_ids_old, n_ids_new,
+         |       (c_old <> c_new) AS changed
+         |FROM old JOIN new USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ensureBpeFixture(s, dir)
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents).persist()
+      val merges = LmOps.bpeTrainFast(hist, LmQueries.BpeMaxMerges)._1
+      val alpha = LmOps.bpeAlphabet(hist)
+      hist.unpersist(false)
+      val base = merges.take(UpgradeBaseMerges)
+      val docs = Tables(s, dir).documents
+      val old = LmOps.bpeEncodeReport(docs, base.map(m => (m.a, m.b)),
+        LmOps.bpeVocabIds(alpha, base))
+        .select(col("doc_id"), col("n_ids").as("n_ids_old"),
+          col("checksum").as("c_old"))
+      val nw = LmOps.bpeEncodeReport(docs, merges.map(m => (m.a, m.b)),
+        LmOps.bpeVocabIds(alpha, merges))
+        .select(col("doc_id"), col("n_ids").as("n_ids_new"),
+          col("checksum").as("c_new"))
+      old.join(nw, Seq("doc_id"))
+        .select(col("doc_id"), col("n_ids_old"), col("n_ids_new"),
+          (col("c_old") =!= col("c_new")).as("changed"))
         .orderBy(col("doc_id"))
     },
 
