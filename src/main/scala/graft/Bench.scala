@@ -142,9 +142,16 @@ object Bench {
       case (name, fresh) if committed.get(name).exists(_ > 0.0) => fresh / committed(name)
     }.sorted
     val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
-    if (ratios.nonEmpty && medianRatio > 1.1) {
+    // SYMMETRIC acceptance band: >1.10x means the host is loaded, but
+    // <0.85x means the fresh run is anomalously fast vs the committed
+    // quiet pin (e.g. a one-off cache alignment) — accepting it would
+    // ratchet the baseline low enough that honest quiet runs get
+    // refused at >1.10x forever after. Both tails leave the pin alone.
+    if (ratios.nonEmpty && (medianRatio > 1.1 || medianRatio < 0.85)) {
+      val why = if (medianRatio > 1.1) "host not quiet" else
+        "anomalously fast vs committed pin (would ratchet the baseline)"
       System.err.println(f"[bench] --repin REFUSED: median ratio vs committed baseline " +
-        f"$medianRatio%.2fx > 1.10x over ${ratios.length} shared queries — host not quiet " +
+        f"$medianRatio%.2fx outside [0.85, 1.10] over ${ratios.length} shared queries — $why " +
         f"(band p10=${ratios((ratios.length * 0.1).toInt)}%.2f p90=${ratios((ratios.length * 0.9).toInt)}%.2f). " +
         "bench_full.json left untouched; fresh run is in bench_last_run.json.")
     } else {

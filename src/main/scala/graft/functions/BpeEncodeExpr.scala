@@ -58,23 +58,30 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
     vocabIds.foreach { case (s, i) => m.put(s, java.lang.Integer.valueOf(i)) }
     m
   }
-  // reusable split scratch — safe because each Spark task deserializes
-  // its own closure copy of the plan (the MonotonicallyIncreasingID
-  // mutable-per-instance convention); grown geometrically on demand
-  @transient private var scratch: Array[String] = null
+  // reusable split scratch, THREAD-LOCAL: per-task plan deserialization
+  // usually gives each task its own instance, but this expression is not
+  // marked stateful, so a shared-instance evaluation path (driver-side
+  // local eval of concurrent queries, subexpression reuse) is legal —
+  // a plain var would race there and corrupt output. One TL.get per row
+  // keeps the no-allocation win; grown geometrically on demand.
+  @transient private lazy val scratchTL: ThreadLocal[Array[String]] =
+    ThreadLocal.withInitial(() => new Array[String](64))
 
   /** Instance entry point shared by eval and codegen. */
   def encode(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     var n = 0L
     var h = BpeEncodeExpr.ChecksumOffset
     val nTok = arr.numElements()
+    var scratch = scratchTL.get()
     var t = 0
     while (t < nTok) {
       val u = arr.getUTF8String(t)
       val w = if (u eq null) "" else u.toString // null token = no symbols
       if (w.nonEmpty) {
-        if ((scratch eq null) || scratch.length < w.length)
+        if (scratch.length < w.length) {
           scratch = new Array[String](math.max(64, w.length * 2))
+          scratchTL.set(scratch)
+        }
         val k = BpeApplyExpr.splitSyms(w, scratch)
         val m = BpeApplyExpr.scanSyms(scratch, k, mergeA, mergeB, mergeAB)
         var j = 0

@@ -200,13 +200,19 @@ case class UnigramSegmentExpr(child: Expression, costs: Seq[(String, Long)],
   override def prettyName: String = "unigram_segment"
 
   @transient private lazy val table = UnigramViterbi.costTable(costs)
-  @transient private var scratch: Array[String] = null
+  // thread-local scratch: the expression is not marked stateful, so a
+  // shared-instance evaluation path is legal — see BpeEncodeExpr
+  @transient private lazy val scratchTL: ThreadLocal[Array[String]] =
+    ThreadLocal.withInitial(() => new Array[String](64))
 
   def segmentOf(u: UTF8String): ArrayData = {
     val w = u.toString
     if (w.isEmpty) return new GenericArrayData(Array.empty[Any])
-    if ((scratch eq null) || scratch.length < w.length)
+    var scratch = scratchTL.get()
+    if (scratch.length < w.length) {
       scratch = new Array[String](math.max(64, w.length * 2))
+      scratchTL.set(scratch)
+    }
     val n = UnigramViterbi.segment(w, table, unkCost, scratch)
     val out = new Array[Any](n)
     var i = 0
@@ -262,19 +268,24 @@ case class UnigramEncodeExpr(child: Expression, costs: Seq[(String, Long)],
     pieceIds.foreach { case (s, i) => m.put(s, java.lang.Integer.valueOf(i)) }
     m
   }
-  @transient private var scratch: Array[String] = null
+  // thread-local scratch — see BpeEncodeExpr's shared-instance rationale
+  @transient private lazy val scratchTL: ThreadLocal[Array[String]] =
+    ThreadLocal.withInitial(() => new Array[String](64))
 
   def encode(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     var n = 0L
     var h = BpeEncodeExpr.ChecksumOffset
     val nTok = arr.numElements()
+    var scratch = scratchTL.get()
     var t = 0
     while (t < nTok) {
       val u = arr.getUTF8String(t)
       val w = if (u eq null) "" else u.toString
       if (w.nonEmpty) {
-        if ((scratch eq null) || scratch.length < w.length)
+        if (scratch.length < w.length) {
           scratch = new Array[String](math.max(64, w.length * 2))
+          scratchTL.set(scratch)
+        }
         val m = UnigramViterbi.segment(w, table, unkCost, scratch)
         var j = 0
         while (j < m) {

@@ -95,20 +95,25 @@ case class WordPieceEncodeExpr(child: Expression, pieceIds: Map[String, Int])
     pieceIds.foreach { case (s, i) => m.put(s, java.lang.Integer.valueOf(i)) }
     m
   }
-  @transient private var scratch: Array[String] = null
+  // thread-local scratch — see BpeEncodeExpr's shared-instance rationale
+  @transient private lazy val scratchTL: ThreadLocal[Array[String]] =
+    ThreadLocal.withInitial(() => new Array[String](64))
 
   def encode(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     var n = 0L
     var unk = 0L
     var h = BpeEncodeExpr.ChecksumOffset
     val nTok = arr.numElements()
+    var scratch = scratchTL.get()
     var t = 0
     while (t < nTok) {
       val u = arr.getUTF8String(t)
       val w = if (u eq null) "" else u.toString
       if (w.nonEmpty) {
-        if ((scratch eq null) || scratch.length < w.length)
+        if (scratch.length < w.length) {
           scratch = new Array[String](math.max(64, w.length * 2))
+          scratchTL.set(scratch)
+        }
         val m = WordPieceKernel.matchWord(w, vocab, scratch)
         if (m < 0) {
           n += 1; unk += 1

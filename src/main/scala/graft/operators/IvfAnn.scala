@@ -62,13 +62,25 @@ object IvfAnn {
     import spark.implicits._
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // guard up front (the witness's require twin): past this point the
-    // farthest-point loop always appends, so a short corpus would
-    // otherwise exit with silently-duplicated centroids
-    require(base.count() >= nlist,
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    // guards up front, one aggregation pass: (a) the witness's require
+    // twin — past this point the farthest-point loop always appends, so
+    // a short corpus would otherwise exit with silently-duplicated
+    // centroids; (b) invalid vectors (null element / dimension mismatch)
+    // fail NAMED here for EVERY iters value — the Lloyd loop's own −1
+    // check never runs at iters = 0, which used to let an invalid row
+    // silently persist list_id = −1 into the index
+    val stats = base.agg(
+      count(lit(1)),
+      count(when(col("v").isNull || size(col("v")) =!= dim ||
+        exists(col("v"), x => x.isNull), 1))).head()
+    require(stats.getLong(0) >= nlist,
       s"corpus has fewer than nlist=$nlist vectors")
+    require(stats.getLong(1) == 0L,
+      s"KMeans corpus contains ${stats.getLong(1)} invalid vector(s) " +
+        s"(null element or dimension mismatch vs dim=$dim) — clean the " +
+        "corpus before building")
     val mean: Array[Double] = {
-      val dim = base.select(size(col("v"))).head().getInt(0)
       val m = new Array[Double](dim)
       Embeddings.meanPool(base.withColumn("g", lit(0)), col("g"),
         idCol = "id", vecCol = "v")

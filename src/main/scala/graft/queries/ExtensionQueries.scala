@@ -36,6 +36,24 @@ object ExtensionQueries {
     * the index the oracle reads is the one built from the SAME sf). */
   val IvfFixtureToken = "__GRAFT_IVF_FIXTURE__"
 
+  /** Driver-memory bound on the KMeans-witness fixture: the sequential
+    * witness (q139/q140's oracle derivation) collects its input corpus
+    * to the driver, which is corpus-shaped — unbounded in sf. The cap is
+    * a deterministic id-prefix (`vec_id < cap`) applied IDENTICALLY to
+    * the engine build and the witness, so the fixture chain stays
+    * self-consistent at any sf. 262,144 vectors × dim 64 doubles ≈
+    * 134 MB on the driver — far above every sf ever run (sf10 scaledata
+    * is ~200k embeddings), so the cap is a no-op at test scale and a
+    * hard OOM guard beyond it. */
+  val IvfFixtureCap = 262144L
+
+  /** The fixture-chain corpus: the capped id-prefix of `embeddings`
+    * shared by the engine build, the sequential witness, and q139/q140's
+    * retrain — all four MUST train on the same rows. */
+  private def fixtureCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir).embeddings.filter(col("vec_id") < IvfFixtureCap)
+
   private val ivfFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -60,7 +78,7 @@ object ExtensionQueries {
     ivfFixtureBuilt.computeIfAbsent(key, _ => {
       implicit val sess: org.apache.spark.sql.SparkSession = s
       graft.operators.IvfAnn.write(
-        graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8),
+        graft.operators.IvfAnn.build(fixtureCorpus(s, dir), nlist = 8),
         path)
       // q139/q140's KMEANS WITNESS: the same (nlist, iters) build
       // recomputed by IvfAnn.buildWitness — sequential arrays-and-loops
@@ -69,7 +87,7 @@ object ExtensionQueries {
       // trainer. Centroids exploded to (list_id, pos, c) scalar rows so
       // the hash compare is per-value.
       import s.implicits._
-      val vecs = Tables(s, dir).embeddings
+      val vecs = fixtureCorpus(s, dir) // capped: witness input is a driver collect
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
@@ -322,7 +340,7 @@ object ExtensionQueries {
          |ORDER BY list_id, pos""".stripMargin) { (s, dir) =>
       implicit val sess: org.apache.spark.sql.SparkSession = s
       ensureIvfFixture(s, dir)
-      val idx = graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8)
+      val idx = graft.operators.IvfAnn.build(fixtureCorpus(s, dir), nlist = 8)
       idx.centroids
         .select(col("list_id").cast("int").as("list_id"),
           posexplode(col("centroid")).as(Seq("pos", "c")))
@@ -342,7 +360,7 @@ object ExtensionQueries {
          |ORDER BY id""".stripMargin) { (s, dir) =>
       implicit val sess: org.apache.spark.sql.SparkSession = s
       ensureIvfFixture(s, dir)
-      val idx = graft.operators.IvfAnn.build(Tables(s, dir).embeddings, nlist = 8)
+      val idx = graft.operators.IvfAnn.build(fixtureCorpus(s, dir), nlist = 8)
       idx.assignments
         .select(col("id"), col("list_id").cast("int").as("list_id"))
         .orderBy(col("id"))

@@ -267,4 +267,30 @@ class IvfSpec extends AnyFunSuite {
         s"trial $trial: centroids diverged\n eng=${engCents.map(_.toSeq).toSeq}\n wit=${witCents.map(_.toSeq).toSeq}")
     }
   }
+
+  test("build fails loudly on an invalid vector for EVERY iters value") {
+    // iters = 0 used to skip both the Lloyd loop's −1 check and
+    // meanPool's null-element guard, silently persisting list_id = −1
+    // for an invalid row; the up-front corpus validation closes that.
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val good = (0 until 10).map(i => (i.toLong, Seq(i / 7.0, 1.0 - i / 11.0)))
+    for (iters <- Seq(0, 1)) {
+      val dimMismatch = good :+ (99L, Seq(0.5))
+      val withNullElem = good.toDF("vec_id", "embedding")
+        .unionByName(spark.range(99, 100).select(col("id").as("vec_id"),
+          array(lit(0.5), lit(null).cast("double")).as("embedding")))
+      val eNull = intercept[IllegalArgumentException] {
+        IvfAnn.build(withNullElem, nlist = 2, iters = iters)
+      }
+      assert(eNull.getMessage.contains("invalid vector"),
+        s"iters=$iters null element: ${eNull.getMessage}")
+      val eDim = intercept[IllegalArgumentException] {
+        IvfAnn.build(dimMismatch.toDF("vec_id", "embedding"),
+          nlist = 2, iters = iters)
+      }
+      assert(eDim.getMessage.contains("invalid vector"),
+        s"iters=$iters dim mismatch: ${eDim.getMessage}")
+    }
+  }
 }
