@@ -88,7 +88,7 @@ object VectorKernels {
   }
 
   /** Min squared-L2 to a fixed centroid table (same fold order as
-    * [[nearestCentroid]]) — the farthest-point init's selection score.
+    * [[nearestCentroid]]) — the k-means++ init's D² weight (and the selection score of its farthest-point predecessor).
     * Invalid vectors (null element / length mismatch everywhere) score
     * −1.0 so they are never selected as "farthest". */
   def minSqDist(a: ArrayData, code: Int, cents: Array[Array[Double]]): Double = {
@@ -411,7 +411,7 @@ case class NearestCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
 }
 
 /** Min squared-L2 to a fixed centroid table — [[VectorKernels
-  * .minSqDist]] as an expression; the farthest-point init's per-vector
+  * .minSqDist]] as an expression; the k-means++ init's per-vector
   * score in [[graft.operators.IvfAnn.build]]. */
 case class MinSqDistExpr(child: Expression, centroids: Seq[Seq[Double]])
   extends UnaryExpression {

@@ -34,14 +34,20 @@ object IvfAnn {
     * compare it against [[buildWitness]], a sequential implementation
     * sharing the contract but no mechanism). The PINNED contract:
     *
-    *   - INIT: deterministic FARTHEST-POINT (greedy k-center): the
+    *   - INIT: deterministic K-MEANS++ (derandomized D² sampling): the
     *     first centroid is the vector nearest the GLOBAL per-dim mean
     *     (itself an id-ordered fold, ties to the smaller id — a
     *     central, data-determined pick); each next centroid is the
-    *     vector MAXIMIZING its min squared-L2 to the chosen set (ties
-    *     to the smaller id). Each selection is one TakeOrdered top-1
-    *     scan — nlist bounded passes, no sampling, no global sort —
-    *     exactly reproducible by the sequential witness.
+    *     vector MINIMIZING [[graft.functions.KppInit.key]] — an
+    *     exponential-race key −ln(u(id, round))/dmin whose argmin
+    *     realizes the exact k-means++ D² distribution under a
+    *     splitmix64 hash (ties to the smaller id). Each selection is
+    *     one TakeOrdered top-1 scan — nlist bounded passes, no
+    *     sampling state, no global sort — exactly reproducible by the
+    *     sequential witness. (The earlier greedy farthest-point init
+    *     was equally deterministic but outlier-seeking: it measurably
+    *     regressed small-nprobe recall on clustered data; D² sampling
+    *     is the published k-means++ quality contract.)
     *   - ITERATE [[BuildIters]] Lloyd rounds: assignment = strict-less
     *     argmin of sequential squared-L2 ([[graft.functions
     *     .NearestCentroidExpr]] — a shuffle-free narrow pass, centroid
@@ -100,9 +106,10 @@ object IvfAnn {
     while (cents.length < nlist) {
       val next = base
         .select(col("v"),
-          graft.functions.VectorExpressions.minSqDist(col("v"), cents.toSeq)
-            .as("dmin"), col("id"))
-        .orderBy(col("dmin").desc, col("id").asc).limit(1)
+          graft.functions.KppInit.keyCol(col("id"), cents.length,
+            graft.functions.VectorExpressions.minSqDist(col("v"), cents.toSeq))
+            .as("kpp_key"), col("id"))
+        .orderBy(col("kpp_key").asc, col("id").asc).limit(1)
         .select(col("v").cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toArray)
       cents = cents ++ next
@@ -167,8 +174,12 @@ object IvfAnn {
     var cents: Array[Array[Double]] = Array(
       byId.minBy { case (id, v) => (sq(v, mean), id) }._2.clone())
     while (cents.length < nlist) {
+      // k-means++ pick: argmin of the shared exponential-race key
+      // (KppInit is the CONTRACT, like BpeEncodeExpr.checksum — the
+      // scan mechanism here is a driver loop, not a TakeOrdered)
+      val round = cents.length
       var bestId = Long.MaxValue
-      var bestD = -1.0
+      var bestK = Double.PositiveInfinity
       var bestV: Array[Double] = null
       byId.foreach { case (id, v) =>
         var dm = Double.PositiveInfinity
@@ -181,10 +192,13 @@ object IvfAnn {
           if (acc < dm) dm = acc
           j += 1
         }
-        if (dm > bestD || (dm == bestD && id < bestId)) {
-          bestD = dm; bestId = id; bestV = v
+        val k = graft.functions.KppInit.key(id, round, dm)
+        if (k < bestK || (k == bestK && id < bestId)) {
+          bestK = k; bestId = id; bestV = v
         }
       }
+      // all-duplicate corner (every key +∞): the tie branch fires on
+      // the first id, matching the TakeOrdered (key asc, id asc) pick
       cents = cents :+ bestV.clone()
     }
     def nearest(v: Array[Double]): Int = {

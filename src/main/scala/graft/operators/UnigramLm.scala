@@ -62,7 +62,7 @@ object UnigramLm {
     Ordering.by[(String, Long), (Long, String)] { case (p, c) => (-c, p) }(
       Ordering.Tuple2(Ordering.Long, graft.functions.Utf8Order))
 
-  private def costLaw(counts: Map[String, Long]): (Seq[(String, Long)], Long) = {
+  private[operators] def costLaw(counts: Map[String, Long]): (Seq[(String, Long)], Long) = {
     val n = math.max(1L, counts.valuesIterator.sum)
     (counts.toSeq.map { case (p, c) => p -> UnigramViterbi.cost(n, c) },
       UnigramViterbi.unknownCost(n))

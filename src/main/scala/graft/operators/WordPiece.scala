@@ -88,6 +88,45 @@ object WordPiece {
       .toDF("piece_id", "piece", "piece_count")
   }
 
+  /** WordPiece vocabulary derived FROM A TRAINED unigram-LM tokenizer —
+    * the BERT pipeline's actual derivation order (train a
+    * subword inventory first, then materialize its start/continuation
+    * forms), vs [[deriveVocab]]'s raw-substring frequency shortcut.
+    * The PINNED contract:
+    *
+    *   - SEGMENT the (word, n) histogram under the trained piece costs
+    *     (the q137/q138 Viterbi contract, same tie-breaks);
+    *   - each segmented piece occurrence contributes its word's count n
+    *     AS its vocabulary form: as-is at word start, `##`-prefixed as
+    *     a continuation — so the SAME trained piece yields two entries
+    *     with independent observed counts (the BERT layout);
+    *   - vocabulary = every observed form (no cap needed: forms are
+    *     bounded by 2 × (trained vocab + alphabet), already capped at
+    *     train time — unlike raw substring counting, whose candidate
+    *     space is corpus-shaped and needs the TakeOrdered cap);
+    *   - IDS: forms sorted (count desc, piece UTF-8-binary asc) →
+    *     0..V−1.
+    *
+    * Mechanism: one explode-aggregate job over the DISTINCT-WORD
+    * histogram (never the corpus — segmentation cost scales with
+    * vocabulary, not tokens); the collect is vocabulary-shaped. */
+  def fromTrained(hist: DataFrame,
+      pieces: Seq[UnigramLm.UnigramPiece]): Seq[WpPiece] = {
+    val counts = pieces.map(p => p.piece -> p.count).toMap
+    val (costs, unk) = UnigramLm.costLaw(counts)
+    val seed = hist
+      .select(col("n"),
+        posexplode(graft.functions.UnigramSegmentExpr.of(col("word"),
+          costs, unk)).as(Seq("pos", "piece")))
+      .select(when(col("pos") === 0, col("piece"))
+        .otherwise(concat(lit("##"), col("piece"))).as("form"), col("n"))
+      .groupBy(col("form")).agg(sum(col("n")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    seed.sorted(pieceOrd).zipWithIndex.map { case ((p, c), i) =>
+      WpPiece(i, p, c)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Independent sequential WITNESS — nested-loop candidate counting,
   // an index-walk greedy matcher, plain maps; shares the contract, not
@@ -119,6 +158,28 @@ object WordPiece {
       .toSeq.sorted(pieceOrd).take(cap)
     (singles ++ multis).sorted(pieceOrd).zipWithIndex.map {
       case ((p, c), i) => WpPiece(i, p, c)
+    }
+  }
+
+  /** [[fromTrained]]'s witness: [[UnigramLm.segmentWitness]] (memoized
+    * recursion vs the engine's iterative DP expression) per histogram
+    * word, positional form counting by a plain driver map. */
+  def fromTrainedWitness(hist: Seq[(String, Long)],
+      pieces: Seq[UnigramLm.UnigramPiece]): Seq[WpPiece] = {
+    val counts = pieces.map(p => p.piece -> p.count).toMap
+    val (costSeq, unk) = UnigramLm.costLaw(counts)
+    val costs = costSeq.toMap
+    val cnt = new scala.collection.mutable.HashMap[String, Long]()
+    hist.foreach { case (w, n) =>
+      var pos = 0
+      UnigramLm.segmentWitness(w, costs, unk).foreach { p =>
+        val key = if (pos == 0) p else "##" + p
+        cnt(key) = cnt.getOrElse(key, 0L) + n
+        pos += 1
+      }
+    }
+    cnt.toSeq.sorted(pieceOrd).zipWithIndex.map { case ((p, c), i) =>
+      WpPiece(i, p, c)
     }
   }
 

@@ -82,7 +82,7 @@ object ExtensionQueries {
         path)
       // q139/q140's KMEANS WITNESS: the same (nlist, iters) build
       // recomputed by IvfAnn.buildWitness — sequential arrays-and-loops
-      // Lloyd sharing the contract (mean-nearest seed + farthest-point init,
+      // Lloyd sharing the contract (mean-nearest seed + derandomized k-means++ init,
       // id-ordered mean fold) but no mechanism with the distributed
       // trainer. Centroids exploded to (list_id, pos, c) scalar rows so
       // the hash compare is per-value.
@@ -328,7 +328,7 @@ object ExtensionQueries {
 
     // The KMeans BUILD itself, oracled (closing the one spec-land stage
     // of the q102 fixture chain): the engine retrains the deterministic
-    // Lloyd build (mean-nearest seed + farthest-point init, strict-less
+    // Lloyd build (mean-nearest seed + derandomized k-means++ init, strict-less
     // id-ordered mean folds) and emits the final centroids as
     // (list_id, pos, c) scalar rows; the oracle reads the SEQUENTIAL
     // witness's centroids from the fixture. Bitwise double equality is

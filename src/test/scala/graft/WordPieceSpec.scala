@@ -98,6 +98,41 @@ class WordPieceSpec extends AnyFunSuite {
     }
   }
 
+  test("from-trained law: distributed derivation == witness; counts conserve") {
+    import graft.operators.UnigramLm
+    val rnd = new scala.util.Random(146L)
+    for (trial <- 1 to 3) {
+      val hist = (1 to 6 + rnd.nextInt(10)).map { _ =>
+        (Array.fill(1 + rnd.nextInt(9))("abcde" (rnd.nextInt(5))).mkString,
+          1L + rnd.nextInt(30))
+      }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      val histDf = hist.toDF("word", "n")
+      val (pieces, _) = UnigramLm.train(histDf)
+      val eng = WordPiece.fromTrained(histDf, pieces)
+      val wit = WordPiece.fromTrainedWitness(hist, pieces)
+      assert(eng == wit, s"trial $trial diverged:\n eng=$eng\n wit=$wit")
+      // conservation: total form count == total segmented piece count
+      // (every occurrence lands in exactly one positional form)
+      val counts = pieces.map(p => p.piece -> p.count).toMap
+      val (costSeq, unk) = (counts.toSeq.map { case (p, c) =>
+        p -> graft.functions.UnigramViterbi.cost(
+          math.max(1L, counts.values.sum), c) },
+        graft.functions.UnigramViterbi.unknownCost(
+          math.max(1L, counts.values.sum)))
+      val totalPieces = hist.map { case (w, n) =>
+        UnigramLm.segmentWitness(w, costSeq.toMap, unk).size * n }.sum
+      assert(eng.map(_.count).sum == totalPieces)
+      // every continuation form's body is a trained piece or a single
+      // code point (UNK fallback); start forms likewise
+      val trained = pieces.map(_.piece).toSet
+      eng.foreach { p =>
+        val body = if (p.piece.startsWith("##")) p.piece.substring(2) else p.piece
+        assert(trained.contains(body) || UnigramLm.cpCount(body) == 1,
+          s"form ${p.piece} has untrained multi-cp body")
+      }
+    }
+  }
+
   test("encode report: checksum contract, UNK loudness, empty doc") {
     val hist = Seq(("ab", 3L), ("cd", 2L)).toDF("word", "n")
     val vocab = WordPiece.deriveVocab(hist, cap = 4, minCount = 2L)
