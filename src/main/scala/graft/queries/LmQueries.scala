@@ -178,10 +178,39 @@ object LmQueries {
       // q146's FROM-TRAINED WordPiece witness: positional ##-forms of
       // the witness-trained pieces, counted by segmentWitness over the
       // histogram (driver loops vs the engine's posexplode aggregation)
-      graft.operators.WordPiece.vocabToDf(s,
-        graft.operators.WordPiece.fromTrainedWitness(hist, pieces))
+      val wpTrained = graft.operators.WordPiece.fromTrainedWitness(hist, pieces)
+      graft.operators.WordPiece.vocabToDf(s, wpTrained)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/wp_from_trained")
+      // q147's encode witness under that vocabulary: the WordPiece
+      // witness matcher (code-point index walk vs the kernel's
+      // UTF-16-offset scan) + driver checksum fold. The from-trained
+      // vocabulary has NO protected-singles stage, so UNK words are
+      // possible wherever segmentation never visited a code point —
+      // the encode pins that honestly.
+      val wpIds = wpTrained.map(p => p.piece -> p.id).toMap
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          var np = 0L
+          var nUnk = 0L
+          var h = graft.functions.BpeEncodeExpr.ChecksumOffset
+          text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+            graft.operators.WordPiece.encodeWordWitness(w, wpIds) match {
+              case Some(ps) => ps.foreach { p =>
+                h = h * graft.functions.BpeEncodeExpr.ChecksumPrime +
+                  (wpIds(p) + 1L)
+                np += 1
+              }
+              case None =>
+                np += 1; nUnk += 1
+                h = h * graft.functions.BpeEncodeExpr.ChecksumPrime
+            }
+          }
+          (id, np, nUnk, h)
+        }
+        .toDF("doc_id", "n_pieces", "n_unk", "checksum")
+        .write.mode("overwrite").parquet(s"$path/wp_from_trained_encode")
       true
     })
     path
@@ -672,6 +701,85 @@ object LmQueries {
       hist.unpersist(false)
       graft.operators.WordPiece.vocabToDf(s, vocab)
         .orderBy(col("piece_id"))
+    },
+
+    // Encode-to-ids under the FROM-TRAINED WordPiece vocabulary — the
+    // q143 shape for q146's derivation, completing the swap path (a
+    // user can move from the raw-substring vocabulary to the
+    // trained-derived one and run the same encode). The from-trained
+    // vocabulary has no protected-singles stage, so whole-word UNK is
+    // possible wherever segmentation never visited a code point — the
+    // checksum pins the UNK set loudly. Oracled against the witness
+    // fixture (witness train, witness derivation, witness matcher).
+    "q147_wp_trained_encode" -> QueryDef(
+      s"""SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
+         |       CAST(n_unk AS BIGINT) AS n_unk,
+         |       CAST(checksum AS BIGINT) AS checksum
+         |FROM read_parquet('$BpeFixtureToken/wp_from_trained_encode/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ensureUnigramFixture(s, dir)
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents).persist()
+      val (pieces, _) = graft.operators.UnigramLm.train(hist)
+      val vocab = graft.operators.WordPiece.fromTrained(hist, pieces)
+      hist.unpersist(false)
+      graft.operators.WordPiece.encodeReport(Tables(s, dir).documents, vocab)
+        .orderBy(col("doc_id"))
+    },
+
+    // The WordPiece DERIVATION scorecard: raw-substring (q142) vs
+    // from-trained (q146) vocabularies compared per language on the
+    // numbers a tokenizer owner decides with — vocab size is global,
+    // fertility and UNK-rate per (lang) — the q145-style
+    // should-I-switch query for the derivation axis. The engine
+    // recomputes BOTH encodes with its own kernels in ONE corpus pass
+    // (two WordPieceEncodeExpr side by side, one (lang) aggregation);
+    // the oracle reassembles the report from the two independent
+    // witness encode fixtures joined to documents.
+    "q148_wp_derivation_diff" -> QueryDef(
+      s"""WITH raw AS (SELECT d.lang,
+         |        CAST(sum(w.n_pieces) AS BIGINT) AS raw_pieces,
+         |        CAST(sum(w.n_unk) AS BIGINT) AS raw_unk,
+         |        CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM read_parquet('$BpeFixtureToken/wordpiece_encode/*.parquet') w
+         |      JOIN documents d USING (doc_id) GROUP BY d.lang),
+         |tr AS (SELECT d.lang,
+         |        CAST(sum(w.n_pieces) AS BIGINT) AS tr_pieces,
+         |        CAST(sum(w.n_unk) AS BIGINT) AS tr_unk
+         |      FROM read_parquet('$BpeFixtureToken/wp_from_trained_encode/*.parquet') w
+         |      JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT raw.lang, raw.n_docs, raw.raw_pieces, tr.tr_pieces,
+         |       raw.raw_unk, tr.tr_unk,
+         |       CAST(tr.tr_pieces * 1000 // raw.raw_pieces AS BIGINT)
+         |         AS pieces_ratio_permille
+         |FROM raw JOIN tr USING (lang)
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      ensureUnigramFixture(s, dir)
+      ensureWordPieceFixture(s, dir)
+      import graft.operators.{UnigramLm, WordPiece}
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents).persist()
+      val rawVocab = WordPiece.deriveVocab(hist)
+      val (pieces, _) = UnigramLm.train(hist)
+      val trVocab = WordPiece.fromTrained(hist, pieces)
+      hist.unpersist(false)
+      val rawIds = rawVocab.map(p => p.piece -> p.id).toMap
+      val trIds = trVocab.map(p => p.piece -> p.id).toMap
+      import graft.functions.TextFunctions
+      Tables(s, dir).documents
+        .select(col("lang"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("lang"),
+          graft.functions.WordPieceEncodeExpr.of(col("ts"), rawIds).as("r"),
+          graft.functions.WordPieceEncodeExpr.of(col("ts"), trIds).as("t"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r.n_pieces")).as("raw_pieces"),
+          sum(col("t.n_pieces")).as("tr_pieces"),
+          sum(col("r.n_unk")).as("raw_unk"),
+          sum(col("t.n_unk")).as("tr_unk"))
+        .select(col("lang"), col("n_docs"), col("raw_pieces"),
+          col("tr_pieces"), col("raw_unk"), col("tr_unk"),
+          expr("CAST(tr_pieces * 1000 DIV raw_pieces AS BIGINT)")
+            .as("pieces_ratio_permille"))
+        .orderBy(col("lang"))
     },
 
     // The tokenizer SCORECARD: the trio compared on one report — per

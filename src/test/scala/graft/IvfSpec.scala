@@ -352,6 +352,39 @@ class IvfSpec extends AnyFunSuite {
       s"k-means++ init should beat k-center on clustered data: $sseKpp vs $sseKc")
   }
 
+  test("build cost is round-shaped: job count depends on (nlist, iters), not corpus size") {
+    // the q137 sparkJobs-law discipline for the KMeans build: every
+    // driver-synchronized job is init- or round-shaped, so the count
+    // is a pure function of (nlist, iters) — a corpus 5x larger pays
+    // the same number of barriers (each just scans more). The exact
+    // count is AQE-dependent (shuffle stages submit as jobs), so the
+    // law pins INVARIANCE across corpus size and MONOTONICITY in the
+    // knobs rather than a brittle constant.
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    def corpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Seq(i / 3.0, (i % 7).toDouble, (i % 11) / 2.0)))
+      .toDF("vec_id", "embedding")
+    def jobsFor(df: org.apache.spark.sql.DataFrame, nlist: Int,
+        iters: Int, tag: String): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(tag, tag, interruptOnCancel = false)
+      try IvfAnn.build(df, nlist = nlist, iters = iters)
+      finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(tag).length
+    }
+    val small = jobsFor(corpus(40), nlist = 4, iters = 6, "kml-small")
+    val big = jobsFor(corpus(200), nlist = 4, iters = 6, "kml-big")
+    assert(small == big,
+      s"job count is data-shaped: $small jobs at n=40 vs $big at n=200")
+    val fewerIters = jobsFor(corpus(40), nlist = 4, iters = 2, "kml-it2")
+    val fewerLists = jobsFor(corpus(40), nlist = 2, iters = 6, "kml-nl2")
+    assert(fewerIters < small, s"iters should shed jobs: $fewerIters vs $small")
+    assert(fewerLists < small, s"nlist should shed jobs: $fewerLists vs $small")
+    info(s"jobs: (nlist=4,iters=6)=$small invariant across 5x corpus; " +
+      s"(4,2)=$fewerIters (2,6)=$fewerLists")
+  }
+
   test("build fails loudly on an invalid vector for EVERY iters value") {
     // iters = 0 used to skip both the Lloyd loop's −1 check and
     // meanPool's null-element guard, silently persisting list_id = −1
