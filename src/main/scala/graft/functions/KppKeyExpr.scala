@@ -55,10 +55,23 @@ object KppInit {
     if (dmin > 0.0) -StrictMath.log(u(id, round)) / dmin
     else Double.PositiveInfinity
 
+  /** Derandomized uniform SAMPLE key, per stream: ordering a corpus by
+    * (sampleKey(id, stream), id) ascending and taking the first k is a
+    * deterministic k-sample of that stream — the PQ codebook init
+    * (FAISS-style random init derandomized; k-means++ picks would cost
+    * k sequential barriers PER SUBSPACE, a nonstarter at k = 256).
+    * Each subspace gets its own stream so codebooks don't correlate. */
+  def sampleKey(id: Long, stream: Int): Long =
+    mix(mix(id ^ Seed) + (stream + 1L) * 0x9E3779B97F4A7C15L)
+
   import org.apache.spark.sql.graftbridge.Bridge
   def keyCol(id: Column, round: Int, dmin: Column): Column =
     Bridge.column(KppKeyExpr(Bridge.expression(id),
       Bridge.expression(dmin), round))
+
+  def sampleKeyCol(id: Column, stream: Column): Column =
+    Bridge.column(SampleKeyExpr(Bridge.expression(id),
+      Bridge.expression(stream)))
 }
 
 /** [[KppInit.key]] as a native expression: (id: BIGINT, dmin: DOUBLE) →
@@ -78,4 +91,23 @@ case class KppKeyExpr(left: Expression, right: Expression, round: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (idc, dc) =>
       s"${ev.value} = graft.functions.KppInit.key($idc, $round, $dc);")
+}
+
+/** [[KppInit.sampleKey]] as a native expression: (id: BIGINT,
+  * stream: INT) → BIGINT — the PQ init's per-subspace sample ordering,
+  * one shuffle-free narrow column. */
+case class SampleKeyExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sample_key"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SampleKeyExpr = copy(left = l, right = r)
+
+  override def nullSafeEval(id: Any, stream: Any): Any =
+    KppInit.sampleKey(id.asInstanceOf[Long], stream.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (idc, sc) =>
+      s"${ev.value} = graft.functions.KppInit.sampleKey($idc, $sc);")
 }

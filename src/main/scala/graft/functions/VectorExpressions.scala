@@ -87,6 +87,31 @@ object VectorKernels {
     best
   }
 
+  /** [[PqEncodeExpr]]'s per-subspace body: strict-less argmin of the
+    * sequential squared-L2 fold over the slice starting at `off` —
+    * identical arithmetic to [[nearestCentroid]] restricted to a
+    * subvector; −1 on a null element (the caller checks total length
+    * once for the whole vector). */
+  def pqNearestSub(a: ArrayData, code: Int, off: Int,
+      cents: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var acc = 0.0
+      var ok = true
+      var i = 0
+      while (ok && i < c.length) {
+        if (a.isNullAt(off + i)) ok = false
+        else { val d = get(a, off + i, code) - c(i); acc += d * d; i += 1 }
+      }
+      if (ok && acc < bestD) { bestD = acc; best = j }
+      j += 1
+    }
+    best
+  }
+
   /** Min squared-L2 to a fixed centroid table (same fold order as
     * [[nearestCentroid]]) — the k-means++ init's D² weight (and the selection score of its farthest-point predecessor).
     * Invalid vectors (null element / length mismatch everywhere) score

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011): split each vector into
+  * `m` contiguous subvectors and learn an independent `k`-codeword
+  * KMeans codebook per subspace; a vector is then stored as `m` bytes
+  * of codeword ids. At dim 64 doubles that is 512 B → 8 B per vector
+  * (64×) — the compression layout that makes a 100 TB embedding corpus
+  * probe-able from a fraction of the storage, beyond
+  * [[IvfAnn.quantized]]'s 4× int8 cut. Probing is ASYMMETRIC (ADC):
+  * the query stays full precision and scores a candidate with `m`
+  * table lookups against per-query subdistance tables.
+  *
+  * DETERMINISTIC end to end, oracle-able like the IVF build
+  * (q139/q140): the pinned contract is
+  *
+  *   - INIT: derandomized uniform sample per subspace — codeword j of
+  *     subspace s is the subvector of the corpus vector ranked j by
+  *     ([[graft.functions.KppInit.sampleKey]](id, s), id) ascending.
+  *     k-means++ picks would cost k sequential barriers PER SUBSPACE
+  *     (a nonstarter at production k = 256); FAISS trains PQ codebooks
+  *     from random init, and the hash sample derandomizes exactly
+  *     that. ONE window job initializes ALL m codebooks.
+  *   - LLOYD [[TrainIters]] rounds over ALL subspaces JOINTLY: the
+  *     (id, sub, subvector) explosion assigns each subvector to its
+  *     strict-less nearest codeword (ties to the smaller code), then
+  *     recomputes every (sub, code, dim) mean through the
+  *     [[Embeddings.meanPool]] id-ordered fold — ONE assignment pass +
+  *     ONE mean job per round for all m codebooks, so the job count is
+  *     a function of iters alone, never of m or k (PqSpec pins the
+  *     law). An empty cell keeps its previous codeword.
+  *
+  * The sequential witness ([[trainWitness]]) shares the contract and
+  * the [[graft.functions.KppInit]] hash, and no mechanism. */
+object Pq {
+
+  final case class PqModel(m: Int, k: Int, dim: Int,
+      codebooks: Array[Array[Array[Double]]]) // [sub][code][dsub]
+
+  /** Lloyd rounds — fixed so (m, k, iters) fully determines the build
+    * (the [[IvfAnn.BuildIters]] convention and rationale). */
+  val TrainIters = 10
+
+  /** Train all m codebooks jointly. Driver state is the model
+    * (m × k × dim/m doubles); per round one narrow assignment pass and
+    * one meanPool shuffle of corpus×dim exploded rows. */
+  def train(corpus: DataFrame, m: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      iters: Int = TrainIters)(implicit spark: SparkSession): PqModel = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // the IvfAnn.build up-front guard: short corpora and invalid
+    // vectors fail NAMED before any codebook exists
+    val stats = base.agg(
+      count(lit(1)),
+      count(when(col("v").isNull || size(col("v")) =!= dim ||
+        exists(col("v"), x => x.isNull), 1))).head()
+    require(stats.getLong(0) >= k,
+      s"corpus has fewer than k=$k vectors")
+    require(stats.getLong(1) == 0L,
+      s"PQ corpus contains ${stats.getLong(1)} invalid vector(s) " +
+        s"(null element or dimension mismatch vs dim=$dim) — clean the " +
+        "corpus before training")
+    val exploded = base.select(col("id"),
+      explode(array((0 until m).map(s => struct(lit(s).as("sub"),
+        slice(col("v"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // INIT: one window job ranks every subspace's sample stream
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub"))
+      .orderBy(graft.functions.KppInit.sampleKeyCol(col("id"), col("sub")).asc,
+        col("id").asc)
+    val cbs: Array[Array[Array[Double]]] =
+      Array.fill(m, k)(null: Array[Double])
+    exploded.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("sub"), col("rk"), col("sv").cast("array<double>"))
+      .collect()
+      .foreach { r =>
+        cbs(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Double](2).toArray
+      }
+    require(cbs.forall(_.forall(_ ne null)), "init sample incomplete")
+    for (_ <- 1 to iters) {
+      val assigned = exploded.withColumn("code",
+        nearestChain(col("sub"), col("sv"), cbs))
+      val next = cbs.map(_.map(_.clone()))
+      Embeddings.meanPool(assigned,
+        (col("sub").cast("long") * k + col("code")).as("g"),
+        idCol = "id", vecCol = "sv")
+        .collect().foreach { r =>
+          val g = r.getLong(0)
+          require(g >= 0, "PQ assignment produced code −1 (invalid " +
+            "subvector) — unreachable after the up-front guard")
+          next((g / k).toInt)((g % k).toInt)(r.getLong(1).toInt) =
+            r.getDouble(2)
+        }
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < k) { cbs(s)(c) = next(s)(c); c += 1 }
+        s += 1
+      }
+    }
+    exploded.unpersist(false)
+    base.unpersist(false)
+    PqModel(m, k, dim, cbs)
+  }
+
+  /** The per-round assignment column: a when-chain dispatching each
+    * subspace to its codebook's [[graft.functions.VectorExpressions
+    * .nearestCentroid]] — m codegen'd branches, one narrow pass. */
+  private def nearestChain(sub: Column, sv: Column,
+      cbs: Array[Array[Array[Double]]]): Column = {
+    val first = when(sub === 0,
+      graft.functions.VectorExpressions.nearestCentroid(sv, cbs(0).toSeq))
+    (1 until cbs.length).foldLeft(first) { (acc, s) =>
+      acc.when(sub === s,
+        graft.functions.VectorExpressions.nearestCentroid(sv, cbs(s).toSeq))
+    }.otherwise(lit(-1))
+  }
+
+  /** Encode the corpus: (id, codes array<byte> of length m) — one
+    * narrow pass through [[graft.functions.PqEncodeExpr]]. */
+  def encode(corpus: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      graft.functions.PqEncodeExpr.of(col(vecCol),
+        model.codebooks.map(_.map(_.toSeq).toSeq).toSeq).as("codes"))
+
+  /** ADC top-k: per-query subdistance tables (m × k squared-L2 values,
+    * computed once on the driver from the BOUNDED probe batch — the
+    * q102 diagnostic convention), then one narrow scoring pass over
+    * the codes with m table lookups per candidate, and a per-query
+    * top-k window. Ties break (dist asc, neighbor id asc); the query
+    * itself is excluded. */
+  def adcTopK(queries: DataFrame, codes: DataFrame, model: PqModel,
+      kTop: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dsub = model.dim / model.m
+    val qs = queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tables: Map[Long, Seq[Seq[Double]]] = qs.map { case (qid, qv) =>
+      qid -> (0 until model.m).map { s =>
+        (0 until model.k).map { c =>
+          val cw = model.codebooks(s)(c)
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val d = qv(s * dsub + i) - cw(i); acc += d * d; i += 1
+          }
+          acc
+        }
+      }.map(_.toSeq).toSeq
+    }.toMap
+    val qids = qs.map(_._1).toSeq.toDF("query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    codes.crossJoin(broadcast(qids))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc_dist",
+        graft.functions.PqAdcExpr.of(col("query_id"), col("codes"), tables))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adc_dist"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Sequential WITNESS — plain arrays and loops, id-sorted folds, the
+  // same KppInit hash contract; no shared mechanism (q139 discipline).
+  // ------------------------------------------------------------------
+
+  /** Sequential twin of [[train]] + [[encode]]: returns (codebooks,
+    * per-id codes). */
+  def trainWitness(vectors: Seq[(Long, Array[Double])], m: Int, k: Int,
+      iters: Int = TrainIters)
+      : (Array[Array[Array[Double]]], Seq[(Long, Array[Byte])]) = {
+    require(vectors.size >= k, s"fewer than k=$k vectors")
+    val byId = vectors.sortBy(_._1)
+    val dim = byId.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    def sqSub(v: Array[Double], off: Int, c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) { val d = v(off + i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    // INIT: per subspace, the k lowest (sampleKey, id)
+    val cbs: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      byId.sortBy { case (id, _) =>
+        (graft.functions.KppInit.sampleKey(id, s), id) }
+        .take(k)
+        .map { case (_, v) =>
+          java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub) }
+        .toArray
+    }
+    def nearest(v: Array[Double], s: Int): Int = {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val d = sqSub(v, s * dsub, cbs(s)(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(m, k)(new Array[Double](dsub))
+      val ns = Array.fill(m, k)(0L)
+      byId.foreach { case (_, v) =>
+        var s = 0
+        while (s < m) {
+          val c = nearest(v, s)
+          var i = 0
+          // first member SETS — the meanPool fold seeding
+          if (ns(s)(c) == 0) while (i < dsub) {
+            sums(s)(c)(i) = v(s * dsub + i); i += 1
+          } else while (i < dsub) {
+            sums(s)(c)(i) += v(s * dsub + i); i += 1
+          }
+          ns(s)(c) += 1
+          s += 1
+        }
+      }
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < k) {
+          if (ns(s)(c) > 0) {
+            val nc = new Array[Double](dsub)
+            var i = 0
+            while (i < dsub) { nc(i) = sums(s)(c)(i) / ns(s)(c); i += 1 }
+            cbs(s)(c) = nc
+          }
+          c += 1
+        }
+        s += 1
+      }
+    }
+    val codes = byId.map { case (id, v) =>
+      id -> Array.tabulate(m)(s => nearest(v, s).toByte)
+    }
+    (cbs, codes)
+  }
+}

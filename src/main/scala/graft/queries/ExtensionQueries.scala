@@ -105,6 +105,47 @@ object ExtensionQueries {
     path
   }
 
+  /** PQ geometry for the q149–q151 fixture chain: dim 64 → m=8
+    * subspaces of 8 dims, k=16 codewords each — 8 bytes per vector,
+    * a 64× cut vs the raw doubles (vs int8's 4×). k is 16 rather than
+    * the production 256 because the capped test corpora are small;
+    * the job shape is k-independent by design. */
+  private val PqM = 8
+  private val PqK = 16
+
+  /** Build-once-per-(session, sf) PQ WITNESS fixture: the sequential
+    * [[graft.operators.Pq.trainWitness]] codebooks as (sub, code, pos,
+    * c) scalar rows — q149's oracle reads them verbatim; q150/q151
+    * re-derive encodes and ADC rankings from them in DuckDB, so the
+    * engine's train/encode/probe kernels are all independently
+    * checked. Shares [[fixtureCorpus]]'s capped id-prefix with the
+    * engine side. */
+  private val pqFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ensurePqFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val path = ivfFixturePath(s, dir)
+    pqFixtureBuilt.computeIfAbsent(key, _ => {
+      import s.implicits._
+      val vecs = fixtureCorpus(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val (cbs, _) = graft.operators.Pq.trainWitness(vecs, PqM, PqK)
+      cbs.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.flatMap { case (cw, code) =>
+          cw.zipWithIndex.map { case (x, pos) =>
+            (sub, code, pos.toLong, x) }
+        }
+      }.toSeq.toDF("sub", "code", "pos", "c")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/pq_witness/codebooks")
+      true
+    })
+    path
+  }
+
   val entries: Map[String, QueryDef] = Map(
 
     // Rolling Rabin-Karp window fingerprints with mod-sampling: the
@@ -391,6 +432,117 @@ object ExtensionQueries {
         Tables(s, dir).embeddings.filter(col("vec_id") % 10 === 7), centroids)
         .select(col("id"), col("list_id"))
         .orderBy(col("id"))
+    },
+
+    // The PQ codebook TRAINING, oracled (the q139 pattern for product
+    // quantization): the engine retrains the deterministic joint build
+    // (hash-sample init, strict-less per-subspace assignment,
+    // id-ordered meanPool folds, fixed rounds) and emits every
+    // codebook value as a (sub, code, pos, c) scalar row; the oracle
+    // reads the SEQUENTIAL witness's codebooks. Bitwise double
+    // equality — the id-ordered fold's point.
+    "q149_pq_codebooks" -> QueryDef(
+      s"""SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+         |       CAST(pos AS BIGINT) AS pos, c
+         |FROM read_parquet('$IvfFixtureToken/pq_witness/codebooks/*.parquet')
+         |ORDER BY sub, code, pos""".stripMargin) { (s, dir) =>
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      ensurePqFixture(s, dir)
+      val model = graft.operators.Pq.train(fixtureCorpus(s, dir), PqM, PqK)
+      model.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.flatMap { case (cw, code) =>
+          cw.zipWithIndex.map { case (x, pos) => (sub, code, pos.toLong, x) }
+        }
+      }.toSeq.toDF("sub", "code", "pos", "c")
+        .orderBy(col("sub"), col("code"), col("pos"))
+    },
+
+    // PQ ENCODE: every corpus vector reduced to m codeword ids (8 B at
+    // dim 64 — the 64x corpus-copy cut). The oracle re-derives EVERY
+    // code from the witness codebooks in DuckDB (argmin of the
+    // re-computed subspace distances, ties to the lower code), so the
+    // engine's one-pass encode kernel is checked against independent
+    // arithmetic, not against itself.
+    "q150_pq_codes" -> QueryDef(
+      s"""WITH cb AS (SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+         |              list(c ORDER BY pos) AS cw
+         |            FROM read_parquet('$IvfFixtureToken/pq_witness/codebooks/*.parquet')
+         |            GROUP BY 1, 2),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id < $IvfFixtureCap),
+         |sv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+         |         embedding[CAST(s.sub*8+1 AS INT):CAST(s.sub*8+8 AS INT)] AS sv
+         |       FROM e CROSS JOIN (SELECT unnest(range(8)) AS sub) s),
+         |d AS (SELECT vec_id, sub, code,
+         |        ${sqDistSql("sv", "cw")} AS dist
+         |      FROM sv JOIN cb USING (sub)),
+         |r AS (SELECT vec_id, sub, code,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |          ORDER BY dist ASC, code ASC) AS rk FROM d)
+         |SELECT vec_id AS id, sub, code FROM r WHERE rk = 1
+         |ORDER BY id, sub""".stripMargin) { (s, dir) =>
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      ensurePqFixture(s, dir)
+      val corpus = fixtureCorpus(s, dir)
+      val model = graft.operators.Pq.train(corpus, PqM, PqK)
+      graft.operators.Pq.encode(corpus, model)
+        .select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("id"), col("sub").cast("int").as("sub"),
+          col("code").cast("int").as("code"))
+        .orderBy(col("id"), col("sub"))
+    },
+
+    // PQ ADC top-k: the probe side — per-query subdistance tables, m
+    // table lookups per candidate, top-k by (distance asc, id asc).
+    // The oracle re-derives codes AND tables AND the ordered fold from
+    // the witness codebooks (list_sum over a sub-ordered list matches
+    // the kernel's ascending-subspace accumulation exactly), so the
+    // whole asymmetric-distance pipeline is independently priced.
+    "q151_pq_adc_topk" -> QueryDef(
+      s"""WITH cb AS (SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+         |              list(c ORDER BY pos) AS cw
+         |            FROM read_parquet('$IvfFixtureToken/pq_witness/codebooks/*.parquet')
+         |            GROUP BY 1, 2),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id < $IvfFixtureCap),
+         |sv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+         |         embedding[CAST(s.sub*8+1 AS INT):CAST(s.sub*8+8 AS INT)] AS sv
+         |       FROM e CROSS JOIN (SELECT unnest(range(8)) AS sub) s),
+         |d AS (SELECT vec_id, sub, code,
+         |        ${sqDistSql("sv", "cw")} AS dist
+         |      FROM sv JOIN cb USING (sub)),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |           ORDER BY dist ASC, code ASC) AS rk FROM d) WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |      WHERE vec_id < 8),
+         |tbl AS (SELECT query_id, cb.sub, cb.code,
+         |          ${sqDistSql(
+             "qv[CAST(cb.sub*8+1 AS INT):CAST(cb.sub*8+8 AS INT)]", "cw")} AS dist
+         |        FROM q CROSS JOIN cb),
+         |sc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+         |         list_sum(list(t.dist ORDER BY t.sub)) AS adc_dist
+         |       FROM codes c JOIN tbl t USING (sub, code)
+         |       WHERE t.query_id <> c.vec_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, adc_dist, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      ensurePqFixture(s, dir)
+      val corpus = fixtureCorpus(s, dir)
+      val model = graft.operators.Pq.train(corpus, PqM, PqK)
+      val codes = graft.operators.Pq.encode(corpus, model)
+      graft.operators.Pq.adcTopK(
+        corpus.filter(col("vec_id") < 8), codes, model, kTop = 10)
+        .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // Symmetric int8 quantization of the embedding column: per-vector

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pq
+
+/** Product-quantization invariants: the joint distributed build equals
+  * the sequential witness bitwise; ADC scoring is exactly the table
+  * arithmetic; the job count is round-shaped (independent of corpus
+  * size AND of m and k — the property that makes production k = 256
+  * affordable). */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("pq-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  private def randomVecs(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong * 3 + 1, Array.fill(dim)((rnd.nextInt(2000) - 1000) / 997.0)))
+  }
+
+  test("build law: distributed == sequential witness (codebooks bitwise, codes equal)") {
+    implicit val s: SparkSession = spark
+    val rnd = new scala.util.Random(149L)
+    for (trial <- 1 to 3) {
+      val m = Seq(2, 4)(rnd.nextInt(2))
+      val dim = m * (2 + rnd.nextInt(3))
+      val k = 3 + rnd.nextInt(4)
+      val iters = 1 + rnd.nextInt(3)
+      val vecs = randomVecs(20 + k + rnd.nextInt(30), dim, 1000 + trial)
+      val df = vecs.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val model = Pq.train(df, m, k, iters = iters)
+      val (witCbs, witCodes) = Pq.trainWitness(vecs, m, k, iters)
+      for (sub <- 0 until m; c <- 0 until k)
+        assert(model.codebooks(sub)(c).sameElements(witCbs(sub)(c)),
+          s"trial $trial (m=$m k=$k iters=$iters) codebook ($sub,$c) diverged")
+      val engCodes = Pq.encode(df, model).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1).toArray))
+      assert(engCodes.length == witCodes.length)
+      engCodes.zip(witCodes).foreach { case ((ei, ec), (wi, wc)) =>
+        assert(ei == wi && ec.sameElements(wc),
+          s"trial $trial codes diverged at id $ei/$wi")
+      }
+    }
+  }
+
+  test("ADC score is exactly the subdistance-table sum; top-k deterministic") {
+    implicit val s: SparkSession = spark
+    val vecs = randomVecs(60, 8, 7L)
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val model = Pq.train(df, m = 4, k = 4, iters = 2)
+    val codes = Pq.encode(df, model)
+    val top = Pq.adcTopK(df.filter(col("vec_id") < 10), codes, model, kTop = 5)
+      .collect()
+    assert(top.nonEmpty)
+    val byId = vecs.toMap
+    val codeById = Pq.encode(df, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    val dsub = model.dim / model.m
+    top.foreach { r =>
+      val (qid, nid, got) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(qid != nid, "self-match must be excluded")
+      // recompute with the kernel's exact ASSOCIATION: a per-sub
+      // subtotal (the table entry), then the m subtotals summed
+      // ascending — one flat accumulator across all m×dsub terms
+      // differs in the last ulp and the contract is the table form
+      val qv = byId(qid)
+      var acc = 0.0
+      for (sub <- 0 until model.m) {
+        val cw = model.codebooks(sub)(codeById(nid)(sub) & 0xFF)
+        var entry = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = qv(sub * dsub + i) - cw(i); entry += d * d; i += 1
+        }
+        acc += entry
+      }
+      assert(acc == got, s"ADC mismatch for ($qid,$nid): $acc vs $got")
+    }
+    // ranks are 1..5 per query, strictly ordered by (dist, id)
+    top.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a.getDouble(2) < b.getDouble(2) ||
+          (a.getDouble(2) == b.getDouble(2) && a.getLong(1) < b.getLong(1)))
+      }
+    }
+  }
+
+  test("train cost is round-shaped: jobs independent of corpus size, m, AND k") {
+    implicit val s: SparkSession = spark
+    def df(n: Int) = randomVecs(n, 8, 11L)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    def jobsFor(d: org.apache.spark.sql.DataFrame, m: Int, k: Int,
+        iters: Int, tag: String): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(tag, tag, interruptOnCancel = false)
+      try Pq.train(d, m, k, iters = iters)
+      finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(tag).length
+    }
+    val baseJobs = jobsFor(df(40), 4, 8, 3, "pq-base")
+    assert(jobsFor(df(200), 4, 8, 3, "pq-big") == baseJobs,
+      "job count is data-shaped")
+    assert(jobsFor(df(40), 8, 8, 3, "pq-m8") == baseJobs,
+      "job count depends on m — the joint build's whole point")
+    assert(jobsFor(df(40), 4, 16, 3, "pq-k16") == baseJobs,
+      "job count depends on k — production k=256 must not pay barriers")
+    val moreIters = jobsFor(df(40), 4, 8, 6, "pq-it6")
+    assert(moreIters > baseJobs, "iters should add jobs")
+    info(s"jobs: base(m=4,k=8,iters=3)=$baseJobs, iters=6: $moreIters")
+  }
+
+  test("train fails loudly on invalid vectors and bad geometry") {
+    implicit val s: SparkSession = spark
+    val good = randomVecs(20, 8, 3L).map { case (id, v) => (id, v.toSeq) }
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.train(good.toDF("vec_id", "embedding"), m = 3, k = 4)
+    }
+    assert(e1.getMessage.contains("not divisible"))
+    val withBad = good.toDF("vec_id", "embedding")
+      .unionByName(spark.range(999, 1000).select(col("id").as("vec_id"),
+        array(lit(0.5), lit(null).cast("double")).as("embedding")))
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.train(withBad, m = 2, k = 4)
+    }
+    assert(e2.getMessage.contains("invalid vector"))
+  }
+}
