@@ -138,33 +138,82 @@ object Pq {
     * the codes with m table lookups per candidate, and a per-query
     * top-k window. Ties break (dist asc, neighbor id asc); the query
     * itself is excluded. */
+  /** Per-query ADC subdistance tables from a BOUNDED probe batch (the
+    * q102 diagnostic convention): table(q)(s)(c) = squared L2 between
+    * query q's subvector s and codeword c, the dsub-term sequential
+    * fold — the association the kernel, the witness, and the oracle
+    * all share. */
+  def adcTables(queries: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Map[Long, Seq[Seq[Double]]] = {
+    val dsub = model.dim / model.m
+    queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .collect().map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        qid -> (0 until model.m).map { s =>
+          (0 until model.k).map { c =>
+            val cw = model.codebooks(s)(c)
+            var acc = 0.0
+            var i = 0
+            while (i < dsub) {
+              val d = qv(s * dsub + i) - cw(i); acc += d * d; i += 1
+            }
+            acc
+          }.toSeq
+        }.toSeq
+      }.toMap
+  }
+
   def adcTopK(queries: DataFrame, codes: DataFrame, model: PqModel,
       kTop: Int, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val dsub = model.dim / model.m
-    val qs = queries
-      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val tables: Map[Long, Seq[Seq[Double]]] = qs.map { case (qid, qv) =>
-      qid -> (0 until model.m).map { s =>
-        (0 until model.k).map { c =>
-          val cw = model.codebooks(s)(c)
-          var acc = 0.0
-          var i = 0
-          while (i < dsub) {
-            val d = qv(s * dsub + i) - cw(i); acc += d * d; i += 1
-          }
-          acc
-        }
-      }.map(_.toSeq).toSeq
-    }.toMap
-    val qids = qs.map(_._1).toSeq.toDF("query_id")
+    val tables = adcTables(queries, model, idCol, vecCol)
+    val qids = tables.keys.toSeq.sorted.toDF("query_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("id").asc)
     codes.crossJoin(broadcast(qids))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc_dist",
+        graft.functions.PqAdcExpr.of(col("query_id"), col("codes"), tables))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adc_dist"), col("rank"))
+  }
+
+  /** IVF-PQ probe — the FAISS IVFPQ layout composed from the engine's
+    * two proven pieces: the query ranks the IVF centroids and keeps
+    * its `nprobe` nearest lists (the [[IvfAnn.topK]] probe shape, so a
+    * persisted list-partitioned index gives partition pruning), then
+    * scores ONLY those lists' candidates by ADC table lookups — at
+    * 100 TB the probe reads nprobe/nlist of the corpus at 8 B/vector
+    * instead of all of it at full width. `indexed` carries
+    * (id, list_id, codes); ties break (adc_dist asc, id asc); the
+    * query itself is excluded. */
+  def ivfpqTopK(queries: DataFrame, centroids: DataFrame,
+      indexed: DataFrame, model: PqModel, kTop: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = adcTables(queries, model, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        graft.functions.VectorExpressions.sqDist(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("list_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    probes.join(indexed, Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("adc_dist",
         graft.functions.PqAdcExpr.of(col("query_id"), col("codes"), tables))

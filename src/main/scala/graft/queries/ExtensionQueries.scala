@@ -545,6 +545,82 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF-PQ top-k — the FAISS IVFPQ layout, composed from the two
+    // proven fixture chains: the query ranks the PERSISTED IVF
+    // centroids and keeps its nprobe nearest lists (partition-pruned
+    // reads against the list-partitioned layout), then ADC-scores only
+    // those lists' candidates through the PQ code table (8 B/vector).
+    // The oracle re-derives EVERYTHING from the two witness fixtures:
+    // probe ranks from the IVF centroids parquet, codes from the PQ
+    // witness codebooks, tables + the sub-ordered fold in DuckDB — the
+    // whole composed pipeline independently priced.
+    "q152_ivfpq_topk" -> QueryDef(
+      s"""WITH cb AS (SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+         |              list(c ORDER BY pos) AS cw
+         |            FROM read_parquet('$IvfFixtureToken/pq_witness/codebooks/*.parquet')
+         |            GROUP BY 1, 2),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id < $IvfFixtureCap),
+         |sv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+         |         embedding[CAST(s.sub*8+1 AS INT):CAST(s.sub*8+8 AS INT)] AS sv
+         |       FROM e CROSS JOIN (SELECT unnest(range(8)) AS sub) s),
+         |dd AS (SELECT vec_id, sub, code,
+         |        ${sqDistSql("sv", "cw")} AS dist
+         |      FROM sv JOIN cb USING (sub)),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |           ORDER BY dist ASC, code ASC) AS rk FROM dd) WHERE rk = 1),
+         |ivc AS (SELECT CAST(list_id AS INT) AS list_id, centroid
+         |        FROM read_parquet('$IvfFixtureToken/centroids/*.parquet')),
+         |a AS (SELECT id, CAST(list_id AS INT) AS list_id
+         |      FROM read_parquet('$IvfFixtureToken/assignments/*/*.parquet',
+         |                        hive_partitioning = true)),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |      WHERE vec_id < 8),
+         |cd AS (SELECT query_id, list_id,
+         |         ${sqDistSql("qv", "centroid")} AS cdist
+         |       FROM q CROSS JOIN ivc),
+         |probes AS (SELECT query_id, list_id FROM (
+         |  SELECT query_id, list_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cdist ASC, list_id ASC) AS crank FROM cd)
+         |  WHERE crank <= 4),
+         |tbl AS (SELECT query_id, cb.sub, cb.code,
+         |          ${sqDistSql(
+             "qv[CAST(cb.sub*8+1 AS INT):CAST(cb.sub*8+8 AS INT)]", "cw")} AS dist
+         |        FROM q CROSS JOIN cb),
+         |cand AS (SELECT p.query_id, a.id FROM probes p JOIN a USING (list_id)
+         |         WHERE p.query_id <> a.id),
+         |sc AS (SELECT cand.query_id, cand.id AS neighbor_id,
+         |         list_sum(list(t.dist ORDER BY t.sub)) AS adc_dist
+         |       FROM cand
+         |       JOIN codes c ON c.vec_id = cand.id
+         |       JOIN tbl t ON t.query_id = cand.query_id
+         |         AND t.sub = c.sub AND t.code = c.code
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, adc_dist, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      val fixture = ensureIvfFixture(s, dir)
+      ensurePqFixture(s, dir)
+      val corpus = fixtureCorpus(s, dir)
+      val persisted = graft.operators.IvfAnn.read(s, fixture)
+      val model = graft.operators.Pq.train(corpus, PqM, PqK)
+      val indexed = persisted.assignments.select(col("id"), col("list_id"))
+        .join(graft.operators.Pq.encode(corpus, model), Seq("id"))
+      graft.operators.Pq.ivfpqTopK(
+        corpus.filter(col("vec_id") < 8), persisted.centroids, indexed,
+        model, kTop = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Symmetric int8 quantization of the embedding column: per-vector
     // scale = max|x|/127, code = floor(x/scale + 0.5) — the explicit
     // half-up formula, NOT an engine round(), so both engines compute

@@ -119,6 +119,31 @@ class PqSpec extends AnyFunSuite {
     info(s"jobs: base(m=4,k=8,iters=3)=$baseJobs, iters=6: $moreIters")
   }
 
+  test("ivfpq: nprobe == nlist degenerates to the full ADC ranking") {
+    // the IvfAnn nprobe==nlist invariant transplanted to the composed
+    // layout: probing every list must reproduce the plain whole-corpus
+    // ADC top-k exactly (same dists, same ranks)
+    implicit val s: SparkSession = spark
+    import graft.operators.IvfAnn
+    val vecs = randomVecs(80, 8, 21L)
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 12)
+    val idx = IvfAnn.build(df, nlist = 4)
+    val model = Pq.train(df, m = 4, k = 6, iters = 2)
+    val codes = Pq.encode(df, model)
+    val indexed = idx.assignments.select(col("id"), col("list_id"))
+      .join(codes, Seq("id"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    val full = Pq.adcTopK(queries, codes, model, kTop = 5)
+      .collect().map(key).toSet
+    val ivfpq = Pq.ivfpqTopK(queries, idx.centroids, indexed, model,
+      kTop = 5, nprobe = 4).collect().map(key).toSet
+    assert(full == ivfpq)
+    assert(full.nonEmpty)
+  }
+
   test("train fails loudly on invalid vectors and bad geometry") {
     implicit val s: SparkSession = spark
     val good = randomVecs(20, 8, 3L).map { case (id, v) => (id, v.toSeq) }
