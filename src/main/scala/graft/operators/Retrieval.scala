@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical (sparse) retrieval over the document corpus: an inverted
+  * index of whitespace-token postings and BM25 ranked top-k — the
+  * text-side complement of the dense ANN family ([[IvfAnn]]/[[Pq]]),
+  * and the candidate generator a training-data pipeline uses for
+  * query-based decontamination and retrieval-augmented filtering.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *
+  *   - The corpus is touched by exactly TWO wide operations: the
+  *     (doc_id, term) tf aggregation that builds the postings, and the
+  *     final (query_id, doc_id) score aggregation. Everything
+  *     query-sided — the query term set, its df/idf weights — is tiny
+  *     and BROADCAST, so the postings are never shuffled by term for
+  *     the probe: candidates fall out of a broadcast hash join
+  *     (inverted-index lookup), never a corpus × queries cross join.
+  *   - df/idf is attached to the QUERY TERMS, not to the postings:
+  *     the df join runs on the vocabulary-sized side first and the
+  *     (term, idf) result — bounded by the number of distinct query
+  *     terms — rides the same broadcast.
+  *   - [[bm25TopKPruned]] is the pruned two-phase path: per term a
+  *     "champion list" keeps only the top `c` postings by impact
+  *     (the doc-length-normalized tf part of the weight), the UNION of
+  *     the query terms' lists is the candidate set — bounded by
+  *     |query terms| × c regardless of corpus size — and candidates
+  *     are then re-scored EXACTLY against the full postings, so every
+  *     emitted score is bit-identical to the unpruned run's. This is
+  *     the classic inexact-retrieval architecture (bounded candidate
+  *     generation, exact second-phase scoring).
+  *
+  * Determinism contract (oracle-able in DuckDB, q67 conventions):
+  * idf is the INTEGER milli proxy `(nDocs * 1000) div df` (exact in
+  * both engines, same total order as ln(N/df)); the per-term BM25
+  * contribution is a fixed-shape double expression (every operand an
+  * exact integer→double conversion, one division — IEEE-identical
+  * across engines); per-(query, doc) scores sum contributions in
+  * TERM-ASCENDING order (sort_array fold here, `list_sum(list(...
+  * ORDER BY term))` in the oracle — the q151 association); ranks
+  * break ties (score desc, doc_id asc).
+  */
+object Retrieval {
+
+  /** Okapi defaults — pinned as SOURCE-TEXT literals on both sides
+    * (`2.2` parsed here and `CAST(2.2 AS DOUBLE)` parsed by DuckDB are
+    * the same nearest double; `1.2 + 1` computed in doubles is NOT). */
+  val K1 = 1.2
+  val K1Plus1 = 2.2
+  val B = 0.75
+  val OneMinusB = 0.25
+
+  /** Champion-list depth q154 pins. The synthetic corpus is the WORST
+    * case for selective pruning — a 31-word vocabulary where every
+    * term's df is ~80% of the corpus, so no query term discriminates.
+    * Measured overlap@10 of the two-phase run vs the full run:
+    * 500 docs — 0.95 at c=64 (0.75 at 32, 0.40 at 16); 5000 docs —
+    * 0.26 at 64, 0.75 at 256, 0.94 at 512. I.e. with ZERO term
+    * selectivity, holding recall needs c ∝ corpus size — the known
+    * champion-list failure mode (tiered indexes are the published
+    * remedy). On Zipfian text, content-term df/N is roughly constant
+    * in N, so a FIXED c holds recall and the |q|×c candidate bound is
+    * the scale contract; that contract (not this corpus's recall) is
+    * what the operator carries to 100 TB. */
+  val DefaultChampionC = 64
+
+  /** Postings: one row per (doc_id, term) with the term frequency and
+    * the document length (dl = total whitespace tokens, re-derived as
+    * sum(tf) over the doc's terms so the index is self-contained). */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+  }
+
+  /** The doc-length-normalized tf part of the BM25 weight — the whole
+    * per-posting contribution except the term-constant idf factor.
+    * ONE pinned expression shape shared by the scorer and the champion
+    * ordering (within a term, ranking by it IS ranking by true
+    * contribution). */
+  private def tfPart(tf: Column, dl: Column, avgdl: Double): Column =
+    (tf.cast("double") * lit(K1Plus1)) /
+      (tf.cast("double") +
+        lit(K1) * (lit(OneMinusB) + lit(B) * (dl.cast("double") / lit(avgdl))))
+
+  /** Champion list: per term only the top `c` postings by IMPACT —
+    * the [[tfPart]] weight descending (idf is constant within a term,
+    * so this is exactly the true within-term contribution order; raw
+    * tf would tie everywhere on natural text and degrade to doc-id
+    * picks), ties to the lower doc_id. The classic impact-ordered
+    * prune, serving [[bm25TopKPruned]] as its candidate generator.
+    * One term-keyed window over the postings. */
+  def championPostings(post: DataFrame, c: Int, avgdl: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(tfPart(col("tf"), col("dl"), avgdl).desc, col("doc_id").asc)
+    post.withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") <= c).drop("_crk")
+  }
+
+  /** BM25 top-k against a postings frame. `queries` is (query_id,
+    * text); its DISTINCT terms probe the index (query-side tf is 1 —
+    * the standard short-query simplification). A query never
+    * retrieves itself (`query_id === doc_id` excluded), so corpus
+    * docs can serve as queries.
+    *
+    * `candidates`, when present, is a (query_id, doc_id) frame that
+    * restricts scoring to those pairs (second phase of the pruned
+    * path) — it is candidate-bounded-small and rides a broadcast
+    * semi join, so the restriction never shuffles the postings.
+    *
+    * `nDocs` and `avgdl` parameterize the weighting and must describe
+    * the FULL corpus; [[corpusStats]] derives them. */
+  def bm25TopK(post: DataFrame, queries: DataFrame, nDocs: Long,
+      avgdl: Double, kTop: Int, idCol: String = "query_id",
+      textCol: String = "text",
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val qterms = queries.select(col(idCol).as("query_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .distinct()
+    // df only for the query's term set: broadcast-semi-join the
+    // postings FIRST (narrow filter), then a tiny per-term count — the
+    // full dictionary is never shuffled for a probe.
+    val dfreq = post
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val weighted = qterms.join(dfreq, Seq("term"))
+      .withColumn("idf_milli", expr(s"${nDocs * 1000L}L div df"))
+    // contribution shape pinned against the oracle SQL literal for
+    // literal: idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl/avgdl)))
+    val contrib = col("idf_milli").cast("double") *
+      tfPart(col("tf"), col("dl"), avgdl)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val matched = post.join(broadcast(weighted), Seq("term"))
+      .filter(col("query_id") =!= col("doc_id"))
+    val restricted = candidates.fold(matched)(cand =>
+      matched.join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi"))
+    restricted
+      .withColumn("contrib", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      // term-ascending fold — the q151 ordered-association contract
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** The pruned two-phase retrieval: candidate generation through the
+    * champion lists (union over the query's terms — at most
+    * |query terms| × c docs per query, INDEPENDENT of corpus size),
+    * then exact BM25 over the full postings restricted to those
+    * candidates. Every emitted (query, doc, score) is bit-identical to
+    * the unpruned [[bm25TopK]]'s row for the same pair; only docs
+    * outside every query term's champion list can be missed. */
+  def bm25TopKPruned(post: DataFrame, queries: DataFrame, nDocs: Long,
+      avgdl: Double, kTop: Int, c: Int = DefaultChampionC,
+      idCol: String = "query_id", textCol: String = "text"): DataFrame = {
+    val qterms = queries.select(col(idCol).as("query_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .distinct()
+    val cand = championPostings(post, c, avgdl)
+      .select(col("term"), col("doc_id"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"))
+      .distinct()
+    bm25TopK(post, queries, nDocs, avgdl, kTop, idCol, textCol,
+      candidates = Some(cand))
+  }
+
+  /** Reciprocal-rank fusion (Cormack 2009) of named per-query rankings
+    * — the standard hybrid-retrieval combiner (e.g. BM25 + dense ANN).
+    * Each input frame is (query_id, doc_id, rank); the fused score is
+    * Σ 1/(rrfK + rank) over the systems that retrieved the pair, in
+    * the GIVEN system order (a fixed-order double sum, each addend one
+    * exact int→double conversion and one division — IEEE-identical in
+    * any engine), absent systems contributing exactly 0.0. Emits each
+    * system's rank as `rank_<name>` (null when absent) plus the fused
+    * `rrf_score` and the re-ranked `rank` (score desc, doc_id asc).
+    *
+    * Scale shape: every ranking is |queries| × k rows — candidate-
+    * bounded, corpus-independent — so the fusion is a chain of small
+    * joins that never touches the corpus. */
+  def rrfFuse(systems: Seq[(String, DataFrame)], kTop: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(systems.nonEmpty, "rrfFuse needs at least one ranking")
+    val renamed = systems.map { case (n, df) =>
+      df.select(col("query_id"), col("doc_id"), col("rank").as(s"rank_$n"))
+    }
+    val joined = renamed.reduce(
+      (a, b) => a.join(b, Seq("query_id", "doc_id"), "full_outer"))
+    val score = systems.map { case (n, _) =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$n")).cast("double"),
+        lit(0.0))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    joined.withColumn("rrf_score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id") +: col("doc_id") +:
+        systems.map { case (n, _) => col(s"rank_$n") } :+
+        col("rrf_score") :+ col("rank"): _*)
+  }
+
+  /** (nDocs, avgdl) for the weighting: nDocs counts EVERY corpus doc
+    * (empty ones too — they depress avgdl exactly as the oracle's
+    * count(*) does); total tokens comes from the postings. Both
+    * integer-exact, one double division. */
+  def corpusStats(docs: DataFrame, post: DataFrame,
+      idCol: String = "doc_id"): (Long, Double) = {
+    val nDocs = docs.select(col(idCol)).count()
+    val totalToks = post.agg(sum(col("tf"))).head().getLong(0)
+    (nDocs, totalToks.toDouble / nDocs.toDouble)
+  }
+}

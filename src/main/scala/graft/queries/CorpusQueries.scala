@@ -1097,6 +1097,207 @@ object CorpusQueries {
          |FROM p GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
       CorpusOps.redundancyBands(Tables(s, dir).documents)
         .orderBy(col("band"))
+    },
+
+    // BM25 ranked retrieval through the inverted index (the lexical
+    // complement of the dense ANN family): the first 8 docs serve as
+    // queries, their DISTINCT terms probe the postings via a broadcast
+    // join (never a corpus cross join), and per-(query, doc) scores
+    // fold term contributions TERM-ASCENDING (the q151 ordered
+    // association). idf is the q67 integer milli proxy — exact in both
+    // engines, same total order as ln(N/df); the rest of the weight is
+    // a fixed-shape double expression both engines evaluate
+    // operation-for-operation.
+    "q153_bm25_topk" -> QueryDef(bm25Sql(pruned = false)) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      graft.operators.Retrieval.bm25TopK(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // The pruned two-phase variant: per-term impact-ordered champion
+    // lists (top-64 postings by the doc-length-normalized tf weight)
+    // generate the candidate set — the union over a query's terms,
+    // ≤ |query terms| × 64 docs REGARDLESS of corpus size — and the
+    // candidates are then re-scored EXACTLY against the full postings.
+    // Every emitted score is bit-identical to q153's row for the same
+    // pair; only docs outside every champion list can be missed
+    // (RetrievalSpec pins overlap@10 ≥ 0.8 on the real corpus).
+    "q154_bm25_champions" -> QueryDef(bm25Sql(pruned = true)) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      graft.operators.Retrieval.bm25TopKPruned(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 10,
+        c = ChampionC)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-20 (q153's ranking) and the dense cosine top-20 (q31's exact
+    // ANN over the same ids) — the standard two-tower + BM25 serving
+    // combiner. Both rankings are |queries| × 20 rows, so the fusion
+    // never touches the corpus; scores are Σ 1/(60+rank) summed
+    // lexical-then-dense (fixed-order, IEEE-identical), ties to the
+    // lower doc_id.
+    "q155_hybrid_rrf" -> QueryDef(hybridRrfSql) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      val lex = graft.operators.Retrieval.bm25TopK(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 20)
+      val e = Tables(s, dir).embeddings
+      val den = graft.operators.Similarity
+        .bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.operators.Retrieval.rrfFuse(
+        Seq("lex" -> lex, "dense" -> den), kTop = 10)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
+
+  // a def, not a val: bm25Sql interpolates this EAGERLY while the
+  // `entries` map (declared above) is being constructed, before this
+  // object's trailing vals initialize — a val here would read as 0
+  private def ChampionC: Int = graft.operators.Retrieval.DefaultChampionC
+
+  private val bm25PostCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+
+  /** Postings built once per (session, sf) and persisted — q153/q154
+    * share the index the way a serving system would. */
+  private def bm25Post(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    bm25PostCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => graft.operators.Retrieval.postings(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val bm25StatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+
+  private def bm25Stats(s: SparkSession, dir: String): (Long, Double) =
+    bm25StatsCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => graft.operators.Retrieval.corpusStats(
+        Tables(s, dir).documents, bm25Post(s, dir)))
+
+  /** Query set: the first 8 whitespace tokens of docs 0–7 — SHORT
+    * keyword queries, the shape champion-list pruning is built for
+    * (scoring whole documents as queries makes term-coverage, not
+    * per-term impact, decide the ranking). */
+  private def bm25Queries(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables(s, dir).documents.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+          .as("text"))
+
+  /** The shared q153/q154 oracle: full BM25 re-derivation in DuckDB —
+    * postings, df, the integer idf proxy, the pinned double weight
+    * shape, and the term-ascending `list_reduce` left fold (explicitly
+    * seeded, so the association is the engine's by construction). */
+  private def bm25Sql(pruned: Boolean): String =
+    s"""WITH ${bm25Ctes(pruned, kTop = 10)}
+       |SELECT query_id, doc_id, score, rank FROM lex
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The BM25 derivation as a reusable WITH-body ending in
+    * `lex AS (query_id, doc_id, score, rank ≤ kTop)` — q153/q154 select
+    * from it directly; q155 embeds it beside the dense-ranking CTEs. */
+  private def bm25Ctes(pruned: Boolean, kTop: Int): String = {
+    // the tfPart expression — ONE source-text shape reused by the
+    // scorer and the champion ordering, mirroring Retrieval.tfPart
+    def tfPartSql(tf: String, dl: String): String =
+      s"""(CAST($tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |                / (CAST($tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |                   (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+         |                    (CAST($dl AS DOUBLE) /
+         |                     (stats.tt / CAST(stats.nd AS DOUBLE)))))""".stripMargin
+    // pruned: champion lists -> candidate (query_id, doc_id) pairs;
+    // scoring always runs on the FULL postings (exact second phase)
+    val candCte = if (pruned)
+      s"""sp AS (SELECT doc_id, term FROM (
+         |  SELECT post.doc_id, term,
+         |         ROW_NUMBER() OVER (PARTITION BY term
+         |           ORDER BY ${tfPartSql("tf", "dl.dl")} DESC,
+         |                    post.doc_id ASC) AS rk
+         |  FROM post JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN stats)
+         |  WHERE rk <= $ChampionC),
+         |cand AS (SELECT DISTINCT q.query_id, sp.doc_id
+         |         FROM q JOIN sp ON sp.term = q.term),
+         |""".stripMargin
+    else ""
+    val candJoin = if (pruned)
+      "JOIN cand ON cand.query_id = w.query_id AND cand.doc_id = p.doc_id "
+    else ""
+    s"""toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM toks GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM post GROUP BY doc_id),
+       |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+       |                 (SELECT CAST(sum(tf) AS DOUBLE) FROM post) AS tt),
+       |q AS (SELECT DISTINCT query_id, term FROM
+       |       (SELECT doc_id AS query_id, unnest(($ToksSql)[1:8]) AS term
+       |        FROM documents WHERE doc_id < 8) qq),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+       |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+       |w AS (SELECT q.query_id, q.term, (stats.nd * 1000) // dfq.df AS idf_milli
+       |      FROM q JOIN dfq USING (term) CROSS JOIN stats),
+       |$candCte
+       |sc AS (SELECT w.query_id, p.doc_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(CAST(w.idf_milli AS DOUBLE) *
+       |                (${tfPartSql("p.tf", "dl.dl")})
+       |             ORDER BY w.term)),
+       |           (a, b) -> a + b) AS score
+       |       FROM post p
+       |       JOIN w ON p.term = w.term
+       |       JOIN dl ON dl.doc_id = p.doc_id
+       |       $candJoin
+       |       CROSS JOIN stats
+       |       WHERE p.doc_id <> w.query_id
+       |       GROUP BY w.query_id, p.doc_id),
+       |lex AS (SELECT query_id, doc_id, score, rank FROM
+       |        (SELECT query_id, doc_id, score,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |         FROM sc) WHERE rank <= $kTop)""".stripMargin
+  }
+
+  /** q155 oracle: the BM25 CTEs (kTop=20) beside an independent dense
+    * cosine top-20 (the q31 expression shapes), full-outer-joined per
+    * (query, doc) and fused with CAST(1 AS DOUBLE)/CAST(60+rank AS
+    * DOUBLE) addends summed lexical-then-dense — the exact arithmetic
+    * [[graft.operators.Retrieval.rrfFuse]] pins. */
+  private def hybridRrfSql: String = {
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def cosineSql(a: String, b: String): String =
+      s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    s"""WITH ${bm25Ctes(pruned = false, kTop = 20)},
+       |dq AS (SELECT vec_id AS query_id, embedding AS qv
+       |       FROM embeddings WHERE vec_id < 8),
+       |dc AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+       |dsc AS (SELECT query_id, doc_id, ${cosineSql("qv", "cv")} AS cosine
+       |        FROM dc JOIN dq ON query_id <> doc_id),
+       |den AS (SELECT query_id, doc_id, rank FROM
+       |        (SELECT query_id, doc_id,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cosine DESC, doc_id ASC) AS INT) AS rank
+       |         FROM dsc) WHERE rank <= 20),
+       |fused AS (SELECT
+       |    coalesce(l.query_id, d.query_id) AS query_id,
+       |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |    l.rank AS rank_lex, d.rank AS rank_dense,
+       |    coalesce(CAST(1 AS DOUBLE) / CAST(60 + l.rank AS DOUBLE), CAST(0 AS DOUBLE))
+       |      + coalesce(CAST(1 AS DOUBLE) / CAST(60 + d.rank AS DOUBLE), CAST(0 AS DOUBLE))
+       |      AS rrf_score
+       |  FROM lex l FULL JOIN den d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       |SELECT query_id, doc_id, rank_lex, rank_dense, rrf_score, rank
+       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+       |      FROM fused)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+/** BM25 retrieval invariants: the distributed postings-join scorer
+  * equals a plain sequential witness (same pinned arithmetic, no shared
+  * mechanism); champion-list pruning bounds candidates without changing
+  * any surviving candidate's score; the sf0.001 corpus retrieves with
+  * high pruned-vs-full overlap. */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("retrieval-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick red fox runs fast"),
+    (2L, "lazy dog sleeps all day the dog snores"),
+    (3L, "brown bears eat fish the quick bear"),
+    (4L, "a completely unrelated sentence about spark engines"),
+    (5L, "fox fox fox den"),
+    (6L, ""),
+    (7L, "the the the the"),
+    (8L, "quick quick dog")
+  )
+
+  /** Sequential witness: tokenize → tf/dl/df → the exact q153 weight
+    * shape, terms summed ascending. Plain maps and loops. */
+  private def witnessTopK(corpus: Seq[(Long, String)], queryIds: Seq[Long],
+      kTop: Int): Map[Long, Seq[(Long, Double)]] = {
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val tf: Map[(Long, String), Long] = corpus.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, g) => ((id, w), g.size.toLong) }
+    }.toMap
+    val dl: Map[Long, Long] =
+      tf.toSeq.groupBy(_._1._1).map { case (id, g) => id -> g.map(_._2).sum }
+    val df: Map[String, Long] =
+      tf.keys.toSeq.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val nd = corpus.size.toLong
+    val avgdl = dl.values.sum.toDouble / nd.toDouble
+    queryIds.map { qid =>
+      val qts = corpus.toMap.apply(qid)
+      val terms = toks(qts).distinct.sorted
+      val scored = corpus.collect { case (did, _)
+          if did != qid && terms.exists(t => tf.contains((did, t))) =>
+        var acc = 0.0
+        terms.foreach { t =>
+          tf.get((did, t)).foreach { f =>
+            val idf = (nd * 1000L) / df(t)
+            acc += idf.toDouble * ((f.toDouble * 2.2) /
+              (f.toDouble + 1.2 * (0.25 + 0.75 * (dl(did).toDouble / avgdl))))
+          }
+        }
+        (did, acc)
+      }
+      qid -> scored.sortBy { case (did, sc) => (-sc, did) }.take(kTop)
+    }.toMap
+  }
+
+  test("distributed BM25 equals the sequential witness to the last ulp") {
+    val df = docs.toDF("doc_id", "text")
+    val post = Retrieval.postings(df)
+    val (nd, avgdl) = Retrieval.corpusStats(df, post)
+    val queries = df.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val got = Retrieval.bm25TopK(post, queries, nd, avgdl, kTop = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    val want = witnessTopK(docs, Seq(0L, 1L, 2L), 5)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (q, exp) =>
+      assert(got(q) == exp, s"query $q: ${got(q)} vs witness $exp")
+    }
+  }
+
+  test("two-phase pruning: bounded candidates, exact surviving scores") {
+    val df = docs.toDF("doc_id", "text")
+    val post = Retrieval.postings(df).persist()
+    val (nd, avgdl) = Retrieval.corpusStats(df, post)
+    val champs = Retrieval.championPostings(post, c = 2, avgdl)
+    // the champion bound: no term keeps more than c postings
+    val maxPer = champs.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxPer <= 2)
+    val queries = df.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val full = Retrieval.bm25TopK(post, queries, nd, avgdl, kTop = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pruned = Retrieval
+      .bm25TopKPruned(post, queries, nd, avgdl, kTop = 20, c = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // second phase is EXACT: every emitted pair carries the full run's
+    // score to the last ulp (candidates only restrict WHICH docs score)
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (k, sc) =>
+      assert(full.contains(k), s"pruned produced a pair full lacks: $k")
+      assert(sc == full(k), s"$k pruned $sc != full ${full(k)}")
+    }
+    // per-query candidate bound: |query terms| x c (query 0 has 8
+    // distinct terms, c = 2 -> at most 16 scored docs)
+    pruned.keys.groupBy(_._1).foreach { case (q, ks) =>
+      assert(ks.size <= 8 * 2, s"query $q scored ${ks.size} docs > bound")
+    }
+    // doc 5 ("fox fox fox") is the fox champion list's head, so query 1
+    // ("the quick red fox runs fast") must retrieve it, exactly
+    assert(pruned((1L, 5L)) == full((1L, 5L)))
+    post.unpersist(false)
+  }
+
+  test("sf0.001 corpus: ranks contiguous, pruned overlap@10 high") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.core.Tables(spark, dir).documents
+    val post = Retrieval.postings(df).persist()
+    val (nd, avgdl) = Retrieval.corpusStats(df, post)
+    val queries = df.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens(col("text")),
+          1, 8), " ").as("text"))
+    val full = Retrieval.bm25TopK(post, queries, nd, avgdl, kTop = 10)
+      .collect()
+    assert(full.nonEmpty)
+    full.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(3)).sorted
+      assert(ranks.toSeq == (1 to rs.length).toSeq, s"query $q ranks: $ranks")
+    }
+    val pruned = Retrieval
+      .bm25TopKPruned(post, queries, nd, avgdl, kTop = 10)
+      .collect()
+    val fullSets = full.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val prunedSets = pruned.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val overlaps = fullSets.map { case (q, fs) =>
+      val ps = prunedSets.getOrElse(q, Set.empty[Long])
+      fs.intersect(ps).size.toDouble / fs.size.toDouble
+    }
+    val mean = overlaps.sum / overlaps.size
+    // measured 0.95 at c=64 on this worst-case (all-high-df) corpus
+    assert(mean >= 0.8, s"mean pruned overlap@10 $mean < 0.8 " +
+      s"(per-query: ${overlaps.toSeq.sorted.mkString(", ")})")
+    post.unpersist(false)
+  }
+
+  test("RRF fusion equals the hand-computed witness, absences score 0") {
+    // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 11L, 1), (0L, 10L, 2), (0L, 13L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), kTop = 10)
+      .collect().sortBy(_.getInt(5))
+      .map(r => (r.getLong(1), r.getDouble(4))).toSeq
+    def f(r: Int) = 1.0 / (60 + r).toDouble
+    // fixed order: A's addend then B's; a doc missing from a system
+    // contributes exactly 0.0 for it
+    val want = Seq(
+      10L -> (f(1) + f(2)), 11L -> (f(2) + f(1)),
+      12L -> (f(3) + 0.0), 13L -> (0.0 + f(3)))
+      .sortBy { case (d, s) => (-s, d) }
+    assert(got == want, s"$got vs $want")
+    // 10 and 11 tie exactly (symmetric ranks) -> doc_id breaks the tie
+    assert(got.take(2).map(_._1) == Seq(10L, 11L))
+  }
+}
