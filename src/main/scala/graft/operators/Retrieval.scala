@@ -121,18 +121,8 @@ object Retrieval {
       avgdl: Double, kTop: Int, idCol: String = "query_id",
       textCol: String = "text",
       candidates: Option[DataFrame] = None): DataFrame = {
-    val qterms = queries.select(col(idCol).as("query_id"),
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
-      .distinct()
-    // df only for the query's term set: broadcast-semi-join the
-    // postings FIRST (narrow filter), then a tiny per-term count — the
-    // full dictionary is never shuffled for a probe.
-    val dfreq = post
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-    val weighted = qterms.join(dfreq, Seq("term"))
-      .withColumn("idf_milli", expr(s"${nDocs * 1000L}L div df"))
+    val weighted = queryTermWeights(post, queryTerms(queries, idCol, textCol),
+      nDocs)
     // contribution shape pinned against the oracle SQL literal for
     // literal: idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl/avgdl)))
     val contrib = col("idf_milli").cast("double") *
@@ -157,6 +147,27 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** A query frame's DISTINCT (query_id, term) pairs. */
+  private def queryTerms(queries: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .distinct()
+
+  /** (query_id, term, df, idf_milli) for a query-term frame. df only
+    * for the query's term set: broadcast-semi-join the postings FIRST
+    * (narrow filter), then a tiny per-term count — the full dictionary
+    * is never shuffled for a probe. */
+  private def queryTermWeights(post: DataFrame, qterms: DataFrame,
+      nDocs: Long): DataFrame = {
+    val dfreq = post
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    qterms.join(dfreq, Seq("term"))
+      .withColumn("idf_milli", expr(s"${nDocs * 1000L}L div df"))
+  }
+
   /** The pruned two-phase retrieval: candidate generation through the
     * champion lists (union over the query's terms — at most
     * |query terms| × c docs per query, INDEPENDENT of corpus size),
@@ -177,6 +188,75 @@ object Retrieval {
       .distinct()
     bm25TopK(post, queries, nDocs, avgdl, kTop, idCol, textCol,
       candidates = Some(cand))
+  }
+
+  /** Exactness certificate for the two-phase pruned retrieval — the
+    * WAND/MaxScore upper-bound argument in batch form. Per term, the
+    * best impact any NON-champion posting can contribute is the
+    * (c+1)-th impact in that term's ordering (`ub_t`; 0 when df ≤ c,
+    * i.e. the champion list holds every posting). A doc outside the
+    * candidate set scores at most
+    * `UB_q = Σ_t idf_t · ub_t` over the query's terms (term-ascending
+    * fold, the scorer's own association) — so whenever the k-th
+    * candidate's EXACT score strictly beats UB_q, no missed doc can
+    * enter the top-k and the pruned result is PROVABLY equal to the
+    * full run's (RetrievalSpec pins the theorem). Emits per query:
+    * candidate count, the k-th score, UB_q, and the certificate
+    * `ub_remaining = 0 OR (n_cand ≥ k AND kth_score > ub_remaining)`.
+    *
+    * Scale shape: one postings window (champions AND the (c+1)-th
+    * impact fall out of the same rank pass), one candidate-restricted
+    * scoring aggregation, then query-sized joins — the certificate
+    * itself costs |query terms| arithmetic. */
+  def certifiedPrunedReport(post: DataFrame, queries: DataFrame,
+      nDocs: Long, avgdl: Double, kTop: Int, c: Int = DefaultChampionC,
+      idCol: String = "query_id", textCol: String = "text"): DataFrame = {
+    val qterms = queryTerms(queries, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(tfPart(col("tf"), col("dl"), avgdl).desc, col("doc_id").asc)
+    val ranked = post
+      .withColumn("_imp", tfPart(col("tf"), col("dl"), avgdl))
+      .withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") <= c + 1)
+    val cand = ranked.filter(col("_crk") <= c)
+      .select(col("term"), col("doc_id"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"))
+      .distinct()
+    val ubt = ranked.filter(col("_crk") === c + 1)
+      .select(col("term"), col("_imp").as("ub"))
+    // exact second-phase scores for EVERY candidate (kTop unbounded so
+    // the per-query candidate count is the max rank)
+    val scored = bm25TopK(post, queries, nDocs, avgdl, kTop = Int.MaxValue,
+      idCol, textCol, candidates = Some(cand))
+    val counts = scored.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val kth = scored.join(counts, Seq("query_id"))
+      .filter(col("rank") === least(lit(kTop).cast("long"), col("n_cand")))
+      .select(col("query_id"), col("n_cand"), col("score").as("kth_score"))
+    val weighted = queryTermWeights(post, qterms, nDocs)
+    // UB_q: the scorer's contribution shape with ub_t in tf-part
+    // position, folded term-ascending; terms fully inside their
+    // champion list (df ≤ c → no (c+1)-th row) contribute exactly 0.0
+    val ubq = weighted.join(ubt, Seq("term"), "left_outer")
+      .withColumn("contrib",
+        col("idf_milli").cast("double") * coalesce(col("ub"), lit(0.0)))
+      .groupBy(col("query_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("ub_remaining"))
+    queries.select(col(idCol).as("query_id")).distinct()
+      .join(kth, Seq("query_id"), "left_outer")
+      .join(ubq, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("kth_score"),
+        coalesce(col("ub_remaining"), lit(0.0)).as("ub_remaining"))
+      .withColumn("certified",
+        col("ub_remaining") === 0.0 ||
+          (col("n_cand") >= kTop && col("kth_score") > col("ub_remaining")))
   }
 
   /** Reciprocal-rank fusion (Cormack 2009) of named per-query rankings

@@ -1150,6 +1150,23 @@ object CorpusQueries {
       graft.operators.Retrieval.rrfFuse(
         Seq("lex" -> lex, "dense" -> den), kTop = 10)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Exactness certificate for the pruned path — the WAND/MaxScore
+    // upper-bound argument in batch form: a non-candidate doc scores
+    // at most Σ idf_t × (the (c+1)-th champion impact of t), so when
+    // the k-th candidate's exact score strictly beats that bound the
+    // pruned top-k is PROVABLY the full top-k. Per query: candidate
+    // count, k-th score, the bound, and the certificate bit
+    // (RetrievalSpec proves certified ⇒ pruned == full on a selective
+    // corpus; on this zero-selectivity corpus the report honestly says
+    // which queries the c=64 budget can and cannot certify).
+    "q156_bm25_certificate" -> QueryDef(bm25CertSql) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      graft.operators.Retrieval.certifiedPrunedReport(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 10,
+        c = ChampionC)
+        .orderBy(col("query_id"))
     }
   )
 
@@ -1203,15 +1220,17 @@ object CorpusQueries {
   /** The BM25 derivation as a reusable WITH-body ending in
     * `lex AS (query_id, doc_id, score, rank ≤ kTop)` — q153/q154 select
     * from it directly; q155 embeds it beside the dense-ranking CTEs. */
+  // the tfPart expression — ONE source-text shape reused by the scorer,
+  // the champion ordering and the q156 upper bound, mirroring
+  // Retrieval.tfPart
+  private def tfPartSql(tf: String, dl: String): String =
+    s"""(CAST($tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |                / (CAST($tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |                   (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+       |                    (CAST($dl AS DOUBLE) /
+       |                     (stats.tt / CAST(stats.nd AS DOUBLE)))))""".stripMargin
+
   private def bm25Ctes(pruned: Boolean, kTop: Int): String = {
-    // the tfPart expression — ONE source-text shape reused by the
-    // scorer and the champion ordering, mirroring Retrieval.tfPart
-    def tfPartSql(tf: String, dl: String): String =
-      s"""(CAST($tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-         |                / (CAST($tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-         |                   (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
-         |                    (CAST($dl AS DOUBLE) /
-         |                     (stats.tt / CAST(stats.nd AS DOUBLE)))))""".stripMargin
     // pruned: champion lists -> candidate (query_id, doc_id) pairs;
     // scoring always runs on the FULL postings (exact second phase)
     val candCte = if (pruned)
@@ -1263,6 +1282,49 @@ object CorpusQueries {
        |             ORDER BY score DESC, doc_id ASC) AS INT) AS rank
        |         FROM sc) WHERE rank <= $kTop)""".stripMargin
   }
+
+  /** q156 oracle: the pruned BM25 CTEs plus the certificate math —
+    * per-term (c+1)-th impact from the SAME window ordering, the
+    * upper bound folded term-ascending with the scorer's association,
+    * candidate counts and the k-th exact score from `sc` re-ranked
+    * without a cutoff. */
+  private def bm25CertSql: String =
+    s"""WITH ${bm25Ctes(pruned = true, kTop = 10)},
+       |ubt AS (SELECT term, imp AS ub FROM (
+       |  SELECT post.term, ${tfPartSql("post.tf", "dl.dl")} AS imp,
+       |         ROW_NUMBER() OVER (PARTITION BY post.term
+       |           ORDER BY ${tfPartSql("post.tf", "dl.dl")} DESC,
+       |                    post.doc_id ASC) AS rk
+       |  FROM post JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN stats)
+       |  WHERE rk = $ChampionC + 1),
+       |ubq AS (SELECT w.query_id,
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            list(CAST(w.idf_milli AS DOUBLE) *
+       |                 coalesce(ubt.ub, CAST(0.0 AS DOUBLE))
+       |              ORDER BY w.term)),
+       |            (a, b) -> a + b) AS ub_remaining
+       |        FROM w LEFT JOIN ubt ON ubt.term = w.term
+       |        GROUP BY w.query_id),
+       |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+       |       FROM sc GROUP BY 1),
+       |scr AS (SELECT query_id, score,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |        FROM sc),
+       |kth AS (SELECT scr.query_id, nc.n_cand, scr.score AS kth_score
+       |        FROM scr JOIN nc USING (query_id)
+       |        WHERE scr.rank = least(10, nc.n_cand))
+       |SELECT qq.query_id,
+       |  coalesce(kth.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+       |  kth.kth_score,
+       |  coalesce(ubq.ub_remaining, CAST(0.0 AS DOUBLE)) AS ub_remaining,
+       |  (coalesce(ubq.ub_remaining, CAST(0.0 AS DOUBLE)) = CAST(0.0 AS DOUBLE))
+       |    OR (coalesce(kth.n_cand, 0) >= 10
+       |        AND kth.kth_score > ubq.ub_remaining) AS certified
+       |FROM (SELECT DISTINCT query_id FROM q) qq
+       |LEFT JOIN kth ON kth.query_id = qq.query_id
+       |LEFT JOIN ubq ON ubq.query_id = qq.query_id
+       |ORDER BY qq.query_id""".stripMargin
 
   /** q155 oracle: the BM25 CTEs (kTop=20) beside an independent dense
     * cosine top-20 (the q31 expression shapes), full-outer-joined per

@@ -149,6 +149,46 @@ class RetrievalSpec extends AnyFunSuite {
     post.unpersist(false)
   }
 
+  test("certificate theorem: certified => pruned top-k equals full") {
+    // a corpus WITH selectivity: term w_i appears only in docs where
+    // (7d + i) mod (i+2) = 0, with tf varying 1..3 — rare terms make
+    // some queries certifiable at a tiny champion budget, common ones
+    // keep others honest
+    val mixed = (0 until 40).map { d =>
+      val words = (0 until 20).flatMap { i =>
+        if ((d * 7 + i) % (i + 2) == 0) Seq.fill((d + i) % 3 + 1)(s"w$i")
+        else Nil
+      }
+      (d.toLong, words.mkString(" "))
+    }
+    val df = mixed.toDF("doc_id", "text")
+    val post = Retrieval.postings(df).persist()
+    val (nd, avgdl) = Retrieval.corpusStats(df, post)
+    val queries = df.filter(col("doc_id") < 6)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val (k, c) = (3, 2)
+    val cert = Retrieval
+      .certifiedPrunedReport(post, queries, nd, avgdl, k, c)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    def ranking(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    val full = ranking(Retrieval.bm25TopK(post, queries, nd, avgdl, k))
+    val pruned =
+      ranking(Retrieval.bm25TopKPruned(post, queries, nd, avgdl, k, c))
+    // the fixture must exercise BOTH branches or the theorem is vacuous
+    assert(cert.values.exists(identity), s"no certified query: $cert")
+    assert(cert.values.exists(!_), s"every query certified: $cert")
+    cert.foreach { case (q, certified) =>
+      if (certified)
+        assert(pruned.getOrElse(q, Nil) == full.getOrElse(q, Nil),
+          s"CERTIFIED query $q diverges: ${pruned.get(q)} vs ${full.get(q)}")
+    }
+    post.unpersist(false)
+  }
+
   test("RRF fusion equals the hand-computed witness, absences score 0") {
     // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
