@@ -305,4 +305,17 @@ object Retrieval {
     val totalToks = post.agg(sum(col("tf"))).head().getLong(0)
     (nDocs, totalToks.toDouble / nDocs.toDouble)
   }
+
+  /** (nDocs, avgdl) derived from the index ALONE — the incremental-
+    * store path ([[graft.sources.PostingsStore]]), where the postings
+    * are the source of truth for what the index holds. Counts only
+    * docs with ≥1 token (an all-whitespace doc leaves no posting rows,
+    * so a store can't see it — callers on corpora with empty docs must
+    * carry nDocs out of band via [[corpusStats]]). One aggregation. */
+  def storeStats(post: DataFrame): (Long, Double) = {
+    val r = post.agg(countDistinct(col("doc_id")).as("nd"),
+      sum(col("tf")).as("tt")).head()
+    val nd = r.getLong(0)
+    (nd, r.getLong(1).toDouble / nd.toDouble)
+  }
 }

@@ -1167,6 +1167,25 @@ object CorpusQueries {
         bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 10,
         c = ChampionC)
         .orderBy(col("query_id"))
+    },
+
+    // Incremental index maintenance: three ingestion runs each tokenize
+    // and aggregate ONLY their own docs (doc_id mod 3) into a persisted
+    // PostingsStore delta; the first two generations are compacted into
+    // a term-hash base, the third stays a live delta — the serving read
+    // unions both layers. BM25 through the incrementally-built index,
+    // with df/avgdl/N re-derived from the store itself, must equal the
+    // monolithic rebuild the oracle computes from scratch — the proof
+    // that index maintenance never needs to re-tokenize the corpus.
+    "q157_incremental_index" -> QueryDef(
+      s"""WITH ${bm25Ctes(pruned = false, kTop = 10, selfStats = true)}
+         |SELECT query_id, doc_id, score, rank FROM lex
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val post = incrementalPost(s, dir)
+      val (nd, avgdl) = graft.operators.Retrieval.storeStats(post)
+      graft.operators.Retrieval.bm25TopK(
+        post, bm25Queries(s, dir), nd, avgdl, kTop = 10)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 
@@ -1187,6 +1206,38 @@ object CorpusQueries {
       s.sparkContext.applicationId + ":" + dir,
       _ => graft.operators.Retrieval.postings(Tables(s, dir).documents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val postingsStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-(session, sf) incremental index fixture: batch b
+    * holds docs with doc_id ≡ b (mod 3); batches 0–1 are appended and
+    * COMPACTED into the base generation, batch 2 is appended after and
+    * stays a live delta. Returns the loaded (base ∪ delta) postings,
+    * persisted — q157's serving shape. The temp dir is per
+    * (applicationId, sf) for the same isolation reasons as the IVF
+    * fixture (ExtensionQueries.ivfFixturePath). */
+  private def incrementalPost(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val storeDir = postingsStoreDirs.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-postings").toString
+        val docs = Tables(s, dir).documents
+        Seq(0, 1).foreach { b =>
+          graft.sources.PostingsStore.appendDelta(
+            graft.operators.Retrieval.postings(
+              docs.filter(col("doc_id") % 3 === b)), d, s"batch$b")
+        }
+        graft.sources.PostingsStore.compact(s, d)
+        graft.sources.PostingsStore.appendDelta(
+          graft.operators.Retrieval.postings(
+            docs.filter(col("doc_id") % 3 === 2)), d, "batch2")
+        d
+      })
+    graft.sources.PostingsStore.load(s, storeDir)
+  }
 
   private val bm25StatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
@@ -1230,7 +1281,8 @@ object CorpusQueries {
        |                    (CAST($dl AS DOUBLE) /
        |                     (stats.tt / CAST(stats.nd AS DOUBLE)))))""".stripMargin
 
-  private def bm25Ctes(pruned: Boolean, kTop: Int): String = {
+  private def bm25Ctes(pruned: Boolean, kTop: Int,
+      selfStats: Boolean = false): String = {
     // pruned: champion lists -> candidate (query_id, doc_id) pairs;
     // scoring always runs on the FULL postings (exact second phase)
     val candCte = if (pruned)
@@ -1253,7 +1305,9 @@ object CorpusQueries {
        |         FROM toks GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
        |       FROM post GROUP BY doc_id),
-       |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+       |stats AS (SELECT ${if (selfStats)
+        "(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM post)"
+      else "(SELECT CAST(count(*) AS BIGINT) FROM documents)"} AS nd,
        |                 (SELECT CAST(sum(tf) AS DOUBLE) FROM post) AS tt),
        |q AS (SELECT DISTINCT query_id, term FROM
        |       (SELECT doc_id AS query_id, unnest(($ToksSql)[1:8]) AS term

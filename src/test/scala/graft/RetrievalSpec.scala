@@ -189,6 +189,33 @@ class RetrievalSpec extends AnyFunSuite {
     post.unpersist(false)
   }
 
+  test("PostingsStore: batch deltas + compaction reproduce the monolithic index") {
+    val df = docs.toDF("doc_id", "text")
+    val full = Retrieval.postings(df)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postings-spec").toString
+    // three runs, each tokenizing only its own docs; compact mid-stream
+    // so the load crosses a base generation AND a live delta
+    Seq(0, 1).foreach { b =>
+      graft.sources.PostingsStore.appendDelta(
+        Retrieval.postings(df.filter(col("doc_id") % 3 === b)),
+        dir, s"b$b")
+    }
+    assert(graft.sources.PostingsStore.compact(spark, dir) == 2)
+    graft.sources.PostingsStore.appendDelta(
+      Retrieval.postings(df.filter(col("doc_id") % 3 === 2)), dir, "b2")
+    val loaded = graft.sources.PostingsStore.load(spark, dir)
+    // row-for-row equality both ways
+    assert(loaded.exceptAll(full).count() == 0)
+    assert(full.exceptAll(loaded).count() == 0)
+    // store-derived stats equal the corpus-derived ones (no empty docs
+    // in this fixture beyond doc 6, which both sides exclude: it has no
+    // postings AND storeStats counts docs with >= 1 token)
+    val (nd, avgdl) = Retrieval.storeStats(loaded)
+    val (ndFull, avgdlFull) = Retrieval.storeStats(full)
+    assert((nd, avgdl) == (ndFull, avgdlFull))
+  }
+
   test("RRF fusion equals the hand-computed witness, absences score 0") {
     // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
