@@ -127,6 +127,17 @@ object Retrieval {
     // literal: idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl/avgdl)))
     val contrib = col("idf_milli").cast("double") *
       tfPart(col("tf"), col("dl"), avgdl)
+    foldRankSelect(post, weighted, contrib, kTop, candidates)
+  }
+
+  /** The scorer's shared back half: probe the postings with the
+    * broadcast weighted query terms, optionally restrict to candidate
+    * pairs, fold `contrib` per (query, doc) TERM-ASCENDING (the q151
+    * ordered-association contract), rank (score desc, doc_id asc),
+    * keep the top `kTop`. */
+  private def foldRankSelect(post: DataFrame, weighted: DataFrame,
+      contrib: Column, kTop: Int,
+      candidates: Option[DataFrame]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -137,7 +148,6 @@ object Retrieval {
     restricted
       .withColumn("contrib", contrib)
       .groupBy(col("query_id"), col("doc_id"))
-      // term-ascending fold — the q151 ordered-association contract
       .agg(aggregate(
         array_sort(collect_list(struct(col("term"), col("contrib")))),
         lit(0.0),
@@ -188,6 +198,59 @@ object Retrieval {
       .distinct()
     bm25TopK(post, queries, nDocs, avgdl, kTop, idCol, textCol,
       candidates = Some(cand))
+  }
+
+  /** RM3-style pseudo-relevance feedback, phase 1: expansion-term
+    * selection. Run the base BM25 (top `kFb` feedback docs per query),
+    * pool the feedback docs' postings, and weight each candidate term
+    * by Σ tf over the query's feedback set — an INTEGER weight, so
+    * selection is exact in any engine. Original query terms are
+    * excluded (they re-enter phase 2 at full weight); the top `mExp`
+    * terms per query are kept by (weight desc, term asc).
+    *
+    * Scale shape: the feedback set is |queries| × kFb (query_id,
+    * doc_id) pairs — broadcast against the postings, so pooling is one
+    * narrow probe of the index, never a corpus pass. */
+  def rm3ExpansionTerms(post: DataFrame, queries: DataFrame, nDocs: Long,
+      avgdl: Double, kFb: Int, mExp: Int, idCol: String = "query_id",
+      textCol: String = "text"): DataFrame = {
+    val fb = bm25TopK(post, queries, nDocs, avgdl, kFb, idCol, textCol)
+      .select(col("query_id"), col("doc_id"))
+    val qterms = queryTerms(queries, idCol, textCol)
+    val pooled = post.join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("wt"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("wt").desc, col("term").asc)
+    pooled.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= mExp)
+      .select(col("query_id"), col("term"), col("wt"), col("rank"))
+  }
+
+  /** RM3 phase 2: re-score under the expanded query — original terms
+    * at weight 1000 milli, expansion terms at `lambdaMilli` (default
+    * 500 = λ 0.5). Per-term contribution is
+    * `qw · (idf · tfPart)` with the inner product the base scorer's
+    * own shape and the outer factor one more exact int→double
+    * multiply, folded term-ascending as always. The expanded term set
+    * stays |queries| × (|q| + mExp) — still broadcast. */
+  def rm3Rescored(post: DataFrame, queries: DataFrame, nDocs: Long,
+      avgdl: Double, kTop: Int, kFb: Int, mExp: Int,
+      lambdaMilli: Long = 500L, idCol: String = "query_id",
+      textCol: String = "text"): DataFrame = {
+    val exp = rm3ExpansionTerms(post, queries, nDocs, avgdl, kFb, mExp,
+      idCol, textCol)
+    val eq = queryTerms(queries, idCol, textCol)
+      .withColumn("qw_milli", lit(1000L))
+      .unionByName(exp.select(col("query_id"), col("term"),
+        lit(lambdaMilli).as("qw_milli")))
+    val weighted = queryTermWeights(post, eq, nDocs)
+    val contrib = col("qw_milli").cast("double") *
+      (col("idf_milli").cast("double") *
+        tfPart(col("tf"), col("dl"), avgdl))
+    foldRankSelect(post, weighted, contrib, kTop, candidates = None)
   }
 
   /** Exactness certificate for the two-phase pruned retrieval — the

@@ -1186,6 +1186,32 @@ object CorpusQueries {
       graft.operators.Retrieval.bm25TopK(
         post, bm25Queries(s, dir), nd, avgdl, kTop = 10)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // RM3 pseudo-relevance feedback, phase 1: pool the top-10 feedback
+    // docs' postings per query and pick the 5 heaviest non-query terms
+    // by Σ tf — an INTEGER weight, so the selection is exact in both
+    // engines. The feedback pairs are broadcast against the postings
+    // (one narrow index probe, never a corpus pass).
+    "q158_rm3_expansion" -> QueryDef(rm3ExpansionSql) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      graft.operators.Retrieval.rm3ExpansionTerms(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl,
+        kFb = Rm3FbK, mExp = Rm3ExpM)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // RM3 phase 2: re-score under the expanded query — original terms
+    // at weight 1000 milli, expansion terms at 500 (λ = 0.5). The
+    // contribution is qw · (idf · tfPart): one more exact int→double
+    // multiply outside the base scorer's pinned shape, folded
+    // term-ascending as always.
+    "q159_rm3_rescored" -> QueryDef(rm3RescoredSql) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      graft.operators.Retrieval.rm3Rescored(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 10,
+        kFb = Rm3FbK, mExp = Rm3ExpM, lambdaMilli = Rm3LambdaMilli)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 
@@ -1336,6 +1362,71 @@ object CorpusQueries {
        |             ORDER BY score DESC, doc_id ASC) AS INT) AS rank
        |         FROM sc) WHERE rank <= $kTop)""".stripMargin
   }
+
+  // RM3 knobs, shared by the q158/q159 entries and their oracle SQL
+  // (defs — see ChampionC — because the SQL interpolates them eagerly)
+  private def Rm3FbK: Int = 10
+  private def Rm3ExpM: Int = 5
+  private def Rm3LambdaMilli: Long = 500L
+
+  /** The RM3 expansion-term CTEs: the base BM25 CTEs (lex = top-kFb
+    * feedback docs), feedback pooling (Σ tf — integer-exact), original
+    * query terms excluded, top-m by (wt desc, term asc) as `exp`. */
+  private def rm3Ctes: String =
+    s"""${bm25Ctes(pruned = false, kTop = Rm3FbK)},
+       |pooled AS (SELECT lex.query_id, p.term,
+       |             CAST(sum(p.tf) AS BIGINT) AS wt
+       |           FROM post p JOIN lex ON p.doc_id = lex.doc_id
+       |           GROUP BY lex.query_id, p.term),
+       |poolx AS (SELECT pooled.query_id, pooled.term, pooled.wt
+       |          FROM pooled LEFT JOIN q
+       |            ON q.query_id = pooled.query_id AND q.term = pooled.term
+       |          WHERE q.term IS NULL),
+       |exp AS (SELECT query_id, term, wt, rank FROM (
+       |  SELECT query_id, term, wt,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY wt DESC, term ASC) AS INT) AS rank
+       |  FROM poolx) WHERE rank <= $Rm3ExpM)""".stripMargin
+
+  private def rm3ExpansionSql: String =
+    s"""WITH $rm3Ctes
+       |SELECT query_id, term, wt, rank FROM exp
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q159 oracle: the expanded query (originals at 1000 milli,
+    * expansion terms at $Rm3LambdaMilli), re-weighted and re-scored
+    * with contribution qw · (idf · tfPart) — outer factor one exact
+    * int→double multiply on top of the base scorer's shape. */
+  private def rm3RescoredSql: String =
+    s"""WITH $rm3Ctes,
+       |eq AS (SELECT query_id, term, CAST(1000 AS BIGINT) AS qw FROM q
+       |       UNION ALL
+       |       SELECT query_id, term, CAST($Rm3LambdaMilli AS BIGINT) AS qw
+       |       FROM exp),
+       |dfe AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+       |        WHERE term IN (SELECT term FROM eq) GROUP BY term),
+       |we AS (SELECT eq.query_id, eq.term, eq.qw,
+       |         (stats.nd * 1000) // dfe.df AS idf_milli
+       |       FROM eq JOIN dfe USING (term) CROSS JOIN stats),
+       |sce AS (SELECT we.query_id, p.doc_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(CAST(we.qw AS DOUBLE) *
+       |                (CAST(we.idf_milli AS DOUBLE) *
+       |                 (${tfPartSql("p.tf", "dl.dl")}))
+       |             ORDER BY we.term)),
+       |           (a, b) -> a + b) AS score
+       |       FROM post p
+       |       JOIN we ON p.term = we.term
+       |       JOIN dl ON dl.doc_id = p.doc_id
+       |       CROSS JOIN stats
+       |       WHERE p.doc_id <> we.query_id
+       |       GROUP BY we.query_id, p.doc_id)
+       |SELECT query_id, doc_id, score, rank FROM
+       |  (SELECT query_id, doc_id, score,
+       |     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |   FROM sce) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q156 oracle: the pruned BM25 CTEs plus the certificate math —
     * per-term (c+1)-th impact from the SAME window ordering, the

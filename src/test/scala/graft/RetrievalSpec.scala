@@ -189,6 +189,69 @@ class RetrievalSpec extends AnyFunSuite {
     post.unpersist(false)
   }
 
+  test("RM3: expansion terms and rescoring equal the sequential witness") {
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, g) => ((id, w), g.size.toLong) }
+    }.toMap
+    val dl: Map[Long, Long] =
+      tf.toSeq.groupBy(_._1._1).map { case (id, g) => id -> g.map(_._2).sum }
+    val dfm: Map[String, Long] =
+      tf.keys.toSeq.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val nd = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / nd.toDouble
+    val (kFb, mExp, kTop, lam) = (3, 2, 4, 500L)
+    def tfPart(f: Long, d: Long): Double =
+      (f.toDouble * 2.2) /
+        (f.toDouble + 1.2 * (0.25 + 0.75 * (d.toDouble / avgdl)))
+    // witness phase 1: base top-kFb, pool Σtf, exclude query terms,
+    // top-mExp by (wt desc, term asc)
+    val qids = Seq(0L, 1L)
+    val fb = witnessTopK(docs, qids, kFb)
+    val wantExp: Map[Long, Seq[(String, Long)]] = qids.map { q =>
+      val qts = toks(docs.toMap.apply(q)).toSet
+      val pool = fb(q).map(_._1).flatMap { d =>
+        tf.collect { case ((`d`, t), f) if !qts.contains(t) => (t, f) }
+      }.groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }.toSeq
+      q -> pool.sortBy { case (t, wt) => (-wt, t) }.take(mExp)
+    }.toMap
+    // witness phase 2: expanded weights, rescore every doc
+    val wantRes: Map[Long, Seq[(Long, Double)]] = qids.map { q =>
+      val eq = (toks(docs.toMap.apply(q)).distinct.map(_ -> 1000L) ++
+        wantExp(q).map { case (t, _) => t -> lam }).sortBy(_._1)
+      val scored = docs.collect { case (did, _)
+          if did != q && eq.exists { case (t, _) => tf.contains((did, t)) } =>
+        var acc = 0.0
+        eq.foreach { case (t, qw) =>
+          tf.get((did, t)).foreach { f =>
+            val idf = (nd * 1000L) / dfm(t)
+            acc += qw.toDouble * (idf.toDouble * tfPart(f, dl(did)))
+          }
+        }
+        (did, acc)
+      }
+      q -> scored.sortBy { case (d, sc) => (-sc, d) }.take(kTop)
+    }.toMap
+    val df = docs.toDF("doc_id", "text")
+    val post = Retrieval.postings(df).persist()
+    val (ndE, avgdlE) = Retrieval.corpusStats(df, post)
+    val queries = df.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val gotExp = Retrieval
+      .rm3ExpansionTerms(post, queries, ndE, avgdlE, kFb, mExp)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3)).map(r => (r.getString(1), r.getLong(2))).toSeq
+      }
+    assert(gotExp == wantExp, s"$gotExp vs $wantExp")
+    val gotRes = Retrieval
+      .rm3Rescored(post, queries, ndE, avgdlE, kTop, kFb, mExp, lam)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    assert(gotRes == wantRes, s"$gotRes vs $wantRes")
+    post.unpersist(false)
+  }
+
   test("PostingsStore: batch deltas + compaction reproduce the monolithic index") {
     val df = docs.toDF("doc_id", "text")
     val full = Retrieval.postings(df)
