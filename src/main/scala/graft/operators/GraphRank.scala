@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality by power iteration — weighted PageRank over an edge
+  * frame, and the TextRank instantiation (Mihalcea & Tarau 2004): rank
+  * the corpus VOCABULARY over the token co-occurrence graph, the
+  * keyword-extraction signal a training-data pipeline uses to profile
+  * what a corpus is "about" (reference analog: the token/topic rollups
+  * of its log-analytics surface).
+  *
+  * Scale shape: the expensive part is the EDGE DERIVATION — one narrow
+  * corpus pass (adjacent-token pairs) plus one vocabulary-keyed
+  * aggregation. The iteration then runs on the aggregated graph, which
+  * is vocabulary²-bounded and typically vocabulary-sized — orders of
+  * magnitude smaller than the corpus — so ten power-iteration rounds
+  * are ten joins on the SMALL frame, each shuffling graph-sized (never
+  * corpus-sized) data. At 100 TB the corpus pass dominates and the
+  * iteration cost is noise; the corpus itself is read exactly once.
+  *
+  * Determinism contract (the q153 conventions): damping enters as the
+  * INTEGER `dampMilli` and becomes a double only through the pinned
+  * shape `milli/1000.0`; per-node in-flows are folded in SOURCE-ID
+  * ascending order (`aggregate(array_sort(collect_list(...)))` here,
+  * `list_reduce(list_prepend(0.0, list(... ORDER BY src)))` in the
+  * oracle); every contribution is `r · (w/W)` with w, W exact integers.
+  * Dangling nodes cannot exist by construction when edges are
+  * symmetrized ([[textRankEdges]]); for general graphs a dangling
+  * node's mass leaks — the standard simplification, identical in both
+  * engines.
+  */
+object GraphRank {
+
+  /** Deterministic weighted PageRank: `edges` is (src, dst, w) with
+    * INTEGER weights; returns (id, r) after `iters` synchronous power
+    * iterations of
+    *
+    *   r'(v) = (1000-dampMilli)/1000/N + dampMilli/1000 · Σ_u r(u)·w(u,v)/W(u)
+    *
+    * with N = |nodes incident to an edge| and W(u) = Σ_v w(u,v). The
+    * Σ folds in src-ascending order (see the object contract). Node
+    * count is the one driver-side scalar (a single count). */
+  def pageRank(edges: DataFrame, iters: Int,
+      dampMilli: Long = 850L): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    require(dampMilli >= 0L && dampMilli <= 1000L,
+      s"dampMilli must be in [0, 1000], got $dampMilli")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    // pinned double shapes — identical operand order in the oracle SQL
+    val damp = dampMilli.toDouble / 1000.0
+    val base = (1000L - dampMilli).toDouble / 1000.0 / n.toDouble
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = edges.join(outW, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout").cast("double")).as("frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("id"), lit(1.0 / n.toDouble).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), col("src"), (col("r") * col("frac")).as("c"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("flow"))
+      ranks = nodes.join(inflow.withColumnRenamed("dst", "id"),
+          Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(base) + lit(damp) * coalesce(col("flow"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+
+  /** The TextRank graph: undirected token co-occurrence at window 2 —
+    * an edge {a, b} weighted by how often a and b are ADJACENT tokens
+    * (either order) anywhere in the corpus, emitted symmetrized (both
+    * directions, the shared undirected weight) so the random walk has
+    * no dangling nodes. Self-loops ("a a") are dropped — standard for
+    * TextRank, and a self-loop only feeds a node its own mass anyway.
+    * One zip-shift corpus pass (no per-token shuffle — the pair list is
+    * built inside the row), one (a, b)-keyed count. */
+  def textRankEdges(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ts = graft.functions.TextFunctions.tokens(col(textCol))
+    val pairs = docs
+      .select(explode(arrays_zip(
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))))).as("p"))
+      .select(col("p").getField("0").as("x"), col("p").getField("1").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    val und = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+    und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"),
+        col("w")))
+  }
+}

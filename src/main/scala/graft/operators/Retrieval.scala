@@ -358,6 +358,186 @@ object Retrieval {
         col("rrf_score") :+ col("rank"): _*)
   }
 
+  /** Positional postings: one row per token OCCURRENCE — (doc_id, term,
+    * pos) with pos the 1-based whitespace-token position. The positional
+    * inverted index that phrase and proximity retrieval probe. The space
+    * price vs [[postings]] is the textbook one (~dl rows per doc instead
+    * of ≤ distinct terms); the build is one narrow corpus pass with no
+    * shuffle at all — partition-local explode, written as produced. */
+  def posPostings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("p0", "term")))
+      .select(col("doc_id"), col("term"),
+        (col("p0") + 1).cast("long").as("pos"))
+
+  /** Exact phrase retrieval over the positional index. `phrases` is
+    * (query_id, text); a phrase with ordered tokens t_1..t_n occurs in a
+    * doc anchored at position a iff t_i sits at a+i-1 for every i. Each
+    * matched occurrence is anchored at `pos - ord + 1` and an anchor
+    * counts when it covers ALL n ordinals — so overlapping occurrences
+    * and repeated-token phrases ("a a") count correctly (each ordinal
+    * matches independently). Self-retrieval is allowed: the phrase's
+    * source doc is a legitimate (and guaranteed) hit. Emits (query_id,
+    * doc_id, phrase_tf, first_pos, rank) — rank by (phrase_tf desc,
+    * doc_id asc), top `kTop`.
+    *
+    * Scale shape: the phrase-term table is |phrases| × n and BROADCAST;
+    * the index is probed by one broadcast hash join (only occurrences of
+    * phrase terms survive the probe — the inverted-index lookup), then
+    * two candidate-sized aggregations. The corpus is never shuffled. */
+  def phraseMatches(posPost: DataFrame, phrases: DataFrame, kTop: Int,
+      idCol: String = "query_id", textCol: String = "text"): DataFrame = {
+    val pt = phrases.select(col(idCol).as("query_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("o0", "term")))
+      .select(col("query_id"), (col("o0") + 1).cast("long").as("ord"),
+        col("term"))
+    val plen = pt.groupBy(col("query_id"))
+      .agg(countDistinct(col("ord")).as("n_terms"))
+    val occ = posPost.join(broadcast(pt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("ord") + 1).as("anchor"))
+      .agg(countDistinct(col("ord")).as("n_ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("phrase_tf").desc, col("doc_id").asc)
+    occ.join(broadcast(plen), Seq("query_id"))
+      .filter(col("n_ord") === col("n_terms"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("phrase_tf"), min(col("anchor")).as("first_pos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("doc_id"), col("phrase_tf"),
+        col("first_pos"), col("rank"))
+  }
+
+  /** Conjunctive proximity ranking: over docs containing EVERY query
+    * term (AND semantics — the mode where position, not coverage, must
+    * decide), per (query, doc):
+    *
+    *   - `min_pair_dist` — the minimum position distance between
+    *     occurrences of two DIFFERENT query terms. The minimum over all
+    *     cross-term pairs is always attained at ADJACENT entries of the
+    *     doc's merged query-term occurrence list (any occurrence strictly
+    *     between a closer pair would itself form a closer pair), so one
+    *     position-ordered lag window computes it in O(occ log occ) —
+    *     never the occ² pairwise join.
+    *   - `n_cowindows` — how many width-`bucketW` position buckets
+    *     contain ALL the query's terms (jumping-window co-occurrence).
+    *
+    * Rank: (min_pair_dist asc, n_cowindows desc, doc_id asc), top
+    * `kTop`; a query never retrieves itself (the [[bm25TopK]] contract).
+    * Single-term queries emit nothing (no cross-term pair exists).
+    *
+    * Scale shape: the query-term probe is the same broadcast
+    * inverted-index lookup as BM25's; the lag window and the bucket
+    * aggregation both run on probe output (occurrences of query terms
+    * only), partitioned by (query, doc) — per-partition state is one
+    * doc's occurrence list. */
+  def proximityRank(posPost: DataFrame, queries: DataFrame, kTop: Int,
+      bucketW: Int = 16, idCol: String = "query_id",
+      textCol: String = "text"): DataFrame = {
+    val qt = queries.select(col(idCol).as("query_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+      .distinct()
+    val nq = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_q"))
+    val m = posPost.join(broadcast(qt), Seq("term"))
+      .filter(col("query_id") =!= col("doc_id"))
+    // conjunctive restriction: docs matching every query term
+    val full = m.groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_m"))
+      .join(broadcast(nq), Seq("query_id"))
+      .filter(col("n_m") === col("n_q"))
+      .select(col("query_id"), col("doc_id"))
+    val mm = m.join(full, Seq("query_id", "doc_id"), "left_semi")
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("pos").asc)
+    val dist = mm
+      .withColumn("ptrm", lag(col("term"), 1).over(wl))
+      .withColumn("ppos", lag(col("pos"), 1).over(wl))
+      .withColumn("gap", when(col("ptrm").isNotNull &&
+        col("ptrm") =!= col("term"), col("pos") - col("ppos")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("gap")).as("min_pair_dist"))
+      .filter(col("min_pair_dist").isNotNull)
+    val cow = mm
+      .groupBy(col("query_id"), col("doc_id"),
+        expr(s"(pos - 1) div $bucketW").as("bkt"))
+      .agg(countDistinct(col("term")).as("n_t"))
+      .join(broadcast(nq), Seq("query_id"))
+      .filter(col("n_t") === col("n_q"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_cowindows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("min_pair_dist").asc, col("n_cowindows").desc,
+        col("doc_id").asc)
+    dist.join(cow, Seq("query_id", "doc_id"), "left_outer")
+      .withColumn("n_cowindows", coalesce(col("n_cowindows"), lit(0L)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("doc_id"), col("min_pair_dist"),
+        col("n_cowindows"), col("rank"))
+  }
+
+  /** Milli-quantized nDCG position discounts: round(1000 / log2(1+i))
+    * for ranks i = 1..10, pinned as INTEGER literals so both engines
+    * score without ever evaluating a logarithm (the q127 bitLen
+    * discipline: quantize the transcendental ONCE, at authoring time). */
+  val NdcgDiscountMilli: Seq[Long] =
+    Seq(1000L, 631L, 500L, 431L, 387L, 356L, 333L, 315L, 301L, 289L)
+
+  /** Ranking-agreement metrics — the offline evaluation harness run
+    * after every retrieval change: score a system's top-`k` against a
+    * per-query relevant set (binary qrels; here typically the exact
+    * dense top-k as pseudo-qrels, measuring lexical↔dense agreement).
+    * Per query, ALL-INTEGER metrics:
+    *
+    *   - `n_rel`, `hits` — qrel size and relevant docs retrieved in the
+    *     top-k; `overlap_permille` = 1000·hits div k.
+    *   - `mrr_milli` — 1000 div (first relevant rank), 0 when none: the
+    *     exact-rational MRR in milli units.
+    *   - `dcg_milli` — Σ [[NdcgDiscountMilli]](rank) over relevant
+    *     retrieved ranks; `ndcg_permille` = 1000·DCG div IDCG with IDCG
+    *     the discount prefix-sum at min(n_rel, k) — the ideal ranking's
+    *     DCG under the same quantized discounts.
+    *
+    * Queries with an empty qrel row set simply don't appear (metrics
+    * over an empty relevant set are undefined). Both inputs are
+    * top-k/qrel sized — |queries| × k rows — so every join here is
+    * broadcast-scale and corpus-independent. */
+  def rankingAgreement(sys: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscountMilli.size,
+      s"k must be in [1, ${NdcgDiscountMilli.size}] (pinned discount table)")
+    val disc = NdcgDiscountMilli.take(k)
+    val prefix = disc.scanLeft(0L)(_ + _).drop(1) // prefix(j) = Σ first j
+    val relCount = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hit = sys.filter(col("rank") <= k)
+      .join(rel.select(col("query_id"), col("doc_id"),
+        lit(1L).as("is_rel")), Seq("query_id", "doc_id"), "left_outer")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+    val perQ = hit.groupBy(col("query_id")).agg(
+      sum(col("is_rel")).as("hits"),
+      min(when(col("is_rel") === 1L, col("rank"))).as("first_rel_rank"),
+      sum(when(col("is_rel") === 1L,
+        element_at(lit(disc.toArray), col("rank").cast("int")))
+        .otherwise(lit(0L))).as("dcg_milli"))
+    relCount.join(perQ, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, 0L) * 1000 div $k").as("overlap_permille"),
+        coalesce(expr("1000 div first_rel_rank"), lit(0L)).as("mrr_milli"),
+        coalesce(col("dcg_milli"), lit(0L)).as("dcg_milli"),
+        expr(s"coalesce(dcg_milli, 0L) * 1000 div " +
+          s"element_at(array(${prefix.mkString("L,")}L), " +
+          s"cast(least(n_rel, ${k}L) as int))").as("ndcg_permille"))
+  }
+
   /** (nDocs, avgdl) for the weighting: nDocs counts EVERY corpus doc
     * (empty ones too — they depress avgdl exactly as the oracle's
     * count(*) does); total tokens comes from the postings. Both

@@ -252,6 +252,83 @@ class RetrievalSpec extends AnyFunSuite {
     post.unpersist(false)
   }
 
+  test("phrase match: anchored-ordinal counting equals hand enumeration") {
+    val df = docs.toDF("doc_id", "text")
+    val pos = Retrieval.posPostings(df)
+    val phrases = Seq(
+      (100L, "the quick"),      // docs 0, 1, 3 — one occurrence each
+      (101L, "fox fox"),        // doc 5 "fox fox fox den" — OVERLAPPING ×2
+      (102L, "dog sleeps all"), // doc 2 only
+      (103L, "quick dog runs")  // nowhere
+    ).toDF("query_id", "text")
+    val got = Retrieval.phraseMatches(pos, phrases, kTop = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .toSet
+    val want = Set(
+      (100L, 0L, 1L, 1L, 1), (100L, 1L, 1L, 1L, 2), (100L, 3L, 1L, 5L, 3),
+      (101L, 5L, 2L, 1L, 1),
+      (102L, 2L, 1L, 2L, 1))
+    assert(got == want, s"$got")
+  }
+
+  test("proximity: adjacent-lag min distance equals the pairwise definition") {
+    val df = docs.toDF("doc_id", "text")
+    val pos = Retrieval.posPostings(df)
+    val queries = Seq((200L, "quick dog"), (201L, "fox")).toDF(
+      "query_id", "text")
+    val got = Retrieval.proximityRank(pos, queries, kTop = 10, bucketW = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .toSet
+    // doc 8 "quick quick dog": occurrences q@1 q@2 d@3 → min dist 1
+    // doc 0: quick@2, dog@9 → 7; both single co-window (all pos < 17)
+    // single-term query 201 emits nothing (no cross-term pair)
+    val want = Set((200L, 8L, 1L, 1L, 1), (200L, 0L, 7L, 1L, 2))
+    assert(got == want, s"$got")
+    // independent pairwise-minimum witness for every conjunctive doc:
+    // min over ALL cross-term occurrence pairs must equal the lag answer
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val occ = docs.flatMap { case (id, t) =>
+      toks(t).zipWithIndex.collect {
+        case (w, i) if Set("quick", "dog")(w) => (id, w, i + 1L)
+      }
+    }
+    val pairMin = occ.groupBy(_._1).collect {
+      case (id, os) if os.map(_._2).distinct.size == 2 =>
+        id -> (for { a <- os; b <- os; if a._2 != b._2 }
+          yield math.abs(a._3 - b._3)).min
+    }
+    assert(pairMin.toSet ==
+      got.map(r => r._2 -> r._3).toSet, s"$pairMin vs $got")
+  }
+
+  test("rankingAgreement: integer metrics equal hand computation") {
+    val sys = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 13L, 4), (0L, 14L, 5),
+      (1L, 20L, 1), (1L, 21L, 2)
+    ).toDF("query_id", "doc_id", "rank")
+    val rel = Seq(
+      (0L, 11L), (0L, 14L), (0L, 99L), // q0: 3 relevant, hit at ranks 2, 5
+      (1L, 50L),                       // q1: 1 relevant, never retrieved
+      (2L, 60L)                        // q2: relevant but NO system rows
+    ).toDF("query_id", "doc_id")
+    val got = Retrieval.rankingAgreement(sys, rel, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    // q0: hits 2, overlap 2*1000 div 5 = 400, mrr 1000 div 2 = 500,
+    //     dcg 631+387 = 1018, idcg prefix(3) = 2131 → ndcg 477
+    val want = Set(
+      (0L, 3L, 2L, 400L, 500L, 1018L, 1018L * 1000L / 2131L),
+      (1L, 1L, 0L, 0L, 0L, 0L, 0L),
+      (2L, 1L, 0L, 0L, 0L, 0L, 0L))
+    assert(got == want, s"$got")
+  }
+
   test("PostingsStore: batch deltas + compaction reproduce the monolithic index") {
     val df = docs.toDF("doc_id", "text")
     val full = Retrieval.postings(df)
