@@ -484,6 +484,65 @@ object Retrieval {
         col("n_cowindows"), col("rank"))
   }
 
+  /** Best-passage (snippet) extraction: for each (query, doc) pair the
+    * width-`winW` token window with the highest idf mass — score =
+    * Σ idf_milli over the DISTINCT query terms present in the window,
+    * an ALL-INTEGER sum (no fold-order contract needed). Windows are
+    * anchored at query-term occurrences (the optimal window can always
+    * start at one: sliding a window right up to its first matched
+    * occurrence never drops a term). Ties: higher score, then the
+    * EARLIEST window; docs rank by (best score desc, doc_id asc),
+    * top `kTop`. The passage-retrieval primitive behind snippet
+    * generation and long-doc chunk selection.
+    *
+    * Scale shape: occurrences pair with candidate anchors through a
+    * BANDED join — both sides keyed by the width-`winW` position
+    * bucket, each occurrence emitted into its own and the NEXT bucket
+    * (an anchor in bucket b only covers positions in b and b+1), exact
+    * range predicate applied after. Pre-filter blowup is exactly 2×
+    * probe output — bounded by the window width, NEVER the occ² of a
+    * naive per-doc cross join. */
+  def bestPassages(post: DataFrame, posPost: DataFrame, queries: DataFrame,
+      nDocs: Long, winW: Int, kTop: Int, idCol: String = "query_id",
+      textCol: String = "text"): DataFrame = {
+    require(winW >= 1, s"winW must be positive, got $winW")
+    val weighted = queryTermWeights(post, queryTerms(queries, idCol, textCol),
+      nDocs).select(col("query_id"), col("term"), col("idf_milli"))
+    val m = posPost.join(broadcast(weighted), Seq("term"))
+      .filter(col("query_id") =!= col("doc_id"))
+    val anchors = m.select(col("query_id"), col("doc_id"),
+        col("pos").as("anchor"))
+      .withColumn("bkt", expr(s"(anchor - 1) div $winW"))
+    // each occurrence lands in its bucket and the next: anchors in
+    // bucket b cover positions in buckets b and b+1 only
+    val occ = m.select(col("query_id"), col("doc_id"), col("term"),
+        col("idf_milli"), col("pos"))
+      .withColumn("bkt", explode(array(
+        expr(s"(pos - 1) div $winW"), expr(s"(pos - 1) div $winW - 1"))))
+    val win = anchors.join(occ, Seq("query_id", "doc_id", "bkt"))
+      .filter(col("pos") >= col("anchor") &&
+        col("pos") <= col("anchor") + (winW - 1))
+      .select(col("query_id"), col("doc_id"), col("anchor"), col("term"),
+        col("idf_milli"))
+      .distinct()
+    val scored = win.groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(sum(col("idf_milli")).as("passage_score"),
+        count(lit(1)).as("n_window_terms"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("passage_score").desc, col("anchor").asc)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("passage_score").desc, col("doc_id").asc)
+    scored.withColumn("_brk", row_number().over(wBest))
+      .filter(col("_brk") === 1).drop("_brk")
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("doc_id"),
+        col("anchor").as("window_start"), col("passage_score"),
+        col("n_window_terms"), col("rank"))
+  }
+
   /** Milli-quantized nDCG position discounts: round(1000 / log2(1+i))
     * for ranks i = 1..10, pinned as INTEGER literals so both engines
     * score without ever evaluating a logarithm (the q127 bitLen

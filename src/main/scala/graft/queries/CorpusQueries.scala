@@ -1269,6 +1269,37 @@ object CorpusQueries {
         .filter(col("rank") <= TextRankTopK)
         .select(col("id").as("term"), col("r"), col("rank"))
         .orderBy(col("rank"))
+    },
+
+    // Best-passage (snippet) extraction: the width-12 window with the
+    // highest Σ idf over DISTINCT query terms, anchored at query-term
+    // occurrences, found through the bucket-banded range join (2×
+    // probe-output blowup, bounded by window width — never occ²).
+    // Score is an integer idf_milli sum — no double fold contract.
+    "q164_best_passage" -> QueryDef(bestPassageSql) { (s, dir) =>
+      val (nd, _) = bm25Stats(s, dir)
+      graft.operators.Retrieval.bestPassages(
+        bm25Post(s, dir), posPost(s, dir), bm25Queries(s, dir), nd,
+        winW = PassageW, kTop = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // MMR diversified re-ranking of the dense top-20: five greedy picks
+    // per query trading relevance (λ=0.7, integer milli) against max
+    // cosine to the already-picked — per-query flatMapGroups in the
+    // engine, five unrolled greedy CTE levels in the oracle, the same
+    // pinned double shapes on both sides.
+    "q165_mmr_diversify" -> QueryDef(mmrSql) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cands = graft.operators.Similarity
+        .bruteForceTopK(e.filter(col("vec_id") < 8), e, k = MmrPoolK)
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("emb")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("cosine").as("rel"), col("emb"))
+      graft.operators.Diversify.mmrSelect(cands, m = MmrM,
+        lambdaMilli = MmrLambdaMilli)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 
@@ -1581,6 +1612,10 @@ object CorpusQueries {
   private def TextRankIters: Int = 10
   private def TextRankDampMilli: Long = 850L
   private def TextRankTopK: Int = 25
+  private def PassageW: Int = 12
+  private def MmrPoolK: Int = 20
+  private def MmrM: Int = 5
+  private def MmrLambdaMilli: Long = 700L
 
   private val posPostCache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -1718,6 +1753,90 @@ object CorpusQueries {
        |         AS BIGINT) AS ndcg_permille
        |FROM relc r LEFT JOIN perq p USING (query_id)
        |ORDER BY r.query_id""".stripMargin
+  }
+
+  /** q164 oracle: the bm25 weight CTEs (for per-query-term idf_milli)
+    * plus positional postings; window scoring is a plain range join —
+    * the oracle needn't mirror the engine's bucket banding, only its
+    * results. Integer arithmetic end to end. */
+  private def bestPassageSql: String =
+    s"""WITH ${bm25Ctes(pruned = false, kTop = 10)},
+       |$posPostSql,
+       |mq AS (SELECT w.query_id, pp.doc_id, pp.term, w.idf_milli, pp.pos
+       |       FROM pp JOIN w ON pp.term = w.term
+       |       WHERE pp.doc_id <> w.query_id),
+       |anch AS (SELECT DISTINCT query_id, doc_id, pos AS anchor FROM mq),
+       |winr AS (SELECT DISTINCT a.query_id, a.doc_id, a.anchor,
+       |                o.term, o.idf_milli
+       |         FROM anch a JOIN mq o
+       |           ON o.query_id = a.query_id AND o.doc_id = a.doc_id
+       |          AND o.pos >= a.anchor
+       |          AND o.pos <= a.anchor + ${PassageW - 1}),
+       |psc AS (SELECT query_id, doc_id, anchor,
+       |          CAST(sum(idf_milli) AS BIGINT) AS passage_score,
+       |          CAST(count(*) AS BIGINT) AS n_window_terms
+       |        FROM winr GROUP BY query_id, doc_id, anchor),
+       |best AS (SELECT query_id, doc_id, anchor AS window_start,
+       |                passage_score, n_window_terms
+       |         FROM (SELECT psc.*, ROW_NUMBER() OVER
+       |                 (PARTITION BY query_id, doc_id
+       |                  ORDER BY passage_score DESC, anchor ASC) AS brk
+       |               FROM psc) WHERE brk = 1)
+       |SELECT query_id, doc_id, window_start, passage_score,
+       |       n_window_terms, rank
+       |FROM (SELECT query_id, doc_id, window_start, passage_score,
+       |        n_window_terms,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY passage_score DESC, doc_id ASC) AS INT) AS rank
+       |      FROM best) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q165 oracle: [[MmrM]] UNROLLED greedy MMR selection levels over
+    * the dense top-[[MmrPoolK]] — each level anti-joins the picked set,
+    * penalizes by max cosine to it (0.0 only when the set is empty),
+    * and picks argmax of the pinned λ·rel − (1−λ)·maxsim double,
+    * doc-id ascending on ties — matching
+    * [[graft.operators.Diversify.mmrSelect]] pick for pick. */
+  private def mmrSql: String = {
+    val lam = s"(CAST($MmrLambdaMilli AS DOUBLE) / CAST(1000 AS DOUBLE))"
+    val om =
+      s"(CAST(${1000L - MmrLambdaMilli} AS DOUBLE) / CAST(1000 AS DOUBLE))"
+    def level(i: Int): String =
+      s"""pool$i AS (SELECT c.query_id, c.doc_id, c.rel, c.cv FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+         |    WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)),
+         |ms$i AS (SELECT p.query_id, p.doc_id, p.rel,
+         |    coalesce(max(${cosineSqlD("p.cv", "s.cv")}),
+         |      CAST(0 AS DOUBLE)) AS maxsim
+         |  FROM pool$i p LEFT JOIN sel${i - 1} s
+         |    ON s.query_id = p.query_id
+         |  GROUP BY p.query_id, p.doc_id, p.rel),
+         |pick$i AS (SELECT query_id, doc_id, rel, maxsim,
+         |    CAST($i AS INT) AS rank FROM
+         |  (SELECT ms$i.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY ($lam * rel - $om * maxsim) DESC, doc_id ASC) AS rn
+         |   FROM ms$i) WHERE rn = 1),
+         |sel$i AS (SELECT query_id, doc_id, rel, maxsim, rank, cv
+         |            FROM sel${i - 1}
+         |          UNION ALL
+         |          SELECT p.query_id, p.doc_id, p.rel, p.maxsim, p.rank, c.cv
+         |          FROM pick$i p JOIN cand c
+         |            ON c.query_id = p.query_id AND c.doc_id = p.doc_id)"""
+        .stripMargin
+    s"""WITH ${denseCtes(MmrPoolK)},
+       |cand AS (SELECT r.query_id, r.doc_id, r.cosine AS rel, dc.cv
+       |         FROM (SELECT query_id, doc_id, cosine,
+       |                 ROW_NUMBER() OVER (PARTITION BY query_id
+       |                   ORDER BY cosine DESC, doc_id ASC) AS rk
+       |               FROM dsc) r
+       |         JOIN dc ON dc.doc_id = r.doc_id
+       |         WHERE r.rk <= $MmrPoolK),
+       |sel0 AS (SELECT query_id, doc_id, rel, CAST(0 AS DOUBLE) AS maxsim,
+       |                CAST(0 AS INT) AS rank, cv
+       |         FROM cand WHERE FALSE),
+       |${(1 to MmrM).map(level).mkString(",\n")}
+       |SELECT query_id, doc_id, rel, maxsim, rank FROM sel$MmrM
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** q163 oracle: the TextRank graph CTEs plus [[TextRankIters]]

@@ -305,6 +305,31 @@ class RetrievalSpec extends AnyFunSuite {
       got.map(r => r._2 -> r._3).toSet, s"$pairMin vs $got")
   }
 
+  test("best passage: banded window scoring equals hand enumeration") {
+    val df = docs.toDF("doc_id", "text")
+    val post = Retrieval.postings(df)
+    val pos = Retrieval.posPostings(df)
+    val queries = Seq((300L, "quick dog")).toDF("query_id", "text")
+    // nd=9; df(quick)=4 → idf 2250; df(dog)=3 → idf 3000; W=4
+    // doc8 "quick quick dog": window@1 holds both terms → 5250
+    // doc0: quick@2, dog@9 — never both in one width-4 window → 3000@9
+    // doc2: dog@2, dog@7 → 3000, EARLIEST anchor 2
+    // docs 1, 3: quick only → 2250
+    val got = Retrieval.bestPassages(post, pos, queries, nDocs = 9L,
+      winW = 4, kTop = 10)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getInt(5)))
+      .toSeq.sortBy(_._5)
+    val want = Seq(
+      (8L, 1L, 5250L, 2L, 1),
+      (0L, 9L, 3000L, 1L, 2),
+      (2L, 2L, 3000L, 1L, 3),
+      (1L, 2L, 2250L, 1L, 4),
+      (3L, 6L, 2250L, 1L, 5))
+    assert(got == want, s"$got")
+  }
+
   test("rankingAgreement: integer metrics equal hand computation") {
     val sys = Seq(
       (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 13L, 4), (0L, 14L, 5),
