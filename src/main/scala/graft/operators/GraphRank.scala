@@ -86,8 +86,19 @@ object GraphRank {
     * built inside the row), one (a, b)-keyed count. */
   def textRankEdges(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val und = undirectedAdjacent(docs, textCol)
+    und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"),
+        col("w")))
+  }
+
+  /** Undirected adjacent-token pair counts: (a, b, w) with a < b, w =
+    * occurrences of the two tokens adjacent in either order anywhere in
+    * the corpus; self-pairs dropped. One zip-shift corpus pass. */
+  private def undirectedAdjacent(docs: DataFrame,
+      textCol: String): DataFrame = {
     val ts = graft.functions.TextFunctions.tokens(col(textCol))
-    val pairs = docs
+    docs
       .select(explode(arrays_zip(
         slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
         slice(ts, lit(2), greatest(size(ts) - 1, lit(0))))).as("p"))
@@ -95,10 +106,50 @@ object GraphRank {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-    val und = pairs.groupBy(col("a"), col("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
-    und.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst"),
-        col("w")))
+  }
+
+  /** Collocation extraction — Church & Hanks' association ratio as an
+    * INTEGER milli proxy: for adjacent-token pairs with c_ab ≥
+    * `minCount`,
+    *
+    *   assoc_milli = (c_ab · N · 1000) div (c_a · c_b)
+    *
+    * with c_a/c_b token occurrence counts and N the total token count —
+    * the same ORDER as PMI = log(N·c_ab/(c_a·c_b)) without ever
+    * evaluating the log (the q127 discipline: rank by the exact
+    * rational, in integers). The product runs in DECIMAL(38,0)
+    * (HUGEINT in the oracle) so no 64-bit ceiling binds before the
+    * final bounded quotient. Top `kTop` by (assoc desc, a asc, b asc).
+    *
+    * Scale shape: one zip-shift corpus pass for pairs, one for unigram
+    * counts; the unigram side is vocabulary-sized and BROADCAST onto
+    * the pair table twice. N is the one driver scalar (a single agg —
+    * the corpusStats pattern). */
+  def collocations(docs: DataFrame, minCount: Long, kTop: Int,
+      textCol: String = "text"): DataFrame = {
+    val uni = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = uni.agg(sum(col("c"))).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("assoc_milli").desc, col("a").asc, col("b").asc)
+    undirectedAdjacent(docs, textCol)
+      .filter(col("w") >= minCount)
+      .join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))),
+        Seq("b"))
+      .withColumn("assoc_milli", expr(
+        s"CAST((CAST(w AS DECIMAL(38,0)) * CAST(${n}L AS DECIMAL(38,0)) " +
+          "* 1000) div (CAST(c_a AS DECIMAL(38,0)) * " +
+          "CAST(c_b AS DECIMAL(38,0))) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("a"), col("b"), col("w").as("c_ab"), col("c_a"),
+        col("c_b"), col("assoc_milli"), col("rank"))
   }
 }

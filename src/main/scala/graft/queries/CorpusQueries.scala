@@ -1300,6 +1300,28 @@ object CorpusQueries {
       graft.operators.Diversify.mmrSelect(cands, m = MmrM,
         lambdaMilli = MmrLambdaMilli)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Incremental POSITIONAL index maintenance: three ingestion runs
+    // each position only their own docs into a persisted
+    // PosPostingsStore (q157's base+delta protocol, occurrence-row
+    // schema); phrase retrieval served over base ∪ live delta must
+    // equal the monolithic rebuild the oracle computes from scratch.
+    "q166_incremental_positional" -> QueryDef(phraseMatchSql) { (s, dir) =>
+      graft.operators.Retrieval.phraseMatches(
+        incrementalPosPost(s, dir), phraseQueries(s, dir), kTop = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Collocation extraction: adjacent-token pairs ranked by the
+    // association ratio as an exact integer milli quotient
+    // (c_ab·N·1000 div c_a·c_b — PMI's order without PMI's log),
+    // products in DECIMAL(38,0)/HUGEINT so no 64-bit ceiling binds.
+    "q167_collocations" -> QueryDef(collocationsSql) { (s, dir) =>
+      graft.operators.GraphRank.collocations(
+        Tables(s, dir).documents, minCount = CollocMinCount,
+        kTop = CollocTopK)
+        .orderBy(col("rank"))
     }
   )
 
@@ -1616,6 +1638,61 @@ object CorpusQueries {
   private def MmrPoolK: Int = 20
   private def MmrM: Int = 5
   private def MmrLambdaMilli: Long = 700L
+  private def CollocMinCount: Long = 5L
+  private def CollocTopK: Int = 25
+
+  private val posStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-(session, sf) incremental POSITIONAL index fixture —
+    * the [[incrementalPost]] layout (batches by doc_id mod 3, first two
+    * compacted, third a live delta) with occurrence rows. */
+  private def incrementalPosPost(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val storeDir = posStoreDirs.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-pospostings").toString
+        val docs = Tables(s, dir).documents
+        Seq(0, 1).foreach { b =>
+          graft.sources.PosPostingsStore.appendDelta(
+            graft.operators.Retrieval.posPostings(
+              docs.filter(col("doc_id") % 3 === b)), d, s"batch$b")
+        }
+        graft.sources.PosPostingsStore.compact(s, d)
+        graft.sources.PosPostingsStore.appendDelta(
+          graft.operators.Retrieval.posPostings(
+            docs.filter(col("doc_id") % 3 === 2)), d, "batch2")
+        d
+      })
+    graft.sources.PosPostingsStore.load(s, storeDir)
+  }
+
+  /** q167 oracle: the collocation derivation with HUGEINT products —
+    * the DuckDB twin of the engine's DECIMAL(38,0) arithmetic. */
+  private def collocationsSql: String =
+    s"""WITH toksl AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+       |pr AS (SELECT unnest(ts[1:len(ts) - 1]) AS x,
+       |              unnest(ts[2:len(ts)]) AS y FROM toksl),
+       |und AS (SELECT least(x, y) AS a, greatest(x, y) AS b,
+       |               CAST(count(*) AS BIGINT) AS w
+       |        FROM pr WHERE x <> y GROUP BY least(x, y), greatest(x, y)),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM
+       |        (SELECT unnest(ts) AS t FROM toksl) GROUP BY t),
+       |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+       |sc AS (SELECT und.a, und.b, und.w AS c_ab, ua.c AS c_a, ub.c AS c_b,
+       |         CAST((CAST(und.w AS HUGEINT) * CAST(nt.n AS HUGEINT) * 1000)
+       |              // (CAST(ua.c AS HUGEINT) * CAST(ub.c AS HUGEINT))
+       |           AS BIGINT) AS assoc_milli
+       |       FROM und JOIN uni ua ON ua.t = und.a
+       |       JOIN uni ub ON ub.t = und.b CROSS JOIN nt
+       |       WHERE und.w >= $CollocMinCount)
+       |SELECT a, b, c_ab, c_a, c_b, assoc_milli, rank FROM (
+       |  SELECT sc.*, CAST(ROW_NUMBER() OVER
+       |    (ORDER BY assoc_milli DESC, a ASC, b ASC) AS INT) AS rank
+       |  FROM sc) WHERE rank <= $CollocTopK
+       |ORDER BY rank""".stripMargin
 
   private val posPostCache =
     new java.util.concurrent.ConcurrentHashMap[

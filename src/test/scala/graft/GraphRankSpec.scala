@@ -70,6 +70,24 @@ class GraphRankSpec extends AnyFunSuite {
       GraphRank.pageRank(e, iters = 1, dampMilli = 1001L))
   }
 
+  test("collocations equal the hand-computed association ratios") {
+    val docs = Seq(
+      (0L, "a b a b"),     // {a,b} ×3
+      (1L, "b a c c a b")  // {a,b} ×2, {a,c} ×2, (c,c) dropped
+    ).toDF("doc_id", "text")
+    // N = 10; c_a = 4, c_b = 4, c_c = 2
+    // {a,b}: 5·10·1000 div 16 = 3125; {a,c}: 2·10·1000 div 8 = 2500
+    val got = GraphRank.collocations(docs, minCount = 2L, kTop = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+      .toSeq.sortBy(_._7)
+    val want = Seq(
+      ("a", "b", 5L, 4L, 4L, 3125L, 1),
+      ("a", "c", 2L, 4L, 2L, 2500L, 2))
+    assert(got == want, s"$got")
+  }
+
   test("textRankEdges equals hand-counted symmetric bigrams") {
     val docs = Seq(
       (0L, "a b a"),    // bigrams (a,b), (b,a) → undirected {a,b} ×2

@@ -381,6 +381,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert((nd, avgdl) == (ndFull, avgdlFull))
   }
 
+  test("PosPostingsStore: incremental positional index equals the monolith") {
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pospostings-spec").toString
+    Seq(0, 1).foreach { b =>
+      graft.sources.PosPostingsStore.appendDelta(
+        Retrieval.posPostings(df.filter(col("doc_id") % 2 === b)),
+        dir, s"b$b")
+    }
+    graft.sources.PosPostingsStore.compact(spark, dir)
+    val got = graft.sources.PosPostingsStore.load(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val want = Retrieval.posPostings(df)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    // phrase retrieval through the store matches the direct index
+    val phrases = Seq((100L, "the quick")).toDF("query_id", "text")
+    val viaStore = Retrieval.phraseMatches(
+      graft.sources.PosPostingsStore.load(spark, dir), phrases, kTop = 10)
+      .collect().map(_.toSeq).toSet
+    val direct = Retrieval.phraseMatches(
+      Retrieval.posPostings(df), phrases, kTop = 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == direct)
+  }
+
   test("RRF fusion equals the hand-computed witness, absences score 0") {
     // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
