@@ -543,6 +543,56 @@ object Retrieval {
         col("n_window_terms"), col("rank"))
   }
 
+  /** Prefix completion (query autocomplete): for every distinct
+    * `prefixLen`-character prefix in the index vocabulary, the top
+    * `kTop` completions by collection frequency (Σ tf), ties to the
+    * lexicographically lower term. Terms shorter than the prefix length
+    * complete under their full text. One vocabulary-sized aggregation
+    * off the postings plus one prefix-keyed window — the completion
+    * table is vocabulary-bounded, orders of magnitude below the corpus,
+    * and at serving time it's a broadcast dictionary. */
+  def prefixCompletions(post: DataFrame, prefixLen: Int,
+      kTop: Int): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be positive, got $prefixLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix"))
+      .orderBy(col("cf").desc, col("term").asc)
+    post.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      .withColumn("prefix", substring(col("term"), 1, prefixLen))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("prefix"), col("term"), col("cf"), col("rank"))
+  }
+
+  /** Variable-byte index size estimate — the capacity-planning operator
+    * run before materializing a 100 TB index: per term, the byte cost
+    * of the doc-id postings list under delta-gap + VByte encoding
+    * (gaps from the SORTED doc-id run; the first gap is doc_id + 1 so
+    * every gap is ≥ 1) plus the VByte cost of the tf column, and the
+    * resulting bytes-per-posting in permille. All integer: gap
+    * arithmetic, CASE-threshold byte widths (7 payload bits per byte),
+    * integer-div permille. One term-keyed window + one aggregation. */
+  def indexSizeEstimate(post: DataFrame): DataFrame = {
+    def vbyte(c: Column): Column =
+      when(c < 128L, 1L).when(c < 16384L, 2L).when(c < 2097152L, 3L)
+        .when(c < 268435456L, 4L).otherwise(5L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(col("doc_id").asc)
+    post
+      .withColumn("_pdoc", lag(col("doc_id"), 1).over(w))
+      .withColumn("gap", when(col("_pdoc").isNull, col("doc_id") + 1)
+        .otherwise(col("doc_id") - col("_pdoc")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(vbyte(col("gap"))).as("bytes_docgaps"),
+        sum(vbyte(col("tf"))).as("bytes_tf"))
+      .withColumn("bytes_per_posting_permille",
+        expr("(bytes_docgaps + bytes_tf) * 1000 div df"))
+      .select(col("term"), col("df"), col("bytes_docgaps"), col("bytes_tf"),
+        col("bytes_per_posting_permille"))
+  }
+
   /** Milli-quantized nDCG position discounts: round(1000 / log2(1+i))
     * for ranks i = 1..10, pinned as INTEGER literals so both engines
     * score without ever evaluating a logarithm (the q127 bitLen

@@ -1313,6 +1313,68 @@ object CorpusQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Learning-to-rank feature assembly: the union of every signal's
+    // candidate pairs, left-joined back onto each signal with typed
+    // zero sentinels — lexical (BM25 score+rank), dense (rank),
+    // proximity (min distance, co-windows), passage (idf mass, terms).
+    // Operators composing into one frame is the point; every join is
+    // toplist-sized.
+    "q168_ltr_features" -> QueryDef(ltrFeaturesSql) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      val lex = graft.operators.Retrieval.bm25TopK(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 20)
+        .select(col("query_id"), col("doc_id"),
+          col("score").as("score_lex"), col("rank").as("rank_lex"))
+      val e = Tables(s, dir).embeddings
+      val den = graft.operators.Similarity
+        .bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_dense"))
+      val prox = graft.operators.Retrieval.proximityRank(
+        posPost(s, dir), bm25Queries(s, dir), kTop = 10,
+        bucketW = ProxBucketW)
+        .select(col("query_id"), col("doc_id"), col("min_pair_dist"),
+          col("n_cowindows"))
+      val pass = graft.operators.Retrieval.bestPassages(
+        bm25Post(s, dir), posPost(s, dir), bm25Queries(s, dir), nd,
+        winW = PassageW, kTop = 10)
+        .select(col("query_id"), col("doc_id"), col("passage_score"),
+          col("n_window_terms"))
+      val univ = Seq(lex, den, prox, pass)
+        .map(_.select(col("query_id"), col("doc_id")))
+        .reduce(_ unionByName _).distinct()
+      univ.join(lex, Seq("query_id", "doc_id"), "left_outer")
+        .join(den, Seq("query_id", "doc_id"), "left_outer")
+        .join(prox, Seq("query_id", "doc_id"), "left_outer")
+        .join(pass, Seq("query_id", "doc_id"), "left_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+          coalesce(col("score_lex"), lit(0.0)).as("score_lex"),
+          coalesce(col("rank_dense"), lit(0)).as("rank_dense"),
+          coalesce(col("min_pair_dist"), lit(0L)).as("min_pair_dist"),
+          coalesce(col("n_cowindows"), lit(0L)).as("n_cowindows"),
+          coalesce(col("passage_score"), lit(0L)).as("passage_score"),
+          coalesce(col("n_window_terms"), lit(0L)).as("n_window_terms"))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+
+    // Prefix completion: the autocomplete dictionary — top-5
+    // completions per 3-char vocabulary prefix by collection frequency.
+    // Vocabulary-sized aggregation; integer-exact.
+    "q169_prefix_complete" -> QueryDef(prefixCompleteSql) { (s, dir) =>
+      graft.operators.Retrieval.prefixCompletions(
+        bm25Post(s, dir), prefixLen = PrefixLen, kTop = 5)
+        .orderBy(col("prefix"), col("rank"))
+    },
+
+    // VByte index sizing: per-term byte cost of delta-gap + VByte
+    // doc-id lists and tf columns — the capacity-planning pass before
+    // materializing an index at scale. All-integer CASE thresholds.
+    "q170_index_vbyte_size" -> QueryDef(indexVbyteSql) { (s, dir) =>
+      graft.operators.Retrieval.indexSizeEstimate(bm25Post(s, dir))
+        .orderBy(col("df").desc, col("term").asc)
+    },
+
     // Collocation extraction: adjacent-token pairs ranked by the
     // association ratio as an exact integer milli quotient
     // (c_ab·N·1000 div c_a·c_b — PMI's order without PMI's log),
@@ -1640,6 +1702,79 @@ object CorpusQueries {
   private def MmrLambdaMilli: Long = 700L
   private def CollocMinCount: Long = 5L
   private def CollocTopK: Int = 25
+  private def PrefixLen: Int = 3
+
+  /** q168 oracle: the bm25, dense, positional, proximity and passage
+    * CTE bodies side by side (their names are disjoint by
+    * construction; `q`/`w`/`pp` are shared deliberately — one
+    * derivation of each signal), then the candidate union left-joined
+    * onto every signal with the engine's zero sentinels. */
+  private def ltrFeaturesSql: String =
+    s"""WITH ${bm25Ctes(pruned = false, kTop = 20)},
+       |${denseCtes(20)},
+       |$posPostSql,
+       |$proxCtes,
+       |$passCtes,
+       |univ AS (SELECT query_id, doc_id FROM lex
+       |         UNION SELECT query_id, doc_id FROM den
+       |         UNION SELECT query_id, doc_id FROM prox
+       |         UNION SELECT query_id, doc_id FROM pass)
+       |SELECT u.query_id, u.doc_id,
+       |       CAST(coalesce(l.rank, 0) AS INT) AS rank_lex,
+       |       coalesce(l.score, CAST(0 AS DOUBLE)) AS score_lex,
+       |       CAST(coalesce(d.rank, 0) AS INT) AS rank_dense,
+       |       CAST(coalesce(x.min_pair_dist, 0) AS BIGINT)
+       |         AS min_pair_dist,
+       |       CAST(coalesce(x.n_cowindows, 0) AS BIGINT) AS n_cowindows,
+       |       CAST(coalesce(s.passage_score, 0) AS BIGINT)
+       |         AS passage_score,
+       |       CAST(coalesce(s.n_window_terms, 0) AS BIGINT)
+       |         AS n_window_terms
+       |FROM univ u
+       |LEFT JOIN lex l ON l.query_id = u.query_id AND l.doc_id = u.doc_id
+       |LEFT JOIN den d ON d.query_id = u.query_id AND d.doc_id = u.doc_id
+       |LEFT JOIN prox x ON x.query_id = u.query_id AND x.doc_id = u.doc_id
+       |LEFT JOIN pass s ON s.query_id = u.query_id AND s.doc_id = u.doc_id
+       |ORDER BY u.query_id, u.doc_id""".stripMargin
+
+  private def prefixCompleteSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term
+       |              FROM documents),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM toks GROUP BY doc_id, term),
+       |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM post
+       |       GROUP BY term)
+       |SELECT prefix, term, cf, rank FROM (
+       |  SELECT substr(term, 1, $PrefixLen) AS prefix, term, cf,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY substr(term, 1, $PrefixLen)
+       |           ORDER BY cf DESC, term ASC) AS INT) AS rank
+       |  FROM cf) WHERE rank <= 5
+       |ORDER BY prefix, rank""".stripMargin
+
+  private def indexVbyteSql: String = {
+    def vb(c: String): String =
+      s"""CASE WHEN $c < 128 THEN 1 WHEN $c < 16384 THEN 2
+         | WHEN $c < 2097152 THEN 3 WHEN $c < 268435456 THEN 4
+         | ELSE 5 END""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term
+       |              FROM documents),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM toks GROUP BY doc_id, term),
+       |g AS (SELECT term, tf,
+       |        CASE WHEN lag(doc_id) OVER
+       |               (PARTITION BY term ORDER BY doc_id) IS NULL
+       |             THEN doc_id + 1
+       |             ELSE doc_id - lag(doc_id) OVER
+       |               (PARTITION BY term ORDER BY doc_id) END AS gap
+       |      FROM post)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |       CAST(sum(${vb("gap")}) AS BIGINT) AS bytes_docgaps,
+       |       CAST(sum(${vb("tf")}) AS BIGINT) AS bytes_tf,
+       |       CAST((sum(${vb("gap")}) + sum(${vb("tf")})) * 1000
+       |            // count(*) AS BIGINT) AS bytes_per_posting_permille
+       |FROM g GROUP BY term
+       |ORDER BY df DESC, term ASC""".stripMargin
+  }
 
   private val posStoreDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1757,7 +1892,17 @@ object CorpusQueries {
        |q AS (SELECT DISTINCT query_id, term FROM
        |       (SELECT doc_id AS query_id, unnest(($ToksSql)[1:8]) AS term
        |        FROM documents WHERE doc_id < 8) qq),
-       |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q
+       |$proxCtes
+       |SELECT query_id, doc_id, min_pair_dist, n_cowindows, rank FROM prox
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The proximity derivation as a reusable WITH-body (expects `pp` and
+    * `q` CTEs in scope) ending in
+    * `prox AS (query_id, doc_id, min_pair_dist, n_cowindows, rank ≤ 10)`
+    * — q161 selects from it directly; q168 embeds it beside the other
+    * signal CTEs. */
+  private def proxCtes: String =
+    s"""nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q
        |       FROM q GROUP BY query_id),
        |m AS (SELECT q.query_id, pp.doc_id, pp.term, pp.pos
        |      FROM pp JOIN q ON pp.term = q.term
@@ -1785,8 +1930,9 @@ object CorpusQueries {
        |                count(DISTINCT term) AS n_t
        |         FROM mm GROUP BY query_id, doc_id, (pos - 1) // $ProxBucketW) b
        |        JOIN nq USING (query_id)
-       |        WHERE b.n_t = nq.n_q GROUP BY b.query_id, b.doc_id)
-       |SELECT query_id, doc_id, min_pair_dist, n_cowindows, rank FROM (
+       |        WHERE b.n_t = nq.n_q GROUP BY b.query_id, b.doc_id),
+       |prox AS (SELECT query_id, doc_id, min_pair_dist, n_cowindows, rank
+       | FROM (
        |  SELECT d.query_id, d.doc_id, d.min_pair_dist,
        |         coalesce(c.n_cowindows, CAST(0 AS BIGINT)) AS n_cowindows,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY d.query_id
@@ -1795,8 +1941,7 @@ object CorpusQueries {
        |                    d.doc_id ASC) AS INT) AS rank
        |  FROM dist d LEFT JOIN cow c
        |    ON c.query_id = d.query_id AND c.doc_id = d.doc_id
-       |  WHERE d.min_pair_dist IS NOT NULL) WHERE rank <= 10
-       |ORDER BY query_id, rank""".stripMargin
+       |  WHERE d.min_pair_dist IS NOT NULL) WHERE rank <= 10)""".stripMargin
 
   /** q162 oracle: lex top-10 vs the dense top-20 pseudo-qrels; discount
     * and prefix-sum literals interpolated from the SAME pinned
@@ -1839,7 +1984,17 @@ object CorpusQueries {
   private def bestPassageSql: String =
     s"""WITH ${bm25Ctes(pruned = false, kTop = 10)},
        |$posPostSql,
-       |mq AS (SELECT w.query_id, pp.doc_id, pp.term, w.idf_milli, pp.pos
+       |$passCtes
+       |SELECT query_id, doc_id, window_start, passage_score,
+       |       n_window_terms, rank
+       |FROM pass ORDER BY query_id, rank""".stripMargin
+
+  /** The best-passage derivation as a reusable WITH-body (expects `pp`
+    * and the bm25 `w` CTEs in scope) ending in `pass AS (query_id,
+    * doc_id, window_start, passage_score, n_window_terms, rank ≤ 10)`
+    * — q164 selects from it directly; q168 embeds it. */
+  private def passCtes: String =
+    s"""mq AS (SELECT w.query_id, pp.doc_id, pp.term, w.idf_milli, pp.pos
        |       FROM pp JOIN w ON pp.term = w.term
        |       WHERE pp.doc_id <> w.query_id),
        |anch AS (SELECT DISTINCT query_id, doc_id, pos AS anchor FROM mq),
@@ -1858,15 +2013,14 @@ object CorpusQueries {
        |         FROM (SELECT psc.*, ROW_NUMBER() OVER
        |                 (PARTITION BY query_id, doc_id
        |                  ORDER BY passage_score DESC, anchor ASC) AS brk
-       |               FROM psc) WHERE brk = 1)
-       |SELECT query_id, doc_id, window_start, passage_score,
-       |       n_window_terms, rank
-       |FROM (SELECT query_id, doc_id, window_start, passage_score,
-       |        n_window_terms,
-       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |          ORDER BY passage_score DESC, doc_id ASC) AS INT) AS rank
-       |      FROM best) WHERE rank <= 10
-       |ORDER BY query_id, rank""".stripMargin
+       |               FROM psc) WHERE brk = 1),
+       |pass AS (SELECT query_id, doc_id, window_start, passage_score,
+       |        n_window_terms, rank
+       |  FROM (SELECT query_id, doc_id, window_start, passage_score,
+       |          n_window_terms,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY passage_score DESC, doc_id ASC) AS INT) AS rank
+       |        FROM best) WHERE rank <= 10)""".stripMargin
 
   /** q165 oracle: [[MmrM]] UNROLLED greedy MMR selection levels over
     * the dense top-[[MmrPoolK]] — each level anti-joins the picked set,

@@ -409,6 +409,49 @@ class RetrievalSpec extends AnyFunSuite {
     assert(viaStore == direct)
   }
 
+  test("prefixCompletions: top completions per prefix, cf ties to lower term") {
+    val df = docs.toDF("doc_id", "text")
+    val post = Retrieval.postings(df)
+    val got = Retrieval.prefixCompletions(post, prefixLen = 3, kTop = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    // "the": cf = 2+1+1+1+4 over docs 0,1,2,3,7 = 9 — its own prefix
+    // bucket; "fox" cf 1+1+3 = 5
+    assert(got("the").toSeq == Seq(("the", "the", 9L, 1)))
+    assert(got("fox").toSeq == Seq(("fox", "fox", 5L, 1)))
+    // a short term is its own (short) prefix bucket — "about"/"all"
+    // bucket under "abo"/"all", not "a"
+    assert(got("a").map(x => (x._2, x._4)).toSeq == Seq(("a", 1)))
+    assert(got("abo").map(x => (x._2, x._4)).toSeq == Seq(("about", 1)))
+    // every bucket respects kTop and rank contiguity
+    got.values.foreach { rs =>
+      assert(rs.length <= 2 && rs.map(_._4).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+    }
+  }
+
+  test("indexSizeEstimate: vbyte thresholds and first-gap rule") {
+    import spark.implicits._
+    // crafted postings spanning the 1/2/3-byte gap thresholds
+    val post = Seq(
+      (0L, "t", 1L), (127L, "t", 127L), (20000L, "t", 16384L),
+      (0L, "u", 1L)
+    ).toDF("doc_id", "term", "tf")
+    val got = Retrieval.indexSizeEstimate(post)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    // t: gaps 1 (first = doc+1), 127, 19873 → 1+1+3 = 5 bytes;
+    //    tf 1, 127, 16384 → 1+1+3 = 5 bytes; 10·1000 div 3 = 3333
+    // u: gap 1 → 1; tf 1 → 1; 2000
+    val want = Set(
+      ("t", 3L, 5L, 5L, 3333L),
+      ("u", 1L, 1L, 1L, 2000L))
+    assert(got == want, s"$got")
+  }
+
   test("RRF fusion equals the hand-computed witness, absences score 0") {
     // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
