@@ -452,6 +452,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == want, s"$got")
   }
 
+  test("PosPostingsStore soak: phrase serving equals the monolith after EVERY batch") {
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pospostings-soak").toString
+    val phrases = Seq((100L, "the quick"), (101L, "fox fox"))
+      .toDF("query_id", "text")
+    def result(index: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      Retrieval.phraseMatches(index, phrases, kTop = 10)
+        .collect().map(_.toSeq).toSet
+    (0 to 2).foreach { b =>
+      graft.sources.PosPostingsStore.appendDelta(
+        Retrieval.posPostings(df.filter(col("doc_id") % 3 === b)),
+        dir, s"soak$b")
+      // mid-stream compaction after the second batch — serving must be
+      // oblivious to the base/delta boundary
+      if (b == 1) graft.sources.PosPostingsStore.compact(spark, dir)
+      val viaStore = result(
+        graft.sources.PosPostingsStore.load(spark, dir))
+      val monolith = result(
+        Retrieval.posPostings(df.filter(col("doc_id") % 3 <= b)))
+      assert(viaStore == monolith, s"batch $b diverged")
+    }
+  }
+
   test("RRF fusion equals the hand-computed witness, absences score 0") {
     // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
