@@ -553,6 +553,67 @@ object Retrieval {
         col("passage_score"), col("n_window_terms"), col("rank"))
   }
 
+  /** SERP near-duplicate collapse: given a ranking and a per-doc
+    * content fingerprint, keep only the BEST-ranked result per
+    * (query, fingerprint) cluster and close the rank gaps — the
+    * result-page dedup every search stack runs so three mirrors of one
+    * page don't fill the top-3. Emits (query_id, doc_id, orig_rank,
+    * rank) with `rank` contiguous after the collapse. Both inputs are
+    * toplist-sized; the fingerprint join is the only corpus-derived
+    * side and arrives pre-aggregated (one row per doc). */
+  def collapseNearDups(ranking: DataFrame, fingerprints: DataFrame)
+      : DataFrame = {
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("fp"))
+      .orderBy(col("rank").asc)
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rank").asc)
+    ranking.join(fingerprints, Seq("doc_id"))
+      .withColumn("_krk", row_number().over(wIn))
+      .filter(col("_krk") === 1).drop("_krk")
+      .withColumn("orig_rank", col("rank"))
+      .withColumn("rank", row_number().over(wOut))
+      .select(col("query_id"), col("doc_id"), col("orig_rank"), col("rank"))
+  }
+
+  /** SymSpell-style spelling correction (Garbe's deletion-variant
+    * join): candidate (query token, vocabulary term) pairs fall out of
+    * matching single-character-DELETION variants — a term matches a
+    * query token at edit distance ≤ 1 only if they share a variant
+    * (either string itself, or one with one char deleted) — then exact
+    * `levenshtein ≤ 1` verifies and collection frequency ranks the
+    * suggestions (cf desc, term asc, top `kTop`; the identity
+    * suggestion dist = 0 ranks by the same rule).
+    *
+    * Scale shape: the vocabulary expands to ≤ (len+1) variant rows per
+    * term — vocabulary-sized, NOT corpus-sized — and the query side is
+    * broadcast; the quadratic all-pairs distance matrix is never
+    * materialized (the published SymSpell argument). */
+  def spellSuggest(post: DataFrame, queryTokens: DataFrame,
+      kTop: Int): DataFrame = {
+    def variants(t: Column): Column = array_union(
+      array(t),
+      filter(transform(sequence(lit(1), length(t)), i =>
+        concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t)))),
+        v => v =!= ""))
+    val vocab = post.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val vv = vocab.select(col("term"), col("cf"),
+      explode(variants(col("term"))).as("variant"))
+    val qv = queryTokens.select(col("token"),
+      explode(variants(col("token"))).as("variant"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+      .orderBy(col("cf").desc, col("term").asc)
+    vv.join(broadcast(qv), Seq("variant"))
+      .select(col("token"), col("term"), col("cf")).distinct()
+      .withColumn("dist", levenshtein(col("token"), col("term")))
+      .filter(col("dist") <= 1)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("token"), col("term"), col("dist"), col("cf"), col("rank"))
+  }
+
   /** Prefix completion (query autocomplete): for every distinct
     * `prefixLen`-character prefix in the index vocabulary, the top
     * `kTop` completions by collection frequency (Σ tf), ties to the

@@ -1375,6 +1375,38 @@ object CorpusQueries {
         .orderBy(col("df").desc, col("term").asc)
     },
 
+    // SERP near-dup collapse: keep the best-ranked result per
+    // (query, bag-fingerprint) cluster and close the rank gaps — the
+    // result-page dedup between ranking and presentation. Toplist-sized.
+    "q171_serp_collapse" -> QueryDef(serpCollapseSql) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      val lex = graft.operators.Retrieval.bm25TopK(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 20)
+      val fp = Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.bagFingerprint(col("text")).as("fp"))
+      graft.operators.Retrieval.collapseNearDups(lex, fp)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // SymSpell spelling correction: deletion-variant candidate join
+    // (vocabulary expands ≤ len+1 variants per term — never the
+    // quadratic distance matrix), exact levenshtein <= 1 verify,
+    // suggestions ranked by collection frequency. The probe tokens are
+    // deterministic synthetic misspells (2nd char dropped from every
+    // vocab term of length >= 4), so the identity fix is always present.
+    "q172_spell_correct" -> QueryDef(spellCorrectSql) { (s, dir) =>
+      val vocabTerms = bm25Post(s, dir).select(col("term")).distinct()
+      val misspelled = vocabTerms
+        .filter(length(col("term")) >= 4)
+        .select(concat(col("term").substr(lit(1), lit(1)),
+          col("term").substr(lit(3), length(col("term"))))
+          .as("token"))
+        .distinct()
+      graft.operators.Retrieval.spellSuggest(
+        bm25Post(s, dir), misspelled, kTop = 5)
+        .orderBy(col("token"), col("rank"))
+    },
+
     // Collocation extraction: adjacent-token pairs ranked by the
     // association ratio as an exact integer milli quotient
     // (c_ab·N·1000 div c_a·c_b — PMI's order without PMI's log),
@@ -1750,6 +1782,57 @@ object CorpusQueries {
        |           ORDER BY cf DESC, term ASC) AS INT) AS rank
        |  FROM cf) WHERE rank <= 5
        |ORDER BY prefix, rank""".stripMargin
+
+  private def serpCollapseSql: String =
+    s"""WITH ${bm25Ctes(pruned = false, kTop = 20)},
+       |fp AS (SELECT doc_id,
+       |         md5(array_to_string(list_sort(list_distinct($ToksSql)), ' '))
+       |           AS fp
+       |       FROM documents),
+       |kept AS (SELECT query_id, doc_id, rank AS orig_rank FROM (
+       |    SELECT l.query_id, l.doc_id, l.rank,
+       |           ROW_NUMBER() OVER (PARTITION BY l.query_id, f.fp
+       |             ORDER BY l.rank ASC) AS krk
+       |    FROM lex l JOIN fp f USING (doc_id)) WHERE krk = 1)
+       |SELECT query_id, doc_id, orig_rank, rank FROM (
+       |  SELECT query_id, doc_id, orig_rank,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY orig_rank ASC) AS INT) AS rank
+       |  FROM kept)
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q172 oracle: deletion variants via list_transform over a range,
+    * the same variant set the engine builds (self + nonempty single
+    * deletions, distinct). */
+  private def spellCorrectSql: String = {
+    def variants(t: String): String =
+      s"""list_distinct(list_append(
+         |  list_filter(list_transform(range(1, length($t) + 1),
+         |    i -> substr($t, 1, i - 1) || substr($t, i + 1)),
+         |    v -> v <> ''), $t))""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term
+       |              FROM documents),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM toks GROUP BY doc_id, term),
+       |cfx AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM post
+       |        GROUP BY term),
+       |qt AS (SELECT DISTINCT substr(term, 1, 1) || substr(term, 3)
+       |         AS token
+       |       FROM cfx WHERE length(term) >= 4),
+       |vv AS (SELECT term, cf, unnest(${variants("term")}) AS variant
+       |       FROM cfx),
+       |qv AS (SELECT token, unnest(${variants("token")}) AS variant
+       |       FROM qt),
+       |cand AS (SELECT DISTINCT qv.token, vv.term, vv.cf
+       |         FROM vv JOIN qv USING (variant)),
+       |ver AS (SELECT token, term,
+       |          CAST(levenshtein(token, term) AS INT) AS dist, cf
+       |        FROM cand WHERE levenshtein(token, term) <= 1)
+       |SELECT token, term, dist, cf, rank FROM (
+       |  SELECT ver.*, CAST(ROW_NUMBER() OVER (PARTITION BY token
+       |    ORDER BY cf DESC, term ASC) AS INT) AS rank FROM ver)
+       |WHERE rank <= 5 ORDER BY token, rank""".stripMargin
+  }
 
   private def indexVbyteSql: String = {
     def vb(c: String): String =

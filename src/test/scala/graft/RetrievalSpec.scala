@@ -476,6 +476,38 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("collapseNearDups keeps the best rank per cluster and closes gaps") {
+    val ranking = Seq(
+      (0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3), (0L, 4L, 4),
+      (1L, 5L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val fps = Seq(
+      (1L, "A"), (2L, "A"), (3L, "B"), (4L, "A"), (5L, "C")
+    ).toDF("doc_id", "fp")
+    val got = Retrieval.collapseNearDups(ranking, fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).toSet
+    // q0: docs 2 and 4 collapse into doc 1's A-cluster; doc 3 moves up
+    val want = Set((0L, 1L, 1, 1), (0L, 3L, 3, 2), (1L, 5L, 1, 1))
+    assert(got == want, s"$got")
+  }
+
+  test("spellSuggest: deletion-join candidates, exact verify, cf ranking") {
+    val df = docs.toDF("doc_id", "text")
+    val post = Retrieval.postings(df)
+    val tokens = Seq("qick", "foxx", "zzzz").toDF("token")
+    val got = Retrieval.spellSuggest(post, tokens, kTop = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getInt(4))).toSet
+    // qick → quick (substitution... deletion-share via "qick"→"qick"
+    // variants ∩ "quick" deletions = "qick"); cf(quick) = 1+1+1+2 = 5
+    // foxx → fox (cf 1+1+3 = 5); zzzz matches nothing
+    val want = Set(
+      ("qick", "quick", 1, 5L, 1),
+      ("foxx", "fox", 1, 5L, 1))
+    assert(got == want, s"$got")
+  }
+
   test("RRF fusion equals the hand-computed witness, absences score 0") {
     // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
