@@ -389,6 +389,24 @@ object Retrieval {
     * two candidate-sized aggregations. The corpus is never shuffled. */
   def phraseMatches(posPost: DataFrame, phrases: DataFrame, kTop: Int,
       idCol: String = "query_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("phrase_tf").desc, col("doc_id").asc)
+    phraseOccurrences(posPost, phrases, idCol, textCol)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("phrase_tf"), min(col("anchor")).as("first_pos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("doc_id"), col("phrase_tf"),
+        col("first_pos"), col("rank"))
+  }
+
+  /** Every full phrase occurrence — (query_id, doc_id, anchor,
+    * n_terms), one row per anchored match (see [[phraseMatches]] for
+    * the anchored-ordinal argument). The shared front half of phrase
+    * ranking and span redaction ([[redactPhrases]]). */
+  def phraseOccurrences(posPost: DataFrame, phrases: DataFrame,
+      idCol: String = "query_id", textCol: String = "text"): DataFrame = {
     val pt = phrases.select(col(idCol).as("query_id"),
         posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
           .as(Seq("o0", "term")))
@@ -396,21 +414,44 @@ object Retrieval {
         col("term"))
     val plen = pt.groupBy(col("query_id"))
       .agg(countDistinct(col("ord")).as("n_terms"))
-    val occ = posPost.join(broadcast(pt), Seq("term"))
+    posPost.join(broadcast(pt), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"),
         (col("pos") - col("ord") + 1).as("anchor"))
       .agg(countDistinct(col("ord")).as("n_ord"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("phrase_tf").desc, col("doc_id").asc)
-    occ.join(broadcast(plen), Seq("query_id"))
+      .join(broadcast(plen), Seq("query_id"))
       .filter(col("n_ord") === col("n_terms"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("phrase_tf"), min(col("anchor")).as("first_pos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kTop)
-      .select(col("query_id"), col("doc_id"), col("phrase_tf"),
-        col("first_pos"), col("rank"))
+      .select(col("query_id"), col("doc_id"), col("anchor"), col("n_terms"))
+  }
+
+  /** Blocklist span redaction: every occurrence of any blocklist
+    * phrase is masked token-for-token (`maskTok`) and the document
+    * re-rendered — the contamination-rewrite pattern (q126) driven by
+    * the positional index instead of rolling hashes. Overlapping and
+    * repeated spans union cleanly (positions are a set). Emits one row
+    * per AFFECTED doc: (doc_id, n_redacted_tokens, redacted_text).
+    *
+    * Scale shape: occurrence detection is the broadcast phrase probe;
+    * the rewrite touches only affected docs (an inner join against the
+    * per-doc masked-position sets), each rebuilt in one row-local
+    * array transform — no shuffle beyond the position aggregation. */
+  def redactPhrases(docs: DataFrame, posPost: DataFrame,
+      blocklist: DataFrame, maskTok: String = "___",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = phraseOccurrences(posPost, blocklist)
+      .select(col("doc_id"),
+        explode(sequence(col("anchor"),
+          col("anchor") + col("n_terms") - 1)).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("pos"))).as("mask"))
+    val ts = graft.functions.TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), ts.as("_ts"))
+      .join(spans, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("mask")).cast("long").as("n_redacted_tokens"),
+        array_join(transform(sequence(lit(1), size(col("_ts"))), i =>
+          when(array_contains(col("mask"), i.cast("long")), lit(maskTok))
+            .otherwise(element_at(col("_ts"), i))), " ")
+          .as("redacted_text"))
   }
 
   /** Conjunctive proximity ranking: over docs containing EVERY query

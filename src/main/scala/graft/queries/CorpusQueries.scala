@@ -1407,6 +1407,16 @@ object CorpusQueries {
         .orderBy(col("token"), col("rank"))
     },
 
+    // Blocklist span redaction: every occurrence of any blocklist
+    // phrase masked token-for-token and the doc re-rendered — the
+    // contamination-rewrite pattern driven by the positional index.
+    // Rewrite touches only affected docs; overlaps union as a set.
+    "q173_blocklist_redact" -> QueryDef(redactSql) { (s, dir) =>
+      graft.operators.Retrieval.redactPhrases(
+        Tables(s, dir).documents, posPost(s, dir), phraseQueries(s, dir))
+        .orderBy(col("doc_id"))
+    },
+
     // Collocation extraction: adjacent-token pairs ranked by the
     // association ratio as an exact integer milli quotient
     // (c_ab·N·1000 div c_a·c_b — PMI's order without PMI's log),
@@ -1783,6 +1793,22 @@ object CorpusQueries {
        |  FROM cf) WHERE rank <= 5
        |ORDER BY prefix, rank""".stripMargin
 
+  private def redactSql: String =
+    s"""WITH $posPostSql,
+       |$phraseOccCtes,
+       |spans AS (SELECT doc_id,
+       |            unnest(range(anchor, anchor + n_terms)) AS pos
+       |          FROM pocc),
+       |mask AS (SELECT doc_id,
+       |           list_sort(list_distinct(list(pos))) AS mask
+       |         FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(m.mask) AS BIGINT) AS n_redacted_tokens,
+       |       array_to_string(list_transform(range(1, len(t.ts) + 1),
+       |         i -> CASE WHEN list_contains(m.mask, i) THEN '___'
+       |                   ELSE t.ts[i] END), ' ') AS redacted_text
+       |FROM toksl t JOIN mask m USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   private def serpCollapseSql: String =
     s"""WITH ${bm25Ctes(pruned = false, kTop = 20)},
        |fp AS (SELECT doc_id,
@@ -1943,9 +1969,12 @@ object CorpusQueries {
        |              CAST(unnest(range(1, len(ts) + 1)) AS BIGINT) AS pos
        |       FROM toksl)""".stripMargin
 
-  private def phraseMatchSql: String =
-    s"""WITH $posPostSql,
-       |ph AS (SELECT doc_id AS query_id, ($ToksSql)[2:4] AS pts
+  /** Phrase-occurrence CTEs (expect `pp` in scope): the doc-prefix
+    * phrase set, anchored-ordinal matching, ending in `pocc AS
+    * (query_id, doc_id, anchor, n_terms)` — one row per FULL match.
+    * q160/q166 rank from it; q173 redacts from it. */
+  private def phraseOccCtes: String =
+    s"""ph AS (SELECT doc_id AS query_id, ($ToksSql)[2:4] AS pts
        |       FROM documents WHERE doc_id < 8),
        |pt AS (SELECT query_id, unnest(pts) AS term,
        |              CAST(unnest(range(1, len(pts) + 1)) AS BIGINT) AS ord
@@ -1957,12 +1986,17 @@ object CorpusQueries {
        |               count(DISTINCT pt.ord) AS n_ord
        |        FROM pp JOIN pt ON pp.term = pt.term
        |        GROUP BY pt.query_id, pp.doc_id, pp.pos - pt.ord + 1),
-       |m AS (SELECT occ.query_id, occ.doc_id,
+       |pocc AS (SELECT occ.query_id, occ.doc_id, occ.anchor, plen.n_terms
+       |         FROM occ JOIN plen ON plen.query_id = occ.query_id
+       |         WHERE occ.n_ord = plen.n_terms)""".stripMargin
+
+  private def phraseMatchSql: String =
+    s"""WITH $posPostSql,
+       |$phraseOccCtes,
+       |m AS (SELECT query_id, doc_id,
        |             CAST(count(*) AS BIGINT) AS phrase_tf,
-       |             CAST(min(occ.anchor) AS BIGINT) AS first_pos
-       |      FROM occ JOIN plen ON plen.query_id = occ.query_id
-       |      WHERE occ.n_ord = plen.n_terms
-       |      GROUP BY occ.query_id, occ.doc_id)
+       |             CAST(min(anchor) AS BIGINT) AS first_pos
+       |      FROM pocc GROUP BY query_id, doc_id)
        |SELECT query_id, doc_id, phrase_tf, first_pos, rank FROM (
        |  SELECT query_id, doc_id, phrase_tf, first_pos,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -508,6 +508,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == want, s"$got")
   }
 
+  test("redactPhrases masks exactly the matched spans, overlaps union") {
+    val df = docs.toDF("doc_id", "text")
+    val pos = Retrieval.posPostings(df)
+    val blocklist = Seq((100L, "the quick"), (101L, "fox fox"))
+      .toDF("query_id", "text")
+    val got = Retrieval.redactPhrases(df, pos, blocklist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val want = Set(
+      (0L, 2L, "___ ___ brown fox jumps over the lazy dog"),
+      (1L, 2L, "___ ___ red fox runs fast"),
+      (3L, 2L, "brown bears eat fish ___ ___ bear"),
+      // overlapping "fox fox" at anchors 1 and 2 → positions {1,2,3}
+      (5L, 3L, "___ ___ ___ den"))
+    assert(got == want, s"$got")
+  }
+
   test("RRF fusion equals the hand-computed witness, absences score 0") {
     // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
