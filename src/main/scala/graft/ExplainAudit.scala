@@ -22,7 +22,9 @@ object ExplainAudit {
         "q91_embedding_quantize", "q92_event_funnel", "q93_zorder_code",
         "q94_quantized_topk", "q95_perdim_quantize",
         "q103_bloom_decontamination", "q104_chunk_dedup",
-        "q105_component_keep_best", "q106_hard_negatives")
+        "q105_component_keep_best", "q106_hard_negatives",
+        "q153_bm25_topk", "q160_phrase_match", "q164_best_passage",
+        "q163_textrank", "q168_ltr_features", "q173_blocklist_redact")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
