@@ -126,6 +126,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.last.allowed)        // new window
   }
 
+  test("streaming index ingestion: store equals monolith, replay is idempotent") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream-pospostings").toString
+    val stream = MemoryStream[(Long, String)] // (doc_id, text)
+    val q = stream.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.streaming.IndexIngest.posPostingsSink(dir))
+      .outputMode("update").start()
+    val b0 = Seq((0L, "the quick brown fox"), (1L, "fox den"))
+    val b1 = Seq((2L, "quick quick dog"))
+    try {
+      stream.addData(b0: _*); q.processAllAvailable()
+      stream.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val viaStream = rows(graft.sources.PosPostingsStore.load(spark, dir))
+    val monolith = rows(graft.operators.Retrieval.posPostings(
+      (b0 ++ b1).toDF("doc_id", "text")))
+    assert(viaStream == monolith)
+    // replayed micro-batch (same batch id) OVERWRITES its delta — the
+    // exactly-once argument — instead of doubling rows
+    graft.sources.PosPostingsStore.appendDelta(
+      graft.operators.Retrieval.posPostings(b1.toDF("doc_id", "text")),
+      dir, "stream-000001")
+    assert(rows(graft.sources.PosPostingsStore.load(spark, dir))
+      == monolith)
+  }
+
   test("streaming dedup keeps first-seen across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
