@@ -1417,6 +1417,26 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // KMV (theta) sketch per-slice distinct estimation: k smallest
+    // h60(md5) hashes per language slice of the shingle universe;
+    // est = (k-1)*2^60 div theta, exact below k — every value an
+    // integer, the estimator's error visible against the exact count.
+    "q174_theta_estimate" -> QueryDef(thetaEstimateSql) { (s, dir) =>
+      graft.operators.ThetaSketch.kmvEstimate(
+        thetaHashes(s, dir), k = ThetaK)
+        .orderBy(col("slice"))
+    },
+
+    // Theta-sketch slice intersections — what HLL cannot do: pairwise
+    // shared-shingle cardinality between language slices from k-hash
+    // sketches (theta_ab = min theta, common hashes below it), with the
+    // exact intersection and permille error alongside.
+    "q175_theta_overlap" -> QueryDef(thetaOverlapSql) { (s, dir) =>
+      graft.operators.ThetaSketch.kmvIntersections(
+        thetaHashes(s, dir), k = ThetaK)
+        .orderBy(col("slice_a"), col("slice_b"))
+    },
+
     // Collocation extraction: adjacent-token pairs ranked by the
     // association ratio as an exact integer milli quotient
     // (c_ab·N·1000 div c_a·c_b — PMI's order without PMI's log),
@@ -1792,6 +1812,76 @@ object CorpusQueries {
        |           ORDER BY cf DESC, term ASC) AS INT) AS rank
        |  FROM cf) WHERE rank <= 5
        |ORDER BY prefix, rank""".stripMargin
+
+  private def ThetaK: Int = 64
+
+  /** (slice, h) hash sets for the theta queries: language slices over
+    * the word-3-gram universe, h60(md5) per the repo hash convention. */
+  private def thetaHashes(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.ThetaSketch.sliceHashes(
+      Tables(s, dir).documents.select(col("lang").as("slice"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("item")))
+
+  /** Shared theta CTEs ending in `hs (slice, h)`, `nd (slice,
+    * n_distinct)`, `th (slice, theta)`. */
+  private def thetaCtes: String =
+    s"""it AS (SELECT DISTINCT lang AS slice,
+       |         unnest(${OracleSql.grams(3)}) AS item FROM documents),
+       |hs AS (SELECT DISTINCT slice,
+       |         CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h
+       |       FROM it),
+       |nd AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_distinct
+       |       FROM hs GROUP BY slice),
+       |th AS (SELECT slice, h AS theta FROM (
+       |        SELECT slice, h, ROW_NUMBER() OVER (PARTITION BY slice
+       |          ORDER BY h ASC) AS rk FROM hs) WHERE rk = $ThetaK)"""
+      .stripMargin
+
+  private def ThetaM: String = "1152921504606846976" // 2^60
+
+  private def thetaEstimateSql: String =
+    s"""WITH $thetaCtes
+       |SELECT nd.slice, nd.n_distinct, th.theta,
+       |       CAST(CASE WHEN th.theta IS NULL THEN nd.n_distinct
+       |            ELSE (CAST(${ThetaK - 1} AS HUGEINT) *
+       |                  CAST('$ThetaM' AS HUGEINT))
+       |                 // CAST(th.theta AS HUGEINT) END AS BIGINT)
+       |         AS est_distinct
+       |FROM nd LEFT JOIN th USING (slice)
+       |ORDER BY nd.slice""".stripMargin
+
+  private def thetaOverlapSql: String =
+    s"""WITH $thetaCtes,
+       |pr AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+       |              least(ta.theta, tb.theta) AS theta_ab
+       |       FROM nd a JOIN nd b ON a.slice < b.slice
+       |       LEFT JOIN th ta ON ta.slice = a.slice
+       |       LEFT JOIN th tb ON tb.slice = b.slice),
+       |cm AS (SELECT ha.slice AS slice_a, hb.slice AS slice_b, ha.h
+       |       FROM hs ha JOIN hs hb ON hb.h = ha.h
+       |        AND ha.slice < hb.slice),
+       |ct AS (SELECT cm.slice_a, cm.slice_b,
+       |         CAST(count(*) AS BIGINT) AS exact_inter,
+       |         CAST(sum(CASE WHEN pr.theta_ab IS NULL
+       |                        OR cm.h < pr.theta_ab
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS c_below
+       |       FROM cm JOIN pr USING (slice_a, slice_b)
+       |       GROUP BY cm.slice_a, cm.slice_b)
+       |SELECT slice_a, slice_b, theta_ab, c_below, est_inter, exact_inter,
+       |       CAST(abs(est_inter - exact_inter) * 1000
+       |            // greatest(exact_inter, 1) AS BIGINT) AS err_permille
+       |FROM (SELECT pr.slice_a, pr.slice_b, pr.theta_ab,
+       |        coalesce(ct.c_below, CAST(0 AS BIGINT)) AS c_below,
+       |        CAST(CASE WHEN pr.theta_ab IS NULL
+       |               THEN coalesce(ct.c_below, 0)
+       |             ELSE (CAST(coalesce(ct.c_below, 0) AS HUGEINT) *
+       |                   CAST('$ThetaM' AS HUGEINT))
+       |                  // CAST(pr.theta_ab AS HUGEINT) END AS BIGINT)
+       |          AS est_inter,
+       |        coalesce(ct.exact_inter, CAST(0 AS BIGINT)) AS exact_inter
+       |      FROM pr LEFT JOIN ct USING (slice_a, slice_b))
+       |ORDER BY slice_a, slice_b""".stripMargin
 
   private def redactSql: String =
     s"""WITH $posPostSql,
