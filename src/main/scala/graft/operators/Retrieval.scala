@@ -759,6 +759,84 @@ object Retrieval {
           s"cast(least(n_rel, ${k}L) as int))").as("ndcg_permille"))
   }
 
+  /** Score-normalized fusion (Fox & Shaw 1994) — the OTHER classic
+    * hybrid combiner next to [[rrfFuse]]: per system and query, scores
+    * min-max normalize to [0, 1] (`(s − min)/(max − min)`, 0 when the
+    * query's scores are constant), then
+    *
+    *   CombSUM  = Σ normalized scores (absent systems contribute 0.0)
+    *   CombMNZ  = CombSUM · (number of systems that retrieved the doc)
+    *
+    * ranked by (CombMNZ desc, doc_id asc), top `kTop`. Every double is
+    * a pinned shape over the systems' own scores in the GIVEN system
+    * order; the hit count is an exact integer factor.
+    *
+    * Scale shape: identical to [[rrfFuse]] — inputs are |queries| × k
+    * rows, the min/max are per-query aggregations on them, and the
+    * corpus is never touched. */
+  def combFuse(systems: Seq[(String, DataFrame)], kTop: Int): DataFrame = {
+    require(systems.nonEmpty, "combFuse needs at least one ranking")
+    val normed = systems.map { case (n, df) =>
+      val agg = df.groupBy(col("query_id"))
+        .agg(min(col("score")).as("_mn"), max(col("score")).as("_mx"))
+      df.join(agg, Seq("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("_mx") > col("_mn"),
+            (col("score") - col("_mn")) / (col("_mx") - col("_mn")))
+            .otherwise(lit(0.0)).as(s"norm_$n"))
+    }
+    val joined = normed.reduce(
+      (a, b) => a.join(b, Seq("query_id", "doc_id"), "full_outer"))
+    val sum = systems.map { case (n, _) =>
+      coalesce(col(s"norm_$n"), lit(0.0))
+    }.reduce(_ + _)
+    val hits = systems.map { case (n, _) =>
+      when(col(s"norm_$n").isNotNull, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("comb_mnz").desc, col("doc_id").asc)
+    joined
+      .withColumn("comb_sum", sum)
+      .withColumn("n_systems", hits)
+      .withColumn("comb_mnz",
+        col("comb_sum") * col("n_systems").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("doc_id"), col("comb_sum"),
+        col("n_systems"), col("comb_mnz"), col("rank"))
+  }
+
+  /** Pre-retrieval query-performance predictors — the IR difficulty
+    * signals computed from the index statistics ALONE, before any
+    * scoring (He & Ounis 2004): per query, term count, mean/min/max
+    * idf (milli — min idf is the most-common term's, the classic
+    * "query has a stopword" signal), Σ df, and query scope — the
+    * fraction of the corpus containing ANY query term, in permille.
+    * All integer; the scope count is one semi-joined distinct over the
+    * probe (inverted-index lookup, corpus never scanned). */
+  def queryDifficulty(post: DataFrame, queries: DataFrame, nDocs: Long,
+      idCol: String = "query_id", textCol: String = "text"): DataFrame = {
+    val qt = queryTerms(queries, idCol, textCol)
+    val weighted = queryTermWeights(post, qt, nDocs)
+    val perTerm = weighted.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_terms"),
+      expr("sum(idf_milli) div count(1)").as("mean_idf_milli"),
+      min(col("idf_milli")).as("min_idf_milli"),
+      max(col("idf_milli")).as("max_idf_milli"),
+      sum(col("df")).as("sum_df"))
+    val scope = post.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_scope"))
+    perTerm.join(scope, Seq("query_id"), "left_outer")
+      .withColumn("n_scope", coalesce(col("n_scope"), lit(0L)))
+      .withColumn("scope_permille",
+        expr(s"n_scope * 1000 div ${nDocs}L"))
+      .select(col("query_id"), col("n_terms"), col("mean_idf_milli"),
+        col("min_idf_milli"), col("max_idf_milli"), col("sum_df"),
+        col("n_scope"), col("scope_permille"))
+  }
+
   /** (nDocs, avgdl) for the weighting: nDocs counts EVERY corpus doc
     * (empty ones too — they depress avgdl exactly as the oracle's
     * count(*) does); total tokens comes from the postings. Both

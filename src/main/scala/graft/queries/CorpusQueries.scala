@@ -1437,6 +1437,35 @@ object CorpusQueries {
         .orderBy(col("slice_a"), col("slice_b"))
     },
 
+    // CombSUM/CombMNZ score-normalized fusion — the other classic
+    // hybrid combiner next to q155's RRF: per-query min-max
+    // normalization of each system's scores, summed in system order,
+    // boosted by the integer hit count.
+    "q176_combsum_fusion" -> QueryDef(combFuseSql) { (s, dir) =>
+      val (nd, avgdl) = bm25Stats(s, dir)
+      val lex = graft.operators.Retrieval.bm25TopK(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 20)
+      val e = Tables(s, dir).embeddings
+      val den = graft.operators.Similarity
+        .bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("cosine").as("score"))
+      graft.operators.Retrieval.combFuse(
+        Seq("lex" -> lex, "dense" -> den), kTop = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Pre-retrieval query-performance prediction: difficulty signals
+    // from index statistics alone — term count, mean/min/max milli-idf,
+    // total df, and query scope (corpus fraction touched, permille).
+    // All integer; scope is one probe-side distinct.
+    "q177_query_difficulty" -> QueryDef(queryDifficultySql) { (s, dir) =>
+      val (nd, _) = bm25Stats(s, dir)
+      graft.operators.Retrieval.queryDifficulty(
+        bm25Post(s, dir), bm25Queries(s, dir), nd)
+        .orderBy(col("query_id"))
+    },
+
     // Collocation extraction: adjacent-token pairs ranked by the
     // association ratio as an exact integer milli quotient
     // (c_ab·N·1000 div c_a·c_b — PMI's order without PMI's log),
@@ -1814,6 +1843,70 @@ object CorpusQueries {
        |ORDER BY prefix, rank""".stripMargin
 
   private def ThetaK: Int = 64
+
+  /** q176 oracle: lex and dense top-20 with raw scores, per-query
+    * min-max normalization (constant-score queries normalize to 0.0),
+    * CombSUM in system order, CombMNZ = sum × hit count. */
+  private def combFuseSql: String =
+    s"""WITH ${bm25Ctes(pruned = false, kTop = 20)},
+       |${denseCtes(20)},
+       |dden AS (SELECT d.query_id, d.doc_id, dsc.cosine AS score
+       |         FROM den d JOIN dsc ON dsc.query_id = d.query_id
+       |          AND dsc.doc_id = d.doc_id),
+       |lmm AS (SELECT query_id, min(score) AS mn, max(score) AS mx
+       |        FROM lex GROUP BY query_id),
+       |dmm AS (SELECT query_id, min(score) AS mn, max(score) AS mx
+       |        FROM dden GROUP BY query_id),
+       |ln AS (SELECT l.query_id, l.doc_id,
+       |         CASE WHEN m.mx > m.mn THEN (l.score - m.mn) / (m.mx - m.mn)
+       |              ELSE CAST(0 AS DOUBLE) END AS norm_lex
+       |       FROM lex l JOIN lmm m USING (query_id)),
+       |dn AS (SELECT d.query_id, d.doc_id,
+       |         CASE WHEN m.mx > m.mn THEN (d.score - m.mn) / (m.mx - m.mn)
+       |              ELSE CAST(0 AS DOUBLE) END AS norm_dense
+       |       FROM dden d JOIN dmm m USING (query_id)),
+       |fz AS (SELECT coalesce(ln.query_id, dn.query_id) AS query_id,
+       |              coalesce(ln.doc_id, dn.doc_id) AS doc_id,
+       |              ln.norm_lex, dn.norm_dense
+       |       FROM ln FULL JOIN dn
+       |         ON dn.query_id = ln.query_id AND dn.doc_id = ln.doc_id),
+       |sc2 AS (SELECT query_id, doc_id,
+       |          coalesce(norm_lex, CAST(0 AS DOUBLE))
+       |            + coalesce(norm_dense, CAST(0 AS DOUBLE)) AS comb_sum,
+       |          CAST((CASE WHEN norm_lex IS NOT NULL THEN 1 ELSE 0 END)
+       |            + (CASE WHEN norm_dense IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_systems
+       |        FROM fz)
+       |SELECT query_id, doc_id, comb_sum, n_systems, comb_mnz, rank FROM (
+       |  SELECT sc2.query_id, sc2.doc_id, sc2.comb_sum, sc2.n_systems,
+       |         sc2.comb_sum * CAST(sc2.n_systems AS DOUBLE) AS comb_mnz,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY sc2.query_id
+       |           ORDER BY sc2.comb_sum * CAST(sc2.n_systems AS DOUBLE)
+       |             DESC, sc2.doc_id ASC) AS INT) AS rank
+       |  FROM sc2) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def queryDifficultySql: String =
+    s"""WITH ${bm25Ctes(pruned = false, kTop = 10)},
+       |pt AS (SELECT w.query_id,
+       |         CAST(count(*) AS BIGINT) AS n_terms,
+       |         CAST(sum(w.idf_milli) // count(*) AS BIGINT)
+       |           AS mean_idf_milli,
+       |         CAST(min(w.idf_milli) AS BIGINT) AS min_idf_milli,
+       |         CAST(max(w.idf_milli) AS BIGINT) AS max_idf_milli,
+       |         CAST(sum(dfq.df) AS BIGINT) AS sum_df
+       |       FROM w JOIN dfq USING (term) GROUP BY w.query_id),
+       |scope AS (SELECT q.query_id,
+       |            CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_scope
+       |          FROM post p JOIN q ON p.term = q.term
+       |          GROUP BY q.query_id)
+       |SELECT pt.query_id, pt.n_terms, pt.mean_idf_milli,
+       |       pt.min_idf_milli, pt.max_idf_milli, pt.sum_df,
+       |       coalesce(scope.n_scope, CAST(0 AS BIGINT)) AS n_scope,
+       |       CAST(coalesce(scope.n_scope, 0) * 1000 // stats.nd
+       |         AS BIGINT) AS scope_permille
+       |FROM pt LEFT JOIN scope USING (query_id) CROSS JOIN stats
+       |ORDER BY pt.query_id""".stripMargin
 
   /** (slice, h) hash sets for the theta queries: language slices over
     * the word-3-gram universe, h60(md5) per the repo hash convention. */

@@ -525,6 +525,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == want, s"$got")
   }
 
+  test("combFuse: min-max normalization, MNZ boost, constant-score guard") {
+    val lex = Seq(
+      (0L, 1L, 10.0), (0L, 2L, 5.0), (0L, 3L, 0.0),
+      (1L, 7L, 4.0), (1L, 8L, 4.0) // constant scores → norms 0
+    ).toDF("query_id", "doc_id", "score")
+    val dense = Seq((0L, 2L, 2.0), (0L, 4L, 1.0))
+      .toDF("query_id", "doc_id", "score")
+    val got = Retrieval.combFuse(Seq("lex" -> lex, "dense" -> dense),
+      kTop = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSet
+    // q0: d1 norm 1.0 (1 system), d2 0.5+1.0 ×2 → MNZ 3.0, d3 0, d4 0
+    val want = Set(
+      (0L, 2L, 1.5, 2L, 3.0, 1),
+      (0L, 1L, 1.0, 1L, 1.0, 2),
+      (0L, 3L, 0.0, 1L, 0.0, 3),
+      (0L, 4L, 0.0, 1L, 0.0, 4),
+      (1L, 7L, 0.0, 1L, 0.0, 1),
+      (1L, 8L, 0.0, 1L, 0.0, 2))
+    assert(got == want, s"$got")
+  }
+
+  test("queryDifficulty equals the hand-computed index statistics") {
+    val df = docs.toDF("doc_id", "text")
+    val post = Retrieval.postings(df)
+    val queries = Seq((300L, "quick dog")).toDF("query_id", "text")
+    val got = Retrieval.queryDifficulty(post, queries, nDocs = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    // idf(quick) = 9000 div 4 = 2250, idf(dog) = 9000 div 3 = 3000;
+    // mean = 5250 div 2; scope = docs {0,1,2,3,8} → 5000 div 9 = 555
+    assert(got == Seq((300L, 2L, 2625L, 2250L, 3000L, 7L, 5L, 555L)),
+      got.toString)
+  }
+
   test("RRF fusion equals the hand-computed witness, absences score 0") {
     // system A ranks docs 10,11,12; system B ranks 11,10,13 for query 0
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
