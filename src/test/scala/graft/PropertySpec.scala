@@ -718,4 +718,109 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  // ---- round-15 retrieval-family laws (independent sequential witnesses)
+
+  private def randDocs(n: Int, maxLen: Int, seedBase: Long): Seq[(Long, String)] = {
+    val tokGen = Gen.oneOf("a", "b", "c")
+    (0 until n).map { i =>
+      val len = Gen.chooseNum(0, maxLen)
+        .apply(Gen.Parameters.default, Seed(seedBase + i)).get
+      val toks = (0 until len).map(j => tokGen
+        .apply(Gen.Parameters.default, Seed(seedBase + i * 1000 + j)).get)
+      (i.toLong, toks.mkString(" "))
+    }
+  }
+
+  test("phrase law: anchored counting equals the sliding-window witness") {
+    import spark.implicits._
+    val docs = randDocs(40, 12, 9000L)
+    val phrases = Seq((1000L, "a b"), (1001L, "b b"), (1002L, "c a c"))
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    val want = (for {
+      (qid, p) <- phrases; pt = toks(p)
+      (did, t) <- docs; dt = toks(t)
+      cnt = dt.sliding(pt.length).count(_ == pt) if cnt > 0
+    } yield (qid, did) -> cnt.toLong).toMap
+    val got = graft.operators.Retrieval.phraseMatches(
+      graft.operators.Retrieval.posPostings(docs.toDF("doc_id", "text")),
+      phrases.toDF("query_id", "text"), kTop = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want, s"${got.toSeq.diff(want.toSeq)} vs ${want.toSeq.diff(got.toSeq)}")
+  }
+
+  test("proximity law: lag-window min distance equals brute-force pairwise") {
+    import spark.implicits._
+    val docs = randDocs(40, 12, 7000L)
+    val queries = Seq((2000L, "a c"))
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    val bf = docs.flatMap { case (did, t) =>
+      val occ = toks(t).zipWithIndex.collect {
+        case (w, i) if w == "a" || w == "c" => (w, i + 1L)
+      }
+      val d = for { x <- occ; y <- occ; if x._1 != y._1 }
+        yield math.abs(x._2 - y._2)
+      if (occ.map(_._1).distinct.size == 2) Some((2000L, did) -> d.min)
+      else None
+    }.toMap
+    val got = graft.operators.Retrieval.proximityRank(
+      graft.operators.Retrieval.posPostings(docs.toDF("doc_id", "text")),
+      queries.toDF("query_id", "text"), kTop = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == bf, s"${got.toSeq.diff(bf.toSeq)} vs ${bf.toSeq.diff(got.toSeq)}")
+  }
+
+  test("spell law: deletion-join finds EVERY edit-distance<=1 vocab term") {
+    import spark.implicits._
+    val words = sample(Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString), 60)
+      .distinct
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val probes = sample(Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))).map(_.mkString), 20)
+      .distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for { p <- probes; w <- words; if lev(p, w) <= 1 }
+      yield (p, w)).toSet
+    val got = graft.operators.Retrieval.spellSuggest(
+      graft.operators.Retrieval.postings(docs.toDF("doc_id", "text")),
+      probes.map(Tuple1(_)).toDF("token"), kTop = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want, s"${got.diff(want)} vs ${want.diff(got)}")
+  }
+
+  test("theta law: k-th-smallest threshold and quotient match the witness") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v >>> 4
+    }
+    val k = 8
+    val items = sample(Gen.choose(1, 200), 400).map(i => ("s", s"v$i"))
+      .distinct
+    val got = graft.operators.ThetaSketch.kmvEstimate(
+      graft.operators.ThetaSketch.sliceHashes(items.toDF("slice", "item")),
+      k)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).head
+    val hs = items.map(_._2).distinct.map(h60).sorted
+    val (n, est) =
+      if (hs.size < k) (hs.size.toLong, hs.size.toLong)
+      else (hs.size.toLong,
+        (java.math.BigInteger.valueOf(k - 1)
+          .multiply(java.math.BigInteger.ONE.shiftLeft(60))
+          .divide(java.math.BigInteger.valueOf(hs(k - 1)))).longValueExact())
+    assert(got == ((n, est)), s"$got vs ($n, $est)")
+  }
 }
