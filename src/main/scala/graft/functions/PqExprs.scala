@@ -15,11 +15,17 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
   * argmin of the sequential squared-L2 fold (the exact
   * [[VectorKernels.nearestCentroid]] arithmetic on the slice), ties to
   * the smaller code. A null element or a length mismatch with the
-  * codebook geometry yields code −1 for that subspace — loud, never
-  * silently bucketed (the IvfAnn convention).
+  * codebook geometry yields the EMPTY codes array for the whole vector
+  * — loud, never silently bucketed (the IvfAnn convention).
   *
   * One narrow per-row pass; the codebooks are model-sized expression
-  * state (m × k × dim/m doubles, the capped-driver-state convention). */
+  * state (m × k × dim/m doubles, the capped-driver-state convention).
+  *
+  * Codes are stored as UNSIGNED bytes (read back with `& 0xFF`, so the
+  * full production k = 256 fits — [[graft.operators.Pq.train]] bounds
+  * k accordingly); the invalid marker is the EMPTY codes array (its
+  * length can never equal m), not a sentinel value that a signed-byte
+  * wraparound could alias. */
 case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   extends UnaryExpression {
 
@@ -35,13 +41,16 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   def encode(a: ArrayData): ArrayData = {
     val m = cbs.length
     val dsub = cbs(0)(0).length
+    if (a.numElements() != m * dsub)
+      return new GenericArrayData(Array.emptyByteArray)
     val out = new Array[Byte](m)
-    val valid = a.numElements() == m * dsub
     var s = 0
     while (s < m) {
-      out(s) =
-        if (!valid) -1
-        else VectorKernels.pqNearestSub(a, code, s * dsub, cbs(s)).toByte
+      val c = VectorKernels.pqNearestSub(a, code, s * dsub, cbs(s))
+      // a null element invalidates the whole vector (pqNearestSub
+      // returns −1 for the affected subspace) — emit the empty marker
+      if (c < 0) return new GenericArrayData(Array.emptyByteArray)
+      out(s) = c.toByte
       s += 1
     }
     new GenericArrayData(out)
@@ -70,9 +79,12 @@ object PqEncodeExpr {
   * lookups instead of a dim-length fold. This is the PQ probe shape:
   * the query stays full-precision, only the corpus side pays
   * quantization noise (the [[graft.operators.IvfAnn.quantized]]
-  * asymmetry, taken to table-lookup form). A −1 code (invalid vector
-  * at encode time) or an unknown query id yields NULL — loud in any
-  * downstream ordering. */
+  * asymmetry, taken to table-lookup form). Codes read back UNSIGNED
+  * (`& 0xFF`, matching [[PqEncodeExpr]]'s layout). An invalid codes
+  * array (length ≠ m — encode's empty marker) or an unknown query id
+  * yields NULL; the top-k rankers order `asc_nulls_last`, so a NULL
+  * score can never displace a real neighbor yet stays visible in any
+  * full projection. */
 case class PqAdcExpr(left: Expression, right: Expression,
     tables: Map[Long, Seq[Seq[Double]]])
   extends BinaryExpression {
@@ -99,8 +111,8 @@ case class PqAdcExpr(left: Expression, right: Expression,
     val m = codes.numElements()
     if (m != t.length) return null
     while (s < m) {
-      val c = codes.getByte(s)
-      if (c < 0 || c >= t(s).length) return null
+      val c = codes.getByte(s) & 0xFF
+      if (c >= t(s).length) return null
       acc += t(s)(c)
       s += 1
     }

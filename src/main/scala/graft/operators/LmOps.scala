@@ -836,6 +836,40 @@ object LmOps {
       .select(col(idCol), col("e.n_ids").as("n_ids"),
         col("e.checksum").as("checksum"))
 
+  // ------------------------------------------------------------------
+  // BYTE-LEVEL BPE (the GPT-2 family): one seed transform — each word
+  // re-expressed as its UTF-8 byte symbols via the reversible
+  // byte↔unicode remap (graft.functions.ByteBpe) — and the ENTIRE
+  // character-level machinery above (bpeTrainFast, the apply scan,
+  // BpeEncodeExpr) runs unchanged over byte symbols. No UNK is
+  // possible by construction (ByteBpe.vocabIds is total over every
+  // symbol the scan can emit) and tokenization is reversible.
+  // ------------------------------------------------------------------
+
+  /** The word histogram with every word re-expressed as byte symbols —
+    * after this one narrow transform, [[bpeTrainFast]]'s per-character
+    * seed split IS a per-byte split (each remap character is one
+    * byte). Counts are untouched: the remap is injective. */
+  def byteHistogram(hist: DataFrame): DataFrame =
+    hist.select(graft.functions.ByteRemapExpr.of(col("word")).as("word"),
+      col("n"))
+
+  /** Per-document BYTE-LEVEL encode report — [[bpeEncodeReport]] with
+    * the tokens remapped to byte symbols before the shared encode
+    * kernel. Same narrow one-pass shape; ids from
+    * [[graft.functions.ByteBpe.vocabIds]] (ids 0..255 are the byte
+    * values, merge r is 256 + r − 1). */
+  def byteBpeEncodeReport(docs: DataFrame, merges: Seq[(String, String)],
+      vocabIds: Map[String, Int], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.BpeEncodeExpr.of(
+        transform(TextFunctions.tokens(col(textCol)),
+          t => graft.functions.ByteRemapExpr.of(t)),
+        merges, vocabIds).as("e"))
+      .select(col(idCol), col("e.n_ids").as("n_ids"),
+        col("e.checksum").as("checksum"))
+
   /** The fixed merge table q130 pins APPLY semantics with (training
     * produces the real table; a fixed one keeps the oracle fully
     * recomputable in SQL). Chosen for this corpus's vocabulary so the

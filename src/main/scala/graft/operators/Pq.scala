@@ -49,6 +49,9 @@ object Pq {
   def train(corpus: DataFrame, m: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       iters: Int = TrainIters)(implicit spark: SparkSession): PqModel = {
+    require(k >= 2 && k <= 256,
+      s"k=$k outside [2, 256] — codes are stored as one unsigned byte " +
+        "per subspace (read back with & 0xFF)")
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = base.select(size(col("v"))).head().getInt(0)
@@ -86,16 +89,21 @@ object Pq {
       }
     require(cbs.forall(_.forall(_ ne null)), "init sample incomplete")
     for (_ <- 1 to iters) {
+      // validate the code COLUMN itself: a composite-key check after
+      // the fact would alias sub*k + (−1) onto valid group (sub−1, k−1)
+      // for sub ≥ 1 — raise_error fails the job loudly at the row that
+      // produced it instead of silently corrupting a codeword
       val assigned = exploded.withColumn("code",
         nearestChain(col("sub"), col("sv"), cbs))
+        .withColumn("code", when(col("code") < 0, raise_error(lit(
+          "PQ assignment produced code -1 (invalid subvector) — " +
+            "unreachable after the up-front guard"))).otherwise(col("code")))
       val next = cbs.map(_.map(_.clone()))
       Embeddings.meanPool(assigned,
         (col("sub").cast("long") * k + col("code")).as("g"),
         idCol = "id", vecCol = "sv")
         .collect().foreach { r =>
           val g = r.getLong(0)
-          require(g >= 0, "PQ assignment produced code −1 (invalid " +
-            "subvector) — unreachable after the up-front guard")
           next((g / k).toInt)((g % k).toInt)(r.getLong(1).toInt) =
             r.getDouble(2)
         }
@@ -173,9 +181,11 @@ object Pq {
     import spark.implicits._
     val tables = adcTables(queries, model, idCol, vecCol)
     val qids = tables.keys.toSeq.sorted.toDF("query_id")
+    // NULL ADC scores (invalid codes, unknown query id) must never
+    // displace real neighbors: Spark's bare asc is NULLS FIRST
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("id").asc)
+      .orderBy(col("adc_dist").asc_nulls_last, col("id").asc)
     codes.crossJoin(broadcast(qids))
       .filter(col("query_id") =!= col("id"))
       .withColumn("adc_dist",
@@ -212,7 +222,7 @@ object Pq {
       .select(col("query_id"), col("list_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("id").asc)
+      .orderBy(col("adc_dist").asc_nulls_last, col("id").asc)
     probes.join(indexed, Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("adc_dist",
@@ -233,6 +243,8 @@ object Pq {
   def trainWitness(vectors: Seq[(Long, Array[Double])], m: Int, k: Int,
       iters: Int = TrainIters)
       : (Array[Array[Array[Double]]], Seq[(Long, Array[Byte])]) = {
+    require(k >= 2 && k <= 256,
+      s"k=$k outside [2, 256] — codes are one unsigned byte per subspace")
     require(vectors.size >= k, s"fewer than k=$k vectors")
     val byId = vectors.sortBy(_._1)
     val dim = byId.head._2.length

@@ -1437,6 +1437,30 @@ object CorpusQueries {
         .orderBy(col("slice_a"), col("slice_b"))
     },
 
+    // Sketch-ONLY theta intersections — the production path: the
+    // pairwise stage's inputs are the k-row per-slice sketches, so it
+    // shuffles slice-count² × ≤ k rows at any corpus size (q175 keeps
+    // the exact-intersection error harness). Values bit-identical to
+    // q175's matching columns by the below-θ∩ ⊆ sketch argument.
+    "q178_theta_sketch_only" -> QueryDef(thetaSketchOnlySql) { (s, dir) =>
+      graft.operators.ThetaSketch.kmvIntersectionsSketchOnly(
+        graft.operators.ThetaSketch.kmvSketch(thetaHashes(s, dir), ThetaK),
+        k = ThetaK)
+        .orderBy(col("slice_a"), col("slice_b"))
+    },
+
+    // Theta-sketch UNION + the mergeability law: the Spark side merges
+    // the two k-row sketches and re-ranks (union of sketches); the
+    // oracle sketches the per-pair union hash sets from scratch
+    // (sketch of union). Hash equality of the two IS the mergeable-
+    // summaries law, pinned per pair at every sf the sweep runs.
+    "q179_theta_union" -> QueryDef(thetaUnionSql) { (s, dir) =>
+      graft.operators.ThetaSketch.kmvUnions(
+        graft.operators.ThetaSketch.kmvSketch(thetaHashes(s, dir), ThetaK),
+        k = ThetaK)
+        .orderBy(col("slice_a"), col("slice_b"))
+    },
+
     // CombSUM/CombMNZ score-normalized fusion — the other classic
     // hybrid combiner next to q155's RRF: per-query min-max
     // normalization of each system's scores, summed in system order,
@@ -1974,6 +1998,66 @@ object CorpusQueries {
        |          AS est_inter,
        |        coalesce(ct.exact_inter, CAST(0 AS BIGINT)) AS exact_inter
        |      FROM pr LEFT JOIN ct USING (slice_a, slice_b))
+       |ORDER BY slice_a, slice_b""".stripMargin
+
+  /** q178 oracle — the sketch-only contract made literal: the common
+    * join runs over `sk`, each slice's k smallest hashes, never `hs`. */
+  private def thetaSketchOnlySql: String =
+    s"""WITH $thetaCtes,
+       |sk AS (SELECT slice, h FROM (
+       |        SELECT slice, h, ROW_NUMBER() OVER (PARTITION BY slice
+       |          ORDER BY h ASC) AS rk FROM hs) WHERE rk <= $ThetaK),
+       |pr AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+       |              least(ta.theta, tb.theta) AS theta_ab
+       |       FROM nd a JOIN nd b ON a.slice < b.slice
+       |       LEFT JOIN th ta ON ta.slice = a.slice
+       |       LEFT JOIN th tb ON tb.slice = b.slice),
+       |cm AS (SELECT sa.slice AS slice_a, sb.slice AS slice_b, sa.h
+       |       FROM sk sa JOIN sk sb ON sb.h = sa.h
+       |        AND sa.slice < sb.slice),
+       |ct AS (SELECT cm.slice_a, cm.slice_b,
+       |         CAST(sum(CASE WHEN pr.theta_ab IS NULL
+       |                        OR cm.h < pr.theta_ab
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS c_below
+       |       FROM cm JOIN pr USING (slice_a, slice_b)
+       |       GROUP BY cm.slice_a, cm.slice_b)
+       |SELECT pr.slice_a, pr.slice_b, pr.theta_ab,
+       |       coalesce(ct.c_below, CAST(0 AS BIGINT)) AS c_below,
+       |       CAST(CASE WHEN pr.theta_ab IS NULL
+       |              THEN coalesce(ct.c_below, 0)
+       |            ELSE (CAST(coalesce(ct.c_below, 0) AS HUGEINT) *
+       |                  CAST('$ThetaM' AS HUGEINT))
+       |                 // CAST(pr.theta_ab AS HUGEINT) END AS BIGINT)
+       |         AS est_inter
+       |FROM pr LEFT JOIN ct USING (slice_a, slice_b)
+       |ORDER BY slice_a, slice_b""".stripMargin
+
+  /** q179 oracle — the OTHER side of the mergeability law: sketch the
+    * per-pair union hash sets from scratch (rank over hu), where the
+    * Spark side merges the two k-row sketches. Equal by the KMV
+    * merge theorem: the k smallest of A ∪ B are each among the k
+    * smallest of A or of B. */
+  private def thetaUnionSql: String =
+    s"""WITH $thetaCtes,
+       |pu AS (SELECT a.slice AS slice_a, b.slice AS slice_b
+       |       FROM nd a JOIN nd b ON a.slice < b.slice),
+       |hu AS (SELECT DISTINCT pu.slice_a, pu.slice_b, hs.h
+       |       FROM pu JOIN hs ON hs.slice = pu.slice_a
+       |                       OR hs.slice = pu.slice_b),
+       |nu AS (SELECT slice_a, slice_b,
+       |         CAST(count(*) AS BIGINT) AS n_union
+       |       FROM hu GROUP BY slice_a, slice_b),
+       |tu AS (SELECT slice_a, slice_b, h AS theta_u FROM (
+       |        SELECT slice_a, slice_b, h,
+       |          ROW_NUMBER() OVER (PARTITION BY slice_a, slice_b
+       |            ORDER BY h ASC) AS rk FROM hu) WHERE rk = $ThetaK)
+       |SELECT nu.slice_a, nu.slice_b, tu.theta_u,
+       |       CAST(CASE WHEN tu.theta_u IS NULL THEN nu.n_union
+       |            ELSE (CAST(${ThetaK - 1} AS HUGEINT) *
+       |                  CAST('$ThetaM' AS HUGEINT))
+       |                 // CAST(tu.theta_u AS HUGEINT) END AS BIGINT)
+       |         AS est_union
+       |FROM nu LEFT JOIN tu USING (slice_a, slice_b)
        |ORDER BY slice_a, slice_b""".stripMargin
 
   private def redactSql: String =

@@ -129,6 +129,54 @@ object LmQueries {
     * tokenizer IS a rank prefix of today's). */
   private val UpgradeBaseMerges = 16
 
+  /** Byte-level merge budget — same bound as the char-level table so
+    * the two trains price comparably in the bench. */
+  private val ByteBpeMaxMerges = 24
+
+  /** Build-once-per-(session, sf) BYTE-LEVEL BPE witness for
+    * q180/q181: the same independent sequential chain as
+    * [[ensureBpeFixture]] (textbook [[LmOps.bpeTrainWitness]] trainer,
+    * index-scan apply, driver-side id fold), seeded from
+    * [[graft.functions.ByteBpe.remap]]-ed words — the remap TABLE is
+    * the shared pinned contract (the ChecksumOffset convention); every
+    * mechanism around it stays independent of the distributed path. */
+  private val byteBpeFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ensureByteBpeFixture(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val path = bpeFixturePath(s, dir)
+    byteBpeFixtureBuilt.computeIfAbsent(key, _ => {
+      import graft.functions.ByteBpe
+      val hist = LmOps.wordHistogram(Tables(s, dir).documents)
+        .collect().map(r => ByteBpe.remap(r.getString(0)) -> r.getLong(1))
+        .toSeq
+      val merges = LmOps.bpeTrainWitness(hist, ByteBpeMaxMerges)
+      LmOps.mergesToDf(s, merges)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/byte_merges")
+      val pairs = merges.map(m => (m.a, m.b))
+      val vocabIds = ByteBpe.vocabIds(merges)
+      import s.implicits._
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          var n = 0L
+          var h = graft.functions.BpeEncodeExpr.ChecksumOffset
+          text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+            LmOps.applyMergesScanSyms(ByteBpe.remap(w), pairs).foreach { sym =>
+              h = h * graft.functions.BpeEncodeExpr.ChecksumPrime +
+                (vocabIds.getOrElse(sym, -1) + 1L)
+              n += 1
+            }
+          }
+          (id, n, h)
+        }
+        .toDF("doc_id", "n_ids", "checksum")
+        .write.mode("overwrite").parquet(s"$path/byte_encode")
+      true
+    })
+    path
+  }
+
   /** Build-once-per-(session, sf) UNIGRAM-LM WITNESS for q137/q138:
     * the piece table recomputed by [[graft.operators.UnigramLm
     * .trainWitness]] — sequential hard-EM sharing no mechanism with the
@@ -959,6 +1007,47 @@ object LmQueries {
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       assertOracleWordLen(s, dir)
       LmOps.bpeApplyReport(Tables(s, dir).documents)
+        .orderBy(col("doc_id"))
+    },
+
+    // BYTE-LEVEL BPE training (the GPT-2 family): UTF-8 bytes → the
+    // reversible byte↔unicode remap → the engine's existing distributed
+    // trainer unchanged over byte symbols. No UNK possible by
+    // construction; tokenization reversible. Oracled against the
+    // independent sequential witness fixture (the q129 discipline).
+    "q180_bytebpe_train" -> QueryDef(
+      s"""SELECT CAST(rank AS BIGINT) AS rank, a, b, merged,
+         |       CAST(pair_count AS BIGINT) AS pair_count
+         |FROM read_parquet('$BpeFixtureToken/byte_merges/*.parquet')
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      ensureByteBpeFixture(s, dir)
+      val merges = LmOps.bpeTrainFast(
+        LmOps.byteHistogram(LmOps.wordHistogram(Tables(s, dir).documents)),
+        ByteBpeMaxMerges)._1
+      LmOps.mergesToDf(s, merges).orderBy(col("rank"))
+    },
+
+    // Byte-level tokenize-to-ids end-to-end: train distributed, remap
+    // every document token to byte symbols, encode under the fixed
+    // GPT-2 id layout (ids 0..255 ARE the byte values, merge r at
+    // 256 + r − 1), fold the ordered id sequence into (n_ids,
+    // checksum). Oracled against the witness fixture where every stage
+    // is independently derived — a hash match pins the vocabulary, the
+    // segmentations, and every id position (the q136 discipline).
+    // Retrains deliberately (the q132 rule): the bench number must
+    // price the train stage.
+    "q181_bytebpe_encode" -> QueryDef(
+      s"""SELECT doc_id, CAST(n_ids AS BIGINT) AS n_ids,
+         |       CAST(checksum AS BIGINT) AS checksum
+         |FROM read_parquet('$BpeFixtureToken/byte_encode/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ensureByteBpeFixture(s, dir)
+      val merges = LmOps.bpeTrainFast(
+        LmOps.byteHistogram(LmOps.wordHistogram(Tables(s, dir).documents)),
+        ByteBpeMaxMerges)._1
+      LmOps.byteBpeEncodeReport(Tables(s, dir).documents,
+        merges.map(m => (m.a, m.b)),
+        graft.functions.ByteBpe.vocabIds(merges))
         .orderBy(col("doc_id"))
     }
   )

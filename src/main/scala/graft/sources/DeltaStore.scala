@@ -14,7 +14,18 @@ import org.apache.spark.sql.types.StructType
   * `dir/delta/<batchId>/` (one per append since). Readers union base
   * (falling back to `base.old` mid-crash) with every COMMITTED delta —
   * `_SUCCESS` present, or visible data files (the
-  * marksuccessfuljobs=false fallback). Compaction is single-writer and
+  * marksuccessfuljobs=false fallback). That fallback means a
+  * marker-less delta with SOME data files serves as committed: for a
+  * membership store (FingerprintStore) a partial delta only
+  * under-suppresses, but for a store whose rows are fractions of a
+  * document (postings) it would serve a SUBSET of a doc's term rows —
+  * wrong df/scores until the batch replays. Stores with that exposure
+  * pass `strictCommit = true`: only `_SUCCESS`-marked deltas serve (or
+  * compact), so a v2-committer crash mid-append leaves the delta
+  * invisible until its deterministic batch id overwrites it. Strict
+  * mode requires the writer config to keep marker files on (the
+  * default); with marksuccessfuljobs=false a strict store would serve
+  * base only. Compaction is single-writer and
   * never holds the only copy in a deletable state: write `base.tmp`,
   * rename base→base.old, rename tmp→base, delete base.old + exactly
   * the delta FILES snapshotted up front (late-landing files of an
@@ -26,7 +37,8 @@ import org.apache.spark.sql.types.StructType
 private[sources] final class DeltaStore(
     schema: StructType,
     dedupe: Boolean,
-    layoutCols: Seq[String]) {
+    layoutCols: Seq[String],
+    strictCommit: Boolean = false) {
 
   private val colNames = schema.fieldNames.toSeq
 
@@ -56,7 +68,8 @@ private[sources] final class DeltaStore(
     if (!f.exists(deltaDir)) Nil
     else f.listStatus(deltaDir).toSeq.filter(_.isDirectory).map(_.getPath)
       .filter { p =>
-        f.exists(new Path(p, "_SUCCESS")) || dataFiles(f, p).nonEmpty
+        f.exists(new Path(p, "_SUCCESS")) ||
+          (!strictCommit && dataFiles(f, p).nonEmpty)
       }
   }
 

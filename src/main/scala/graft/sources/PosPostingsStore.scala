@@ -12,7 +12,12 @@ import org.apache.spark.sql.types._
   * arithmetic and compaction needs no dedupe — the q157 argument,
   * unchanged. Phrase/proximity retrieval served over base ∪ live
   * deltas is row-identical to a monolithic rebuild (q166's oracle
-  * equality). */
+  * equality).
+  *
+  * `strictCommit = true` for the same reason as [[PostingsStore]]: a
+  * partial delta would serve a subset of a doc's occurrence rows —
+  * wrong phrase/proximity answers — so only `_SUCCESS`-marked deltas
+  * are visible. */
 object PosPostingsStore {
 
   private val store = new DeltaStore(
@@ -21,7 +26,8 @@ object PosPostingsStore {
       StructField("term", StringType),
       StructField("pos", LongType))),
     dedupe = false,
-    layoutCols = Seq("term"))
+    layoutCols = Seq("term"),
+    strictCommit = true)
 
   /** Append one ingestion batch's occurrence rows (the
     * `Retrieval.posPostings` of the NEW docs only). */

@@ -21,7 +21,13 @@ import org.apache.spark.sql.types._
   * df/avgdl/N always reflect EXACTLY the docs the index holds — the
   * incremental path is score-identical to a monolithic rebuild (q157's
   * oracle equality).
-  */
+  *
+  * `strictCommit = true`: a doc's term rows live in ONE delta, so a
+  * committer crash mid-append must not let the partial delta serve (it
+  * would hold a SUBSET of the doc's rows — wrong df and scores until
+  * the batch replays). Only `_SUCCESS`-marked deltas are visible; the
+  * FingerprintStore "under-suppression only" argument does not
+  * transfer here. */
 object PostingsStore {
 
   private val store = new DeltaStore(
@@ -31,7 +37,8 @@ object PostingsStore {
       StructField("tf", LongType),
       StructField("dl", LongType))),
     dedupe = false,
-    layoutCols = Seq("term"))
+    layoutCols = Seq("term"),
+    strictCommit = true)
 
   /** Append one ingestion batch's postings (the `Retrieval.postings`
     * of the NEW docs only). `batchId` must be deterministic per run. */

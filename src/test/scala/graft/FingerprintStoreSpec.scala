@@ -167,4 +167,30 @@ class FingerprintStoreSpec extends AnyFunSuite {
     assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/delta/b0002")))
     assert(FingerprintStore.load(spark, dir).count() == 1)
   }
+
+  test("strictCommit: a marker-less postings delta is invisible until its batch replays") {
+    // PostingsStore rows are FRACTIONS of a document — a partial delta
+    // would serve a subset of a doc's term rows (wrong df and scores),
+    // so unlike the membership store it gates on _SUCCESS alone.
+    import graft.sources.PostingsStore
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-poststore-strict").toString
+    val batch = Seq((1L, "a", 1L, 2L), (1L, "b", 1L, 2L))
+      .toDF("doc_id", "term", "tf", "dl")
+    PostingsStore.appendDelta(batch, dir, batchId = "b0001")
+    assert(PostingsStore.load(spark, dir).count() == 2)
+    // simulate a v2-committer crash mid-append: data files visible, no
+    // marker — the exact state the membership store's fallback serves
+    val f = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new Path(s"$dir/delta/b0001/_SUCCESS"), false))
+    assert(PostingsStore.load(spark, dir).count() == 0,
+      "a partial postings delta served term rows")
+    // compaction refuses to fold it into base, and leaves it in place
+    assert(PostingsStore.compact(spark, dir) == 0)
+    assert(f.exists(new Path(s"$dir/delta/b0001")))
+    // the deterministic batch id replays over its own debris -> serves
+    PostingsStore.appendDelta(batch, dir, batchId = "b0001")
+    assert(PostingsStore.load(spark, dir).count() == 2)
+  }
 }

@@ -16,6 +16,59 @@ class LmOpsSpec extends AnyFunSuite {
     .builder("lm-ops-spec", "4").getOrCreate()
   import spark.implicits._
 
+  // ------------------------------------------------------- byte-level BPE
+
+  test("byte remap: 256-bijection, GPT-2 anchors, reversible through the apply scan") {
+    import graft.functions.ByteBpe
+    assert(ByteBpe.byteToChar.length == 256)
+    assert(ByteBpe.byteToChar.forall(_.length == 1))
+    assert(ByteBpe.byteToChar.distinct.length == 256, "remap not injective")
+    assert(ByteBpe.charToByte.size == 256)
+    (0 until 256).foreach(b =>
+      assert(ByteBpe.charToByte(ByteBpe.byteToChar(b).charAt(0)) == b))
+    // the published construction's anchor points: printables map to
+    // themselves, space is the first remapped block's U+0120 ('Ġ')
+    assert(ByteBpe.byteToChar('a'.toInt) == "a")
+    assert(ByteBpe.byteToChar('!'.toInt) == "!")
+    assert(ByteBpe.byteToChar(' '.toInt) == "Ġ")
+    assert(ByteBpe.byteToChar(0) == "Ā")
+    // every remap char is visible and whitespace-free (the property the
+    // split-by-character seed and the whitespace tokenizer rely on)
+    assert(ByteBpe.byteToChar.forall(s => !Character.isWhitespace(s.charAt(0))))
+    // reversibility for multi-byte UTF-8 (2/3/4-byte sequences), with
+    // and without merges applied on top
+    val words = Seq("hello", "naïve", "日本語",
+      new String(Character.toChars(0x1F642)) * 2, "mixé-x")
+    val merges = Seq("h" -> "e", "he" -> "l",
+      ByteBpe.byteToChar(0xC3) -> ByteBpe.byteToChar(0xAF))
+    words.foreach { w =>
+      val syms = LmOps.applyMergesScanSyms(ByteBpe.remap(w), merges)
+      assert(ByteBpe.invert(syms.mkString) == w, s"roundtrip broke on $w")
+      // no UNK by construction: the id table is total over every symbol
+      val vocab = ByteBpe.vocabIds(merges.zipWithIndex.map { case ((a, b), i) =>
+        LmOps.BpeMerge(i + 1, a, b, a + b, 1L) })
+      syms.foreach(sym => assert(vocab.contains(sym), s"OOV symbol $sym"))
+    }
+  }
+
+  test("byte-level train: distributed == sequential witness on multi-byte words") {
+    import graft.functions.ByteBpe
+    val docs = Seq(
+      (1L, "ríver ríver ab ab 日本"),
+      (2L, "ríver ab 日本 日本 zz"))
+      .toDF("doc_id", "text")
+    val hist = LmOps.wordHistogram(docs)
+    val dist = LmOps.bpeTrainFast(LmOps.byteHistogram(hist), maxMerges = 8)._1
+    val wit = LmOps.bpeTrainWitness(
+      hist.collect().map(r => ByteBpe.remap(r.getString(0)) -> r.getLong(1))
+        .toSeq, maxMerges = 8)
+    assert(dist == wit, s"\n$dist\nvs\n$wit")
+    assert(dist.nonEmpty)
+    // and the byte id layout starts merges at 256 (ids 0..255 = bytes)
+    val vocab = ByteBpe.vocabIds(dist)
+    assert(vocab(dist.head.merged) == 256)
+  }
+
   // ---------------------------------------------------------------- q127
 
   test("surprisal: hand-computed buckets, OOV worst case, empty-doc row") {

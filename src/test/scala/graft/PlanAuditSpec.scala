@@ -289,6 +289,39 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${offenders.filterNot(whitelist)}")
   }
 
+  test("q178/q179: theta pairwise stages consume rank-windowed k-row frames") {
+    // The sketch family's 100 TB claim: after the kmvSketch rank window,
+    // NOTHING joins corpus-sized hash sets — every Join in the plan has
+    // the k-rows-per-slice window beneath BOTH inputs. q175 (the exact
+    // error harness) deliberately fails this shape: its common-hash join
+    // runs over the full distinct sets, which is why it is the opt-in
+    // diagnostic and q178 is the production path.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    def windowedJoins(name: String): Unit = {
+      val plan = query(name).queryExecution.optimizedPlan
+      val joins = plan.collect { case j: LJoin => j }
+      assert(joins.nonEmpty, s"$name: expected pairwise joins in the plan")
+      joins.foreach { j =>
+        Seq("left" -> j.left, "right" -> j.right).foreach { case (side, p) =>
+          assert(p.collectFirst { case w: LWindow => w }.isDefined,
+            s"$name: $side side of a join is not rank-windowed — a " +
+              s"corpus-sized frame reached the pairwise stage:\n$p")
+        }
+      }
+    }
+    windowedJoins("q178_theta_sketch_only")
+    windowedJoins("q179_theta_union")
+    // and the harness IS corpus-joined (the contrast that keeps this
+    // test honest if kmvIntersections is ever rewritten)
+    val harness = query("q175_theta_overlap").queryExecution.optimizedPlan
+    val rawSides = harness.collect { case j: LJoin => j }.flatMap(j =>
+      Seq(j.left, j.right)).filter(
+      _.collectFirst { case w: LWindow => w }.isEmpty)
+    assert(rawSides.nonEmpty,
+      "q175 no longer joins full hash sets — retire this contrast " +
+        "assertion and the q175 'error harness' framing together")
+  }
+
   test("q103: bloom prefilter sits between gram explode and the shuffle") {
     // The 100 TB claim of bloomContamination is that corpus grams are
     // Bloom-filtered BEFORE they shuffle for the confirm join. In the

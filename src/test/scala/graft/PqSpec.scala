@@ -144,6 +144,56 @@ class PqSpec extends AnyFunSuite {
     assert(full.nonEmpty)
   }
 
+  test("codes are unsigned bytes: k > 128 round-trips through encode + ADC") {
+    // handcrafted geometry, k = 200 one-dimensional codewords per
+    // subspace (codeword j of subspace s is the scalar s·1000 + j), so
+    // the nearest codes of (150.2, 1003.1) are (150, 3). Code 150
+    // stores as a NEGATIVE byte — a signed read would reject it (and
+    // 255 would alias a -1 sentinel); the & 0xFF read recovers it.
+    val k = 200
+    val cbs: Seq[Seq[Seq[Double]]] =
+      Seq.tabulate(2, k, 1)((s, j, _) => s * 1000.0 + j)
+    val codes = Seq((7L, Seq(150.2, 1003.1))).toDF("id", "v")
+      .select(col("id"),
+        graft.functions.PqEncodeExpr.of(col("v"), cbs).as("codes"))
+    assert(codes.head().getSeq[Byte](1) == Seq(150.toByte, 3.toByte))
+    // table(s)(c) = c, so the ADC sum recovers the code values: 153
+    val tables = Map(1L -> Seq.tabulate(2, k)((_, c) => c.toDouble).map(_.toSeq).toSeq)
+    val score = codes.select(
+      graft.functions.PqAdcExpr.of(lit(1L), col("codes"), tables)).head()
+    assert(!score.isNullAt(0) && score.getDouble(0) == 153.0)
+    // and the byte ceiling is enforced where codes are minted
+    val e = intercept[IllegalArgumentException] {
+      Pq.trainWitness(randomVecs(4, 4, 5L), m = 2, k = 300)
+    }
+    assert(e.getMessage.contains("outside [2, 256]"))
+  }
+
+  test("invalid vector encodes to the empty marker; NULL ADC ranks last, never displaces") {
+    implicit val s: SparkSession = spark
+    val df = randomVecs(20, 8, 11L).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val model = Pq.train(df, m = 2, k = 4, iters = 2)
+    // a length-mismatched vector arrives AFTER training (the unvalidated-
+    // corpus path the up-front train guard cannot see)
+    val codes = Pq.encode(df.unionByName(
+      Seq((999L, Seq(1.0))).toDF("vec_id", "embedding")), model)
+    assert(codes.filter(col("id") === 999L).head().getSeq[Byte](1).isEmpty)
+    // top-5 of 20 real candidates: the NULL-scored row must not occupy
+    // rank 1 (the NULLS FIRST default would put it there)
+    val q = df.filter(col("vec_id") === 1L)
+    val top5 = Pq.adcTopK(q, codes, model, kTop = 5).collect()
+    assert(top5.length == 5)
+    assert(!top5.exists(_.getLong(1) == 999L), "NULL score displaced a neighbor")
+    assert(top5.forall(!_.isNullAt(2)))
+    // with kTop beyond the candidate pool the invalid row IS visible —
+    // loud, at the very end, score NULL (the documented semantics)
+    val all = Pq.adcTopK(q, codes, model, kTop = 25).collect()
+      .sortBy(_.getInt(3))
+    assert(all.last.getLong(1) == 999L && all.last.isNullAt(2))
+    assert(all.init.forall(!_.isNullAt(2)))
+  }
+
   test("train fails loudly on invalid vectors and bad geometry") {
     implicit val s: SparkSession = spark
     val good = randomVecs(20, 8, 3L).map { case (id, v) => (id, v.toSeq) }

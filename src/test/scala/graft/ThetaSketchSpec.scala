@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ThetaSketch
@@ -62,5 +63,61 @@ class ThetaSketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(4), r.getLong(5))).head
     assert(est._2 == 50L)
     assert(est._1 > 0L, "estimate must see the real overlap")
+  }
+
+  /** Four slices spanning every pairwise regime combination:
+    * big (500) / mid (300, overlapping big) / small (7) / tiny (5). */
+  private def regimeHashes = {
+    val rows = (1 to 500).map(i => ("big", s"x-$i")) ++
+      (200 to 499).map(i => ("mid", s"x-$i")) ++
+      (1 to 7).map(i => ("small", s"x-$i")) ++
+      (1000 to 1004).map(i => ("tiny", s"x-$i"))
+    ThetaSketch.sliceHashes(rows.toDF("slice", "item"))
+  }
+
+  test("sketch-only intersections equal the exact-path estimates bitwise") {
+    val hashes = regimeHashes
+    for (k <- Seq(16, 128)) {
+      val sk = ThetaSketch.kmvSketch(hashes, k)
+      // the k-row bound the scale argument rests on
+      val maxRows = sk.groupBy("slice").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      assert(maxRows <= k, s"sketch exceeded k=$k rows: $maxRows")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), Option(r.get(2)),
+          r.getLong(3), r.getLong(4))
+      val exact = ThetaSketch.kmvIntersections(hashes, k)
+        .select("slice_a", "slice_b", "theta_ab", "c_below", "est_inter")
+        .collect().map(key).toSet
+      val sketchOnly = ThetaSketch.kmvIntersectionsSketchOnly(sk, k)
+        .collect().map(key).toSet
+      assert(sketchOnly == exact,
+        s"k=$k sketch-only diverged:\n$sketchOnly\nvs\n$exact")
+      assert(sketchOnly.size == 6, "4 slices -> 6 pairs")
+    }
+  }
+
+  test("union of sketches == sketch of the union (mergeability law)") {
+    val hashes = regimeHashes
+    val slices = Seq("big", "mid", "small", "tiny")
+    for (k <- Seq(16, 128)) {
+      val got = ThetaSketch.kmvUnions(ThetaSketch.kmvSketch(hashes, k), k)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toMap
+      assert(got.size == 6)
+      // the other side of the law: a FRESH sketch over the pair's full
+      // union hash set, through kmvEstimate (no merge mechanism shared)
+      for (a <- slices; b <- slices if a < b) {
+        val unionHashes = hashes
+          .filter(col("slice").isin(a, b))
+          .select(lit(s"$a|$b").as("slice"), col("h")).distinct()
+        val w = ThetaSketch.kmvEstimate(unionHashes, k).head()
+        val want = (Option(w.get(2)).map(_.asInstanceOf[Long]), w.getLong(3))
+        assert(got((a, b)) == want,
+          s"k=$k pair ($a,$b): merged ${got((a, b))} != fresh $want")
+      }
+      // regime sanity: small∪tiny (12 distinct) is exact at both ks
+      assert(got(("small", "tiny")) == ((None, 12L)))
+    }
   }
 }
