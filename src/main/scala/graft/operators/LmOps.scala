@@ -428,6 +428,123 @@ object LmOps {
   }
 
   // ---------------------------------------------------------------------
+  // Hashed-feature Naive Bayes quality classifier (the fastText shape)
+  // ---------------------------------------------------------------------
+
+  /** The shared hashed-feature stream: (id, is_pos, bucket) — word
+    * 2-grams into [[CorpusOps.splitBucket]]'s fixed 10k FNV space, the
+    * q128 feature construction with a CLASS label instead of q128's
+    * target-vs-all marginal. */
+  private def nbBuckets(docs: DataFrame, posPred: Column,
+      idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posPred.as("is_pos"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("is_pos"),
+        explode(TextFunctions.shinglesFromTokens(col("ts"), 2)).as("g"))
+      .select(col(idCol), col("is_pos"),
+        CorpusOps.splitBucket(col("g")).as("bucket"))
+
+  /** TRAIN (q182): per-bucket class-conditional counts and the
+    * integer-exact multinomial-NB log-likelihood-ratio weight
+    *
+    *   w = bitLen(c_pos+1) − bitLen(c_neg+1) + bitLen(Tneg) − bitLen(Tpos)
+    *
+    * — add-one smoothing in the bitLen(≈log₂) regime (the q127
+    * discipline), with the per-class totals as the normalizer so the
+    * weight is a genuine log P(f|pos) − log P(f|neg) approximation
+    * (q128's DSIR construction, upgraded from target-vs-ALL to a
+    * proper two-class conditional). One aggregation pass over the
+    * feature stream; the totals ride a broadcast one-row frame. The
+    * result is the MODEL — ≤ 10k rows at any corpus size. */
+  def nbTrainTable(docs: DataFrame, posPred: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cnt = nbBuckets(docs, posPred, idCol, textCol)
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("c_neg"))
+    val tots = cnt.agg(
+      greatest(sum(col("c_pos")), lit(1L)).as("tp"),
+      greatest(sum(col("c_neg")), lit(1L)).as("tn"))
+    cnt.crossJoin(broadcast(tots))
+      .withColumn("w",
+        bitLen(col("c_pos") + 1L) - bitLen(col("c_neg") + 1L) +
+          bitLen(col("tn")) - bitLen(col("tp")))
+      .select(col("bucket"), col("c_pos"), col("c_neg"),
+        col("w").cast("long").as("w"))
+  }
+
+  /** The trained classifier in deployable form: the ≤10k-entry weight
+    * map plus the integer class prior bitLen(n_pos) − bitLen(n_neg)
+    * over DOCUMENT counts (zero-doc classes clamp at 1). Driver state
+    * is model-sized — the capped-collect convention. */
+  final case class NbModel(weights: Map[Long, Long], prior: Long)
+
+  def nbModel(docs: DataFrame, posPred: Column,
+      idCol: String = "doc_id", textCol: String = "text"): NbModel = {
+    val weights = nbTrainTable(docs, posPred, idCol, textCol)
+      .select(col("bucket"), col("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = docs.agg(
+      greatest(sum(when(posPred, 1L).otherwise(0L)), lit(1L)),
+      greatest(sum(when(posPred, 0L).otherwise(1L)), lit(1L))).head()
+    NbModel(weights,
+      bitLenJvm(pr.getLong(0)) - bitLenJvm(pr.getLong(1)))
+  }
+
+  /** APPLY (q183): score every document under the trained weights —
+    * the broadcast-weight-table + one-narrow-pass shape (the q128
+    * caching discipline: the feature stream persists across the
+    * driver-built weight table and the probe join, then releases).
+    * score = prior + Σ matched-bucket weights over gram occurrences;
+    * keep = score > threshold. Every doc emits a row (the 2-gram
+    * stream's short-doc fallback gives even an empty doc one gram). */
+  def nbScore(docs: DataFrame, posPred: Column, threshold: Long = 0L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gb = nbBuckets(docs, posPred, idCol, textCol).persist()
+    val countRows = gb.groupBy(col("bucket"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("c_neg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tp = math.max(1L, countRows.map(_._2).sum)
+    val tn = math.max(1L, countRows.map(_._3).sum)
+    val wDf = countRows.toSeq
+      .map { case (b, cp, cn) =>
+        (b, bitLenJvm(cp + 1L) - bitLenJvm(cn + 1L) +
+          bitLenJvm(tn) - bitLenJvm(tp))
+      }
+      .toDF("bucket", "w")
+    val pr = docs.agg(
+      greatest(sum(when(posPred, 1L).otherwise(0L)), lit(1L)),
+      greatest(sum(when(posPred, 0L).otherwise(1L)), lit(1L))).head()
+    val prior = bitLenJvm(pr.getLong(0)) - bitLenJvm(pr.getLong(1))
+    val out = gb.join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("w")) + prior).as("score"))
+      .withColumn("keep", col("score") > lit(threshold))
+    gb.unpersist(false)
+    out
+  }
+
+  /** GATE: the streaming-admission form — the trained [[NbModel]]
+    * rides inside ONE narrow codegen'd expression
+    * ([[graft.functions.NbGateExpr]], dense 10k-slot probe, no join),
+    * so the filter is legal in any streaming position. LmOpsSpec pins
+    * the batch-parity law: gate == [[nbScore]] row for row. */
+  def nbGate(docs: DataFrame, model: NbModel, threshold: Long = 0L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.NbGateExpr.of(
+        TextFunctions.tokens(col(textCol)), model.weights, model.prior)
+        .as("s"))
+      .select(col(idCol), col("s.n_feats").as("n_feats"),
+        col("s.score").as("score"),
+        (col("s.score") > lit(threshold)).as("keep"))
+
+  // ---------------------------------------------------------------------
   // BPE tokenizer: distributed training + witness + application
   // ---------------------------------------------------------------------
 

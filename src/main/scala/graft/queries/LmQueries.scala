@@ -492,6 +492,80 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Hashed-feature Naive Bayes TRAIN (the fastText-shape quality
+    // classifier real pipelines deploy; the natural consumer of q128's
+    // DSIR features): per-bucket class-conditional counts over the
+    // fixed 10k hashed-2-gram space and the integer-exact NB weight
+    // bitLen(c_pos+1) − bitLen(c_neg+1) + bitLen(Tneg) − bitLen(Tpos).
+    // The result IS the model — ≤ 10k rows at any corpus size.
+    "q182_nb_train" -> QueryDef(
+      s"""WITH gr AS (SELECT doc_id, source, unnest($Grams2Sql) AS g
+         |            FROM documents),
+         |gb AS (SELECT doc_id, source = 'src0' AS is_pos,
+         |              ${fnvBucketSql("g")} AS bucket FROM gr),
+         |cnt AS (SELECT bucket,
+         |          CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS c_pos,
+         |          CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END)
+         |            AS BIGINT) AS c_neg
+         |        FROM gb GROUP BY bucket),
+         |tots AS (SELECT greatest(sum(c_pos), 1) AS tp,
+         |                greatest(sum(c_neg), 1) AS tn FROM cnt)
+         |SELECT bucket, c_pos, c_neg,
+         |       CAST((length(bin(c_pos + 1)) - 1) -
+         |            (length(bin(c_neg + 1)) - 1) +
+         |            (length(bin(tn)) - 1) -
+         |            (length(bin(tp)) - 1) AS BIGINT) AS w
+         |FROM cnt, tots
+         |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      LmOps.nbTrainTable(Tables(s, dir).documents,
+        posPred = col("source") === "src0")
+        .orderBy(col("bucket"))
+    },
+
+    // Naive Bayes APPLY: every document scored under the trained
+    // weights — broadcast weight table + one narrow pass; score =
+    // prior + Σ matched-bucket weights, keep = score > 0. The
+    // streaming-admission twin (NbGateExpr, weights as expression
+    // state) is batch-parity-lawed in LmOpsSpec + soaked in
+    // StreamingSpec. Retrains deliberately (the q132 rule): the bench
+    // number prices train + apply.
+    "q183_nb_score" -> QueryDef(
+      s"""WITH gr AS (SELECT doc_id, source, unnest($Grams2Sql) AS g
+         |            FROM documents),
+         |gb AS (SELECT doc_id, source = 'src0' AS is_pos,
+         |              ${fnvBucketSql("g")} AS bucket FROM gr),
+         |cnt AS (SELECT bucket,
+         |          CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS c_pos,
+         |          CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END)
+         |            AS BIGINT) AS c_neg
+         |        FROM gb GROUP BY bucket),
+         |tots AS (SELECT greatest(sum(c_pos), 1) AS tp,
+         |                greatest(sum(c_neg), 1) AS tn FROM cnt),
+         |w AS (SELECT bucket,
+         |        CAST((length(bin(c_pos + 1)) - 1) -
+         |             (length(bin(c_neg + 1)) - 1) +
+         |             (length(bin(tn)) - 1) -
+         |             (length(bin(tp)) - 1) AS BIGINT) AS w
+         |      FROM cnt, tots),
+         |pri AS (SELECT CAST(
+         |          (length(bin(greatest(sum(CASE WHEN source = 'src0'
+         |             THEN 1 ELSE 0 END), 1))) - 1) -
+         |          (length(bin(greatest(sum(CASE WHEN source <> 'src0'
+         |             THEN 1 ELSE 0 END), 1))) - 1) AS BIGINT) AS pw
+         |        FROM documents)
+         |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |       CAST(sum(w.w) + any_value(pri.pw) AS BIGINT) AS score,
+         |       (sum(w.w) + any_value(pri.pw) > 0) AS keep
+         |FROM gb JOIN w USING (bucket) CROSS JOIN pri
+         |GROUP BY gb.doc_id
+         |ORDER BY gb.doc_id""".stripMargin) { (s, dir) =>
+      LmOps.nbScore(Tables(s, dir).documents,
+        posPred = col("source") === "src0", threshold = 0L)
+        .orderBy(col("doc_id"))
+    },
+
     // Distributed BPE training vs the sequential witness fixture: the
     // Spark side trains over the word histogram with the BATCHED
     // incremental trainer (speculative multi-merge jobs, exact per-level

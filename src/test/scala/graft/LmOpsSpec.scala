@@ -16,6 +16,82 @@ class LmOpsSpec extends AnyFunSuite {
     .builder("lm-ops-spec", "4").getOrCreate()
   import spark.implicits._
 
+  // --------------------------------------------- NB quality classifier
+
+  test("nb train: hand-computed weights on a controlled two-class corpus") {
+    // 4 pos docs = one gram "a b" each; 4 neg docs = one gram "c d".
+    // Tpos = Tneg = 4 → norm term 0; balanced doc counts → prior 0.
+    // w(a b) = bitLen(4+1) − bitLen(0+1) = 2; w(c d) = −2.
+    val docs = ((1 to 4).map(i => (i.toLong, "src0", "a b")) ++
+      (5 to 8).map(i => (i.toLong, "src1", "c d")))
+      .toDF("doc_id", "source", "text")
+    val table = LmOps.nbTrainTable(docs, col("source") === "src0")
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(table((4L, 0L)) == 2L, s"pos-gram weight: $table")
+    assert(table((0L, 4L)) == -2L, s"neg-gram weight: $table")
+    assert(table.size == 2)
+    val scores = LmOps.nbScore(docs, col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(scores(1L) == ((2L, true)) && scores(5L) == ((-2L, false)))
+  }
+
+  test("nb gate batch-parity law: expression == broadcast-join scorer, edge docs included") {
+    val docs = Seq(
+      (1L, "src0", "alpha beta gamma alpha beta"),
+      (2L, "src0", "alpha beta"),
+      (3L, "src1", "delta epsilon zeta"),
+      (4L, "src1", "ríver 日本 ríver 日本語"), // multi-byte grams
+      (5L, "src1", "single"), // 1 token -> short-gram fallback
+      (6L, "src0", ""), // 0 tokens -> the "" gram
+      (7L, "src1", "alpha delta beta epsilon"))
+      .toDF("doc_id", "source", "text")
+    val pred = col("source") === "src0"
+    val batch = LmOps.nbScore(docs, pred).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val model = LmOps.nbModel(docs, pred)
+    val gate = LmOps.nbGate(docs, model).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(batch.toSeq == gate.toSeq,
+      s"parity broke:\n${batch.toSeq}\nvs\n${gate.toSeq}")
+    assert(batch.length == 7, "every doc must emit a row")
+    // the pos-looking doc outranks the neg-looking one
+    val byId = batch.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) > byId(3L))
+  }
+
+  test("nb gate: pure predicate runs in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train offline on the labeled corpus, deploy the model inline —
+    // the fastText admission shape
+    val trainDocs = Seq(
+      (1L, "src0", "good clean prose here"), (2L, "src0", "good clean text"),
+      (3L, "src1", "spam spam buy now"), (4L, "src1", "buy spam now"))
+      .toDF("doc_id", "source", "text")
+    val model = LmOps.nbModel(trainDocs, col("source") === "src0")
+    val stream = MemoryStream[(Long, String)]
+    val q = LmOps.nbGate(stream.toDS().toDF("doc_id", "text"), model)
+      .filter(col("keep"))
+      .writeStream.format("memory").queryName("nb_gate_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((10L, "good clean prose here"), (11L, "spam spam buy now"))
+      stream.addData((12L, "good clean text"), (13L, "buy spam now"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM nb_gate_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(10L, 12L), s"admission set wrong: $got")
+      // and the admitted set equals the batch scorer's keep set on the
+      // same rows (the cross-mode parity the deployment relies on)
+      val streamed = Seq((10L, "good clean prose here"),
+        (11L, "spam spam buy now"), (12L, "good clean text"),
+        (13L, "buy spam now")).toDF("doc_id", "text")
+      val batchKeep = LmOps.nbGate(streamed, model).filter(col("keep"))
+        .collect().map(_.getLong(0)).toSet
+      assert(batchKeep == got)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------- byte-level BPE
 
   test("byte remap: 256-bijection, GPT-2 anchors, reversible through the apply scan") {
