@@ -34,4 +34,62 @@ object IndexIngest {
       graft.sources.PostingsStore.appendDelta(
         graft.operators.Retrieval.postings(batch.toDF(), idCol, textCol),
         dir, f"stream-$batchId%06d")
+
+  /** QUERY-side serving — the loop-closer over the doc-side sinks
+    * above: a foreachBatch handler for a STREAM OF QUERIES
+    * (query_id, text) that probes the persisted index at `indexDir`.
+    * Each micro-batch loads the store SNAPSHOT — base ∪ every
+    * `_SUCCESS`-committed delta at that instant — re-derives the BM25
+    * statistics (N, avgdl, per-term df) from exactly that snapshot,
+    * and scores the batch through the pinned
+    * [[graft.operators.Retrieval.bm25TopK]] shape, so serving mid-
+    * ingest is score-identical to a monolithic rebuild of whatever the
+    * store holds (the q157 equality, now per micro-batch —
+    * StreamingSpec soaks query batches interleaved with ingest
+    * batches).
+    *
+    * Results land at `outDir/batch-<id>` by OVERWRITE, so a replayed
+    * micro-batch rewrites its own output — the same batch-id-keyed
+    * exactly-once argument as the ingest sinks. Per-batch cost is the
+    * probe side only: the snapshot postings persist for the batch's
+    * two passes (stats + score) and release after; the corpus is never
+    * re-tokenized. At 100 TB the load is a partition-pruned parquet
+    * read of the term-hash layout and every join is
+    * broadcast-query-sided. */
+  def bm25ServeSink(indexDir: String, outDir: String, kTop: Int,
+      idCol: String = "query_id", textCol: String = "text")
+      : (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], batchId: Long) => {
+      val spark = batch.sparkSession
+      val post = graft.sources.PostingsStore.load(spark, indexDir)
+      bm25ServePlan(post, batch.toDF(), kTop, idCol, textCol)
+        .write.mode("overwrite").parquet(f"$outDir/batch-$batchId%06d")
+    }
+
+  /** One micro-batch's serving plan over a loaded store snapshot —
+    * factored out of [[bm25ServeSink]] so its plan shape is testable.
+    * The batch's DISTINCT term set (probe-bounded — the q102
+    * collect convention) becomes an `IN` filter on the store read, so
+    * the probe scan PRUNES to the query terms' postings at the parquet
+    * level (`PushedFilters: In(term, …)` — StreamingSpec pins it)
+    * instead of reading the whole index per batch; every downstream
+    * join only ever touches those rows, so the pruning is lossless.
+    * The one full-store pass left is the two-column stats aggregation
+    * (N, avgdl must describe the WHOLE snapshot). */
+  def bm25ServePlan(post: DataFrame, batch: DataFrame, kTop: Int,
+      idCol: String = "query_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (nd, avgdl) =
+      if (post.isEmpty) (1L, 1.0) // empty store serves empty results
+      else graft.operators.Retrieval.storeStats(post)
+    val terms = batch
+      .select(explode(graft.functions.TextFunctions
+        .tokens(col(textCol))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val pruned =
+      if (terms.isEmpty) post.filter(lit(false))
+      else post.filter(col("term").isin(terms: _*))
+    graft.operators.Retrieval
+      .bm25TopK(pruned, batch, nd, avgdl, kTop, idCol, textCol)
+  }
 }

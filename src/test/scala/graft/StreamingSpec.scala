@@ -158,6 +158,82 @@ class StreamingSpec extends AnyFunSuite {
       == monolith)
   }
 
+  test("streaming query-side serving: per-batch parity with the batch scorer, mid-stream ingest") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.operators.Retrieval
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("serve-postings").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("serve-results").toString
+    val docStream = MemoryStream[(Long, String)]
+    val ingest = docStream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.IndexIngest.postingsSink(idxDir))
+      .outputMode("update").start()
+    val qStream = MemoryStream[(Long, String)]
+    val serve = qStream.toDS().toDF("query_id", "text").writeStream
+      .foreachBatch(
+        graft.streaming.IndexIngest.bm25ServeSink(idxDir, outDir, kTop = 3))
+      .outputMode("update").start()
+    // query ids start at 1001 so the scorer's self-exclusion
+    // (query_id =!= doc_id) never bites a document
+    val b0 = Seq((1L, "quick brown fox"), (2L, "fox den fox"), (3L, "lazy dog"))
+    val b1 = Seq((4L, "quick dog quick"), (5L, "brown dog den"))
+    val b2 = Seq((6L, "fox dog fox den"))
+    val q0 = Seq((1001L, "fox"), (1002L, "quick dog"))
+    val q1 = Seq((1001L, "fox"), (1003L, "brown den"))
+    val q2 = Seq((1001L, "fox"), (1002L, "quick dog"), (1003L, "brown den"))
+    def served(batchId: Long): Set[(Long, Long, Double, Int)] =
+      spark.read.parquet(f"$outDir/batch-$batchId%06d").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    def monolith(docs: Seq[(Long, String)], qs: Seq[(Long, String)])
+        : Set[(Long, Long, Double, Int)] = {
+      val post = Retrieval.postings(docs.toDF("doc_id", "text"))
+      val (nd, avgdl) = Retrieval.storeStats(post)
+      Retrieval.bm25TopK(post, qs.toDF("query_id", "text"), nd, avgdl, 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    }
+    try {
+      // interleave: ingest, query, ingest, query, ingest, query — each
+      // query batch must score against EXACTLY the snapshot it saw,
+      // bit-identical to a monolithic rebuild of those docs
+      docStream.addData(b0: _*); ingest.processAllAvailable()
+      qStream.addData(q0: _*); serve.processAllAvailable()
+      assert(served(0).nonEmpty)
+      assert(served(0) == monolith(b0, q0))
+      docStream.addData(b1: _*); ingest.processAllAvailable()
+      qStream.addData(q1: _*); serve.processAllAvailable()
+      assert(served(1) == monolith(b0 ++ b1, q1))
+      docStream.addData(b2: _*); ingest.processAllAvailable()
+      qStream.addData(q2: _*); serve.processAllAvailable()
+      assert(served(2) == monolith(b0 ++ b1 ++ b2, q2))
+      // the same query (1001, "fox") re-asked across snapshots tracks
+      // the growing index — N and df moved, so its scores must differ
+      val fox0 = served(0).filter(_._1 == 1001L)
+      val fox2 = served(2).filter(_._1 == 1001L)
+      assert(fox0 != fox2, "snapshot growth invisible to the server")
+    } finally { serve.stop(); ingest.stop() }
+    // replay: re-running a batch's handler OVERWRITES its own output
+    // (batch-id-keyed — the ingest sinks' exactly-once argument) and
+    // scores against the store as it stands at replay time
+    graft.streaming.IndexIngest.bm25ServeSink(idxDir, outDir, kTop = 3)(
+      q1.toDF("query_id", "text"), 1L)
+    assert(served(1) == monolith(b0 ++ b1 ++ b2, q1))
+    // the 100 TB shape: the probe scan prunes to the batch's term set
+    // at the parquet level — the store is never fully read for scoring
+    // (only the two-column stats aggregation sees every row)
+    val plan = graft.streaming.IndexIngest.bm25ServePlan(
+      graft.sources.PostingsStore.load(spark, idxDir),
+      q1.toDF("query_id", "text"), kTop = 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined,
+      s"term IN pushdown missing from the serve scan:\n$plan")
+  }
+
   test("streaming dedup keeps first-seen across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
