@@ -66,9 +66,15 @@ object IvfAnn {
     * Per round: one narrow assignment pass + one meanPool shuffle
     * (keyed (list, dim) — nlist·dim groups, never corpus-shaped
     * reduce state). Driver state is the nlist × dim centroid table. */
+  /** Restart stream stride: restart r draws its k-means++ picks from
+    * hash rounds r·65536 + round, so restarts are independent streams
+    * under the one pinned [[graft.functions.KppInit.Seed]] and
+    * restart 0 IS the q139/q140-oracled single build, bit for bit. */
+  val RestartStream = 65536
+
   def build(corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      iters: Int = BuildIters)
+      iters: Int = BuildIters, restarts: Int = 1)
       (implicit spark: SparkSession): IvfIndex = {
     import spark.implicits._
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -107,38 +113,65 @@ object IvfAnn {
       .select(col("v").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(first.nonEmpty, "empty corpus")
-    var cents: Array[Array[Double]] = first
-    while (cents.length < nlist) {
-      val next = base
-        .select(col("v"),
-          graft.functions.KppInit.keyCol(col("id"), cents.length,
-            graft.functions.VectorExpressions.minSqDist(col("v"), cents.toSeq))
-            .as("kpp_key"), col("id"))
-        .orderBy(col("kpp_key").asc, col("id").asc).limit(1)
-        .select(col("v").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      cents = cents ++ next
+    def trainOnce(streamOffset: Int): Array[Array[Double]] = {
+      var cents: Array[Array[Double]] = first
+      while (cents.length < nlist) {
+        val next = base
+          .select(col("v"),
+            graft.functions.KppInit.keyCol(col("id"),
+              streamOffset + cents.length,
+              graft.functions.VectorExpressions.minSqDist(col("v"), cents.toSeq))
+              .as("kpp_key"), col("id"))
+          .orderBy(col("kpp_key").asc, col("id").asc).limit(1)
+          .select(col("v").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        cents = cents ++ next
+      }
+      for (_ <- 1 to iters) {
+        val assigned = base.withColumn("list_id",
+          graft.functions.VectorExpressions.nearestCentroid(col("v"),
+            cents.toSeq))
+        val next = cents.map(_.clone())
+        Embeddings.meanPool(assigned, col("list_id"), idCol = "id",
+          vecCol = "v")
+          .collect().foreach { r =>
+            val g = r.getInt(0)
+            // the −1 bucket means an invalid vector (null element or
+            // dimension mismatch) reached training — fail NAMED here
+            // rather than with a bare index crash or a silent
+            // unreachable list in the persisted index
+            require(g >= 0, "KMeans corpus contains an invalid vector " +
+              "(null element or dimension mismatch) — it assigned to " +
+              "list −1; clean the corpus before building")
+            next(g)(r.getLong(1).toInt) = r.getDouble(2)
+          }
+        cents = next
+      }
+      cents
     }
-    for (_ <- 1 to iters) {
-      val assigned = base.withColumn("list_id",
-        graft.functions.VectorExpressions.nearestCentroid(col("v"),
-          cents.toSeq))
-      val next = cents.map(_.clone())
-      Embeddings.meanPool(assigned, col("list_id"), idCol = "id",
-        vecCol = "v")
-        .collect().foreach { r =>
-          val g = r.getInt(0)
-          // the −1 bucket means an invalid vector (null element or
-          // dimension mismatch) reached training — fail NAMED here
-          // rather than with a bare index crash or a silent
-          // unreachable list in the persisted index
-          require(g >= 0, "KMeans corpus contains an invalid vector " +
-            "(null element or dimension mismatch) — it assigned to " +
-            "list −1; clean the corpus before building")
-          next(g)(r.getLong(1).toInt) = r.getDouble(2)
+    // Optional min-SSE restarts (Lloyd converges to WHICHEVER local
+    // optimum its seeds imply — on clusterless data equally-converged
+    // optima differ in small-nprobe recall; see IvfSpec's floor note).
+    // The pick is deterministic without any witness machinery: SSE is
+    // an EXACT DECIMAL(38,6) sum (order-independent integer
+    // arithmetic, unlike a double sum), strict < keeps the first
+    // restart on ties, and restart 0 is the unshifted oracled build.
+    val cents =
+      if (restarts <= 1) trainOnce(0)
+      else {
+        var best: Array[Array[Double]] = null
+        var bestSse: java.math.BigDecimal = null
+        for (r <- 0 until restarts) {
+          val c = trainOnce(r * RestartStream)
+          val sse = base.agg(sum(
+            graft.functions.VectorExpressions.minSqDist(col("v"), c.toSeq)
+              .cast("decimal(38,6)"))).head().getDecimal(0)
+          if (best == null || sse.compareTo(bestSse) < 0) {
+            best = c; bestSse = sse
+          }
         }
-      cents = next
-    }
+        best
+      }
     val assignments = base.withColumn("list_id",
       graft.functions.VectorExpressions.nearestCentroid(col("v"), cents.toSeq))
       .select(col("id"), col("v"), col("list_id"))
