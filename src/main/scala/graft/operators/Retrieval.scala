@@ -860,4 +860,90 @@ object Retrieval {
     val nd = r.getLong(0)
     (nd, r.getLong(1).toDouble / nd.toDouble)
   }
+
+  /** Boolean retrieval — the Lucene-BooleanQuery clause model over the
+    * inverted index: per query a MUST set (every term required), a
+    * SHOULD set (at least `minShouldMatch` of them required when the
+    * set is non-empty), and a MUST_NOT set (any match excludes the
+    * doc). `boolQueries` is (query_id, must: array, should: array,
+    * must_not: array); role sets are deduplicated here, so a repeated
+    * token never double-counts. A doc must match at least one
+    * positive (MUST or SHOULD) term to appear at all — the standard
+    * "no purely-negative queries" convention.
+    *
+    * Scale shape: the query side is request-sized, so every role's
+    * term set rides a BROADCAST join into the postings; the only
+    * corpus-touching work is the per-term posting slices the query's
+    * own terms select (Σ df over query terms, never a corpus scan).
+    * The positive roles fold in ONE pass — (query, doc) match counts
+    * by role from a single broadcast probe — and MUST_NOT lands as a
+    * left-anti join of the candidate set against the (equally
+    * df-bounded) negative pairs. No windows, no corpus-keyed shuffle:
+    * the one exchange is the (query_id, doc_id) match aggregation,
+    * sized by matched postings. Output is unranked (the boolean
+    * model), totally ordered by (query_id, doc_id), with the matched
+    * role counts alongside for downstream scoring. */
+  def booleanRetrieve(post: DataFrame, boolQueries: DataFrame,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(minShouldMatch >= 1,
+      s"minShouldMatch must be at least 1, got $minShouldMatch")
+    def role(c: String): DataFrame = boolQueries
+      .select(col("query_id"), explode(array_distinct(col(c))).as("term"))
+    val must = role("must")
+    val should = role("should")
+    // clause cardinalities per query — query-sized, broadcast below
+    val nMust = must.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_must"))
+    val nShould = should.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_should"))
+    val positive = must.withColumn("role", lit("m"))
+      .unionByName(should.withColumn("role", lit("s")))
+    // one broadcast probe: (query, doc) with per-role distinct-term
+    // match counts (post holds one row per (doc, term), positive one
+    // per (query, role, term) — counts are distinct by construction)
+    val matched = post.select(col("doc_id"), col("term"))
+      .join(broadcast(positive), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(when(col("role") === "m", 1L).otherwise(0L)).as("must_matched"),
+        sum(when(col("role") === "s", 1L).otherwise(0L)).as("should_matched"))
+    val candidates = matched
+      .join(broadcast(nMust), Seq("query_id"), "left_outer")
+      .join(broadcast(nShould), Seq("query_id"), "left_outer")
+      .withColumn("n_must", coalesce(col("n_must"), lit(0L)))
+      .withColumn("n_should", coalesce(col("n_should"), lit(0L)))
+      .filter(col("must_matched") === col("n_must") &&
+        (col("n_should") === 0L ||
+          col("should_matched") >= lit(minShouldMatch.toLong)))
+    val notPairs = post.select(col("doc_id"), col("term"))
+      .join(broadcast(role("must_not")), Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    candidates.join(notPairs, Seq("query_id", "doc_id"), "left_anti")
+      .select(col("query_id"), col("doc_id"),
+        col("must_matched"), col("should_matched"))
+  }
+
+  /** Faceted counts over a retrieval candidate set — the search-UI
+    * sidebar aggregation: for each query, how many of its matching
+    * docs fall in each value of each facet column. One pass: the doc
+    * metadata melts to (doc_id, facet, value) rows (`facets` names
+    * metadata columns of `docs`), joins the candidate pairs on
+    * doc_id, and a single group-by counts — the candidate frame is
+    * read once however many facets are requested. The join keys on
+    * doc_id and is candidate-bounded on one side; at serving scale
+    * the candidates broadcast, at audit scale AQE picks the shuffle
+    * join — either way no corpus-sized exchange beyond the facet
+    * melt itself (|facets| × docs rows, column-pruned to the facet
+    * columns). */
+  def facetCounts(candidates: DataFrame, docs: DataFrame,
+      facets: Seq[String], idCol: String = "doc_id"): DataFrame = {
+    require(facets.nonEmpty, "facetCounts needs at least one facet column")
+    val melted = docs.select(col(idCol).as("doc_id"),
+      explode(map(facets.flatMap(f => Seq(lit(f), col(f))): _*))
+        .as(Seq("facet", "value")))
+    candidates.select(col("query_id"), col("doc_id"))
+      .join(melted, Seq("doc_id"))
+      .groupBy(col("query_id"), col("facet"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -1499,8 +1499,172 @@ object CorpusQueries {
         Tables(s, dir).documents, minCount = CollocMinCount,
         kTop = CollocTopK)
         .orderBy(col("rank"))
+    },
+
+    // Boolean retrieval — the Lucene clause model (MUST all / SHOULD
+    // ≥1 / MUST_NOT none) compiled to one broadcast positive probe +
+    // a candidate-bounded anti join; unranked, match counts alongside.
+    "q184_boolean_retrieval" -> QueryDef(booleanRetrievalSql) { (s, dir) =>
+      graft.operators.Retrieval.booleanRetrieve(
+        bm25Post(s, dir), boolQueryFixture(s, dir), minShouldMatch = 1)
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+
+    // Faceted counts over the boolean candidate sets — the search-UI
+    // sidebar aggregation: per (query, facet, value) doc counts off
+    // ONE melted metadata join, candidates read once for both facets.
+    "q185_facet_counts" -> QueryDef(facetCountsSql) { (s, dir) =>
+      graft.operators.Retrieval.facetCounts(
+        graft.operators.Retrieval.booleanRetrieve(
+          bm25Post(s, dir), boolQueryFixture(s, dir), minShouldMatch = 1),
+        Tables(s, dir).documents, facets = Seq("lang", "source"))
+        .orderBy(col("query_id"), col("facet"), col("value"))
+    },
+
+    // Grouped top-k WITHOUT the window sort: the bounded-heap
+    // mergeable aggregate — O(k) state per group combined map-side, k
+    // rows per group on the exchange, exact by the mergeable-summaries
+    // argument. The oracle IS the window form it replaces.
+    "q186_topk_agg" -> QueryDef(topkAggSql) { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKAgg.topK(
+          col("n_chars"), col("doc_id"), TopKAggK).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("doc_id"), col("e.score").as("n_chars"))
+        .orderBy(col("source"), col("rank"))
+    },
+
+    // Priority sampling (Duffield–Lund–Thorup): k docs per source by
+    // deterministic w/u priority, with the unbiased subset-sum
+    // estimator est = max(w, τ) alongside — rides the heap aggregate,
+    // exact-regime groups (≤ k items) report their weights verbatim.
+    "q187_priority_sample" -> QueryDef(prioritySampleSql) { (s, dir) =>
+      graft.operators.PrioritySample.sample(
+        Tables(s, dir).documents.select(col("source"), col("doc_id"),
+          col("n_chars")),
+        k = PrioritySampleK, grpCol = "source", idCol = "doc_id",
+        wCol = "n_chars")
+        .orderBy(col("grp"), col("rank"))
     }
   )
+
+  // shared knobs (defs — interpolated eagerly while `entries` builds)
+  private def TopKAggK: Int = 5
+  private def PrioritySampleK: Int = 16
+  private def P40: String = "1099511627776" // 2^40
+
+  private def topkAggSql: String =
+    s"""SELECT source, rank, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+       |  FROM documents) WHERE rank <= $TopKAggK
+       |ORDER BY source, rank""".stripMargin
+
+  /** q187 oracle: the whole DLT derivation re-done in DuckDB — h60 of
+    * "ps:"+id, the 40-bit quantized uniform, the fixed-point priority,
+    * the window rank the heap aggregate replaces, τ at rank k+1, and
+    * the max(w, τ) estimator in milli units. */
+  private def prioritySampleSql: String =
+    s"""WITH it AS (SELECT source AS grp, doc_id AS id,
+       |              CAST(n_chars AS BIGINT) AS w FROM documents),
+       |h AS (SELECT grp, id, w,
+       |        CAST(concat('0x', substr(
+       |          md5(concat('ps:', CAST(id AS VARCHAR))), 1, 15))
+       |          AS BIGINT) AS h60
+       |      FROM it),
+       |p AS (SELECT grp, id, w,
+       |        (w * $P40) // ((h60 // 1048576) + 1) AS pr FROM h),
+       |r AS (SELECT grp, id, w, pr,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY grp
+       |          ORDER BY pr DESC, id ASC) AS INT) AS rank FROM p),
+       |t AS (SELECT grp, pr AS tau FROM r
+       |      WHERE rank = ${PrioritySampleK + 1})
+       |SELECT r.grp, r.rank, r.id, r.w, r.pr, t.tau,
+       |       CASE WHEN t.tau IS NULL THEN r.w * 1000
+       |            ELSE greatest(r.w * 1000, t.tau * 1000)
+       |       END AS est_milli
+       |FROM r LEFT JOIN t USING (grp) WHERE r.rank <= $PrioritySampleK
+       |ORDER BY grp, rank""".stripMargin
+
+  /** Boolean-query fixture: docs 0–7 as clause queries — MUST = the
+    * first two tokens, SHOULD = tokens 3–6, MUST_NOT = token 7 (1-based
+    * positions; roles deduplicate inside the operator, and the oracle
+    * slices identically). */
+  private def boolQueryFixture(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ts = TextFunctions.tokens(col("text"))
+    Tables(s, dir).documents.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        slice(ts, 1, 2).as("must"),
+        slice(ts, 3, 4).as("should"),
+        slice(ts, 7, 1).as("must_not"))
+  }
+
+  /** Shared q184/q185 CTE chain ending in `res` = the boolean result
+    * (query_id, doc_id, must_matched, should_matched). Mirrors
+    * [[graft.operators.Retrieval.booleanRetrieve]]: role sets
+    * deduplicated, positive roles counted from one probe, MUST_NOT as
+    * an anti join ("no purely-negative queries" — a doc must match a
+    * positive term to appear). */
+  private def booleanCtes: String =
+    s"""toks AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+       |bpost AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM toks),
+       |bq AS (SELECT doc_id AS query_id,
+       |         list_distinct(ts[1:2]) AS must,
+       |         list_distinct(ts[3:6]) AS should,
+       |         list_distinct(ts[7:7]) AS nots
+       |       FROM toks WHERE doc_id < 8),
+       |m AS (SELECT query_id, unnest(must) AS term FROM bq),
+       |sh AS (SELECT query_id, unnest(should) AS term FROM bq),
+       |nx AS (SELECT query_id, unnest(nots) AS term FROM bq),
+       |nm AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_must
+       |       FROM m GROUP BY query_id),
+       |ns AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_should
+       |       FROM sh GROUP BY query_id),
+       |pos AS (SELECT query_id, term, 'm' AS role FROM m
+       |        UNION ALL SELECT query_id, term, 's' AS role FROM sh),
+       |mt AS (SELECT pos.query_id, p.doc_id,
+       |         CAST(sum(CASE WHEN pos.role = 'm' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS must_matched,
+       |         CAST(sum(CASE WHEN pos.role = 's' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS should_matched
+       |       FROM pos JOIN bpost p USING (term)
+       |       GROUP BY pos.query_id, p.doc_id),
+       |cand AS (SELECT mt.query_id, mt.doc_id,
+       |           mt.must_matched, mt.should_matched
+       |         FROM mt LEFT JOIN nm USING (query_id)
+       |                 LEFT JOIN ns USING (query_id)
+       |         WHERE mt.must_matched = coalesce(nm.n_must, 0)
+       |           AND (coalesce(ns.n_should, 0) = 0
+       |                OR mt.should_matched >= 1)),
+       |np AS (SELECT DISTINCT nx.query_id, p.doc_id
+       |       FROM nx JOIN bpost p USING (term)),
+       |res AS (SELECT c.query_id, c.doc_id,
+       |          c.must_matched, c.should_matched
+       |        FROM cand c LEFT JOIN np
+       |          ON np.query_id = c.query_id AND np.doc_id = c.doc_id
+       |        WHERE np.query_id IS NULL)""".stripMargin
+
+  private def booleanRetrievalSql: String =
+    s"""WITH $booleanCtes
+       |SELECT query_id, doc_id, must_matched, should_matched FROM res
+       |ORDER BY query_id, doc_id""".stripMargin
+
+  private def facetCountsSql: String =
+    s"""WITH $booleanCtes,
+       |fm AS (SELECT doc_id, 'lang' AS facet, lang AS value
+       |       FROM documents
+       |       UNION ALL
+       |       SELECT doc_id, 'source' AS facet, source AS value
+       |       FROM documents)
+       |SELECT r.query_id, fm.facet, fm.value,
+       |       CAST(count(*) AS BIGINT) AS cnt
+       |FROM res r JOIN fm USING (doc_id)
+       |GROUP BY r.query_id, fm.facet, fm.value
+       |ORDER BY query_id, facet, value""".stripMargin
 
   // a def, not a val: bm25Sql interpolates this EAGERLY while the
   // `entries` map (declared above) is being constructed, before this

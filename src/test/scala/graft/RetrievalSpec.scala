@@ -581,4 +581,71 @@ class RetrievalSpec extends AnyFunSuite {
     // 10 and 11 tie exactly (symmetric ranks) -> doc_id breaks the tie
     assert(got.take(2).map(_._1) == Seq(10L, 11L))
   }
+
+  // --- boolean retrieval (the Lucene clause model) ---
+
+  private def boolPost = Retrieval.postings(docs.toDF("doc_id", "text"))
+
+  private def bq(id: Long, must: Seq[String], should: Seq[String],
+      not: Seq[String]) = (id, must, should, not)
+
+  private def runBool(queries: Seq[(Long, Seq[String], Seq[String], Seq[String])],
+      minShould: Int = 1): Map[Long, Seq[(Long, Long, Long)]] =
+    Retrieval.booleanRetrieve(boolPost,
+      queries.toDF("query_id", "must", "should", "must_not"), minShould)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+
+  test("booleanRetrieve: every MUST term required") {
+    // quick AND fox: docs 0 and 1 only (3 has quick+bear, 5 fox only,
+    // 8 quick only)
+    val got = runBool(Seq(bq(100L, Seq("quick", "fox"), Nil, Nil)))
+    assert(got(100L).map(_._1) == Seq(0L, 1L))
+    assert(got(100L).forall { case (_, mm, sm) => mm == 2L && sm == 0L })
+  }
+
+  test("booleanRetrieve: SHOULD gates at minShouldMatch, counts matched") {
+    // must: the; should: quick, dog, fox — doc0 matches all three
+    val q = Seq(bq(100L, Seq("the"), Seq("quick", "dog", "fox"), Nil))
+    val at1 = runBool(q, minShould = 1)
+    // "the" docs: 0,1,2,3,7; of those, should-matchers: 0(3), 1(2), 2(1), 3(1)
+    assert(at1(100L) == Seq((0L, 1L, 3L), (1L, 1L, 2L), (2L, 1L, 1L),
+      (3L, 1L, 1L)))
+    val at3 = runBool(q, minShould = 3)
+    assert(at3(100L).map(_._1) == Seq(0L))
+  }
+
+  test("booleanRetrieve: MUST_NOT excludes; purely-negative docs invisible") {
+    // fox docs: 0,1,3(no),5; NOT lazy drops 0; doc 2 (lazy only) was
+    // never a candidate — no positive match
+    val got = runBool(Seq(bq(100L, Seq("fox"), Nil, Seq("lazy"))))
+    assert(got(100L).map(_._1) == Seq(1L, 5L))
+  }
+
+  test("booleanRetrieve: role arrays deduplicate; should-only queries work") {
+    // duplicated must term counts once; empty must -> should drives
+    val got = runBool(Seq(
+      bq(100L, Seq("quick", "quick"), Nil, Nil),
+      bq(101L, Nil, Seq("snores", "den"), Nil)))
+    assert(got(100L).forall(_._2 == 1L))
+    assert(got(100L).map(_._1) == Seq(0L, 1L, 3L, 8L))
+    assert(got(101L) == Seq((2L, 0L, 1L), (5L, 0L, 1L)))
+  }
+
+  test("facetCounts: per-query counts off one melted metadata join") {
+    val meta = Seq((0L, "en", "web"), (1L, "en", "book"), (2L, "de", "web"),
+      (3L, "en", "web"), (5L, "de", "book"), (8L, "en", "web"))
+      .toDF("doc_id", "lang", "source")
+    val cand = Seq((100L, 0L), (100L, 1L), (100L, 2L), (101L, 5L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.facetCounts(cand, meta, Seq("lang", "source"))
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    assert(got == Map(
+      (100L, "lang", "en") -> 2L, (100L, "lang", "de") -> 1L,
+      (100L, "source", "web") -> 2L, (100L, "source", "book") -> 1L,
+      (101L, "lang", "de") -> 1L, (101L, "source", "book") -> 1L))
+  }
 }
