@@ -1547,8 +1547,58 @@ object CorpusQueries {
         k = PrioritySampleK, grpCol = "source", idCol = "doc_id",
         wCol = "n_chars")
         .orderBy(col("grp"), col("rank"))
+    },
+
+    // Index time travel: BM25 serving over the store AS OF batch1 of
+    // a three-batch ingestion — the as-of snapshot (batches 0–1, i.e.
+    // doc_id % 3 < 2) scores exactly like a monolithic index built
+    // from only those docs, stats re-derived from the snapshot.
+    "q188_asof_index" -> QueryDef(asofIndexSql) { (s, dir) =>
+      val post = asofPost(s, dir)
+      val (nd, avgdl) = graft.operators.Retrieval.storeStats(post)
+      graft.operators.Retrieval.bm25TopK(
+        post, bm25Queries(s, dir), nd, avgdl, kTop = 10)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
+
+  private val asofStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-(session, sf) as-of fixture: batch b holds docs
+    * with doc_id ≡ b (mod 3), three appends, NO compaction (as-of is
+    * delta-granular; the compaction fold-point contract is spec'd in
+    * FingerprintStoreSpec). Returns the batch1 snapshot, persisted
+    * (stats + probe read it twice). */
+  private def asofPost(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val storeDir = asofStoreDirs.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-asof").toString
+        val docs = Tables(s, dir).documents
+        Seq(0, 1, 2).foreach { b =>
+          graft.sources.PostingsStore.appendDelta(
+            graft.operators.Retrieval.postings(
+              docs.filter(col("doc_id") % 3 === b)), d, s"batch$b")
+        }
+        d
+      })
+    graft.sources.PostingsStore.loadAsOf(s, storeDir, "batch1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** q188 oracle: the full BM25 derivation over ONLY the snapshot's
+    * docs (doc_id % 3 < 2), stats self-derived from that subset —
+    * time travel == monolithic rebuild of the prefix. Queries stay
+    * the full fixture set (a query whose own doc is outside the
+    * snapshot simply has no self row to exclude). */
+  private def asofIndexSql: String =
+    s"""WITH ${bm25Ctes(pruned = false, kTop = 10, selfStats = true,
+         docsWhere = " WHERE doc_id % 3 < 2")}
+       |SELECT query_id, doc_id, score, rank FROM lex
+       |ORDER BY query_id, rank""".stripMargin
 
   // shared knobs (defs — interpolated eagerly while `entries` builds)
   private def TopKAggK: Int = 5
@@ -1759,7 +1809,7 @@ object CorpusQueries {
        |                     (stats.tt / CAST(stats.nd AS DOUBLE)))))""".stripMargin
 
   private def bm25Ctes(pruned: Boolean, kTop: Int,
-      selfStats: Boolean = false): String = {
+      selfStats: Boolean = false, docsWhere: String = ""): String = {
     // pruned: champion lists -> candidate (query_id, doc_id) pairs;
     // scoring always runs on the FULL postings (exact second phase)
     val candCte = if (pruned)
@@ -1777,7 +1827,8 @@ object CorpusQueries {
     val candJoin = if (pruned)
       "JOIN cand ON cand.query_id = w.query_id AND cand.doc_id = p.doc_id "
     else ""
-    s"""toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+    s"""toks AS (SELECT doc_id, unnest($ToksSql) AS term
+       |         FROM documents$docsWhere),
        |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |         FROM toks GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl

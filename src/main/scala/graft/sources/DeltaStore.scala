@@ -73,6 +73,60 @@ private[sources] final class DeltaStore(
       }
   }
 
+  /** Name of the fold-point marker inside a base generation: the
+    * lexicographically greatest batch id compaction has folded in.
+    * Underscore-prefixed, so both Spark's parquet reader and the
+    * strict-commit data-file listing ignore it. */
+  private val FoldMarker = "_folded_max"
+
+  private def readFoldPoint(f: FileSystem, baseDir: Path): Option[String] = {
+    val p = new Path(baseDir, FoldMarker)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def writeFoldPoint(f: FileSystem, baseDir: Path,
+      batchId: String): Unit = {
+    val out = f.create(new Path(baseDir, FoldMarker), true)
+    try out.write(batchId.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The store AS OF `upToBatch`: base ∪ committed deltas whose batch
+    * id is lexicographically ≤ `upToBatch` — time travel at delta
+    * granularity (callers must use ordered batch ids: zero-padded or
+    * fixed-prefix, as the ingestion protocols here already do).
+    * Compaction collapses history: it records its fold point (the
+    * greatest batch id folded into base) and an as-of read BEFORE
+    * that point fails loudly rather than silently serving the folded
+    * base — the snapshot simply no longer exists. As-of reads at or
+    * after the fold point remain exact. */
+  def loadAsOf(spark: SparkSession, dir: String,
+      upToBatch: String): DataFrame = {
+    val f = fs(spark, dir)
+    val baseDir =
+      if (f.exists(new Path(s"$dir/base"))) Some(new Path(s"$dir/base"))
+      else if (f.exists(new Path(s"$dir/base.old")))
+        Some(new Path(s"$dir/base.old"))
+      else None
+    baseDir.flatMap(readFoldPoint(f, _)).foreach { fold =>
+      require(fold <= upToBatch,
+        s"as-of $upToBatch predates the compaction fold point $fold: " +
+          "that snapshot was collapsed into the base generation")
+    }
+    val parts = baseDir.map(_.toString).toSeq ++
+      committedDeltas(f, dir).filter(_.getName <= upToBatch).map(_.toString)
+    if (parts.isEmpty) empty(spark)
+    else parts.map(p => selectCols(spark.read.parquet(p)))
+      .reduce(_ unionByName _)
+  }
+
   /** Base generation (or its mid-crash `base.old` predecessor) ∪ all
     * committed deltas, minus the caller's own excluded delta (the
     * replay-safety hook — see FingerprintStore.load). */
@@ -120,6 +174,17 @@ private[sources] final class DeltaStore(
     (if (dedupe) unioned.distinct() else unioned)
       .repartition(numFiles, layoutCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp.toString)
+    // fold-point marker: the greatest batch id this base subsumes —
+    // carried forward from the previous generation, advanced by what
+    // this compaction folds. Written INSIDE tmp so the base rename
+    // publishes data and marker atomically.
+    val prevFold = baseSide.headOption
+      .flatMap(p => readFoldPoint(f, new Path(p)))
+    val newFold = (prevFold.toSeq ++ folded.map(_.getName)) match {
+      case Nil => None
+      case ids => Some(ids.max)
+    }
+    newFold.foreach(writeFoldPoint(f, tmp, _))
     if (f.exists(base) && !f.rename(base, old))
       sys.error(s"compaction retire failed: $base -> $old")
     if (!f.rename(tmp, base))

@@ -38,6 +38,11 @@ object PosPostingsStore {
   def load(spark: SparkSession, dir: String): DataFrame =
     store.load(spark, dir, excludeDelta = None)
 
+  /** The index AS OF a batch id — see DeltaStore.loadAsOf. */
+  def loadAsOf(spark: SparkSession, dir: String,
+      upToBatch: String): DataFrame =
+    store.loadAsOf(spark, dir, upToBatch)
+
   /** [[load]] minus one delta — the replay-safety hook. */
   def load(spark: SparkSession, dir: String,
       excludeDelta: Option[String]): DataFrame =

@@ -50,6 +50,13 @@ object PostingsStore {
   def load(spark: SparkSession, dir: String): DataFrame =
     store.load(spark, dir, excludeDelta = None)
 
+  /** The index AS OF a batch id — time travel at delta granularity
+    * (ordered batch ids required); reads before the compaction fold
+    * point fail loudly. See DeltaStore.loadAsOf. */
+  def loadAsOf(spark: SparkSession, dir: String,
+      upToBatch: String): DataFrame =
+    store.loadAsOf(spark, dir, upToBatch)
+
   /** [[load]] minus one delta — the replay-safety hook for re-running
     * a crashed batch (see FingerprintStore.load). */
   def load(spark: SparkSession, dir: String,

@@ -193,4 +193,38 @@ class FingerprintStoreSpec extends AnyFunSuite {
     PostingsStore.appendDelta(batch, dir, batchId = "b0001")
     assert(PostingsStore.load(spark, dir).count() == 2)
   }
+
+  test("loadAsOf: delta-granular time travel; compaction fold point enforced") {
+    import graft.sources.PostingsStore
+    val dir = Files.createTempDirectory("graft-poststore-asof").toString
+    def batch(docId: Long) = Seq((docId, s"t$docId", 1L, 1L))
+      .toDF("doc_id", "term", "tf", "dl")
+    Seq(1L, 2L, 3L).foreach(i =>
+      PostingsStore.appendDelta(batch(i), dir, batchId = s"b000$i"))
+    def docsAsOf(b: String) = PostingsStore.loadAsOf(spark, dir, b)
+      .select("doc_id").as[Long].collect().toSet
+
+    // prefix snapshots are exact; as-of latest == the full load
+    assert(docsAsOf("b0001") == Set(1L))
+    assert(docsAsOf("b0002") == Set(1L, 2L))
+    assert(docsAsOf("b0003") ==
+      PostingsStore.load(spark, dir).select("doc_id").as[Long].collect().toSet)
+
+    // compaction folds b0001..b0003 -> fold point b0003: earlier
+    // snapshots no longer exist and reads of them FAIL, not lie
+    assert(PostingsStore.compact(spark, dir) == 3)
+    assert(docsAsOf("b0003") == Set(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException](docsAsOf("b0002"))
+    assert(e.getMessage.contains("fold point"))
+
+    // post-compaction appends are addressable again; the fold point
+    // survives a second compaction with nothing new to fold
+    PostingsStore.appendDelta(batch(4L), dir, batchId = "b0004")
+    assert(docsAsOf("b0003") == Set(1L, 2L, 3L))
+    assert(docsAsOf("b0004") == Set(1L, 2L, 3L, 4L))
+    assert(PostingsStore.compact(spark, dir) == 1)
+    assert(docsAsOf("b0004") == Set(1L, 2L, 3L, 4L))
+    assert(intercept[IllegalArgumentException](docsAsOf("b0003"))
+      .getMessage.contains("fold point"))
+  }
 }
