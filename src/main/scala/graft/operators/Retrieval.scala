@@ -923,6 +923,39 @@ object Retrieval {
         col("must_matched"), col("should_matched"))
   }
 
+  /** Snippet generation — materialize the text of [[bestPassages]]
+    * windows: for each (query, doc, window_start) the winW-token
+    * window is sliced out of the document and emitted both raw
+    * (`snippet`) and with every query term bracket-highlighted
+    * (`highlighted`, terms wrapped in `[...]`) — the result-page
+    * surface on top of the passage scorer. One narrow pass: the
+    * passage toplist and the per-query term sets (both request-sized)
+    * broadcast into the document scan, the slice and highlight are
+    * row-local array ops, and only docs ON the toplist survive the
+    * join — the corpus contributes exactly the rows being served. */
+  def snippets(passages: DataFrame, docs: DataFrame, queries: DataFrame,
+      winW: Int, idCol: String = "query_id",
+      textCol: String = "text"): DataFrame = {
+    require(winW >= 1, s"winW must be positive, got $winW")
+    val qsets = queryTerms(queries, idCol, textCol)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_set(col("term"))).as("qterms"))
+    docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("ts"))
+      .join(broadcast(passages.select(col("query_id"), col("doc_id"),
+        col("window_start"), col("rank"))), Seq("doc_id"))
+      .join(broadcast(qsets), Seq("query_id"))
+      .withColumn("win",
+        slice(col("ts"), col("window_start").cast("int"), lit(winW)))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("window_start"),
+        array_join(col("win"), " ").as("snippet"),
+        array_join(transform(col("win"), t =>
+          when(array_contains(col("qterms"), t),
+            concat(lit("["), t, lit("]"))).otherwise(t)), " ")
+          .as("highlighted"))
+  }
+
   /** Faceted counts over a retrieval candidate set — the search-UI
     * sidebar aggregation: for each query, how many of its matching
     * docs fall in each value of each facet column. One pass: the doc

@@ -1549,6 +1549,37 @@ object CorpusQueries {
         .orderBy(col("grp"), col("rank"))
     },
 
+    // Filtered retrieval — the "query + filters" serving shape: the
+    // boolean clause set (q184) produces the candidate pairs, BM25
+    // ranks WITHIN them (global corpus stats — filters narrow results,
+    // not idf). The restriction rides bm25TopK's broadcast-semi
+    // candidates hook, so the filter never reshuffles the postings.
+    "q189_filtered_bm25" -> QueryDef(filteredBm25Sql) { (s, dir) =>
+      val cand = graft.operators.Retrieval.booleanRetrieve(
+        bm25Post(s, dir), boolQueryFixture(s, dir), minShouldMatch = 1)
+        .select(col("query_id"), col("doc_id"))
+      val (nd, avgdl) = bm25Stats(s, dir)
+      graft.operators.Retrieval.bm25TopK(
+        bm25Post(s, dir), bm25Queries(s, dir), nd, avgdl, kTop = 10,
+        candidates = Some(cand))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Snippets: the q164 best windows materialized as text — winW
+    // tokens sliced from each served doc, raw and with query terms
+    // bracket-highlighted; toplist + query term sets broadcast into
+    // one corpus pass, slice/highlight row-local.
+    "q190_snippets" -> QueryDef(snippetsSql) { (s, dir) =>
+      val (nd, _) = bm25Stats(s, dir)
+      val pass = graft.operators.Retrieval.bestPassages(
+        bm25Post(s, dir), posPost(s, dir), bm25Queries(s, dir), nd,
+        winW = PassageW, kTop = 10)
+      graft.operators.Retrieval.snippets(
+        pass, Tables(s, dir).documents, bm25Queries(s, dir),
+        winW = PassageW)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Index time travel: BM25 serving over the store AS OF batch1 of
     // a three-batch ingestion — the as-of snapshot (batches 0–1, i.e.
     // doc_id % 3 < 2) scores exactly like a monolithic index built
@@ -1588,6 +1619,40 @@ object CorpusQueries {
     graft.sources.PostingsStore.loadAsOf(s, storeDir, "batch1")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** q190 oracle: the q164 passage chain plus row-local snippet
+    * reconstruction — slice winW tokens at window_start, highlight
+    * terms in the query's (already-distinct) term set. Note the
+    * snippet queries here are the WHOLE passage-query texts' term
+    * sets (`q` — the bm25 CTE), exactly what the engine passes. */
+  private def snippetsSql: String =
+    s"""WITH ${bm25Ctes(pruned = false, kTop = 10)},
+       |$posPostSql,
+       |$passCtes,
+       |dts AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+       |qts AS (SELECT query_id, list(term ORDER BY term) AS qterms
+       |        FROM q GROUP BY query_id)
+       |SELECT p.query_id, p.doc_id, p.rank, p.window_start,
+       |  array_to_string(
+       |    dts.ts[p.window_start : p.window_start + ${PassageW - 1}],
+       |    ' ') AS snippet,
+       |  array_to_string(list_transform(
+       |    dts.ts[p.window_start : p.window_start + ${PassageW - 1}],
+       |    t -> CASE WHEN list_contains(qts.qterms, t)
+       |              THEN '[' || t || ']' ELSE t END), ' ') AS highlighted
+       |FROM pass p JOIN dts USING (doc_id) JOIN qts USING (query_id)
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q189 oracle: the boolean CTE chain (ending in `res`) prepended to
+    * the standard BM25 derivation, with the scorer restricted to the
+    * boolean candidate pairs — query + filters, ranked. */
+  private def filteredBm25Sql: String =
+    s"""WITH $booleanCtes,
+       |${bm25Ctes(pruned = false, kTop = 10,
+         extraCandJoin =
+           "JOIN res ON res.query_id = w.query_id AND res.doc_id = p.doc_id")}
+       |SELECT query_id, doc_id, score, rank FROM lex
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q188 oracle: the full BM25 derivation over ONLY the snapshot's
     * docs (doc_id % 3 < 2), stats self-derived from that subset —
@@ -1660,13 +1725,13 @@ object CorpusQueries {
     * an anti join ("no purely-negative queries" — a doc must match a
     * positive term to appear). */
   private def booleanCtes: String =
-    s"""toks AS (SELECT doc_id, $ToksSql AS ts FROM documents),
-       |bpost AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM toks),
+    s"""btoks AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+       |bpost AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM btoks),
        |bq AS (SELECT doc_id AS query_id,
        |         list_distinct(ts[1:2]) AS must,
        |         list_distinct(ts[3:6]) AS should,
        |         list_distinct(ts[7:7]) AS nots
-       |       FROM toks WHERE doc_id < 8),
+       |       FROM btoks WHERE doc_id < 8),
        |m AS (SELECT query_id, unnest(must) AS term FROM bq),
        |sh AS (SELECT query_id, unnest(should) AS term FROM bq),
        |nx AS (SELECT query_id, unnest(nots) AS term FROM bq),
@@ -1809,7 +1874,8 @@ object CorpusQueries {
        |                     (stats.tt / CAST(stats.nd AS DOUBLE)))))""".stripMargin
 
   private def bm25Ctes(pruned: Boolean, kTop: Int,
-      selfStats: Boolean = false, docsWhere: String = ""): String = {
+      selfStats: Boolean = false, docsWhere: String = "",
+      extraCandJoin: String = ""): String = {
     // pruned: champion lists -> candidate (query_id, doc_id) pairs;
     // scoring always runs on the FULL postings (exact second phase)
     val candCte = if (pruned)
@@ -1854,7 +1920,7 @@ object CorpusQueries {
        |       FROM post p
        |       JOIN w ON p.term = w.term
        |       JOIN dl ON dl.doc_id = p.doc_id
-       |       $candJoin
+       |       $candJoin$extraCandJoin
        |       CROSS JOIN stats
        |       WHERE p.doc_id <> w.query_id
        |       GROUP BY w.query_id, p.doc_id),

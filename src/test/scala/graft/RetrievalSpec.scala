@@ -634,6 +634,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(101L) == Seq((2L, 0L, 1L), (5L, 0L, 1L)))
   }
 
+  test("snippets: window slice, end-truncation, query-term highlighting") {
+    val pass = Seq((100L, 0L, 3L, 1), (100L, 5L, 3L, 2))
+      .toDF("query_id", "doc_id", "window_start", "rank")
+    val queries = Seq((100L, "fox dog")).toDF("query_id", "text")
+    val out = Retrieval.snippets(pass, docs.toDF("doc_id", "text"),
+      queries, winW = 4)
+      .collect().map(r => (r.getLong(1), r.getString(4), r.getString(5)))
+      .sortBy(_._1)
+    // doc 0 window at 3: tokens 3..6; doc 5 ("fox fox fox den") at 3:
+    // only 2 tokens remain — the slice truncates, it never pads
+    assert(out(0) == (0L, "brown fox jumps over", "brown [fox] jumps over"))
+    assert(out(1) == (5L, "fox den", "[fox] den"))
+  }
+
   test("facetCounts: per-query counts off one melted metadata join") {
     val meta = Seq((0L, "en", "web"), (1L, "en", "book"), (2L, "de", "web"),
       (3L, "en", "web"), (5L, "de", "book"), (8L, "en", "web"))
