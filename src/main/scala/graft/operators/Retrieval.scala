@@ -923,6 +923,71 @@ object Retrieval {
         col("must_matched"), col("should_matched"))
   }
 
+  /** Field-tagged postings for BM25F: one row per (doc, term) with
+    * per-field term frequencies and field lengths. Fields here are
+    * positional — `title` = the first `titleLen` tokens, `body` = the
+    * rest — the deterministic split the corpus schema affords (a real
+    * multi-field source supplies its own field postings in this
+    * shape). Same one-pass build as [[postings]]: explode both field
+    * slices with a tag, pivot the tag into (tf_t, tf_b), re-derive
+    * field lengths as the per-doc tf sums. */
+  def bm25fPostings(docs: DataFrame, titleLen: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(titleLen >= 1, s"titleLen must be positive, got $titleLen")
+    val ts = graft.functions.TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), ts.as("ts"))
+    val title = base.select(col("doc_id"),
+      explode(slice(col("ts"), 1, titleLen)).as("term"), lit("t").as("fld"))
+    val body = base.filter(size(col("ts")) > titleLen)
+      .select(col("doc_id"),
+        explode(slice(col("ts"), lit(titleLen + 1),
+          size(col("ts")) - titleLen)).as("term"), lit("b").as("fld"))
+    val tf = title.unionByName(body)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sum(when(col("fld") === "t", 1L).otherwise(0L)).as("tf_t"),
+        sum(when(col("fld") === "b", 1L).otherwise(0L)).as("tf_b"))
+    val fl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf_t")).as("fl_t"), sum(col("tf_b")).as("fl_b"))
+    tf.join(fl, Seq("doc_id"))
+  }
+
+  /** (nDocs, avg title length, avg body length) for BM25F weighting —
+    * nDocs counts every corpus doc (the [[corpusStats]] convention),
+    * field averages are total field tokens over nDocs. */
+  def bm25fStats(docs: DataFrame, fpost: DataFrame,
+      idCol: String = "doc_id"): (Long, Double, Double) = {
+    val nDocs = docs.select(col(idCol)).count()
+    val r = fpost.agg(sum(col("tf_t")).as("tt"), sum(col("tf_b")).as("tb"))
+      .head()
+    (nDocs, r.getLong(0).toDouble / nDocs.toDouble,
+      r.getLong(1).toDouble / nDocs.toDouble)
+  }
+
+  /** BM25F (Robertson, Zaragoza, Taylor 2004 — the "simple BM25F"
+    * form): per-field length-normalized term frequencies
+    * tfn_f = tf_f / ((1−b) + b·(fl_f/avgfl_f)), combined across
+    * fields with integer field weights (title counts `wT`-fold), then
+    * ONE saturation over the combined wtf — the defining difference
+    * from score-summing per field (which would saturate each field
+    * separately and over-reward a term that merely appears
+    * everywhere). Contribution = idf · wtf/(k1 + wtf), idf the q153
+    * integer milli proxy with df counted over EITHER field; same
+    * broadcast probe + term-ascending fold + rank machinery as
+    * [[bm25TopK]]. */
+  def bm25fTopK(fpost: DataFrame, queries: DataFrame, nDocs: Long,
+      avgT: Double, avgB: Double, kTop: Int, wT: Int = 2, wB: Int = 1,
+      idCol: String = "query_id", textCol: String = "text"): DataFrame = {
+    val weighted = queryTermWeights(fpost,
+      queryTerms(queries, idCol, textCol), nDocs)
+    def tfn(tf: Column, fl: Column, avg: Double): Column =
+      tf.cast("double") /
+        (lit(OneMinusB) + lit(B) * (fl.cast("double") / lit(avg)))
+    val wtf = lit(wT.toDouble) * tfn(col("tf_t"), col("fl_t"), avgT) +
+      lit(wB.toDouble) * tfn(col("tf_b"), col("fl_b"), avgB)
+    val contrib = col("idf_milli").cast("double") * (wtf / (lit(K1) + wtf))
+    foldRankSelect(fpost, weighted, contrib, kTop, candidates = None)
+  }
+
   /** Snippet generation — materialize the text of [[bestPassages]]
     * windows: for each (query, doc, window_start) the winW-token
     * window is sliced out of the document and emitted both raw

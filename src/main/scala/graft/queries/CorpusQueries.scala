@@ -1565,6 +1565,21 @@ object CorpusQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // BM25F — field-weighted ranking (title = first 8 tokens counts
+    // double, body once), per-field length normalization, ONE
+    // saturation over the combined wtf; df over either field. The
+    // multi-field sibling of q153 on the same probe machinery.
+    "q191_bm25f" -> QueryDef(bm25fSql) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val fpost = bm25fPost(s, dir)
+      val (nd, avgT, avgB) =
+        graft.operators.Retrieval.bm25fStats(docs, fpost)
+      graft.operators.Retrieval.bm25fTopK(
+        fpost, bm25Queries(s, dir), nd, avgT, avgB, kTop = 10,
+        wT = Bm25fTitleW, wB = 1)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Snippets: the q164 best windows materialized as text — winW
     // tokens sliced from each served doc, raw and with query terms
     // bracket-highlighted; toplist + query term sets broadcast into
@@ -1618,6 +1633,82 @@ object CorpusQueries {
       })
     graft.sources.PostingsStore.loadAsOf(s, storeDir, "batch1")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  // BM25F knobs — title length and integer title weight
+  private def Bm25fTitleLen: Int = 8
+  private def Bm25fTitleW: Int = 2
+
+  private val bm25fPostCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+
+  private def bm25fPost(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    bm25fPostCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => graft.operators.Retrieval.bm25fPostings(
+        Tables(s, dir).documents, titleLen = Bm25fTitleLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** q191 oracle: the whole BM25F derivation — field-tagged postings
+    * pivoted to (tf_t, tf_b), field lengths, either-field df, the
+    * pinned per-field normalization + single-saturation double shape,
+    * term-ascending fold, (score desc, doc asc) rank. */
+  private def bm25fSql: String = {
+    def tfnSql(tf: String, fl: String, tt: String): String =
+      s"""(CAST($tf AS DOUBLE) /
+         |       (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+         |        (CAST($fl AS DOUBLE) /
+         |         ($tt / CAST(fstats.nd AS DOUBLE)))))""".stripMargin
+    s"""WITH fdts AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+       |fpost AS (SELECT doc_id, term,
+       |    CAST(sum(CASE WHEN fld = 't' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tf_t,
+       |    CAST(sum(CASE WHEN fld = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tf_b
+       |  FROM (SELECT doc_id, 't' AS fld,
+       |          unnest(ts[1:$Bm25fTitleLen]) AS term FROM fdts
+       |        UNION ALL
+       |        SELECT doc_id, 'b' AS fld,
+       |          unnest(ts[${Bm25fTitleLen + 1}:len(ts)]) AS term
+       |        FROM fdts)
+       |  GROUP BY doc_id, term),
+       |ffl AS (SELECT doc_id, CAST(sum(tf_t) AS BIGINT) AS fl_t,
+       |               CAST(sum(tf_b) AS BIGINT) AS fl_b
+       |        FROM fpost GROUP BY doc_id),
+       |fstats AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+       |    (SELECT CAST(sum(tf_t) AS DOUBLE) FROM fpost) AS tt_t,
+       |    (SELECT CAST(sum(tf_b) AS DOUBLE) FROM fpost) AS tt_b),
+       |fq AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT doc_id AS query_id, unnest((ts)[1:8]) AS term
+       |         FROM fdts WHERE doc_id < 8) qq),
+       |fdfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM fpost
+       |         WHERE term IN (SELECT term FROM fq) GROUP BY term),
+       |fw AS (SELECT fq.query_id, fq.term,
+       |         (fstats.nd * 1000) // fdfq.df AS idf_milli
+       |       FROM fq JOIN fdfq USING (term) CROSS JOIN fstats),
+       |fwtf AS (SELECT fw.query_id, p.doc_id, fw.term, fw.idf_milli,
+       |    (CAST($Bm25fTitleW AS DOUBLE) *
+       |       ${tfnSql("p.tf_t", "f.fl_t", "fstats.tt_t")}
+       |     + CAST(1 AS DOUBLE) *
+       |       ${tfnSql("p.tf_b", "f.fl_b", "fstats.tt_b")}) AS wtf
+       |  FROM fpost p JOIN ffl f USING (doc_id)
+       |  JOIN fw ON p.term = fw.term
+       |  CROSS JOIN fstats WHERE p.doc_id <> fw.query_id),
+       |fsc AS (SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(idf_milli AS DOUBLE) *
+       |             (wtf / (CAST(1.2 AS DOUBLE) + wtf))
+       |        ORDER BY term)), (a, b) -> a + b) AS score
+       |  FROM fwtf GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |  FROM fsc) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** q190 oracle: the q164 passage chain plus row-local snippet

@@ -634,6 +634,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(101L) == Seq((2L, 0L, 1L), (5L, 0L, 1L)))
   }
 
+  test("bm25f: title occurrences outrank body occurrences; one saturation") {
+    // two docs, same length, same single query-term count — doc 10
+    // has "apple" in the title slice (first 2 tokens), doc 11 in the
+    // body; the title weight must break the tie
+    val corpus = Seq(
+      (10L, "apple pad x y z w"),
+      (11L, "pad pad x y apple w"),
+      (12L, "other filler text here now ok"))
+      .toDF("doc_id", "text")
+    val fpost = Retrieval.bm25fPostings(corpus, titleLen = 2)
+    // field split: doc 10 title {apple, pad}; doc 11 title {pad}x2
+    val p10 = fpost.filter(col("doc_id") === 10L && col("term") === "apple")
+      .head()
+    assert(p10.getLong(2) == 1L && p10.getLong(3) == 0L) // tf_t, tf_b
+    assert(p10.getLong(4) == 2L && p10.getLong(5) == 4L) // fl_t, fl_b
+    val (nd, avgT, avgB) = Retrieval.bm25fStats(corpus, fpost)
+    assert(nd == 3L)
+    val got = Retrieval.bm25fTopK(fpost,
+      Seq((100L, "apple")).toDF("query_id", "text"), nd, avgT, avgB,
+      kTop = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((10L, 1), (11L, 2)))
+  }
+
   test("snippets: window slice, end-truncation, query-term highlighting") {
     val pass = Seq((100L, 0L, 3L, 1), (100L, 5L, 3L, 2))
       .toDF("query_id", "doc_id", "window_start", "rank")
