@@ -33,11 +33,13 @@ object PrioritySample {
   /** 2^40 — the priority fixed-point scale. */
   private val P40 = 1099511627776L
 
-  /** (grp, rank, id, w, pr, tau, est_milli) — the k sampled items per
-    * group in priority order, the group threshold τ (null in the
-    * exact regime), and the DLT estimator in milli units:
-    * est_milli = max(w, τ)·1000 (τ already in natural units). */
-  def sample(items: DataFrame, k: Int, grpCol: String = "grp",
+  /** The sampler's complete state: (grp, rank, id, w, pr) — the
+    * top-(k+1) priority rows per group (ranks 1..k+1; fewer when the
+    * group is smaller). This IS the mergeable summary: priorities are
+    * pure functions of (id, w), so topState(A ∪ B) ==
+    * topState(topState(A) ∪ B) row for row — the streaming
+    * maintenance law ([[graft.streaming.SampleIngest]]). */
+  def topState(items: DataFrame, k: Int, grpCol: String = "grp",
       idCol: String = "id", wCol: String = "w"): DataFrame = {
     require(k >= 1, s"k must be at least 1, got $k")
     val base = items.select(col(grpCol).as("grp"), col(idCol).as("id"),
@@ -54,13 +56,19 @@ object PrioritySample {
       .select(col("grp"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
         col("e.id").as("id"), col("e.score").as("pr"))
-    val tau = ranked.filter(col("rank") === k + 1)
-      .select(col("grp"), col("pr").as("tau"))
-    // weights back onto the sampled ids: sample-sized build side,
+    // weights back onto the surviving ids: summary-sized build side,
     // broadcast into the (corpus-sized) items — one narrow pass
-    val picked = ranked.filter(col("rank") <= k)
+    base.join(broadcast(ranked), Seq("grp", "id"))
+      .select(col("grp"), col("rank"), col("id"), col("w"), col("pr"))
+  }
+
+  /** τ/estimator finalization over a [[topState]] frame: ranks ≤ k
+    * with the group threshold and est_milli columns attached. */
+  def estimate(state: DataFrame, k: Int): DataFrame = {
+    val tau = state.filter(col("rank") === k + 1)
+      .select(col("grp"), col("pr").as("tau"))
+    state.filter(col("rank") <= k)
       .join(broadcast(tau), Seq("grp"), "left_outer")
-    base.join(broadcast(picked), Seq("grp", "id"))
       .withColumn("est_milli",
         when(col("tau").isNull, col("w") * lit(1000L))
           .otherwise(greatest(col("w") * lit(1000L),
@@ -68,4 +76,12 @@ object PrioritySample {
       .select(col("grp"), col("rank"), col("id"), col("w"), col("pr"),
         col("tau"), col("est_milli"))
   }
+
+  /** (grp, rank, id, w, pr, tau, est_milli) — the k sampled items per
+    * group in priority order, the group threshold τ (null in the
+    * exact regime), and the DLT estimator in milli units:
+    * est_milli = max(w, τ)·1000 (τ already in natural units). */
+  def sample(items: DataFrame, k: Int, grpCol: String = "grp",
+      idCol: String = "id", wCol: String = "w"): DataFrame =
+    estimate(topState(items, k, grpCol, idCol, wCol), k)
 }
