@@ -233,6 +233,137 @@ object Pq {
         col("adc_dist"), col("rank"))
   }
 
+  /** Composite (query, list) table-key base for the residual probe:
+    * key = query_id · 2^20 + list_id, so list ids must stay below
+    * 2^20 (a million-list index — far above any nlist in use; the
+    * probe validates). */
+  val ListKeyMul: Long = 1L << 20
+
+  /** Residual vectors r = v − c_assigned — the quantities residual
+    * IVF-PQ codes actually store. `assignments` is (id, v, list_id)
+    * (the persisted IVF layout), `centroids` (list_id, centroid);
+    * both sides cast to double BEFORE subtracting so the residual is
+    * bit-identical to the sequential witness's double arithmetic.
+    * One broadcast join + a row-local zip. */
+  def residuals(assignments: DataFrame, centroids: DataFrame): DataFrame =
+    assignments
+      .join(broadcast(centroids), Seq("list_id"))
+      .select(col("id"),
+        zip_with(col("v").cast("array<double>"),
+          col("centroid").cast("array<double>"),
+          (a, b) => a - b).as("rv"))
+
+  /** RESIDUAL IVF-PQ — the actual IVFADC of Jégou et al. 2011 (§ IV):
+    * codes quantize the residual r = v − c_list rather than v itself,
+    * which centers every list's codebook input near the origin and
+    * cuts quantization error for the same 8 B/vector (the reason FAISS
+    * IndexIVFPQ encodes residuals by default). The price is that ADC
+    * tables become per-(query, probed list): the query's residual
+    * q − c_list differs per list, so each probed list gets its own
+    * m×k table — nprobe× more driver table state than [[ivfpqTopK]],
+    * still bounded by the probe batch (q102 convention). The scoring
+    * pass reuses [[graft.functions.PqAdcExpr]] unchanged through a
+    * composite (query · 2^20 + list) table key.
+    *
+    * `model` must be trained on [[residuals]] and `indexed` must carry
+    * codes encoded FROM residuals — same (id, list_id, codes) layout
+    * as the raw probe. Ties break (adc_dist asc, id asc); the query
+    * itself is excluded; NULL scores sort last. */
+  def ivfpqResidualTopK(queries: DataFrame, centroids: DataFrame,
+      indexed: DataFrame, model: PqModel, kTop: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        graft.functions.VectorExpressions.sqDist(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collects — probe batch × nprobe pairs, nlist centroids
+    val qvs: Map[Long, Array[Double]] = q.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents: Map[Long, Array[Double]] = centroids
+      .select(col("list_id").cast("long"),
+        col("centroid").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require(cents.keys.forall(l => l >= 0 && l < ListKeyMul),
+      s"list ids must lie in [0, $ListKeyMul) for the composite table key")
+    val pairs: Seq[(Long, Long)] = probes
+      .select(col("query_id"), col("list_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dsub = model.dim / model.m
+    val tables: Map[Long, Seq[Seq[Double]]] = pairs.map { case (qid, lid) =>
+      val qv = qvs(qid)
+      val c = cents(lid)
+      (qid * ListKeyMul + lid) -> (0 until model.m).map { s =>
+        (0 until model.k).map { cd =>
+          val cw = model.codebooks(s)(cd)
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val d = (qv(s * dsub + i) - c(s * dsub + i)) - cw(i)
+            acc += d * d
+            i += 1
+          }
+          acc
+        }.toSeq
+      }.toSeq
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc_nulls_last, col("id").asc)
+    // probes stays persisted: the tiny (probe-batch × nprobe) frame is
+    // read again by the scoring join below
+    probes.join(indexed, Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("_tkey",
+        col("query_id") * lit(ListKeyMul) + col("list_id").cast("long"))
+      .withColumn("adc_dist",
+        graft.functions.PqAdcExpr.of(col("_tkey"), col("codes"), tables))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adc_dist"), col("rank"))
+  }
+
+  /** Exact re-ranking of an ANN shortlist (the FAISS IVFADC+R
+    * refinement, Jégou et al. 2011 § V): the compressed-domain probe
+    * produces a shortlist of `R = kTop × rFactor` candidates per
+    * query, and ONLY those ids' full-width vectors are fetched and
+    * scored exactly — at 100 TB the exact pass touches |q|·R vectors
+    * instead of the corpus, so the raw store is read through an
+    * id-keyed join (bucketable on id) at shortlist size. `shortlist`
+    * is any (query_id, neighbor_id, adc_dist) frame ([[adcTopK]] /
+    * [[ivfpqTopK]] / [[ivfpqResidualTopK]] output); `corpus` supplies
+    * the raw vectors. Ties break (exact_dist asc, id asc); NULLs
+    * (a shortlist id missing from the corpus) sort last. Keeps
+    * `adc_dist` alongside so the compressed/exact gap is observable. */
+  def refineExact(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, kTop: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("exact_dist").asc_nulls_last, col("neighbor_id").asc)
+    shortlist.select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+      .join(vecs, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("exact_dist",
+        graft.functions.VectorExpressions.sqDist(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("neighbor_id"), col("exact_dist"),
+        col("adc_dist"), col("rank"))
+  }
+
   // ------------------------------------------------------------------
   // Sequential WITNESS — plain arrays and loops, id-sorted folds, the
   // same KppInit hash contract; no shared mechanism (q139 discipline).

@@ -146,6 +146,55 @@ object ExtensionQueries {
     path
   }
 
+  /** Build-once-per-(session, sf) RESIDUAL PQ witness fixture for
+    * q192: sequential residuals r = v − c(assigned list) computed from
+    * the PERSISTED engine index parquet (assignments carry v, so the
+    * witness subtracts exactly the doubles the engine's
+    * [[graft.operators.Pq.residuals]] zip_with sees — the q152
+    * precedent of both sides reading the same persisted fixture), then
+    * [[graft.operators.Pq.trainWitness]] over those residuals. Written
+    * as (sub, code, pos, c) scalar rows to
+    * `pq_witness/residual_codebooks`. */
+  private val resPqFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ensureResidualPqFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val path = ensureIvfFixture(s, dir)
+    resPqFixtureBuilt.computeIfAbsent(key, _ => {
+      import s.implicits._
+      val cents: Map[Int, Array[Double]] = s.read
+        .parquet(s"$path/centroids")
+        .select(col("list_id").cast("int"),
+          col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val rvs = s.read.parquet(s"$path/assignments")
+        .select(col("id"), col("v").cast("array<double>"),
+          col("list_id").cast("int"))
+        .collect()
+        .map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val c = cents(r.getInt(2))
+          val rv = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { rv(i) = v(i) - c(i); i += 1 }
+          (r.getLong(0), rv)
+        }.toSeq
+      val (cbs, _) = graft.operators.Pq.trainWitness(rvs, PqM, PqK)
+      cbs.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.flatMap { case (cw, code) =>
+          cw.zipWithIndex.map { case (x, pos) =>
+            (sub, code, pos.toLong, x) }
+        }
+      }.toSeq.toDF("sub", "code", "pos", "c")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/pq_witness/residual_codebooks")
+      true
+    })
+    path
+  }
+
   val entries: Map[String, QueryDef] = Map(
 
     // Rolling Rabin-Karp window fingerprints with mod-sampling: the
@@ -618,6 +667,193 @@ object ExtensionQueries {
         model, kTop = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
           col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // RESIDUAL IVF-PQ (IVFADC, Jégou et al. 2011 § IV): codes quantize
+    // r = v − c_list instead of v, so every list's codebook input is
+    // centered near the origin — lower quantization error for the same
+    // 8 B/vector, the FAISS IndexIVFPQ default. ADC tables become
+    // per-(query, probed list) because the query residual differs per
+    // list. The oracle re-derives EVERYTHING in DuckDB from the two
+    // persisted witness fixtures: residuals from the index parquet
+    // (v − centroid), codes from the residual witness codebooks,
+    // per-(query, list) tables, and the sub-ordered fold — the full
+    // residual pipeline independently priced.
+    "q192_ivfpq_residual_topk" -> QueryDef(
+      s"""WITH cb AS (SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+         |              list(c ORDER BY pos) AS cw
+         |            FROM read_parquet('$IvfFixtureToken/pq_witness/residual_codebooks/*.parquet')
+         |            GROUP BY 1, 2),
+         |ivc AS (SELECT CAST(list_id AS INT) AS list_id, centroid
+         |        FROM read_parquet('$IvfFixtureToken/centroids/*.parquet')),
+         |a AS (SELECT id, v, CAST(list_id AS INT) AS list_id
+         |      FROM read_parquet('$IvfFixtureToken/assignments/*/*.parquet',
+         |                        hive_partitioning = true)),
+         |rv AS (SELECT a.id, a.list_id,
+         |         list_transform(list_zip(a.v, ivc.centroid),
+         |           x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+         |       FROM a JOIN ivc USING (list_id)),
+         |sv AS (SELECT id, CAST(s.sub AS INT) AS sub,
+         |         rv[CAST(s.sub*8+1 AS INT):CAST(s.sub*8+8 AS INT)] AS sv
+         |       FROM rv CROSS JOIN (SELECT unnest(range(8)) AS sub) s),
+         |dd AS (SELECT id, sub, code,
+         |        ${sqDistSql("sv", "cw")} AS dist
+         |      FROM sv JOIN cb USING (sub)),
+         |codes AS (SELECT id, sub, code FROM (
+         |  SELECT id, sub, code,
+         |         ROW_NUMBER() OVER (PARTITION BY id, sub
+         |           ORDER BY dist ASC, code ASC) AS rk FROM dd) WHERE rk = 1),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id < $IvfFixtureCap),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |      WHERE vec_id < 8),
+         |cd AS (SELECT query_id, list_id,
+         |         ${sqDistSql("qv", "centroid")} AS cdist
+         |       FROM q CROSS JOIN ivc),
+         |probes AS (SELECT query_id, list_id FROM (
+         |  SELECT query_id, list_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cdist ASC, list_id ASC) AS crank FROM cd)
+         |  WHERE crank <= 4),
+         |qrv AS (SELECT p.query_id, p.list_id,
+         |          list_transform(list_zip(q.qv, ivc.centroid),
+         |            x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qrv
+         |        FROM probes p JOIN q USING (query_id) JOIN ivc USING (list_id)),
+         |tbl AS (SELECT query_id, list_id, cb.sub, cb.code,
+         |          ${sqDistSql(
+             "qrv[CAST(cb.sub*8+1 AS INT):CAST(cb.sub*8+8 AS INT)]", "cw")} AS dist
+         |        FROM qrv CROSS JOIN cb),
+         |cand AS (SELECT p.query_id, a.id, a.list_id
+         |         FROM probes p JOIN a USING (list_id)
+         |         WHERE p.query_id <> a.id),
+         |sc AS (SELECT cand.query_id, cand.id AS neighbor_id,
+         |         list_sum(list(t.dist ORDER BY t.sub)) AS adc_dist
+         |       FROM cand
+         |       JOIN codes c ON c.id = cand.id
+         |       JOIN tbl t ON t.query_id = cand.query_id
+         |         AND t.list_id = cand.list_id
+         |         AND t.sub = c.sub AND t.code = c.code
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, adc_dist, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      val fixture = ensureIvfFixture(s, dir)
+      ensureResidualPqFixture(s, dir)
+      val persisted = graft.operators.IvfAnn.read(s, fixture)
+      val rv = graft.operators.Pq.residuals(
+        persisted.assignments, persisted.centroids)
+      val model = graft.operators.Pq.train(rv, PqM, PqK,
+        idCol = "id", vecCol = "rv")
+      val indexed = persisted.assignments.select(col("id"), col("list_id"))
+        .join(graft.operators.Pq.encode(rv, model,
+          idCol = "id", vecCol = "rv"), Seq("id"))
+      graft.operators.Pq.ivfpqResidualTopK(
+        fixtureCorpus(s, dir).filter(col("vec_id") < 8),
+        persisted.centroids, indexed, model, kTop = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVFADC+R (Jégou et al. 2011 § V): the residual-ADC probe keeps a
+    // 3× shortlist, then ONLY those ids' raw vectors are fetched and
+    // re-ranked by exact squared L2 — the compressed scan prices the
+    // corpus at 8 B/vector, the exact pass touches |q|·R rows. The
+    // oracle re-derives the full chain (q192's pipeline at R = 30,
+    // then the exact re-rank from the raw embeddings) in DuckDB.
+    "q193_ivfpq_refine" -> QueryDef(
+      s"""WITH cb AS (SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+         |              list(c ORDER BY pos) AS cw
+         |            FROM read_parquet('$IvfFixtureToken/pq_witness/residual_codebooks/*.parquet')
+         |            GROUP BY 1, 2),
+         |ivc AS (SELECT CAST(list_id AS INT) AS list_id, centroid
+         |        FROM read_parquet('$IvfFixtureToken/centroids/*.parquet')),
+         |a AS (SELECT id, v, CAST(list_id AS INT) AS list_id
+         |      FROM read_parquet('$IvfFixtureToken/assignments/*/*.parquet',
+         |                        hive_partitioning = true)),
+         |rv AS (SELECT a.id, a.list_id,
+         |         list_transform(list_zip(a.v, ivc.centroid),
+         |           x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+         |       FROM a JOIN ivc USING (list_id)),
+         |sv AS (SELECT id, CAST(s.sub AS INT) AS sub,
+         |         rv[CAST(s.sub*8+1 AS INT):CAST(s.sub*8+8 AS INT)] AS sv
+         |       FROM rv CROSS JOIN (SELECT unnest(range(8)) AS sub) s),
+         |dd AS (SELECT id, sub, code,
+         |        ${sqDistSql("sv", "cw")} AS dist
+         |      FROM sv JOIN cb USING (sub)),
+         |codes AS (SELECT id, sub, code FROM (
+         |  SELECT id, sub, code,
+         |         ROW_NUMBER() OVER (PARTITION BY id, sub
+         |           ORDER BY dist ASC, code ASC) AS rk FROM dd) WHERE rk = 1),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id < $IvfFixtureCap),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |      WHERE vec_id < 8),
+         |cd AS (SELECT query_id, list_id,
+         |         ${sqDistSql("qv", "centroid")} AS cdist
+         |       FROM q CROSS JOIN ivc),
+         |probes AS (SELECT query_id, list_id FROM (
+         |  SELECT query_id, list_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cdist ASC, list_id ASC) AS crank FROM cd)
+         |  WHERE crank <= 4),
+         |qrv AS (SELECT p.query_id, p.list_id,
+         |          list_transform(list_zip(q.qv, ivc.centroid),
+         |            x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qrv
+         |        FROM probes p JOIN q USING (query_id) JOIN ivc USING (list_id)),
+         |tbl AS (SELECT query_id, list_id, cb.sub, cb.code,
+         |          ${sqDistSql(
+             "qrv[CAST(cb.sub*8+1 AS INT):CAST(cb.sub*8+8 AS INT)]", "cw")} AS dist
+         |        FROM qrv CROSS JOIN cb),
+         |cand AS (SELECT p.query_id, a.id, a.list_id
+         |         FROM probes p JOIN a USING (list_id)
+         |         WHERE p.query_id <> a.id),
+         |sc AS (SELECT cand.query_id, cand.id AS neighbor_id,
+         |         list_sum(list(t.dist ORDER BY t.sub)) AS adc_dist
+         |       FROM cand
+         |       JOIN codes c ON c.id = cand.id
+         |       JOIN tbl t ON t.query_id = cand.query_id
+         |         AND t.list_id = cand.list_id
+         |         AND t.sub = c.sub AND t.code = c.code
+         |       GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id, adc_dist FROM (
+         |  SELECT query_id, neighbor_id, adc_dist,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc)
+         |  WHERE rk <= 30),
+         |ex AS (SELECT s.query_id, s.neighbor_id, s.adc_dist,
+         |         ${sqDistSql("q.qv", "e2.embedding")} AS exact_dist
+         |       FROM short s JOIN q ON q.query_id = s.query_id
+         |       JOIN e e2 ON e2.vec_id = s.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, exact_dist, adc_dist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY exact_dist ASC, neighbor_id ASC) AS INT) AS rank
+         |      FROM ex)
+         |SELECT query_id, neighbor_id, exact_dist, adc_dist, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      val fixture = ensureIvfFixture(s, dir)
+      ensureResidualPqFixture(s, dir)
+      val persisted = graft.operators.IvfAnn.read(s, fixture)
+      val rv = graft.operators.Pq.residuals(
+        persisted.assignments, persisted.centroids)
+      val model = graft.operators.Pq.train(rv, PqM, PqK,
+        idCol = "id", vecCol = "rv")
+      val indexed = persisted.assignments.select(col("id"), col("list_id"))
+        .join(graft.operators.Pq.encode(rv, model,
+          idCol = "id", vecCol = "rv"), Seq("id"))
+      val corpus = fixtureCorpus(s, dir)
+      val queries = corpus.filter(col("vec_id") < 8)
+      val short = graft.operators.Pq.ivfpqResidualTopK(
+        queries, persisted.centroids, indexed, model, kTop = 30, nprobe = 4)
+      graft.operators.Pq.refineExact(short, queries, corpus, kTop = 10)
+        .select(col("query_id"), col("neighbor_id"), col("exact_dist"),
+          col("adc_dist"), col("rank").cast("int").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
 

@@ -209,4 +209,131 @@ class PqSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("invalid vector"))
   }
+
+  test("residual ivfpq: score is exactly the per-(query, list) table sum") {
+    implicit val s: SparkSession = spark
+    import graft.operators.IvfAnn
+    val vecs = randomVecs(80, 8, 31L)
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val idx = IvfAnn.build(df, nlist = 4)
+    val rv = Pq.residuals(idx.assignments, idx.centroids)
+    val model = Pq.train(rv, m = 4, k = 6, iters = 2,
+      idCol = "id", vecCol = "rv")
+    val indexed = idx.assignments.select(col("id"), col("list_id"))
+      .join(Pq.encode(rv, model, idCol = "id", vecCol = "rv"), Seq("id"))
+    val top = Pq.ivfpqResidualTopK(df.filter(col("vec_id") < 12),
+      idx.centroids, indexed, model, kTop = 5, nprobe = 2).collect()
+    assert(top.nonEmpty)
+    val byId = vecs.toMap
+    val cents = idx.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val listOf = idx.assignments.select(col("id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val codeById = indexed.select(col("id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    val dsub = model.dim / model.m
+    top.foreach { r =>
+      val (qid, nid, got) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(qid != nid, "self-match must be excluded")
+      // the kernel's exact association: per-sub table entry computed
+      // from ((qv − c_list) − cw), the m subtotals summed ascending —
+      // c_list is the NEIGHBOR's list centroid (the list the candidate
+      // was probed from), the residual-IVFPQ-defining detail
+      val qv = byId(qid)
+      val c = cents(listOf(nid))
+      var acc = 0.0
+      for (sub <- 0 until model.m) {
+        val cw = model.codebooks(sub)(codeById(nid)(sub) & 0xFF)
+        var entry = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = (qv(sub * dsub + i) - c(sub * dsub + i)) - cw(i)
+          entry += d * d; i += 1
+        }
+        acc += entry
+      }
+      assert(acc == got, s"residual ADC mismatch for ($qid,$nid): $acc vs $got")
+    }
+  }
+
+  test("residual ivfpq: nlist == 1 degenerates to plain ADC on the translated corpus") {
+    // with a single list every residual is v − c for the SAME c, and
+    // the query residual is q − c — squared L2 is translation-
+    // invariant, so residual IVF-PQ must equal adcTopK run entirely in
+    // residual space (same model, same codes): same dists, same ranks
+    implicit val s: SparkSession = spark
+    import graft.operators.IvfAnn
+    val vecs = randomVecs(60, 8, 41L)
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val idx = IvfAnn.build(df, nlist = 1)
+    val rv = Pq.residuals(idx.assignments, idx.centroids)
+      .persist()
+    val model = Pq.train(rv, m = 4, k = 6, iters = 2,
+      idCol = "id", vecCol = "rv")
+    val codes = Pq.encode(rv, model, idCol = "id", vecCol = "rv")
+    val indexed = idx.assignments.select(col("id"), col("list_id"))
+      .join(codes, Seq("id"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    val residualSide = Pq.ivfpqResidualTopK(df.filter(col("vec_id") < 12),
+      idx.centroids, indexed, model, kTop = 5, nprobe = 1)
+      .collect().map(key).toSet
+    val translated = Pq.adcTopK(
+      rv.filter(col("id") < 12), codes, model, kTop = 5,
+      idCol = "id", vecCol = "rv").collect().map(key).toSet
+    rv.unpersist()
+    assert(residualSide == translated)
+    assert(residualSide.nonEmpty)
+  }
+
+  test("refineExact: a full-corpus shortlist recovers exact search") {
+    // when the shortlist covers every candidate, refinement must equal
+    // brute-force exact top-k — the law that makes the rFactor knob a
+    // pure recall/cost trade with no correctness cliff
+    implicit val s: SparkSession = spark
+    val vecs = randomVecs(50, 8, 61L)
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val model = Pq.train(df, m = 4, k = 4, iters = 2)
+    val codes = Pq.encode(df, model)
+    val short = Pq.adcTopK(queries, codes, model, kTop = vecs.length)
+    val got = Pq.refineExact(short, queries, df, kTop = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val byId = vecs.toMap
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val expected = byId.keys.filter(_ < 10).flatMap { qid =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, sq(byId(qid), nv)) }
+        .sortBy { case (nid, d) => (d, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, d), i) => (qid, i + 1, nid, d) }
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("residual ivfpq rejects list ids outside the composite-key range") {
+    implicit val s: SparkSession = spark
+    val df = randomVecs(20, 8, 51L).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val model = Pq.train(df, m = 2, k = 4, iters = 1)
+    val badCents = Seq((Pq.ListKeyMul.toInt, Seq.fill(8)(0.0)))
+      .toDF("list_id", "centroid")
+    val indexed = Pq.encode(df, model)
+      .withColumn("list_id", lit(Pq.ListKeyMul.toInt))
+    val e = intercept[IllegalArgumentException] {
+      Pq.ivfpqResidualTopK(df.filter(col("vec_id") < 4), badCents,
+        indexed, model, kTop = 3, nprobe = 1)
+    }
+    assert(e.getMessage.contains("composite table key"))
+  }
 }
