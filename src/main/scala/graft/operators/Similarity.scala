@@ -110,6 +110,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Coarse-to-fine adaptive retrieval (the Matryoshka-representation
+    * pattern, Kusupati et al. 2022): the corpus is scored on the FIRST
+    * `prefixDims` dimensions only — MRL-trained embeddings front-load
+    * information, so a dim-16 prefix of a dim-64 vector is a usable
+    * coarse ranker at a quarter of the bytes (with a prefix-column
+    * parquet layout the scan reads only that column) — then ONLY the
+    * per-query `shortK` shortlist is re-ranked by full-width cosine.
+    * Same broadcast-query one-corpus-pass shape as [[bruteForceTopK]];
+    * the refine pass is an id-keyed join at shortlist size, never a
+    * second corpus scan's width. Coarse ties (coarse desc, id asc);
+    * final ties (cosine desc, id asc); self-matches excluded. Keeps
+    * `coarse_cosine` alongside so the prefix/full gap is observable. */
+  def prefixRefineTopK(queries: DataFrame, corpus: DataFrame,
+      prefixDims: Int, shortK: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims=$prefixDims must be >= 1")
+    require(shortK >= k, s"shortK=$shortK must cover k=$k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      slice(col(vecCol), 1, prefixDims).as("qp"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      slice(col(vecCol), 1, prefixDims).as("cp"))
+    val coarseW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("coarse_cosine").desc, col("neighbor_id").asc)
+    val short = c
+      .join(broadcast(q.select(col("query_id"), col("qp"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse_cosine", cosine(col("qp"), col("cp")))
+      .withColumn("crank", row_number().over(coarseW))
+      .filter(col("crank") <= shortK)
+      .select(col("query_id"), col("neighbor_id"), col("coarse_cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("coarse_cosine"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar corpus vectors with a DIFFERENT
     * label — the nearest wrong answers, which carry the most gradient

@@ -624,6 +624,43 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // Coarse-to-fine adaptive retrieval (Matryoshka pattern): the
+    // corpus is ranked on the first 16 of 64 dims (a quarter of the
+    // scan bytes; with a prefix-column layout, a quarter-width column),
+    // then only the 30-deep shortlist re-ranks at full width — the
+    // id-keyed refine join is shortlist-sized, never a corpus pass.
+    "q194_prefix_refine_topk" -> QueryDef(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             embedding[1:16] AS qp
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        embedding[1:16] AS cp FROM embeddings),
+         |coarse AS (SELECT query_id, neighbor_id,
+         |             ${cosineSql("qp", "cp")} AS coarse_cosine
+         |           FROM c JOIN q ON query_id <> neighbor_id),
+         |short AS (SELECT query_id, neighbor_id, coarse_cosine FROM (
+         |  SELECT query_id, neighbor_id, coarse_cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY coarse_cosine DESC, neighbor_id ASC) AS crank
+         |  FROM coarse) WHERE crank <= 30),
+         |fine AS (SELECT s.query_id, s.neighbor_id,
+         |           ${cosineSql("q.qv", "c.cv")} AS cosine, s.coarse_cosine
+         |         FROM short s JOIN q ON q.query_id = s.query_id
+         |         JOIN c ON c.neighbor_id = s.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine, coarse_cosine,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+         |      FROM fine)
+         |SELECT query_id, neighbor_id, cosine, coarse_cosine, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.prefixRefineTopK(e.filter(col("vec_id") < 10), e,
+        prefixDims = 16, shortK = 30, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("coarse_cosine"), col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Semantic decontamination: per train vector, max cosine against the
     // broadcast benchmark embedding set + nearest bench id + threshold
     // flag — the embedding-space leak detector (catches paraphrased /

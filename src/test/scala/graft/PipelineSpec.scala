@@ -541,6 +541,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(gens.length == 2, gens.mkString(","))
   }
 
+  test("prefixRefineTopK: full-width prefix + full shortlist == brute force") {
+    // prefixDims = dim makes the coarse pass exact, shortK >= corpus
+    // makes the shortlist total — refinement must equal bruteForceTopK
+    // bitwise (cosines AND ranks); coarse_cosine == cosine row-for-row
+    import spark.implicits._
+    val rnd = new scala.util.Random(194L)
+    val df = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextInt(2000) - 1000) / 997.0)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 6)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(r.length - 1), r.getLong(1), r.getDouble(2))
+    val brute = Similarity.bruteForceTopK(queries, df, k = 5)
+      .collect().map(key).toSet
+    val refined = Similarity.prefixRefineTopK(queries, df,
+      prefixDims = 8, shortK = 40, k = 5).collect()
+    assert(refined.map(key).toSet == brute)
+    refined.foreach(r => assert(r.getDouble(2) == r.getDouble(3),
+      "full-width coarse pass must equal the fine cosine"))
+    // a genuine 2-dim prefix still yields k dense ranks per query
+    val narrow = Similarity.prefixRefineTopK(queries, df,
+      prefixDims = 2, shortK = 10, k = 5).collect()
+    narrow.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to 5))
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.prefixRefineTopK(queries, df, prefixDims = 2,
+        shortK = 3, k = 5)
+    }
+    assert(e.getMessage.contains("must cover"))
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "stable text"), (2L, "will change"), (3L, "goes away"))
