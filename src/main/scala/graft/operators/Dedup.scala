@@ -21,7 +21,9 @@ import graft.functions.TextFunctions._
   *     candidate generator — exposed standalone for small/medium corpora.
   *
   * All-pairs variants are intentionally absent: anything O(N²) on the full
-  * corpus is the wrong plan at scale.
+  * corpus is the wrong plan at scale. The EXACT-threshold pair set (no LSH
+  * false negatives) is still available — [[similarityJoin]] reaches it
+  * through prefix filtering, never through the quadratic product.
   */
 object Dedup {
 
@@ -186,6 +188,67 @@ object Dedup {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_distinct(concat(a, b))).cast("double")
     when(union > 0, inter / union).otherwise(0.0)
+  }
+
+  /** EXACT-threshold Jaccard similarity join via prefix filtering (the
+    * AllPairs/SSJoin family — Bayardo et al. 2007, Chaudhuri et al.
+    * 2006): every pair of docs whose distinct-shingle Jaccard meets
+    * `tMilli`/1000, with NO LSH false negatives and NO quadratic
+    * product. Each doc emits only its PREFIX shingles — the
+    * p = |s| − ceil(t·|s|) + 1 rarest under the global (df asc,
+    * shingle asc) order — and a pair becomes a candidate only on a
+    * shared prefix shingle. Completeness: J(a,b) ≥ t ⇒ |a∩b| ≥
+    * ceil(t·|a∪b|) ≥ ceil(t·max(|a|,|b|)); if the two prefixes were
+    * disjoint, every common shingle would sit in the suffixes, and
+    * under a SHARED total order the doc whose prefix ends earlier has
+    * a suffix of only ceil(t·|s|) − 1 elements — too small to hold
+    * that intersection. The candidate join therefore runs on the
+    * RAREST shingles only: the df skew that makes a naive token join
+    * quadratic is filtered out by construction, and the exact verify
+    * join is candidate-bounded, never corpus². Integer contract:
+    * keep iff 1000·|∩| ≥ tMilli·|∪|; jacc_milli = 1000·|∩| div |∪|.
+    * Output: (id_a, id_b, inter, un, jacc_milli), id_a < id_b. */
+  def similarityJoin(docs: DataFrame, tMilli: Int, shingleSize: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tMilli >= 1 && tMilli <= 1000,
+      s"tMilli=$tMilli outside [1, 1000]")
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.ShingleExpressions
+        .wordShinglesDistinct(col(textCol), shingleSize).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = sh.select(col("id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("t"))
+    // global shingle document frequencies: vocabulary-shaped but NOT
+    // broadcastable at corpus scale (shingle vocab grows with the
+    // corpus) — a plain shuffle join on t is the right plan
+    val dfT = e.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("t").asc)
+    val pref = e.join(dfT, Seq("t"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("sz") - expr(s"CAST(($tMilli * sz + 999) DIV 1000 AS INT)") + 1)
+      .select(col("id"), col("t"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verify on candidates only: shared-shingle counts from the
+    // exploded frame (pair-bounded), sizes from the persisted sh
+    val inter = cand
+      .join(e.select(col("id").as("id_a"), col("t")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val szs = sh.select(col("id"), size(col("toks")).as("sz"))
+    inter
+      .join(szs.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(szs.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("un",
+        (col("sz_a").cast("long") + col("sz_b") - col("inter")).as("un"))
+      .filter(lit(1000L) * col("inter") >= lit(tMilli.toLong) * col("un"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+        expr("(1000 * inter) DIV un").as("jacc_milli"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard

@@ -606,6 +606,33 @@ object PipelineQueries {
         .orderBy(col("id_a"))
     },
 
+    // EXACT-threshold similarity JOIN via prefix filtering (AllPairs):
+    // the full J >= 0.5 pair set with no LSH false negatives and no
+    // quadratic product — candidates only on shared PREFIX shingles
+    // (the p rarest under the global (df, shingle) order), exact
+    // verify pair-bounded. The oracle derives the same pair set a
+    // DIFFERENT way: every pair sharing ANY shingle (complete because
+    // J >= t > 0 implies a shared shingle), then the same integer
+    // contract — so the prefix filter's completeness is itself what
+    // the compare proves.
+    "q195_similarity_join" -> QueryDef(
+      s"""WITH sh AS (SELECT doc_id AS id, $ShinglesSql AS toks FROM documents),
+         |e AS (SELECT id, unnest(toks) AS t FROM sh),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM e a JOIN e b ON a.t = b.t AND a.id < b.id),
+         |v AS (SELECT id_a, id_b,
+         |        len(list_intersect(sa.toks, sb.toks)) AS inter,
+         |        len(sa.toks) + len(sb.toks)
+         |          - len(list_intersect(sa.toks, sb.toks)) AS un
+         |      FROM cand JOIN sh sa ON sa.id = id_a
+         |                JOIN sh sb ON sb.id = id_b)
+         |SELECT id_a, id_b, inter, un, (1000 * inter) // un AS jacc_milli
+         |FROM v WHERE 1000 * inter >= 500 * un
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.similarityJoin(Tables(s, dir).documents, tMilli = 500)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Brute-force cosine top-k (the exact ANN baseline).
     "q31_cosine_topk" -> QueryDef(
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

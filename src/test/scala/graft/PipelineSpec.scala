@@ -541,6 +541,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(gens.length == 2, gens.mkString(","))
   }
 
+  test("similarityJoin == brute-force threshold pairs at every threshold") {
+    // the prefix filter must be COMPLETE (no pair above t missed) and
+    // the verify EXACT — compare against the quadratic reference the
+    // operator exists to avoid, across thresholds incl. the exact-dup
+    // t = 1000 (where the prefix shrinks to a single rarest shingle)
+    import spark.implicits._
+    val rnd = new scala.util.Random(195L)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g", "hh",
+      "iii", "jj", "kk", "lll")
+    val docs = (0 until 60).map { i =>
+      val len = 5 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plant an exact duplicate and a near duplicate
+    val planted = docs ++ Seq((100L, docs(3)._2),
+      (101L, docs(5)._2 + " extra"))
+    val df = planted.toDF("doc_id", "text")
+    def shinglesOf(text: String): Set[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (t <- Seq(300, 500, 800, 1000)) {
+      val got = Dedup.similarityJoin(df, tMilli = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val expected = (for {
+        (ia, ta) <- planted; (ib, tb) <- planted if ia < ib
+        sa = shinglesOf(ta); sb = shinglesOf(tb)
+        inter = (sa & sb).size.toLong
+        un = sa.size + sb.size - inter
+        if 1000L * inter >= t.toLong * un
+      } yield (ia, ib, inter, un, 1000L * inter / un)).toSet
+      assert(got == expected, s"divergence at t=$t")
+      if (t == 1000)
+        assert(expected.contains((3L, 100L,
+          shinglesOf(docs(3)._2).size.toLong,
+          shinglesOf(docs(3)._2).size.toLong, 1000L)),
+          "planted exact dup must survive t=1000")
+    }
+  }
+
   test("prefixRefineTopK: full-width prefix + full shortlist == brute force") {
     // prefixDims = dim makes the coarse pass exact, shortK >= corpus
     // makes the shortlist total — refinement must equal bruteForceTopK
