@@ -234,6 +234,84 @@ class StreamingSpec extends AnyFunSuite {
       s"term IN pushdown missing from the serve scan:\n$plan")
   }
 
+  test("stream-stream interval join: out-of-order arrivals, batch parity, inclusive bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)] // (view_id, user, vts)
+    val buys = MemoryStream[(Long, Long, Timestamp)]  // (buy_id, buyer, bts)
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      views.toDS().toDF("view_id", "user", "vts"),
+      buys.toDS().toDF("buy_id", "buyer", "bts"),
+      "user", "buyer", "vts", "bts",
+      windowSec = 60, watermarkDelay = "10 seconds")
+    val q = joined.select(col("view_id"), col("buy_id"))
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      views.addData((10L, 1L, ts(0)), (11L, 2L, ts(30000)))
+      buys.addData((20L, 2L, ts(40000)))
+      q.processAllAvailable()
+      // buys matching batch-1 views arrive a batch LATER, alongside a
+      // new view that also claims them — emitted set must not care
+      buys.addData((21L, 1L, ts(60000)), (22L, 1L, ts(61000)))
+      views.addData((12L, 1L, ts(55000)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT view_id, buy_id FROM sj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allV = Seq((10L, 1L, ts(0)), (11L, 2L, ts(30000)),
+        (12L, 1L, ts(55000))).toDF("view_id", "user", "vts")
+      val allB = Seq((20L, 2L, ts(40000)), (21L, 1L, ts(60000)),
+        (22L, 1L, ts(61000))).toDF("buy_id", "buyer", "bts")
+      val expected = graft.streaming.StreamJoin.intervalJoinBatch(
+        allV, allB, "user", "buyer", "vts", "bts", windowSec = 60)
+        .select(col("view_id"), col("buy_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      // the +60s bound is inclusive for view 10, +61s is outside it —
+      // but 61s is inside view 12's [55, 115] window
+      assert(got.contains((10L, 21L)) && !got.contains((10L, 22L)))
+      assert(got.contains((12L, 22L)) && got.contains((11L, 20L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: rows behind the global watermark are dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      views.toDS().toDF("view_id", "user", "vts"),
+      buys.toDS().toDF("buy_id", "buyer", "bts"),
+      "user", "buyer", "vts", "bts",
+      windowSec = 60, watermarkDelay = "10 seconds")
+    val q = joined.select(col("view_id"), col("buy_id"))
+      .writeStream.format("memory").queryName("sj_late")
+      .outputMode("append").start()
+    try {
+      views.addData((30L, 7L, ts(0)))
+      buys.addData((40L, 8L, ts(0)))
+      q.processAllAvailable()
+      // advance BOTH sides (the global watermark is the MIN across
+      // inputs — advancing one side alone would not move it)
+      views.addData((31L, 7L, ts(10000000)))
+      buys.addData((41L, 8L, ts(10000000)))
+      q.processAllAvailable()
+      // a buy at t=5s would match view 30 (5 ∈ [0, 60]) — but it is
+      // far behind the watermark: dropped at the input, and view 30's
+      // buffered state is itself already evicted
+      buys.addData((42L, 7L, ts(5000)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT view_id, buy_id FROM sj_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!got.contains((30L, 42L)), "late row must not match")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, s"expected a watermark drop, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
