@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic top principal component of an embedding corpus — the
+  * decorrelation/whitening preprocessing step ANN quantizers want (PQ
+  * subspaces assume axis-aligned structure; projecting out the top PCs
+  * or rotating onto them is the OPQ-lite move), and a drift probe
+  * (compare this quarter's PC against last quarter's).
+  *
+  * Cross-engine determinism is the hard part: covariance is a
+  * cross-row float sum, which is order-dependent. The pinned contract
+  * makes every accumulation EXACT INTEGER arithmetic:
+  *
+  *   - quantize each element once: q = floor(v·1024 + 0.5) (the q91
+  *     explicit half-up formula — both engines compute identical
+  *     integers);
+  *   - one corpus pass accumulates the integer moment matrix
+  *     S_ij = Σ q_i·q_j (row-local upper-triangle explosion, map-side
+  *     combined into dim(dim+1)/2 cells) and s_i = Σ q_i, n — sums in
+  *     DECIMAL(38,0) (DuckDB: HUGEINT), exact and associative;
+  *   - the scatter matrix M_ij = n·S_ij − s_i·s_j (∝ covariance; power
+  *     iteration is scale-invariant) is exact integer algebra, and the
+  *     operator REQUIRES n²·qmax² < 2^53 so the one int→double
+  *     conversion is exact on both engines — no rounding anywhere
+  *     before the iteration;
+  *   - ten power iterations x ← Mx / ‖Mx‖ from the all-ones start, on
+  *     the driver's 64×64 copy, every fold ascending (matvec j-asc,
+  *     norm i-asc) — the oracle runs the same ten levels as unrolled
+  *     CTEs over list(… ORDER BY …) folds (the q163 discipline), so
+  *     the doubles are bit-identical at every level. The sign needs no
+  *     convention: identical arithmetic from an identical start.
+  *
+  * Driver state is the dim×dim matrix (4 KB at dim 64) — the corpus is
+  * touched by exactly one narrow aggregation pass at any scale. */
+object Pca {
+
+  /** Quantization scale: 2^10. With |v| ≤ 8 the quantized magnitude is
+    * ≤ 2^13, and the [[topComponent]] guard keeps n²·qmax² < 2^53. */
+  val QuantScale = 1024L
+
+  val Iters = 10
+
+  /** floor(v·1024 + 0.5) per element — half-up, exact both engines. */
+  def quantize(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * QuantScale + 0.5))
+
+  /** (pos, pc, eigval): the unit top component by ten deterministic
+    * power iterations, plus its Rayleigh quotient on the scatter
+    * matrix (λ of M = n²·cov-scale; relative comparisons — gap ratios,
+    * drift cosines — are scale-free). */
+  def topComponent(corpus: DataFrame, iters: Int = Iters,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = corpus.select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("qa"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = q.select(size(col("qa"))).head().getInt(0)
+    // upper-triangle products, row-local: dim(dim+1)/2 narrow rows per
+    // vector, partial-aggregated to one cell set per partition
+    val idxs = sequence(lit(0), lit(dim - 1))
+    val pairs = q.select(explode(flatten(transform(idxs, i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("qa"), (i + 1).cast("int")) *
+            element_at(col("qa"), (j + 1).cast("int"))).as("p"))))))
+      .as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("sij"))
+    val sums = q.select(posexplode(col("qa")).as(Seq("i", "qi")))
+      .groupBy(col("i"))
+      .agg(sum(col("qi").cast(DecimalType(38, 0))).as("si"))
+    val stats = q.agg(count(lit(1)),
+      max(array_max(transform(col("qa"), x => abs(x)))),
+      count(when(col("qa").isNull || size(col("qa")) =!= dim ||
+        exists(col("qa"), x => x.isNull), 1))).head()
+    val n = stats.getLong(0)
+    require(stats.getLong(2) == 0L,
+      s"corpus contains ${stats.getLong(2)} invalid vector(s) — clean " +
+        "before PCA")
+    val qmax = math.max(1L, math.abs(stats.getLong(1)))
+    require(BigInt(n) * n * qmax * qmax < (BigInt(1) << 53),
+      s"n=$n, qmax=$qmax: n²·qmax² exceeds 2^53 — the int→double scatter " +
+        "conversion would round; shrink the input or QuantScale")
+    val sArr = new Array[BigInt](dim)
+    sums.collect().foreach(r =>
+      sArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+    val m = Array.ofDim[Double](dim, dim)
+    pairs.collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val sij = BigInt(r.getDecimal(2).toBigInteger)
+      val v = (BigInt(n) * sij - sArr(i) * sArr(j)).toDouble // exact: < 2^53
+      m(i)(j) = v
+      m(j)(i) = v
+    }
+    q.unpersist(false)
+    // ten ascending-fold power iterations on the driver copy
+    var x = Array.fill(dim)(1.0)
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+    for (_ <- 1 to iters) {
+      val y = matvec(x)
+      var nrm2 = 0.0
+      var i = 0
+      while (i < dim) { nrm2 += y(i) * y(i); i += 1 }
+      val nrm = math.sqrt(nrm2)
+      x = y.map(_ / nrm)
+    }
+    val y = matvec(x)
+    var num = 0.0
+    var den = 0.0
+    var i = 0
+    while (i < dim) { num += x(i) * y(i); den += x(i) * x(i); i += 1 }
+    val eig = num / den
+    x.zipWithIndex.map { case (c, pos) => (pos.toLong, c, eig) }
+      .toSeq.toDF("pos", "pc", "eigval")
+  }
+}

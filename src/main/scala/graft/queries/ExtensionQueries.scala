@@ -857,6 +857,56 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Deterministic top principal component (power iteration on the
+    // integer-exact scatter matrix): quantize half-up at 2^10, sum
+    // S_ij/s_i in DECIMAL(38,0)/HUGEINT, M = n·S − s·sᵀ exact and
+    // < 2^53 by a loud guard (the int→double conversion is then exact
+    // on both engines), ten unrolled iterations with ascending folds —
+    // the q163 discipline transplanted to eigen-analysis. One narrow
+    // corpus pass; 4 KB of driver state.
+    "q196_pca_top_component" -> QueryDef({
+      val lvl = (1 to 10).map { k =>
+        s"""y$k AS MATERIALIZED (SELECT m.i AS j,
+           |  list_sum(list(m.c * x.xv ORDER BY m.j)) AS yv
+           |  FROM mfull m JOIN it${k - 1} x ON x.j = m.j GROUP BY m.i),
+           |n$k AS (SELECT sqrt(list_sum(list(yv * yv ORDER BY j))) AS nrm
+           |        FROM y$k),
+           |it$k AS MATERIALIZED (SELECT j, yv / nrm AS xv FROM y$k, n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE vec_id < 65536),
+         |x0 AS MATERIALIZED (SELECT vec_id, CAST(u.i AS INT) AS i,
+         |         CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+         |              * 1024 + 0.5) AS BIGINT) AS q
+         |       FROM e, unnest(range(len(embedding))) u(i)),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |s AS (SELECT i, CAST(sum(q) AS HUGEINT) AS si FROM x0 GROUP BY i),
+         |sp AS (SELECT a.i AS i, b.i AS j,
+         |         CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS sij
+         |       FROM x0 a JOIN x0 b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |       GROUP BY 1, 2),
+         |mm AS (SELECT sp.i, sp.j,
+         |         CAST(nn.n * sp.sij - sa.si * sb.si AS DOUBLE) AS c
+         |       FROM sp CROSS JOIN nn
+         |       JOIN s sa ON sa.i = sp.i JOIN s sb ON sb.i = sp.j),
+         |mfull AS MATERIALIZED (SELECT i, j, c FROM mm UNION ALL
+         |          SELECT j AS i, i AS j, c FROM mm WHERE i <> j),
+         |it0 AS MATERIALIZED (SELECT i AS j, 1.0 AS xv FROM s),
+         |$lvl,
+         |yf AS (SELECT m.i AS j,
+         |         list_sum(list(m.c * x.xv ORDER BY m.j)) AS yv
+         |       FROM mfull m JOIN it10 x ON x.j = m.j GROUP BY m.i),
+         |ray AS (SELECT list_sum(list(x.xv * y.yv ORDER BY x.j)) /
+         |               list_sum(list(x.xv * x.xv ORDER BY x.j)) AS eigval
+         |        FROM it10 x JOIN yf y ON y.j = x.j)
+         |SELECT CAST(x.j AS BIGINT) AS pos, x.xv AS pc, ray.eigval
+         |FROM it10 x CROSS JOIN ray ORDER BY pos""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Pca.topComponent(
+        Tables(s, dir).embeddings.filter(col("vec_id") < 65536))
+        .orderBy(col("pos"))
+    },
+
     // Symmetric int8 quantization of the embedding column: per-vector
     // scale = max|x|/127, code = floor(x/scale + 0.5) — the explicit
     // half-up formula, NOT an engine round(), so both engines compute

@@ -618,16 +618,15 @@ object PipelineQueries {
     "q195_similarity_join" -> QueryDef(
       s"""WITH sh AS (SELECT doc_id AS id, $ShinglesSql AS toks FROM documents),
          |e AS (SELECT id, unnest(toks) AS t FROM sh),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM e a JOIN e b ON a.t = b.t AND a.id < b.id),
-         |v AS (SELECT id_a, id_b,
-         |        len(list_intersect(sa.toks, sb.toks)) AS inter,
-         |        len(sa.toks) + len(sb.toks)
-         |          - len(list_intersect(sa.toks, sb.toks)) AS un
-         |      FROM cand JOIN sh sa ON sa.id = id_a
-         |                JOIN sh sb ON sb.id = id_b)
+         |v AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.t = b.t AND a.id < b.id
+         |      GROUP BY 1, 2),
+         |sz AS (SELECT id, len(toks) AS sz FROM sh),
+         |w AS (SELECT id_a, id_b, inter,
+         |        sa.sz + sb.sz - inter AS un
+         |      FROM v JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b)
          |SELECT id_a, id_b, inter, un, (1000 * inter) // un AS jacc_milli
-         |FROM v WHERE 1000 * inter >= 500 * un
+         |FROM w WHERE 1000 * inter >= 500 * un
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.similarityJoin(Tables(s, dir).documents, tMilli = 500)
         .orderBy(col("id_a"), col("id_b"))

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pca
+
+/** PCA invariants: the distributed build equals a sequential witness
+  * bitwise (possible because every cross-row accumulation is exact
+  * integer arithmetic — row order cannot matter), the component
+  * recovers a planted dominant direction, and the 2^53 exactness guard
+  * fails loudly instead of silently rounding. */
+class PcaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("pca-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  private def witness(vecs: Seq[Array[Double]], iters: Int = Pca.Iters)
+      : (Array[Double], Double) = {
+    val dim = vecs.head.length
+    val q = vecs.map(_.map(x => math.floor(x * Pca.QuantScale + 0.5).toLong))
+    val n = BigInt(q.size)
+    val s = Array.tabulate(dim)(i => q.map(v => BigInt(v(i))).sum)
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      val sij = q.map(v => BigInt(v(i)) * v(j)).sum
+      (n * sij - s(i) * s(j)).toDouble
+    }
+    def matvec(x: Array[Double]) = Array.tabulate(dim) { i =>
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += m(i)(j) * x(j); j += 1 }
+      acc
+    }
+    var x = Array.fill(dim)(1.0)
+    for (_ <- 1 to iters) {
+      val y = matvec(x)
+      val nrm = math.sqrt(y.foldLeft(0.0)((a, v) => a + v * v))
+      x = y.map(_ / nrm)
+    }
+    val y = matvec(x)
+    var num = 0.0; var den = 0.0; var i = 0
+    while (i < dim) { num += x(i) * y(i); den += x(i) * x(i); i += 1 }
+    (x, num / den)
+  }
+
+  test("distributed == sequential witness, bitwise, regardless of row order") {
+    val rnd = new scala.util.Random(196L)
+    val vecs = (0 until 80).map(_ =>
+      Array.fill(6)((rnd.nextInt(2000) - 1000) / 997.0))
+    val (wx, weig) = witness(vecs)
+    // shuffled ingestion order — exact integer sums cannot see it
+    val df = rnd.shuffle(vecs.zipWithIndex.toSeq)
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding").repartition(7)
+    val got = Pca.topComponent(df).orderBy(col("pos")).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      assert(r.getDouble(1) == wx(r.getLong(0).toInt),
+        s"pc[${r.getLong(0)}] diverged")
+      assert(r.getDouble(2) == weig, "eigval diverged")
+    }
+  }
+
+  test("recovers a planted dominant direction") {
+    val rnd = new scala.util.Random(42L)
+    val d = Array(0.6, -0.48, 0.36, -0.24, 0.12, 0.45).map(_ / 1.0)
+    val nrm = math.sqrt(d.map(x => x * x).sum)
+    val dir = d.map(_ / nrm)
+    val vecs = (0 until 200).map { _ =>
+      val t = (rnd.nextInt(2000) - 1000) / 500.0
+      dir.map(_ * t).zip(Array.fill(6)((rnd.nextInt(100) - 50) / 2000.0))
+        .map { case (a, b) => a + b }
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Pca.topComponent(df).orderBy(col("pos")).collect()
+    val pc = got.map(_.getDouble(1))
+    val cos = pc.zip(dir).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.99, s"|cos| = ${math.abs(cos)}")
+    assert(got.head.getDouble(2) > 0, "dominant eigenvalue must be positive")
+  }
+
+  test("exactness guard and invalid vectors fail loudly") {
+    val big = (0 until 10).map(i => (i.toLong, Seq.fill(4)(1.0e7)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.topComponent(big)
+    }
+    assert(e1.getMessage.contains("2^53"))
+    val bad = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, Double.NaN)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        when(col("vec_id") === 2, array(lit(1.0), lit(null).cast("double")))
+          .otherwise(col("embedding")))
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.topComponent(bad)
+    }
+    assert(e2.getMessage.contains("invalid vector"))
+  }
+}
