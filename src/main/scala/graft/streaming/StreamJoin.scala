@@ -47,6 +47,25 @@ object StreamJoin {
         "inner")
   }
 
+  /** Left-outer form — the attribution report that must also show the
+    * UNMATCHED impressions: a left row with no in-window right match
+    * emits (with nulls on the right) only once the watermark passes
+    * l_ts + window, i.e. once no future right row could still match
+    * it. Until then it is buffered, so outer results trail the
+    * watermark by design — the delay is the price of never retracting
+    * an emitted row (Append mode's contract). */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, lTs: String, rTs: String,
+      windowSec: Long, watermarkDelay: String): DataFrame = {
+    require(windowSec >= 0, s"windowSec=$windowSec must be >= 0")
+    left.withWatermark(lTs, watermarkDelay)
+      .join(right.withWatermark(rTs, watermarkDelay),
+        col(leftKey) === col(rightKey) &&
+          col(rTs) >= col(lTs) &&
+          col(rTs) <= col(lTs) + expr(s"INTERVAL $windowSec SECONDS"),
+        "leftOuter")
+  }
+
   /** The batch twin over the same predicate — the spec's parity
     * oracle, and the backfill path a production pipeline runs over
     * historical parquet with identical semantics. */

@@ -275,6 +275,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched lefts emit once the watermark closes their window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.StreamJoin.intervalJoinLeftOuter(
+      views.toDS().toDF("view_id", "user", "vts"),
+      buys.toDS().toDF("buy_id", "buyer", "bts"),
+      "user", "buyer", "vts", "bts",
+      windowSec = 60, watermarkDelay = "10 seconds")
+    val q = joined.select(col("view_id"), col("buy_id"))
+      .writeStream.format("memory").queryName("sj_outer")
+      .outputMode("append").start()
+    try {
+      // view 50 will match; view 51 never will
+      views.addData((50L, 1L, ts(0)), (51L, 2L, ts(0)))
+      buys.addData((60L, 1L, ts(30000)))
+      q.processAllAvailable()
+      val early = spark.sql("SELECT view_id, buy_id FROM sj_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // the inner match emits as soon as both sides are present; the
+      // unmatched view does NOT — its window [0, 60s] is still open
+      assert(early.contains((50L, 60L)))
+      assert(!early.exists(_._1 == 51L),
+        "unmatched left emitted before its window closed")
+      // advance both watermarks past 0 + 60s + delay
+      views.addData((52L, 9L, ts(300000)))
+      buys.addData((61L, 9L, ts(300000)))
+      q.processAllAvailable()
+      views.addData((53L, 9L, ts(301000)))
+      buys.addData((62L, 8L, ts(301000)))
+      q.processAllAvailable()
+      val late = spark.sql("SELECT view_id, buy_id FROM sj_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(late.contains((51L, -1L)),
+        s"unmatched left must emit with a null right after the horizon: $late")
+      assert(!late.contains((50L, -1L)),
+        "a matched left must not ALSO emit an outer null row")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: rows behind the global watermark are dropped") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
