@@ -4,11 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Deterministic top principal component of an embedding corpus — the
+/** Deterministic principal components of an embedding corpus — the
   * decorrelation/whitening preprocessing step ANN quantizers want (PQ
-  * subspaces assume axis-aligned structure; projecting out the top PCs
-  * or rotating onto them is the OPQ-lite move), and a drift probe
-  * (compare this quarter's PC against last quarter's).
+  * subspaces assume axis-aligned structure; projecting onto the top
+  * PCs is the OPQ-lite move), and a drift probe (compare this
+  * quarter's PC against last quarter's).
   *
   * Cross-engine determinism is the hard part: covariance is a
   * cross-row float sum, which is order-dependent. The pinned contract
@@ -29,16 +29,26 @@ import org.apache.spark.sql.types.DecimalType
   *   - ten power iterations x ← Mx / ‖Mx‖ from the all-ones start, on
   *     the driver's 64×64 copy, every fold ascending (matvec j-asc,
   *     norm i-asc) — the oracle runs the same ten levels as unrolled
-  *     CTEs over list(… ORDER BY …) folds (the q163 discipline), so
-  *     the doubles are bit-identical at every level. The sign needs no
-  *     convention: identical arithmetic from an identical start.
+  *     MATERIALIZED CTEs over list(… ORDER BY …) folds (the q163
+  *     discipline), so the doubles are bit-identical at every level.
+  *     The sign needs no convention: identical arithmetic from an
+  *     identical start;
+  *   - further components by Hotelling deflation M ← M − λ·x·xᵀ
+  *     (doubles, fixed association λ·x_i·x_j), then the same ten
+  *     levels again;
+  *   - per-vector projections stay exact-integer until the last step:
+  *     n·c_t = Σ_j (n·q_j − s_j)·x_t[j] — the centered coordinate is
+  *     the integer (n·q_j − s_j) (mean-centering WITHOUT the rational
+  *     mean), folded j-ascending against the component, divided by n
+  *     once at the end.
   *
   * Driver state is the dim×dim matrix (4 KB at dim 64) — the corpus is
-  * touched by exactly one narrow aggregation pass at any scale. */
+  * touched by one narrow aggregation pass to build the scatter and one
+  * narrow projection pass, at any scale. */
 object Pca {
 
   /** Quantization scale: 2^10. With |v| ≤ 8 the quantized magnitude is
-    * ≤ 2^13, and the [[topComponent]] guard keeps n²·qmax² < 2^53. */
+    * ≤ 2^13, and the scatter guard keeps n²·qmax² < 2^53. */
   val QuantScale = 1024L
 
   val Iters = 10
@@ -47,17 +57,11 @@ object Pca {
   def quantize(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * QuantScale + 0.5))
 
-  /** (pos, pc, eigval): the unit top component by ten deterministic
-    * power iterations, plus its Rayleigh quotient on the scatter
-    * matrix (λ of M = n²·cov-scale; relative comparisons — gap ratios,
-    * drift cosines — are scale-free). */
-  def topComponent(corpus: DataFrame, iters: Int = Iters,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val q = corpus.select(col(idCol).as("id"),
-      quantize(col(vecCol)).as("qa"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Integer-exact scatter state off one corpus pass. */
+  private final case class Scatter(n: Long, s: Array[BigInt],
+      m: Array[Array[Double]], dim: Int)
+
+  private def scatterOf(q: DataFrame): Scatter = {
     val dim = q.select(size(col("qa"))).head().getInt(0)
     // upper-triangle products, row-local: dim(dim+1)/2 narrow rows per
     // vector, partial-aggregated to one cell set per partition
@@ -97,9 +101,12 @@ object Pca {
       m(i)(j) = v
       m(j)(i) = v
     }
-    q.unpersist(false)
-    // ten ascending-fold power iterations on the driver copy
-    var x = Array.fill(dim)(1.0)
+    Scatter(n, sArr, m, dim)
+  }
+
+  /** Ten ascending-fold iterations from all-ones; (x, Rayleigh λ). */
+  private def powerIterate(m: Array[Array[Double]], dim: Int,
+      iters: Int): (Array[Double], Double) = {
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(dim) { i =>
         var acc = 0.0
@@ -107,6 +114,7 @@ object Pca {
         while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
         acc
       }
+    var x = Array.fill(dim)(1.0)
     for (_ <- 1 to iters) {
       val y = matvec(x)
       var nrm2 = 0.0
@@ -120,8 +128,70 @@ object Pca {
     var den = 0.0
     var i = 0
     while (i < dim) { num += x(i) * y(i); den += x(i) * x(i); i += 1 }
-    val eig = num / den
+    (x, num / den)
+  }
+
+  /** Top-k components + Rayleigh eigenvalues by Hotelling deflation:
+    * m ← m − λ·x·xᵀ with the fixed (λ·x_i)·x_j association. */
+  private def deflated(sc: Scatter, k: Int, iters: Int)
+      : Seq[(Array[Double], Double)] = {
+    val m = sc.m.map(_.clone())
+    (1 to k).map { _ =>
+      val (x, eig) = powerIterate(m, sc.dim, iters)
+      var i = 0
+      while (i < sc.dim) {
+        var j = 0
+        while (j < sc.dim) { m(i)(j) -= eig * x(i) * x(j); j += 1 }
+        i += 1
+      }
+      (x, eig)
+    }
+  }
+
+  private def quantized(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qa"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (pos, pc, eigval): the unit top component by ten deterministic
+    * power iterations, plus its Rayleigh quotient on the scatter
+    * matrix (λ of M = n²·cov-scale; relative comparisons — gap ratios,
+    * drift cosines — are scale-free). */
+  def topComponent(corpus: DataFrame, iters: Int = Iters,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = quantized(corpus, idCol, vecCol)
+    val sc = scatterOf(q)
+    q.unpersist(false)
+    val (x, eig) = powerIterate(sc.m, sc.dim, iters)
     x.zipWithIndex.map { case (c, pos) => (pos.toLong, c, eig) }
       .toSeq.toDF("pos", "pc", "eigval")
+  }
+
+  /** (id, c1, …, ck): every vector's coordinates on the top-k deflated
+    * components — ONE narrow codegen'd pass (the k fold expressions
+    * carry the components and column sums as literals; nothing joins).
+    * c_t = (Σ_j (n·q_j − s_j)·x_t[j]) / n: the numerator terms are
+    * exact integers times the component double, folded j-ascending, so
+    * both engines see identical doubles. */
+  def project(corpus: DataFrame, k: Int = 2, iters: Int = Iters,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val q = quantized(corpus, idCol, vecCol)
+    val sc = scatterOf(q)
+    val comps = deflated(sc, k, iters)
+    val sLit = array(sc.s.map(b => lit(b.toDouble)): _*) // exact < 2^53
+    val nLit = lit(sc.n.toDouble)
+    val coordCols = comps.zipWithIndex.map { case ((x, _), t) =>
+      val xLit = array(x.map(lit): _*)
+      (aggregate(sequence(lit(0), lit(sc.dim - 1)), lit(0.0),
+        (acc, j) => acc +
+          (nLit * element_at(col("qa"), (j + 1).cast("int")) -
+            element_at(sLit, (j + 1).cast("int"))) *
+          element_at(xLit, (j + 1).cast("int"))) / nLit).as(s"c${t + 1}")
+    }
+    val out = q.select(col("id") +: coordCols: _*)
+    out
   }
 }

@@ -907,6 +907,77 @@ object ExtensionQueries {
         .orderBy(col("pos"))
     },
 
+    // Top-2 PCA projection: Hotelling deflation (M ← M − λ·x·xᵀ, the
+    // fixed (λ·x_i)·x_j association) gives PC2 from the same exact
+    // scatter, then ONE narrow codegen'd pass projects every vector —
+    // c_t = (Σ_j (n·q_j − s_j)·x_t[j]) / n keeps mean-centering in
+    // exact integers (no rational mean) so both engines fold identical
+    // doubles. The oracle runs BOTH ten-level chains and the deflation
+    // in unrolled MATERIALIZED CTEs.
+    "q197_pca_project" -> QueryDef({
+      def chain(tag: String, mat: String): String = (1 to 10).map { k =>
+        s"""y$tag$k AS MATERIALIZED (SELECT m.i AS j,
+           |  list_sum(list(m.c * x.xv ORDER BY m.j)) AS yv
+           |  FROM $mat m JOIN it$tag${k - 1} x ON x.j = m.j GROUP BY m.i),
+           |n$tag$k AS (SELECT sqrt(list_sum(list(yv * yv ORDER BY j)))
+           |            AS nrm FROM y$tag$k),
+           |it$tag$k AS MATERIALIZED (SELECT j, yv / nrm AS xv
+           |                          FROM y$tag$k, n$tag$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE vec_id < 65536),
+         |x0 AS MATERIALIZED (SELECT vec_id, CAST(u.i AS INT) AS i,
+         |         CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+         |              * 1024 + 0.5) AS BIGINT) AS q
+         |       FROM e, unnest(range(len(embedding))) u(i)),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |s AS MATERIALIZED (SELECT i, CAST(sum(q) AS HUGEINT) AS si
+         |                   FROM x0 GROUP BY i),
+         |sp AS (SELECT a.i AS i, b.i AS j,
+         |         CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS sij
+         |       FROM x0 a JOIN x0 b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |       GROUP BY 1, 2),
+         |mm AS (SELECT sp.i, sp.j,
+         |         CAST(nn.n * sp.sij - sa.si * sb.si AS DOUBLE) AS c
+         |       FROM sp CROSS JOIN nn
+         |       JOIN s sa ON sa.i = sp.i JOIN s sb ON sb.i = sp.j),
+         |mfull AS MATERIALIZED (SELECT i, j, c FROM mm UNION ALL
+         |          SELECT j AS i, i AS j, c FROM mm WHERE i <> j),
+         |ita0 AS MATERIALIZED (SELECT i AS j, 1.0 AS xv FROM s),
+         |${chain("a", "mfull")},
+         |yfa AS (SELECT m.i AS j,
+         |          list_sum(list(m.c * x.xv ORDER BY m.j)) AS yv
+         |        FROM mfull m JOIN ita10 x ON x.j = m.j GROUP BY m.i),
+         |raya AS (SELECT list_sum(list(x.xv * y.yv ORDER BY x.j)) /
+         |                list_sum(list(x.xv * x.xv ORDER BY x.j)) AS eig
+         |         FROM ita10 x JOIN yfa y ON y.j = x.j),
+         |m2 AS MATERIALIZED (SELECT m.i, m.j,
+         |        m.c - raya.eig * xa.xv * xb.xv AS c
+         |      FROM mfull m JOIN ita10 xa ON xa.j = m.i
+         |                   JOIN ita10 xb ON xb.j = m.j
+         |      CROSS JOIN raya),
+         |itb0 AS MATERIALIZED (SELECT i AS j, 1.0 AS xv FROM s),
+         |${chain("b", "m2")},
+         |proj AS (SELECT x0.vec_id,
+         |  list_sum(list((CAST(nn.n AS DOUBLE) * x0.q
+         |    - CAST(s.si AS DOUBLE)) * xa.xv ORDER BY x0.i))
+         |    / CAST(nn.n AS DOUBLE) AS c1,
+         |  list_sum(list((CAST(nn.n AS DOUBLE) * x0.q
+         |    - CAST(s.si AS DOUBLE)) * xb.xv ORDER BY x0.i))
+         |    / CAST(nn.n AS DOUBLE) AS c2
+         |  FROM x0 JOIN s USING (i)
+         |       JOIN ita10 xa ON xa.j = x0.i
+         |       JOIN itb10 xb ON xb.j = x0.i
+         |  CROSS JOIN nn
+         |  GROUP BY x0.vec_id, nn.n)
+         |SELECT vec_id, c1, c2 FROM proj ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Pca.project(
+        Tables(s, dir).embeddings.filter(col("vec_id") < 65536), k = 2)
+        .select(col("id").as("vec_id"), col("c1"), col("c2"))
+        .orderBy(col("vec_id"))
+    },
+
     // Symmetric int8 quantization of the embedding column: per-vector
     // scale = max|x|/127, code = floor(x/scale + 0.5) — the explicit
     // half-up formula, NOT an engine round(), so both engines compute

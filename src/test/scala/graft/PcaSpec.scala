@@ -81,6 +81,69 @@ class PcaSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) > 0, "dominant eigenvalue must be positive")
   }
 
+  test("project: distributed == sequential witness (deflation + exact-integer centering)") {
+    val rnd = new scala.util.Random(197L)
+    val vecs = (0 until 70).map(_ =>
+      Array.fill(6)((rnd.nextInt(2000) - 1000) / 997.0))
+    // sequential witness with its own deflation + projection
+    val dim = 6
+    val q = vecs.map(_.map(x => math.floor(x * Pca.QuantScale + 0.5).toLong))
+    val n = q.size.toLong
+    val s = Array.tabulate(dim)(i => q.map(v => BigInt(v(i))).sum)
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      (BigInt(n) * q.map(v => BigInt(v(i)) * v(j)).sum - s(i) * s(j)).toDouble
+    }
+    def iterate(mm: Array[Array[Double]]): (Array[Double], Double) = {
+      def mv(x: Array[Double]) = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += mm(i)(j) * x(j); j += 1 }; acc
+      }
+      var x = Array.fill(dim)(1.0)
+      for (_ <- 1 to Pca.Iters) {
+        val y = mv(x)
+        val nrm = math.sqrt(y.foldLeft(0.0)((a, v) => a + v * v))
+        x = y.map(_ / nrm)
+      }
+      val y = mv(x)
+      var num = 0.0; var den = 0.0; var i = 0
+      while (i < dim) { num += x(i) * y(i); den += x(i) * x(i); i += 1 }
+      (x, num / den)
+    }
+    val (x1, e1) = iterate(m)
+    val m2 = Array.tabulate(dim, dim)((i, j) => m(i)(j) - e1 * x1(i) * x1(j))
+    val (x2, _) = iterate(m2)
+    def proj(v: Array[Long], x: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < dim) {
+        acc += (n.toDouble * v(j) - s(j).toDouble) * x(j); j += 1
+      }
+      acc / n.toDouble
+    }
+    val expected = q.zipWithIndex
+      .map { case (v, i) => i.toLong -> (proj(v, x1), proj(v, x2)) }.toMap
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding").repartition(5)
+    val got = Pca.project(df, k = 2).collect()
+    assert(got.length == 70)
+    got.foreach { r =>
+      val (c1, c2) = expected(r.getLong(0))
+      assert(r.getDouble(1) == c1 && r.getDouble(2) == c2,
+        s"projection diverged at id ${r.getLong(0)}")
+    }
+    // PC1 captures at least as much spread as PC2 (population variance
+    // of the projected coordinates), and the components are near-
+    // orthogonal after deflation
+    def variance(cs: Seq[Double]): Double = {
+      val mu = cs.sum / cs.size
+      cs.map(c => (c - mu) * (c - mu)).sum / cs.size
+    }
+    val v1 = variance(got.map(_.getDouble(1)).toSeq)
+    val v2 = variance(got.map(_.getDouble(2)).toSeq)
+    assert(v1 >= v2, s"PC1 variance $v1 < PC2 variance $v2")
+    val dot = x1.zip(x2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.05, s"components not orthogonal: $dot")
+  }
+
   test("exactness guard and invalid vectors fail loudly") {
     val big = (0 until 10).map(i => (i.toLong, Seq.fill(4)(1.0e7)))
       .toDF("vec_id", "embedding")
