@@ -228,10 +228,15 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("sz") - expr(s"CAST(($tMilli * sz + 999) DIV 1000 AS INT)") + 1)
-      .select(col("id"), col("t"))
+      .select(col("id"), col("t"), col("sz"))
+    // the AllPairs LENGTH filter rides the candidate join: J ≥ t forces
+    // min(|a|,|b|)·1000 ≥ t·max(|a|,|b|) (∩ ≤ min, ∪ ≥ max), so size-
+    // mismatched pairs are cut before the verify — exactness-preserving
     val cand = pref.as("a")
       .join(pref.as("b"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+          lit(1000L) * col("a.sz") >= lit(tMilli.toLong) * col("b.sz") &&
+          lit(1000L) * col("b.sz") >= lit(tMilli.toLong) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // exact verify on candidates only: shared-shingle counts from the
