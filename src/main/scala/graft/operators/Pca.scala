@@ -153,6 +153,95 @@ object Pca {
     corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qa"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** One batch's moment summary as MERGEABLE cells — the streaming-
+    * maintenance currency: (kind, i, j, v) rows where kind 's2' holds
+    * the upper-triangle Σ q_i·q_j, 's1' the per-dimension Σ q_i
+    * (j = −1), 'n' the row count and 'qmax' the max |q| (i = j = −1).
+    * Every cell is an exact integer in DECIMAL(38,0); s2/s1/n merge by
+    * SUM and qmax by MAX, both associative and commutative — so
+    * moments of a union == merged moments of the parts, EXACTLY, and a
+    * fold order can never show. ≤ dim(dim+1)/2 + dim + 2 rows per
+    * batch. */
+  def momentCells(batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = batch.select(col(idCol).as("id"), quantize(col(vecCol)).as("qa"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = q.select(size(col("qa"))).head().getInt(0)
+    val bad = q.filter(col("qa").isNull || size(col("qa")) =!= dim ||
+      exists(col("qa"), x => x.isNull)).count()
+    require(bad == 0L,
+      s"batch contains $bad invalid vector(s) — clean before PCA ingest")
+    val idxs = sequence(lit(0), lit(dim - 1))
+    val s2 = q.select(explode(flatten(transform(idxs, i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("qa"), (i + 1).cast("int")) *
+            element_at(col("qa"), (j + 1).cast("int"))).as("p"))))))
+      .as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("v"))
+      .select(lit("s2").as("kind"), col("i"), col("j"), col("v"))
+    val s1 = q.select(posexplode(col("qa")).as(Seq("i", "qi")))
+      .groupBy(col("i"))
+      .agg(sum(col("qi").cast(DecimalType(38, 0))).as("v"))
+      .select(lit("s1").as("kind"), col("i"), lit(-1).as("j"), col("v"))
+    val meta = q.agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      max(array_max(transform(col("qa"), x => abs(x))))
+        .cast(DecimalType(38, 0)).as("qmax"))
+    val out = s2.unionByName(s1)
+      .unionByName(meta.select(lit("n").as("kind"), lit(-1).as("i"),
+        lit(-1).as("j"), col("n").as("v")))
+      .unionByName(meta.select(lit("qmax").as("kind"), lit(-1).as("i"),
+        lit(-1).as("j"), col("qmax").as("v")))
+    out
+  }
+
+  /** Rebuild the exact scatter from accumulated cells (any number of
+    * merged batch summaries): SUM the s2/s1/n cells, MAX the qmax
+    * cells, then the same guard + exact M as the batch path. */
+  private def scatterFromCells(cells: DataFrame): Scatter = {
+    val agg = cells.groupBy(col("kind"), col("i"), col("j"))
+      .agg(sum(col("v")).as("sv"), max(col("v")).as("mv"))
+      .collect()
+    val n = agg.find(_.getString(0) == "n")
+      .map(r => BigInt(r.getDecimal(3).toBigInteger))
+      .getOrElse(BigInt(0))
+    require(n > 0, "moment store is empty — ingest at least one batch")
+    val qmax = agg.filter(_.getString(0) == "qmax")
+      .map(r => BigInt(r.getDecimal(4).toBigInteger)).max.max(BigInt(1))
+    require(n * n * qmax * qmax < (BigInt(1) << 53),
+      s"n=$n, qmax=$qmax: n²·qmax² exceeds 2^53 — the int→double scatter " +
+        "conversion would round; compact less history or shrink QuantScale")
+    val s1 = agg.filter(_.getString(0) == "s1")
+    val dim = s1.map(_.getInt(1)).max + 1
+    require(s1.length == dim, s"s1 cells cover ${s1.length} of $dim dims")
+    val sArr = new Array[BigInt](dim)
+    s1.foreach(r => sArr(r.getInt(1)) = BigInt(r.getDecimal(3).toBigInteger))
+    val m = Array.ofDim[Double](dim, dim)
+    agg.filter(_.getString(0) == "s2").foreach { r =>
+      val (i, j) = (r.getInt(1), r.getInt(2))
+      val sij = BigInt(r.getDecimal(3).toBigInteger)
+      val v = (n * sij - sArr(i) * sArr(j)).toDouble
+      m(i)(j) = v
+      m(j)(i) = v
+    }
+    Scatter(n.toLong, sArr, m, dim)
+  }
+
+  /** [[topComponent]] served from accumulated moment cells — bit-equal
+    * to the batch build over the same rows (exact mergeable moments). */
+  def topComponentFromCells(cells: DataFrame, iters: Int = Iters)
+      : DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val sc = scatterFromCells(cells)
+    val (x, eig) = powerIterate(sc.m, sc.dim, iters)
+    x.zipWithIndex.map { case (c, pos) => (pos.toLong, c, eig) }
+      .toSeq.toDF("pos", "pc", "eigval")
+  }
+
   /** (pos, pc, eigval): the unit top component by ten deterministic
     * power iterations, plus its Rayleigh quotient on the scatter
     * matrix (λ of M = n²·cov-scale; relative comparisons — gap ratios,

@@ -144,6 +144,47 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(dot) < 0.05, s"components not orthogonal: $dot")
   }
 
+  test("streaming moment maintenance: serve == monolith, replay idempotent, as-of exact, compaction invisible") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(198L)
+    def mkBatch(n: Int, off: Int) = (0 until n).map(i =>
+      ((off + i).toLong, Seq.fill(6)((rnd.nextInt(2000) - 1000) / 997.0)))
+    val batches = Seq(mkBatch(30, 0), mkBatch(25, 100), mkBatch(20, 200))
+    val dir = java.nio.file.Files
+      .createTempDirectory("pca-ingest").toString
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = stream.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(graft.streaming.PcaIngest.momentSink(dir))
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def pcOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("pos")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val all = batches.flatten.toDF("vec_id", "embedding")
+    val monolith = pcOf(graft.operators.Pca.topComponent(all))
+    val served = pcOf(graft.streaming.PcaIngest.serveTopComponent(spark, dir))
+    assert(served == monolith,
+      "served component must be BIT-equal to the monolithic build")
+    // replayed batch overwrites its own delta — serve unchanged
+    graft.streaming.PcaIngest.ingest(
+      batches(1).toDF("vec_id", "embedding"), dir, "b000000001")
+    assert(pcOf(graft.streaming.PcaIngest.serveTopComponent(spark, dir))
+      == monolith, "replay must be invisible")
+    // as-of the second batch == monolith over the first two batches
+    val firstTwo = pcOf(graft.operators.Pca.topComponent(
+      (batches(0) ++ batches(1)).toDF("vec_id", "embedding")))
+    assert(pcOf(graft.streaming.PcaIngest.serveTopComponentAsOf(
+      spark, dir, "b000000001")) == firstTwo, "as-of snapshot diverged")
+    // compaction folds history without changing the served result
+    assert(graft.sources.MomentStore.compact(spark, dir) >= 1)
+    assert(pcOf(graft.streaming.PcaIngest.serveTopComponent(spark, dir))
+      == monolith, "compaction must be invisible")
+  }
+
   test("exactness guard and invalid vectors fail loudly") {
     val big = (0 until 10).map(i => (i.toLong, Seq.fill(4)(1.0e7)))
       .toDF("vec_id", "embedding")
