@@ -218,10 +218,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = sh.select(col("id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("t"))
-    // global shingle document frequencies: vocabulary-shaped but NOT
-    // broadcastable at corpus scale (shingle vocab grows with the
-    // corpus) — a plain shuffle join on t is the right plan
+    // every join side below is corpus-shaped (shingle vocabulary, doc
+    // sizes, exploded postings all grow with the corpus) — pin SHUFFLE
+    // hash joins so AQE's post-shuffle size estimate never "upgrades"
+    // one to a broadcast (measured at sf10: the df-side broadcast OOMs
+    // the driver; at 100 TB every one of these would)
     val dfT = e.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .hint("shuffle_hash")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df").asc, col("t").asc)
     val pref = e.join(dfT, Seq("t"))
@@ -233,7 +236,7 @@ object Dedup {
     // min(|a|,|b|)·1000 ≥ t·max(|a|,|b|) (∩ ≤ min, ∪ ≥ max), so size-
     // mismatched pairs are cut before the verify — exactness-preserving
     val cand = pref.as("a")
-      .join(pref.as("b"),
+      .join(pref.as("b").hint("shuffle_hash"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
           lit(1000L) * col("a.sz") >= lit(tMilli.toLong) * col("b.sz") &&
           lit(1000L) * col("b.sz") >= lit(tMilli.toLong) * col("a.sz"))
@@ -242,10 +245,13 @@ object Dedup {
     // exact verify on candidates only: shared-shingle counts from the
     // exploded frame (pair-bounded), sizes from the persisted sh
     val inter = cand
-      .join(e.select(col("id").as("id_a"), col("t")), Seq("id_a"))
-      .join(e.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
+      .join(e.select(col("id").as("id_a"), col("t")).hint("shuffle_hash"),
+        Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("t")).hint("shuffle_hash"),
+        Seq("id_b", "t"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     val szs = sh.select(col("id"), size(col("toks")).as("sz"))
+      .hint("shuffle_hash")
     inter
       .join(szs.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(szs.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
