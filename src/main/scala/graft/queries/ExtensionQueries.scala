@@ -195,6 +195,33 @@ object ExtensionQueries {
     path
   }
 
+  /** Build-once-per-(session, sf) JL sign-matrix fixture: the ±1
+    * matrix is a pure function of (t, j) through the splitmix64
+    * contract ([[graft.operators.Jl.sign]]), written as (t, j, s)
+    * scalar rows so the DuckDB oracle can join it — the q149 witness
+    * discipline (the hash itself is not expressible in SQL without
+    * wrapping 64-bit multiplies, which DuckDB refuses). */
+  private val jlFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private val JlTargetDim = 16
+  private val JlDim = 64
+  private def ensureJlFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val path = ivfFixturePath(s, dir)
+    jlFixtureBuilt.computeIfAbsent(key, _ => {
+      import s.implicits._
+      val m = graft.operators.Jl.signMatrix(JlTargetDim, JlDim)
+      m.zipWithIndex.flatMap { case (row, t) =>
+        row.zipWithIndex.map { case (sv, j) => (t, j, sv) }
+      }.toSeq.toDF("t", "j", "s")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/jl_signs")
+      true
+    })
+    path
+  }
+
   val entries: Map[String, QueryDef] = Map(
 
     // Rolling Rabin-Karp window fingerprints with mod-sampling: the
@@ -976,6 +1003,87 @@ object ExtensionQueries {
         Tables(s, dir).embeddings.filter(col("vec_id") < 65536), k = 2)
         .select(col("id").as("vec_id"), col("c1"), col("c2"))
         .orderBy(col("vec_id"))
+    },
+
+    // Johnson–Lindenstrauss ±1 projection (Achlioptas): dim 64 → 16
+    // exact-integer coordinates in one narrow pass — signs are a pure
+    // splitmix64 function of (t, j), inputs the q196 quantization, so
+    // every coordinate is an order-free integer sum. The oracle joins
+    // the sign fixture and re-sums in HUGEINT.
+    "q198_jl_project" -> QueryDef(
+      s"""WITH sg AS (SELECT CAST(t AS INT) AS t, CAST(j AS INT) AS j,
+         |              CAST(s AS BIGINT) AS s
+         |            FROM read_parquet('$IvfFixtureToken/jl_signs/*.parquet')),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id < $IvfFixtureCap),
+         |x0 AS (SELECT vec_id, CAST(u.i AS INT) AS j,
+         |         CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+         |              * 1024 + 0.5) AS BIGINT) AS q
+         |       FROM e, unnest(range(len(embedding))) u(i))
+         |SELECT x0.vec_id, CAST(sg.t AS BIGINT) AS pos,
+         |       CAST(sum(sg.s * x0.q) AS BIGINT) AS coord
+         |FROM x0 JOIN sg USING (j)
+         |GROUP BY 1, 2 ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      ensureJlFixture(s, dir)
+      graft.operators.Jl.project(
+        Tables(s, dir).embeddings.filter(col("vec_id") < IvfFixtureCap),
+        JlTargetDim, JlDim)
+        .select(col("id").as("vec_id"),
+          posexplode(col("proj")).as(Seq("pos", "coord")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("coord"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
+    // Coarse-to-fine ANN through the JL projection: exact integer
+    // squared-L2 ranks a 4×-narrower scan, the 30-deep shortlist
+    // re-ranks at full-width cosine — the third refine variant beside
+    // q194 (prefix dims) and q193 (PQ codes). The oracle re-derives
+    // projections, coarse distances, and both rankings from the sign
+    // fixture.
+    "q199_jl_topk" -> QueryDef(
+      s"""WITH sg AS (SELECT CAST(t AS INT) AS t, CAST(j AS INT) AS j,
+         |              CAST(s AS BIGINT) AS s
+         |            FROM read_parquet('$IvfFixtureToken/jl_signs/*.parquet')),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id < $IvfFixtureCap),
+         |x0 AS (SELECT vec_id, CAST(u.i AS INT) AS j,
+         |         CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+         |              * 1024 + 0.5) AS BIGINT) AS q
+         |       FROM e, unnest(range(len(embedding))) u(i)),
+         |pv AS (SELECT vec_id, list(CAST(cd AS DOUBLE) ORDER BY t) AS pj
+         |       FROM (SELECT x0.vec_id, sg.t, sum(sg.s * x0.q) AS cd
+         |             FROM x0 JOIN sg USING (j) GROUP BY 1, 2)
+         |       GROUP BY vec_id),
+         |qs AS (SELECT vec_id AS query_id, pj AS qpj FROM pv
+         |       WHERE vec_id < 10),
+         |coarse AS (SELECT qs.query_id, pv.vec_id AS neighbor_id,
+         |             ${sqDistSql("qs.qpj", "pv.pj")} AS jl_dist
+         |           FROM pv CROSS JOIN qs
+         |           WHERE pv.vec_id <> qs.query_id),
+         |short AS (SELECT query_id, neighbor_id, jl_dist FROM (
+         |  SELECT query_id, neighbor_id, jl_dist,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY jl_dist ASC, neighbor_id ASC) AS crank
+         |  FROM coarse) WHERE crank <= 30),
+         |fine AS (SELECT s.query_id, s.neighbor_id, s.jl_dist,
+         |           ${cosineSql("eq.embedding", "ec.embedding")} AS cosine
+         |         FROM short s
+         |         JOIN e eq ON eq.vec_id = s.query_id
+         |         JOIN e ec ON ec.vec_id = s.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine, jl_dist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+         |      FROM fine)
+         |SELECT query_id, neighbor_id, cosine, jl_dist, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      ensureJlFixture(s, dir)
+      val e = Tables(s, dir).embeddings.filter(col("vec_id") < IvfFixtureCap)
+      graft.operators.Jl.jlTopK(e.filter(col("vec_id") < 10), e,
+        JlTargetDim, JlDim, shortK = 30, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("jl_dist"), col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // Symmetric int8 quantization of the embedding column: per-vector
