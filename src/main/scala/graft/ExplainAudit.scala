@@ -24,7 +24,11 @@ object ExplainAudit {
         "q103_bloom_decontamination", "q104_chunk_dedup",
         "q105_component_keep_best", "q106_hard_negatives",
         "q153_bm25_topk", "q160_phrase_match", "q164_best_passage",
-        "q163_textrank", "q168_ltr_features", "q173_blocklist_redact")
+        "q163_textrank", "q168_ltr_features", "q173_blocklist_redact",
+        "q192_ivfpq_residual_topk", "q193_ivfpq_refine",
+        "q194_prefix_refine_topk", "q195_similarity_join",
+        "q196_pca_top_component", "q197_pca_project",
+        "q198_jl_project", "q199_jl_topk")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

@@ -358,4 +358,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(asg) == 0,
       s"kmeans assignment gained a hash shuffle:\n$asg")
   }
+
+  test("q195: the similarity join never broadcasts a corpus-shaped side") {
+    // Measured at sf10: AQE upgraded the shingle-df join to a broadcast
+    // and OOM'd the driver. The shuffle_hash hints make the plan
+    // unconditional — pin that NO BroadcastHashJoin appears anywhere in
+    // the executed plan (every side of every join here grows with the
+    // corpus: postings, df table, sizes, candidates).
+    val plan = executed(query("q195_similarity_join"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"q195 plans a broadcast join on a corpus-shaped side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q195 lost its pinned shuffle-hash joins:\n$plan")
+  }
+
+  test("q197/q198: projection passes are shuffle-free narrow scans") {
+    // Both 100 TB claims are ONE codegen'd pass with the model as
+    // expression literals: PCA coordinates and JL coordinates add zero
+    // hash exchanges to the scan (the eager scatter/fixture jobs price
+    // separately; the returned plan is the projection itself). Only
+    // the presentation sort's range partitioning may appear.
+    def hashShuffles(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val pca = executed(query("q197_pca_project"))
+    assert(hashShuffles(pca) == 0,
+      s"q197 projection gained a hash shuffle:\n$pca")
+    val jl = executed(query("q198_jl_project"))
+    assert(hashShuffles(jl) == 0,
+      s"q198 projection gained a hash shuffle:\n$jl")
+  }
 }
