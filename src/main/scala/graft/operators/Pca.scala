@@ -100,7 +100,7 @@ object Pca {
     // measured 1.34× faster than exploding (i, j, p) structs at sf1.0
     // (struct constructors in the hot loop); the flat position k
     // decodes back to (i, j) through literal lookup arrays.
-    val pairs = q.select(posexplode(upperTriProducts(col("qa"), dim))
+    val pairs = q.select(posexplode_outer(upperTriProducts(col("qa"), dim))
       .as(Seq("k", "p")))
       .groupBy(col("k"))
       .agg(sum(col("p").cast(DecimalType(38, 0))).as("sij"))
@@ -202,7 +202,7 @@ object Pca {
       exists(col("qa"), x => x.isNull)).count()
     require(bad == 0L,
       s"batch contains $bad invalid vector(s) — clean before PCA ingest")
-    val s2 = q.select(posexplode(upperTriProducts(col("qa"), dim))
+    val s2 = q.select(posexplode_outer(upperTriProducts(col("qa"), dim))
       .as(Seq("k", "p")))
       .groupBy(col("k"))
       .agg(sum(col("p").cast(DecimalType(38, 0))).as("v"))

@@ -1025,11 +1025,17 @@ object ExtensionQueries {
          |FROM x0 JOIN sg USING (j)
          |GROUP BY 1, 2 ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
       ensureJlFixture(s, dir)
+      // posexplode_outer: the non-outer generate makes Catalyst infer a
+      // size(proj) > 0 filter whose pushdown INLINES the projection
+      // expression below the hoisting Project — the 16 folds then
+      // re-evaluate the quantization per element lookup (measured 154 s
+      // vs 1.5 s at sf1.0). The arrays are never null/empty, so outer
+      // is value-identical.
       graft.operators.Jl.project(
         Tables(s, dir).embeddings.filter(col("vec_id") < IvfFixtureCap),
         JlTargetDim, JlDim)
         .select(col("id").as("vec_id"),
-          posexplode(col("proj")).as(Seq("pos", "coord")))
+          posexplode_outer(col("proj")).as(Seq("pos", "coord")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           col("coord"))
         .orderBy(col("vec_id"), col("pos"))
