@@ -216,6 +216,97 @@ object LmOps {
     bigramModelFromCounts(c2, c1, bigramVocab, unigramVocab)
   }
 
+  /** Kneser–Ney smoothed bigram model (Kneser & Ney 1995; the Chen &
+    * Goodman 1998 interpolated form) with the fixed discount d = 3/4 —
+    * the smoothing CCNet-family quality filters actually deploy,
+    * beside [[bigramSurprisalScores]]'s raw-conditional buckets. All
+    * quantities are EXACT INTEGER RATIONALS, so the oracle recomputes
+    * them bit-for-bit:
+    *
+    *   p(w|v) = (c(vw) − 3/4)/c(v·) + (3/4)·N1+(v·)/c(v·) · N1+(·w)/N
+    *          = [ (4·c(vw) − 3)·N + 3·N1+(v·)·N1+(·w) ] / (4·c(v·)·N)
+    *
+    * where c(v·) = Σ_w c(vw) (the bigram context total — with it the
+    * model sums EXACTLY to 1 over the vocabulary), N1+(v·) = distinct
+    * continuations of v, N1+(·w) = distinct left contexts of w (the
+    * continuation count — KN's defining idea: "how many contexts does
+    * w complete" rather than "how often does w occur"), and
+    * N = N1+(··) = distinct bigrams. Reported as p_milli =
+    * 1000·num div den (DECIMAL(38,0) products — no 64-bit ceiling).
+    *
+    * One corpus shuffle to the (prev, cur) counts; every aggregate
+    * after that is bigram-vocabulary-sized, and the returned frame is
+    * the top-`topK` bigrams by (count desc, prev asc, cur asc). */
+  def knBigramModel(docs: DataFrame, topK: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    val c2 = docs.select(explode(TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(col(textCol)), 2)).as("g"))
+      .filter(size(TextFunctions.tokens(col("g"))) === 2)
+      .select(split(col("g"), " ").getItem(0).as("prev"),
+        split(col("g"), " ").getItem(1).as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = c2.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("cv"), count(lit(1)).as("nv"))
+    val cont = c2.groupBy(col("cur")).agg(count(lit(1)).as("n1w"))
+    val top = c2.orderBy(col("c2").desc, col("prev").asc, col("cur").asc)
+      .limit(topK)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    top.join(ctx, Seq("prev")).join(cont, Seq("cur"))
+      .crossJoin(broadcast(c2.agg(count(lit(1)).as("bign"))))
+      .withColumn("num",
+        (col("c2").cast(dec) * 4 - 3) * col("bign") +
+          col("nv").cast(dec) * 3 * col("n1w"))
+      .withColumn("den", col("cv").cast(dec) * 4 * col("bign"))
+      .select(col("prev"), col("cur"), col("c2"), col("cv"), col("nv"),
+        col("n1w"), col("bign"),
+        expr("CAST((num * 1000) DIV den AS BIGINT)").as("p_milli"),
+        // the q127 discipline: −log2 p rounded to its containing power
+        // of two, as bitLen(den div num) — num ≥ N makes the quotient
+        // count-sized, BIGINT-safe at any corpus
+        bitLen(expr("CAST(den DIV num AS BIGINT)")).cast("long").as("sb"))
+  }
+
+  /** Per-document mean KN surprisal — the quality filter the q200
+    * model exists for, shaped like [[bigramSurprisalScores]]: each doc
+    * bigram in the top-`topK` model scores its KN bucket `sb`; any
+    * other bigram pays the fixed out-of-model bucket bitLen(N) + 2
+    * (pessimistic: below the rarest in-model continuation). Flags docs
+    * whose MEAN bucket exceeds threshMilli/1000 bits per bigram.
+    * Returns (doc_id, n_bigrams, total_surprisal, low_quality); the
+    * model rides a broadcast join — one corpus pass after training. */
+  def knSurprisalScores(docs: DataFrame, topK: Int = 64,
+      threshMilli: Long = 4000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val model = knBigramModel(docs, topK, textCol)
+      .select(col("prev"), col("cur"), col("sb"), col("bign"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oov = model.select((bitLen(col("bign")) + 2).cast("long"))
+      .head().getLong(0)
+    val pd = docs.select(col(idCol),
+      explode(TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(col(textCol)), 2)).as("g"))
+      .filter(size(TextFunctions.tokens(col("g"))) === 2)
+      .select(col(idCol), split(col("g"), " ").getItem(0).as("prev"),
+        split(col("g"), " ").getItem(1).as("cur"))
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("k"))
+    val scored = pd
+      .join(broadcast(model.select(col("prev"), col("cur"), col("sb"))),
+        Seq("prev", "cur"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * coalesce(col("sb"), lit(oov)))
+          .as("total_surprisal"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_surprisal"), lit(0L)).as("total_surprisal"))
+      .withColumn("low_quality",
+        col("total_surprisal") * 1000L > lit(threshMilli) * col("n_bigrams"))
+  }
+
   /** The capped bigram model derivation BOTH the batch scorer and the
     * gate trainer use — one implementation so the q133 parity contract
     * is structural, not two-copies-in-sync. `c2` is (g, c2) bigram

@@ -461,6 +461,88 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Kneser–Ney smoothed bigram model (d = 3/4, interpolated form) —
+    // the CCNet-family smoothing, as EXACT integer rationals:
+    // p(w|v) = [(4·c(vw)−3)·N + 3·N1+(v·)·N1+(·w)] / (4·c(v·)·N),
+    // reported as p_milli. c(v·) is the bigram context total, so the
+    // model sums to exactly 1 over the vocabulary (the normalization
+    // law pinned in LmOpsSpec with BigInt rationals). One corpus
+    // shuffle to the bigram counts; everything after is vocab-sized.
+    "q200_kn_bigram_model" -> QueryDef(
+      s"""WITH g2 AS (SELECT unnest($Grams2Sql) AS g FROM documents),
+         |p AS (SELECT string_split(g, ' ')[1] AS prev,
+         |        string_split(g, ' ')[2] AS cur FROM g2
+         |      WHERE len(list_filter(string_split(g, ' '), x -> x != '')) = 2),
+         |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+         |       FROM p GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS cv,
+         |          CAST(count(*) AS BIGINT) AS nv FROM c2 GROUP BY prev),
+         |cont AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1w
+         |         FROM c2 GROUP BY cur),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS bign FROM c2),
+         |top AS (SELECT prev, cur, c2 FROM c2
+         |        ORDER BY c2 DESC, prev ASC, cur ASC LIMIT 64),
+         |nd AS (SELECT t.prev, t.cur, t.c2, ctx.cv, ctx.nv, cont.n1w,
+         |         nn.bign,
+         |         (4 * CAST(t.c2 AS HUGEINT) - 3) * nn.bign
+         |           + 3 * CAST(ctx.nv AS HUGEINT) * cont.n1w AS num,
+         |         4 * CAST(ctx.cv AS HUGEINT) * nn.bign AS den
+         |       FROM top t JOIN ctx USING (prev) JOIN cont USING (cur)
+         |       CROSS JOIN nn)
+         |SELECT prev, cur, c2, cv, nv, n1w, bign,
+         |  CAST((num * 1000) // den AS BIGINT) AS p_milli,
+         |  CAST(length(bin(CAST(den // num AS BIGINT))) - 1 AS BIGINT) AS sb
+         |FROM nd ORDER BY prev, cur""".stripMargin) { (s, dir) =>
+      LmOps.knBigramModel(Tables(s, dir).documents, topK = 64)
+        .orderBy(col("prev"), col("cur"))
+    },
+
+    // Per-document mean KN surprisal — the quality filter the q200
+    // model feeds (the q133 shape under KN probabilities): in-model
+    // bigrams score their sb bucket, out-of-model ones the fixed
+    // bitLen(N) + 2, and a doc flags low-quality when the MEAN bucket
+    // exceeds 4 bits per bigram.
+    "q201_kn_surprisal" -> QueryDef(
+      s"""WITH g2r AS (SELECT doc_id, unnest($Grams2Sql) AS g FROM documents),
+         |pd2 AS (SELECT doc_id, string_split(g, ' ')[1] AS prev,
+         |          string_split(g, ' ')[2] AS cur, count(*) AS k
+         |        FROM g2r
+         |        WHERE len(list_filter(string_split(g, ' '), x -> x != '')) = 2
+         |        GROUP BY 1, 2, 3),
+         |c2 AS (SELECT prev, cur, CAST(sum(k) AS BIGINT) AS c2
+         |       FROM pd2 GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS cv,
+         |          CAST(count(*) AS BIGINT) AS nv FROM c2 GROUP BY prev),
+         |cont AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1w
+         |         FROM c2 GROUP BY cur),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS bign FROM c2),
+         |top AS (SELECT prev, cur, c2 FROM c2
+         |        ORDER BY c2 DESC, prev ASC, cur ASC LIMIT 64),
+         |knb AS (SELECT t.prev, t.cur,
+         |          CAST(length(bin(CAST(
+         |            (4 * CAST(ctx.cv AS HUGEINT) * nn.bign)
+         |            // ((4 * CAST(t.c2 AS HUGEINT) - 3) * nn.bign
+         |               + 3 * CAST(ctx.nv AS HUGEINT) * cont.n1w)
+         |          AS BIGINT))) - 1 AS BIGINT) AS sb
+         |        FROM top t JOIN ctx USING (prev) JOIN cont USING (cur)
+         |        CROSS JOIN nn),
+         |oov AS (SELECT CAST(length(bin(bign)) - 1 + 2 AS BIGINT) AS ob
+         |        FROM nn),
+         |ds AS (SELECT pd2.doc_id, CAST(sum(k) AS BIGINT) AS nb,
+         |          CAST(sum(k * coalesce(knb.sb, oov.ob)) AS BIGINT) AS ts
+         |       FROM pd2 LEFT JOIN knb USING (prev, cur) CROSS JOIN oov
+         |       GROUP BY pd2.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(ds.nb, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(coalesce(ds.ts, 0) AS BIGINT) AS total_surprisal,
+         |       (coalesce(ds.ts, 0) * 1000 > 4000 * coalesce(ds.nb, 0))
+         |         AS low_quality
+         |FROM documents d LEFT JOIN ds USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      LmOps.knSurprisalScores(Tables(s, dir).documents, topK = 64,
+        threshMilli = 4000L)
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR-style importance weights: word-2-grams hashed into the fixed
     // 10k FNV bucket space, target domain = source 'src0', bucket weight
     // = bitLen(t+1) − bitLen(r+1) + bitLen(R div T), doc weight = sum

@@ -556,4 +556,62 @@ class LmOpsSpec extends AnyFunSuite {
     // tata → [ta, ta] = 2; tatata → [ta, ta, ta] = 3
     assert(r.getAs[Long]("n_subwords") == 5)
   }
+
+  test("KN bigram model: rationals match a sequential witness and sum to exactly 1 per context") {
+    val texts = Seq("a b a b c", "b a b b c a", "c a b a a",
+      "a b c b a b", "b c a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // sequential witness: sliding bigrams, plain maps
+    val bigrams = texts.flatMap(_.split("\\s+").filter(_.nonEmpty)
+      .sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cv = c2.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val nv = c2.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1w = c2.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val bigN = c2.size.toLong
+    val got = LmOps.knBigramModel(df, topK = 1000).collect()
+    assert(got.length == c2.size, "topK above vocab must return every bigram")
+    got.foreach { r =>
+      val (v, w) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == c2((v, w)) && r.getLong(3) == cv(v) &&
+        r.getLong(4) == nv(v) && r.getLong(5) == n1w(w) &&
+        r.getLong(6) == bigN, s"counts diverged at ($v,$w)")
+      val num = BigInt(4 * c2((v, w)) - 3) * bigN +
+        BigInt(3) * nv(v) * n1w(w)
+      val den = BigInt(4) * cv(v) * bigN
+      assert(r.getLong(7) == (num * 1000 / den).toLong,
+        s"p_milli diverged at ($v,$w)")
+      assert(r.getLong(8) == (den / num).toLong.toBinaryString.length - 1,
+        s"sb diverged at ($v,$w)")
+    }
+    // the scorer's accounting on the same corpus: every doc's total is
+    // Σ k·sb over in-model bigrams + k·(bitLen(N)+2) over the rest
+    val sbOf = got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(8))
+      .toMap
+    val oov = bigN.toBinaryString.length - 1 + 2L
+    val scores = LmOps.knSurprisalScores(df, topK = 1000,
+      threshMilli = 4000L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val bs = t.split("\\s+").filter(_.nonEmpty).sliding(2)
+        .filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+      val expTotal = bs.map(b => sbOf.getOrElse(b, oov)).sum
+      assert(scores(i.toLong) == (bs.size.toLong, expTotal),
+        s"doc $i scoring diverged")
+    }
+    // THE KN normalization law, exact: for every context v,
+    // Σ_{w ∈ cont(v)} [(4c−3)N + 3·nv·n1w] + Σ_{w ∉ cont(v)} 3·nv·n1w
+    // == 4·cv·N (the backoff mass completes the simplex exactly)
+    val vocab = n1w.keySet
+    cv.keys.foreach { v =>
+      val inModel = vocab.filter(w => c2.contains((v, w))).toSeq.map { w =>
+        BigInt(4 * c2((v, w)) - 3) * bigN + BigInt(3) * nv(v) * n1w(w)
+      }.sum
+      val backoff = vocab.filterNot(w => c2.contains((v, w))).toSeq
+        .map(w => BigInt(3) * nv(v) * n1w(w)).sum
+      assert(inModel + backoff == BigInt(4) * cv(v) * bigN,
+        s"KN mass for context '$v' does not sum to 1")
+    }
+  }
 }
