@@ -501,7 +501,8 @@ object LmQueries {
     // model feeds (the q133 shape under KN probabilities): in-model
     // bigrams score their sb bucket, out-of-model ones the fixed
     // bitLen(N) + 2, and a doc flags low-quality when the MEAN bucket
-    // exceeds 4 bits per bigram.
+    // exceeds 10.2 bits per bigram (the corpus-tuned knob: 332/168
+    // split at sf0.01 — the q128 acceptance-knob convention).
     "q201_kn_surprisal" -> QueryDef(
       s"""WITH g2r AS (SELECT doc_id, unnest($Grams2Sql) AS g FROM documents),
          |pd2 AS (SELECT doc_id, string_split(g, ' ')[1] AS prev,
@@ -534,12 +535,12 @@ object LmQueries {
          |       GROUP BY pd2.doc_id)
          |SELECT d.doc_id, CAST(coalesce(ds.nb, 0) AS BIGINT) AS n_bigrams,
          |       CAST(coalesce(ds.ts, 0) AS BIGINT) AS total_surprisal,
-         |       (coalesce(ds.ts, 0) * 1000 > 4000 * coalesce(ds.nb, 0))
+         |       (coalesce(ds.ts, 0) * 1000 > 10200 * coalesce(ds.nb, 0))
          |         AS low_quality
          |FROM documents d LEFT JOIN ds USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       LmOps.knSurprisalScores(Tables(s, dir).documents, topK = 64,
-        threshMilli = 4000L)
+        threshMilli = 10200L)
         .orderBy(col("doc_id"))
     },
 
