@@ -167,10 +167,14 @@ final class TopKState(val k: Int) {
     while (i < other.size) { offer(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** Entries in rank order: (score desc, id asc). */
+  /** Entries in rank order: (score desc, id asc). Comparator-based, not
+    * negation-based: −Long.MinValue == Long.MinValue, so sortBy(−s)
+    * would rank a MinValue score FIRST instead of last. */
   def sortedEntries: Seq[(Long, Long)] =
     (0 until size).map(i => (scores(i), ids(i)))
-      .sortBy { case (s, i) => (-s, i) }
+      .sortWith { case ((as, ai), (bs, bi)) =>
+        as > bs || (as == bs && ai < bi)
+      }
 
   def toBytes: Array[Byte] = {
     val bos = new ByteArrayOutputStream()

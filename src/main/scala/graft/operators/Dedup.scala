@@ -218,30 +218,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = sh.select(col("id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("t"))
-    // every join side below is corpus-shaped (shingle vocabulary, doc
-    // sizes, exploded postings all grow with the corpus) — pin SHUFFLE
-    // hash joins so AQE's post-shuffle size estimate never "upgrades"
-    // one to a broadcast (measured at sf10: the df-side broadcast OOMs
-    // the driver; at 100 TB every one of these would)
-    val dfT = e.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .hint("shuffle_hash")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df").asc, col("t").asc)
-    val pref = e.join(dfT, Seq("t"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("sz") - expr(s"CAST(($tMilli * sz + 999) DIV 1000 AS INT)") + 1)
-      .select(col("id"), col("t"), col("sz"))
-    // the AllPairs LENGTH filter rides the candidate join: J ≥ t forces
-    // min(|a|,|b|)·1000 ≥ t·max(|a|,|b|) (∩ ≤ min, ∪ ≥ max), so size-
-    // mismatched pairs are cut before the verify — exactness-preserving
-    val cand = pref.as("a")
-      .join(pref.as("b").hint("shuffle_hash"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
-          lit(1000L) * col("a.sz") >= lit(tMilli.toLong) * col("b.sz") &&
-          lit(1000L) * col("b.sz") >= lit(tMilli.toLong) * col("a.sz"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = prefixCandidatePairs(e, tMilli)
     // exact verify on candidates only: shared-shingle counts from the
     // exploded frame (pair-bounded), sizes from the persisted sh
     val inter = cand
@@ -260,6 +237,53 @@ object Dedup {
       .filter(lit(1000L) * col("inter") >= lit(tMilli.toLong) * col("un"))
       .select(col("id_a"), col("id_b"), col("inter"), col("un"),
         expr("(1000 * inter) DIV un").as("jacc_milli"))
+  }
+
+  /** The prefix-filter candidate stage of [[similarityJoin]], shared
+    * with [[similarityJoinCandidates]]: every join side is corpus-
+    * shaped (shingle vocabulary, doc sizes, exploded postings all grow
+    * with the corpus) — pin SHUFFLE hash joins so AQE's post-shuffle
+    * size estimate never "upgrades" one to a broadcast (measured at
+    * sf10: the df-side broadcast OOMs the driver; at 100 TB every one
+    * of these would). */
+  private def prefixCandidatePairs(e: DataFrame, tMilli: Int): DataFrame = {
+    val dfT = e.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .hint("shuffle_hash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("t").asc)
+    val pref = e.join(dfT, Seq("t"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("sz") - expr(s"CAST(($tMilli * sz + 999) DIV 1000 AS INT)") + 1)
+      .select(col("id"), col("t"), col("sz"))
+    // the AllPairs LENGTH filter rides the candidate join: J ≥ t forces
+    // min(|a|,|b|)·1000 ≥ t·max(|a|,|b|) (∩ ≤ min, ∪ ≥ max), so size-
+    // mismatched pairs are cut before the verify — exactness-preserving
+    pref.as("a")
+      .join(pref.as("b").hint("shuffle_hash"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+          lit(1000L) * col("a.sz") >= lit(tMilli.toLong) * col("b.sz") &&
+          lit(1000L) * col("b.sz") >= lit(tMilli.toLong) * col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** [[similarityJoin]]'s candidate pair set alone — the accounting
+    * surface for the two-stage composition (q205): candidate MASS is
+    * what goes clique-quadratic on replicated corpora, so the
+    * before/after-collapse counts are the numbers that justify running
+    * components first. Same derivation, same plan pins. */
+  def similarityJoinCandidates(docs: DataFrame, tMilli: Int,
+      shingleSize: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(tMilli >= 1 && tMilli <= 1000,
+      s"tMilli=$tMilli outside [1, 1000]")
+    val e = docs.select(col(idCol).as("id"),
+      graft.functions.ShingleExpressions
+        .wordShinglesDistinct(col(textCol), shingleSize).as("toks"))
+      .select(col("id"), size(col("toks")).as("sz"),
+        explode(col("toks")).as("t"))
+    prefixCandidatePairs(e, tMilli)
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
@@ -340,6 +364,62 @@ object Dedup {
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Hamming-distance near-dup pairs over a fingerprint column (image
+    * dHash, SimHash — any ≤63-bit perceptual hash) via BAND bucketing:
+    * the `bits`-bit hash splits into `bands` contiguous bands, docs
+    * sharing ANY band bucket become candidates, and the exact Hamming
+    * distance verifies candidates only. COMPLETE for maxDist < bands
+    * by pigeonhole: a pair within distance d < bands has at least one
+    * band with zero differing bits, hence a shared bucket — the q28
+    * LSH-band discipline transplanted to Hamming space, never an
+    * all-pairs scan. `maxBucketSize` is the same hot-bucket guardrail
+    * (a monoculture bucket — say every all-black thumbnail — would go
+    * B²/2 quadratic; capped buckets drop from candidate generation and
+    * their members still pair through their other bands when they
+    * differ anywhere else).
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxDist.
+    * Scale shape: the band explode is bands·N narrow rows; the
+    * candidate equi-join shuffles on the band key; the verify is one
+    * xor+bit_count per candidate — no full-width data moves. */
+  def hammingNearDupPairs(hashes: DataFrame, bits: Int, bands: Int,
+      maxDist: Int, idCol: String = "id", hashCol: String = "hash",
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(bands >= 1 && bits >= bands && bits <= 63,
+      s"bits=$bits bands=$bands out of range")
+    require(maxDist >= 0 && maxDist < bands,
+      s"maxDist=$maxDist must be < bands=$bands for band completeness")
+    require(bits % bands == 0,
+      s"bits=$bits must split evenly into bands=$bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val h = hashes.select(col(idCol).as("id"), col(hashCol).as("hash"))
+    val allBanded = h.select(col("id"), col("hash"),
+      explode(array((0 until bands).map { b =>
+        // band index rides the key so band b of one hash never meets
+        // band c of another
+        (shiftrightunsigned(col("hash"), b * w).bitwiseAND(lit(mask)) +
+          lit(b.toLong << w)).as(s"b$b")
+      }: _*)).as("bk"))
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val hot = allBanded.groupBy(col("bk"))
+          .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") > cap)
+          .select(col("bk"))
+        allBanded.join(broadcast(hot), Seq("bk"), "left_anti")
+      case None => allBanded
+    }
+    banded.select(col("bk"), col("id").as("id_a"), col("hash").as("h_a"))
+      .join(banded.select(col("bk"), col("id").as("id_b"),
+        col("hash").as("h_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Streaming exact dedup: keep the first-seen document per content

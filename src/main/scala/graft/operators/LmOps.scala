@@ -239,6 +239,8 @@ object LmOps {
     * the top-`topK` bigrams by (count desc, prev asc, cur asc). */
   def knBigramModel(docs: DataFrame, topK: Int = 64,
       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val c2 = docs.select(explode(TextFunctions.shinglesFromTokens(
         TextFunctions.tokens(col(textCol)), 2)).as("g"))
       .filter(size(TextFunctions.tokens(col("g"))) === 2)
@@ -252,7 +254,7 @@ object LmOps {
     val top = c2.orderBy(col("c2").desc, col("prev").asc, col("cur").asc)
       .limit(topK)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    top.join(ctx, Seq("prev")).join(cont, Seq("cur"))
+    val modelPlan = top.join(ctx, Seq("prev")).join(cont, Seq("cur"))
       .crossJoin(broadcast(c2.agg(count(lit(1)).as("bign"))))
       .withColumn("num",
         (col("c2").cast(dec) * 4 - 3) * col("bign") +
@@ -265,6 +267,20 @@ object LmOps {
         // of two, as bitLen(den div num) — num ≥ N makes the quotient
         // count-sized, BIGINT-safe at any corpus
         bitLen(expr("CAST(den DIV num AS BIGINT)")).cast("long").as("sb"))
+    // The model is ≤ topK rows: materialize it in ONE action over the
+    // persisted counts (four consumers — ctx/cont/top/bign — read c2,
+    // so the corpus shuffles once), then RELEASE the cache and return a
+    // LocalRelation. The fleet discipline: a long-lived application
+    // must not accumulate a per-call corpus-sized cache entry, and a
+    // capped model frame has no business re-touching the corpus when a
+    // downstream consumer re-executes it.
+    val rows =
+      try modelPlan.collect()
+      finally c2.unpersist(false)
+    rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).toSeq
+      .toDF("prev", "cur", "c2", "cv", "nv", "n1w", "bign", "p_milli", "sb")
   }
 
   /** Per-document mean KN surprisal — the quality filter the q200
@@ -272,17 +288,28 @@ object LmOps {
     * bigram in the top-`topK` model scores its KN bucket `sb`; any
     * other bigram pays the fixed out-of-model bucket bitLen(N) + 2
     * (pessimistic: below the rarest in-model continuation). Flags docs
-    * whose MEAN bucket exceeds threshMilli/1000 bits per bigram.
+    * whose MEAN bucket exceeds threshMilli/1000 bits per bigram, and —
+    * like [[surprisalScores]]/[[bigramSurprisalScores]] — docs with NO
+    * bigram positions (no signal → flag, the conservative default).
     * Returns (doc_id, n_bigrams, total_surprisal, low_quality); the
-    * model rides a broadcast join — one corpus pass after training. */
+    * model is a driver-collected LocalRelation riding a broadcast
+    * join — one corpus pass after training.
+    *
+    * `threshMilli` defaults to the measured SPLITTING value on the
+    * documents fixture (10.2 bits/bigram → 332/168 at sf0.01 — the
+    * q128 acceptance-knob convention). Like every corpus-statistics
+    * knob it is corpus-dependent: re-tune when the token distribution
+    * changes materially. */
   def knSurprisalScores(docs: DataFrame, topK: Int = 64,
-      threshMilli: Long = 4000L, idCol: String = "doc_id",
+      threshMilli: Long = 10200L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val model = knBigramModel(docs, topK, textCol)
-      .select(col("prev"), col("cur"), col("sb"), col("bign"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oov = model.select((bitLen(col("bign")) + 2).cast("long"))
-      .head().getLong(0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (knSb, oov) = trainKnVocab(docs, topK, textCol)
+    val modelDf = knSb.toSeq.map { case (g, sb) =>
+      val sp = g.indexOf(' ')
+      (g.substring(0, sp), g.substring(sp + 1), sb)
+    }.toDF("prev", "cur", "sb")
     val pd = docs.select(col(idCol),
       explode(TextFunctions.shinglesFromTokens(
         TextFunctions.tokens(col(textCol)), 2)).as("g"))
@@ -292,8 +319,7 @@ object LmOps {
       .groupBy(col(idCol), col("prev"), col("cur"))
       .agg(count(lit(1)).as("k"))
     val scored = pd
-      .join(broadcast(model.select(col("prev"), col("cur"), col("sb"))),
-        Seq("prev", "cur"), "left")
+      .join(broadcast(modelDf), Seq("prev", "cur"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * coalesce(col("sb"), lit(oov)))
@@ -304,8 +330,52 @@ object LmOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("total_surprisal"), lit(0L)).as("total_surprisal"))
       .withColumn("low_quality",
-        col("total_surprisal") * 1000L > lit(threshMilli) * col("n_bigrams"))
+        col("n_bigrams") === 0L ||
+          col("total_surprisal") * 1000L > lit(threshMilli) * col("n_bigrams"))
   }
+
+  /** The capped KN bucket tables for [[knSurprisalGate]]: gram key
+    * `prev + " " + cur` → KN bucket `sb`, plus the fixed out-of-model
+    * bucket bitLen(N) + 2. One [[knBigramModel]] train; both returns
+    * are driver-sized by construction (≤ topK entries + one scalar).
+    * An EMPTY corpus has no bigrams anywhere downstream either, so the
+    * OOV bucket is never consulted — the smallest legal bucket stands
+    * in rather than a head() throw. */
+  def trainKnVocab(docs: DataFrame, topK: Int = 64,
+      textCol: String = "text"): (Map[String, Long], Long) = {
+    val rows = knBigramModel(docs, topK, textCol)
+      .select(col("prev"), col("cur"), col("sb"), col("bign")).collect()
+    val knSb = rows.map(r =>
+      (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    val oov = rows.headOption.map(r => bitLenJvm(r.getLong(3)) + 2L)
+      .getOrElse(2L)
+    (knSb, oov)
+  }
+
+  /** Streaming admission twin of [[knSurprisalScores]] — the KN member
+    * of the gate family (unigram [[surprisalGate]], bigram
+    * [[bigramSurprisalGate]], NB [[nbGate]]): drop documents whose mean
+    * KN bucket under a pre-trained capped model exceeds
+    * `threshMilli/1000` bits per bigram, and documents with no bigram
+    * positions. The probe REUSES
+    * [[graft.functions.BigramSurprisalSumExpr]] with an EMPTY backoff
+    * table — KN's out-of-model bucket is the fixed bitLen(N) + 2, which
+    * is exactly the expression's `oovSb` arm — so the gate is the same
+    * O(1)-per-position executor-side hash probe, a pure per-row
+    * predicate legal in any streaming position. Batch parity with the
+    * q201 flag is pinned by LmOpsSpec at two fixtures. */
+  def knSurprisalGate(docs: DataFrame, knSb: Map[String, Long],
+      oovSb: Long, threshMilli: Long = 10200L,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__gate_ts", TextFunctions.tokens(col(textCol)))
+      .withColumn("__gate_total",
+        graft.functions.BigramSurprisalSumExpr.of(col("__gate_ts"),
+          knSb, Map.empty[String, Long], oovSb))
+      .filter(size(col("__gate_ts")) > 1 &&
+        col("__gate_total") * 1000L <=
+          lit(threshMilli) * (size(col("__gate_ts")) - 1))
+      .drop("__gate_ts", "__gate_total")
 
   /** The capped bigram model derivation BOTH the batch scorer and the
     * gate trainer use — one implementation so the q133 parity contract

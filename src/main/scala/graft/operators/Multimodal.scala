@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
@@ -209,6 +209,85 @@ object Multimodal {
     val frameCount = (col("sizeBytes") / 1024).cast("int") + 1 // fake: 1 frame/KiB
     media.withColumn("frame_idx",
       explode(slice(sequence(lit(0), frameCount - 1, lit(everyNth)), 1, maxFrames)))
+  }
+
+  /** The FakeCodec payload bytes as a row-major luma grid (32 unsigned
+    * bytes = an 8-wide × 4-tall grid) — the fixture surface for the
+    * perceptual-hash family: [[graft.functions.ImageHash.dHashGrid]]
+    * over this grid is the oracle-reproducible twin of the real
+    * [[dHashImages]] path (DuckDB re-derives the same bytes from the
+    * md5 hex chain). Pure builtins, fully codegen'd. */
+  def fakeLumaGrid(payload: Column): Column =
+    array((0 until 32).map { k =>
+      conv(substring(hex(payload), 2 * k + 1, 2), 16, 10).cast("int")
+    }: _*)
+
+  /** Per-image perceptual hash row: `decoded = false` rows carry hash 0
+    * and are quarantined by the caller (the [[decodeImages]] stance). */
+  final case class ImageHashRow(id: Long, decoded: Boolean, dhash: Long)
+
+  /** REAL-codec dHash: JDK ImageIO decode, exact integer area-average
+    * onto a (gw+1)×gh luma grid (ITU-R BT.601 integer luma, block sums
+    * divided once), then the same
+    * [[graft.functions.ImageHash.dHashGridJvm]] kernel the fixture path
+    * uses. Same mapPartitions shape as [[decodeImages]] — decode cost
+    * embarrassingly parallel, pipelined with the scan, no shuffle. */
+  def dHashImages(media: Dataset[MediaRow], gw: Int = 8, gh: Int = 8)
+      : Dataset[ImageHashRow] = {
+    implicit val enc = Encoders.product[ImageHashRow]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) ImageHashRow(r.id, decoded = false, 0L)
+        else {
+          val grid = lumaGrid(img, gw + 1, gh)
+          ImageHashRow(r.id, decoded = true,
+            graft.functions.ImageHash.dHashGridJvm(grid, gw, gh))
+        }
+      }
+    }
+  }
+
+  /** Exact integer area-average luma grid: cell (y, x) averages the
+    * BT.601 luma (299R + 587G + 114B, milli units) over its pixel
+    * block [floor(x·W/cols), floor((x+1)·W/cols)) × the y analog —
+    * every image partitions exactly into blocks, no resampling
+    * filter, so the grid (hence the hash) is decoder-deterministic. */
+  private[operators] def lumaGrid(img: java.awt.image.BufferedImage,
+      cols: Int, rowsN: Int): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](cols * rowsN)
+    var y = 0
+    while (y < rowsN) {
+      var x = 0
+      while (x < cols) {
+        val x0 = (x.toLong * w / cols).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * w / cols).toInt)
+        val y0 = (y.toLong * h / rowsN).toInt
+        val y1 = math.max(y0 + 1, ((y + 1).toLong * h / rowsN).toInt)
+        var sum = 0L
+        var py = y0
+        while (py < math.min(y1, h)) {
+          var px = x0
+          while (px < math.min(x1, w)) {
+            val rgb = img.getRGB(px, py)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            px += 1
+          }
+          py += 1
+        }
+        val n = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+        out(y * cols + x) = (sum / (n * 1000L)).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Build a deterministic fake media frame from the documents table

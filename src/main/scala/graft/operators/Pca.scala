@@ -197,7 +197,11 @@ object Pca {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = batch.select(col(idCol).as("id"), quantize(col(vecCol)).as("qa"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = q.select(size(col("qa"))).head().getInt(0)
+    val first = q.select(size(col("qa"))).head(1)
+    require(first.nonEmpty,
+      "momentCells: batch is empty — no dimension to derive (streaming " +
+        "sinks short-circuit empty micro-batches before reaching here)")
+    val dim = first.head.getInt(0)
     val bad = q.filter(col("qa").isNull || size(col("qa")) =!= dim ||
       exists(col("qa"), x => x.isNull)).count()
     require(bad == 0L,
@@ -221,13 +225,40 @@ object Pca {
         lit(-1).as("j"), col("n").as("v")))
       .unionByName(meta.select(lit("qmax").as("kind"), lit(-1).as("i"),
         lit(-1).as("j"), col("qmax").as("v")))
-    out
+    // cells are summary-sized (≤ dim(dim+1)/2 + dim + 2 rows):
+    // materialize them over the persisted batch (one cached scan feeds
+    // the three cell aggregations) and RELEASE the cache — a streaming
+    // sink calls this per micro-batch, and the old persist-and-return
+    // leaked one corpus-batch cache entry per batch for the lifetime of
+    // the application
+    val rows =
+      try out.collect()
+      finally q.unpersist(false)
+    batch.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
-  /** Rebuild the exact scatter from accumulated cells (any number of
-    * merged batch summaries): SUM the s2/s1/n cells, MAX the qmax
-    * cells, then the same guard + exact M as the batch path. */
-  private def scatterFromCells(cells: DataFrame): Scatter = {
+  /** Rebuild the scatter from accumulated cells (any number of merged
+    * batch summaries): SUM the s2/s1/n cells, MAX the qmax cells, then
+    * M_ij = n·S_ij − s_i·s_j in exact BigInt algebra.
+    *
+    * The one int→double conversion per cell is the determinism
+    * boundary. `rounded = false` (the exact regime) REQUIRES
+    * n²·qmax² < 2^53 so the conversion never rounds — bit-equal to the
+    * batch build and to any engine's int→double cast. `rounded = true`
+    * lifts the ceiling: each cell is TRUNCATED to its top 53
+    * significant bits in exact integer arithmetic ([[Pca.signif53]] —
+    * abs, shift down, shift up, sign back) and only then converted —
+    * the truncated value is exactly representable, so the conversion
+    * never rounds on ANY engine. Round-to-nearest was measurably NOT
+    * portable here: DuckDB's HUGEINT→DOUBLE cast is off by 1 ulp from
+    * correctly-rounded on ~5% of real scatter cells (it converts via
+    * upper·2^64 + lower, a double-rounding), so the contract pins the
+    * conversion the engines CAN agree on, at the same ≤1-ulp cost.
+    * PcaSpec pins rounded == exact wherever the guard passes, plus a
+    * beyond-ceiling soak against a sequential witness. */
+  private def scatterFromCells(cells: DataFrame,
+      rounded: Boolean): Scatter = {
     val agg = cells.groupBy(col("kind"), col("i"), col("j"))
       .agg(sum(col("v")).as("sv"), max(col("v")).as("mv"))
       .collect()
@@ -237,9 +268,10 @@ object Pca {
     require(n > 0, "moment store is empty — ingest at least one batch")
     val qmax = agg.filter(_.getString(0) == "qmax")
       .map(r => BigInt(r.getDecimal(4).toBigInteger)).max.max(BigInt(1))
-    require(n * n * qmax * qmax < (BigInt(1) << 53),
+    require(rounded || n * n * qmax * qmax < (BigInt(1) << 53),
       s"n=$n, qmax=$qmax: n²·qmax² exceeds 2^53 — the int→double scatter " +
-        "conversion would round; compact less history or shrink QuantScale")
+        "conversion would round; serve with rounded = true (deterministic " +
+        "IEEE round-to-nearest on both engines) or compact less history")
     val s1 = agg.filter(_.getString(0) == "s1")
     val dim = s1.map(_.getInt(1)).max + 1
     require(s1.length == dim, s"s1 cells cover ${s1.length} of $dim dims")
@@ -249,20 +281,44 @@ object Pca {
     agg.filter(_.getString(0) == "s2").foreach { r =>
       val (i, j) = (r.getInt(1), r.getInt(2))
       val sij = BigInt(r.getDecimal(3).toBigInteger)
-      val v = (n * sij - sArr(i) * sArr(j)).toDouble
+      val mij = n * sij - sArr(i) * sArr(j) // exact BigInt algebra
+      // identity in the guarded regime (|mij| < 2^53 ⇒ no truncation)
+      val v = if (rounded) signif53(mij) else mij.toDouble
       m(i)(j) = v
       m(j)(i) = v
     }
     Scatter(n.toLong, sArr, m, dim)
   }
 
+  /** Truncate to the top 53 significant bits (toward zero), then
+    * convert — exact on every engine because the truncated integer is
+    * exactly representable as a double. The portable alternative to
+    * round-to-nearest (see [[scatterFromCells]]); identity for
+    * |m| < 2^53. Public: the PcaSpec witness and the oracle SQL
+    * replicate exactly this arithmetic. */
+  def signif53(m: BigInt): Double = {
+    val a = m.abs
+    val bl = a.bitLength
+    if (bl <= 53) m.toDouble
+    else {
+      val t = (a >> (bl - 53)) << (bl - 53)
+      (if (m.signum < 0) -t else t).toDouble
+    }
+  }
+
   /** [[topComponent]] served from accumulated moment cells — bit-equal
-    * to the batch build over the same rows (exact mergeable moments). */
-  def topComponentFromCells(cells: DataFrame, iters: Int = Iters)
-      : DataFrame = {
+    * to the batch build over the same rows (exact mergeable moments).
+    * `rounded = true` serves past the 2^53 exactness ceiling: the
+    * moment algebra stays exact integers and each cell truncates to
+    * its top 53 significant bits before the (then-exact) conversion
+    * ([[signif53]] — engine-independent integer arithmetic; what is
+    * GIVEN UP beyond the ceiling is ≤1 ulp per cell vs a never-
+    * rounding engine, nothing vs any real one). */
+  def topComponentFromCells(cells: DataFrame, iters: Int = Iters,
+      rounded: Boolean = false): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    val sc = scatterFromCells(cells)
+    val sc = scatterFromCells(cells, rounded)
     val (x, eig) = powerIterate(sc.m, sc.dim, iters)
     x.zipWithIndex.map { case (c, pos) => (pos.toLong, c, eig) }
       .toSeq.toDF("pos", "pc", "eigval")

@@ -296,6 +296,10 @@ object Pq {
     val pairs: Seq[(Long, Long)] = probes
       .select(col("query_id"), col("list_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // release after the last driver action: the returned plan recomputes
+    // the (probe-batch × nprobe) probe derivation once — trivially cheap
+    // next to pinning a cache entry per call for the application lifetime
+    probes.unpersist(false)
     val dsub = model.dim / model.m
     val tables: Map[Long, Seq[Seq[Double]]] = pairs.map { case (qid, lid) =>
       val qv = qvs(qid)
@@ -317,8 +321,6 @@ object Pq {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc_nulls_last, col("id").asc)
-    // probes stays persisted: the tiny (probe-batch × nprobe) frame is
-    // read again by the scoring join below
     probes.join(indexed, Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("_tkey",

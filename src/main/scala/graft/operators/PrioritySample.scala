@@ -33,6 +33,12 @@ object PrioritySample {
   /** 2^40 — the priority fixed-point scale. */
   private val P40 = 1099511627776L
 
+  /** Exclusive weight ceiling: pr = w·2^40 div u40 must stay exact in
+    * int64 even at the u40 = 1 extreme (pr ≤ w·2^40), so w < 2^22.
+    * Weights here are per-doc sizes; a larger unit belongs rescaled by
+    * the caller, not silently wrapped here. */
+  val MaxWeight: Long = 1L << 22
+
   /** The sampler's complete state: (grp, rank, id, w, pr) — the
     * top-(k+1) priority rows per group (ranks 1..k+1; fewer when the
     * group is smaller). This IS the mergeable summary: priorities are
@@ -42,8 +48,17 @@ object PrioritySample {
   def topState(items: DataFrame, k: Int, grpCol: String = "grp",
       idCol: String = "id", wCol: String = "w"): DataFrame = {
     require(k >= 1, s"k must be at least 1, got $k")
+    // loud per-row guard, in-plan (no extra driver action): a weight at
+    // or above 2^22 would silently wrap pr = w·2^40 in int64, corrupting
+    // selection AND the estimator — the DuckDB oracle errors on the same
+    // input, so wrapping here would be a cross-engine divergence
     val base = items.select(col(grpCol).as("grp"), col(idCol).as("id"),
-      col(wCol).cast("long").as("w"))
+      when(col(wCol).cast("long").between(0L, MaxWeight - 1),
+        col(wCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("PrioritySample: weight "), col(wCol).cast("string"),
+          lit(s" outside [0, 2^22) — priority w*2^40 would overflow int64"))))
+        .as("w"))
     val prioritized = base
       .withColumn("h60",
         conv(substring(md5(concat(lit("ps:"), col("id").cast("string"))
@@ -63,24 +78,26 @@ object PrioritySample {
   }
 
   /** τ/estimator finalization over a [[topState]] frame: ranks ≤ k
-    * with the group threshold and est_milli columns attached. */
+    * with the group threshold and est columns attached. The estimator
+    * is plain integer max(w, τ) — no milli scaling: τ can reach w·2^40
+    * (a u40 = 1 draw), so a ·1000 would wrap int64 exactly in the
+    * regime the threshold scheme is built for. */
   def estimate(state: DataFrame, k: Int): DataFrame = {
     val tau = state.filter(col("rank") === k + 1)
       .select(col("grp"), col("pr").as("tau"))
     state.filter(col("rank") <= k)
       .join(broadcast(tau), Seq("grp"), "left_outer")
-      .withColumn("est_milli",
-        when(col("tau").isNull, col("w") * lit(1000L))
-          .otherwise(greatest(col("w") * lit(1000L),
-            col("tau") * lit(1000L))))
+      .withColumn("est",
+        when(col("tau").isNull, col("w"))
+          .otherwise(greatest(col("w"), col("tau"))))
       .select(col("grp"), col("rank"), col("id"), col("w"), col("pr"),
-        col("tau"), col("est_milli"))
+        col("tau"), col("est"))
   }
 
-  /** (grp, rank, id, w, pr, tau, est_milli) — the k sampled items per
+  /** (grp, rank, id, w, pr, tau, est) — the k sampled items per
     * group in priority order, the group threshold τ (null in the
-    * exact regime), and the DLT estimator in milli units:
-    * est_milli = max(w, τ)·1000 (τ already in natural units). */
+    * exact regime), and the DLT estimator est = max(w, τ)
+    * (τ already in natural units; E[Σ_sample est] = Σ_group w). */
   def sample(items: DataFrame, k: Int, grpCol: String = "grp",
       idCol: String = "id", wCol: String = "w"): DataFrame =
     estimate(topState(items, k, grpCol, idCol, wCol), k)

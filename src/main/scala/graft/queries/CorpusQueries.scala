@@ -1608,17 +1608,18 @@ object CorpusQueries {
     }
   )
 
-  private val asofStoreDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val asofPostCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
 
   /** Build-once-per-(session, sf) as-of fixture: batch b holds docs
     * with doc_id ≡ b (mod 3), three appends, NO compaction (as-of is
     * delta-granular; the compaction fold-point contract is spec'd in
-    * FingerprintStoreSpec). Returns the batch1 snapshot, persisted
-    * (stats + probe read it twice). */
+    * FingerprintStoreSpec). Returns the batch1 snapshot, persisted and
+    * MEMOIZED alongside the store — re-executions of q188 reuse the
+    * one cache entry instead of stacking a new persist per call. */
   private def asofPost(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    val storeDir = asofStoreDirs.computeIfAbsent(
+      : org.apache.spark.sql.DataFrame =
+    asofPostCache.computeIfAbsent(
       s.sparkContext.applicationId + ":" + dir,
       _ => {
         val d = java.nio.file.Files
@@ -1629,11 +1630,9 @@ object CorpusQueries {
             graft.operators.Retrieval.postings(
               docs.filter(col("doc_id") % 3 === b)), d, s"batch$b")
         }
-        d
+        graft.sources.PostingsStore.loadAsOf(s, d, "batch1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
-    graft.sources.PostingsStore.loadAsOf(s, storeDir, "batch1")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
 
   // BM25F knobs — title length and integer title weight
   private def Bm25fTitleLen: Int = 8
@@ -1789,9 +1788,9 @@ object CorpusQueries {
        |t AS (SELECT grp, pr AS tau FROM r
        |      WHERE rank = ${PrioritySampleK + 1})
        |SELECT r.grp, r.rank, r.id, r.w, r.pr, t.tau,
-       |       CASE WHEN t.tau IS NULL THEN r.w * 1000
-       |            ELSE greatest(r.w * 1000, t.tau * 1000)
-       |       END AS est_milli
+       |       CASE WHEN t.tau IS NULL THEN r.w
+       |            ELSE greatest(r.w, t.tau)
+       |       END AS est
        |FROM r LEFT JOIN t USING (grp) WHERE r.rank <= $PrioritySampleK
        |ORDER BY grp, rank""".stripMargin
 

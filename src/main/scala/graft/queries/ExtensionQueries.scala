@@ -1005,6 +1005,75 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ROUNDED-regime PCA serve — the past-the-2^53-ceiling path q196
+    // cannot take: vectors scaled by 2^20 (exact: a power-of-two double
+    // product only shifts the exponent) push n²·qmax² to ~2^78, so
+    // every scatter cell is a >53-bit integer the exact mode refuses.
+    // The rounded contract is signif53: truncate each exact HUGEINT/
+    // BigInt cell to its top 53 significant bits (abs >> shift << shift,
+    // sign back — pure integer arithmetic) and only then convert, which
+    // is exact on BOTH engines. (Round-to-nearest is NOT portable:
+    // DuckDB's HUGEINT→DOUBLE double-rounds via upper·2^64 + lower and
+    // lands 1 ulp off true nearest on ~5% of these cells — measured
+    // this round.) Ten power-iteration levels then run bit-identical
+    // from bit-identical inputs. NO vec_id cap: this is the serving
+    // mode the unbounded moment store exists for (PcaSpec pins
+    // rounded == exact below the ceiling).
+    "q202_pca_rounded_top_component" -> QueryDef({
+      val lvl = (1 to 10).map { k =>
+        s"""y$k AS MATERIALIZED (SELECT m.i AS j,
+           |  list_sum(list(m.c * x.xv ORDER BY m.j)) AS yv
+           |  FROM mfull m JOIN it${k - 1} x ON x.j = m.j GROUP BY m.i),
+           |n$k AS (SELECT sqrt(list_sum(list(yv * yv ORDER BY j))) AS nrm
+           |        FROM y$k),
+           |it$k AS MATERIALIZED (SELECT j, yv / nrm AS xv FROM y$k, n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |x0 AS MATERIALIZED (SELECT vec_id, CAST(u.i AS INT) AS i,
+         |         CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+         |              * 1048576 * 1024 + 0.5) AS BIGINT) AS q
+         |       FROM e, unnest(range(len(embedding))) u(i)),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |s AS (SELECT i, CAST(sum(q) AS HUGEINT) AS si FROM x0 GROUP BY i),
+         |sp AS (SELECT a.i AS i, b.i AS j,
+         |         CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS sij
+         |       FROM x0 a JOIN x0 b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |       GROUP BY 1, 2),
+         |mi AS (SELECT sp.i, sp.j,
+         |         nn.n * sp.sij - sa.si * sb.si AS m
+         |       FROM sp CROSS JOIN nn
+         |       JOIN s sa ON sa.i = sp.i JOIN s sb ON sb.i = sp.j),
+         |mm AS (SELECT i, j, CASE
+         |         WHEN length(bin(abs(m))) <= 53 THEN CAST(m AS DOUBLE)
+         |         ELSE CAST(sign(m) AS DOUBLE) * CAST(
+         |           (abs(m) >> (length(bin(abs(m))) - 53))
+         |             << (length(bin(abs(m))) - 53) AS DOUBLE)
+         |       END AS c
+         |       FROM mi),
+         |mfull AS MATERIALIZED (SELECT i, j, c FROM mm UNION ALL
+         |          SELECT j AS i, i AS j, c FROM mm WHERE i <> j),
+         |it0 AS MATERIALIZED (SELECT i AS j, 1.0 AS xv FROM s),
+         |$lvl,
+         |yf AS (SELECT m.i AS j,
+         |         list_sum(list(m.c * x.xv ORDER BY m.j)) AS yv
+         |       FROM mfull m JOIN it10 x ON x.j = m.j GROUP BY m.i),
+         |ray AS (SELECT list_sum(list(x.xv * y.yv ORDER BY x.j)) /
+         |               list_sum(list(x.xv * x.xv ORDER BY x.j)) AS eigval
+         |        FROM it10 x JOIN yf y ON y.j = x.j)
+         |SELECT CAST(x.j AS BIGINT) AS pos, x.xv AS pc, ray.eigval
+         |FROM it10 x CROSS JOIN ray ORDER BY pos""".stripMargin
+    }) { (s, dir) =>
+      // ×2^20 per element BEFORE the quantizer's ×2^10: both are exact
+      // power-of-two double products, so the composed q = floor(v·2^30
+      // + 0.5) is identical arithmetic on both engines
+      val scaled = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double") * lit(1048576.0)).as("embedding"))
+      graft.operators.Pca.topComponentFromCells(
+        graft.operators.Pca.momentCells(scaled), rounded = true)
+        .orderBy(col("pos"))
+    },
+
     // Johnson–Lindenstrauss ±1 projection (Achlioptas): dim 64 → 16
     // exact-integer coordinates in one narrow pass — signs are a pure
     // splitmix64 function of (t, j), inputs the q196 quantization, so

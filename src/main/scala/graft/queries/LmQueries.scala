@@ -502,7 +502,9 @@ object LmQueries {
     // bigrams score their sb bucket, out-of-model ones the fixed
     // bitLen(N) + 2, and a doc flags low-quality when the MEAN bucket
     // exceeds 10.2 bits per bigram (the corpus-tuned knob: 332/168
-    // split at sf0.01 — the q128 acceptance-knob convention).
+    // split at sf0.01 — the q128 acceptance-knob convention) or when
+    // it has no bigram positions at all (no signal → flag, the q127/
+    // q133 stance).
     "q201_kn_surprisal" -> QueryDef(
       s"""WITH g2r AS (SELECT doc_id, unnest($Grams2Sql) AS g FROM documents),
          |pd2 AS (SELECT doc_id, string_split(g, ' ')[1] AS prev,
@@ -535,7 +537,8 @@ object LmQueries {
          |       GROUP BY pd2.doc_id)
          |SELECT d.doc_id, CAST(coalesce(ds.nb, 0) AS BIGINT) AS n_bigrams,
          |       CAST(coalesce(ds.ts, 0) AS BIGINT) AS total_surprisal,
-         |       (coalesce(ds.ts, 0) * 1000 > 10200 * coalesce(ds.nb, 0))
+         |       (coalesce(ds.nb, 0) = 0 OR
+         |        coalesce(ds.ts, 0) * 1000 > 10200 * coalesce(ds.nb, 0))
          |         AS low_quality
          |FROM documents d LEFT JOIN ds USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>

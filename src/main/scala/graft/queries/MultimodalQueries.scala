@@ -91,6 +91,84 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media, everyNth = 3, maxFrames = 5)
         .select(col("id"), col("frame_idx"))
         .orderBy(col("id"), col("frame_idx"))
+    },
+
+    // Perceptual image hash (dHash over the 8×4 fake luma grid → 28
+    // bits): bit (y, x) = luma(y, x+1) > luma(y, x) — brightness-shift
+    // invariant, ≤2 bits flip per perturbed cell. The native kernel
+    // rides the decode plumbing; DuckDB re-derives every byte from the
+    // md5 hex chain and unrolls the 28 comparisons.
+    "q203_image_dhash" -> QueryDef(
+      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+         |           FROM documents WHERE doc_id % 3 = 0)
+         |SELECT id, CAST(${dhashSql(byteSql("h", _))} AS BIGINT) AS dhash
+         |FROM m ORDER BY id""".stripMargin) { (s, dir) =>
+      Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
+        .toDF().filter(col("meta.mediaType") === "image")
+        .select(col("id"),
+          graft.functions.ImageHash.dHashGrid(
+            Multimodal.fakeLumaGrid(col("payload")), 7, 4).as("dhash"))
+        .orderBy(col("id"))
+    },
+
+    // Image NEAR-duplicate pairs: Hamming-band bucketing over the q203
+    // hashes (4 bands × 7 bits — complete for distance ≤ 3 by
+    // pigeonhole), exact xor+bit_count verify on candidates only. The
+    // fixture plants REAL near-dups: every 5th image re-enters with one
+    // luma cell bumped (≤ 2 hash bits flip), under id −(id+1) so the
+    // variant space never collides with any corpus id. The oracle
+    // derives the SAME pair set the opposite way — ALL pairs, exact
+    // Hamming — so the band join's completeness is itself what the
+    // compare proves (the q195 stance). No hot-bucket cap here: a cap
+    // that binds would be a silent divergence from the all-pairs
+    // oracle (the capped form + its accounting is spec'd in
+    // OperatorSpec/ImageHashSpec).
+    "q204_image_neardup_pairs" -> QueryDef({
+      val base = dhashSql(byteSql("h", _))
+      val bumped = dhashSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 1) % 256)" else byteSql("h", k))
+      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+         |           FROM documents WHERE doc_id % 3 = 0),
+         |hs AS (SELECT id, CAST($base AS BIGINT) AS dhash FROM m
+         |       UNION ALL
+         |       SELECT -id - 1 AS id, CAST($bumped AS BIGINT) AS dhash
+         |       FROM m WHERE id % 5 = 0),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |        CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |      FROM hs a JOIN hs b ON a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val grids = Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
+        .toDF().filter(col("meta.mediaType") === "image")
+        .select(col("id"),
+          Multimodal.fakeLumaGrid(col("payload")).as("grid"))
+      val variants = grids.filter(col("id") % 5 === 0)
+        .select((-col("id") - 1).as("id"),
+          transform(col("grid"), (v, i) =>
+            when(i === 9, (v + 1) % 256).otherwise(v)).as("grid"))
+      val hashes = grids.unionByName(variants)
+        .select(col("id"),
+          graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4)
+            .as("hash"))
+      graft.operators.Dedup.hammingNearDupPairs(hashes,
+        bits = 28, bands = 4, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
+
+  /** Byte k (0-based) of the 32-byte payload as nibble arithmetic over
+    * the 64-char md5-chain hex string. */
+  private def byteSql(h: String, k: Int): String =
+    s"(${nibble(h, (2 * k + 1).toString)} * 16 + " +
+      s"${nibble(h, (2 * k + 2).toString)})"
+
+  /** The 28-bit dHash as unrolled adjacent-byte comparisons over an
+    * 8-wide × 4-tall grid (bit b: y = b/7, x = b%7, grid pos y·8+x). */
+  private def dhashSql(byteAt: Int => String): String =
+    (0 until 28).map { b =>
+      val p = (b / 7) * 8 + (b % 7)
+      s"(CASE WHEN ${byteAt(p + 1)} > ${byteAt(p)} " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

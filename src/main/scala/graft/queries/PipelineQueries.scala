@@ -632,6 +632,80 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // The 100 TB two-stage dedup COMPOSITION — the documented escape
+    // from q195's inherent clique-quadratic candidate mass: LSH
+    // near-dup components collapse the clique structure FIRST
+    // (keep-best retention, the q105 rule), and the EXACT-threshold
+    // AllPairs join then runs over the collapsed survivor set, where a
+    // former k-member clique contributes one doc instead of k²/2
+    // candidate pairs. Result = the residual J ≥ 0.5 pairs among
+    // survivors — cross-component sims the banding missed (LSH false
+    // negatives), exactly the pairs the exact stage exists to recover.
+    // The oracle re-derives the whole composition independently:
+    // recursive-CTE components (the q75 derivation), window keep-best
+    // (q105), then ALL-pairs exact Jaccard over the survivors under
+    // the q195 integer contract.
+    "q205_two_stage_dedup" -> QueryDef(
+      s"""WITH RECURSIVE corpus AS ($DupDocsSql),
+         |sh AS (SELECT doc_id AS id, $ShinglesSql AS shingles FROM corpus),
+         |${minhashSigSql(12)},
+         |bands AS (SELECT id, shingles,
+         |  unnest(list_transform(range(4), b -> CAST(b AS VARCHAR) || ':' ||
+         |    md5(array_to_string(signature[b*3+1:b*3+3], '|')))) AS bk FROM sig),
+         |hot AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                a.shingles AS sh_a, b.shingles AS sh_b
+         |         FROM bands a JOIN bands b USING (bk)
+         |         WHERE a.id < b.id AND bk NOT IN (SELECT bk FROM hot)),
+         |lsh_pairs AS (SELECT id_a, id_b FROM cand
+         |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+         |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+         |       ELSE 0.0 END >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+         |          UNION SELECT id_b, id_a FROM lsh_pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM corpus
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |sc AS (SELECT doc_id AS id, CAST(len($ToksSql) AS BIGINT) AS score
+         |       FROM corpus),
+         |jj AS (SELECT comp.comp, comp.id, sc.score FROM comp JOIN sc USING (id)),
+         |best AS (SELECT comp, id,
+         |  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY score DESC, id ASC) AS rk
+         |  FROM jj),
+         |surv AS (SELECT c.doc_id, c.text FROM corpus c
+         |         JOIN best ON best.id = c.doc_id AND best.rk = 1),
+         |ssh AS (SELECT doc_id AS id, $ShinglesSql AS toks FROM surv),
+         |e AS (SELECT id, unnest(toks) AS t FROM ssh),
+         |v AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.t = b.t AND a.id < b.id
+         |      GROUP BY 1, 2),
+         |sz AS (SELECT id, len(toks) AS sz FROM ssh),
+         |w AS (SELECT id_a, id_b, inter,
+         |        sa.sz + sb.sz - inter AS un
+         |      FROM v JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b)
+         |SELECT id_a, id_b, inter, un, (1000 * inter) // un AS jacc_milli
+         |FROM w WHERE 1000 * inter >= 500 * un
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val corpus = dupDocs(Tables(s, dir))
+      val scores = corpus.select(col("doc_id").as("id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("score"))
+      // stage 1 reads the PERSISTED components table (q75 is the
+      // from-scratch witness); keep-best covers singletons too (their
+      // component is themselves), so survivors = one doc per component
+      val survivors = Dedup.keepBestPerComponent(
+        componentsTable(s, dir), scores)
+        .select(col("kept_id").as("doc_id"))
+      // survivor set is corpus-shaped at scale: plain shuffle join,
+      // never a broadcast (the q195 discipline)
+      val survivorDocs = corpus.join(survivors.hint("shuffle_hash"),
+        Seq("doc_id"))
+      Dedup.similarityJoin(survivorDocs, tMilli = 500)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Brute-force cosine top-k (the exact ANN baseline).
     "q31_cosine_topk" -> QueryDef(
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

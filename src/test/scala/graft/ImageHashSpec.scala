@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ImageHash
+import graft.operators.{Dedup, Multimodal}
+
+/** Perceptual image hashing (dHash) + Hamming-band near-dup pairing:
+  * kernel == declarative witness, the dHash invariances the operator
+  * is FOR (brightness shift, small local perturbation), band-join
+  * completeness against an all-pairs witness, the hot-bucket guardrail,
+  * and the real JDK-ImageIO path over generated PNG fixtures. */
+class ImageHashSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("image-hash-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  private def randGrid(rnd: scala.util.Random, n: Int): Seq[Int] =
+    Seq.fill(n)(rnd.nextInt(256))
+
+  test("dHash kernel == declarative witness == JVM twin on random grids") {
+    val rnd = new scala.util.Random(203L)
+    val grids = (0L until 200L).map(i => (i, randGrid(rnd, 32)))
+    val df = grids.toDF("id", "grid")
+    val got = df.select(col("id"),
+      ImageHash.dHashGrid(col("grid"), 7, 4).as("k"),
+      ImageHash.dHashGridDeclarative(col("grid"), 7, 4).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val jvm = grids.map { case (i, g) =>
+      i -> ImageHash.dHashGridJvm(g.toArray, 7, 4)
+    }.toMap
+    got.foreach { case (i, k, d) =>
+      assert(k == d, s"kernel != declarative at $i")
+      assert(k == jvm(i), s"kernel != jvm at $i")
+    }
+    // hand example on a 3-wide × 1-tall grid (gw = 2): [5, 9, 9] →
+    // bit0 (9 > 5) = 1, bit1 (9 > 9 strict) = 0
+    assert(ImageHash.dHashGridJvm(Array(5, 9, 9), 2, 1) == 1L)
+  }
+
+  test("dHash invariances: brightness shift is identity; one cell flips <= 2 bits") {
+    val rnd = new scala.util.Random(204L)
+    for (_ <- 0 until 50) {
+      val g = randGrid(rnd, 32).toArray
+      val h = ImageHash.dHashGridJvm(g, 7, 4)
+      // global brightness shift preserves every > relation
+      assert(ImageHash.dHashGridJvm(g.map(_ + 40), 7, 4) == h)
+      // one perturbed cell participates in at most two comparisons
+      val pos = rnd.nextInt(32)
+      val g2 = g.clone(); g2(pos) = rnd.nextInt(256)
+      val d = java.lang.Long.bitCount(h ^ ImageHash.dHashGridJvm(g2, 7, 4))
+      assert(d <= 2, s"cell $pos flipped $d bits")
+    }
+  }
+
+  test("hammingNearDupPairs == all-pairs witness (band completeness for d < bands)") {
+    val rnd = new scala.util.Random(205L)
+    // random 28-bit hashes + planted near-dups at distances 0..3
+    val base = (0L until 300L).map(i => (i, rnd.nextLong() & 0xfffffffL))
+    val planted = (0 until 4).map { d =>
+      val (id, h) = base(d * 7)
+      var h2 = h
+      (0 until d).foreach(k => h2 ^= 1L << ((k * 9 + d) % 28))
+      (1000L + id, h2)
+    }
+    val all = base ++ planted
+    val witness = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = Dedup.hammingNearDupPairs(all.toDF("id", "hash"),
+      bits = 28, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == witness,
+      s"extra=${got -- witness} missing=${witness -- got}")
+    assert(planted.indices.forall { d =>
+      witness.exists(p => p._2 == 1000L + base(d * 7)._1)
+    }, "every planted near-dup must pair")
+    // the completeness precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(all.toDF("id", "hash"),
+        bits = 28, bands = 4, maxDist = 4)
+    }
+  }
+
+  test("hot-bucket cap: capped bucket drops its candidates; differing pairs survive via other bands") {
+    // all 50 hashes share band 0 (low 7 bits = 0x55) → that bucket is
+    // hot at cap 10. ids 0/1 ALSO share band 3 (not hot: population 2)
+    // at Hamming distance 1 → must survive the cap through it; ids
+    // 10/11 are at distance 3 but share ONLY the hot band → the cap
+    // drops exactly that pair
+    val hs = (0L until 50L).map { i =>
+      val (b1, b2, b3) =
+        if (i == 0L) (0x01L, 0x00L, 0x07L)
+        else if (i == 1L) (0x03L, 0x00L, 0x07L)
+        else if (i == 10L) (0x10L, 0x20L, 0x40L)
+        else if (i == 11L) (0x11L, 0x21L, 0x41L)
+        else (i % 128, (i * 17) % 128, (i * 31 + 5) % 128)
+      (i, 0x55L | (b1 << 7) | (b2 << 14) | (b3 << 21))
+    }
+    assert(java.lang.Long.bitCount(hs(0)._2 ^ hs(1)._2) == 1)
+    assert(java.lang.Long.bitCount(hs(10)._2 ^ hs(11)._2) == 3)
+    val capped = Dedup.hammingNearDupPairs(hs.toDF("id", "hash"),
+      bits = 28, bands = 4, maxDist = 3, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.hammingNearDupPairs(hs.toDF("id", "hash"),
+      bits = 28, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((0L, 1L)),
+      "pair sharing an un-hot band must survive the cap")
+    assert(uncapped.contains((10L, 11L)) && !capped.contains((10L, 11L)),
+      "pair sharing only the hot band must be the cap's accounted loss")
+  }
+
+  test("real ImageIO path: same PNG hashes equal, brightness shift near, distinct far") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gradient = png((x, y) => x * 3 + y)
+    val brighter = png((x, y) => math.min(255, x * 3 + y + 25))
+    val stripes = png((x, _) => if ((x / 8) % 2 == 0) 230 else 10)
+    val rows = Seq(
+      Multimodal.MediaRow(1L,
+        Multimodal.MediaMeta("image", "png", gradient.length.toLong), gradient),
+      Multimodal.MediaRow(2L,
+        Multimodal.MediaMeta("image", "png", brighter.length.toLong), brighter),
+      Multimodal.MediaRow(3L,
+        Multimodal.MediaMeta("image", "png", stripes.length.toLong), stripes),
+      Multimodal.MediaRow(4L,
+        Multimodal.MediaMeta("image", "bad", 3L), Array[Byte](1, 2, 3)))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val got = Multimodal.dHashImages(ds).collect()
+      .map(r => r.id -> r).toMap
+    assert(!got(4L).decoded, "junk payload must quarantine, not fail")
+    assert(got(1L).decoded && got(2L).decoded && got(3L).decoded)
+    val d12 = java.lang.Long.bitCount(got(1L).dhash ^ got(2L).dhash)
+    val d13 = java.lang.Long.bitCount(got(1L).dhash ^ got(3L).dhash)
+    assert(d12 <= 3, s"brightness shift moved the hash by $d12 bits")
+    assert(d13 > 10, s"distinct images only $d13 bits apart")
+    // determinism: decoding the same bytes twice gives the same hash
+    val again = Multimodal.dHashImages(ds).collect()
+      .map(r => r.id -> r.dhash).toMap
+    assert(rows.map(_.id).forall(id => again(id) == got(id).dhash))
+  }
+}

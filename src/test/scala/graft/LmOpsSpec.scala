@@ -614,4 +614,55 @@ class LmOpsSpec extends AnyFunSuite {
         s"KN mass for context '$v' does not sum to 1")
     }
   }
+
+  test("KN scorer: zero-bigram docs flag low_quality (the q127/q133 stance)") {
+    val docs = Seq((1L, "a b a b"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = LmOps.knSurprisalScores(docs, topK = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3)))
+      .toMap
+    assert(got(2L) == ((0L, true)) && got(3L) == ((0L, true)),
+      s"no-signal docs must flag: $got")
+    assert(!got(1L)._2, s"in-model doc must pass: $got")
+  }
+
+  test("KN gate: batch parity with the q201 low_quality flag") {
+    // toy corpus, three thresholds straddling the split — model hits,
+    // out-of-model bigrams, and the no-bigram degenerates
+    val docs = Seq(
+      (1L, "x y x y x y"), (2L, "x z q q"), (3L, ""), (4L, "solo"),
+      (5L, "q q q q"), (6L, "x y x y"))
+      .toDF("doc_id", "text")
+    val (kn, oov) = LmOps.trainKnVocab(docs, topK = 3)
+    assert(kn.nonEmpty)
+    for (thresh <- Seq(500L, 4000L, 9000L)) {
+      val admitted = LmOps.knSurprisalGate(docs, kn, oov, thresh)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val notLow = LmOps.knSurprisalScores(docs, topK = 3,
+        threshMilli = thresh)
+        .filter(!col("low_quality"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == notLow, s"thresh=$thresh: $admitted vs $notLow")
+    }
+  }
+
+  test("KN gate: parity holds on the real corpus at two scale factors") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read
+        .parquet(s"/root/testdata/$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val (kn, oov) = LmOps.trainKnVocab(docs, topK = 64)
+      val admitted = LmOps.knSurprisalGate(docs, kn, oov,
+        threshMilli = 10200L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val notLow = LmOps.knSurprisalScores(docs, topK = 64,
+        threshMilli = 10200L)
+        .filter(!col("low_quality"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == notLow,
+        s"$sf: extra=${admitted -- notLow} missing=${notLow -- admitted}")
+      // the corpus-tuned knob must actually split this corpus
+      assert(admitted.nonEmpty && notLow.size < docs.count(), sf)
+    }
+  }
 }

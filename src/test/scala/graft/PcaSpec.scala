@@ -185,6 +185,98 @@ class PcaSpec extends AnyFunSuite {
       == monolith, "compaction must be invisible")
   }
 
+  test("rounded serve == exact serve wherever the exact guard passes (two scale factors)") {
+    // the law that keeps the oracle discipline while lifting the
+    // ceiling: below n²·qmax² < 2^53 the rounded path must be the
+    // IDENTITY — round-to-nearest of an exactly-representable integer
+    // is itself, so any divergence means the rounded path stopped
+    // being the same algebra
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val cells = Pca.momentCells(spark.read
+        .parquet(s"/root/testdata/$sf/embeddings.parquet"))
+      val exact = Pca.topComponentFromCells(cells, rounded = false)
+        .orderBy(col("pos")).collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val rounded = Pca.topComponentFromCells(cells, rounded = true)
+        .orderBy(col("pos")).collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(rounded == exact, s"$sf: rounded serve diverged in the exact regime")
+    }
+  }
+
+  test("rounded serve past the 2^53 ceiling: exact refuses, rounded matches the witness") {
+    // large-n soak: 200k vectors at qmax ≈ 1027 puts n²·qmax² ≈ 4.2e16
+    // past the 2^53 ≈ 9.0e15 exactness ceiling, with the DIAGONAL
+    // scatter cells themselves (≈ n²·var_q ≈ 1.4e16) needing more than
+    // 53 bits — the regime the streaming moment store is FOR (its
+    // cells stay exact; only the serve-time int→double conversion
+    // rounds)
+    val n = 200000
+    val dim = 4
+    val df = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((col("id") * 7 + j * 13) % 1999 - 999).cast("double") / 997.0)
+        .as("embedding"))
+    val cells = Pca.momentCells(df)
+    val e = intercept[IllegalArgumentException] {
+      Pca.topComponentFromCells(cells, rounded = false)
+    }
+    assert(e.getMessage.contains("2^53") && e.getMessage.contains("rounded"))
+    val got = Pca.topComponentFromCells(cells, rounded = true)
+      .orderBy(col("pos")).collect()
+    // sequential witness: same exact BigInt moments, same signif53
+    // truncate-then-convert, same ten iterations
+    val q = (0 until n).map(id => Array.tabulate(dim)(j =>
+      math.floor((((id.toLong * 7 + j * 13) % 1999 - 999) / 997.0) *
+        Pca.QuantScale + 0.5).toLong))
+    val bigN = BigInt(n)
+    val s = Array.tabulate(dim)(i => q.foldLeft(BigInt(0))((a, v) => a + v(i)))
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      val sij = q.foldLeft(BigInt(0))((a, v) => a + BigInt(v(i)) * v(j))
+      Pca.signif53(bigN * sij - s(i) * s(j)) // truncates: past the ceiling
+    }
+    // the soak must actually exercise rounding, not sit inside 2^53
+    assert(m.flatten.exists(v => math.abs(v) > 9.1e15),
+      "fixture too small — scatter never left the exact regime")
+    def mv(x: Array[Double]) = Array.tabulate(dim) { i =>
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += m(i)(j) * x(j); j += 1 }; acc
+    }
+    var x = Array.fill(dim)(1.0)
+    for (_ <- 1 to Pca.Iters) {
+      val y = mv(x)
+      val nrm = math.sqrt(y.foldLeft(0.0)((a, v) => a + v * v))
+      x = y.map(_ / nrm)
+    }
+    val y = mv(x)
+    var num = 0.0; var den = 0.0; var i = 0
+    while (i < dim) { num += x(i) * y(i); den += x(i) * x(i); i += 1 }
+    val eig = num / den
+    assert(got.length == dim)
+    got.foreach { r =>
+      assert(r.getDouble(1) == x(r.getLong(0).toInt),
+        s"rounded pc[${r.getLong(0)}] diverged from the witness")
+      assert(r.getDouble(2) == eig, "rounded eigval diverged")
+    }
+  }
+
+  test("empty micro-batch: ingest is a no-op, momentCells names the refusal") {
+    val empty = spark.range(0).select(col("id").as("vec_id"),
+      array(lit(1.0)).as("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("pca-ingest-empty").toString
+    graft.streaming.PcaIngest.ingest(empty, dir, "b000000000")
+    val e = intercept[IllegalArgumentException] {
+      Pca.momentCells(empty)
+    }
+    assert(e.getMessage.contains("batch is empty"))
+    // the no-op left no delta behind: serving still reports empty store
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.PcaIngest.serveTopComponent(spark, dir)
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
+
   test("exactness guard and invalid vectors fail loudly") {
     val big = (0 until 10).map(i => (i.toLong, Seq.fill(4)(1.0e7)))
       .toDF("vec_id", "embedding")

@@ -1649,8 +1649,10 @@ class StreamingSpec extends AnyFunSuite {
     val (voc, oov) = LmOps.trainSurprisalVocab(trainDocs, vocabSize = 8)
     val (big, uni, boov) = LmOps.trainBigramVocab(trainDocs,
       bigramVocab = 16, unigramVocab = 8)
+    val (kn, koov) = LmOps.trainKnVocab(trainDocs, topK = 16)
     val uThresh = 3000L
     val bThresh = 3000L
+    val kThresh = 3000L
     def uniAdmit(text: String): Boolean = {
       val ts = text.split("\\s+").filter(_.nonEmpty)
       ts.nonEmpty &&
@@ -1662,8 +1664,15 @@ class StreamingSpec extends AnyFunSuite {
         big.getOrElse(p(0) + " " + p(1), uni.getOrElse(p(1), boov))).sum *
         1000L <= bThresh * (ts.length - 1)
     }
+    def knAdmit(text: String): Boolean = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      ts.length > 1 && ts.sliding(2).map(p =>
+        kn.getOrElse(p(0) + " " + p(1), koov)).sum *
+        1000L <= kThresh * (ts.length - 1)
+    }
     val uStream = MemoryStream[(Long, String)]
     val bStream = MemoryStream[(Long, String)]
+    val kStream = MemoryStream[(Long, String)]
     val uQ = LmOps.surprisalGate(uStream.toDS().toDF("doc_id", "text"),
       voc, oov, threshMilli = uThresh)
       .writeStream.format("memory").queryName("lm_gate_soak_u")
@@ -1672,9 +1681,14 @@ class StreamingSpec extends AnyFunSuite {
       big, uni, boov, threshMilli = bThresh)
       .writeStream.format("memory").queryName("lm_gate_soak_b")
       .outputMode("append").start()
+    val kQ = LmOps.knSurprisalGate(kStream.toDS().toDF("doc_id", "text"),
+      kn, koov, threshMilli = kThresh)
+      .writeStream.format("memory").queryName("lm_gate_soak_k")
+      .outputMode("append").start()
     val times = new Array[Double](60)
     val expectU = scala.collection.mutable.Set.empty[Long]
     val expectB = scala.collection.mutable.Set.empty[Long]
+    val expectK = scala.collection.mutable.Set.empty[Long]
     try {
       for (b <- 0 until 60) {
         // per-batch mix varies with b: in-model docs, OOV junk, empties,
@@ -1692,30 +1706,38 @@ class StreamingSpec extends AnyFunSuite {
         docs.foreach { case (id, t) =>
           if (uniAdmit(t)) expectU += id
           if (bigAdmit(t)) expectB += id
+          if (knAdmit(t)) expectK += id
         }
         val t0 = System.nanoTime()
         uStream.addData(docs)
         bStream.addData(docs)
+        kStream.addData(docs)
         uQ.processAllAvailable()
         bQ.processAllAvailable()
+        kQ.processAllAvailable()
         times(b) = (System.nanoTime() - t0) / 1e9
       }
       val gotU = spark.sql("SELECT doc_id FROM lm_gate_soak_u")
         .collect().map(_.getLong(0)).toSet
       val gotB = spark.sql("SELECT doc_id FROM lm_gate_soak_b")
         .collect().map(_.getLong(0)).toSet
+      val gotK = spark.sql("SELECT doc_id FROM lm_gate_soak_k")
+        .collect().map(_.getLong(0)).toSet
       assert(gotU == expectU.toSet,
         s"unigram gate drift: extra=${gotU -- expectU} missing=${expectU -- gotU}")
       assert(gotB == expectB.toSet,
         s"bigram gate drift: extra=${gotB -- expectB} missing=${expectB -- gotB}")
-      // the mix must exercise both sides of both gates
+      assert(gotK == expectK.toSet,
+        s"KN gate drift: extra=${gotK -- expectK} missing=${expectK -- gotK}")
+      // the mix must exercise both sides of all three gates
       assert(expectU.nonEmpty && expectU.size < 60 * 20)
       assert(expectB.nonEmpty && expectB.size < 60 * 20)
+      assert(expectK.nonEmpty && expectK.size < 60 * 20)
       def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       val early = median(times.slice(5, 25).toSeq)
       val late = median(times.slice(40, 60).toSeq)
       assert(late / early < 3.0,
         f"per-batch time grew: early=$early%.3fs late=$late%.3fs (${late / early}%.2fx)")
-    } finally { uQ.stop(); bQ.stop() }
+    } finally { uQ.stop(); bQ.stop(); kQ.stop() }
   }
 }

@@ -94,6 +94,16 @@ class TopKAggSpec extends AnyFunSuite {
     assert(back.sortedEntries == st.sortedEntries && back.k == st.k)
   }
 
+  test("TopKState: Long.MinValue score ranks LAST (window-form parity)") {
+    val st = new TopKState(3)
+    Seq((Long.MinValue, 1L), (0L, 2L), (5L, 3L)).foreach {
+      case (s, i) => st.offer(s, i)
+    }
+    // −MinValue == MinValue, so a negation-keyed sort would rank it first
+    assert(st.sortedEntries ==
+      Seq((5L, 3L), (0L, 2L), (Long.MinValue, 1L)))
+  }
+
   test("plan shape: partial ObjectHashAggregate, no Window, no Sort") {
     val plan = rows.toDF("g", "id", "s").repartition(8)
       .groupBy(col("g")).agg(TopKAgg.topK(col("s"), col("id"), 5).as("tk"))
@@ -123,7 +133,7 @@ class TopKAggSpec extends AnyFunSuite {
       }.sortBy { case (id, _, pr) => (-pr, id) }
       val tau = ranked.lift(k).map(_._3)
       ranked.take(k).zipWithIndex.map { case ((id, w, pr), ix) =>
-        val est = tau.fold(w * 1000L)(t => math.max(w, t) * 1000L)
+        val est = tau.fold(w)(t => math.max(w, t))
         (g, ix + 1, id, w, pr, tau, est)
       }
     }.sortBy { case (g, r, _, _, _, _, _) => (g, r) }
@@ -155,7 +165,7 @@ class TopKAggSpec extends AnyFunSuite {
       .filter(col("grp") === "g0").collect()
     assert(out.length == 4)
     assert(out.forall(_.isNullAt(5)))
-    assert(out.forall(r => r.getLong(6) == r.getLong(3) * 1000L))
+    assert(out.forall(r => r.getLong(6) == r.getLong(3)))
   }
 
   test("prioritySample: DLT estimator calibrates to the group total") {
@@ -163,10 +173,36 @@ class TopKAggSpec extends AnyFunSuite {
     val trueTotal = items.map(_._3).sum
     val est = PrioritySample.sample(
       items.toDF("src", "item", "wt"), 64, "src", "item", "wt")
-      .agg(sum(col("est_milli"))).head().getLong(0) / 1000.0
+      .agg(sum(col("est"))).head().getLong(0).toDouble
     // DLT: relative std ~ 1/sqrt(k-2) ≈ 13% at k=64; deterministic
     // here (hash-driven), pinned with headroom
     assert(math.abs(est - trueTotal) <= 0.20 * trueTotal,
       s"est $est vs true $trueTotal")
+  }
+
+  test("prioritySample: weight at/above 2^22 fails loudly, never wraps") {
+    val items = Seq(("g", 1L, 5L), ("g", 2L, 1L << 22))
+    val e = intercept[Exception] {
+      PrioritySample.sample(
+        items.toDF("src", "item", "wt"), 1, "src", "item", "wt").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("overflow int64")), e.toString)
+  }
+
+  test("estimate: a u40=1-extreme priority survives as est without wrap") {
+    // hand-built topState frame: τ = pr at rank k+1 near the w·2^40
+    // ceiling (the forced u40 = 1 draw) — est = max(w, τ) must carry it
+    // exactly; the retired ·1000 scaling wrapped negative here
+    val hugePr = ((1L << 22) - 1L) * (1L << 40) // max legal priority
+    val state = Seq(
+      ("g", 1, 10L, 7L, hugePr),
+      ("g", 2, 11L, 3L, hugePr - 1L))
+      .toDF("grp", "rank", "id", "w", "pr")
+    val out = PrioritySample.estimate(state, 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(6) == hugePr - 1L) // est = τ, exact
+    assert(out.head.getLong(6) > 0L)
   }
 }
