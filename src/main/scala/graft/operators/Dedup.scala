@@ -411,9 +411,11 @@ object Dedup {
         allBanded.join(broadcast(hot), Seq("bk"), "left_anti")
       case None => allBanded
     }
+    // both self-join sides are corpus-shaped — pin shuffle_hash so AQE
+    // never upgrades one to a broadcast (the q195 sf10 OOM lesson)
     banded.select(col("bk"), col("id").as("id_a"), col("hash").as("h_a"))
       .join(banded.select(col("bk"), col("id").as("id_b"),
-        col("hash").as("h_b")), Seq("bk"))
+        col("hash").as("h_b")).hint("shuffle_hash"), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")

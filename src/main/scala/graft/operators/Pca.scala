@@ -351,8 +351,36 @@ object Pca {
     require(k >= 1, s"k=$k must be >= 1")
     val q = quantized(corpus, idCol, vecCol)
     val sc = scatterOf(q)
+    q.unpersist(false) // actions done; the one projection pass recomputes
+    projectionPass(q, sc, k, iters)
+  }
+
+  /** [[project]] served from an accumulated moment store: components
+    * and centering state derive from the CELLS (one kilobyte-scale
+    * aggregation — the corpus is never re-read for the model), and the
+    * per-vector pass is the same one-narrow-pass fold over whatever
+    * frame the caller wants projected. Bit-equal to [[project]] when
+    * `corpus` is exactly the ingested rows (exact mergeable moments);
+    * `rounded = true` serves past the 2^53 ceiling under the
+    * [[signif53]] contract. The centering literals s_j, n need no
+    * truncation in either regime: s_j ≤ n·qmax stays far below 2^53
+    * wherever scatter cells (≤ n²·qmax²) are even representable as
+    * anything, and both engines convert sub-2^53 integers exactly. */
+  def projectFromCells(cells: DataFrame, corpus: DataFrame, k: Int = 2,
+      iters: Int = Iters, rounded: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val sc = scatterFromCells(cells, rounded)
+    val q = corpus.select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("qa"))
+    projectionPass(q, sc, k, iters)
+  }
+
+  /** The shared one-narrow-pass projection fold over quantized rows. */
+  private def projectionPass(q: DataFrame, sc: Scatter, k: Int,
+      iters: Int): DataFrame = {
     val comps = deflated(sc, k, iters)
-    val sLit = array(sc.s.map(b => lit(b.toDouble)): _*) // exact < 2^53
+    val sLit = array(sc.s.map(b => lit(b.toDouble)): _*) // exact: s_j ≪ 2^53
     val nLit = lit(sc.n.toDouble)
     val coordCols = comps.zipWithIndex.map { case ((x, _), t) =>
       val xLit = array(x.map(lit): _*)
@@ -362,7 +390,6 @@ object Pca {
             element_at(sLit, (j + 1).cast("int"))) *
           element_at(xLit, (j + 1).cast("int"))) / nLit).as(s"c${t + 1}")
     }
-    val out = q.select(col("id") +: coordCols: _*)
-    out
+    q.select(col("id") +: coordCols: _*)
   }
 }

@@ -204,6 +204,28 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("projectFromCells == project, bitwise, at two scale factors (exact and rounded flags)") {
+    // the projection-serving law: components + centering state derived
+    // from the moment store must reproduce the batch build exactly —
+    // and below the ceiling the rounded flag is the identity, so all
+    // three paths coincide
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val corpus = spark.read
+        .parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val batch = Pca.project(corpus, k = 2)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val cells = Pca.momentCells(corpus)
+      for (rounded <- Seq(false, true)) {
+        val served = Pca.projectFromCells(cells, corpus, k = 2,
+          rounded = rounded)
+          .orderBy(col("id")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+        assert(served == batch, s"$sf rounded=$rounded: serve diverged")
+      }
+    }
+  }
+
   test("rounded serve past the 2^53 ceiling: exact refuses, rounded matches the witness") {
     // large-n soak: 200k vectors at qmax ≈ 1027 puts n²·qmax² ≈ 4.2e16
     // past the 2^53 ≈ 9.0e15 exactness ceiling, with the DIAGONAL
@@ -257,6 +279,24 @@ class PcaSpec extends AnyFunSuite {
       assert(r.getDouble(1) == x(r.getLong(0).toInt),
         s"rounded pc[${r.getLong(0)}] diverged from the witness")
       assert(r.getDouble(2) == eig, "rounded eigval diverged")
+    }
+    // projection serving in the same regime: a slice of the corpus
+    // projected under the all-history rounded components must match
+    // the sequential fold (exact only refuses here too)
+    intercept[IllegalArgumentException] {
+      Pca.projectFromCells(cells, df.filter(col("vec_id") < 100), k = 1)
+    }
+    val proj = Pca.projectFromCells(cells, df.filter(col("vec_id") < 100),
+      k = 1, rounded = true).orderBy(col("id")).collect()
+    assert(proj.length == 100)
+    proj.foreach { r =>
+      val v = q(r.getLong(0).toInt)
+      var acc = 0.0; var j = 0
+      while (j < dim) {
+        acc += (n.toDouble * v(j) - s(j).toDouble) * x(j); j += 1
+      }
+      assert(r.getDouble(1) == acc / n.toDouble,
+        s"rounded projection diverged at id ${r.getLong(0)}")
     }
   }
 

@@ -372,6 +372,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q195 lost its pinned shuffle-hash joins:\n$plan")
   }
 
+  test("q204: the Hamming band self-join never broadcasts a corpus-shaped side") {
+    // Both sides of the band self-join grow with the corpus — the
+    // shuffle_hash pin makes the plan unconditional (the q195 AQE
+    // lesson transplanted to Hamming space). No cap in q204 → no
+    // legitimate broadcast anywhere in this plan.
+    val plan = executed(query("q204_image_neardup_pairs"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"q204 plans a broadcast join on a corpus-shaped side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q204 lost its pinned shuffle-hash band join:\n$plan")
+  }
+
   test("q197/q198: projection passes are shuffle-free narrow scans") {
     // Both 100 TB claims are ONE codegen'd pass with the model as
     // expression literals: PCA coordinates and JL coordinates add zero
