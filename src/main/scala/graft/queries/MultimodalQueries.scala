@@ -154,6 +154,60 @@ object MultimodalQueries {
       graft.operators.Dedup.hammingNearDupPairs(hashes,
         bits = 28, bands = 4, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Image near-dup CLUSTERS: transitive closure of the q204 pairs
+    // with the minimum member id canonical — the image twin of the
+    // q75 text components (keep comp == id, drop the rest), so the
+    // retention/split machinery (q105/q107) composes onto images
+    // unchanged. DuckDB derives components via the recursive
+    // reachability CTE over the all-pairs Hamming edges.
+    "q206_image_neardup_components" -> QueryDef({
+      val base = dhashSql(byteSql("h", _))
+      val bumped = dhashSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 1) % 256)" else byteSql("h", k))
+      s"""WITH RECURSIVE m AS (SELECT doc_id AS id,
+         |           md5(text) || md5(md5(text)) AS h
+         |           FROM documents WHERE doc_id % 3 = 0),
+         |hs AS (SELECT id, CAST($base AS BIGINT) AS dhash FROM m
+         |       UNION ALL
+         |       SELECT -id - 1 AS id, CAST($bumped AS BIGINT) AS dhash
+         |       FROM m WHERE id % 5 = 0),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         |      FROM hs a JOIN hs b ON a.id < b.id
+         |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT id, id AS r FROM hs
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS canonical_id, count(*) AS n_docs, max(id) AS max_id
+         |FROM comp GROUP BY comp HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin
+    }) { (s, dir) =>
+      val grids = Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
+        .toDF().filter(col("meta.mediaType") === "image")
+        .select(col("id"),
+          Multimodal.fakeLumaGrid(col("payload")).as("grid"))
+      val variants = grids.filter(col("id") % 5 === 0)
+        .select((-col("id") - 1).as("id"),
+          transform(col("grid"), (v, i) =>
+            when(i === 9, (v + 1) % 256).otherwise(v)).as("grid"))
+      val hashes = grids.unionByName(variants)
+        .select(col("id"),
+          graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4)
+            .as("hash"))
+      val pairs = graft.operators.Dedup.hammingNearDupPairs(hashes,
+        bits = 28, bands = 4, maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.connectedComponents(
+        hashes.select(col("id")), pairs)
+        .groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("canonical_id"))
     }
   )
 
