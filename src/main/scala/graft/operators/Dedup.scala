@@ -384,25 +384,39 @@ object Dedup {
     * Scale shape: the band explode is bands·N narrow rows; the
     * candidate equi-join shuffles on the band key; the verify is one
     * xor+bit_count per candidate — no full-width data moves. */
-  def hammingNearDupPairs(hashes: DataFrame, bits: Int, bands: Int,
-      maxDist: Int, idCol: String = "id", hashCol: String = "hash",
-      maxBucketSize: Option[Int] = None): DataFrame = {
+  /** Hamming band preconditions shared by the batch and incremental
+    * forms. */
+  private def requireHammingBands(bits: Int, bands: Int, maxDist: Int): Unit = {
     require(bands >= 1 && bits >= bands && bits <= 63,
       s"bits=$bits bands=$bands out of range")
     require(maxDist >= 0 && maxDist < bands,
       s"maxDist=$maxDist must be < bands=$bands for band completeness")
     require(bits % bands == 0,
       s"bits=$bits must split evenly into bands=$bands")
+  }
+
+  /** (bk, <idOut>, <hashOut>) band-key explosion of a hash frame: band
+    * b's w = bits/bands key bits, with the band index riding the key so
+    * band b of one hash never meets band c of another. */
+  private def hammingBanded(hashes: DataFrame, bits: Int, bands: Int,
+      idCol: String, hashCol: String, idOut: String,
+      hashOut: String): DataFrame = {
     val w = bits / bands
     val mask = (1L << w) - 1
-    val h = hashes.select(col(idCol).as("id"), col(hashCol).as("hash"))
-    val allBanded = h.select(col("id"), col("hash"),
-      explode(array((0 until bands).map { b =>
-        // band index rides the key so band b of one hash never meets
-        // band c of another
-        (shiftrightunsigned(col("hash"), b * w).bitwiseAND(lit(mask)) +
-          lit(b.toLong << w)).as(s"b$b")
-      }: _*)).as("bk"))
+    hashes.select(col(idCol).as(idOut), col(hashCol).as(hashOut))
+      .select(col(idOut), col(hashOut),
+        explode(array((0 until bands).map { b =>
+          (shiftrightunsigned(col(hashOut), b * w).bitwiseAND(lit(mask)) +
+            lit(b.toLong << w)).as(s"b$b")
+        }: _*)).as("bk"))
+  }
+
+  def hammingNearDupPairs(hashes: DataFrame, bits: Int, bands: Int,
+      maxDist: Int, idCol: String = "id", hashCol: String = "hash",
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    requireHammingBands(bits, bands, maxDist)
+    val allBanded =
+      hammingBanded(hashes, bits, bands, idCol, hashCol, "id", "hash")
     val banded = maxBucketSize match {
       case Some(cap) =>
         val hot = allBanded.groupBy(col("bk"))
@@ -422,6 +436,80 @@ object Dedup {
           .as("hamming"))
       .filter(col("hamming") <= maxDist)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Incremental Hamming near-dup: verified pairs between a NEW batch
+    * of perceptual hashes and the persisted hash store
+    * ([[graft.sources.DHashStore]]) — the image analog of
+    * [[incrementalNearDupPairs]], for run-over-run ingestion where each
+    * batch must be checked against everything already admitted without
+    * re-pairing the store against itself. Same band completeness
+    * (maxDist < bands, pigeonhole); hashes are 8 bytes so they ride the
+    * band join directly (no join-back a heavy column would need). The
+    * hot-bucket cap is evaluated over the COMBINED (store ∪ batch)
+    * population — the q123 rule: 60 store + 60 batch docs in a bucket
+    * is hot at cap 100 even though neither side alone is.
+    *
+    * Output: (new_id, store_id, hamming), hamming ≤ maxDist. Caller
+    * contract: the id spaces are disjoint. */
+  def incrementalHammingPairs(newHashes: DataFrame, storeHashes: DataFrame,
+      bits: Int, bands: Int, maxDist: Int,
+      idCol: String = "id", hashCol: String = "hash",
+      maxBucketSize: Option[Int] = None,
+      hotBucketKeys: Option[DataFrame] = None): DataFrame = {
+    requireHammingBands(bits, bands, maxDist)
+    val nb = hammingBanded(newHashes, bits, bands, idCol, hashCol,
+      "new_id", "h_n")
+    val sb = hammingBanded(storeHashes, bits, bands, idCol, hashCol,
+      "store_id", "h_s")
+    val (nbF, sbF) = (hotBucketKeys, maxBucketSize) match {
+      case (Some(hot), _) =>
+        (nb.join(broadcast(hot.select(col("bk"))), Seq("bk"), "left_anti"),
+          sb.join(broadcast(hot.select(col("bk"))), Seq("bk"), "left_anti"))
+      case (None, Some(cap)) =>
+        val hot = nb.select(col("bk")).unionAll(sb.select(col("bk")))
+          .groupBy(col("bk")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > cap).select(col("bk"))
+        (nb.join(broadcast(hot), Seq("bk"), "left_anti"),
+          sb.join(broadcast(hot), Seq("bk"), "left_anti"))
+      case (None, None) => (nb, sb)
+    }
+    // the store side grows without bound — pin shuffle_hash (q195 rule)
+    nbF.join(sbF.hint("shuffle_hash"), Seq("bk"))
+      .select(col("new_id"), col("store_id"),
+        bit_count(col("h_n").bitwiseXOR(col("h_s"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("new_id", "store_id")
+  }
+
+  /** One image-ingestion ADMISSION fold over the persisted hash store
+    * (the [[graft.sources.DHashStore]] loop, mirroring the exact-dedup
+    * span-gate ingestion shape): a batch doc is admitted iff it is
+    * within `maxDist` of NOTHING already stored AND nothing
+    * earlier-id'd in its own batch (first-seen-wins within the batch,
+    * the min-id canonical convention); admitted hashes append as the
+    * batch's own delta (replays overwrite — exactly-once). Returns the
+    * admitted (id, hash) rows. */
+  def imageAdmissionIngest(batch: DataFrame, dir: String, batchId: String,
+      bits: Int, bands: Int, maxDist: Int,
+      idCol: String = "id", hashCol: String = "hash"): DataFrame = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).as("id"), col(hashCol).as("hash"))
+    // exclude this batch's OWN delta: a replay must re-decide against
+    // the store as it stood, not against its own prior admissions
+    val store = graft.sources.DHashStore.loadExcluding(spark, dir, batchId)
+    val hitStore = incrementalHammingPairs(b, store, bits, bands, maxDist)
+      .select(col("new_id").as("id")).distinct()
+    // within-batch: keep the min id of every near-dup cluster — a doc
+    // survives iff no SMALLER-id batch doc sits within maxDist
+    val within = hammingNearDupPairs(b, bits, bands, maxDist)
+      .select(col("id_b").as("id")).distinct()
+    val admitted = b
+      .join(hitStore.hint("shuffle_hash"), Seq("id"), "left_anti")
+      .join(within.hint("shuffle_hash"), Seq("id"), "left_anti")
+    graft.sources.DHashStore.appendDelta(admitted, dir, batchId)
+    admitted
   }
 
   /** Streaming exact dedup: keep the first-seen document per content

@@ -208,6 +208,51 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
         .filter(col("n_docs") > 1)
         .orderBy(col("canonical_id"))
+    },
+
+    // Incremental image near-dup ADMISSION pairs: a new ingestion
+    // batch's hashes checked against the persisted store side only
+    // (the image analog of the text incremental near-dup, q83's
+    // shape): store = even-position images, batch = odd-position
+    // images ∪ one-cell-bumped variants of every 5th store image (the
+    // planted hits — ≤ 2 Hamming bits from their base). The oracle is
+    // the all-pairs cross Hamming — band completeness again the thing
+    // the compare proves.
+    "q207_image_incremental_neardup" -> QueryDef({
+      val base = dhashSql(byteSql("h", _))
+      val bumped = dhashSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 1) % 256)" else byteSql("h", k))
+      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+         |           FROM documents WHERE doc_id % 3 = 0),
+         |st AS (SELECT id, CAST($base AS BIGINT) AS dhash FROM m
+         |       WHERE id % 6 = 0),
+         |nw AS (SELECT id, CAST($base AS BIGINT) AS dhash FROM m
+         |       WHERE id % 6 = 3
+         |       UNION ALL
+         |       SELECT -id - 1 AS id, CAST($bumped AS BIGINT) AS dhash
+         |       FROM m WHERE id % 6 = 0 AND id % 5 = 0)
+         |SELECT nw.id AS new_id, st.id AS store_id,
+         |       CAST(bit_count(xor(nw.dhash, st.dhash)) AS BIGINT)
+         |         AS hamming
+         |FROM nw JOIN st ON bit_count(xor(nw.dhash, st.dhash)) <= 3
+         |ORDER BY new_id, store_id""".stripMargin
+    }) { (s, dir) =>
+      val grids = Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
+        .toDF().filter(col("meta.mediaType") === "image")
+        .select(col("id"),
+          Multimodal.fakeLumaGrid(col("payload")).as("grid"))
+      def hashed(g: org.apache.spark.sql.DataFrame) = g.select(col("id"),
+        graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4).as("hash"))
+      val store = hashed(grids.filter(col("id") % 6 === 0))
+      val variants = grids.filter(col("id") % 6 === 0 && col("id") % 5 === 0)
+        .select((-col("id") - 1).as("id"),
+          transform(col("grid"), (v, i) =>
+            when(i === 9, (v + 1) % 256).otherwise(v)).as("grid"))
+      val batch = hashed(grids.filter(col("id") % 6 === 3))
+        .unionByName(hashed(variants))
+      graft.operators.Dedup.incrementalHammingPairs(batch, store,
+        bits = 28, bands = 4, maxDist = 3)
+        .orderBy(col("new_id"), col("store_id"))
     }
   )
 

@@ -116,6 +116,74 @@ class ImageHashSpec extends AnyFunSuite {
       "pair sharing only the hot band must be the cap's accounted loss")
   }
 
+  test("incrementalHammingPairs == cross-side all-pairs witness; store side never broadcasts") {
+    val rnd = new scala.util.Random(207L)
+    val store = (0L until 200L).map(i => (i, rnd.nextLong() & 0xfffffffL))
+    // batch: fresh hashes + planted near-copies of three store docs
+    val batch = (1000L until 1150L).map(i => (i, rnd.nextLong() & 0xfffffffL)) ++
+      Seq(0, 1, 2).map { d =>
+        val (sid, h) = store(d * 11)
+        (2000L + sid, h ^ (1L << (d * 5 + 1)) ^ (if (d > 0) 1L << 20 else 0L))
+      }
+    val witness = (for {
+      (nid, nh) <- batch; (sid, sh) <- store
+      dd = java.lang.Long.bitCount(nh ^ sh) if dd <= 3
+    } yield (nid, sid, dd.toLong)).toSet
+    val got = Dedup.incrementalHammingPairs(batch.toDF("id", "hash"),
+      store.toDF("id", "hash"), bits = 28, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == witness, s"extra=${got -- witness} missing=${witness -- got}")
+    assert(witness.size >= 3, "planted near-copies must pair")
+    val plan = Dedup.incrementalHammingPairs(batch.toDF("id", "hash"),
+      store.toDF("id", "hash"), bits = 28, bands = 4, maxDist = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"store-shaped side broadcast:\n$plan")
+  }
+
+  test("image admission ingest: store blocks near-dups across batches, replay idempotent, compaction invisible") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dhash-store").toString
+    val rnd = new scala.util.Random(208L)
+    val b0 = (0L until 50L).map(i => (i, rnd.nextLong() & 0xfffffffL))
+    // batch 1: new hashes + a near-copy of b0(7) + an exact within-batch
+    // dup pair (min id must survive)
+    val nearOfStore = (100L, b0(7)._2 ^ (1L << 3))
+    val dupA = (101L, 0x1234567L)
+    val dupB = (102L, 0x1234567L)
+    val fresh = (110L until 120L).map(i => (i, rnd.nextLong() & 0xfffffffL))
+    val b1 = Seq(nearOfStore, dupA, dupB) ++ fresh
+    def ingest(rows: Seq[(Long, Long)], id: String) =
+      Dedup.imageAdmissionIngest(rows.toDF("id", "hash"), dir, id,
+        bits = 28, bands = 4, maxDist = 3)
+        .collect().map(_.getLong(0)).toSet
+    val a0 = ingest(b0, "b0")
+    assert(a0.size + (for {
+      (ia, ha) <- b0; (ib, hb) <- b0 if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield ib).toSet.size == 50, "batch 0 admits all but within-batch dups")
+    val a1 = ingest(b1, "b1")
+    assert(!a1.contains(100L), "near-copy of a stored hash must be rejected")
+    assert(a1.contains(101L) && !a1.contains(102L),
+      "within-batch exact dup: min id survives")
+    assert(fresh.map(_._1).toSet.subsetOf(a1), "fresh hashes admitted")
+    // replay of batch 1 overwrites its own delta: same admissions, and
+    // the 101-vs-replayed-101 pair never self-rejects
+    val a1r = ingest(b1, "b1")
+    assert(a1r == a1, "replay must be idempotent")
+    val storeIds = graft.sources.DHashStore.load(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(storeIds == a0 ++ a1, "store = union of admitted batches")
+    // compaction folds deltas without changing membership
+    assert(graft.sources.DHashStore.compact(spark, dir) >= 1)
+    val after = graft.sources.DHashStore.load(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after == storeIds, "compaction must be invisible")
+    // batch 2 is still gated by batch-1 admissions
+    val a2 = ingest(Seq((200L, dupA._2)), "b2")
+    assert(a2.isEmpty, "later exact copy of an admitted hash must reject")
+  }
+
   test("real ImageIO path: same PNG hashes equal, brightness shift near, distinct far") {
     def png(f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(64, 48,
