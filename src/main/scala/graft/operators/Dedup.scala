@@ -512,6 +512,21 @@ object Dedup {
     admitted
   }
 
+  /** foreachBatch sink form of [[imageAdmissionIngest]] — wire as
+    * `.writeStream.foreachBatch(Dedup.imageAdmissionSink(dir, 28, 4, 3))`
+    * over an (id, hash) stream. Batch-id keying makes retried
+    * micro-batches overwrite their own delta; empty micro-batches are
+    * a no-op (nothing to admit, nothing to append). */
+  def imageAdmissionSink(dir: String, bits: Int, bands: Int, maxDist: Int,
+      idCol: String = "id", hashCol: String = "hash")
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        imageAdmissionIngest(batch.toDF(), dir, f"b$batchId%09d",
+          bits, bands, maxDist, idCol, hashCol)
+        ()
+      }
+
   /** Streaming exact dedup: keep the first-seen document per content
     * fingerprint across ALL batches — the incremental form of
     * [[dropExactDuplicates]] for a continuously-arriving corpus. State is

@@ -184,6 +184,46 @@ class ImageHashSpec extends AnyFunSuite {
     assert(a2.isEmpty, "later exact copy of an admitted hash must reject")
   }
 
+  test("streaming image admission: micro-batches gate against everything previously admitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dhash-stream").toString
+    val rnd = new scala.util.Random(209L)
+    val stream = MemoryStream[(Long, Long)]
+    val q = stream.toDS().toDF("id", "hash").writeStream
+      .foreachBatch(Dedup.imageAdmissionSink(dir, bits = 28, bands = 4,
+        maxDist = 3))
+      .outputMode("append").start()
+    val base = (0L until 30L).map(i => (i, rnd.nextLong() & 0xfffffffL))
+    try {
+      stream.addData(base)
+      q.processAllAvailable()
+      // batch 2: a 1-bit near-copy of an admitted hash + fresh rows
+      stream.addData(Seq((500L, base(11)._2 ^ (1L << 9)),
+        (501L, rnd.nextLong() & 0xfffffffL)))
+      q.processAllAvailable()
+      // batch 3: a near-copy of a BATCH-2 admission — cross-batch state
+      stream.addData(Seq((600L, 0L), (601L, 1L << 4)))
+      q.processAllAvailable()
+      stream.addData(Seq((700L, base(11)._2), (701L, 1L << 4 ^ 1L << 9)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = graft.sources.DHashStore.load(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(500L), "near-copy of batch-1 admission rejected")
+    assert(ids.contains(501L))
+    assert(ids.contains(600L) && !ids.contains(601L),
+      "within-batch near-dup (d=1): min id survives")
+    assert(!ids.contains(700L), "exact copy of a stored hash rejected")
+    assert(!ids.contains(701L), "2-bit copy of a batch-3 admission rejected")
+    assert(base.map(_._1).toSet.subsetOf(ids) ||
+      base.map(_._1).toSet.diff(ids).forall(i =>
+        base.exists(b => b._1 < i &&
+          java.lang.Long.bitCount(b._2 ^ base(i.toInt)._2) <= 3)),
+      "batch-1 rows admitted unless within-batch near-dups")
+  }
+
   test("real ImageIO path: same PNG hashes equal, brightness shift near, distinct far") {
     def png(f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(64, 48,
