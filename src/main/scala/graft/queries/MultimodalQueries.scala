@@ -202,8 +202,14 @@ object MultimodalQueries {
       val pairs = graft.operators.Dedup.hammingNearDupPairs(hashes,
         bits = 28, bands = 4, maxDist = 3)
         .select(col("id_a"), col("id_b"))
+      // maxIter = 64: a Hamming-ball graph chains THROUGH hash space
+      // (a–b–c where consecutive hops differ ≤ maxDist bits), so
+      // component diameter grows with hash density — at sf1.0 the
+      // 20-round text default is measurably too low. Rounds are
+      // frontier-only delta propagations (cheap); past 64 the honest
+      // levers are pointer-doubling or a tighter maxDist.
       graft.operators.Dedup.connectedComponents(
-        hashes.select(col("id")), pairs)
+        hashes.select(col("id")), pairs, maxIter = 64)
         .groupBy(col("comp").as("canonical_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
         .filter(col("n_docs") > 1)
