@@ -873,6 +873,94 @@ object Dedup {
     (nodeLabels.join(canon, Seq("raw_comp")).select(col("id"), col("comp")), iter)
   }
 
+  /** [[connectedComponents]] by min-label POINTER DOUBLING — the
+    * O(log diameter) closure for graphs whose components CHAIN (the
+    * Hamming-ball graphs of perceptual-hash dedup: consecutive hops
+    * within maxDist bits walk arbitrarily far through hash space, so
+    * diameter grows with hash density — measured: the 20-round
+    * propagation default fails on the sf1.0 image fixture). Each round
+    * folds THREE label sources per node and keeps the min: the node's
+    * own label, its neighbors' labels (one propagation hop), and the
+    * label OF its label (the pointer jump — label values are node ids,
+    * so they have labels of their own). The jump is what compresses
+    * chains: the radius a node's min has reached at least doubles per
+    * round (hop extends it by one, jump composes two reached radii),
+    * hence log₂(diameter) + O(1) rounds instead of diameter.
+    *
+    * Correctness: labels start at own-id, only ever decrease, and are
+    * bounded below, so a fixpoint exists; at a fixpoint the hop arm
+    * forces L(u) == L(v) across every edge (both directions fold), so
+    * L is constant per component, and the constant is the component's
+    * minimum id (every node's own id was in the running). Identical
+    * output to [[connectedComponents]] — the equality is spec-pinned,
+    * including on a long chain where the propagation form cannot
+    * converge inside any reasonable bound.
+    *
+    * Trade vs the propagation form: the doubling rounds shuffle the
+    * FULL frontier label table (three unions + an agg + a jump join)
+    * where propagation rounds touch only last round's changed labels —
+    * so on shallow graphs (text near-dup: diameter 2-3) propagation is
+    * cheaper, and on chained graphs doubling is the one that finishes.
+    * Pick by graph family; both share the canonicalization tail. */
+  def connectedComponentsDoubling(nodes: DataFrame, pairs: DataFrame,
+      idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 32): DataFrame =
+    connectedComponentsDoublingWithRounds(nodes, pairs, idCol, aCol, bCol,
+      maxIter)._1
+
+  /** [[connectedComponentsDoubling]] + the round count it took. */
+  def connectedComponentsDoublingWithRounds(nodes: DataFrame,
+      pairs: DataFrame, idCol: String = "id", aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 32): (DataFrame, Int) = {
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
+    var lastRound: DataFrame = labels
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // one propagation hop: neighbors' labels flow across each edge
+      val viaEdge = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+      // the pointer jump: my label's OWN label (labels are node ids of
+      // frontier members, so the self-join always finds a row)
+      val jumped = labels
+        .join(labels.select(col("id").as("comp"), col("comp").as("jc")),
+          Seq("comp"))
+        .select(col("id"), col("jc").as("comp"))
+      val next = cut(labels.unionByName(viaEdge).unionByName(jumped)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
+      // labels only decrease: any strict decrease means another round
+      converged = next
+        .join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") < col("old"))
+        .limit(1).count() == 0
+      labels = next
+      lastRound = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponentsDoubling did not converge in $maxIter rounds")
+    val nodeLabels = nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("comp", "frontier_comp"), Seq("id"),
+        "left")
+      .select(col("id"),
+        coalesce(col("frontier_comp"), col("id")).as("raw_comp"))
+    val canon = nodeLabels.groupBy(col("raw_comp"))
+      .agg(min(col("id")).as("comp"))
+    (nodeLabels.join(canon, Seq("raw_comp")).select(col("id"), col("comp")),
+      iter)
+  }
+
   /** The keep-policy over [[connectedComponents]]: retain only each
     * cluster's canonical (minimum-id) member — the final filter of the
     * near-dup pipeline (pairs → components → drop). */

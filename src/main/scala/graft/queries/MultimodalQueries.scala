@@ -204,10 +204,12 @@ object MultimodalQueries {
         .select(col("id_a"), col("id_b"))
       // maxIter = 64: a Hamming-ball graph chains THROUGH hash space
       // (a–b–c where consecutive hops differ ≤ maxDist bits), so
-      // component diameter grows with hash density — at sf1.0 the
-      // 20-round text default is measurably too low. Rounds are
-      // frontier-only delta propagations (cheap); past 64 the honest
-      // levers are pointer-doubling or a tighter maxDist.
+      // component diameter grows with hash density and the 20-round
+      // text default measurably failed at sf1.0. Measured trade at
+      // sf0.1/sf1.0: frontier-only propagation at 64 rounds (2.4/16.1 s)
+      // beats connectedComponentsDoubling's full-table log-round
+      // closure (3.3/28.7 s) while the diameter fits the bound —
+      // doubling is the spec-pinned fallback when it no longer does.
       graft.operators.Dedup.connectedComponents(
         hashes.select(col("id")), pairs, maxIter = 64)
         .groupBy(col("comp").as("canonical_id"))

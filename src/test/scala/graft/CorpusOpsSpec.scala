@@ -461,6 +461,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L, 5L)) // chain -> 1; island 4; pair -> 5
   }
 
+  test("pointer-doubling components == propagation components (random graph + fixture shapes)") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(210L)
+    val n = 500L
+    val ids = (0L until n).toDF("id")
+    // sparse random edges + a bridge + isolated nodes (ids with no edge)
+    val edges = ((0 until 300).map(_ =>
+      (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b } :+ (398L, 399L))
+      .toDF("id_a", "id_b")
+    // the reference needs diameter-many rounds — this near-threshold
+    // random graph exceeds the 20-round default (itself evidence for
+    // the doubling variant); 500 is safely past any 400-node diameter
+    val prop = Dedup.connectedComponents(ids, edges, maxIter = 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dbl = Dedup.connectedComponentsDoubling(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dbl == prop, s"doubling != propagation")
+    assert((400L until n).forall(i => dbl(i) == i), "isolated nodes keep own id")
+  }
+
+  test("pointer-doubling converges in log rounds on a chain the propagation bound cannot close") {
+    import graft.operators.Dedup
+    // a 3000-node path: diameter 2999 — min-label propagation needs
+    // ~3000 rounds (the default 20-round bound throws), doubling closes
+    // it in ~log2(3000) + change-detection rounds
+    val n = 3000L
+    val ids = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(ids, chain) // maxIter 20 < diameter
+    }
+    val (comps, rounds) =
+      Dedup.connectedComponentsDoublingWithRounds(ids, chain)
+    val got = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      "one component labeled by the minimum id")
+    assert(rounds <= 15, s"doubling took $rounds rounds on diameter ${n - 1}")
+  }
+
   test("mergeComponents: incremental fold equals from-scratch CC") {
     import graft.operators.Dedup
     // run 1: ids 1-10; comps {1,2,3} (chain), {5,6} (pair), singletons
