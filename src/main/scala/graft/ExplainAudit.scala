@@ -28,7 +28,9 @@ object ExplainAudit {
         "q192_ivfpq_residual_topk", "q193_ivfpq_refine",
         "q194_prefix_refine_topk", "q195_similarity_join",
         "q196_pca_top_component", "q197_pca_project",
-        "q198_jl_project", "q199_jl_topk")
+        "q198_jl_project", "q199_jl_topk",
+        "q204_image_neardup_pairs", "q205_two_stage_dedup",
+        "q207_image_incremental_neardup")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
