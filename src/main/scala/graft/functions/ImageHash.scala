@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 /** Perceptual image hashing for near-duplicate detection — the dHash
   * (difference hash) over a luma grid: bit (y, x) is set iff
   * luma(y, x+1) > luma(y, x) on a gh-row × (gw+1)-column grid, giving
-  * a gw·gh-bit fingerprint that is invariant to global brightness /
+  * a gw·gh-bit fingerprint (≤ 64 bits — an opaque bit pattern, sign
+  * meaningless) that is invariant to global brightness /
   * contrast shifts (only ORDER between horizontally-adjacent cells
   * matters) and robust to small local perturbations (one cell touches
   * at most two comparisons, so a single-cell change flips ≤ 2 bits).
@@ -28,8 +29,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class DHashGridExpr(child: Expression, gw: Int, gh: Int)
   extends UnaryExpression {
 
-  require(gw >= 1 && gh >= 1 && gw * gh <= 63,
-    s"dhash grid ${gw}x$gh must fit 63 bits")
+  require(gw >= 1 && gh >= 1 && gw * gh <= 64,
+    s"dhash grid ${gw}x$gh must fit 64 bits")
 
   override def dataType: DataType = LongType
   override protected def withNewChildInternal(c: Expression): DHashGridExpr =
@@ -59,6 +60,12 @@ case class DHashGridExpr(child: Expression, gw: Int, gh: Int)
       val y = b / gw
       val x = b % gw
       val p = y * (gw + 1) + x
+      // a null luma cell would read as a silent 0 through getInt —
+      // refuse loudly instead (producers never emit nulls; a caller's
+      // bad grid must not hash plausibly)
+      if (arr.isNullAt(p) || arr.isNullAt(p + 1))
+        throw new IllegalArgumentException(
+          s"dhash_grid: null luma cell at grid position $p/${p + 1}")
       if (arr.getInt(p + 1) > arr.getInt(p)) h |= 1L << b
       b += 1
     }
@@ -85,8 +92,10 @@ object ImageHash {
   /** Pure-builtin dHash (unrolled adjacent-cell comparisons) — parity
     * witness for the kernel and the formulation the oracle mirrors. */
   def dHashGridDeclarative(grid: Column, gw: Int, gh: Int): Column = {
-    require(gw >= 1 && gh >= 1 && gw * gh <= 63,
-      s"dhash grid ${gw}x$gh must fit 63 bits")
+    require(gw >= 1 && gh >= 1 && gw * gh <= 64,
+      s"dhash grid ${gw}x$gh must fit 64 bits")
+    // disjoint power-of-two terms never carry, so the sum is the OR of
+    // the bit pattern even when bit 63 (Long.MinValue) participates
     (0 until gw * gh).map { b =>
       val y = b / gw
       val x = b % gw

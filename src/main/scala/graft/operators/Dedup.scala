@@ -385,14 +385,19 @@ object Dedup {
     * candidate equi-join shuffles on the band key; the verify is one
     * xor+bit_count per candidate — no full-width data moves. */
   /** Hamming band preconditions shared by the batch and incremental
-    * forms. */
+    * forms. `bits` may be the full 64 (the real-codec 8×8 dHash) — the
+    * hash is an opaque bit pattern, and every operation here
+    * (shiftrightunsigned, xor, bit_count) is sign-agnostic. */
   private def requireHammingBands(bits: Int, bands: Int, maxDist: Int): Unit = {
-    require(bands >= 1 && bits >= bands && bits <= 63,
+    require(bands >= 1 && bits >= bands && bits <= 64,
       s"bits=$bits bands=$bands out of range")
     require(maxDist >= 0 && maxDist < bands,
       s"maxDist=$maxDist must be < bands=$bands for band completeness")
     require(bits % bands == 0,
       s"bits=$bits must split evenly into bands=$bands")
+    require(bits / bands < 64 || bands > 1,
+      "bits=64 needs bands >= 2 (a 64-bit band mask cannot be built " +
+        "by shifting, and bands=1 at 64 bits is just an exact-hash join)")
   }
 
   /** (bk, <idOut>, <hashOut>) band-key explosion of a hash frame: band
@@ -402,7 +407,7 @@ object Dedup {
       idCol: String, hashCol: String, idOut: String,
       hashOut: String): DataFrame = {
     val w = bits / bands
-    val mask = (1L << w) - 1
+    val mask = (1L << w) - 1 // w < 64 by requireHammingBands
     hashes.select(col(idCol).as(idOut), col(hashCol).as(hashOut))
       .select(col(idOut), col(hashOut),
         explode(array((0 until bands).map { b =>

@@ -262,5 +262,17 @@ class ImageHashSpec extends AnyFunSuite {
     val again = Multimodal.dHashImages(ds).collect()
       .map(r => r.id -> r.dhash).toMap
     assert(rows.map(_.id).forall(id => again(id) == got(id).dhash))
+    // end-to-end: the 64-bit real-path hashes ride the SAME band join
+    // (bits = 64, 8 bands of 8 — the hash is an opaque bit pattern,
+    // sign included); the gradient/brighter near-pair surfaces, the
+    // stripes image does not
+    val hashes = Multimodal.dHashImages(ds).filter(_.decoded)
+      .toDF().select(col("id"), col("dhash").as("hash"))
+    val pairs = Dedup.hammingNearDupPairs(hashes, bits = 64, bands = 8,
+      maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"distinct image paired: $pairs")
   }
 }
