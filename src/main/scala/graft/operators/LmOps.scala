@@ -1200,4 +1200,160 @@ object LmOps {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_subwords"), lit(0L)).cast("long").as("n_subwords"))
   }
+
+  // ------------------------------------------ PMI collocation mining
+
+  /** word2vec phrase-table trainer (Mikolov et al. 2013, "Distributed
+    * Representations of Words and Phrases", §4) — NOT q167's undirected
+    * association ranker ([[graft.operators.GraphRank.collocations]]):
+    * this is the DIRECTED, δ-discounted scorer whose output is a merge
+    * TABLE deployed by [[phraseMergeReport]] (the model→consumer pair
+    * of q200/q201 and q129/q130). Scores each ordered corpus bigram
+    * (a, b) by
+    *
+    *   score(a, b) = (c2(ab) − δ) · N / (c1(a) · c1(b))
+    *
+    * (δ = `delta` discounts rare-pair flukes; N = total tokens), as
+    * `score_milli` = 1000·num div den in exact DECIMAL(38,0) integer
+    * arithmetic — no 64-bit ceiling at any corpus (c2·N·1000 passes
+    * 2^63 near ~10^8 tokens). Also reports the true PMI
+    * log2(p(ab) / (p(a)·p(b))) rounded to its containing power of two
+    * (the q127 bitLen bucket discipline), SIGNED:
+    *
+    *   pmi_bit =  bitLen(c2·N² div (N2·c1a·c1b))   when ratio ≥ 1
+    *           = −bitLen(N2·c1a·c1b div (c2·N²))    otherwise
+    *
+    * where N2 = total bigram occurrences. Returns the top-`topN`
+    * collocations by (score_milli desc, prev asc, cur asc) with all
+    * count inputs attached — ≤ topN rows, so the result is an eagerly
+    * materialized LocalRelation and the corpus caches are released
+    * before return (the knBigramModel discipline).
+    *
+    * Scale shape: one corpus shuffle to bigram counts + one to token
+    * counts; both join stages are vocabulary-sized with `shuffle_hash`
+    * pinned (a token vocabulary at 100 TB is far past broadcast range
+    * and AQE must not be allowed to guess otherwise — the q195
+    * lesson); the two grand totals ride 1-row broadcasts. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 3L,
+      delta: Long = 1L, topN: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 1, s"topN must be at least 1, got $topN")
+    require(minCount >= 1, s"minCount must be at least 1, got $minCount")
+    require(delta >= 0 && delta < minCount,
+      s"delta must sit in [0, minCount): got delta=$delta minCount=$minCount")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c2 = docs.select(explode(TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(col(textCol)), 2)).as("g"))
+      .filter(size(TextFunctions.tokens(col("g"))) === 2)
+      .select(split(col("g"), " ").getItem(0).as("prev"),
+        split(col("g"), " ").getItem(1).as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .persist(mem)
+    val c1 = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      .persist(mem)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val plan = c2.filter(col("c2") >= minCount)
+      .join(c1.select(col("t").as("prev"), col("c1").as("c1a"))
+        .hint("shuffle_hash"), Seq("prev"))
+      .join(c1.select(col("t").as("cur"), col("c1").as("c1b"))
+        .hint("shuffle_hash"), Seq("cur"))
+      .crossJoin(broadcast(c1.agg(sum(col("c1")).as("tot"))))
+      .crossJoin(broadcast(c2.agg(sum(col("c2")).as("n2"))))
+      .withColumn("nums",
+        (col("c2").cast(dec) - delta) * col("tot") * 1000)
+      .withColumn("dens", col("c1a").cast(dec) * col("c1b"))
+      .withColumn("nump", col("c2").cast(dec) * col("tot") * col("tot"))
+      .withColumn("denp", col("n2").cast(dec) * col("c1a") * col("c1b"))
+      .select(col("prev"), col("cur"), col("c2"), col("c1a"), col("c1b"),
+        col("tot"), col("n2"),
+        expr("CAST(nums DIV dens AS BIGINT)").as("score_milli"),
+        when(col("nump") >= col("denp"),
+            bitLen(expr("CAST(nump DIV denp AS BIGINT)")))
+          .otherwise(-bitLen(expr("CAST(denp DIV nump AS BIGINT)")))
+          .cast("long").as("pmi_bit"))
+      .orderBy(col("score_milli").desc, col("prev").asc, col("cur").asc)
+      .limit(topN)
+    val rows =
+      try plan.collect()
+      finally { c2.unpersist(false); c1.unpersist(false) }
+    rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).toSeq
+      .toDF("prev", "cur", "c2", "c1a", "c1b", "tot", "n2",
+        "score_milli", "pmi_bit")
+  }
+
+  /** word2vec phrase-merge pass under a fixed phrase table (the q208
+    * model's (prev, cur) pairs): per document, the match count on the
+    * ORIGINAL token sequence and the greedy left-to-right
+    * non-overlapping merge count, plus the post-merge token count
+    * n_after = n_tokens − n_merges. One narrow corpus pass through
+    * [[graft.functions.PhraseMergeExpr]] — the table ships with the
+    * plan (the CCNet gate deployment shape), so the pass is legal in
+    * any streaming position and there is no join or shuffle anywhere.
+    *
+    * Merge semantics (the single-pass word2vec convention): matches
+    * are judged on original tokens only — a merged pair is not
+    * reconsidered as the left constituent of a later phrase — and the
+    * greedy scan consumes both tokens of a match. LmOpsSpec pins this
+    * scan against [[phraseMergeRunsForm]]'s closed declarative form on
+    * adversarial overlap chains. */
+  def phraseMergeReport(docs: DataFrame, phrases: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__pm_ts", TextFunctions.tokens(col(textCol)))
+      .withColumn("__pm", graft.functions.PhraseMergeExpr.of(
+        col("__pm_ts"), phrases.map { case (a, b) => a + " " + b }))
+      .select(col(idCol),
+        size(col("__pm_ts")).cast("long").as("n_tokens"),
+        col("__pm.n_matches").as("n_matches"),
+        col("__pm.n_merges").as("n_merges"),
+        (size(col("__pm_ts")).cast("long") - col("__pm.n_merges"))
+          .as("n_after"))
+
+  /** The closed declarative form of [[phraseMergeReport]]'s greedy
+    * count — the law twin LmOpsSpec pins and the shape the q209 oracle
+    * re-derives in SQL: greedy left-to-right non-overlapping selection
+    * takes ⌈L/2⌉ positions from each maximal run of L consecutive
+    * matching positions (it enters every run at its head and then
+    * takes every other position), so
+    *
+    *   n_merges = Σ_runs ⌈L/2⌉
+    *
+    * computed with gaps-and-islands (pos − row_number over matches per
+    * doc). Exists for the LAW, not the data plane: it explodes the
+    * corpus per position where the expression pass is one narrow scan. */
+  def phraseMergeRunsForm(docs: DataFrame, phrases: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phraseDf = phrases.map { case (a, b) => a + " " + b }.toDF("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val grams = docs
+      .select(col(idCol), posexplode_outer(TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(col(textCol)), 2)).as(Seq("pos", "g")))
+      .filter(size(TextFunctions.tokens(col("g"))) === 2)
+    val matches = grams.join(broadcast(phraseDf), Seq("g"))
+      .select(col(idCol), col("pos"))
+    val runs = matches
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("(len + 1) DIV 2")).as("n_merges"),
+        sum(col("len")).as("n_matches"))
+    docs
+      .select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_merges"), lit(0L)).as("n_merges"),
+        (col("n_tokens") - coalesce(col("n_merges"), lit(0L))).as("n_after"))
+  }
 }

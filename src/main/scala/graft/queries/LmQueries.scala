@@ -1209,6 +1209,98 @@ object LmQueries {
         merges.map(m => (m.a, m.b)),
         graft.functions.ByteBpe.vocabIds(merges))
         .orderBy(col("doc_id"))
+    },
+
+    // word2vec phrase-table trainer (Mikolov 2013 §4) — the DIRECTED,
+    // δ-discounted model the q209 merge pass deploys (q167 is the
+    // different operator: undirected association ranking with no
+    // discount and no application stage). Each ordered bigram scored
+    // (c2 − δ)·N / (c1a·c1b) in exact milli integer arithmetic (δ = 1,
+    // minCount = 3), plus the true PMI rounded to its containing power
+    // of two as a SIGNED bitLen bucket. Top 50 by (score desc, prev
+    // asc, cur asc); result emitted in (prev, cur) order for the hash.
+    "q208_pmi_collocations" -> QueryDef(
+      s"""WITH g2 AS (SELECT unnest($Grams2Sql) AS g FROM documents),
+         |p AS (SELECT string_split(g, ' ')[1] AS prev,
+         |        string_split(g, ' ')[2] AS cur FROM g2
+         |      WHERE len(list_filter(string_split(g, ' '), x -> x != '')) = 2),
+         |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+         |       FROM p GROUP BY 1, 2),
+         |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM
+         |         (SELECT unnest($ToksSql) AS t FROM documents) GROUP BY t),
+         |tots AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM c1) AS tot,
+         |                (SELECT CAST(sum(c2) AS BIGINT) FROM c2) AS n2),
+         |sc AS (SELECT c2.prev, c2.cur, c2.c2, a.c1 AS c1a, b.c1 AS c1b,
+         |         tots.tot, tots.n2,
+         |         CAST(((CAST(c2.c2 AS HUGEINT) - 1) * tots.tot * 1000)
+         |           // (CAST(a.c1 AS HUGEINT) * b.c1) AS BIGINT) AS score_milli,
+         |         CAST(c2.c2 AS HUGEINT) * tots.tot * tots.tot AS nump,
+         |         CAST(tots.n2 AS HUGEINT) * a.c1 * b.c1 AS denp
+         |       FROM c2 JOIN c1 a ON c2.prev = a.t JOIN c1 b ON c2.cur = b.t
+         |       CROSS JOIN tots WHERE c2.c2 >= 3),
+         |top AS (SELECT * FROM sc
+         |        ORDER BY score_milli DESC, prev ASC, cur ASC LIMIT 50)
+         |SELECT prev, cur, c2, c1a, c1b, tot, n2, score_milli,
+         |  CASE WHEN nump >= denp
+         |    THEN CAST(length(bin(CAST(nump // denp AS BIGINT))) - 1 AS BIGINT)
+         |    ELSE CAST(-(length(bin(CAST(denp // nump AS BIGINT))) - 1) AS BIGINT)
+         |  END AS pmi_bit
+         |FROM top ORDER BY prev, cur""".stripMargin) { (s, dir) =>
+      LmOps.pmiCollocations(Tables(s, dir).documents,
+        minCount = 3L, delta = 1L, topN = 50)
+        .orderBy(col("prev"), col("cur"))
+    },
+
+    // word2vec phrase-merge application: the q208 model's top-20 pairs
+    // deployed as a merge table over the corpus (retrained in-query —
+    // the q132 rule). Per doc: match count on the ORIGINAL tokens,
+    // greedy left-to-right non-overlapping merge count, and the
+    // post-merge token count. The oracle computes the greedy count by
+    // its closed form — ⌈L/2⌉ per maximal run of consecutive matching
+    // positions, via gaps-and-islands — which LmOpsSpec pins against
+    // the engine's scan on adversarial overlap chains.
+    "q209_phrase_merge" -> QueryDef(
+      s"""WITH g2 AS (SELECT unnest($Grams2Sql) AS g FROM documents),
+         |p AS (SELECT string_split(g, ' ')[1] AS prev,
+         |        string_split(g, ' ')[2] AS cur FROM g2
+         |      WHERE len(list_filter(string_split(g, ' '), x -> x != '')) = 2),
+         |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+         |       FROM p GROUP BY 1, 2),
+         |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM
+         |         (SELECT unnest($ToksSql) AS t FROM documents) GROUP BY t),
+         |tots AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM c1) AS tot),
+         |sc AS (SELECT c2.prev, c2.cur,
+         |         CAST(((CAST(c2.c2 AS HUGEINT) - 1) * tots.tot * 1000)
+         |           // (CAST(a.c1 AS HUGEINT) * b.c1) AS BIGINT) AS score_milli
+         |       FROM c2 JOIN c1 a ON c2.prev = a.t JOIN c1 b ON c2.cur = b.t
+         |       CROSS JOIN tots WHERE c2.c2 >= 3),
+         |ph AS (SELECT prev || ' ' || cur AS g FROM sc
+         |       ORDER BY score_milli DESC, prev ASC, cur ASC LIMIT 20),
+         |dg AS (SELECT doc_id, $Grams2Sql AS grams, len($ToksSql) AS nt
+         |       FROM documents),
+         |gr AS (SELECT doc_id, unnest(range(len(grams))) AS pos, grams
+         |       FROM dg),
+         |m AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |      FROM (SELECT doc_id, pos, grams[pos+1] AS g FROM gr)
+         |      WHERE g IN (SELECT g FROM ph)),
+         |runs AS (SELECT doc_id, pos - rn AS island,
+         |           CAST(count(*) AS BIGINT) AS len
+         |         FROM m GROUP BY doc_id, pos - rn),
+         |agg AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_matches,
+         |          CAST(sum((len + 1) // 2) AS BIGINT) AS n_merges
+         |        FROM runs GROUP BY doc_id)
+         |SELECT dg.doc_id, CAST(dg.nt AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(agg.n_matches, 0) AS BIGINT) AS n_matches,
+         |       CAST(coalesce(agg.n_merges, 0) AS BIGINT) AS n_merges,
+         |       CAST(dg.nt - coalesce(agg.n_merges, 0) AS BIGINT) AS n_after
+         |FROM dg LEFT JOIN agg USING (doc_id)
+         |ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val phrases = LmOps.pmiCollocations(docs,
+        minCount = 3L, delta = 1L, topN = 20)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      LmOps.phraseMergeReport(docs, phrases).orderBy(col("doc_id"))
     }
   )
 }

@@ -665,4 +665,84 @@ class LmOpsSpec extends AnyFunSuite {
       assert(admitted.nonEmpty && notLow.size < docs.count(), sf)
     }
   }
+
+  // ------------------------------------ word2vec phrase mining (q208/q209)
+
+  test("pmi collocations: hand-computed score, discount, and signed PMI bucket") {
+    // 4×"new york" + "new day" + "big york": c2(new,york)=4,
+    // c1(new)=c1(york)=5, N=12 tokens, N2=6 bigrams.
+    // score = (4−1)·12·1000/25 = 1440; PMI ratio = 4·12²/(6·25) = 3.84
+    // → bucket bitLen(3) = 1. minCount=3 keeps only (new, york).
+    val docs = (Seq.fill(4)("new york") ++ Seq("new day", "big york"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = LmOps.pmiCollocations(docs, minCount = 3L, delta = 1L,
+      topN = 10).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "new" && r.getString(1) == "york")
+    assert(r.getLong(2) == 4L && r.getLong(3) == 5L && r.getLong(4) == 5L)
+    assert(r.getLong(5) == 12L && r.getLong(6) == 6L)
+    assert(r.getLong(7) == 1440L, s"score_milli: ${r.getLong(7)}")
+    assert(r.getLong(8) == 1L, s"pmi_bit: ${r.getLong(8)}")
+  }
+
+  test("pmi collocations: negative-PMI pair gets a negative signed bucket") {
+    // "a b" rare relative to huge marginals: 16 docs "a x", 16 docs
+    // "y b", 3 docs "a b": c1(a)=19, c1(b)=19, c2(a,b)=3, N=70, N2=35.
+    // PMI ratio = 3·70²/(35·19²) = 14700/12635 ≥ 1 — adjust: make the
+    // marginals bigger. 32+32+3 docs: c1(a)=35, c1(b)=35, N=134, N2=67,
+    // ratio = 3·134²/(67·35²) = 53868/82075 < 1 → den//num = 1 →
+    // bucket −0; push further: 64 each side → c1=67, N=262, N2=131,
+    // ratio = 3·262²/(131·67²) = 205932/588059 → den//num = 2 →
+    // bucket −1.
+    val docs = (Seq.fill(64)("a x") ++ Seq.fill(64)("y b") ++
+      Seq.fill(3)("a b")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = LmOps.pmiCollocations(docs, minCount = 3L, delta = 1L,
+      topN = 100).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(8)).toMap
+    assert(out(("a", "b")) == -1L, s"signed bucket: $out")
+  }
+
+  test("phrase merge: greedy scan on adversarial overlap chains, hand-pinned") {
+    val phrases = Seq(("a", "a"), ("a", "b"), ("b", "a"))
+    val docs = Seq(
+      (1L, "a a a a a"), // run of 4 matching positions -> 2 merges
+      (2L, "a b a b a"), // alternating chain, run of 4 -> 2 merges
+      (3L, "x a b a b y"), // positions 1..3 all match (a b / b a / a b): run 3 -> 2
+      (4L, "a b"), // single pair -> 1
+      (5L, "solo"), // no pairs
+      (6L, ""), // empty
+      (7L, "x y z") // pairs, no matches
+    ).toDF("doc_id", "text")
+    val out = LmOps.phraseMergeReport(docs, phrases).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(1L) == ((5L, 4L, 2L, 3L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((5L, 4L, 2L, 3L)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((6L, 3L, 2L, 4L)), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((2L, 1L, 1L, 1L)), s"doc4: ${out(4L)}")
+    assert(out(5L) == ((1L, 0L, 0L, 1L)))
+    assert(out(6L) == ((0L, 0L, 0L, 0L)))
+    assert(out(7L) == ((3L, 0L, 0L, 3L)))
+  }
+
+  test("phrase merge law: expression scan == gaps-and-islands runs form") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val phrases = LmOps.pmiCollocations(docs, minCount = 3L, delta = 1L,
+      topN = 20).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(phrases.nonEmpty, "fixture must yield a phrase table")
+    val scan = LmOps.phraseMergeReport(docs, phrases)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val runs = LmOps.phraseMergeRunsForm(docs, phrases)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(scan == runs,
+      s"diverging docs: ${scan.keySet.filter(k => scan(k) != runs.get(k).orNull).take(5)}")
+    assert(scan.values.map(_._3).sum > 0, "law must exercise real merges")
+  }
 }
