@@ -1287,6 +1287,84 @@ object LmOps {
         "score_milli", "pmi_bit")
   }
 
+  // ------------------------- Min-K% Prob membership / contamination
+
+  /** Min-K% Prob membership scores (Shi et al. 2023): per document,
+    * the sum of the top ⌈pct·nb⌉ per-position surprisals under the
+    * q133 bigram model (trained in the same call — the q132 rule) and
+    * the membership flag
+    *
+    *   member = nb > 0 AND mink_sum·1000 ≤ threshMilli·k
+    *
+    * — a document whose WORST k% positions still look probable under
+    * the corpus model is the membership-inference signature of text
+    * the model has seen (in surprisal units "high min-k% prob" = LOW
+    * top-k surprisal). Zero-bigram docs carry no signal and are NOT
+    * members (they cannot have been memorized into the bigram table).
+    *
+    * One corpus pass after training: the model rides the plan inside
+    * [[graft.functions.MinKSurprisalExpr]] (broadcast-free, join-free)
+    * and k is a pure column function of the token count, so the flag
+    * is a plain comparison. The default knobs are the measured
+    * SPLITTING configuration on the documents fixture (209/291 at
+    * sf0.01 — the q128 convention): the vocab must be rich enough that
+    * the worst k% is not all-OOV (at the q133 default 64/16 the top
+    * quintile of every doc is the OOV bucket and the probe is
+    * degenerate — measured), and like every corpus-statistics knob it
+    * is corpus-dependent.
+    *
+    * Returns (doc_id, n_bigrams, mink_k, mink_sum, member). */
+  def minkScores(docs: DataFrame, bigramVocab: Int = 512,
+      unigramVocab: Int = 64, pctMilli: Long = 200L,
+      threshMilli: Long = 5000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (bigMap, uniMap, oovSb) =
+      trainBigramVocab(docs, bigramVocab, unigramVocab, textCol)
+    minkScoresWith(docs, bigMap, uniMap, oovSb, pctMilli, threshMilli,
+      idCol, textCol)
+  }
+
+  /** [[minkScores]] under a PRE-TRAINED model — the deployable scorer
+    * (and the batch twin the gate's parity law pins). */
+  def minkScoresWith(docs: DataFrame, bigramSb: Map[String, Long],
+      uniSb: Map[String, Long], oovSb: Long, pctMilli: Long,
+      threshMilli: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__mk_ts", TextFunctions.tokens(col(textCol)))
+      .withColumn("__mk_nb",
+        greatest(size(col("__mk_ts")).cast("long") - 1L, lit(0L)))
+      .select(col(idCol),
+        col("__mk_nb").as("n_bigrams"),
+        when(col("__mk_nb") > 0,
+            expr(s"($pctMilli * __mk_nb + 999) DIV 1000"))
+          .otherwise(lit(0L)).as("mink_k"),
+        graft.functions.MinKSurprisalExpr.of(col("__mk_ts"),
+          bigramSb, uniSb, oovSb, pctMilli).as("mink_sum"))
+      .withColumn("member",
+        col("n_bigrams") > 0 &&
+          col("mink_sum") * 1000L <= lit(threshMilli) * col("mink_k"))
+
+  /** Decontamination admission twin of [[minkScores]]: DROP documents
+    * the Min-K% probe flags as training members (suspected memorized /
+    * benchmark text), keep everything else — the same pre-trained-
+    * model deployment shape as [[surprisalGate]]: a pure per-row
+    * predicate, no join, no aggregation, legal in any streaming
+    * position. Parity with the batch flag is pinned by LmOpsSpec. */
+  def minkGate(docs: DataFrame, bigramSb: Map[String, Long],
+      uniSb: Map[String, Long], oovSb: Long, pctMilli: Long = 200L,
+      threshMilli: Long = 5000L, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__mk_ts", TextFunctions.tokens(col(textCol)))
+      .withColumn("__mk_nb",
+        greatest(size(col("__mk_ts")).cast("long") - 1L, lit(0L)))
+      .withColumn("__mk_sum", graft.functions.MinKSurprisalExpr.of(
+        col("__mk_ts"), bigramSb, uniSb, oovSb, pctMilli))
+      .filter(col("__mk_nb") === 0 ||
+        col("__mk_sum") * 1000L >
+          lit(threshMilli) * expr(s"($pctMilli * __mk_nb + 999) DIV 1000"))
+      .drop("__mk_ts", "__mk_nb", "__mk_sum")
+
   /** word2vec phrase-merge pass under a fixed phrase table (the q208
     * model's (prev, cur) pairs): per document, the match count on the
     * ORIGINAL token sequence and the greedy left-to-right

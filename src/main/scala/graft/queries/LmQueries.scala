@@ -1301,6 +1301,62 @@ object LmQueries {
         minCount = 3L, delta = 1L, topN = 20)
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       LmOps.phraseMergeReport(docs, phrases).orderBy(col("doc_id"))
+    },
+
+    // Min-K% Prob membership / contamination probe (Shi 2023): per doc
+    // the sum of the top ⌈20%·nb⌉ per-position surprisals under the
+    // q133 bigram model at the tuned 512/64 vocabulary (retrained
+    // in-query — the q132 rule), flagged member when the mean of those
+    // worst positions stays at or below 5.0 bits (the measured 209/291
+    // splitting knob at sf0.01). The top-k sum is tie-insensitive, so
+    // the oracle re-derives it with a cumulative-count clip over grams
+    // ordered (surprisal desc, gram asc).
+    "q210_mink_membership" -> QueryDef(
+      s"""WITH g2r AS (SELECT doc_id, unnest($Grams2Sql) AS g FROM documents),
+         |pd2 AS (SELECT doc_id, g, count(*) AS k FROM g2r
+         |        WHERE len(list_filter(string_split(g, ' '), x -> x != '')) = 2
+         |        GROUP BY doc_id, g),
+         |c2 AS (SELECT g, CAST(sum(k) AS BIGINT) AS c2 FROM pd2 GROUP BY g),
+         |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM
+         |         (SELECT unnest($ToksSql) AS t FROM documents) GROUP BY t),
+         |big AS (SELECT g, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS sb
+         |        FROM (SELECT c2.g, c2.c2, c1.c1 FROM c2
+         |              JOIN c1 ON string_split(c2.g, ' ')[1] = c1.t
+         |              ORDER BY c2.c2 DESC, c2.g ASC LIMIT 512)),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+         |uni AS (SELECT t, CAST(length(bin(n // c1)) AS BIGINT) AS usb
+         |        FROM (SELECT t, c1 FROM c1
+         |              ORDER BY c1 DESC, t ASC LIMIT 64) u, tot),
+         |scored AS (SELECT pd2.doc_id, pd2.g, pd2.k,
+         |    coalesce(big.sb, uni.usb,
+         |      (SELECT CAST(length(bin(n)) AS BIGINT) FROM tot)) AS s
+         |  FROM pd2 LEFT JOIN big USING (g)
+         |       LEFT JOIN uni ON string_split(pd2.g, ' ')[2] = uni.t),
+         |nb AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS nb
+         |       FROM pd2 GROUP BY doc_id),
+         |kk AS (SELECT doc_id, nb, (200 * nb + 999) // 1000 AS kv FROM nb),
+         |cum AS (SELECT doc_id, g, k, s,
+         |    sum(k) OVER (PARTITION BY doc_id ORDER BY s DESC, g ASC
+         |                 ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM scored),
+         |mk AS (SELECT cum.doc_id,
+         |    CAST(sum(GREATEST(LEAST(cum.k, kk.kv - (cum.c - cum.k)), 0)
+         |         * cum.s) AS BIGINT) AS ms
+         |  FROM cum JOIN kk USING (doc_id) GROUP BY cum.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(kk.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(kk.kv, 0) AS BIGINT) AS mink_k,
+         |  CAST(coalesce(mk.ms, 0) AS BIGINT) AS mink_sum,
+         |  (coalesce(kk.nb, 0) > 0 AND
+         |   coalesce(mk.ms, 0) * 1000 <= 5000 * coalesce(kk.kv, 0))
+         |    AS member
+         |FROM documents d LEFT JOIN kk USING (doc_id)
+         |     LEFT JOIN mk USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      LmOps.minkScores(Tables(s, dir).documents,
+        bigramVocab = 512, unigramVocab = 64,
+        pctMilli = 200L, threshMilli = 5000L)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -666,6 +666,69 @@ class LmOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------- Min-K% membership probe (q210)
+
+  test("mink: hand-computed top-k selection on a controlled model") {
+    // model: bigram "a b" -> 2 bits, unigram backoff b -> 5, OOV 9.
+    // doc "a b q b a b z z": bigrams (a b)=2, (b q)=oov 9? cur=q OOV 9,
+    // (q b)=uni(b) 5, (b a)=OOV 9 (cur=a not in uni), (a b)=2,
+    // (b z)=9, (z z)=9 -> surprisals [2,9,5,9,2,9,9], nb=7,
+    // k=ceil(0.2*7)=2 -> top2 = 9+9=18; pct=1000 -> k=7 -> sum=45.
+    val big = Map("a b" -> 2L)
+    val uni = Map("b" -> 5L)
+    val docs = Seq((1L, "a b q b a b z z"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = LmOps.minkScoresWith(docs, big, uni, oovSb = 9L,
+      pctMilli = 200L, threshMilli = 5000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(1L) == ((7L, 2L, 18L, false)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, 0L, false)))
+    val full = LmOps.minkScoresWith(docs, big, uni, oovSb = 9L,
+      pctMilli = 1000L, threshMilli = 5000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full(1L) == 45L, s"pct=100% sum: ${full(1L)}")
+  }
+
+  test("mink law: pct=100% equals the full bigram surprisal sum on the fixture") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (big, uni, oov) = LmOps.trainBigramVocab(docs,
+      bigramVocab = 512, unigramVocab = 64)
+    val mink = LmOps.minkScoresWith(docs, big, uni, oov,
+      pctMilli = 1000L, threshMilli = 0L)
+      .select("doc_id", "mink_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = docs.select(col("doc_id"),
+      graft.functions.BigramSurprisalSumExpr.of(
+        graft.functions.TextFunctions.tokens(col("text")), big, uni, oov)
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mink == full,
+      s"diverging: ${mink.keySet.filter(k => mink(k) != full(k)).take(5)}")
+  }
+
+  test("mink gate: parity with the batch member flag, tuned knob splits") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (big, uni, oov) = LmOps.trainBigramVocab(docs,
+      bigramVocab = 512, unigramVocab = 64)
+    val admitted = LmOps.minkGate(docs, big, uni, oov,
+      pctMilli = 200L, threshMilli = 5000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nonMembers = LmOps.minkScoresWith(docs, big, uni, oov,
+      pctMilli = 200L, threshMilli = 5000L)
+      .filter(!col("member"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == nonMembers,
+      s"extra=${admitted -- nonMembers} missing=${nonMembers -- admitted}")
+    // the tuned knob must actually split this corpus (209/291 measured)
+    assert(admitted.nonEmpty && admitted.size < docs.count())
+  }
+
   // ------------------------------------ word2vec phrase mining (q208/q209)
 
   test("pmi collocations: hand-computed score, discount, and signed PMI bucket") {
