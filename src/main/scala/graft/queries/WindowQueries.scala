@@ -68,6 +68,50 @@ object WindowQueries {
           coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
           col("n"), col("sum_qty"))
         .orderBy(col("returnflag"), col("linestatus"))
+    },
+
+    // SCD2 dimension versioning over the events feed (user_id ->
+    // event_type as the tracked attribute): validity intervals
+    // [valid_from, valid_to) with no-op changes collapsed, open row per
+    // key. The ENGINE runs the INCREMENTAL path — history over the
+    // first 15 days, then Scd2.merge of the remainder — while the
+    // oracle derives the full history in one window pass: a hash match
+    // IS the fold law merge(history(early), late) == history(all),
+    // pinned cross-engine (Scd2Spec pins it at more split points).
+    // Timestamps compare as exact epoch micros (the q63 discipline).
+    "q211_scd2_merge" -> QueryDef(
+      """WITH c AS (SELECT user_id, event_type AS attr, epoch_us(ts) AS ts_us,
+        |             event_id AS seq FROM events),
+        |o AS (SELECT *, lag(attr) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, seq) AS prev FROM c),
+        |d AS (SELECT * FROM o WHERE prev IS NULL OR prev <> attr),
+        |v AS (SELECT user_id, attr, ts_us AS vf, seq,
+        |        lead(ts_us) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us, seq) AS vt
+        |      FROM d)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, attr,
+        |       CAST(vf AS BIGINT) AS valid_from_us,
+        |       CAST(vt AS BIGINT) AS valid_to_us,
+        |       CAST(seq AS BIGINT) AS seq,
+        |       (vt IS NULL) AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, seq""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events.select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_type").as("attr"),
+        col("ts"), col("event_id").cast("long").as("seq"))
+      val splitUs = ev.agg(min(unix_micros(col("ts").cast("timestamp"))).as("m"))
+        .first().getLong(0) + 15L * 86400L * 1000000L
+      val early = ev.filter(unix_micros(col("ts").cast("timestamp")) <= splitUs)
+      val late = ev.filter(unix_micros(col("ts").cast("timestamp")) > splitUs)
+      val init = graft.operators.Scd2.history(early, "user_id",
+        Seq("attr"), "ts", "seq")
+      graft.operators.Scd2.merge(init, late, "user_id", Seq("attr"),
+        "ts", "seq")
+        .select(col("user_id"), col("attr"),
+          unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+          unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
+          col("seq"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("seq"))
     }
   )
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scd2
+
+/** SCD2 dimension versioning: interval semantics on hand cases, the
+  * merge fold law at several split points, no-op suppression across the
+  * batch boundary, and the strict out-of-order refusal.
+  */
+class Scd2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.core.GraftSession
+    .builder("scd2-spec", "4").getOrCreate()
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val feed = Seq(
+    // key 1: a -> a (no-op) -> b -> b (no-op) -> c
+    (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+    (1L, "a", ts("2024-01-02 00:00:00"), 2L),
+    (1L, "b", ts("2024-01-03 00:00:00"), 3L),
+    (1L, "b", ts("2024-01-04 00:00:00"), 4L),
+    (1L, "c", ts("2024-01-05 00:00:00"), 5L),
+    // key 2: single version
+    (2L, "x", ts("2024-01-02 12:00:00"), 6L),
+    // key 3: same-timestamp tie broken by seq -> zero-length interval
+    (3L, "p", ts("2024-01-03 00:00:00"), 7L),
+    (3L, "q", ts("2024-01-03 00:00:00"), 8L),
+    // key 4: born after every split point below
+    (4L, "z", ts("2024-01-09 00:00:00"), 9L)
+  ).toDF("k", "attr", "ts", "seq")
+
+  private def collectHist(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("attr"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("seq"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4), r.getBoolean(5)))
+      .toSet
+
+  test("history: intervals, no-op suppression, tie-broken same-ts versions") {
+    val h = collectHist(Scd2.history(feed, "k", Seq("attr"), "ts", "seq"))
+    assert(h == Set(
+      (1L, "a", "2024-01-01 00:00:00", Some("2024-01-03 00:00:00"), 1L, false),
+      (1L, "b", "2024-01-03 00:00:00", Some("2024-01-05 00:00:00"), 3L, false),
+      (1L, "c", "2024-01-05 00:00:00", None, 5L, true),
+      (2L, "x", "2024-01-02 12:00:00", None, 6L, true),
+      (3L, "p", "2024-01-03 00:00:00", Some("2024-01-03 00:00:00"), 7L, false),
+      (3L, "q", "2024-01-03 00:00:00", None, 8L, true),
+      (4L, "z", "2024-01-09 00:00:00", None, 9L, true)), h.toString)
+  }
+
+  test("merge fold law: merge(history(early), late) == history(all) at every split") {
+    val all = collectHist(Scd2.history(feed, "k", Seq("attr"), "ts", "seq"))
+    for (splitDay <- Seq("2024-01-01 12:00:00", "2024-01-02 12:00:00",
+        "2024-01-03 12:00:00", "2024-01-06 00:00:00")) {
+      val early = feed.filter(col("ts") <= ts(splitDay))
+      val late = feed.filter(col("ts") > ts(splitDay))
+      val merged = collectHist(Scd2.merge(
+        Scd2.history(early, "k", Seq("attr"), "ts", "seq"),
+        late, "k", Seq("attr"), "ts", "seq"))
+      assert(merged == all, s"split at $splitDay: $merged")
+    }
+  }
+
+  test("merge: three-way fold equals the one-shot history") {
+    val all = collectHist(Scd2.history(feed, "k", Seq("attr"), "ts", "seq"))
+    val b1 = feed.filter(col("ts") <= ts("2024-01-02 12:00:00"))
+    val b2 = feed.filter(col("ts") > ts("2024-01-02 12:00:00") &&
+      col("ts") <= ts("2024-01-04 12:00:00"))
+    val b3 = feed.filter(col("ts") > ts("2024-01-04 12:00:00"))
+    val folded = collectHist(Scd2.merge(
+      Scd2.merge(Scd2.history(b1, "k", Seq("attr"), "ts", "seq"),
+        b2, "k", Seq("attr"), "ts", "seq"),
+      b3, "k", Seq("attr"), "ts", "seq"))
+    assert(folded == all)
+  }
+
+  test("merge: batch no-op against the open version is suppressed") {
+    val init = Scd2.history(
+      Seq((1L, "a", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "attr", "ts", "seq"),
+      "k", Seq("attr"), "ts", "seq")
+    val merged = collectHist(Scd2.merge(init,
+      Seq((1L, "a", ts("2024-01-05 00:00:00"), 2L)).toDF("k", "attr", "ts", "seq"),
+      "k", Seq("attr"), "ts", "seq"))
+    assert(merged == Set(
+      (1L, "a", "2024-01-01 00:00:00", None, 1L, true)), merged.toString)
+  }
+
+  test("merge: strict mode refuses a change that predates the open version") {
+    val init = Scd2.history(
+      Seq((1L, "a", ts("2024-01-05 00:00:00"), 1L)).toDF("k", "attr", "ts", "seq"),
+      "k", Seq("attr"), "ts", "seq")
+    val bad = Seq((1L, "b", ts("2024-01-02 00:00:00"), 2L))
+      .toDF("k", "attr", "ts", "seq")
+    val e = intercept[Exception] {
+      Scd2.merge(init, bad, "k", Seq("attr"), "ts", "seq").collect()
+    }
+    assert(e.getMessage.contains("predates the open version"),
+      e.getMessage)
+    // non-strict absorbs it into the replayed open segment (documented
+    // escape hatch for correction feeds that rebuild anyway)
+    val lax = Scd2.merge(init, bad, "k", Seq("attr"), "ts", "seq",
+      strict = false).collect()
+    assert(lax.nonEmpty)
+  }
+
+  test("merge: multi-attribute change detection uses the full tuple") {
+    val f = Seq(
+      (1L, "a", 10L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, "a", 20L, ts("2024-01-02 00:00:00"), 2L), // second attr changes
+      (1L, "a", 20L, ts("2024-01-03 00:00:00"), 3L)  // no-op
+    ).toDF("k", "attr", "v", "ts", "seq")
+    val h = Scd2.history(f, "k", Seq("attr", "v"), "ts", "seq")
+      .select(col("seq"), col("is_current")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(h == Map(1L -> false, 2L -> true), h.toString)
+  }
+}
