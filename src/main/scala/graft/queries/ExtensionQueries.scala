@@ -1442,6 +1442,46 @@ object ExtensionQueries {
         Tables(s, dir).documents, k = 20, eps = 0.001)
     },
 
+    // Count-min join-cardinality estimation (the CM inner-product
+    // estimator): |orders ⋈ lineitem on orderkey| estimated from two
+    // 4×1024 sketches built in one pass each — the join-PLANNING
+    // primitive that sizes a join from kilobytes before running it.
+    // The md5-seeded sketch is deterministic, so the oracle rebuilds it
+    // and the ESTIMATES hash-compare (not just verdicts); exact join
+    // size attached, with the never-undercount guarantee as a column.
+    "q212_cms_join_estimate" -> QueryDef(
+      """WITH lk AS (SELECT o_orderkey AS k FROM orders),
+        |rk AS (SELECT l_orderkey AS k FROM lineitem),
+        |skl AS (SELECT t.i AS hrow,
+        |          CAST(concat('0x', substr(md5('cmsj' || CAST(t.i AS VARCHAR)
+        |            || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+        |            AS bucket,
+        |          CAST(count(*) AS BIGINT) AS cnt
+        |        FROM lk CROSS JOIN range(4) t(i) GROUP BY 1, 2),
+        |skr AS (SELECT t.i AS hrow,
+        |          CAST(concat('0x', substr(md5('cmsj' || CAST(t.i AS VARCHAR)
+        |            || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+        |            AS bucket,
+        |          CAST(count(*) AS BIGINT) AS cnt
+        |        FROM rk CROSS JOIN range(4) t(i) GROUP BY 1, 2),
+        |est AS (SELECT skl.hrow,
+        |          CAST(sum(CAST(skl.cnt AS HUGEINT) * skr.cnt) AS BIGINT)
+        |            AS est_n
+        |        FROM skl JOIN skr USING (hrow, bucket) GROUP BY skl.hrow),
+        |ex AS (SELECT CAST(coalesce(sum(CAST(a.n AS HUGEINT) * b.n), 0)
+        |           AS BIGINT) AS exact_n
+        |       FROM (SELECT k, count(*) AS n FROM lk GROUP BY k) a
+        |       JOIN (SELECT k, count(*) AS n FROM rk GROUP BY k) b USING (k))
+        |SELECT est.hrow, est.est_n, ex.exact_n,
+        |       (est.est_n >= ex.exact_n) AS ge_exact
+        |FROM est CROSS JOIN ex ORDER BY est.hrow""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.cmsJoinCardinality(
+        Tables(s, dir).orders, "o_orderkey",
+        Tables(s, dir).lineitem, "l_orderkey",
+        depth = 4, width = 1024)
+        .orderBy(col("hrow"))
+    },
+
     // Mergeable-HLL contract: per source, the estimate from uniting
     // per-(source, lang) sketches must land within 3 sigma of exact —
     // the property incremental distinct counting stands on — and so

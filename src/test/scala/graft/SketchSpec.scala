@@ -160,4 +160,52 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == top)
   }
+
+  // -------------------- count-min join-cardinality estimation (q212)
+
+  test("cms join estimate: never undercounts, exact witness correct, collisions only inflate") {
+    val left = (1L to 200L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k))
+      .toDF("k")
+    val right = (101L to 300L).flatMap(k => Seq.fill((k % 2 + 1).toInt)(k))
+      .toDF("k")
+    val trueJoin = left.join(right, "k").count()
+    for (width <- Seq(4, 64, 4096)) {
+      val rows = Sketches.cmsJoinCardinality(left, "k", right, "k",
+        depth = 4, width = width).collect()
+      assert(rows.length == 4, s"width $width")
+      assert(rows.forall(_.getBoolean(3)), s"width $width: undercount")
+      assert(rows.forall(_.getLong(2) == trueJoin),
+        s"width $width: exact witness ${rows.head.getLong(2)} != $trueJoin")
+      val minEst = rows.map(_.getLong(1)).min
+      assert(minEst >= trueJoin, s"width $width")
+      // tiny width must inflate strictly (4 buckets for 300 keys);
+      // a roomy width should sit close to exact (sanity, not a bound)
+      if (width == 4) assert(minEst > trueJoin, "collisions must show at width 4")
+    }
+  }
+
+  test("cms key sketch: mergeability (sketch of union == cellwise sum of sketches)") {
+    val a = (1L to 150L).toDF("k")
+    val b = (100L to 250L).toDF("k")
+    val all = a.union(b)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsKeySketch(df, "k", depth = 4, width = 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).sum }
+    assert(cells(all) == merged)
+  }
+
+  test("cms join estimate: disjoint keys estimate only collision mass") {
+    val a = (1L to 100L).toDF("k")
+    val b = (1001L to 1100L).toDF("k")
+    val rows = Sketches.cmsJoinCardinality(a, "k", b, "k",
+      depth = 4, width = 4096).collect()
+    assert(rows.forall(_.getLong(2) == 0L), "exact must be 0 on disjoint keys")
+    assert(rows.forall(_.getBoolean(3)))
+    // 100x100 pairs over 4096 buckets: expectation ~2.4 collisions/row;
+    // the min over 4 rows being far above that would mean a broken hash
+    assert(rows.map(_.getLong(1)).min <= 20L,
+      s"collision mass implausibly high: ${rows.map(_.getLong(1)).mkString(",")}")
+  }
 }
