@@ -30,7 +30,9 @@ object ExplainAudit {
         "q196_pca_top_component", "q197_pca_project",
         "q198_jl_project", "q199_jl_topk",
         "q204_image_neardup_pairs", "q205_two_stage_dedup",
-        "q207_image_incremental_neardup")
+        "q207_image_incremental_neardup",
+        "q209_phrase_merge", "q210_mink_membership",
+        "q211_scd2_merge", "q212_cms_join_estimate")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

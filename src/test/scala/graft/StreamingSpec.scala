@@ -1670,9 +1670,28 @@ class StreamingSpec extends AnyFunSuite {
         kn.getOrElse(p(0) + " " + p(1), koov)).sum *
         1000L <= kThresh * (ts.length - 1)
     }
+    // mink gate twin: plain sort + top-k fold, independent of the
+    // executor-side expression's buffer/selection mechanics. The gate
+    // ADMITS non-members (and zero-bigram docs): worst-k% positions
+    // still probable == suspected member == dropped.
+    val mPct = 500L
+    val mThresh = 3000L
+    def minkAdmit(text: String): Boolean = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      if (ts.length < 2) true
+      else {
+        val sb = ts.sliding(2).map(p =>
+          big.getOrElse(p(0) + " " + p(1), uni.getOrElse(p(1), boov)))
+          .toArray.sorted
+        val nb = ts.length - 1
+        val k = ((mPct * nb + 999L) / 1000L).toInt
+        sb.takeRight(k).sum * 1000L > mThresh * k
+      }
+    }
     val uStream = MemoryStream[(Long, String)]
     val bStream = MemoryStream[(Long, String)]
     val kStream = MemoryStream[(Long, String)]
+    val mStream = MemoryStream[(Long, String)]
     val uQ = LmOps.surprisalGate(uStream.toDS().toDF("doc_id", "text"),
       voc, oov, threshMilli = uThresh)
       .writeStream.format("memory").queryName("lm_gate_soak_u")
@@ -1685,10 +1704,15 @@ class StreamingSpec extends AnyFunSuite {
       kn, koov, threshMilli = kThresh)
       .writeStream.format("memory").queryName("lm_gate_soak_k")
       .outputMode("append").start()
+    val mQ = LmOps.minkGate(mStream.toDS().toDF("doc_id", "text"),
+      big, uni, boov, pctMilli = mPct, threshMilli = mThresh)
+      .writeStream.format("memory").queryName("lm_gate_soak_m")
+      .outputMode("append").start()
     val times = new Array[Double](60)
     val expectU = scala.collection.mutable.Set.empty[Long]
     val expectB = scala.collection.mutable.Set.empty[Long]
     val expectK = scala.collection.mutable.Set.empty[Long]
+    val expectM = scala.collection.mutable.Set.empty[Long]
     try {
       for (b <- 0 until 60) {
         // per-batch mix varies with b: in-model docs, OOV junk, empties,
@@ -1707,14 +1731,17 @@ class StreamingSpec extends AnyFunSuite {
           if (uniAdmit(t)) expectU += id
           if (bigAdmit(t)) expectB += id
           if (knAdmit(t)) expectK += id
+          if (minkAdmit(t)) expectM += id
         }
         val t0 = System.nanoTime()
         uStream.addData(docs)
         bStream.addData(docs)
         kStream.addData(docs)
+        mStream.addData(docs)
         uQ.processAllAvailable()
         bQ.processAllAvailable()
         kQ.processAllAvailable()
+        mQ.processAllAvailable()
         times(b) = (System.nanoTime() - t0) / 1e9
       }
       val gotU = spark.sql("SELECT doc_id FROM lm_gate_soak_u")
@@ -1723,21 +1750,69 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       val gotK = spark.sql("SELECT doc_id FROM lm_gate_soak_k")
         .collect().map(_.getLong(0)).toSet
+      val gotM = spark.sql("SELECT doc_id FROM lm_gate_soak_m")
+        .collect().map(_.getLong(0)).toSet
       assert(gotU == expectU.toSet,
         s"unigram gate drift: extra=${gotU -- expectU} missing=${expectU -- gotU}")
       assert(gotB == expectB.toSet,
         s"bigram gate drift: extra=${gotB -- expectB} missing=${expectB -- gotB}")
       assert(gotK == expectK.toSet,
         s"KN gate drift: extra=${gotK -- expectK} missing=${expectK -- gotK}")
+      assert(gotM == expectM.toSet,
+        s"mink gate drift: extra=${gotM -- expectM} missing=${expectM -- gotM}")
       // the mix must exercise both sides of all three gates
       assert(expectU.nonEmpty && expectU.size < 60 * 20)
       assert(expectB.nonEmpty && expectB.size < 60 * 20)
       assert(expectK.nonEmpty && expectK.size < 60 * 20)
+      assert(expectM.nonEmpty && expectM.size < 60 * 20)
       def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       val early = median(times.slice(5, 25).toSeq)
       val late = median(times.slice(40, 60).toSeq)
       assert(late / early < 3.0,
         f"per-batch time grew: early=$early%.3fs late=$late%.3fs (${late / early}%.2fx)")
-    } finally { uQ.stop(); bQ.stop(); kQ.stop() }
+    } finally { uQ.stop(); bQ.stop(); kQ.stop(); mQ.stop() }
+  }
+
+  test("SCD2 ingest: streamed feed serves the batch history across replay and compaction") {
+    import spark.implicits._
+    import graft.streaming.Scd2Ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    // three batches of (k, attr, ts_us, seq) changes: key 1 walks
+    // a -> b -> b(no-op) -> c across the batches, key 2 appears in
+    // batch 2, key 3 flips twice inside batch 3
+    val batches = Seq(
+      Seq((1L, "a", 1000L, 1L), (1L, "b", 2000L, 2L)),
+      Seq((1L, "b", 3000L, 3L), (2L, "x", 2500L, 4L)),
+      Seq((1L, "c", 4000L, 5L), (3L, "p", 4100L, 6L), (3L, "q", 4200L, 7L)))
+    def expect(upTo: Int) = graft.operators.Scd2.history(
+      batches.take(upTo).flatten.toDF("k", "attr", "ts_us", "seq"),
+      "k", Seq("attr"), "ts_us", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4),
+        r.getBoolean(5))).toSet
+    def served() = Scd2Ingest.serve(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4),
+        r.getBoolean(5))).toSet
+    Scd2Ingest.ingest(batches(0).toDF("k", "attr", "ts_us", "seq"), dir, "b0")
+    assert(served() == expect(1), "after batch 0")
+    Scd2Ingest.ingest(batches(1).toDF("k", "attr", "ts_us", "seq"), dir, "b1")
+    // replay batch 1 (foreachBatch retry): same batch id overwrites its
+    // own delta — served table unchanged
+    Scd2Ingest.ingest(batches(1).toDF("k", "attr", "ts_us", "seq"), dir, "b1")
+    assert(served() == expect(2), "after batch 1 + replay")
+    val asOfB0 = Scd2Ingest.serveAsOf(spark, dir, "b0")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asOfB0 == Set((1L, "a"), (1L, "b")), s"as-of b0: $asOfB0")
+    assert(graft.sources.ChangeFeedStore.compact(spark, dir, 2) >= 1)
+    assert(served() == expect(2), "after compaction")
+    Scd2Ingest.ingest(batches(2).toDF("k", "attr", "ts_us", "seq"), dir, "b2")
+    assert(served() == expect(3), "after batch 2 over the compacted base")
+    // no-op suppression survived the boundary: key 1's b-change in
+    // batch 2 collapsed into the batch-1 version
+    val key1 = Scd2Ingest.serve(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("k") === 1L)
+      .select("seq").collect().map(_.getLong(0)).toSet
+    assert(key1 == Set(1L, 2L, 5L), s"key 1 versions: $key1")
   }
 }
