@@ -26,6 +26,43 @@ object ExtensionQueries {
        |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
        |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
 
+  /** q213 oracle: all k Gonzalez rounds as a chained CTE — every stage
+    * MATERIALIZED because each d_t is read twice (the argmax and the
+    * next fold); inlining would re-evaluate the quantization 2^k
+    * times. Selection semantics mirror Coreset.kCenter exactly:
+    * smallest-id seed, argmax over UNSELECTED points, ties (mind desc,
+    * id asc), distances on the floor(x·1024 + 0.5) integer grid. */
+  private def kCenterSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH qz AS MATERIALIZED (SELECT vec_id AS id,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c1 AS MATERIALIZED (SELECT id, qv FROM qz ORDER BY id ASC LIMIT 1),
+      |d1 AS MATERIALIZED (SELECT q.id, q.qv,
+      |  ${sqDistSql("q.qv", "c1.qv")} AS mind FROM qz q, c1)""".stripMargin
+    for (t <- 2 to k) {
+      val notIn = (1 until t).map(i => s"SELECT id FROM c$i")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+      |c$t AS MATERIALIZED (SELECT id, qv, mind FROM d${t - 1}
+      |  WHERE id NOT IN ($notIn) ORDER BY mind DESC, id ASC LIMIT 1),
+      |d$t AS MATERIALIZED (SELECT d.id, d.qv,
+      |  least(d.mind, ${sqDistSql("d.qv", s"c$t.qv")}) AS mind
+      |  FROM d${t - 1} d, c$t)""".stripMargin
+    }
+    val sels = (Seq("SELECT 1 AS r, id AS vec_id, CAST(0 AS BIGINT) AS sel_dist FROM c1") ++
+      (2 to k).map(t => s"SELECT $t, id, CAST(mind AS BIGINT) FROM c$t"))
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+      |rad AS (SELECT CAST(max(mind) AS BIGINT) AS radius FROM d$k),
+      |sel AS ($sels)
+      |SELECT CAST(sel.r AS BIGINT) AS sel_rank,
+      |  CAST(sel.vec_id AS BIGINT) AS vec_id, sel.sel_dist, rad.radius
+      |FROM sel, rad ORDER BY sel_rank""".stripMargin
+    sb.toString
+  }
+
   /** Placeholder the q102/q124 oracle SQL embeds for the IVF fixture
     * root. The real location is a per-(applicationId, sf-dir) temp
     * directory — a fixed world-shared `/tmp` path would let concurrent
@@ -1440,6 +1477,20 @@ object ExtensionQueries {
         |ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin) { (s, dir) =>
       graft.operators.Sketches.cmsCheckedTopTokens(
         Tables(s, dir).documents, k = 20, eps = 0.001)
+    },
+
+    // Gonzalez k-center farthest-point coreset: 8 maximally-spread
+    // exemplars of the embedding corpus + the k-center objective
+    // (radius) — diversity selection for curriculum seeding and eval
+    // panels; the corpus-level companion of q165's per-query MMR. All
+    // rounds integer-exact on the 1024 quantization grid; the oracle
+    // re-runs the full selection as a chained MATERIALIZED CTE and the
+    // selections hash-compare.
+    "q213_kcenter_coreset" -> QueryDef(kCenterSql(8)) { (s, dir) =>
+      graft.operators.Coreset.kCenter(Tables(s, dir).embeddings, k = 8)
+        .select(col("rank").as("sel_rank"), col("vec_id"),
+          col("sel_dist"), col("radius"))
+        .orderBy(col("sel_rank"))
     },
 
     // Count-min join-cardinality estimation (the CM inner-product

@@ -372,6 +372,64 @@ object Relational {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .offset(10)
         .limit(50)
+    },
+
+    // Table-level data-quality constraint suite (the Deequ shape) over
+    // lineitem: one aggregation pass computes completeness, uniqueness
+    // (single + composite key), range containment, and row-count
+    // bounds; referential integrity is one anti-join against orders.
+    // Exact integer permille metrics — the oracle recomputes metric AND
+    // verdict for every check. The suite deliberately mixes passing and
+    // failing checks (l_orderkey alone is NOT a key; ~20% of discounts
+    // exceed 0.08).
+    "q214_quality_constraints" -> QueryDef(
+      """WITH m AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(l_returnflag) AS BIGINT) AS c_comment,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS u_ok,
+        |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS u_okln,
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN CAST(1.0 AS DOUBLE)
+        |      AND CAST(50.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS r_qty,
+        |    CAST(count(l_quantity) AS BIGINT) AS d_qty,
+        |    CAST(sum(CASE WHEN l_discount BETWEEN CAST(0.0 AS DOUBLE)
+        |      AND CAST(0.08 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS r_disc,
+        |    CAST(count(l_discount) AS BIGINT) AS d_disc
+        |  FROM lineitem),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS den,
+        |    CAST(count(o.o_orderkey) AS BIGINT) AS matched
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL),
+        |rows_out AS (
+        |  SELECT 'completeness(l_returnflag)' AS check_id,
+        |    CASE WHEN n = 0 THEN 1000 ELSE c_comment * 1000 // n END AS metric_milli,
+        |    1000 AS min_m FROM m
+        |  UNION ALL SELECT 'uniqueness(l_orderkey)',
+        |    CASE WHEN n = 0 THEN 1000 ELSE u_ok * 1000 // n END, 1000 FROM m
+        |  UNION ALL SELECT 'uniqueness(l_orderkey,l_linenumber)',
+        |    CASE WHEN n = 0 THEN 1000 ELSE u_okln * 1000 // n END, 1000 FROM m
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)',
+        |    CASE WHEN d_qty = 0 THEN 1000 ELSE r_qty * 1000 // d_qty END, 1000 FROM m
+        |  UNION ALL SELECT 'in_range(l_discount,0.0,0.08)',
+        |    CASE WHEN d_disc = 0 THEN 1000 ELSE r_disc * 1000 // d_disc END, 1000 FROM m
+        |  UNION ALL SELECT 'row_count(1,1000000000000)', n, NULL FROM m
+        |  UNION ALL SELECT 'foreign_key(l_orderkey->orders.o_orderkey)',
+        |    CASE WHEN den = 0 THEN 1000 ELSE matched * 1000 // den END, 1000 FROM fk)
+        |SELECT check_id, CAST(metric_milli AS BIGINT) AS metric_milli,
+        |  CASE WHEN check_id = 'row_count(1,1000000000000)'
+        |    THEN metric_milli BETWEEN 1 AND 1000000000000
+        |    ELSE metric_milli >= min_m END AS passed
+        |FROM rows_out ORDER BY check_id""".stripMargin) { (s, dir) =>
+      import graft.operators.QualityChecks._
+      run(Tables(s, dir).lineitem, Seq(
+        Completeness("l_returnflag"),
+        Uniqueness(Seq("l_orderkey")),
+        Uniqueness(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.08),
+        RowCountBetween(1L, 1000000000000L),
+        ForeignKey("l_orderkey", "orders", Tables(s, dir).orders,
+          "o_orderkey")))
     }
   )
 }
