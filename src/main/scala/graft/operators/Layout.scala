@@ -94,4 +94,57 @@ object Layout {
       .write.mode("overwrite").parquet(path)
     path
   }
+
+  /** Data-skipping accounting: QUANTIFIES what [[zorderWrite]]'s layout
+    * buys — for a 2-D box predicate, how many equal-width layout
+    * buckets (file-group stand-ins) a zone-map reader must touch, and
+    * how many rows ride along, under (a) linear clustering on dim A
+    * alone vs (b) Morton clustering on (A, B). Equal-WIDTH buckets in
+    * key space, deliberately: equal-count bucketing needs a global sort
+    * (an Exchange SinglePartition — the fleet-banned one-reducer
+    * funnel), while equal-width is one narrow pass plus a broadcast
+    * 1-row max, and is what range-clustered files approximate anyway.
+    *
+    * Output, one row per layout: (layout, buckets_used, buckets_hit,
+    * rows_total, rows_in_hit, rows_match) — rows_match is the exact
+    * predicate count (identical across layouts; the witness that both
+    * layouts answer the same query), rows_in_hit the scan cost a
+    * min/max-pruning reader pays. The interesting inequality on any
+    * box-selective workload: zorder's rows_in_hit ≪ linear's whenever
+    * the box is selective on BOTH dims (linear prunes dim A perfectly
+    * and dim B not at all). Deterministic integer arithmetic
+    * throughout — the q215 oracle recomputes every count. */
+  def skippingReport(df: DataFrame, dimA: Column, dimB: Column,
+      bits: Int, buckets: Int,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame = {
+    require(buckets >= 1, s"buckets must be at least 1, got $buckets")
+    require(aLo <= aHi && bLo <= bHi, "empty box")
+    val base = df.select(dimA.cast("long").as("a"), dimB.cast("long").as("b"))
+      .withColumn("z", mortonCode(col("a"), col("b"), bits))
+      .withColumn("hit",
+        (col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+          .cast("long"))
+    def layout(name: String, keyCol: String): DataFrame = {
+      val kmax = base.agg(max(col(keyCol)).as("kmax"))
+      val per = base.crossJoin(broadcast(kmax))
+        .withColumn("bucket", expr(s"$keyCol * $buckets DIV (kmax + 1)"))
+        .groupBy(col("bucket"))
+        .agg(min(col("a")).as("mina"), max(col("a")).as("maxa"),
+          min(col("b")).as("minb"), max(col("b")).as("maxb"),
+          count(lit(1)).as("cnt"), sum(col("hit")).as("matches"))
+      val intersects =
+        !(col("maxa") < aLo || col("mina") > aHi ||
+          col("maxb") < bLo || col("minb") > bHi)
+      per.agg(
+        count(lit(1)).as("buckets_used"),
+        sum(when(intersects, 1L).otherwise(0L)).as("buckets_hit"),
+        sum(col("cnt")).as("rows_total"),
+        sum(when(intersects, col("cnt")).otherwise(0L)).as("rows_in_hit"),
+        sum(col("matches")).as("rows_match"))
+        .select(lit(name).as("layout"), col("buckets_used"),
+          col("buckets_hit"), col("rows_total"), col("rows_in_hit"),
+          col("rows_match"))
+    }
+    layout("linear_a", "a").unionByName(layout("zorder_ab", "z"))
+  }
 }

@@ -1479,6 +1479,72 @@ object ExtensionQueries {
         Tables(s, dir).documents, k = 20, eps = 0.001)
     },
 
+    // Data-skipping accounting for the q93 layout family: what does
+    // Z-ORDER clustering buy a zone-map reader on a 2-D box predicate,
+    // vs linear clustering on one dim — equal-width key-space buckets
+    // as file-group stand-ins (equal-count would need the fleet-banned
+    // SinglePartition global sort), per-bucket min/max intersection,
+    // rows-scanned-if-pruned vs exact matches. The inequality the
+    // layout exists for (zorder touches fewer rows when the box is
+    // selective on BOTH dims) is pinned in ScaleOpsSpec; the oracle
+    // recomputes every count including the Morton interleave.
+    "q215_zorder_skipping" -> QueryDef(
+      """WITH base AS (SELECT
+        |    CAST(concat('0x', substr(md5('za:' || CAST(l_orderkey AS VARCHAR)
+        |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1024 AS a,
+        |    CAST(concat('0x', substr(md5('zb:' || CAST(l_orderkey AS VARCHAR)
+        |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1024 AS b FROM lineitem),
+        |zd AS (SELECT a, b,
+        |    CAST(list_sum(list_transform(range(10), i ->
+        |      ((a >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2*i AS INT))
+        |      + ((b >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2*i+1 AS INT))
+        |    )) AS BIGINT) AS z,
+        |    CASE WHEN a BETWEEN 200 AND 400 AND b BETWEEN 100 AND 300
+        |      THEN 1 ELSE 0 END AS hit
+        |  FROM base),
+        |lm AS (SELECT max(a) AS kmax FROM zd),
+        |lper AS (SELECT a * 256 // (lm.kmax + 1) AS bucket,
+        |    min(a) AS mina, max(a) AS maxa, min(b) AS minb, max(b) AS maxb,
+        |    count(*) AS cnt, sum(hit) AS matches
+        |  FROM zd, lm GROUP BY 1),
+        |zm AS (SELECT max(z) AS kmax FROM zd),
+        |zper AS (SELECT z * 256 // (zm.kmax + 1) AS bucket,
+        |    min(a) AS mina, max(a) AS maxa, min(b) AS minb, max(b) AS maxb,
+        |    count(*) AS cnt, sum(hit) AS matches
+        |  FROM zd, zm GROUP BY 1),
+        |lsum AS (SELECT 'linear_a' AS layout,
+        |    CAST(count(*) AS BIGINT) AS buckets_used,
+        |    CAST(sum(CASE WHEN NOT (maxa < 200 OR mina > 400 OR maxb < 100
+        |      OR minb > 300) THEN 1 ELSE 0 END) AS BIGINT) AS buckets_hit,
+        |    CAST(sum(cnt) AS BIGINT) AS rows_total,
+        |    CAST(sum(CASE WHEN NOT (maxa < 200 OR mina > 400 OR maxb < 100
+        |      OR minb > 300) THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_hit,
+        |    CAST(sum(matches) AS BIGINT) AS rows_match FROM lper),
+        |zsum AS (SELECT 'zorder_ab' AS layout,
+        |    CAST(count(*) AS BIGINT) AS buckets_used,
+        |    CAST(sum(CASE WHEN NOT (maxa < 200 OR mina > 400 OR maxb < 100
+        |      OR minb > 300) THEN 1 ELSE 0 END) AS BIGINT) AS buckets_hit,
+        |    CAST(sum(cnt) AS BIGINT) AS rows_total,
+        |    CAST(sum(CASE WHEN NOT (maxa < 200 OR mina > 400 OR maxb < 100
+        |      OR minb > 300) THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_hit,
+        |    CAST(sum(matches) AS BIGINT) AS rows_match FROM zper)
+        |SELECT * FROM lsum UNION ALL SELECT * FROM zsum
+        |ORDER BY layout""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      def spread(tag: String) =
+        pmod(conv(substring(md5(concat(lit(tag + ":"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).cast("binary")), 1, 15),
+          16, 10).cast("long"), lit(1024L))
+      graft.operators.Layout.skippingReport(
+        li.select(spread("za").as("pa"), spread("zb").as("pb")),
+        col("pa"), col("pb"), bits = 10, buckets = 256,
+        aLo = 200L, aHi = 400L, bLo = 100L, bHi = 300L)
+        .orderBy(col("layout"))
+    },
+
     // Gonzalez k-center farthest-point coreset: 8 maximally-spread
     // exemplars of the embedding corpus + the k-center objective
     // (radius) — diversity selection for curriculum seeding and eval

@@ -280,4 +280,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(avgX < 192, s"avg x-extent $avgX")
     assert(avgY < 192, s"avg y-extent $avgY")
   }
+
+  test("skipping report: zorder prunes a 2-D box better than linear; counts exact") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // uniform 64x64 grid, one row per cell: every count is analytic
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    val out = Layout.skippingReport(grid, col("a"), col("b"),
+      bits = 6, buckets = 16, aLo = 16L, aHi = 23L, bLo = 16L, bHi = 23L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val (lUsed, lHit, lTot, lScan, lMatch) = out("linear_a")
+    val (zUsed, zHit, zTot, zScan, zMatch) = out("zorder_ab")
+    // both layouts answer the same query on the same rows
+    assert(lTot == 4096L && zTot == 4096L)
+    assert(lMatch == 64L && zMatch == 64L, s"8x8 box: $lMatch/$zMatch")
+    // linear on a: buckets are a-ranges of width 4 -> the 8-wide a-box
+    // hits exactly 2 buckets, but each carries ALL b values: 512 rows
+    assert(lUsed == 16L && lHit == 2L && lScan == 512L, out("linear_a").toString)
+    // zorder: 16 equal-width z-buckets are 16x16 quadrants; the aligned
+    // 8x8 box sits inside ONE quadrant: 256 rows — half the linear scan
+    assert(zUsed == 16L && zHit == 1L && zScan == 256L, out("zorder_ab").toString)
+    assert(zScan < lScan)
+  }
 }

@@ -196,6 +196,37 @@ class SketchSpec extends AnyFunSuite {
     assert(cells(all) == merged)
   }
 
+  test("cms sketch ingest: streamed cells serve the one-shot sketch across replay and compaction") {
+    import graft.streaming.SketchIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val batches = Seq(
+      (1L to 100L).toDF("k"),
+      (50L to 180L).toDF("k"),
+      (170L to 260L).toDF("k"))
+    def served() = SketchIngest.serve(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def oneShot(n: Int) = Sketches.cmsKeySketch(
+      batches.take(n).reduce(_ union _), "k", depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    SketchIngest.ingest(batches(0), dir, "b0", "k", 4, 64)
+    SketchIngest.ingest(batches(1), dir, "b1", "k", 4, 64)
+    // replay b1: batch-id-keyed overwrite, cells unchanged
+    SketchIngest.ingest(batches(1), dir, "b1", "k", 4, 64)
+    assert(served() == oneShot(2), "after two batches + replay")
+    assert(graft.sources.SketchStore.compact(spark, dir, 2) >= 1)
+    SketchIngest.ingest(batches(2), dir, "b2", "k", 4, 64)
+    assert(served() == oneShot(3), "after compaction + third batch")
+    // the streamed estimator equals the batch estimator on the union
+    val right = (200L to 400L).flatMap(k => Seq.fill(2)(k)).toDF("k")
+    val streamed = SketchIngest.estimateAgainst(spark, dir, right, "k", 4, 64)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = Sketches.cmsJoinCardinality(
+      batches.reduce(_ union _), "k", right, "k", depth = 4, width = 64)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("cms join estimate: disjoint keys estimate only collision mass") {
     val a = (1L to 100L).toDF("k")
     val b = (1001L to 1100L).toDF("k")
