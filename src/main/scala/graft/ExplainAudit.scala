@@ -32,7 +32,9 @@ object ExplainAudit {
         "q204_image_neardup_pairs", "q205_two_stage_dedup",
         "q207_image_incremental_neardup",
         "q209_phrase_merge", "q210_mink_membership",
-        "q211_scd2_merge", "q212_cms_join_estimate")
+        "q211_scd2_merge", "q212_cms_join_estimate",
+        "q213_kcenter_coreset", "q214_quality_constraints",
+        "q215_zorder_skipping")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

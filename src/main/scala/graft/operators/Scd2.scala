@@ -104,4 +104,41 @@ object Scd2 {
       history(openAsChanges.unionByName(guarded), keyCol, attrCols,
         tsCol, seqCol))
   }
+
+  /** The SCD2 temporal lookup — enrich facts with the dimension
+    * version IN FORCE at each fact's time (the star-schema "as-of"
+    * join every warehouse query against a versioned dimension is):
+    * fact matches the dim row with fact.key = dim.key and
+    * valid_from ≤ fact.ts < valid_to (open rows unbounded above).
+    * LEFT join: facts before their key's first version (or with no
+    * key match) keep NULL attributes — a miss is information.
+    *
+    * At most ONE version matches per fact BY CONSTRUCTION: a key's
+    * intervals partition time (same-timestamp versions leave a
+    * zero-length [t, t) that matches nothing — the tie-break
+    * semantics [[history]] pins). Scd2Spec asserts the no-duplication
+    * law on a tie-heavy fixture.
+    *
+    * Scale shape: one shuffle of both sides on the key
+    * (`shuffle_hash` pinned — a versioned dimension at 100 TB is not
+    * broadcastable and AQE must not guess otherwise); the interval
+    * predicate rides the join, and per-key work is bounded by the
+    * key's version count. */
+  def lookupAsOf(facts: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val dimSide = dim.select(
+      col(keyCol), col("valid_from"), col("valid_to"),
+      col("seq").as("version_seq"),
+      struct(dim.columns.filterNot(c =>
+        c == keyCol || c == "valid_from" || c == "valid_to" ||
+        c == "seq" || c == "is_current").map(col): _*).as("__scd_attrs"))
+      .hint("shuffle_hash")
+    facts.join(dimSide,
+      facts(keyCol) === dimSide(keyCol) &&
+        col(tsCol) >= col("valid_from") &&
+        (col("valid_to").isNull || col(tsCol) < col("valid_to")),
+      "left")
+      .drop(dimSide(keyCol))
+      .drop("valid_from", "valid_to")
+  }
 }

@@ -112,6 +112,51 @@ object WindowQueries {
           unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
           col("seq"), col("is_current"))
         .orderBy(col("user_id"), col("valid_from_us"), col("seq"))
+    },
+
+    // SCD2 temporal lookup (the star-schema as-of enrichment the q211
+    // dimension exists FOR): every view event picks up the purchase
+    // tier in force for its user at event time — LEFT join, so views
+    // before the first purchase keep NULL (a miss is information).
+    // Interval uniqueness makes the join multiplication-free by
+    // construction (Scd2Spec pins it); both sides shuffle on user_id
+    // with shuffle_hash pinned. Time compared as exact epoch micros.
+    "q216_scd2_lookup" -> QueryDef(
+      """WITH p AS (SELECT user_id, CAST(floor(value / 50) AS BIGINT) AS tier,
+        |      epoch_us(ts) AS ts_us, event_id AS seq
+        |    FROM events WHERE event_type = 'purchase'),
+        |o AS (SELECT *, lag(tier) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, seq) AS prev FROM p),
+        |d AS (SELECT * FROM o WHERE prev IS NULL OR prev <> tier),
+        |v AS (SELECT user_id, tier, ts_us AS vf, seq,
+        |        lead(ts_us) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us, seq) AS vt
+        |      FROM d),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT CAST(f.event_id AS BIGINT) AS event_id,
+        |  CAST(f.user_id AS BIGINT) AS user_id,
+        |  v.tier, CAST(v.seq AS BIGINT) AS version_seq
+        |FROM f LEFT JOIN v ON f.user_id = v.user_id
+        |  AND f.ts_us >= v.vf AND (v.vt IS NULL OR f.ts_us < v.vt)
+        |ORDER BY f.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").cast("long").as("user_id"),
+          expr("CAST(floor(value / 50) AS BIGINT)").as("tier"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_id").cast("long").as("seq"))
+      val dim = graft.operators.Scd2.history(purchases, "user_id",
+        Seq("tier"), "ts_us", "seq")
+      val facts = ev.filter(col("event_type") === "view")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      graft.operators.Scd2.lookupAsOf(facts, dim, "user_id", "ts_us")
+        .select(col("event_id"), col("user_id"),
+          col("__scd_attrs").getField("tier").as("tier"),
+          col("version_seq"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -110,6 +110,32 @@ class Scd2Spec extends AnyFunSuite {
     assert(lax.nonEmpty)
   }
 
+  test("lookupAsOf: in-force version per fact, misses null, boundaries half-open") {
+    val dim = Scd2.history(Seq(
+      (1L, "a", 1000L, 1L), (1L, "b", 2000L, 2L), (1L, "c", 3000L, 3L),
+      // key 2: same-ts tie -> p holds a zero-length [t, t) interval
+      (2L, "p", 5000L, 4L), (2L, "q", 5000L, 5L)
+    ).toDF("k", "attr", "ts", "seq"), "k", Seq("attr"), "ts", "seq")
+    val facts = Seq(
+      (10L, 1L, 500L),  // before first version -> null
+      (11L, 1L, 1000L), // exactly at a valid_from -> that version
+      (12L, 1L, 1999L), // inside [1000, 2000)
+      (13L, 1L, 2000L), // boundary -> the NEW version (half-open)
+      (14L, 1L, 9999L), // open row
+      (15L, 2L, 5000L), // tie instant: zero-length p matches nothing -> q
+      (16L, 3L, 1000L)  // unknown key -> null
+    ).toDF("fid", "k", "ts")
+    val out = Scd2.lookupAsOf(facts, dim, "k", "ts")
+    assert(out.count() == facts.count(), "lookup must never multiply facts")
+    val m = out.collect().map(r => r.getLong(0) ->
+      Option(r.get(r.fieldIndex("__scd_attrs")))
+        .map(_.asInstanceOf[org.apache.spark.sql.Row].getString(0))).toMap
+    assert(m(10L).isEmpty && m(16L).isEmpty)
+    assert(m(11L).contains("a") && m(12L).contains("a"))
+    assert(m(13L).contains("b") && m(14L).contains("c"))
+    assert(m(15L).contains("q"), s"tie instant: ${m(15L)}")
+  }
+
   test("merge: multi-attribute change detection uses the full tuple") {
     val f = Seq(
       (1L, "a", 10L, ts("2024-01-01 00:00:00"), 1L),
