@@ -348,6 +348,100 @@ object CorpusQueries {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // END-TO-END CURATION PIPELINE: the "switch your curation to this
+    // library" composition — four oracled stage semantics chained into
+    // ONE query over the replica-planted corpus: (1) surprisal quality
+    // gate (q127 arithmetic, trained in-pipeline on the corpus being
+    // curated — the q132 rule), (2) exact dedup keep-min (q27
+    // normalization), (3) 8-gram benchmark decontamination with the
+    // hot-gram cap (q65 semantics; bench ⊂ corpus, so eval docs AND
+    // their planted twins die here), (4) per-source token-budget fill
+    // in doc_id order (q80's share table, cumulative-inclusive ≤
+    // budget, src2's zero share drops the source entirely). Every
+    // window is source- or fp-partitioned — no SinglePartition
+    // anywhere. A hash match here pins the INTEGRATION: stage
+    // boundaries, survivor flow, and the one n_tokens convention
+    // shared by the quality and budget stages.
+    "q217_curation_pipeline" -> QueryDef(
+      s"""WITH corpus AS (SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text, source FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM corpus),
+         |pd AS (SELECT doc_id, t, count(*) AS k FROM tok GROUP BY doc_id, t),
+         |cnt AS (SELECT t, CAST(sum(k) AS BIGINT) AS c FROM pd GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         |voc AS (SELECT t, c FROM cnt ORDER BY c DESC, t ASC LIMIT 16),
+         |sb AS (SELECT t, CAST(length(bin(n // c)) - 1 AS BIGINT) AS s
+         |       FROM voc, tot),
+         |ds AS (SELECT pd.doc_id, CAST(sum(pd.k) AS BIGINT) AS n_tokens,
+         |         CAST(sum(pd.k * coalesce(sb.s,
+         |           (SELECT length(bin(n)) - 1 FROM tot))) AS BIGINT) AS ts
+         |       FROM pd LEFT JOIN sb USING (t) GROUP BY pd.doc_id),
+         |q AS (SELECT c.doc_id, c.text, c.source,
+         |        coalesce(ds.n_tokens, 0) AS n_tokens
+         |      FROM corpus c LEFT JOIN ds USING (doc_id)
+         |      WHERE NOT (coalesce(ds.n_tokens, 0) = 0 OR
+         |        coalesce(ds.ts, 0) * 1000 > 8500 * coalesce(ds.n_tokens, 0))),
+         |dd AS (SELECT q.*, row_number() OVER (
+         |         PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |         ORDER BY doc_id) AS rn FROM q),
+         |s2 AS (SELECT doc_id, text, source, n_tokens FROM dd WHERE rn = 1),
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+         |bg0 AS (SELECT doc_id AS bench_id, unnest($Grams8Sql) AS g FROM bench),
+         |hot AS (SELECT g FROM bg0 GROUP BY g HAVING count(*) > 20),
+         |bg AS (SELECT DISTINCT g FROM bg0 WHERE g NOT IN (SELECT g FROM hot)),
+         |tg AS (SELECT doc_id, unnest($Grams8Sql) AS g FROM s2),
+         |contam AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (g)),
+         |s3 AS (SELECT * FROM s2
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |b AS (SELECT doc_id, source, n_tokens,
+         |        CAST(CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 10
+         |          WHEN 'src2' THEN 0 ELSE 20 END AS BIGINT) AS share FROM s3),
+         |cum AS (SELECT doc_id, source, n_tokens,
+         |          (20000 * share) // 1000 AS budget,
+         |          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS c
+         |        FROM b)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM cum WHERE c <= budget ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val d = t.documents.select(col("doc_id"), col("text"), col("source"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("source")))
+      val scored = graft.operators.LmOps.surprisalScores(corpus,
+        vocabSize = 16, threshMilli = 8500L)
+      val s1 = corpus.join(scored.filter(!col("low_quality"))
+        .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      val wd = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val s2 = s1
+        .withColumn("fp",
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1).drop("fp", "rn")
+      val bench = t.documents.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id"), col("text"))
+      val contaminated = CorpusOps.ngramContamination(
+        s2.select(col("doc_id"), col("text")), bench,
+        n = 8, maxDf = Some(20))
+        .select(col("train_id").as("doc_id")).distinct()
+      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+      val wb = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s3
+        .withColumn("share",
+          when(col("source") === "src0", 300L)
+            .when(col("source") === "src1", 10L)
+            .when(col("source") === "src2", 0L).otherwise(20L))
+        .withColumn("budget", expr("(20000 * share) DIV 1000"))
+        .withColumn("cum", sum(col("n_tokens")).over(wb))
+        .filter(col("cum") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination: train docs sharing an 8-gram with an
     // eval doc. Bench = every 40th doc; train = the planted +100000
     // copies of every 5th doc, so every bench doc is guaranteed one
