@@ -45,7 +45,13 @@ object Coreset {
         .as("qv"))
       .persist(mem)
     def centerLit(c: Array[Long]) = array(c.map(lit(_)): _*)
-    val seed = q.orderBy(col("id").asc).limit(1).collect()(0)
+    val seedRows = q.orderBy(col("id").asc).limit(1).collect()
+    if (seedRows.isEmpty) {
+      q.unpersist(false)
+      throw new IllegalArgumentException(
+        s"Coreset.kCenter: empty corpus - cannot select $k centers")
+    }
+    val seed = seedRows(0)
     var selected = Vector((1L, seed.getLong(0), 0L))
     var selectedIds = Set(seed.getLong(0))
     var state = q.withColumn("mind", graft.functions.VectorExpressions
@@ -58,8 +64,16 @@ object Coreset {
         // their own fold lands, but a duplicate-saturated corpus could
         // tie them at the top — the explicit exclusion keeps Gonzalez's
         // contract on any input, and the oracle carries the same NOT IN)
-        val far = state.filter(!col("id").isin(selectedIds.toSeq: _*))
-          .orderBy(col("mind").desc, col("id").asc).limit(1).collect()(0)
+        val farRows = state.filter(!col("id").isin(selectedIds.toSeq: _*))
+          .orderBy(col("mind").desc, col("id").asc).limit(1).collect()
+        if (farRows.isEmpty)
+          // fewer distinct ids than k: fail with the actionable count
+          // instead of an ArrayIndexOutOfBounds mid-loop (the persisted
+          // state still releases via the finally block)
+          throw new IllegalArgumentException(
+            s"Coreset.kCenter: k = $k exceeds the corpus's " +
+              s"${selectedIds.size} distinct id(s)")
+        val far = farRows(0)
         selected :+= ((t.toLong, far.getLong(0), far.getDouble(2).toLong))
         selectedIds += far.getLong(0)
         val next = state.withColumn("mind", least(col("mind"),

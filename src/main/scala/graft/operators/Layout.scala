@@ -119,32 +119,60 @@ object Layout {
       aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame = {
     require(buckets >= 1, s"buckets must be at least 1, got $buckets")
     require(aLo <= aHi && bLo <= bHi, "empty box")
+    // bucket = key * buckets DIV (kmax + 1) in long arithmetic: the
+    // z key reaches 2^(2·bits), so the product must stay under 2^63 or
+    // bucket ids silently wrap negative and the equal-width layout
+    // breaks — refuse the shape instead (the mortonCodeN discipline)
+    val bucketBits = 64 - java.lang.Long.numberOfLeadingZeros(buckets.toLong)
+    require(2 * bits + bucketBits <= 62,
+      s"2*bits + log2(buckets) must stay <= 62 (got 2*$bits + $bucketBits)" +
+        " - the bucket product would overflow a long")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // validate = true: a negative dim value would interleave
+    // two's-complement low bits into a code that neither round-trips
+    // nor clusters — fail the task instead of corrupting the report
     val base = df.select(dimA.cast("long").as("a"), dimB.cast("long").as("b"))
-      .withColumn("z", mortonCode(col("a"), col("b"), bits))
+      .withColumn("z", mortonCode(col("a"), col("b"), bits, validate = true))
       .withColumn("hit",
         (col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
           .cast("long"))
-    def layout(name: String, keyCol: String): DataFrame = {
-      val kmax = base.agg(max(col(keyCol)).as("kmax"))
-      val per = base.crossJoin(broadcast(kmax))
-        .withColumn("bucket", expr(s"$keyCol * $buckets DIV (kmax + 1)"))
-        .groupBy(col("bucket"))
-        .agg(min(col("a")).as("mina"), max(col("a")).as("maxa"),
-          min(col("b")).as("minb"), max(col("b")).as("maxb"),
-          count(lit(1)).as("cnt"), sum(col("hit")).as("matches"))
-      val intersects =
-        !(col("maxa") < aLo || col("mina") > aHi ||
-          col("maxb") < bLo || col("minb") > bHi)
-      per.agg(
-        count(lit(1)).as("buckets_used"),
-        sum(when(intersects, 1L).otherwise(0L)).as("buckets_hit"),
-        sum(col("cnt")).as("rows_total"),
-        sum(when(intersects, col("cnt")).otherwise(0L)).as("rows_in_hit"),
-        sum(col("matches")).as("rows_match"))
-        .select(lit(name).as("layout"), col("buckets_used"),
-          col("buckets_hit"), col("rows_total"), col("rows_in_hit"),
-          col("rows_match"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE pass for both layouts' key maxima (broadcast single row)
+      val kmax = base.agg(max(col("a")).as("kmax_a"), max(col("z")).as("kmax_z"))
+      def layoutRow(name: String, keyCol: String, kmaxCol: String) = {
+        val per = base.crossJoin(broadcast(kmax))
+          .withColumn("bucket", expr(s"$keyCol * $buckets DIV ($kmaxCol + 1)"))
+          .groupBy(col("bucket"))
+          .agg(min(col("a")).as("mina"), max(col("a")).as("maxa"),
+            min(col("b")).as("minb"), max(col("b")).as("maxb"),
+            count(lit(1)).as("cnt"), sum(col("hit")).as("matches"))
+        val intersects =
+          !(col("maxa") < aLo || col("mina") > aHi ||
+            col("maxb") < bLo || col("minb") > bHi)
+        val r = per.agg(
+          count(lit(1)).as("buckets_used"),
+          coalesce(sum(when(intersects, 1L).otherwise(0L)), lit(0L))
+            .as("buckets_hit"),
+          coalesce(sum(col("cnt")), lit(0L)).as("rows_total"),
+          coalesce(sum(when(intersects, col("cnt")).otherwise(0L)), lit(0L))
+            .as("rows_in_hit"),
+          coalesce(sum(col("matches")), lit(0L)).as("rows_match"))
+          .collect()(0)
+        (name, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      }
+      // the report is exactly two rows — materialize them while the
+      // projection is cached (one compute + two bucket passes instead
+      // of the old four full md5-spread + Morton scans), then hand back
+      // a LocalRelation so the cache can release eagerly
+      Seq(layoutRow("linear_a", "a", "kmax_a"),
+        layoutRow("zorder_ab", "z", "kmax_z"))
+        .toDF("layout", "buckets_used", "buckets_hit", "rows_total",
+          "rows_in_hit", "rows_match")
+    } finally {
+      base.unpersist(false)
     }
-    layout("linear_a", "a").unionByName(layout("zorder_ab", "z"))
   }
 }

@@ -32,7 +32,17 @@ object QualityChecks {
       extends Check { def id = s"completeness($column)" }
 
   /** Distinct fraction of the column tuple ≥ minMilli (1000 = the
-    * tuple is a key). */
+    * tuple is a key).
+    *
+    * Contract note for Deequ-literate readers: this metric is Deequ's
+    * DISTINCTNESS (countDistinct / count), NOT Deequ's uniqueness
+    * (fraction of values occurring exactly ONCE) — a tuple appearing
+    * twice contributes 1/2 here but 0 there. Null handling is Spark's
+    * countDistinct semantics: a tuple containing any NULL is dropped
+    * from the NUMERATOR while the denominator `count(*)` keeps the
+    * row, so null-bearing rows strictly lower the metric (an all-null
+    * column scores 0 on a non-empty table). QualityChecksSpec pins
+    * both behaviours on a null-mix fixture. */
   final case class Uniqueness(columns: Seq[String], minMilli: Long = 1000L)
       extends Check { def id = s"uniqueness(${columns.mkString(",")})" }
 

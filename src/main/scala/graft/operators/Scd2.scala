@@ -71,8 +71,13 @@ object Scd2 {
     * batch are born normally.
     *
     * `strict` (default true) refuses — loudly, in-plan — any batch
-    * change dated BEFORE its key's open valid_from: such a change
-    * belongs to the closed region, and rewriting closed history is a
+    * change that would sort AT OR BEFORE its key's open version under
+    * the (ts, seq) order: a change dated before the open valid_from
+    * belongs to the closed region, and a change at EXACTLY the open
+    * valid_from with seq ≤ the open row's stored seq would slot before
+    * the replayed seed, silently rewriting what [[history]] already
+    * decided (e.g. resurrecting a closed zero-length version the
+    * replay-side dedup cannot see). Rewriting decided history is a
     * correction workload, not a merge (run [[history]] over the
     * corrected feed instead). */
   def merge(current: DataFrame, batch: DataFrame, keyCol: String,
@@ -87,19 +92,25 @@ object Scd2 {
     val guarded =
       if (!strict) batch.select(batchCols: _*)
       else batch.select(batchCols: _*)
-        .join(open.select(col(keyCol), col("valid_from").as("__scd_open_from")),
+        .join(open.select(col(keyCol),
+            col("valid_from").as("__scd_open_from"),
+            col("seq").as("__scd_open_seq")),
           Seq(keyCol), "left")
         .withColumn(tsCol,
           when(col("__scd_open_from").isNotNull &&
-              col(tsCol) < col("__scd_open_from"),
+              (col(tsCol) < col("__scd_open_from") ||
+                (col(tsCol) === col("__scd_open_from") &&
+                  col(seqCol) <= col("__scd_open_seq"))),
             raise_error(concat(
               lit("Scd2.merge: change for key "), col(keyCol).cast("string"),
-              lit(" at "), col(tsCol).cast("string"),
-              lit(" predates the open version's valid_from "),
+              lit(" at ("), col(tsCol).cast("string"),
+              lit(", seq "), col(seqCol).cast("string"),
+              lit(") does not sort after the open version's ("),
               col("__scd_open_from").cast("string"),
-              lit(" - closed history is immutable; rebuild via Scd2.history"))))
+              lit(", seq "), col("__scd_open_seq").cast("string"),
+              lit(") - decided history is immutable; rebuild via Scd2.history"))))
             .otherwise(col(tsCol)))
-        .drop("__scd_open_from")
+        .drop("__scd_open_from", "__scd_open_seq")
     closed.unionByName(
       history(openAsChanges.unionByName(guarded), keyCol, attrCols,
         tsCol, seqCol))
@@ -133,12 +144,16 @@ object Scd2 {
         c == keyCol || c == "valid_from" || c == "valid_to" ||
         c == "seq" || c == "is_current").map(col): _*).as("__scd_attrs"))
       .hint("shuffle_hash")
+    // drop via the dim-side references, not by bare name: drop-by-name
+    // removes EVERY occurrence, so a facts side that happens to carry
+    // its own valid_from/valid_to would silently lose those columns
     facts.join(dimSide,
       facts(keyCol) === dimSide(keyCol) &&
-        col(tsCol) >= col("valid_from") &&
-        (col("valid_to").isNull || col(tsCol) < col("valid_to")),
+        dimSide("valid_from") <= col(tsCol) &&
+        (dimSide("valid_to").isNull || col(tsCol) < dimSide("valid_to")),
       "left")
       .drop(dimSide(keyCol))
-      .drop("valid_from", "valid_to")
+      .drop(dimSide("valid_from"))
+      .drop(dimSide("valid_to"))
   }
 }

@@ -244,14 +244,9 @@ object Sketches {
       right: DataFrame, rightKey: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val skL = cmsKeySketch(left, leftKey, depth, width)
-      .withColumnRenamed("cnt", "cnt_l")
-    val skR = cmsKeySketch(right, rightKey, depth, width)
-      .withColumnRenamed("cnt", "cnt_r")
-    val est = skL.join(skR, Seq("hrow", "bucket"))
-      .groupBy(col("hrow"))
-      .agg(sum(col("cnt_l").cast(dec) * col("cnt_r")).as("_est"))
-      .select(col("hrow"), expr("CAST(_est AS BIGINT)").as("est_n"))
+    val est = cmsJoinEstimate(
+      cmsKeySketch(left, leftKey, depth, width),
+      cmsKeySketch(right, rightKey, depth, width), depth)
     val exact = left.select(col(leftKey).as("__k"))
       .groupBy(col("__k")).agg(count(lit(1)).as("nl"))
       .join(right.select(col(rightKey).as("__k"))
@@ -260,5 +255,49 @@ object Sketches {
       .select(expr("CAST(coalesce(_ex, 0) AS BIGINT)").as("exact_n"))
     est.crossJoin(broadcast(exact))
       .withColumn("ge_exact", col("est_n") >= col("exact_n"))
+  }
+
+  /** The SKETCH-ONLY batch join estimator — the production entry point
+    * [[cmsJoinCardinality]]'s scaladoc promises: join size from two
+    * depth×width cell frames (kilobytes), with NEITHER relation's rows
+    * shuffled or re-scanned. Feed it [[cmsKeySketch]] outputs — built
+    * once per relation at ingest (batch) or folded from the streaming
+    * store ([[graft.streaming.SketchIngest.serve]], whose
+    * estimateAgainst is this same fold stream-side). The caller takes
+    * min(est_n) over the depth rows; every row is ≥ the true join size
+    * (matching keys always share buckets, every term non-negative).
+    *
+    * The exact join size appears nowhere here — that is the point. The
+    * q212 harness (cmsJoinCardinality) stays the opt-in error witness,
+    * exactly the q175→q178 theta-sketch split.
+    *
+    * All `depth` rows ALWAYS return: hash rows whose sketches share no
+    * buckets (a provably-empty join) coalesce to est_n = 0 against a
+    * depth-sized spine instead of silently vanishing — otherwise
+    * min-over-returned-rows would overstate a true-zero join by
+    * dropping its tightest row.
+    *
+    * Plan shape (PlanAuditSpec-pinned): one broadcast-hash join of two
+    * ≤ depth·width-cell aggregates — no sort-merge join, no exchange
+    * carrying relation rows. */
+  def cmsJoinEstimate(sketchLeft: DataFrame, sketchRight: DataFrame,
+      depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be at least 1, got $depth")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spark = sketchLeft.sparkSession
+    // posexplode positions are IntegerType; the spine matches so the
+    // estimator's hrow type is identical to the sketch frames'
+    val spine = spark.range(depth.toLong)
+      .select(col("id").cast("int").as("hrow"))
+    val rowEst = sketchLeft.withColumnRenamed("cnt", "cnt_l")
+      // both sides are sketch-sized; broadcast keeps the join
+      // exchange-free no matter what stats AQE sees
+      .join(broadcast(sketchRight.withColumnRenamed("cnt", "cnt_r")),
+        Seq("hrow", "bucket"))
+      .groupBy(col("hrow"))
+      .agg(sum(col("cnt_l").cast(dec) * col("cnt_r")).as("_est"))
+    spine.join(broadcast(rowEst), Seq("hrow"), "left")
+      .select(col("hrow"),
+        expr("CAST(coalesce(_est, 0) AS BIGINT)").as("est_n"))
   }
 }

@@ -1581,10 +1581,12 @@ object ExtensionQueries {
         |            AS bucket,
         |          CAST(count(*) AS BIGINT) AS cnt
         |        FROM rk CROSS JOIN range(4) t(i) GROUP BY 1, 2),
-        |est AS (SELECT skl.hrow,
+        |est0 AS (SELECT skl.hrow,
         |          CAST(sum(CAST(skl.cnt AS HUGEINT) * skr.cnt) AS BIGINT)
         |            AS est_n
         |        FROM skl JOIN skr USING (hrow, bucket) GROUP BY skl.hrow),
+        |est AS (SELECT t.i AS hrow, coalesce(est0.est_n, 0) AS est_n
+        |        FROM range(4) t(i) LEFT JOIN est0 ON est0.hrow = t.i),
         |ex AS (SELECT CAST(coalesce(sum(CAST(a.n AS HUGEINT) * b.n), 0)
         |           AS BIGINT) AS exact_n
         |       FROM (SELECT k, count(*) AS n FROM lk GROUP BY k) a
@@ -1596,6 +1598,50 @@ object ExtensionQueries {
         Tables(s, dir).orders, "o_orderkey",
         Tables(s, dir).lineitem, "l_orderkey",
         depth = 4, width = 1024)
+        .orderBy(col("hrow"))
+    },
+
+    // The SKETCH-ONLY join estimator — q212's production path split
+    // out (the q175→q178 theta precedent): |customer ⋈ orders on
+    // custkey| estimated purely from two 4×512 cell frames; the exact
+    // join size appears NOWHERE in this plan (that is the point — the
+    // estimator exists so the join never runs). All 4 hash rows always
+    // return (a bucket-disjoint row coalesces to est_n = 0 rather than
+    // silently vanishing — the min-over-rows caller needs the tightest
+    // row most when the join is empty). The md5-seeded sketches are
+    // deterministic, so the oracle rebuilds them and the ESTIMATES
+    // hash-compare. PlanAuditSpec pins the shape: the only join is a
+    // broadcast of sketch-sized aggregates, no sort-merge join, no
+    // exchange carrying relation rows.
+    "q219_cms_sketch_only" -> QueryDef(
+      """WITH lk AS (SELECT c_custkey AS k FROM customer),
+        |rk AS (SELECT o_custkey AS k FROM orders),
+        |skl AS (SELECT t.i AS hrow,
+        |          CAST(concat('0x', substr(md5('cmsj' || CAST(t.i AS VARCHAR)
+        |            || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 512
+        |            AS bucket,
+        |          CAST(count(*) AS BIGINT) AS cnt
+        |        FROM lk CROSS JOIN range(4) t(i) GROUP BY 1, 2),
+        |skr AS (SELECT t.i AS hrow,
+        |          CAST(concat('0x', substr(md5('cmsj' || CAST(t.i AS VARCHAR)
+        |            || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 512
+        |            AS bucket,
+        |          CAST(count(*) AS BIGINT) AS cnt
+        |        FROM rk CROSS JOIN range(4) t(i) GROUP BY 1, 2),
+        |est0 AS (SELECT skl.hrow,
+        |          CAST(sum(CAST(skl.cnt AS HUGEINT) * skr.cnt) AS BIGINT)
+        |            AS est_n
+        |        FROM skl JOIN skr USING (hrow, bucket) GROUP BY skl.hrow)
+        |SELECT t.i AS hrow, coalesce(est0.est_n, 0) AS est_n
+        |FROM range(4) t(i) LEFT JOIN est0 ON est0.hrow = t.i
+        |ORDER BY hrow""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sketches.cmsJoinEstimate(
+        graft.operators.Sketches.cmsKeySketch(t.customer, "c_custkey",
+          depth = 4, width = 512),
+        graft.operators.Sketches.cmsKeySketch(t.orders, "o_custkey",
+          depth = 4, width = 512),
+        depth = 4)
         .orderBy(col("hrow"))
     },
 

@@ -56,14 +56,9 @@ object SketchIngest {
     * ≥ the true join size (the q212 guarantee). Shapes must match. */
   def estimateAgainst(spark: SparkSession, dir: String,
       right: DataFrame, rightKey: String, depth: Int,
-      width: Int): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val skR = graft.operators.Sketches.cmsKeySketch(right, rightKey,
-      depth, width).withColumnRenamed("cnt", "cnt_r")
-    serve(spark, dir).withColumnRenamed("cnt", "cnt_l")
-      .join(skR, Seq("hrow", "bucket"))
-      .groupBy(col("hrow"))
-      .agg(sum(col("cnt_l").cast(dec) * col("cnt_r")).as("_est"))
-      .select(col("hrow"), expr("CAST(_est AS BIGINT)").as("est_n"))
-  }
+      width: Int): DataFrame =
+    graft.operators.Sketches.cmsJoinEstimate(
+      serve(spark, dir),
+      graft.operators.Sketches.cmsKeySketch(right, rightKey, depth, width),
+      depth)
 }

@@ -56,4 +56,18 @@ class CoresetSpec extends AnyFunSuite {
     assert(out(1)._2 == 3L, s"round 2 should take the far cluster: ${out(1)}")
     assert(out(2) == ((3L, 2L, 0L)), s"duplicate fallback: ${out(2)}")
   }
+
+  test("k-center: empty corpus and k > distinct ids fail with actionable errors") {
+    val empty = corpus()
+    val e1 = intercept[IllegalArgumentException] { Coreset.kCenter(empty, k = 2) }
+    assert(e1.getMessage.contains("empty corpus"), e1.getMessage)
+    // 3 rows but only 2 DISTINCT ids (the exclusion is id-based): k = 3
+    // exhausts the pool mid-loop and must say so, not throw a bare
+    // ArrayIndexOutOfBounds
+    val dupIds = Seq((1L, Array(0f)), (1L, Array(0f)), (2L, Array(7f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] { Coreset.kCenter(dupIds, k = 3) }
+    assert(e2.getMessage.contains("exceeds the corpus's 2 distinct"),
+      e2.getMessage)
+  }
 }

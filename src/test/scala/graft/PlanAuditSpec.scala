@@ -384,6 +384,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q204 lost its pinned shuffle-hash band join:\n$plan")
   }
 
+  test("q219: sketch-only join estimate never shuffles or joins relation rows") {
+    // The estimator's pitch is "join size from kilobytes": every
+    // exchange in the plan may carry only sketch CELLS (bounded by
+    // depth·width, map-side combined), and the only joins are
+    // broadcasts of sketch-sized frames. A SortMergeJoin — or any join
+    // that isn't a broadcast — means a relation-shaped side leaked
+    // into the estimator.
+    val plan = executed(query("q219_cms_sketch_only"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"q219 plans a sort-merge join — a relation-sized side leaked:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"q219 lost its pinned broadcast sketch join:\n$plan")
+    // the raw key columns must never be exchange keys: relation rows
+    // shuffle only if a hashpartitioning mentions them
+    assert(!"Exchange hashpartitioning\\([^)]*custkey".r
+      .findFirstIn(plan).isDefined,
+      s"q219 shuffles relation rows on the join key:\n$plan")
+  }
+
   test("q197/q198: projection passes are shuffle-free narrow scans") {
     // Both 100 TB claims are ONE codegen'd pass with the model as
     // expression literals: PCA coordinates and JL coordinates add zero

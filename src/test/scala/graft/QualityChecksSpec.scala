@@ -78,6 +78,27 @@ class QualityChecksSpec extends AnyFunSuite {
     assert(out2("foreign_key(k->ref.rk)") == ((1000L, true)))
   }
 
+  test("suite: uniqueness is distinctness, and null tuples lower it") {
+    // the documented contract (see Uniqueness scaladoc): metric =
+    // countDistinct / count(*), i.e. Deequ's DISTINCTNESS — a value
+    // appearing twice still counts once in the numerator — and a
+    // null-bearing tuple drops from the NUMERATOR only, so nulls
+    // strictly lower the metric rather than vacuously passing
+    val df = Seq(Option(1L), Option(1L), Option(2L), None, None)
+      .toDF("k")
+    val out = QualityChecks.run(df, Seq(Uniqueness(Seq("k"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // distinct non-null {1, 2} = 2 over count(*) = 5 -> 400
+    assert(out("uniqueness(k)") == 400L, out.toString)
+    // Deequ's uniqueness would be 1/5 = 200 here (only 2 occurs once);
+    // 400 != 200 is the distinction the scaladoc warns about
+    val allNull = Seq(Option.empty[Long], Option.empty[Long]).toDF("k")
+    val out2 = QualityChecks.run(allNull, Seq(Uniqueness(Seq("k"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out2("uniqueness(k)") == ((0L, false)), out2.toString)
+  }
+
   test("suite: composite uniqueness distinguishes key from non-key") {
     val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("a", "b")
     val out = QualityChecks.run(df, Seq(

@@ -305,4 +305,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(zUsed == 16L && zHit == 1L && zScan == 256L, out("zorder_ab").toString)
     assert(zScan < lScan)
   }
+
+  test("skipping report: refuses shapes whose bucket product overflows; validates dims") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    // 2*31 + log2(1024) > 62: the z*buckets long product would wrap
+    val ex = intercept[IllegalArgumentException] {
+      Layout.skippingReport(df, col("a"), col("b"), bits = 31,
+        buckets = 1024, aLo = 0L, aHi = 1L, bLo = 0L, bHi = 1L)
+    }
+    assert(ex.getMessage.contains("overflow"), ex.getMessage)
+    // negative dimension values fail the task (validate = true inside)
+    val neg = Seq((-1L, 2L)).toDF("a", "b")
+    val nex = intercept[Exception] {
+      Layout.skippingReport(neg, col("a"), col("b"), bits = 8,
+        buckets = 16, aLo = 0L, aHi = 1L, bLo = 0L, bHi = 1L)
+    }
+    assert(exMessageChain(nex).contains("negative dimension"),
+      exMessageChain(nex))
+  }
 }

@@ -101,13 +101,46 @@ class Scd2Spec extends AnyFunSuite {
     val e = intercept[Exception] {
       Scd2.merge(init, bad, "k", Seq("attr"), "ts", "seq").collect()
     }
-    assert(e.getMessage.contains("predates the open version"),
+    assert(e.getMessage.contains("does not sort after the open version"),
       e.getMessage)
     // non-strict absorbs it into the replayed open segment (documented
     // escape hatch for correction feeds that rebuild anyway)
     val lax = Scd2.merge(init, bad, "k", Seq("attr"), "ts", "seq",
       strict = false).collect()
     assert(lax.nonEmpty)
+  }
+
+  test("merge: strict refuses a same-timestamp change with seq <= the open seq") {
+    // open row at (01-05, seq 3); a batch change at the SAME ts with a
+    // SMALLER seq would slot before the replayed seed and rewrite what
+    // history already decided (the dedup can't see closed rows) — refuse
+    val init = Scd2.history(Seq(
+      (1L, "a", ts("2024-01-05 00:00:00"), 2L),
+      (1L, "b", ts("2024-01-05 00:00:00"), 3L)
+    ).toDF("k", "attr", "ts", "seq"), "k", Seq("attr"), "ts", "seq")
+    for (badSeq <- Seq(1L, 3L)) { // before the seed, and equal to it
+      val bad = Seq((1L, "c", ts("2024-01-05 00:00:00"), badSeq))
+        .toDF("k", "attr", "ts", "seq")
+      val e = intercept[Exception] {
+        Scd2.merge(init, bad, "k", Seq("attr"), "ts", "seq").collect()
+      }
+      assert(e.getMessage.contains("does not sort after the open version"),
+        s"seq $badSeq: ${e.getMessage}")
+    }
+  }
+
+  test("merge: same-timestamp change with seq > open seq folds like history") {
+    // the legal side of the boundary: ties AFTER the open seq are a
+    // normal same-instant version chain, and merge == one-shot history
+    val f = Seq(
+      (1L, "a", ts("2024-01-05 00:00:00"), 2L),
+      (1L, "b", ts("2024-01-05 00:00:00"), 5L)
+    ).toDF("k", "attr", "ts", "seq")
+    val all = collectHist(Scd2.history(f, "k", Seq("attr"), "ts", "seq"))
+    val merged = collectHist(Scd2.merge(
+      Scd2.history(f.filter(col("seq") === 2L), "k", Seq("attr"), "ts", "seq"),
+      f.filter(col("seq") === 5L), "k", Seq("attr"), "ts", "seq"))
+    assert(merged == all, merged.toString)
   }
 
   test("lookupAsOf: in-force version per fact, misses null, boundaries half-open") {
@@ -134,6 +167,23 @@ class Scd2Spec extends AnyFunSuite {
     assert(m(11L).contains("a") && m(12L).contains("a"))
     assert(m(13L).contains("b") && m(14L).contains("c"))
     assert(m(15L).contains("q"), s"tie instant: ${m(15L)}")
+  }
+
+  test("lookupAsOf: facts-side valid_from/valid_to columns survive the join") {
+    // drop-by-name would remove EVERY occurrence; the dim-side-reference
+    // drop keeps fact columns that happen to share the interval names
+    val dim = Scd2.history(
+      Seq((1L, "a", 1000L, 1L)).toDF("k", "attr", "ts", "seq"),
+      "k", Seq("attr"), "ts", "seq")
+    val facts = Seq((10L, 1L, 1500L, 777L, 888L))
+      .toDF("fid", "k", "ts", "valid_from", "valid_to")
+    val out = Scd2.lookupAsOf(facts, dim, "k", "ts")
+    assert(out.columns.count(_ == "valid_from") == 1 &&
+      out.columns.count(_ == "valid_to") == 1, out.columns.mkString(","))
+    val r = out.collect()(0)
+    assert(r.getLong(r.fieldIndex("valid_from")) == 777L &&
+      r.getLong(r.fieldIndex("valid_to")) == 888L)
+    assert(r.getStruct(r.fieldIndex("__scd_attrs")).getString(0) == "a")
   }
 
   test("merge: multi-attribute change detection uses the full tuple") {
