@@ -442,6 +442,163 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // THE q217 PIPELINE WITH THE NEAR-DUP COLLAPSE FOLDED IN — the
+    // engine's own 100 TB doctrine (q205: LSH components + keep-best
+    // BEFORE anything expensive) applied to the one-call curation
+    // composition. Five stages over a corpus planted with BOTH dup
+    // kinds: exact twins (+100000, every 5th doc — die at stage 2) and
+    // NEAR twins (+300000, every 6th doc with one salted token
+    // appended, J ≈ (n-2)/(n-1) — die at stage 3's keep-best, where
+    // the longer variant WINS over its original): (1) surprisal
+    // quality gate trained in-pipeline, (2) exact dedup keep-min,
+    // (3) LSH near-dup collapse — 12-hash/4-band candidates under the
+    // hot-bucket cap, exact-Jaccard verify at 0.5, connected
+    // components, keep-best by token count — (4) 8-gram benchmark
+    // decontamination with the hot-gram cap, (5) per-source
+    // token-budget fill. The oracle re-derives ALL five stages
+    // including the recursive-CTE components (the q205 derivation);
+    // a hash match pins every stage boundary plus the collapsed
+    // survivor flow.
+    "q218_curation_neardup_pipeline" -> QueryDef(
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text, source FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 300000,
+         |    text || ' zzq' || CAST(doc_id % 7 AS VARCHAR), source
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM corpus),
+         |pd AS (SELECT doc_id, t, count(*) AS k FROM tok GROUP BY doc_id, t),
+         |cnt AS (SELECT t, CAST(sum(k) AS BIGINT) AS c FROM pd GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         |voc AS (SELECT t, c FROM cnt ORDER BY c DESC, t ASC LIMIT 16),
+         |sb AS (SELECT t, CAST(length(bin(n // c)) - 1 AS BIGINT) AS s
+         |       FROM voc, tot),
+         |ds AS (SELECT pd.doc_id, CAST(sum(pd.k) AS BIGINT) AS n_tokens,
+         |         CAST(sum(pd.k * coalesce(sb.s,
+         |           (SELECT length(bin(n)) - 1 FROM tot))) AS BIGINT) AS ts
+         |       FROM pd LEFT JOIN sb USING (t) GROUP BY pd.doc_id),
+         |q AS (SELECT c.doc_id, c.text, c.source,
+         |        coalesce(ds.n_tokens, 0) AS n_tokens
+         |      FROM corpus c LEFT JOIN ds USING (doc_id)
+         |      WHERE NOT (coalesce(ds.n_tokens, 0) = 0 OR
+         |        coalesce(ds.ts, 0) * 1000 > 8500 * coalesce(ds.n_tokens, 0))),
+         |dd AS (SELECT q.*, row_number() OVER (
+         |         PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |         ORDER BY doc_id) AS rn FROM q),
+         |s2 AS (SELECT doc_id, text, source, n_tokens FROM dd WHERE rn = 1),
+         |sh AS (SELECT doc_id AS id, ${OracleSql.Shingles3} AS shingles FROM s2),
+         |${OracleSql.minhashSig(12)},
+         |bands AS (${OracleSql.Bands12x4}),
+         |hotb AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 100),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                a.shingles AS sh_a, b.shingles AS sh_b
+         |         FROM bands a JOIN bands b USING (bk)
+         |         WHERE a.id < b.id AND bk NOT IN (SELECT bk FROM hotb)),
+         |lsh_pairs AS (SELECT id_a, id_b FROM cand
+         |  WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+         |       THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+         |       ELSE 0.0 END >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+         |          UNION SELECT id_b, id_a FROM lsh_pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM s2
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |jj AS (SELECT comp.comp, comp.id, s2.n_tokens AS score
+         |       FROM comp JOIN s2 ON s2.doc_id = comp.id),
+         |best AS (SELECT comp, id,
+         |  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY score DESC, id ASC)
+         |    AS rk FROM jj),
+         |s3 AS (SELECT s2.* FROM s2
+         |       JOIN best ON best.id = s2.doc_id AND best.rk = 1),
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+         |bg0 AS (SELECT doc_id AS bench_id, unnest($Grams8Sql) AS g FROM bench),
+         |hot AS (SELECT g FROM bg0 GROUP BY g HAVING count(*) > 20),
+         |bg AS (SELECT DISTINCT g FROM bg0 WHERE g NOT IN (SELECT g FROM hot)),
+         |tg AS (SELECT doc_id, unnest($Grams8Sql) AS g FROM s3),
+         |contam AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (g)),
+         |s4 AS (SELECT * FROM s3
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |b AS (SELECT doc_id, source, n_tokens,
+         |        CAST(CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 10
+         |          WHEN 'src2' THEN 0 ELSE 20 END AS BIGINT) AS share FROM s4),
+         |cum AS (SELECT doc_id, source, n_tokens,
+         |          (20000 * share) // 1000 AS budget,
+         |          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS c
+         |        FROM b)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM cum WHERE c <= budget ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val t = Tables(s, dir)
+      val d = t.documents.select(col("doc_id"), col("text"), col("source"))
+      val corpus = d
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("source")))
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" zzq"),
+              (col("doc_id") % 7).cast("string")).as("text"),
+            col("source")))
+      val scored = graft.operators.LmOps.surprisalScores(corpus,
+        vocabSize = 16, threshMilli = 8500L)
+      val s1 = corpus.join(scored.filter(!col("low_quality"))
+        .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      val wd = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      // s2 feeds the minhash pipeline, the keep-best scores, the
+      // survivor rejoin, AND the decon gram explode — persist so the
+      // gate + window run once (released by the ContextCleaner when
+      // the returned plan goes unreachable, the q30 contract)
+      val s2 = s1
+        .withColumn("fp",
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1).drop("fp", "rn")
+        .persist(mem)
+      // stage 3: the q205 doctrine inline — signatures once, banded
+      // candidates under the combined hot cap, exact verify, components,
+      // keep-best by token count (the longer near-twin wins)
+      val mh = graft.operators.Dedup.minhashed(
+        s2.select(col("doc_id"), col("text")), "doc_id", "text",
+        shingleSize = 3, numHashes = 12, rowsPerBand = 3)
+      val pairs = graft.operators.Dedup.nearDupPairsFromMinhashed(
+        mh, threshold = 0.5, maxBucketSize = Some(100))
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Dedup.connectedComponents(
+        mh.select(col("id")), pairs)
+      val kept = graft.operators.Dedup.keepBestPerComponent(comps,
+        s2.select(col("doc_id").as("id"), col("n_tokens").as("score")))
+      // survivors are corpus-shaped at scale: plain shuffle join, never
+      // a broadcast (the q195/q205 discipline)
+      val s3 = s2.join(
+        kept.select(col("kept_id").as("doc_id")).hint("shuffle_hash"),
+        Seq("doc_id"))
+      val bench = t.documents.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id"), col("text"))
+      val contaminated = CorpusOps.ngramContamination(
+        s3.select(col("doc_id"), col("text")), bench,
+        n = 8, maxDf = Some(20))
+        .select(col("train_id").as("doc_id")).distinct()
+      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      val wb = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s4
+        .withColumn("share",
+          when(col("source") === "src0", 300L)
+            .when(col("source") === "src1", 10L)
+            .when(col("source") === "src2", 0L).otherwise(20L))
+        .withColumn("budget", expr("(20000 * share) DIV 1000"))
+        .withColumn("cum", sum(col("n_tokens")).over(wb))
+        .filter(col("cum") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination: train docs sharing an 8-gram with an
     // eval doc. Bench = every 40th doc; train = the planted +100000
     // copies of every 5th doc, so every bench doc is guaranteed one

