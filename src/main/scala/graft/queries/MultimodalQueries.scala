@@ -226,6 +226,118 @@ object MultimodalQueries {
     // planted hits — ≤ 2 Hamming bits from their base). The oracle is
     // the all-pairs cross Hamming — band completeness again the thing
     // the compare proves.
+    // VIDEO near-duplicate pairs — the composition that closes the
+    // multimodal dedup gap: frame-sample each video (the q53 operator,
+    // every frame up to 8), per-frame dHash (the q203 kernel over the
+    // per-frame fake luma grid — payload = md5 chain of text:frame_idx,
+    // the deterministic stand-in for a real ffmpeg frame extractor),
+    // then video-level candidates via SHARED EXACT FRAME HASHES
+    // (complete for any Jaccard > 0: J ≥ 0.5 implies a shared frame)
+    // and exact Jaccard over the distinct frame-hash SETS, integer
+    // milli contract. Fixture plants near-dup videos: every 5th video
+    // re-enters under -id-1 with frame 0's grid bumped one luma step —
+    // sharing all frames but (at most) one, J = (n-1)/(n+1) ≥ 0.5
+    // whenever the video has ≥ 3 frames (shorter variants fall below
+    // threshold on BOTH engines — the contract, not a bug). The oracle
+    // derives the pair set the OPPOSITE way — all video pairs, exact
+    // set Jaccard — so the shared-frame candidate generation's
+    // completeness is itself what the compare proves (the q195/q204
+    // stance). Scale shape: postings self-join on fhash with
+    // shuffle_hash pinned (frame-hash postings are corpus-shaped; the
+    // hot-frame cap of Dedup.lshCandidatePairs applies unchanged when
+    // a production corpus has degenerate frames — uncapped here so the
+    // all-pairs oracle stays the completeness witness); signatures are
+    // bounded by maxFrames, so per-pair verify is O(1).
+    "q220_video_neardup_pairs" -> QueryDef({
+      val base = dhashSql(byteSql("h", _))
+      val bumped = dhashSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
+      s"""WITH v AS (SELECT doc_id AS id, text, length(text) * 16 AS sizeBytes
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |fc AS (SELECT id, text,
+         |         CAST(trunc(sizeBytes / 1024.0) AS INT) + 1 AS frameCount
+         |       FROM v),
+         |fr AS (SELECT id, text,
+         |         CAST(unnest((range(0, frameCount, 1))[1:8]) AS INT) AS frame_idx
+         |       FROM fc),
+         |fg AS (SELECT id, frame_idx,
+         |         md5(text || ':' || CAST(frame_idx AS VARCHAR)) ||
+         |         md5(md5(text || ':' || CAST(frame_idx AS VARCHAR))) AS h
+         |       FROM fr),
+         |hb AS (SELECT id, CAST($base AS BIGINT) AS fhash FROM fg
+         |       UNION ALL
+         |       SELECT -id - 1 AS id,
+         |         CAST(CASE WHEN frame_idx = 0 THEN $bumped ELSE $base END
+         |           AS BIGINT) AS fhash
+         |       FROM fg WHERE id % 5 = 0),
+         |sg AS (SELECT id, list_distinct(list(fhash)) AS sig FROM hb GROUP BY id),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |        CAST(len(list_intersect(a.sig, b.sig)) AS BIGINT) AS inter,
+         |        CAST(len(list_distinct(list_concat(a.sig, b.sig))) AS BIGINT) AS un
+         |      FROM sg a JOIN sg b ON a.id < b.id)
+         |SELECT id_a, id_b, inter, un, (1000 * inter) // un AS jacc_milli
+         |FROM p WHERE 1000 * inter >= 500 * un
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      videoNearDupPairs(s, dir).orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Video near-dup COMPONENTS: transitive closure of the q220 pairs
+    // with the minimum member canonical — the video twin of q75/q206,
+    // so retention (q105) and leakage-safe splits (q107) compose onto
+    // videos unchanged. J ≥ 0.5 edges rarely chain (unlike the q206
+    // Hamming balls), but maxIter = 64 keeps headroom; the oracle
+    // replays the closure as the recursive reachability CTE over the
+    // all-pairs-derived edge set.
+    "q221_video_neardup_components" -> QueryDef({
+      val base = dhashSql(byteSql("h", _))
+      val bumped = dhashSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
+      s"""WITH RECURSIVE v AS (SELECT doc_id AS id, text,
+         |           length(text) * 16 AS sizeBytes
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |fc AS (SELECT id, text,
+         |         CAST(trunc(sizeBytes / 1024.0) AS INT) + 1 AS frameCount
+         |       FROM v),
+         |fr AS (SELECT id, text,
+         |         CAST(unnest((range(0, frameCount, 1))[1:8]) AS INT) AS frame_idx
+         |       FROM fc),
+         |fg AS (SELECT id, frame_idx,
+         |         md5(text || ':' || CAST(frame_idx AS VARCHAR)) ||
+         |         md5(md5(text || ':' || CAST(frame_idx AS VARCHAR))) AS h
+         |       FROM fr),
+         |hb AS (SELECT id, CAST($base AS BIGINT) AS fhash FROM fg
+         |       UNION ALL
+         |       SELECT -id - 1 AS id,
+         |         CAST(CASE WHEN frame_idx = 0 THEN $bumped ELSE $base END
+         |           AS BIGINT) AS fhash
+         |       FROM fg WHERE id % 5 = 0),
+         |sg AS (SELECT id, list_distinct(list(fhash)) AS sig FROM hb GROUP BY id),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b
+         |      FROM sg a JOIN sg b ON a.id < b.id
+         |      WHERE 1000 * len(list_intersect(a.sig, b.sig)) >=
+         |        500 * len(list_distinct(list_concat(a.sig, b.sig)))),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT id, id AS r FROM sg
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS canonical_id, count(*) AS n_docs, max(id) AS max_id
+         |FROM comp GROUP BY comp HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin
+    }) { (s, dir) =>
+      val hs = videoFrameHashes(s, dir)
+      val pairs = videoNearDupPairs(s, dir).select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.connectedComponents(
+        hs.select(col("id")).distinct(), pairs, maxIter = 64)
+        .groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("canonical_id"))
+    },
+
     "q207_image_incremental_neardup" -> QueryDef({
       val base = dhashSql(byteSql("h", _))
       val bumped = dhashSql(k =>
@@ -263,6 +375,61 @@ object MultimodalQueries {
         .orderBy(col("new_id"), col("store_id"))
     }
   )
+
+  /** The (id, fhash) frame-hash postings of the video corpus + planted
+    * variants — the shared input of q220/q221: videos frame-sampled
+    * through [[Multimodal.sampleFrames]] (sizeBytes scaled ×16 so the
+    * fake 1-frame/KiB count yields 1–8 frames at fixture doc sizes),
+    * per-frame payload the md5 chain of text:frame_idx, per-frame
+    * dHash over the fake luma grid, distinct per video. */
+  private def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val v = Tables(s, dir).documents.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("id"), col("text"),
+        (length(col("text")).cast("long") * 16L).as("sizeBytes"))
+    val frames = Multimodal.sampleFrames(v, everyNth = 1, maxFrames = 8)
+    val hx = concat(
+      md5(concat(col("text"), lit(":"), col("frame_idx").cast("string"))),
+      md5(md5(concat(col("text"), lit(":"), col("frame_idx").cast("string")))))
+    val grids = frames.select(col("id"), col("frame_idx"),
+      Multimodal.fakeLumaGrid(unhex(hx)).as("grid"))
+    val variants = grids.filter(col("id") % 5 === 0)
+      .select((-col("id") - 1).as("id"), col("frame_idx"),
+        transform(col("grid"), (x, i) =>
+          when(i === 9 && col("frame_idx") === 0, (x + 128) % 256)
+            .otherwise(x)).as("grid"))
+    grids.unionByName(variants)
+      .select(col("id"),
+        graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4).as("fhash"))
+      .distinct()
+  }
+
+  /** The q220 pair derivation: shared-frame-hash candidates (complete
+    * for J > 0), exact set Jaccard at the 500-milli threshold. Both
+    * posting-join sides and the size joins are corpus-shaped —
+    * shuffle_hash pinned (the q195 discipline). */
+  private def videoNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // postings feed the size agg and both join sides — persist so the
+    // frame-sample + grid + hash pipeline runs once (released by the
+    // ContextCleaner when the returned plan goes unreachable)
+    val hs = videoFrameHashes(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hs.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = hs.select(col("id").as("id_a"), col("fhash"))
+    val b = hs.select(col("id").as("id_b"), col("fhash"))
+    a.join(b.hint("shuffle_hash"), Seq("fhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("un", col("sza") + col("szb") - col("inter"))
+      .filter(lit(1000) * col("inter") >= lit(500) * col("un"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+        expr("(1000 * inter) DIV un").as("jacc_milli"))
+  }
 
   /** Byte k (0-based) of the 32-byte payload as nibble arithmetic over
     * the 64-char md5-chain hex string. */
