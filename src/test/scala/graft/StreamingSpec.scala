@@ -989,6 +989,100 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation chain: batch parity with the q217 survivor set at two SFs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{CorpusOps, Dedup, LmOps}
+    implicit val sql = spark.sqlContext
+    // The q217 stages each have a streaming admission gate; this soak
+    // runs them TOGETHER as one chain — surprisal quality gate (vocab
+    // trained batch-side, the deployment shape), first-seen exact
+    // dedup, capped-gram decon gate — replaying the q217 corpus in
+    // doc_id order across micro-batches, and pins TWO parity laws at
+    // two scale factors: (1) the chain's admitted set equals q217's
+    // pre-budget survivor set s3; (2) the batch budget stage applied
+    // to the admitted set equals the REGISTERED q217 query's output
+    // row-for-row. (The budget is a packing decision over the final
+    // ordered corpus, not an admission gate — it stays batch.)
+    for ((dir, tag) <- Seq("/root/testdata/sf0.001" -> "a",
+        "/root/testdata/sf0.01" -> "b")) {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("source")))
+      // batch-trained artifacts the gates deploy
+      val (voc, oov) = LmOps.trainSurprisalVocab(corpus, vocabSize = 16)
+      val bench = d.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id"), col("text"))
+      val grams = CorpusOps.benchGramTable(bench, n = 8, maxDf = Some(20))
+        .collect().map(_.getString(0)).toSeq
+      // batch target: q217's s3 (quality -> exact dedup -> decon)
+      val scored = LmOps.surprisalScores(corpus, vocabSize = 16,
+        threshMilli = 8500L)
+      val s1 = corpus.join(scored.filter(!col("low_quality"))
+        .select(col("doc_id")), Seq("doc_id"))
+      val wd = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val s2 = s1
+        .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1).drop("fp", "rn")
+      val contaminated = CorpusOps.ngramContamination(
+        s2.select(col("doc_id"), col("text")), bench, n = 8, maxDf = Some(20))
+        .select(col("train_id").as("doc_id")).distinct()
+      val s3ids = s2.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      // the chain, q217's stage order: quality -> dedup -> decon
+      val stream = MemoryStream[(Long, String)]
+      val admitted = Dedup.streamingDedupFirstSeen(
+        LmOps.surprisalGate(stream.toDS().toDF("doc_id", "text"),
+          voc, oov, threshMilli = 8500L)
+          .select(Dedup.storeFingerprint(col("text")).as("fp"),
+            col("doc_id"), col("text"))
+          .as[(String, Long, String)])
+        .toDF("fp", "doc_id", "text")
+      val out = CorpusOps.contaminationGate(admitted, grams, n = 8)
+      val q = out.writeStream.format("memory").queryName(s"cur_chain_$tag")
+        .outputMode("append").start()
+      try {
+        // doc_id-ordered replay => first-seen == keep-min-id
+        val rows = corpus.select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        rows.grouped(math.max(1, rows.length / 5 + 1)).foreach { chunk =>
+          stream.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        val got = spark.sql(s"SELECT doc_id FROM cur_chain_$tag")
+          .collect().map(_.getLong(0)).toSet
+        assert(got == s3ids,
+          s"$dir: chain ${got.size} vs batch ${s3ids.size}; " +
+            s"extra=${(got diff s3ids).take(5)} missing=${(s3ids diff got).take(5)}")
+        // budget over the admitted set == the registered q217 output
+        val wb = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val packed = corpus
+          .join(got.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+          .withColumn("n_tokens",
+            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+          .withColumn("share",
+            when(col("source") === "src0", 300L)
+              .when(col("source") === "src1", 10L)
+              .when(col("source") === "src2", 0L).otherwise(20L))
+          .withColumn("budget", expr("(20000 * share) DIV 1000"))
+          .withColumn("cum", sum(col("n_tokens")).over(wb))
+          .filter(col("cum") <= col("budget"))
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        val q217 = SparkEntry.queries("q217_curation_pipeline")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        assert(packed == q217,
+          s"$dir: budget-packed chain ${packed.size} vs q217 ${q217.size}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming span-gate admission: quality gate -> span gate -> first-seen dedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
