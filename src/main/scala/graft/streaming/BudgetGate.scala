@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+
+/** Streaming per-group token-budget admission — the q217 budget stage
+  * as a stateful gate, completing the curation pipeline's streaming
+  * story (quality / dedup / decon were already pure or first-seen
+  * gates; the budget fill was the one batch-only stage).
+  *
+  * Semantics are EXACTLY the batch stage's prefix packing: per group,
+  * a running total accumulates EVERY arriving row's weight (admitted
+  * or not — the batch form computes the cumulative sum over all rows,
+  * then filters), and a row is admitted iff the total INCLUDING it
+  * stays ≤ the group's budget. So one oversized row closes the group
+  * for good — later, smaller rows do not squeeze in — which is what
+  * makes the streamed output equal the batch window's row-for-row
+  * (StreamingSpec pins the parity against the registered q217 query).
+  *
+  * Caller contract (the first-seen-dedup replay contract): rows
+  * arrive in id order across micro-batches; within a batch the gate
+  * sorts each group's slice by id, so per-group admission order is
+  * total and deterministic.
+  *
+  * Scale shape: state is ONE long per group (the running total —
+  * nothing grows with rows), per-batch work is a sort of the batch's
+  * group slice. Groups absent from `budgets` get `defaultBudget`
+  * (0 = closed, the q217 src2 stance made explicit). */
+object BudgetGate {
+
+  /** rows = (group, id, weight); emits the admitted subset. */
+  def admit(rows: Dataset[(String, Long, Long)],
+      budgets: Map[String, Long], defaultBudget: Long = 0L)
+      : Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = E.tuple(E.STRING, E.scalaLong, E.scalaLong)
+    implicit val stEnc = E.scalaLong
+    rows.groupByKey(_._1)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[Long]) =>
+          val budget = budgets.getOrElse(g, defaultBudget)
+          var total = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_._2).flatMap { r =>
+            total += r._3
+            if (total <= budget) Some(r) else None
+          }
+          state.update(total)
+          out.iterator
+      }
+  }
+}

@@ -1079,8 +1079,66 @@ class StreamingSpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
         assert(packed == q217,
           s"$dir: budget-packed chain ${packed.size} vs q217 ${q217.size}")
+        // the budget stage ITSELF as a streaming gate (BudgetGate),
+        // store-and-forward from the chain's admitted set — a second
+        // arbitrary stateful operator can't chain inside one
+        // append-mode query — replayed in doc_id order: the WHOLE
+        // q217 pipeline now has a streamed form, and its output
+        // equals the registered query's row-for-row
+        val admRows = corpus
+          .join(got.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+          .withColumn("n_tokens",
+            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+          .select(col("source"), col("doc_id"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val bstream = MemoryStream[(String, Long, Long)]
+        val bq = graft.streaming.BudgetGate.admit(bstream.toDS(),
+          budgets = Map("src0" -> 6000L, "src1" -> 200L, "src2" -> 0L),
+          defaultBudget = 400L) // 20000·share DIV 1000, share 20 default
+          .toDF("source", "doc_id", "n_tokens")
+          .writeStream.format("memory").queryName(s"budget_gate_$tag")
+          .outputMode("append").start()
+        try {
+          admRows.grouped(math.max(1, admRows.length / 3 + 1)).foreach { ch =>
+            bstream.addData(ch.toSeq)
+            bq.processAllAvailable()
+          }
+          val streamed = spark.sql(
+            s"SELECT doc_id, source, n_tokens FROM budget_gate_$tag")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .toSet
+          assert(streamed == q217,
+            s"$dir: BudgetGate ${streamed.size} vs q217 ${q217.size}; " +
+              s"extra=${(streamed diff q217).take(3)} missing=${(q217 diff streamed).take(3)}")
+        } finally bq.stop()
       } finally q.stop()
     }
+  }
+
+  test("budget gate: prefix packing across batches, oversized row closes the group") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // budget 10 on g: weights 4,4,4,1 -> cums 4,8,12,13: rows 1,2 admit,
+    // row 3 overflows AND STILL COUNTS (the batch window's cumulative
+    // sum includes dropped rows), so row 4 (1 token, would fit 8+1) is
+    // refused too — prefix packing, not best-fit. Batch split after
+    // row 2 pins the state carry; zero-budget group admits nothing.
+    val stream = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.BudgetGate.admit(stream.toDS(),
+      budgets = Map("g" -> 10L), defaultBudget = 0L)
+      .toDF("g", "id", "w")
+      .writeStream.format("memory").queryName("budget_unit")
+      .outputMode("append").start()
+    try {
+      stream.addData(("g", 1L, 4L), ("g", 2L, 4L), ("z", 1L, 1L))
+      q.processAllAvailable()
+      stream.addData(("g", 3L, 4L), ("g", 4L, 1L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT g, id FROM budget_unit")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(("g", 1L), ("g", 2L)), got.toString)
+    } finally q.stop()
   }
 
   test("streaming span-gate admission: quality gate -> span gate -> first-seen dedup") {
