@@ -532,6 +532,123 @@ object Dedup {
         ()
       }
 
+  // ----------------------- frame-hash-SET near-dup (video level)
+
+  /** Video-level near-dup pairs over frame-hash POSTINGS (id, fhash) —
+    * the multimodal composition one level above [[hammingNearDupPairs]]:
+    * an entity is a SET of perceptual hashes (a video's sampled-frame
+    * dHashes), candidates are entities sharing ANY exact hash (complete
+    * for any Jaccard > 0 — J ≥ t > 0 implies a shared element), and
+    * verification is exact integer set Jaccard at `tMilli`. Postings
+    * joins are corpus-shaped on both sides — shuffle_hash pinned (the
+    * q195 rule); per-pair verify is O(1) because signatures are bounded
+    * by the frame-sample cap. `maxPostingSize` is the hot-frame
+    * guardrail (a degenerate frame hash shared by B videos yields B²/2
+    * candidates): hashes above the cap drop from candidate generation,
+    * [[hotBuckets]]-style — entities still pair through their other
+    * frames. Output: (id_a, id_b, inter, un, jacc_milli), id_a < id_b. */
+  def frameSetNearDupPairs(postings: DataFrame, tMilli: Int,
+      maxPostingSize: Option[Int] = None): DataFrame = {
+    require(tMilli > 0, s"tMilli must be positive, got $tMilli")
+    val p = postings.select(col("id"), col("fhash"))
+    val sizes = p.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val joinable = maxPostingSize match {
+      case Some(cap) =>
+        val hot = p.groupBy(col("fhash")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("fhash"))
+        p.join(broadcast(hot), Seq("fhash"), "left_anti")
+      case None => p
+    }
+    joinable.select(col("id").as("id_a"), col("fhash"))
+      .join(joinable.select(col("id").as("id_b"), col("fhash"))
+        .hint("shuffle_hash"), Seq("fhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("un", col("sza") + col("szb") - col("inter"))
+      .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+        expr("(1000 * inter) DIV un").as("jacc_milli"))
+  }
+
+  /** Incremental frame-set near-dup: verified pairs between a NEW
+    * batch's postings and the persisted posting store
+    * ([[graft.sources.FrameHashStore]]) — the video analog of
+    * [[incrementalHammingPairs]]: batch × store only, the store never
+    * re-pairs against itself. `inter` counts hashes present on BOTH
+    * sides of a pair, so a capped hash must drop from BOTH posting
+    * sides — and like the q123 rule the cap is evaluated over the
+    * COMBINED population. Output: (new_id, store_id, inter, un,
+    * jacc_milli), J ≥ tMilli. Id spaces must be disjoint. */
+  def incrementalFrameSetPairs(newPostings: DataFrame,
+      storePostings: DataFrame, tMilli: Int,
+      maxPostingSize: Option[Int] = None): DataFrame = {
+    require(tMilli > 0, s"tMilli must be positive, got $tMilli")
+    val np = newPostings.select(col("id"), col("fhash"))
+    val sp = storePostings.select(col("id"), col("fhash"))
+    val nsz = np.groupBy(col("id")).agg(count(lit(1)).as("nsz"))
+    val ssz = sp.groupBy(col("id")).agg(count(lit(1)).as("ssz"))
+    val (npF, spF) = maxPostingSize match {
+      case Some(cap) =>
+        val hot = np.select(col("fhash")).unionAll(sp.select(col("fhash")))
+          .groupBy(col("fhash")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("fhash"))
+        (np.join(broadcast(hot), Seq("fhash"), "left_anti"),
+          sp.join(broadcast(hot), Seq("fhash"), "left_anti"))
+      case None => (np, sp)
+    }
+    npF.select(col("id").as("new_id"), col("fhash"))
+      // the store side grows without bound — pin shuffle_hash
+      .join(spF.select(col("id").as("store_id"), col("fhash"))
+        .hint("shuffle_hash"), Seq("fhash"))
+      .groupBy(col("new_id"), col("store_id")).agg(count(lit(1)).as("inter"))
+      .join(nsz.select(col("id").as("new_id"), col("nsz"))
+        .hint("shuffle_hash"), Seq("new_id"))
+      .join(ssz.select(col("id").as("store_id"), col("ssz"))
+        .hint("shuffle_hash"), Seq("store_id"))
+      .withColumn("un", col("nsz") + col("ssz") - col("inter"))
+      .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
+      .select(col("new_id"), col("store_id"), col("inter"), col("un"),
+        expr("(1000 * inter) DIV un").as("jacc_milli"))
+  }
+
+  /** One video-ingestion ADMISSION fold over the persisted posting
+    * store (the [[imageAdmissionIngest]] shape one level up): a batch
+    * video is admitted iff it is a frame-set near-dup of NOTHING
+    * already stored AND of no earlier-id video in its own batch
+    * (min-id canonical within the batch); admitted videos' postings
+    * append as the batch's own delta — replays overwrite their delta
+    * and re-decide against the store WITHOUT it, so admission is
+    * exactly-once. Returns the admitted postings. */
+  def videoAdmissionIngest(batchPostings: DataFrame, dir: String,
+      batchId: String, tMilli: Int): DataFrame = {
+    val spark = batchPostings.sparkSession
+    val b = batchPostings.select(col("id"), col("fhash"))
+    val store = graft.sources.FrameHashStore.loadExcluding(spark, dir, batchId)
+    val hitStore = incrementalFrameSetPairs(b, store, tMilli)
+      .select(col("new_id").as("id")).distinct()
+    val within = frameSetNearDupPairs(b, tMilli)
+      .select(col("id_b").as("id")).distinct()
+    val admitted = b
+      .join(hitStore.hint("shuffle_hash"), Seq("id"), "left_anti")
+      .join(within.hint("shuffle_hash"), Seq("id"), "left_anti")
+    graft.sources.FrameHashStore.appendDelta(admitted, dir, batchId)
+    admitted
+  }
+
+  /** foreachBatch sink form of [[videoAdmissionIngest]] over an
+    * (id, fhash) posting stream. */
+  def videoAdmissionSink(dir: String, tMilli: Int)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        videoAdmissionIngest(batch.toDF(), dir, f"b$batchId%09d", tMilli)
+        ()
+      }
+
   /** Streaming exact dedup: keep the first-seen document per content
     * fingerprint across ALL batches — the incremental form of
     * [[dropExactDuplicates]] for a continuously-arriving corpus. State is

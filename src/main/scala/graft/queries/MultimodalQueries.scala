@@ -338,6 +338,61 @@ object MultimodalQueries {
         .orderBy(col("canonical_id"))
     },
 
+    // Incremental VIDEO near-dup ADMISSION pairs: a new ingestion
+    // batch's frame-hash postings checked against the persisted store
+    // side only (the video analog of q207 — store never re-pairs
+    // against itself): store = even-id videos, batch = odd-id videos
+    // ∪ frame-0-bumped variants of every 5th store video (the planted
+    // hits). The oracle is the all-pairs batch × store set Jaccard —
+    // shared-frame candidate completeness again the thing the compare
+    // proves. The admission loop (admit iff near-dup of nothing
+    // stored, min-id within batch, delta-append, replay re-decides
+    // store-less) is MultimodalSpec's domain over FrameHashStore.
+    "q222_video_incremental_neardup" -> QueryDef({
+      val base = dhashSql(byteSql("h", _))
+      val bumped = dhashSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
+      s"""WITH v AS (SELECT doc_id AS id, text, length(text) * 16 AS sizeBytes
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |fc AS (SELECT id, text,
+         |         CAST(trunc(sizeBytes / 1024.0) AS INT) + 1 AS frameCount
+         |       FROM v),
+         |fr AS (SELECT id, text,
+         |         CAST(unnest((range(0, frameCount, 1))[1:8]) AS INT) AS frame_idx
+         |       FROM fc),
+         |fg AS (SELECT id, frame_idx,
+         |         md5(text || ':' || CAST(frame_idx AS VARCHAR)) ||
+         |         md5(md5(text || ':' || CAST(frame_idx AS VARCHAR))) AS h
+         |       FROM fr),
+         |hb AS (SELECT id, CAST($base AS BIGINT) AS fhash FROM fg
+         |       UNION ALL
+         |       SELECT -id - 1 AS id,
+         |         CAST(CASE WHEN frame_idx = 0 THEN $bumped ELSE $base END
+         |           AS BIGINT) AS fhash
+         |       FROM fg WHERE id % 5 = 0),
+         |st AS (SELECT id, fhash FROM hb WHERE id >= 0 AND id % 2 = 0),
+         |bt AS (SELECT id, fhash FROM hb WHERE (id >= 0 AND id % 2 = 1)
+         |       OR (id < 0 AND (-id - 1) % 2 = 0)),
+         |ssg AS (SELECT id, list_distinct(list(fhash)) AS sig FROM st GROUP BY id),
+         |bsg AS (SELECT id, list_distinct(list(fhash)) AS sig FROM bt GROUP BY id),
+         |p AS (SELECT b.id AS new_id, s.id AS store_id,
+         |        CAST(len(list_intersect(b.sig, s.sig)) AS BIGINT) AS inter,
+         |        CAST(len(list_distinct(list_concat(b.sig, s.sig))) AS BIGINT) AS un
+         |      FROM bsg b CROSS JOIN ssg s)
+         |SELECT new_id, store_id, inter, un, (1000 * inter) // un AS jacc_milli
+         |FROM p WHERE 1000 * inter >= 500 * un
+         |ORDER BY new_id, store_id""".stripMargin
+    }) { (s, dir) =>
+      val hs = videoFrameHashes(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val store = hs.filter(col("id") >= 0 && col("id") % 2 === 0)
+      val batch = hs.filter((col("id") >= 0 && col("id") % 2 === 1) ||
+        (col("id") < 0 && (-col("id") - 1) % 2 === 0))
+      graft.operators.Dedup.incrementalFrameSetPairs(batch, store,
+        tMilli = 500)
+        .orderBy(col("new_id"), col("store_id"))
+    },
+
     "q207_image_incremental_neardup" -> QueryDef({
       val base = dhashSql(byteSql("h", _))
       val bumped = dhashSql(k =>
@@ -404,32 +459,17 @@ object MultimodalQueries {
       .distinct()
   }
 
-  /** The q220 pair derivation: shared-frame-hash candidates (complete
-    * for J > 0), exact set Jaccard at the 500-milli threshold. Both
-    * posting-join sides and the size joins are corpus-shaped —
-    * shuffle_hash pinned (the q195 discipline). */
+  /** The q220 pair derivation: [[graft.operators.Dedup
+    * .frameSetNearDupPairs]] over the fixture postings at the 500-milli
+    * threshold. Postings persist so the frame-sample + grid + hash
+    * pipeline runs once across the operator's joins (released by the
+    * ContextCleaner when the returned plan goes unreachable). */
   private def videoNearDupPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    // postings feed the size agg and both join sides — persist so the
-    // frame-sample + grid + hash pipeline runs once (released by the
-    // ContextCleaner when the returned plan goes unreachable)
-    val hs = videoFrameHashes(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = hs.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = hs.select(col("id").as("id_a"), col("fhash"))
-    val b = hs.select(col("id").as("id_b"), col("fhash"))
-    a.join(b.hint("shuffle_hash"), Seq("fhash"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza"))
-        .hint("shuffle_hash"), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb"))
-        .hint("shuffle_hash"), Seq("id_b"))
-      .withColumn("un", col("sza") + col("szb") - col("inter"))
-      .filter(lit(1000) * col("inter") >= lit(500) * col("un"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
-        expr("(1000 * inter) DIV un").as("jacc_milli"))
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Dedup.frameSetNearDupPairs(
+      videoFrameHashes(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      tMilli = 500)
 
   /** Byte k (0-based) of the 32-byte payload as nibble arithmetic over
     * the 64-char md5-chain hex string. */

@@ -184,6 +184,48 @@ class ImageHashSpec extends AnyFunSuite {
     assert(a2.isEmpty, "later exact copy of an admitted hash must reject")
   }
 
+  test("video admission ingest: frame-set store blocks near-dups, replay idempotent, compaction invisible") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-framehash-store").toString
+    def postings(sets: (Long, Seq[Long])*) =
+      sets.flatMap { case (id, hs) => hs.map(h => (id, h)) }
+        .toDF("id", "fhash")
+    def ingest(sets: Seq[(Long, Seq[Long])], bid: String) =
+      Dedup.videoAdmissionIngest(postings(sets: _*), dir, bid, tMilli = 500)
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+    // store: 5 disjoint 4-frame videos
+    val b0 = (1L to 5L).map(i => i -> (1L to 4L).map(i * 10L + _))
+    assert(ingest(b0, "b0") == (1L to 5L).toSet)
+    // batch 1: near-dup of stored video 2 (3 of 5 union = 600 permille),
+    // a within-batch identical pair (min id survives), a BELOW-threshold
+    // overlap (2 of 6 = 333), and a fresh video
+    val b1 = Seq(
+      100L -> Seq(21L, 22L, 23L, 901L),        // J vs v2 = 3/5 -> reject
+      101L -> Seq(910L, 911L),                  // dup pair: min id
+      102L -> Seq(910L, 911L),                  //   -> reject
+      300L -> Seq(31L, 32L, 950L, 951L),        // J vs v3 = 2/6 -> admit
+      110L -> Seq(960L, 961L, 962L, 963L))      // fresh -> admit
+    val a1 = ingest(b1, "b1")
+    assert(a1 == Set(101L, 300L, 110L), a1.toString)
+    assert(ingest(b1, "b1") == a1, "replay must be idempotent")
+    val storeIds = graft.sources.FrameHashStore.load(spark, dir)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(storeIds == (1L to 5L).toSet ++ a1, storeIds.toString)
+    assert(graft.sources.FrameHashStore.compact(spark, dir) >= 1)
+    val after = graft.sources.FrameHashStore.load(spark, dir)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(after == storeIds, "compaction must be invisible")
+    // a later copy of a batch-1 ADMISSION is gated by it
+    assert(ingest(Seq(200L -> Seq(960L, 961L, 962L, 963L)), "b2").isEmpty)
+    // the incremental pair derivation itself never broadcasts the store
+    val plan = Dedup.incrementalFrameSetPairs(
+      postings(100L -> Seq(21L, 22L)),
+      graft.sources.FrameHashStore.load(spark, dir), tMilli = 500)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"store-shaped side broadcast:\n$plan")
+  }
+
   test("streaming image admission: micro-batches gate against everything previously admitted") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
