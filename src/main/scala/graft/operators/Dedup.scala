@@ -550,28 +550,56 @@ object Dedup {
   def frameSetNearDupPairs(postings: DataFrame, tMilli: Int,
       maxPostingSize: Option[Int] = None): DataFrame = {
     require(tMilli > 0, s"tMilli must be positive, got $tMilli")
-    val p = postings.select(col("id"), col("fhash"))
+    // SET semantics enforced here, not assumed: two frames of one video
+    // hashing identically (static intro/outro frames — the norm) must
+    // count once, or multiplicities skew inter past un and jacc_milli
+    // divides by zero / goes negative
+    val p = postings.select(col("id"), col("fhash")).distinct()
     val sizes = p.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val joinable = maxPostingSize match {
+    maxPostingSize match {
+      case None =>
+        p.select(col("id").as("id_a"), col("fhash"))
+          .join(p.select(col("id").as("id_b"), col("fhash"))
+            .hint("shuffle_hash"), Seq("fhash"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sza"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("szb"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .withColumn("un", col("sza") + col("szb") - col("inter"))
+          .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
+          .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+            expr("(1000 * inter) DIV un").as("jacc_milli"))
       case Some(cap) =>
+        // the cap gates CANDIDATE GENERATION ONLY (the lshCandidatePairs
+        // rule): verification joins back to the FULL sets, so a pair
+        // sharing a hot hash still verifies with its true intersection —
+        // a verify on cap-filtered postings would strictly underestimate
+        // J and silently drop true pairs
         val hot = p.groupBy(col("fhash")).agg(count(lit(1)).as("n"))
           .filter(col("n") > cap).select(col("fhash"))
-        p.join(broadcast(hot), Seq("fhash"), "left_anti")
-      case None => p
+        val joinable = p.join(broadcast(hot), Seq("fhash"), "left_anti")
+        val cand = joinable.select(col("id").as("id_a"), col("fhash"))
+          .join(joinable.select(col("id").as("id_b"), col("fhash"))
+            .hint("shuffle_hash"), Seq("fhash"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        cand
+          .join(p.select(col("id").as("id_a"), col("fhash"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(p.select(col("id").as("id_b"), col("fhash"))
+            .hint("shuffle_hash"), Seq("id_b", "fhash"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sza"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("szb"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .withColumn("un", col("sza") + col("szb") - col("inter"))
+          .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
+          .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+            expr("(1000 * inter) DIV un").as("jacc_milli"))
     }
-    joinable.select(col("id").as("id_a"), col("fhash"))
-      .join(joinable.select(col("id").as("id_b"), col("fhash"))
-        .hint("shuffle_hash"), Seq("fhash"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza"))
-        .hint("shuffle_hash"), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb"))
-        .hint("shuffle_hash"), Seq("id_b"))
-      .withColumn("un", col("sza") + col("szb") - col("inter"))
-      .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
-        expr("(1000 * inter) DIV un").as("jacc_milli"))
   }
 
   /** Incremental frame-set near-dup: verified pairs between a NEW
@@ -587,24 +615,12 @@ object Dedup {
       storePostings: DataFrame, tMilli: Int,
       maxPostingSize: Option[Int] = None): DataFrame = {
     require(tMilli > 0, s"tMilli must be positive, got $tMilli")
-    val np = newPostings.select(col("id"), col("fhash"))
-    val sp = storePostings.select(col("id"), col("fhash"))
+    // SET semantics enforced here (see frameSetNearDupPairs)
+    val np = newPostings.select(col("id"), col("fhash")).distinct()
+    val sp = storePostings.select(col("id"), col("fhash")).distinct()
     val nsz = np.groupBy(col("id")).agg(count(lit(1)).as("nsz"))
     val ssz = sp.groupBy(col("id")).agg(count(lit(1)).as("ssz"))
-    val (npF, spF) = maxPostingSize match {
-      case Some(cap) =>
-        val hot = np.select(col("fhash")).unionAll(sp.select(col("fhash")))
-          .groupBy(col("fhash")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > cap).select(col("fhash"))
-        (np.join(broadcast(hot), Seq("fhash"), "left_anti"),
-          sp.join(broadcast(hot), Seq("fhash"), "left_anti"))
-      case None => (np, sp)
-    }
-    npF.select(col("id").as("new_id"), col("fhash"))
-      // the store side grows without bound — pin shuffle_hash
-      .join(spF.select(col("id").as("store_id"), col("fhash"))
-        .hint("shuffle_hash"), Seq("fhash"))
-      .groupBy(col("new_id"), col("store_id")).agg(count(lit(1)).as("inter"))
+    def verified(pairs: DataFrame): DataFrame = pairs
       .join(nsz.select(col("id").as("new_id"), col("nsz"))
         .hint("shuffle_hash"), Seq("new_id"))
       .join(ssz.select(col("id").as("store_id"), col("ssz"))
@@ -613,6 +629,34 @@ object Dedup {
       .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
       .select(col("new_id"), col("store_id"), col("inter"), col("un"),
         expr("(1000 * inter) DIV un").as("jacc_milli"))
+    maxPostingSize match {
+      case None =>
+        verified(np.select(col("id").as("new_id"), col("fhash"))
+          // the store side grows without bound — pin shuffle_hash
+          .join(sp.select(col("id").as("store_id"), col("fhash"))
+            .hint("shuffle_hash"), Seq("fhash"))
+          .groupBy(col("new_id"), col("store_id"))
+          .agg(count(lit(1)).as("inter")))
+      case Some(cap) =>
+        // cap gates candidates only, over the COMBINED population (the
+        // q123 rule); verify joins back to the FULL sets
+        val hot = np.select(col("fhash")).unionAll(sp.select(col("fhash")))
+          .groupBy(col("fhash")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("fhash"))
+        val cand = np.join(broadcast(hot), Seq("fhash"), "left_anti")
+          .select(col("id").as("new_id"), col("fhash"))
+          .join(sp.join(broadcast(hot), Seq("fhash"), "left_anti")
+            .select(col("id").as("store_id"), col("fhash"))
+            .hint("shuffle_hash"), Seq("fhash"))
+          .select(col("new_id"), col("store_id")).distinct()
+        verified(cand
+          .join(np.select(col("id").as("new_id"), col("fhash"))
+            .hint("shuffle_hash"), Seq("new_id"))
+          .join(sp.select(col("id").as("store_id"), col("fhash"))
+            .hint("shuffle_hash"), Seq("store_id", "fhash"))
+          .groupBy(col("new_id"), col("store_id"))
+          .agg(count(lit(1)).as("inter")))
+    }
   }
 
   /** One video-ingestion ADMISSION fold over the persisted posting
@@ -626,7 +670,11 @@ object Dedup {
   def videoAdmissionIngest(batchPostings: DataFrame, dir: String,
       batchId: String, tMilli: Int): DataFrame = {
     val spark = batchPostings.sparkSession
-    val b = batchPostings.select(col("id"), col("fhash"))
+    // distinct before the append: the pair operators enforce set
+    // semantics internally, but the delta written to the store must be
+    // a set too (the store's dedupe collapses across deltas, not
+    // within-write duplicates a caller could otherwise inflate)
+    val b = batchPostings.select(col("id"), col("fhash")).distinct()
     val store = graft.sources.FrameHashStore.loadExcluding(spark, dir, batchId)
     val hitStore = incrementalFrameSetPairs(b, store, tMilli)
       .select(col("new_id").as("id")).distinct()

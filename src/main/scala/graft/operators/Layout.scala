@@ -122,18 +122,31 @@ object Layout {
     // bucket = key * buckets DIV (kmax + 1) in long arithmetic: the
     // z key reaches 2^(2·bits), so the product must stay under 2^63 or
     // bucket ids silently wrap negative and the equal-width layout
-    // breaks — refuse the shape instead (the mortonCodeN discipline)
-    val bucketBits = 64 - java.lang.Long.numberOfLeadingZeros(buckets.toLong)
+    // breaks — refuse the shape instead (the mortonCodeN discipline).
+    // ceil(log2): an exact power of two multiplies by exactly its
+    // log2, so 64 - nlz(buckets) would refuse provably-safe shapes
+    val bucketBits =
+      if (buckets == 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((buckets - 1).toLong)
     require(2 * bits + bucketBits <= 62,
-      s"2*bits + log2(buckets) must stay <= 62 (got 2*$bits + $bucketBits)" +
+      s"2*bits + ceil(log2(buckets)) must stay <= 62 (got 2*$bits + $bucketBits)" +
         " - the bucket product would overflow a long")
     val spark = df.sparkSession
     import spark.implicits._
-    // validate = true: a negative dim value would interleave
-    // two's-complement low bits into a code that neither round-trips
-    // nor clusters — fail the task instead of corrupting the report
+    // validate the dims IN RANGE, not just non-negative: the z code
+    // uses only the low `bits` of each dim while the linear layout
+    // buckets the RAW value, so a dim ≥ 2^bits would make the two
+    // layouts describe different data (and a raw value past
+    // 2^(63-bucketBits) would overflow the linear bucket product even
+    // though the z guard passed) — fail the task instead
+    def inRange(c: Column, name: String): Column =
+      when(c < 0 || c >= (1L << bits), raise_error(concat(
+        lit(s"skippingReport: dimension $name value "), c.cast("string"),
+        lit(s" outside [0, 2^$bits) - bucket or range-rank it first"))))
+        .otherwise(c)
     val base = df.select(dimA.cast("long").as("a"), dimB.cast("long").as("b"))
-      .withColumn("z", mortonCode(col("a"), col("b"), bits, validate = true))
+      .select(inRange(col("a"), "a").as("a"), inRange(col("b"), "b").as("b"))
+      .withColumn("z", mortonCode(col("a"), col("b"), bits))
       .withColumn("hit",
         (col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
           .cast("long"))

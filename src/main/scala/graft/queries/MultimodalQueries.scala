@@ -328,8 +328,14 @@ object MultimodalQueries {
          |FROM comp GROUP BY comp HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin
     }) { (s, dir) =>
+      // ONE persisted posting table feeds both the node list and the
+      // pair derivation — calling videoNearDupPairs here would rebuild
+      // (and re-persist) the whole frame-sample + grid + hash pipeline
+      // a second time for the same data
       val hs = videoFrameHashes(s, dir)
-      val pairs = videoNearDupPairs(s, dir).select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.operators.Dedup.frameSetNearDupPairs(hs, tMilli = 500)
+        .select(col("id_a"), col("id_b"))
       graft.operators.Dedup.connectedComponents(
         hs.select(col("id")).distinct(), pairs, maxIter = 64)
         .groupBy(col("comp").as("canonical_id"))
@@ -453,10 +459,12 @@ object MultimodalQueries {
         transform(col("grid"), (x, i) =>
           when(i === 9 && col("frame_idx") === 0, (x + 128) % 256)
             .otherwise(x)).as("grid"))
+    // raw postings (may carry duplicate (id, fhash) rows when two
+    // frames hash identically): the frame-set operators enforce set
+    // semantics internally, so no distinct here — one aggregate, not two
     grids.unionByName(variants)
       .select(col("id"),
         graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4).as("fhash"))
-      .distinct()
   }
 
   /** The q220 pair derivation: [[graft.operators.Dedup

@@ -12,7 +12,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Rows are 16 bytes and bounded per entity by the frame-sample cap,
   * so the delta-granular [[DeltaStore]] protocol fits unchanged:
   * batch-id-keyed deltas = exactly-once under replay, periodic
-  * compaction folds history, `base.old` fallback mid-crash. */
+  * compaction folds history, `base.old` fallback mid-crash.
+  *
+  * `strictCommit = true` because an entity spans MULTIPLE rows: a
+  * half-visible delta would serve a truncated frame set, and a
+  * truncated set skews every Jaccard computed against it — a true
+  * near-dup could then score under threshold and be wrongly admitted
+  * for good. (DHashStore can afford non-strict because its entities
+  * are single rows.) */
 object FrameHashStore {
 
   private val store = new DeltaStore(
@@ -20,7 +27,8 @@ object FrameHashStore {
       StructField("id", LongType),
       StructField("fhash", LongType))),
     dedupe = true,
-    layoutCols = Seq("id"))
+    layoutCols = Seq("id"),
+    strictCommit = true)
 
   /** Append one run's admitted postings as the batch's own delta. */
   def appendDelta(rows: DataFrame, dir: String, batchId: String): Unit =

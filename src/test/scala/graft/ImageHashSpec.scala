@@ -184,6 +184,47 @@ class ImageHashSpec extends AnyFunSuite {
     assert(a2.isEmpty, "later exact copy of an admitted hash must reject")
   }
 
+  test("frame-set pairs: cap gates candidates only (full-set verify); duplicate postings are set-semantic") {
+    // hot hash 999 held by 150 videos; A and B share it plus 2 of 4
+    // others: TRUE J = 3/5 = 600 >= 500. With cap = 100 the hot hash
+    // drops from candidate generation, but A-B still candidate via
+    // hashes 1/2 and MUST verify with the true intersection (3), not
+    // the capped one (2, J = 333 — which would silently drop the pair)
+    val hotCrowd = (1L to 150L).map(i => (i, 999L))
+    val ab = Seq((200L, 999L), (200L, 1L), (200L, 2L), (200L, 50L),
+      (201L, 999L), (201L, 1L), (201L, 2L), (201L, 60L))
+    val p = (hotCrowd ++ ab).toDF("id", "fhash")
+    val capped = Dedup.frameSetNearDupPairs(p, tMilli = 500,
+      maxPostingSize = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(capped.toSeq == Seq((200L, 201L, 3L, 5L, 600L)),
+      capped.mkString(", "))
+    // duplicate (id, fhash) rows (two frames hashing alike) must count
+    // once: multiplicity-counting would give inter=4, un=0 here — a
+    // division by zero — instead of the set answer J = 1000
+    val dup = Seq((300L, 7L), (300L, 7L), (300L, 8L),
+      (301L, 7L), (301L, 8L), (301L, 8L)).toDF("id", "fhash")
+    val got = Dedup.frameSetNearDupPairs(dup, tMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((300L, 301L, 2L, 2L, 1000L)), got.mkString(", "))
+    // same laws on the incremental (batch x store) form
+    val inc = Dedup.incrementalFrameSetPairs(
+      Seq((400L, 7L), (400L, 7L), (400L, 8L)).toDF("id", "fhash"),
+      dup.filter(col("id") === 301L), tMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(inc.toSeq == Seq((400L, 301L, 1000L)), inc.mkString(", "))
+    val incCapped = Dedup.incrementalFrameSetPairs(
+      Seq((500L, 999L), (500L, 1L), (500L, 2L), (500L, 50L)).toDF("id", "fhash"),
+      (hotCrowd ++ ab.filter(_._1 == 201L)).toDF("id", "fhash"),
+      tMilli = 500, maxPostingSize = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(incCapped.toSeq == Seq((500L, 201L, 3L, 5L, 600L)),
+      incCapped.mkString(", "))
+  }
+
   test("video admission ingest: frame-set store blocks near-dups, replay idempotent, compaction invisible") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-framehash-store").toString

@@ -316,13 +316,23 @@ class ScaleOpsSpec extends AnyFunSuite {
         buckets = 1024, aLo = 0L, aHi = 1L, bLo = 0L, bHi = 1L)
     }
     assert(ex.getMessage.contains("overflow"), ex.getMessage)
-    // negative dimension values fail the task (validate = true inside)
-    val neg = Seq((-1L, 2L)).toDF("a", "b")
-    val nex = intercept[Exception] {
-      Layout.skippingReport(neg, col("a"), col("b"), bits = 8,
-        buckets = 16, aLo = 0L, aHi = 1L, bLo = 0L, bHi = 1L)
+    // out-of-range dimension values fail the task: negative, and ALSO
+    // >= 2^bits (the z code would use low bits while the linear layout
+    // buckets the raw value — two layouts describing different data)
+    for (bad <- Seq(-1L, 1L << 8)) {
+      val neg = Seq((bad, 2L)).toDF("a", "b")
+      val nex = intercept[Exception] {
+        Layout.skippingReport(neg, col("a"), col("b"), bits = 8,
+          buckets = 16, aLo = 0L, aHi = 1L, bLo = 0L, bHi = 1L)
+      }
+      assert(exMessageChain(nex).contains("outside [0, 2^8)"),
+        s"dim $bad: ${exMessageChain(nex)}")
     }
-    assert(exMessageChain(nex).contains("negative dimension"),
-      exMessageChain(nex))
+    // exact power-of-two buckets multiply by exactly log2: bits=26,
+    // buckets=1024 has max product < 2^62 and must be ACCEPTED
+    val ok = Seq((1L, 2L)).toDF("a", "b")
+    assert(Layout.skippingReport(ok, col("a"), col("b"), bits = 26,
+      buckets = 1024, aLo = 0L, aHi = 1L, bLo = 0L, bHi = 1L)
+      .count() == 2)
   }
 }
