@@ -384,6 +384,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q204 lost its pinned shuffle-hash band join:\n$plan")
   }
 
+  test("q220: the frame-hash posting self-join never broadcasts a corpus-shaped side") {
+    // Postings, sizes, and both self-join sides all grow with the
+    // video corpus — the shuffle_hash pins make the plan unconditional
+    // (the q195/q204 rule extended to the frame-set family).
+    val plan = executed(query("q220_video_neardup_pairs"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"q220 plans a broadcast join on a corpus-shaped side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q220 lost its pinned shuffle-hash posting join:\n$plan")
+  }
+
   test("q219: sketch-only join estimate never shuffles or joins relation rows") {
     // The estimator's pitch is "join size from kilobytes": every
     // exchange in the plan may carry only sketch CELLS (bounded by
