@@ -546,7 +546,9 @@ object Dedup {
     * guardrail (a degenerate frame hash shared by B videos yields B²/2
     * candidates): hashes above the cap drop from candidate generation,
     * [[hotBuckets]]-style — entities still pair through their other
-    * frames. Output: (id_a, id_b, inter, un, jacc_milli), id_a < id_b. */
+    * frames, and [[hotFrameHashes]] reports what the cap drops so the
+    * loss is accounted, not silent. Output: (id_a, id_b, inter, un,
+    * jacc_milli), id_a < id_b. */
   def frameSetNearDupPairs(postings: DataFrame, tMilli: Int,
       maxPostingSize: Option[Int] = None): DataFrame = {
     require(tMilli > 0, s"tMilli must be positive, got $tMilli")
@@ -658,6 +660,21 @@ object Dedup {
           .agg(count(lit(1)).as("inter")))
     }
   }
+
+  /** Accounting for the hot-frame guardrail — the [[hotBuckets]]
+    * discipline applied to frame-hash postings: the frame hashes a
+    * given `maxPostingSize` cap would drop from candidate generation,
+    * with the number of DISTINCT entities carrying each (the posting
+    * population the cap measures). Log/persist this next to the
+    * frame-set dedup output so dropped candidate mass is visible —
+    * an entity whose every frame is hot pairs with nothing, and that
+    * loss must be accounted, not silent. For the incremental path pass
+    * the COMBINED population (`newPostings.unionAll(storePostings)`),
+    * matching how [[incrementalFrameSetPairs]] evaluates its cap. */
+  def hotFrameHashes(postings: DataFrame, cap: Int): DataFrame =
+    postings.select(col("id"), col("fhash")).distinct()
+      .groupBy(col("fhash")).agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > cap)
 
   /** One video-ingestion ADMISSION fold over the persisted posting
     * store (the [[imageAdmissionIngest]] shape one level up): a batch

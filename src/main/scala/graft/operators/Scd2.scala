@@ -79,7 +79,16 @@ object Scd2 {
     * decided (e.g. resurrecting a closed zero-length version the
     * replay-side dedup cannot see). Rewriting decided history is a
     * correction workload, not a merge (run [[history]] over the
-    * corrected feed instead). */
+    * corrected feed instead).
+    *
+    * ONE exemption, for at-least-once change feeds: a batch row that
+    * is the open version's EXACT re-delivery — equal ts, equal seq,
+    * AND equal attribute tuple — is a provable no-op (it collapses
+    * into the replayed seed identically regardless of sort order), so
+    * the guard passes it through instead of failing a feed that merely
+    * re-sent the boundary change it already merged. A row at the open
+    * (ts, seq) with DIFFERENT attributes still raises: which of the
+    * two tuples wins would be sort-nondeterministic. */
   def merge(current: DataFrame, batch: DataFrame, keyCol: String,
       attrCols: Seq[String], tsCol: String, seqCol: String,
       strict: Boolean = true): DataFrame = {
@@ -94,13 +103,20 @@ object Scd2 {
       else batch.select(batchCols: _*)
         .join(open.select(col(keyCol),
             col("valid_from").as("__scd_open_from"),
-            col("seq").as("__scd_open_seq")),
+            col("seq").as("__scd_open_seq"),
+            struct(attrCols.map(col): _*).as("__scd_open_attrs")),
           Seq(keyCol), "left")
         .withColumn(tsCol,
           when(col("__scd_open_from").isNotNull &&
               (col(tsCol) < col("__scd_open_from") ||
                 (col(tsCol) === col("__scd_open_from") &&
-                  col(seqCol) <= col("__scd_open_seq"))),
+                  col(seqCol) <= col("__scd_open_seq") &&
+                  // the at-least-once exemption: an exact re-delivery
+                  // of the open version (ts, seq, attrs all equal) is
+                  // a provable no-op, not a history rewrite
+                  !(col(seqCol) === col("__scd_open_seq") &&
+                    (struct(attrCols.map(col): _*) <=>
+                      col("__scd_open_attrs"))))),
             raise_error(concat(
               lit("Scd2.merge: change for key "), col(keyCol).cast("string"),
               lit(" at ("), col(tsCol).cast("string"),
@@ -110,7 +126,7 @@ object Scd2 {
               lit(", seq "), col("__scd_open_seq").cast("string"),
               lit(") - decided history is immutable; rebuild via Scd2.history"))))
             .otherwise(col(tsCol)))
-        .drop("__scd_open_from", "__scd_open_seq")
+        .drop("__scd_open_from", "__scd_open_seq", "__scd_open_attrs")
     closed.unionByName(
       history(openAsChanges.unionByName(guarded), keyCol, attrCols,
         tsCol, seqCol))

@@ -19,12 +19,16 @@ import org.apache.spark.sql.Dataset
   * Caller contract (the first-seen-dedup replay contract): rows
   * arrive in id order across micro-batches; within a batch the gate
   * sorts each group's slice by id, so per-group admission order is
-  * total and deterministic.
+  * total and deterministic. The contract is VALIDATED, not assumed
+  * (the raise_error guard discipline): the gate tracks the max id it
+  * has folded per group and throws on a batch slice carrying an id at
+  * or below it — a late-arriving smaller id would otherwise silently
+  * produce admission decisions that diverge from the batch window.
   *
-  * Scale shape: state is ONE long per group (the running total —
-  * nothing grows with rows), per-batch work is a sort of the batch's
-  * group slice. Groups absent from `budgets` get `defaultBudget`
-  * (0 = closed, the q217 src2 stance made explicit). */
+  * Scale shape: state is TWO longs per group (the running total and
+  * the max folded id — nothing grows with rows), per-batch work is a
+  * sort of the batch's group slice. Groups absent from `budgets` get
+  * `defaultBudget` (0 = closed, the q217 src2 stance made explicit). */
 object BudgetGate {
 
   /** rows = (group, id, weight); emits the admitted subset. */
@@ -34,18 +38,27 @@ object BudgetGate {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val outEnc = E.tuple(E.STRING, E.scalaLong, E.scalaLong)
-    implicit val stEnc = E.scalaLong
+    implicit val stEnc = E.tuple(E.scalaLong, E.scalaLong)
     rows.groupByKey(_._1)(E.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (g: String, it: Iterator[(String, Long, Long)],
-            state: GroupState[Long]) =>
+            state: GroupState[(Long, Long)]) =>
           val budget = budgets.getOrElse(g, defaultBudget)
-          var total = state.getOption.getOrElse(0L)
-          val out = it.toSeq.sortBy(_._2).flatMap { r =>
+          var (total, maxId) = state.getOption.getOrElse((0L, Long.MinValue))
+          val slice = it.toSeq.sortBy(_._2)
+          slice.headOption.filter(_._2 <= maxId).foreach { r =>
+            throw new IllegalStateException(
+              s"BudgetGate: group '$g' received id ${r._2} at or below " +
+                s"the previously folded max id $maxId - rows must arrive " +
+                "in id order across micro-batches (a late smaller id " +
+                "would silently diverge from the batch window)")
+          }
+          val out = slice.flatMap { r =>
             total += r._3
             if (total <= budget) Some(r) else None
           }
-          state.update(total)
+          slice.lastOption.foreach(r => maxId = r._2)
+          state.update((total, maxId))
           out.iterator
       }
   }

@@ -223,6 +223,17 @@ class ImageHashSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))
     assert(incCapped.toSeq == Seq((500L, 201L, 3L, 5L, 600L)),
       incCapped.mkString(", "))
+    // the cap's loss is ACCOUNTED, not silent: hotFrameHashes reports
+    // exactly the hashes the capped form dropped from candidate
+    // generation, with distinct-entity populations (duplicate postings
+    // count once — the same set semantics the pair operators enforce)
+    val hot = Dedup.hotFrameHashes(
+      p.unionAll(Seq((999L, 999L), (999L, 999L)).toDF("id", "fhash")),
+      cap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hot.toSeq == Seq((999L, 153L)), hot.mkString(", "))
+    assert(Dedup.hotFrameHashes(p, cap = 200).collect().isEmpty,
+      "no hash over a loose cap")
   }
 
   test("video admission ingest: frame-set store blocks near-dups, replay idempotent, compaction invisible") {

@@ -129,6 +129,31 @@ class Scd2Spec extends AnyFunSuite {
     }
   }
 
+  test("merge: exact re-delivery of the open version is an exempt no-op") {
+    // an at-least-once feed re-sends the boundary change it already
+    // merged: equal (ts, seq, attrs) is provably a no-op, so strict
+    // mode passes it through and the table is unchanged
+    val init = Scd2.history(Seq(
+      (1L, "a", ts("2024-01-05 00:00:00"), 2L),
+      (1L, "b", ts("2024-01-05 00:00:00"), 3L)
+    ).toDF("k", "attr", "ts", "seq"), "k", Seq("attr"), "ts", "seq")
+    val redelivered = Seq((1L, "b", ts("2024-01-05 00:00:00"), 3L))
+      .toDF("k", "attr", "ts", "seq")
+    val merged = collectHist(
+      Scd2.merge(init, redelivered, "k", Seq("attr"), "ts", "seq"))
+    assert(merged == collectHist(init), merged.toString)
+    // same (ts, seq) but a DIFFERENT attribute tuple is NOT a
+    // re-delivery — which tuple wins would be sort-nondeterministic,
+    // so the guard still refuses it
+    val conflicting = Seq((1L, "c", ts("2024-01-05 00:00:00"), 3L))
+      .toDF("k", "attr", "ts", "seq")
+    val e = intercept[Exception] {
+      Scd2.merge(init, conflicting, "k", Seq("attr"), "ts", "seq").collect()
+    }
+    assert(e.getMessage.contains("does not sort after the open version"),
+      e.getMessage)
+  }
+
   test("merge: same-timestamp change with seq > open seq folds like history") {
     // the legal side of the boundary: ties AFTER the open seq are a
     // normal same-instant version chain, and merge == one-shot history

@@ -1141,6 +1141,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("budget gate: out-of-order id across batches fails loudly, not silently") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the id-ordered-arrival caller contract is VALIDATED: a later
+    // micro-batch carrying an id at or below the previously folded max
+    // would produce admission decisions diverging from the batch
+    // window — the gate must refuse it (the raise_error guard
+    // discipline), not absorb it
+    val stream = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.BudgetGate.admit(stream.toDS(),
+      budgets = Map("g" -> 100L))
+      .toDF("g", "id", "w")
+      .writeStream.format("memory").queryName("budget_ooo")
+      .outputMode("append").start()
+    try {
+      stream.addData(("g", 5L, 1L))
+      q.processAllAvailable()
+      stream.addData(("g", 3L, 1L)) // 3 <= folded max 5 -> contract broken
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("at or below the previously folded max id"), msgs)
+    } finally q.stop()
+  }
+
   test("streaming span-gate admission: quality gate -> span gate -> first-seen dedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
