@@ -498,12 +498,33 @@ object Dedup {
     * admitted (id, hash) rows. */
   def imageAdmissionIngest(batch: DataFrame, dir: String, batchId: String,
       bits: Int, bands: Int, maxDist: Int,
-      idCol: String = "id", hashCol: String = "hash"): DataFrame = {
-    val spark = batch.sparkSession
+      idCol: String = "id", hashCol: String = "hash"): DataFrame =
+    hammingAdmissionFold(batch, bits, bands, maxDist, idCol, hashCol,
+      load = s => graft.sources.DHashStore.loadExcluding(s, dir, batchId),
+      append = graft.sources.DHashStore.appendDelta(_, dir, batchId))
+
+  /** [[imageAdmissionIngest]] for AUDIO band fingerprints over
+    * [[graft.sources.AudioHashStore]] — the Hamming admission fold is
+    * hash-agnostic, only the per-modality store differs. */
+  def audioAdmissionIngest(batch: DataFrame, dir: String, batchId: String,
+      bits: Int, bands: Int, maxDist: Int,
+      idCol: String = "id", hashCol: String = "hash"): DataFrame =
+    hammingAdmissionFold(batch, bits, bands, maxDist, idCol, hashCol,
+      load = s => graft.sources.AudioHashStore.loadExcluding(s, dir, batchId),
+      append = graft.sources.AudioHashStore.appendDelta(_, dir, batchId))
+
+  /** The shared Hamming admission fold: a batch row is admitted iff it
+    * is within `maxDist` of NOTHING the store serves AND of no
+    * smaller-id row in its own batch (min-id canonical); admitted
+    * hashes append as the batch's own delta — `load` must already
+    * exclude that delta so replays re-decide against the store as it
+    * stood (exactly-once). */
+  private def hammingAdmissionFold(batch: DataFrame,
+      bits: Int, bands: Int, maxDist: Int, idCol: String, hashCol: String,
+      load: org.apache.spark.sql.SparkSession => DataFrame,
+      append: DataFrame => Unit): DataFrame = {
     val b = batch.select(col(idCol).as("id"), col(hashCol).as("hash"))
-    // exclude this batch's OWN delta: a replay must re-decide against
-    // the store as it stood, not against its own prior admissions
-    val store = graft.sources.DHashStore.loadExcluding(spark, dir, batchId)
+    val store = load(batch.sparkSession)
     val hitStore = incrementalHammingPairs(b, store, bits, bands, maxDist)
       .select(col("new_id").as("id")).distinct()
     // within-batch: keep the min id of every near-dup cluster — a doc
@@ -513,7 +534,7 @@ object Dedup {
     val admitted = b
       .join(hitStore.hint("shuffle_hash"), Seq("id"), "left_anti")
       .join(within.hint("shuffle_hash"), Seq("id"), "left_anti")
-    graft.sources.DHashStore.appendDelta(admitted, dir, batchId)
+    append(admitted)
     admitted
   }
 
@@ -528,6 +549,18 @@ object Dedup {
     (batch, batchId) =>
       if (!batch.isEmpty) {
         imageAdmissionIngest(batch.toDF(), dir, f"b$batchId%09d",
+          bits, bands, maxDist, idCol, hashCol)
+        ()
+      }
+
+  /** foreachBatch sink form of [[audioAdmissionIngest]] over an
+    * (id, hash) fingerprint stream. */
+  def audioAdmissionSink(dir: String, bits: Int, bands: Int, maxDist: Int,
+      idCol: String = "id", hashCol: String = "hash")
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        audioAdmissionIngest(batch.toDF(), dir, f"b$batchId%09d",
           bits, bands, maxDist, idCol, hashCol)
         ()
       }

@@ -290,6 +290,88 @@ object Multimodal {
     out
   }
 
+  /** The FakeCodec payload bytes as a row-major window×band ENERGY
+    * matrix (32 unsigned bytes = 8 windows × 4 bands) — the fixture
+    * surface for the acoustic-fingerprint family:
+    * [[graft.functions.AudioFingerprint.bandFingerprint]] over this
+    * matrix is the oracle-reproducible twin of the real
+    * [[fingerprintAudio]] path (DuckDB re-derives the same bytes from
+    * the md5 hex chain). Byte extraction is identical to
+    * [[fakeLumaGrid]] — only the downstream adjacency geometry
+    * (temporal deltas vs spatial comparisons) differs. */
+  def fakeBandEnergies(payload: Column): Column = fakeLumaGrid(payload)
+
+  /** Per-audio acoustic fingerprint row: `decoded = false` rows carry
+    * fingerprint 0 and are quarantined by the caller (the
+    * [[decodeImages]] stance — a too-short payload is information,
+    * not a task failure). */
+  final case class AudioFingerprintRow(id: Long, decoded: Boolean, afp: Long)
+
+  /** REAL-PCM acoustic fingerprint over the partition-batched shape:
+    * payload interpreted as 16-bit little-endian signed PCM mono,
+    * split into `frames` equal time windows, per-window band energies
+    * from a polyphase decomposition (band b = mean |sample| over the
+    * window's positions ≡ b mod bands — the clearly-marked
+    * deterministic stand-in for an FFT filterbank: a production
+    * deployment swaps a real spectral transform into
+    * [[pcmBandEnergies]]; the windowing, integer energy contract, and
+    * fingerprint kernel are the real pipeline and don't change), then
+    * the same [[graft.functions.AudioFingerprint.bandFingerprintJvm]]
+    * kernel the fixture path uses. Same mapPartitions shape as
+    * [[decodeImages]]: decode cost embarrassingly parallel, pipelined
+    * with the scan, no shuffle. */
+  def fingerprintAudio(media: Dataset[MediaRow], frames: Int = 8,
+      bands: Int = 4): Dataset[AudioFingerprintRow] = {
+    implicit val enc = Encoders.product[AudioFingerprintRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = pcmSamples(r.payload)
+        if (pcm.length < frames * bands)
+          AudioFingerprintRow(r.id, decoded = false, 0L)
+        else
+          AudioFingerprintRow(r.id, decoded = true,
+            graft.functions.AudioFingerprint.bandFingerprintJvm(
+              pcmBandEnergies(pcm, frames, bands), frames, bands))
+      }
+    }
+  }
+
+  /** 16-bit little-endian signed PCM samples from raw bytes (trailing
+    * odd byte ignored) — the FakeCodec-level audio decode. */
+  private[graft] def pcmSamples(payload: Array[Byte]): Array[Int] = {
+    val n = payload.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (payload(2 * i + 1) << 8) | (payload(2 * i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  /** Row-major frames×bands integer energy matrix: window t covers
+    * samples [t·⌊n/frames⌋, …) (the last window absorbs the
+    * remainder), band b integrates |sample| over the window's
+    * positions ≡ b (mod bands), energy = the integer mean (exact
+    * integer arithmetic — decoder-deterministic). */
+  private[graft] def pcmBandEnergies(samples: Array[Int], frames: Int,
+      bands: Int): Array[Int] = {
+    require(frames >= 1 && bands >= 1, "frames and bands must be positive")
+    val sums = new Array[Long](frames * bands)
+    val counts = new Array[Int](frames * bands)
+    val wlen = math.max(1, samples.length / frames)
+    var i = 0
+    while (i < samples.length) {
+      val t = math.min(i / wlen, frames - 1)
+      val cell = t * bands + i % bands
+      sums(cell) += math.abs(samples(i).toLong)
+      counts(cell) += 1
+      i += 1
+    }
+    Array.tabulate(frames * bands)(k =>
+      if (counts(k) == 0) 0 else (sums(k) / counts(k)).toInt)
+  }
+
   /** Build a deterministic fake media frame from the documents table
     * (payload = md5-chain bytes of the text) — test/bench input only. */
   def syntheticMediaFrame(docs: DataFrame): Dataset[MediaRow] = {

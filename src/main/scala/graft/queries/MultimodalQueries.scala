@@ -399,6 +399,227 @@ object MultimodalQueries {
         .orderBy(col("new_id"), col("store_id"))
     },
 
+    // CAPPED video near-dup pairs WITH the loss accounting — the
+    // production 100 TB form of q220 (the q204 hot-bucket discipline):
+    // the fixture plants a UNIVERSAL static frame (hash -1, a black
+    // intro frame every video shares), which makes the uncapped
+    // posting self-join quadratic in the corpus — exactly the
+    // skewed-key blowup maxPostingSize exists for. With cap = 100 the
+    // universal frame drops from CANDIDATE GENERATION (videos still
+    // pair through their real shared frames, and verification joins
+    // back to the FULL sets including the hot frame), and
+    // hotFrameHashes reports the drop as 'hot_frame' rows next to the
+    // surviving 'pair' rows — the cap's loss accounted in the SAME
+    // result, never silent. The oracle mirrors the cap: hot = hashes
+    // with > 100 distinct carriers, candidates from cold postings
+    // only, exact set Jaccard over the full signatures. SCALE row
+    // pins the candidate-mass bound vs the uncapped blowup.
+    "q223_video_capped_pairs" -> QueryDef({
+      val base = dhashSql(byteSql("h", _))
+      val bumped = dhashSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
+      s"""WITH v AS (SELECT doc_id AS id, text, length(text) * 16 AS sizeBytes
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |fc AS (SELECT id, text,
+         |         CAST(trunc(sizeBytes / 1024.0) AS INT) + 1 AS frameCount
+         |       FROM v),
+         |fr AS (SELECT id, text,
+         |         CAST(unnest((range(0, frameCount, 1))[1:8]) AS INT) AS frame_idx
+         |       FROM fc),
+         |fg AS (SELECT id, frame_idx,
+         |         md5(text || ':' || CAST(frame_idx AS VARCHAR)) ||
+         |         md5(md5(text || ':' || CAST(frame_idx AS VARCHAR))) AS h
+         |       FROM fr),
+         |hb AS (SELECT id, CAST($base AS BIGINT) AS fhash FROM fg
+         |       UNION ALL
+         |       SELECT -id - 1 AS id,
+         |         CAST(CASE WHEN frame_idx = 0 THEN $bumped ELSE $base END
+         |           AS BIGINT) AS fhash
+         |       FROM fg WHERE id % 5 = 0),
+         |hbd AS (SELECT DISTINCT id, fhash FROM hb
+         |        UNION SELECT DISTINCT id, CAST(-1 AS BIGINT) AS fhash FROM hb),
+         |hot AS (SELECT fhash, CAST(count(*) AS BIGINT) AS n_ids FROM hbd
+         |        GROUP BY fhash HAVING count(*) > 100),
+         |cold AS (SELECT id, fhash FROM hbd
+         |         WHERE fhash NOT IN (SELECT fhash FROM hot)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM cold a JOIN cold b
+         |           ON a.fhash = b.fhash AND a.id < b.id),
+         |sg AS (SELECT id, list_distinct(list(fhash)) AS sig
+         |       FROM hbd GROUP BY id),
+         |p AS (SELECT c.id_a, c.id_b,
+         |        CAST(len(list_intersect(a.sig, b.sig)) AS BIGINT) AS inter,
+         |        CAST(len(list_distinct(list_concat(a.sig, b.sig))) AS BIGINT) AS un
+         |      FROM cand c JOIN sg a ON c.id_a = a.id
+         |                  JOIN sg b ON c.id_b = b.id)
+         |SELECT 'pair' AS kind, id_a AS key_a, id_b AS key_b, inter, un,
+         |       (1000 * inter) // un AS jacc_milli
+         |FROM p WHERE 1000 * inter >= 500 * un
+         |UNION ALL
+         |SELECT 'hot_frame' AS kind, fhash AS key_a, n_ids AS key_b,
+         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM hot
+         |ORDER BY kind, key_a, key_b""".stripMargin
+    }) { (s, dir) =>
+      val hs = videoFrameHashes(s, dir)
+      // the planted universal frame: hash -1 (outside the 28-bit dHash
+      // range, so it never collides with a real frame hash) carried by
+      // EVERY video — the static-intro-frame skew
+      val univ = hs.select(col("id")).distinct()
+        .withColumn("fhash", lit(-1L))
+      val p = hs.unionByName(univ)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.operators.Dedup.frameSetNearDupPairs(p,
+        tMilli = 500, maxPostingSize = Some(100))
+      val hot = graft.operators.Dedup.hotFrameHashes(p, cap = 100)
+      pairs.select(lit("pair").as("kind"),
+          col("id_a").as("key_a"), col("id_b").as("key_b"),
+          col("inter"), col("un"), col("jacc_milli"))
+        .unionByName(hot.select(lit("hot_frame").as("kind"),
+          col("fhash").as("key_a"), col("n_ids").as("key_b"),
+          lit(0L).as("inter"), lit(0L).as("un"), lit(0L).as("jacc_milli")))
+        .orderBy(col("kind"), col("key_a"), col("key_b"))
+    },
+
+    // Perceptual AUDIO fingerprint (temporal band-energy deltas over
+    // the 8-window × 4-band fake energy matrix → 28 bits): bit (t, b)
+    // = energy(t+1, b) > energy(t, b) — gain-invariant, ≤ 2 bits flip
+    // per perturbed cell. The acoustic twin of q203: the native kernel
+    // rides the same decode plumbing; DuckDB re-derives every byte
+    // from the md5 hex chain and unrolls the 28 temporal comparisons.
+    "q224_audio_fingerprint" -> QueryDef(
+      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+         |           FROM documents WHERE doc_id % 3 = 1)
+         |SELECT id, CAST(${audioFpSql(byteSql("h", _))} AS BIGINT) AS afp
+         |FROM m ORDER BY id""".stripMargin) { (s, dir) =>
+      Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
+        .toDF().filter(col("meta.mediaType") === "audio")
+        .select(col("id"),
+          graft.functions.AudioFingerprint.bandFingerprint(
+            Multimodal.fakeBandEnergies(col("payload")), 8, 4).as("afp"))
+        .orderBy(col("id"))
+    },
+
+    // Audio NEAR-duplicate pairs: Hamming-band bucketing over the q224
+    // fingerprints — the q204 machinery UNCHANGED (4 bands × 7 bits,
+    // complete for distance ≤ 3 by pigeonhole), exact xor+bit_count
+    // verify on candidates only. The fixture plants REAL near-dups:
+    // every 5th audio re-enters under -id-1 with one window's band
+    // energy bumped (≤ 2 fingerprint bits flip — a loudness spike in
+    // one band of one window). The oracle derives the SAME pair set
+    // the opposite way — ALL pairs, exact Hamming — so the band join's
+    // completeness is itself what the compare proves (the q195/q204
+    // stance).
+    "q225_audio_neardup_pairs" -> QueryDef({
+      val base = audioFpSql(byteSql("h", _))
+      val bumped = audioFpSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
+      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+         |           FROM documents WHERE doc_id % 3 = 1),
+         |hs AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
+         |       UNION ALL
+         |       SELECT -id - 1 AS id, CAST($bumped AS BIGINT) AS afp
+         |       FROM m WHERE id % 5 = 0),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |        CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+         |      FROM hs a JOIN hs b ON a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Dedup.hammingNearDupPairs(audioFingerprints(s, dir),
+        bits = 28, bands = 4, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Audio near-dup CLUSTERS: transitive closure of the q225 pairs
+    // with the minimum member id canonical — the audio twin of
+    // q206/q221, so retention (q105) and leakage-safe splits (q107)
+    // compose onto audio unchanged. maxIter = 64 (the q206 lesson:
+    // Hamming-ball graphs chain through hash space, so component
+    // diameter grows with fingerprint density).
+    "q226_audio_neardup_components" -> QueryDef({
+      val base = audioFpSql(byteSql("h", _))
+      val bumped = audioFpSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
+      s"""WITH RECURSIVE m AS (SELECT doc_id AS id,
+         |           md5(text) || md5(md5(text)) AS h
+         |           FROM documents WHERE doc_id % 3 = 1),
+         |hs AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
+         |       UNION ALL
+         |       SELECT -id - 1 AS id, CAST($bumped AS BIGINT) AS afp
+         |       FROM m WHERE id % 5 = 0),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         |      FROM hs a JOIN hs b ON a.id < b.id
+         |      WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT id, id AS r FROM hs
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS canonical_id, count(*) AS n_docs, max(id) AS max_id
+         |FROM comp GROUP BY comp HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin
+    }) { (s, dir) =>
+      val hashes = audioFingerprints(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.operators.Dedup.hammingNearDupPairs(hashes,
+        bits = 28, bands = 4, maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.connectedComponents(
+        hashes.select(col("id")), pairs, maxIter = 64)
+        .groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("canonical_id"))
+    },
+
+    // Incremental audio near-dup ADMISSION pairs: a new ingestion
+    // batch's fingerprints checked against the persisted store side
+    // only (the audio analog of q207/q222 — the store never re-pairs
+    // against itself): store = audio ids ≡ 1 (mod 6), batch = ids ≡ 4
+    // (mod 6) ∪ one-cell-bumped variants of every 5th store audio (the
+    // planted hits, ≤ 2 Hamming bits from their base). Oracle is the
+    // all-pairs cross Hamming — band completeness again the thing the
+    // compare proves. The admission loop (admit iff near-dup of
+    // nothing stored, min-id within batch, delta-append, replay
+    // re-decides store-less) is MultimodalSpec's domain over
+    // AudioHashStore.
+    "q227_audio_incremental_neardup" -> QueryDef({
+      val base = audioFpSql(byteSql("h", _))
+      val bumped = audioFpSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
+      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+         |           FROM documents WHERE doc_id % 3 = 1),
+         |st AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
+         |       WHERE id % 6 = 1),
+         |nw AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
+         |       WHERE id % 6 = 4
+         |       UNION ALL
+         |       SELECT -id - 1 AS id, CAST($bumped AS BIGINT) AS afp
+         |       FROM m WHERE id % 6 = 1 AND id % 5 = 0)
+         |SELECT nw.id AS new_id, st.id AS store_id,
+         |       CAST(bit_count(xor(nw.afp, st.afp)) AS BIGINT)
+         |         AS hamming
+         |FROM nw JOIN st ON bit_count(xor(nw.afp, st.afp)) <= 3
+         |ORDER BY new_id, store_id""".stripMargin
+    }) { (s, dir) =>
+      val en = audioEnergies(s, dir)
+      def fp(g: org.apache.spark.sql.DataFrame) = g.select(col("id"),
+        graft.functions.AudioFingerprint.bandFingerprint(
+          col("energies"), 8, 4).as("hash"))
+      val store = fp(en.filter(col("id") % 6 === 1))
+      val variants = en.filter(col("id") % 6 === 1 && col("id") % 5 === 0)
+        .select((-col("id") - 1).as("id"),
+          transform(col("energies"), (v, i) =>
+            when(i === 9, (v + 128) % 256).otherwise(v)).as("energies"))
+      val batch = fp(en.filter(col("id") % 6 === 4)).unionByName(fp(variants))
+      graft.operators.Dedup.incrementalHammingPairs(batch, store,
+        bits = 28, bands = 4, maxDist = 3)
+        .orderBy(col("new_id"), col("store_id"))
+    },
+
     "q207_image_incremental_neardup" -> QueryDef({
       val base = dhashSql(byteSql("h", _))
       val bumped = dhashSql(k =>
@@ -443,7 +664,7 @@ object MultimodalQueries {
     * fake 1-frame/KiB count yields 1–8 frames at fixture doc sizes),
     * per-frame payload the md5 chain of text:frame_idx, per-frame
     * dHash over the fake luma grid, distinct per video. */
-  private def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
+  private[graft] def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val v = Tables(s, dir).documents.filter(col("doc_id") % 3 === 2)
       .select(col("doc_id").as("id"), col("text"),
@@ -479,6 +700,32 @@ object MultimodalQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       tMilli = 500)
 
+  /** The fake band-energy matrices of the audio corpus (id, energies):
+    * audio docs' payload bytes as 8-window × 4-band energies — the
+    * shared input of the q224–q227 acoustic-fingerprint family. */
+  private def audioEnergies(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
+      .toDF().filter(col("meta.mediaType") === "audio")
+      .select(col("id"),
+        Multimodal.fakeBandEnergies(col("payload")).as("energies"))
+
+  /** The q225/q226 fingerprint fixture: base audio fingerprints ∪
+    * planted near-dup variants (every 5th audio under -id-1 with
+    * energy cell 9 bumped half the byte range — ≤ 2 bits flip). */
+  private def audioFingerprints(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val en = audioEnergies(s, dir)
+    val variants = en.filter(col("id") % 5 === 0)
+      .select((-col("id") - 1).as("id"),
+        transform(col("energies"), (v, i) =>
+          when(i === 9, (v + 128) % 256).otherwise(v)).as("energies"))
+    en.unionByName(variants)
+      .select(col("id"),
+        graft.functions.AudioFingerprint.bandFingerprint(
+          col("energies"), 8, 4).as("hash"))
+  }
+
   /** Byte k (0-based) of the 32-byte payload as nibble arithmetic over
     * the 64-char md5-chain hex string. */
   private def byteSql(h: String, k: Int): String =
@@ -492,5 +739,15 @@ object MultimodalQueries {
       val p = (b / 7) * 8 + (b % 7)
       s"(CASE WHEN ${byteAt(p + 1)} > ${byteAt(p)} " +
         s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The 28-bit audio fingerprint as unrolled adjacent-WINDOW
+    * comparisons over an 8-window × 4-band energy matrix (bit k:
+    * window t = k/4, band b = k%4, cell t·4+b = k, compared against
+    * the same band one window later at k+4). */
+  private def audioFpSql(byteAt: Int => String): String =
+    (0 until 28).map { k =>
+      s"(CASE WHEN ${byteAt(k + 4)} > ${byteAt(k)} " +
+        s"THEN ${1L << k} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 }
