@@ -1116,6 +1116,165 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming curation chain with near-dup admission: batch parity and q218 component parity at two SFs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{CorpusOps, Dedup, LmOps}
+    implicit val sql = spark.sqlContext
+    // The q218 chain streamed END TO END — the near-dup stage (q83's
+    // incremental machinery over MinHashStore) inserted between the
+    // first-seen exact dedup and the decon gate, via foreachBatch
+    // (doc-level admission is an anti-join against stream state, not
+    // expressible in append mode — foreachBatch + a persisted store is
+    // the production shape anyway). Two laws at two SFs:
+    //   1. BATCH-BOUNDARY INVARIANCE: the chunked streamed admission
+    //      (+ decon) equals the single-slice batch run of the SAME
+    //      registered machinery (admitNearDupFree over all quality/
+    //      dedup survivors at once, then the decon anti-join) — state
+    //      carried through MinHashStore across micro-batches must
+    //      reproduce the one-shot result.
+    //   2. q218 COMPONENT PARITY: an online gate keeps the FIRST
+    //      arrival per near-dup cluster while q218's batch collapse
+    //      keeps the best-by-token-count — the CANONICAL CHOICE
+    //      differs by design, the COLLAPSE DECISIONS must not: mapped
+    //      through the batch components, the streamed survivors and
+    //      q218's keep-best survivors must cover exactly the same
+    //      components, one survivor each.
+    for ((dir, tag) <- Seq("/root/testdata/sf0.001" -> "a",
+        "/root/testdata/sf0.01" -> "b")) {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      // the q218 corpus: exact twins (+100000) die at the dedup gate,
+      // near twins (+300000, one appended salted token) at the
+      // near-dup gate
+      val corpus = d
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("source")))
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" zzq"),
+              (col("doc_id") % 7).cast("string")).as("text"),
+            col("source")))
+      // batch-trained artifacts the gates deploy
+      val (voc, oov) = LmOps.trainSurprisalVocab(corpus, vocabSize = 16)
+      val bench = d.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id"), col("text"))
+      val grams = CorpusOps.benchGramTable(bench, n = 8, maxDf = Some(20))
+        .collect().map(_.getString(0)).toSeq
+      // batch s2 (quality -> exact dedup), exactly q218's stages 1-2
+      val scored = LmOps.surprisalScores(corpus, vocabSize = 16,
+        threshMilli = 8500L)
+      val s1 = corpus.join(scored.filter(!col("low_quality"))
+        .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      val wd = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val s2 = s1
+        .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1).drop("fp", "rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // law-1 target: the registered q83 admission machinery run as
+      // ONE slice over all of s2 (empty store), then the batch decon
+      val emptyMh = Dedup.minhashed(s2.select(col("doc_id"), col("text"))
+        .limit(0), "doc_id", "text", 3, 12, 3)
+      val oneSlice = Dedup.admitNearDupFree(
+        s2.select(col("doc_id"), col("text")), emptyMh,
+        threshold = 0.5, maxBucketSize = Some(100))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oneSliceIds = oneSlice.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      val contamT = CorpusOps.ngramContamination(
+        oneSlice, bench, n = 8, maxDf = Some(20))
+        .select(col("train_id").as("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val targetIds = oneSliceIds diff contamT
+      // law-2 target: q218's stage-3 components + keep-best survivors
+      val mh = Dedup.minhashed(s2.select(col("doc_id"), col("text")),
+        "doc_id", "text", 3, 12, 3)
+      val pairs = Dedup.nearDupPairsFromMinhashed(mh, threshold = 0.5,
+        maxBucketSize = Some(100)).select(col("id_a"), col("id_b"))
+      val comp = Dedup.connectedComponents(mh.select(col("id")), pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val keptBest = Dedup.keepBestPerComponent(
+        Dedup.connectedComponents(mh.select(col("id")), pairs),
+        s2.select(col("doc_id").as("id"), col("n_tokens").as("score")))
+        .select(col("kept_id")).collect().map(_.getLong(0)).toSet
+      // the streamed chain: quality gate -> first-seen dedup ->
+      // foreachBatch { near-dup admission vs MinHashStore -> decon }
+      val storeDir = java.nio.file.Files
+        .createTempDirectory(s"graft-curation-mh-$tag").toString
+      graft.sources.MinHashStore.write(emptyMh, storeDir, numFiles = 4)
+      val stream = MemoryStream[(Long, String)]
+      val gated = Dedup.streamingDedupFirstSeen(
+        LmOps.surprisalGate(stream.toDS().toDF("doc_id", "text"),
+          voc, oov, threshMilli = 8500L)
+          .select(Dedup.storeFingerprint(col("text")).as("fp"),
+            col("doc_id"), col("text"))
+          .as[(String, Long, String)])
+        .toDF("fp", "doc_id", "text")
+      var streamedAdmitted = Set.empty[Long] // post near-dup gate
+      var streamedFinal = Set.empty[Long]    // post decon gate
+      val q = gated.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.select(col("doc_id"), col("text"))
+            val store = graft.sources.MinHashStore.read(spark, storeDir)
+            val adm = Dedup.admitNearDupFree(b, store,
+              threshold = 0.5, maxBucketSize = Some(100))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            graft.sources.MinHashStore.append(spark, storeDir,
+              Dedup.minhashed(adm, "doc_id", "text", 3, 12, 3),
+              numFiles = 4)
+            streamedAdmitted ++= adm.select(col("doc_id"))
+              .collect().map(_.getLong(0))
+            streamedFinal ++= CorpusOps.contaminationGate(adm, grams, n = 8)
+              .select(col("doc_id")).collect().map(_.getLong(0))
+            adm.unpersist()
+            ()
+          }
+      }.start()
+      try {
+        // doc_id-ordered replay => first-seen == min-id-first greedy
+        val rows = corpus.select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        rows.grouped(math.max(1, rows.length / 5 + 1)).foreach { chunk =>
+          stream.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        // law 1: chunked streamed == single-slice batch, both stages
+        assert(streamedAdmitted == oneSliceIds,
+          s"$dir: admission ${streamedAdmitted.size} vs one-slice " +
+            s"${oneSliceIds.size}; " +
+            s"extra=${(streamedAdmitted diff oneSliceIds).take(5)} " +
+            s"missing=${(oneSliceIds diff streamedAdmitted).take(5)}")
+        assert(streamedFinal == targetIds,
+          s"$dir: final ${streamedFinal.size} vs target ${targetIds.size}")
+        // law 2: same collapse decisions as q218's keep-best — same
+        // components covered, one survivor each (canonical choice
+        // legitimately differs: first-seen vs best-by-token-count)
+        assert(streamedAdmitted.size == keptBest.size,
+          s"$dir: ${streamedAdmitted.size} admitted vs " +
+            s"${keptBest.size} keep-best survivors")
+        assert(streamedAdmitted.map(comp) == keptBest.map(comp),
+          s"$dir: component coverage diverged")
+        // the planted near twins provably die at the near-dup gate:
+        // every +300000 variant whose base survived to s2 is absent
+        val variantSurvivors = streamedAdmitted.filter(_ >= 300000L)
+        val s2ids = s2.select(col("doc_id"))
+          .collect().map(_.getLong(0)).toSet
+        assert(variantSurvivors.forall(v => !s2ids.contains(v - 300000L)),
+          s"$dir: variants admitted alongside their bases: " +
+            s"${variantSurvivors.filter(v => s2ids.contains(v - 300000L)).take(5)}")
+      } finally {
+        q.stop()
+        s2.unpersist(); oneSlice.unpersist()
+      }
+    }
+  }
+
   test("budget gate: prefix packing across batches, oversized row closes the group") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
