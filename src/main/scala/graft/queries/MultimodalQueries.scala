@@ -19,6 +19,8 @@ object MultimodalQueries {
       |  (strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) * 16 +
       |  (strpos('0123456789abcdef', substr(h, i*2 + 2, 1)) - 1)))""".stripMargin
 
+  private def fnvBucketSql(s: String): String = OracleSql.fnvBucket(s)
+
   private def nibble(s: String, pos: String) =
     s"(strpos('0123456789abcdef', substr($s, $pos, 1)) - 1)"
 
@@ -618,6 +620,123 @@ object MultimodalQueries {
       graft.operators.Dedup.incrementalHammingPairs(batch, store,
         bits = 28, bands = 4, maxDist = 3)
         .orderBy(col("new_id"), col("store_id"))
+    },
+
+    // MULTIMODAL leakage-safe split — the composition that wires the
+    // video column into the curation story: an entity is a (caption,
+    // frame-set) pair, "same content" is caption EXACT-dup OR frame-set
+    // NEAR-dup (J >= 0.5), components close over the UNION of both
+    // edge sets, and the train/val/test split buckets on the JOINT
+    // component canonical (q107's bucket-on-canonical applied to
+    // q221's components) — so a re-captioned copy of a test video can
+    // never reach train through either modality. The fixture makes the
+    // joint closure load-bearing: every 5th video re-enters TWICE —
+    // once re-captioned with bumped frames (-id-1: frame edge only),
+    // once same-captioned with fresh frames (+500000: caption edge
+    // only) — a 3-member component NEITHER modality alone connects.
+    // The oracle replays the closure as the recursive reachability CTE
+    // over the union edge set and the same FNV-1a64 permille bucket.
+    "q228_multimodal_leakage_split" -> QueryDef({
+      val base = dhashSql(byteSql("h", _))
+      val bumped = dhashSql(k =>
+        if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
+      val bucket = fnvBucketSql("CAST(comp AS VARCHAR)")
+      s"""WITH RECURSIVE v AS (SELECT doc_id AS id, text FROM documents
+         |                     WHERE doc_id % 3 = 2),
+         |ent AS (SELECT id, text AS caption FROM v
+         |        UNION ALL SELECT -id - 1, text || ' v2' FROM v WHERE id % 5 = 0
+         |        UNION ALL SELECT id + 500000, text FROM v WHERE id % 5 = 0),
+         |fc AS (SELECT id, text,
+         |         CAST(trunc(length(text) * 16 / 1024.0) AS INT) + 1
+         |           AS frameCount FROM v),
+         |fr AS (SELECT id, text,
+         |         CAST(unnest((range(0, frameCount, 1))[1:8]) AS INT) AS frame_idx
+         |       FROM fc),
+         |fg AS (SELECT id, frame_idx,
+         |         md5(text || ':' || CAST(frame_idx AS VARCHAR)) ||
+         |         md5(md5(text || ':' || CAST(frame_idx AS VARCHAR))) AS h
+         |       FROM fr),
+         |fga AS (SELECT id + 500000 AS id, frame_idx,
+         |          md5(text || '#alt:' || CAST(frame_idx AS VARCHAR)) ||
+         |          md5(md5(text || '#alt:' || CAST(frame_idx AS VARCHAR))) AS h
+         |        FROM fr WHERE id % 5 = 0),
+         |hb AS (SELECT id, CAST($base AS BIGINT) AS fhash FROM fg
+         |       UNION ALL
+         |       SELECT -id - 1 AS id,
+         |         CAST(CASE WHEN frame_idx = 0 THEN $bumped ELSE $base END
+         |           AS BIGINT) AS fhash
+         |       FROM fg WHERE id % 5 = 0
+         |       UNION ALL
+         |       SELECT id, CAST($base AS BIGINT) AS fhash FROM fga),
+         |sg AS (SELECT id, list_distinct(list(fhash)) AS sig FROM hb GROUP BY id),
+         |fpr AS (SELECT a.id AS id_a, b.id AS id_b
+         |        FROM sg a JOIN sg b ON a.id < b.id
+         |        WHERE 1000 * len(list_intersect(a.sig, b.sig)) >=
+         |          500 * len(list_distinct(list_concat(a.sig, b.sig)))),
+         |cfp AS (SELECT id, md5(regexp_replace(lower(caption), '\\s+', ' ', 'g'))
+         |          AS fp FROM ent),
+         |cmin AS (SELECT fp, min(id) AS a FROM cfp GROUP BY fp),
+         |cedg AS (SELECT c.a AS id_a, cfp.id AS id_b
+         |         FROM cfp JOIN cmin c USING (fp) WHERE cfp.id <> c.a),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM fpr
+         |          UNION SELECT id_b, id_a FROM fpr
+         |          UNION SELECT id_a, id_b FROM cedg
+         |          UNION SELECT id_b, id_a FROM cedg),
+         |reach AS (
+         |  SELECT id, id AS r FROM ent
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT id, comp, $bucket AS bucket,
+         |       CASE WHEN $bucket < 500 THEN 'test'
+         |            WHEN $bucket < 1000 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM comp ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val v = Tables(s, dir).documents.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("id"), col("text"))
+      // entities: base / re-captioned frame variant / same-caption twin
+      val captions = v.select(col("id"), col("text").as("caption"))
+        .unionByName(v.filter(col("id") % 5 === 0)
+          .select((-col("id") - 1).as("id"),
+            concat(col("text"), lit(" v2")).as("caption")))
+        .unionByName(v.filter(col("id") % 5 === 0)
+          .select((col("id") + 500000L).as("id"), col("text").as("caption")))
+        .persist(mem)
+      // caption EXACT edges as star edges to the cluster min id — same
+      // closure as all-pairs at O(cluster) instead of O(cluster²) rows
+      val cfp = captions.select(col("id"),
+        md5(regexp_replace(lower(col("caption")), "\\s+", " ")).as("fp"))
+      val cmin = cfp.groupBy(col("fp")).agg(min(col("id")).as("id_a"))
+      val capEdges = cfp.join(cmin.hint("shuffle_hash"), Seq("fp"))
+        .filter(col("id") =!= col("id_a"))
+        .select(col("id_a"), col("id").as("id_b"))
+      // frame postings: the shared q220/q221 fixture (base + bumped
+      // variants) plus the twins' independently-seeded frames
+      val vt = v.filter(col("id") % 5 === 0)
+        .select((col("id") + 500000L).as("id"),
+          concat(col("text"), lit("#alt")).as("text"),
+          (length(col("text")).cast("long") * 16L).as("sizeBytes"))
+      val tframes = Multimodal.sampleFrames(vt, everyNth = 1, maxFrames = 8)
+      val thx = concat(
+        md5(concat(col("text"), lit(":"), col("frame_idx").cast("string"))),
+        md5(md5(concat(col("text"), lit(":"),
+          col("frame_idx").cast("string")))))
+      val twinPostings = tframes.select(col("id"),
+        graft.functions.ImageHash.dHashGrid(
+          Multimodal.fakeLumaGrid(unhex(thx)), 7, 4).as("fhash"))
+      val postings = videoFrameHashes(s, dir).unionByName(twinPostings)
+        .persist(mem)
+      val frameEdges = graft.operators.Dedup
+        .frameSetNearDupPairs(postings, tMilli = 500)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Dedup.connectedComponents(
+        captions.select(col("id")),
+        capEdges.unionByName(frameEdges), maxIter = 64)
+      graft.operators.CorpusOps.leakageSafeSplit(comps)
+        .select(col("id"), col("comp"), col("bucket"), col("split"))
+        .orderBy(col("id"))
     },
 
     "q207_image_incremental_neardup" -> QueryDef({

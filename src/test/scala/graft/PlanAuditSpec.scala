@@ -395,6 +395,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q220 lost its pinned shuffle-hash posting join:\n$plan")
   }
 
+  test("q223: the capped form broadcasts ONLY the hot-frame list, posting joins stay shuffled") {
+    // The hot list is tiny by construction (frames over the cap), so
+    // its anti-join broadcasts; everything corpus-shaped — candidate
+    // self-join, full-set verify join-backs, size joins — must stay
+    // shuffle_hash. A broadcast LEFT side would be the exact quadratic
+    // trap the cap exists to avoid.
+    val plan = executed(query("q223_video_capped_pairs"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q223 lost the broadcast hot-list anti-join:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q223 lost its pinned shuffle-hash posting joins:\n$plan")
+    // the only broadcast exchanges feed the LeftAnti hot-frame prune
+    val broadcasts = plan.split("\n").count(_.contains("BroadcastExchange"))
+    val antis = plan.split("\n").count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(broadcasts <= antis + 1, // +1: AQE may reuse one exchange
+      s"q223 broadcasts something beyond the hot list " +
+        s"($broadcasts exchanges, $antis anti-joins):\n$plan")
+  }
+
+  test("q225: the audio Hamming band self-join never broadcasts a corpus-shaped side") {
+    // Same rule as q204 — the fingerprint table grows with the audio
+    // corpus, and the band self-join must not let AQE guess a
+    // broadcast on either side.
+    val plan = executed(query("q225_audio_neardup_pairs"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"q225 plans a broadcast join on a corpus-shaped side:\n$plan")
+  }
+
   test("q219: sketch-only join estimate never shuffles or joins relation rows") {
     // The estimator's pitch is "join size from kilobytes": every
     // exchange in the plan may carry only sketch CELLS (bounded by
