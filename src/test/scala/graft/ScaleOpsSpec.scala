@@ -211,7 +211,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     sb.toString
   }
 
+  /** repartitionByRange draws reservoir samples seeded by the RDD id,
+    * so zorderWrite's range boundaries depend on how many RDDs the
+    * shared session created BEFORE the test — fine in production
+    * (any sample gives z-contiguous files), but it made the two
+    * layout tests suite-order-dependent: exact quadrant tiling
+    * standalone, smeared boundaries (and a flaked threshold) when 40
+    * suites ran first. An exhaustive sample (size ≥ rows/partition)
+    * makes the boundaries the exact quantiles — deterministic
+    * regardless of rdd.id — while still exercising the real writer. */
+  private def withExactRangeBoundaries[A](body: => A): A = {
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("z-order read side: selective filters skip most data on BOTH dims") {
+    withExactRangeBoundaries {
     import graft.operators.Layout
     val base = java.nio.file.Files.createTempDirectory("graft-zskip").toString
     val grid = spark.range(256L * 256L)
@@ -254,9 +271,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     val yHit = stats.count(r => r.getLong(3) <= 200 && 200 <= r.getLong(4))
     assert(xHit < nFiles / 2, s"x=17 hits $xHit of $nFiles files")
     assert(yHit < nFiles / 2, s"y=200 hits $yHit of $nFiles files")
+    }
   }
 
   test("zorderWrite keeps BOTH dims' per-file extents narrow") {
+    withExactRangeBoundaries {
     import spark.implicits._
     import graft.operators.Layout
     val out = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
@@ -279,6 +298,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val avgY = extents.map(_.getLong(2)).sum.toDouble / extents.length
     assert(avgX < 192, s"avg x-extent $avgX")
     assert(avgY < 192, s"avg y-extent $avgY")
+    }
   }
 
   test("skipping report: zorder prunes a 2-D box better than linear; counts exact") {
