@@ -94,7 +94,11 @@ object AudioFingerprint {
 
   /** Pure-builtin fingerprint (unrolled adjacent-window comparisons) —
     * parity witness for the kernel and the formulation the oracle SQL
-    * mirrors. */
+    * mirrors, on VALID matrices only: a null or missing cell reads as
+    * an unset bit here (null `>` is false), where the kernel refuses
+    * loudly. The kernel — not this witness — owns the bad-input
+    * stance (the [[ImageHash.dHashGridDeclarative]] convention);
+    * production paths must go through the kernel. */
   def bandFingerprintDeclarative(energies: Column, frames: Int,
       bands: Int): Column = {
     require(frames >= 2 && bands >= 1 && (frames - 1) * bands <= 64,

@@ -580,10 +580,16 @@ object Dedup {
     * candidates): hashes above the cap drop from candidate generation,
     * [[hotBuckets]]-style — entities still pair through their other
     * frames, and [[hotFrameHashes]] reports what the cap drops so the
-    * loss is accounted, not silent. Output: (id_a, id_b, inter, un,
-    * jacc_milli), id_a < id_b. */
+    * loss is accounted, not silent. `hotFrameKeys` (the
+    * [[lshCandidatePairs]] hotBucketKeys pattern) supplies a
+    * caller-precomputed `fhash` column of hot hashes to exclude
+    * instead — pass [[hotFrameHashes]]' output so the operator and
+    * its accounting provably share ONE hot set (no duplicate
+    * aggregation, no cap drift between the two calls). Output:
+    * (id_a, id_b, inter, un, jacc_milli), id_a < id_b. */
   def frameSetNearDupPairs(postings: DataFrame, tMilli: Int,
-      maxPostingSize: Option[Int] = None): DataFrame = {
+      maxPostingSize: Option[Int] = None,
+      hotFrameKeys: Option[DataFrame] = None): DataFrame = {
     require(tMilli > 0, s"tMilli must be positive, got $tMilli")
     // SET semantics enforced here, not assumed: two frames of one video
     // hashing identically (static intro/outro frames — the norm) must
@@ -591,7 +597,14 @@ object Dedup {
     // divides by zero / goes negative
     val p = postings.select(col("id"), col("fhash")).distinct()
     val sizes = p.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    maxPostingSize match {
+    val hotSet: Option[DataFrame] = (hotFrameKeys, maxPostingSize) match {
+      case (Some(hot), _) => Some(hot.select(col("fhash")))
+      case (None, Some(cap)) => Some(
+        p.groupBy(col("fhash")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("fhash")))
+      case (None, None) => None
+    }
+    hotSet match {
       case None =>
         p.select(col("id").as("id_a"), col("fhash"))
           .join(p.select(col("id").as("id_b"), col("fhash"))
@@ -606,14 +619,12 @@ object Dedup {
           .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
           .select(col("id_a"), col("id_b"), col("inter"), col("un"),
             expr("(1000 * inter) DIV un").as("jacc_milli"))
-      case Some(cap) =>
+      case Some(hot) =>
         // the cap gates CANDIDATE GENERATION ONLY (the lshCandidatePairs
         // rule): verification joins back to the FULL sets, so a pair
         // sharing a hot hash still verifies with its true intersection —
         // a verify on cap-filtered postings would strictly underestimate
         // J and silently drop true pairs
-        val hot = p.groupBy(col("fhash")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > cap).select(col("fhash"))
         val joinable = p.join(broadcast(hot), Seq("fhash"), "left_anti")
         val cand = joinable.select(col("id").as("id_a"), col("fhash"))
           .join(joinable.select(col("id").as("id_b"), col("fhash"))
@@ -644,11 +655,17 @@ object Dedup {
     * re-pairs against itself. `inter` counts hashes present on BOTH
     * sides of a pair, so a capped hash must drop from BOTH posting
     * sides — and like the q123 rule the cap is evaluated over the
-    * COMBINED population. Output: (new_id, store_id, inter, un,
-    * jacc_milli), J ≥ tMilli. Id spaces must be disjoint. */
+    * COMBINED population. `hotFrameKeys` (as in
+    * [[frameSetNearDupPairs]]) supplies a caller-precomputed hot set
+    * — compute it over the combined population
+    * (`hotFrameHashes(newPostings.unionAll(storePostings), cap)`) so
+    * operator and accounting provably agree. Output: (new_id,
+    * store_id, inter, un, jacc_milli), J ≥ tMilli. Id spaces must be
+    * disjoint. */
   def incrementalFrameSetPairs(newPostings: DataFrame,
       storePostings: DataFrame, tMilli: Int,
-      maxPostingSize: Option[Int] = None): DataFrame = {
+      maxPostingSize: Option[Int] = None,
+      hotFrameKeys: Option[DataFrame] = None): DataFrame = {
     require(tMilli > 0, s"tMilli must be positive, got $tMilli")
     // SET semantics enforced here (see frameSetNearDupPairs)
     val np = newPostings.select(col("id"), col("fhash")).distinct()
@@ -664,7 +681,15 @@ object Dedup {
       .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
       .select(col("new_id"), col("store_id"), col("inter"), col("un"),
         expr("(1000 * inter) DIV un").as("jacc_milli"))
-    maxPostingSize match {
+    val hotSet: Option[DataFrame] = (hotFrameKeys, maxPostingSize) match {
+      case (Some(hot), _) => Some(hot.select(col("fhash")))
+      case (None, Some(cap)) => Some(
+        np.select(col("fhash")).unionAll(sp.select(col("fhash")))
+          .groupBy(col("fhash")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("fhash")))
+      case (None, None) => None
+    }
+    hotSet match {
       case None =>
         verified(np.select(col("id").as("new_id"), col("fhash"))
           // the store side grows without bound — pin shuffle_hash
@@ -672,12 +697,9 @@ object Dedup {
             .hint("shuffle_hash"), Seq("fhash"))
           .groupBy(col("new_id"), col("store_id"))
           .agg(count(lit(1)).as("inter")))
-      case Some(cap) =>
+      case Some(hot) =>
         // cap gates candidates only, over the COMBINED population (the
         // q123 rule); verify joins back to the FULL sets
-        val hot = np.select(col("fhash")).unionAll(sp.select(col("fhash")))
-          .groupBy(col("fhash")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > cap).select(col("fhash"))
         val cand = np.join(broadcast(hot), Seq("fhash"), "left_anti")
           .select(col("id").as("new_id"), col("fhash"))
           .join(sp.join(broadcast(hot), Seq("fhash"), "left_anti")

@@ -471,9 +471,12 @@ object MultimodalQueries {
         .withColumn("fhash", lit(-1L))
       val p = hs.unionByName(univ)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = graft.operators.Dedup.frameSetNearDupPairs(p,
-        tMilli = 500, maxPostingSize = Some(100))
+      // ONE hot set feeds both the operator and the accounting rows —
+      // computed once, no cap drift possible between the two
       val hot = graft.operators.Dedup.hotFrameHashes(p, cap = 100)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.operators.Dedup.frameSetNearDupPairs(p,
+        tMilli = 500, hotFrameKeys = Some(hot))
       pairs.select(lit("pair").as("kind"),
           col("id_a").as("key_a"), col("id_b").as("key_b"),
           col("inter"), col("un"), col("jacc_milli"))
@@ -632,7 +635,7 @@ object MultimodalQueries {
     // never reach train through either modality. The fixture makes the
     // joint closure load-bearing: every 5th video re-enters TWICE —
     // once re-captioned with bumped frames (-id-1: frame edge only),
-    // once same-captioned with fresh frames (+500000: caption edge
+    // once same-captioned with fresh frames (+2^40: caption edge
     // only) — a 3-member component NEITHER modality alone connects.
     // The oracle replays the closure as the recursive reachability CTE
     // over the union edge set and the same FNV-1a64 permille bucket.
@@ -645,7 +648,7 @@ object MultimodalQueries {
          |                     WHERE doc_id % 3 = 2),
          |ent AS (SELECT id, text AS caption FROM v
          |        UNION ALL SELECT -id - 1, text || ' v2' FROM v WHERE id % 5 = 0
-         |        UNION ALL SELECT id + 500000, text FROM v WHERE id % 5 = 0),
+         |        UNION ALL SELECT id + 1099511627776, text FROM v WHERE id % 5 = 0),
          |fc AS (SELECT id, text,
          |         CAST(trunc(length(text) * 16 / 1024.0) AS INT) + 1
          |           AS frameCount FROM v),
@@ -656,7 +659,7 @@ object MultimodalQueries {
          |         md5(text || ':' || CAST(frame_idx AS VARCHAR)) ||
          |         md5(md5(text || ':' || CAST(frame_idx AS VARCHAR))) AS h
          |       FROM fr),
-         |fga AS (SELECT id + 500000 AS id, frame_idx,
+         |fga AS (SELECT id + 1099511627776 AS id, frame_idx,
          |          md5(text || '#alt:' || CAST(frame_idx AS VARCHAR)) ||
          |          md5(md5(text || '#alt:' || CAST(frame_idx AS VARCHAR))) AS h
          |        FROM fr WHERE id % 5 = 0),
@@ -702,7 +705,7 @@ object MultimodalQueries {
           .select((-col("id") - 1).as("id"),
             concat(col("text"), lit(" v2")).as("caption")))
         .unionByName(v.filter(col("id") % 5 === 0)
-          .select((col("id") + 500000L).as("id"), col("text").as("caption")))
+          .select((col("id") + (1L << 40)).as("id"), col("text").as("caption")))
         .persist(mem)
       // caption EXACT edges as star edges to the cluster min id — same
       // closure as all-pairs at O(cluster) instead of O(cluster²) rows
@@ -715,7 +718,7 @@ object MultimodalQueries {
       // frame postings: the shared q220/q221 fixture (base + bumped
       // variants) plus the twins' independently-seeded frames
       val vt = v.filter(col("id") % 5 === 0)
-        .select((col("id") + 500000L).as("id"),
+        .select((col("id") + (1L << 40)).as("id"),
           concat(col("text"), lit("#alt")).as("text"),
           (length(col("text")).cast("long") * 16L).as("sizeBytes"))
       val tframes = Multimodal.sampleFrames(vt, everyNth = 1, maxFrames = 8)

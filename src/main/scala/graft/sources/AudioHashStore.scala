@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Persisted acoustic-fingerprint store for run-over-run incremental
   * AUDIO near-dup admission — the audio member of the per-modality
@@ -12,17 +11,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * hash-agnostic) and appends the ADMITTED fingerprints as a delta.
   *
   * Rows are (id, hash) — 16 bytes — so the delta-granular
-  * [[DeltaStore]] protocol fits exactly as it does for [[DHashStore]]:
-  * batch-id-keyed deltas = exactly-once under replay, periodic
-  * compaction folds history, `base.old` fallback mid-crash. */
+  * [[DeltaStore]] protocol fits exactly as it does for [[DHashStore]];
+  * the layout config IS DHashStore's (one shared stateless instance —
+  * everything store-specific lives under the caller's dir): batch-id-
+  * keyed deltas = exactly-once under replay, periodic compaction folds
+  * history, `base.old` fallback mid-crash. */
 object AudioHashStore {
 
-  private val store = new DeltaStore(
-    StructType(Seq(
-      StructField("id", LongType),
-      StructField("hash", LongType))),
-    dedupe = true,
-    layoutCols = Seq("id"))
+  private val store = DHashStore.store
 
   /** Append one run's admitted fingerprints as the batch's own delta.
     * `batchId` must be the caller's deterministic run identifier so

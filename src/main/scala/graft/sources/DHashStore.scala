@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * exists because signature rows are heavy; hash rows are not. */
 object DHashStore {
 
-  private val store = new DeltaStore(
+  // shared with AudioHashStore: a DeltaStore instance is a stateless
+  // layout config (all state lives under the caller's dir), and the
+  // (id, hash) perceptual-fingerprint layout is identical across the
+  // image and audio modalities — one config, two named store fronts
+  private[sources] val store = new DeltaStore(
     StructType(Seq(
       StructField("id", LongType),
       StructField("hash", LongType))),

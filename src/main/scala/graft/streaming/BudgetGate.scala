@@ -16,19 +16,28 @@ import org.apache.spark.sql.Dataset
   * makes the streamed output equal the batch window's row-for-row
   * (StreamingSpec pins the parity against the registered q217 query).
   *
-  * Caller contract (the first-seen-dedup replay contract): rows
-  * arrive in id order across micro-batches; within a batch the gate
-  * sorts each group's slice by id, so per-group admission order is
-  * total and deterministic. The contract is VALIDATED, not assumed
-  * (the raise_error guard discipline): the gate tracks the max id it
-  * has folded per group and throws on a batch slice carrying an id at
-  * or below it — a late-arriving smaller id would otherwise silently
-  * produce admission decisions that diverge from the batch window.
+  * Caller contract (the first-seen-dedup replay contract): ids are
+  * STRICTLY increasing per group across the whole stream; within a
+  * batch the gate sorts each group's slice by id, so per-group
+  * admission order is total and deterministic. The contract is
+  * VALIDATED, not assumed (the raise_error guard discipline): the
+  * gate tracks the max id it has folded per group and throws on an
+  * id at or below it — whether the violation is a late-arriving
+  * smaller id in a later batch or a duplicate id inside one batch.
+  * Both would otherwise corrupt silently (a duplicate in one slice
+  * double-charges the running total; a late id diverges from the
+  * batch window), and which of the two happened must not depend on
+  * where the micro-batch boundary fell. At-least-once sources must
+  * dedupe ids (the first-seen gate upstream does) before this gate.
   *
   * Scale shape: state is TWO longs per group (the running total and
   * the max folded id — nothing grows with rows), per-batch work is a
   * sort of the batch's group slice. Groups absent from `budgets` get
-  * `defaultBudget` (0 = closed, the q217 src2 stance made explicit). */
+  * `defaultBudget` (0 = closed, the q217 src2 stance made explicit).
+  * NOTE: the state schema changed from one long to the (total, maxId)
+  * tuple when the order guard landed — a streaming query restarting
+  * from a checkpoint written by the single-long version needs a fresh
+  * checkpoint (state-store schemas are not migrated). */
 object BudgetGate {
 
   /** rows = (group, id, weight); emits the admitted subset. */
@@ -46,12 +55,18 @@ object BudgetGate {
           val budget = budgets.getOrElse(g, defaultBudget)
           var (total, maxId) = state.getOption.getOrElse((0L, Long.MinValue))
           val slice = it.toSeq.sortBy(_._2)
-          slice.headOption.filter(_._2 <= maxId).foreach { r =>
-            throw new IllegalStateException(
-              s"BudgetGate: group '$g' received id ${r._2} at or below " +
-                s"the previously folded max id $maxId - rows must arrive " +
-                "in id order across micro-batches (a late smaller id " +
-                "would silently diverge from the batch window)")
+          // one check covers both violation shapes: fold the previous
+          // batches' max through the sorted slice and any non-increase
+          // (late smaller id OR within-batch duplicate) throws the same
+          // way — behavior must not depend on micro-batch boundaries
+          slice.foldLeft(maxId) { (prev, r) =>
+            if (r._2 <= prev)
+              throw new IllegalStateException(
+                s"BudgetGate: group '$g' received id ${r._2} at or below " +
+                  s"the previously folded id $prev - ids must be strictly " +
+                  "increasing per group (a late or duplicate id would " +
+                  "silently diverge from the batch window)")
+            r._2
           }
           val out = slice.flatMap { r =>
             total += r._3

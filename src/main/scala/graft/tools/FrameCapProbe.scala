@@ -46,10 +46,10 @@ object FrameCapProbe {
         .select(col("id_a"), col("id_b")).distinct().count()
 
     val t0 = System.nanoTime()
-    val hot = Dedup.hotFrameHashes(p, cap)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val cold = p.join(
-      broadcast(Dedup.hotFrameHashes(p, cap).select(col("fhash"))),
+    val hotDf = Dedup.hotFrameHashes(p, cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = hotDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cold = p.join(broadcast(hotDf.select(col("fhash"))),
       Seq("fhash"), "left_anti")
     val cappedCand = candidates(cold)
     val tCap = (System.nanoTime() - t0) / 1e9

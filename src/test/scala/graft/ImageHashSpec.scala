@@ -223,6 +223,23 @@ class ImageHashSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))
     assert(incCapped.toSeq == Seq((500L, 201L, 3L, 5L, 600L)),
       incCapped.mkString(", "))
+    // caller-supplied hot set (hotFrameKeys) == internal cap: the
+    // operator and its accounting can provably share ONE hot set
+    val viaKeys = Dedup.frameSetNearDupPairs(p, tMilli = 500,
+      hotFrameKeys = Some(Dedup.hotFrameHashes(p, cap = 100)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(viaKeys.toSeq == capped.toSeq, viaKeys.mkString(", "))
+    val incViaKeys = Dedup.incrementalFrameSetPairs(
+      Seq((500L, 999L), (500L, 1L), (500L, 2L), (500L, 50L)).toDF("id", "fhash"),
+      (hotCrowd ++ ab.filter(_._1 == 201L)).toDF("id", "fhash"),
+      tMilli = 500, hotFrameKeys = Some(Dedup.hotFrameHashes(
+        (hotCrowd ++ ab.filter(_._1 == 201L) ++
+          Seq((500L, 999L), (500L, 1L), (500L, 2L), (500L, 50L)))
+          .toDF("id", "fhash"), cap = 100)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(incViaKeys.toSeq == incCapped.toSeq, incViaKeys.mkString(", "))
     // the cap's loss is ACCOUNTED, not silent: hotFrameHashes reports
     // exactly the hashes the capped form dropped from candidate
     // generation, with distinct-entity populations (duplicate postings

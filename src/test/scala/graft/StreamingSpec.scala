@@ -1321,8 +1321,24 @@ class StreamingSpec extends AnyFunSuite {
       val e = intercept[Exception] { q.processAllAvailable() }
       val msgs = Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
-      assert(msgs.contains("at or below the previously folded max id"), msgs)
+      assert(msgs.contains("at or below the previously folded id"), msgs)
     } finally q.stop()
+    // a DUPLICATE id inside ONE micro-batch throws the same way — the
+    // violation must not silently double-charge just because both
+    // copies landed on the same side of a batch boundary
+    val dup = MemoryStream[(String, Long, Long)]
+    val qd = graft.streaming.BudgetGate.admit(dup.toDS(),
+      budgets = Map("g" -> 100L))
+      .toDF("g", "id", "w")
+      .writeStream.format("memory").queryName("budget_dup")
+      .outputMode("append").start()
+    try {
+      dup.addData(("g", 7L, 1L), ("g", 7L, 1L))
+      val e2 = intercept[Exception] { qd.processAllAvailable() }
+      val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs2.contains("at or below the previously folded id"), msgs2)
+    } finally qd.stop()
   }
 
   test("streaming span-gate admission: quality gate -> span gate -> first-seen dedup") {
