@@ -1268,6 +1268,52 @@ class StreamingSpec extends AnyFunSuite {
         assert(variantSurvivors.forall(v => !s2ids.contains(v - 300000L)),
           s"$dir: variants admitted alongside their bases: " +
             s"${variantSurvivors.filter(v => s2ids.contains(v - 300000L)).take(5)}")
+        // stage 5, streamed: BudgetGate over the chain's survivors
+        // (store-and-forward, the q217 soak's shape) — the WHOLE
+        // five-stage q218 composition now has a streamed form, pinned
+        // equal to the batch budget window over the same survivor set
+        // (q218's registered OUTPUT differs only through its
+        // keep-best canonical choice, law 2 above)
+        val admRows = s2
+          .join(streamedFinal.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("source"), col("doc_id"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val batchPacked = {
+          val wb = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          s2.join(streamedFinal.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+            .withColumn("share",
+              when(col("source") === "src0", 300L)
+                .when(col("source") === "src1", 10L)
+                .when(col("source") === "src2", 0L).otherwise(20L))
+            .withColumn("budget", expr("(20000 * share) DIV 1000"))
+            .withColumn("cum", sum(col("n_tokens")).over(wb))
+            .filter(col("cum") <= col("budget"))
+            .select(col("doc_id"), col("source"), col("n_tokens"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .toSet
+        }
+        val bstream = MemoryStream[(String, Long, Long)]
+        val bq = graft.streaming.BudgetGate.admit(bstream.toDS(),
+          budgets = Map("src0" -> 6000L, "src1" -> 200L, "src2" -> 0L),
+          defaultBudget = 400L)
+          .toDF("source", "doc_id", "n_tokens")
+          .writeStream.format("memory").queryName(s"nd_budget_$tag")
+          .outputMode("append").start()
+        try {
+          admRows.grouped(math.max(1, admRows.length / 3 + 1)).foreach { ch =>
+            bstream.addData(ch.toSeq)
+            bq.processAllAvailable()
+          }
+          val streamedPacked = spark.sql(
+            s"SELECT doc_id, source, n_tokens FROM nd_budget_$tag")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .toSet
+          assert(streamedPacked == batchPacked,
+            s"$dir: five-stage streamed ${streamedPacked.size} vs batch " +
+              s"window ${batchPacked.size}")
+        } finally bq.stop()
       } finally {
         q.stop()
         s2.unpersist(); oneSlice.unpersist()
