@@ -591,6 +591,14 @@ object Dedup {
       maxPostingSize: Option[Int] = None,
       hotFrameKeys: Option[DataFrame] = None): DataFrame = {
     require(tMilli > 0, s"tMilli must be positive, got $tMilli")
+    // conflicting cap inputs must fail loudly: a caller-supplied hot set
+    // computed under a DIFFERENT cap than maxPostingSize would silently
+    // win (the exact cap drift the hotFrameKeys contract warns against),
+    // so supplying both is rejected rather than one being ignored
+    require(hotFrameKeys.isEmpty || maxPostingSize.isEmpty,
+      "pass either hotFrameKeys (a precomputed hot set) or maxPostingSize " +
+        "(an internal cap), not both - a hot set computed under a different " +
+        "cap would silently override maxPostingSize")
     // SET semantics enforced here, not assumed: two frames of one video
     // hashing identically (static intro/outro frames — the norm) must
     // count once, or multiplicities skew inter past un and jacc_milli
@@ -667,6 +675,15 @@ object Dedup {
       maxPostingSize: Option[Int] = None,
       hotFrameKeys: Option[DataFrame] = None): DataFrame = {
     require(tMilli > 0, s"tMilli must be positive, got $tMilli")
+    // same loud-failure rule as frameSetNearDupPairs - and doubly so
+    // here, where a correct hot set must come from the COMBINED
+    // batch+store population: a conflicting maxPostingSize silently
+    // losing would hide a wrong-population hot set too
+    require(hotFrameKeys.isEmpty || maxPostingSize.isEmpty,
+      "pass either hotFrameKeys (a precomputed hot set over the combined " +
+        "batch+store population) or maxPostingSize (an internal cap), not " +
+        "both - a hot set computed under a different cap or population " +
+        "would silently override maxPostingSize")
     // SET semantics enforced here (see frameSetNearDupPairs)
     val np = newPostings.select(col("id"), col("fhash")).distinct()
     val sp = storePostings.select(col("id"), col("fhash")).distinct()

@@ -34,10 +34,16 @@ import org.apache.spark.sql.Dataset
   * the max folded id — nothing grows with rows), per-batch work is a
   * sort of the batch's group slice. Groups absent from `budgets` get
   * `defaultBudget` (0 = closed, the q217 src2 stance made explicit).
-  * NOTE: the state schema changed from one long to the (total, maxId)
+  *
+  * OPERATIONAL / RELEASE NOTE (also recorded in README.md §Operational
+  * notes): the state schema changed from one long to the (total, maxId)
   * tuple when the order guard landed — a streaming query restarting
-  * from a checkpoint written by the single-long version needs a fresh
-  * checkpoint (state-store schemas are not migrated). */
+  * from a checkpoint written by the single-long version fails Spark's
+  * state-store schema check (a generic StateSchemaNotCompatible error);
+  * the fix is a fresh checkpoint directory, state-store schemas are not
+  * migrated. The guard keys "has a prior id" on state EXISTENCE, so an
+  * id of Long.MinValue is a legal first row (no sentinel in the id
+  * domain). */
 object BudgetGate {
 
   /** rows = (group, id, weight); emits the admitted subset. */
@@ -53,27 +59,37 @@ object BudgetGate {
         (g: String, it: Iterator[(String, Long, Long)],
             state: GroupState[(Long, Long)]) =>
           val budget = budgets.getOrElse(g, defaultBudget)
-          var (total, maxId) = state.getOption.getOrElse((0L, Long.MinValue))
+          var total = state.getOption.map(_._1).getOrElse(0L)
+          // "has a prior id" is keyed on STATE EXISTENCE, not a sentinel:
+          // a Long.MinValue seed would reject a legitimate first row whose
+          // id IS Long.MinValue (sentinel colliding with the id domain)
+          val priorMax: Option[Long] = state.getOption.map(_._2)
           val slice = it.toSeq.sortBy(_._2)
           // one check covers both violation shapes: fold the previous
           // batches' max through the sorted slice and any non-increase
           // (late smaller id OR within-batch duplicate) throws the same
           // way — behavior must not depend on micro-batch boundaries
-          slice.foldLeft(maxId) { (prev, r) =>
-            if (r._2 <= prev)
-              throw new IllegalStateException(
-                s"BudgetGate: group '$g' received id ${r._2} at or below " +
-                  s"the previously folded id $prev - ids must be strictly " +
-                  "increasing per group (a late or duplicate id would " +
-                  "silently diverge from the batch window)")
-            r._2
+          slice.foldLeft(priorMax) { (prev, r) =>
+            prev.foreach { p =>
+              if (r._2 <= p)
+                throw new IllegalStateException(
+                  s"BudgetGate: group '$g' received id ${r._2} at or below " +
+                    s"the previously folded id $p - ids must be strictly " +
+                    "increasing per group (a late or duplicate id would " +
+                    "silently diverge from the batch window)")
+            }
+            Some(r._2)
           }
           val out = slice.flatMap { r =>
             total += r._3
             if (total <= budget) Some(r) else None
           }
-          slice.lastOption.foreach(r => maxId = r._2)
-          state.update((total, maxId))
+          // update only when there is something to record: with NoTimeout
+          // an empty slice never occurs, but if it did, writing the
+          // MinValue placeholder with no folded id would re-create the
+          // sentinel collision the Option guard above removes
+          slice.lastOption.map(_._2).orElse(priorMax)
+            .foreach(m => state.update((total, m)))
           out.iterator
       }
   }

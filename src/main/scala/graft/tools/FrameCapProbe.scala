@@ -74,10 +74,13 @@ object FrameCapProbe {
       s""""capped_cand_sec":${f"$tCap%.1f"},""" +
       s""""uncapped_cand_sec":${f"$tUncap%.1f"},""" +
       s""""verified_pairs":${cappedPairs.size},"pair_parity":$parity}""")
-    if (!parity || hot.isEmpty || cappedCand * 10 > uncappedCand) {
+    // division, not `cappedCand * 10 > uncappedCand`: the multiplication
+    // can overflow Long at extreme candidate counts and invert the check
+    if (!parity || hot.isEmpty || cappedCand > uncappedCand / 10) {
       System.err.println("FrameCapProbe: cap failed to bound candidate " +
         s"mass or diverged (parity=$parity, hot=${hot.length}, " +
         s"capped=$cappedCand, uncapped=$uncappedCand)")
+      spark.stop() // don't lean on shutdown hooks for session teardown
       sys.exit(1)
     }
     spark.stop()

@@ -34,6 +34,36 @@ class PlanAuditSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The AQE-finalized plan TREE (not its string form) — for assertions
+    * on specific node properties (join type feeding a broadcast, etc.)
+    * that line-substring matching would make brittle against plan
+    * rendering changes. */
+  private def finalPlanTree(df: DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  /** collect() that descends through the AQE wrapper nodes (query
+    * stages, reused exchanges/subqueries) which plain
+    * `SparkPlan.collect` treats as leaves. */
+  private def collectAll[T](plan: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val children: Seq[org.apache.spark.sql.execution.SparkPlan] = plan match {
+      case qs: QueryStageExec => Seq(qs.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case p => p.children
+    }
+    (if (pf.isDefinedAt(plan)) Seq(pf(plan)) else Nil) ++
+      children.flatMap(collectAll(_)(pf))
+  }
+
   private def pushed(plan: String): String =
     "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString("; ")
 
@@ -401,18 +431,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // self-join, full-set verify join-backs, size joins — must stay
     // shuffle_hash. A broadcast LEFT side would be the exact quadratic
     // trap the cap exists to avoid.
-    val plan = executed(query("q223_video_capped_pairs"))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"q223 lost the broadcast hot-list anti-join:\n$plan")
-    assert(plan.contains("ShuffledHashJoin"),
-      s"q223 lost its pinned shuffle-hash posting joins:\n$plan")
-    // the only broadcast exchanges feed the LeftAnti hot-frame prune
-    val broadcasts = plan.split("\n").count(_.contains("BroadcastExchange"))
-    val antis = plan.split("\n").count(l =>
-      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
-    assert(broadcasts <= antis + 1, // +1: AQE may reuse one exchange
-      s"q223 broadcasts something beyond the hot list " +
-        s"($broadcasts exchanges, $antis anti-joins):\n$plan")
+    // walk the executed plan TREE: every broadcast join must be the
+    // LeftAnti hot-frame prune — asserting on the node's joinType is
+    // robust against AQE plan-rendering changes, where the old
+    // line-count heuristic (broadcasts <= antis + 1) could flake
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val tree = finalPlanTree(query("q223_video_capped_pairs"))
+    val broadcastJoins = collectAll(tree) { case b: BroadcastHashJoinExec => b }
+    assert(broadcastJoins.nonEmpty,
+      s"q223 lost the broadcast hot-list anti-join:\n$tree")
+    val nonAnti = broadcastJoins.filterNot(
+      _.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti)
+    assert(nonAnti.isEmpty,
+      s"q223 broadcasts a join beyond the LeftAnti hot-list prune " +
+        s"(${nonAnti.map(_.joinType).mkString(", ")}):\n$tree")
+    val shuffled = collectAll(tree) { case s: ShuffledHashJoinExec => s }
+    assert(shuffled.nonEmpty,
+      s"q223 lost its pinned shuffle-hash posting joins:\n$tree")
   }
 
   test("q225: the audio Hamming band self-join never broadcasts a corpus-shaped side") {
