@@ -290,6 +290,167 @@ object Multimodal {
     out
   }
 
+  // -------------------- real video frame decode (MJPEG / MPNG)
+
+  /** REAL video frame extraction for concatenated-still containers —
+    * MJPEG (back-to-back JPEG frames, the actual Motion-JPEG stream
+    * format) and its PNG analog (back-to-back PNGs). Both formats are
+    * self-framing — JPEG by SOI/EOI marker structure, PNG by signature
+    * + length-prefixed chunks to IEND — so a container splits into
+    * frame payloads EXACTLY, without a codec dependency, and each frame
+    * then decodes through the JDK ImageIO path [[dHashImages]] already
+    * uses. FakeCodec stays as the deterministic stand-in for the ORACLE
+    * rows (q53/q220/q223 hash md5-derived fake grids that DuckDB
+    * reproduces); this codec is what a production deployment runs on
+    * real containers, spec'd against real encoded frames
+    * (MultimodalSpec). A general-container deployment (MP4/H.264)
+    * swaps a JNI decoder into [[splitFrames]]' slot; the sampling,
+    * hashing, quarantine, and posting shapes do not change. */
+  object FrameContainer {
+    private val PngSig: Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def u(p: Array[Byte], k: Int): Int = p(k) & 0xFF
+
+    /** Split a concatenated-JPEG (MJPEG) payload into frame byte ranges.
+      * Real JPEG structure walk: length-prefixed segments, standalone
+      * markers, entropy-coded scan data (FF00 stuffing and FFD0–D7
+      * restarts skipped) until EOI. A malformed tail stops the walk —
+      * complete frames already split still stand (quarantine the rest,
+      * don't fail the task). */
+    private[graft] def splitJpegFrames(p: Array[Byte]): Array[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val n = p.length
+      var i = 0
+      while (i + 1 < n) {
+        if (u(p, i) == 0xFF && u(p, i + 1) == 0xD8) {
+          val start = i
+          var j = i + 2
+          var done = false
+          var ok = true
+          while (!done && ok) {
+            if (j + 1 >= n || u(p, j) != 0xFF) ok = false
+            else {
+              var m = u(p, j + 1)
+              while (m == 0xFF && j + 2 < n) { j += 1; m = u(p, j + 1) }
+              if (m == 0xD9) { done = true; j += 2 } // EOI
+              else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) j += 2
+              else if (j + 3 < n) {
+                val len = (u(p, j + 2) << 8) | u(p, j + 3)
+                val segEnd = j + 2 + len
+                if (len < 2 || segEnd > n) ok = false
+                else if (m == 0xDA) {
+                  // SOS: entropy-coded data follows the header
+                  var k = segEnd
+                  var found = false
+                  while (!found && k + 1 < n) {
+                    if (u(p, k) == 0xFF) {
+                      val mm = u(p, k + 1)
+                      if (mm == 0x00 || (mm >= 0xD0 && mm <= 0xD7)) k += 2
+                      else if (mm == 0xFF) k += 1 // fill byte
+                      else { j = k; found = true }
+                    } else k += 1
+                  }
+                  if (!found) ok = false
+                } else j = segEnd
+              } else ok = false
+            }
+          }
+          if (done) {
+            out += java.util.Arrays.copyOfRange(p, start, j)
+            i = j
+          } else i = n // malformed tail: frames so far stand
+        } else i += 1
+      }
+      out.toArray
+    }
+
+    /** Split a concatenated-PNG payload: signature, then length-prefixed
+      * chunks to IEND, repeated. Same malformed-tail stance as JPEG. */
+    private[graft] def splitPngFrames(p: Array[Byte]): Array[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val n = p.length
+      var i = 0
+      var more = true
+      while (more && i + 8 <= n &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(p, i, i + 8), PngSig)) {
+        val start = i
+        var j = i + 8
+        var done = false
+        var ok = true
+        while (!done && ok) {
+          if (j + 8 > n) ok = false
+          else {
+            val len = (u(p, j) << 24) | (u(p, j + 1) << 16) |
+              (u(p, j + 2) << 8) | u(p, j + 3)
+            val typ = new String(p, j + 4, 4, "US-ASCII")
+            val end = j + 12 + len // length + type + data + CRC
+            if (len < 0 || end > n) ok = false
+            else { j = end; if (typ == "IEND") done = true }
+          }
+        }
+        if (done) { out += java.util.Arrays.copyOfRange(p, start, j); i = j }
+        else more = false
+      }
+      out.toArray
+    }
+
+    /** Frame payloads of a container, by sniffed format; empty for a
+      * payload that is neither (the caller quarantines). */
+    def splitFrames(payload: Array[Byte]): Array[Array[Byte]] =
+      if (payload.length >= 8 &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(payload, 0, 8), PngSig))
+        splitPngFrames(payload)
+      else if (payload.length >= 2 && u(payload, 0) == 0xFF &&
+          u(payload, 1) == 0xD8)
+        splitJpegFrames(payload)
+      else Array.empty
+  }
+
+  /** Per-frame perceptual-hash row from a REAL container: quarantine
+    * stance per FRAME (`decoded = false`, hash 0) so one corrupt frame
+    * never drops its siblings; a container yielding no frames at all
+    * emits one `frameIdx = -1` quarantine row so the entity stays
+    * visible to accounting. */
+  final case class VideoFrameHashRow(
+      id: Long, frameIdx: Int, decoded: Boolean, fhash: Long)
+
+  /** REAL-codec video frame dHash — the production form of the q220
+    * posting builder: split the container ([[FrameContainer]]), sample
+    * every `everyNth` frame up to `maxFrames` (the [[sampleFrames]]
+    * policy), ImageIO-decode each, hash through the same exact-integer
+    * [[lumaGrid]] + [[graft.functions.ImageHash.dHashGridJvm]] kernel
+    * as [[dHashImages]]. Same mapPartitions shape — decode cost
+    * embarrassingly parallel, pipelined with the scan, no shuffle; the
+    * output feeds [[graft.operators.Dedup.frameSetNearDupPairs]]
+    * unchanged (select id, fhash where decoded). */
+  def dHashVideoFrames(media: Dataset[MediaRow], gw: Int = 8, gh: Int = 8,
+      everyNth: Int = 1, maxFrames: Int = 8): Dataset[VideoFrameHashRow] = {
+    require(everyNth >= 1 && maxFrames >= 1,
+      "everyNth and maxFrames must be positive")
+    implicit val enc = Encoders.product[VideoFrameHashRow]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val frames = FrameContainer.splitFrames(r.payload)
+        if (frames.isEmpty)
+          Iterator.single(VideoFrameHashRow(r.id, -1, decoded = false, 0L))
+        else
+          Iterator.range(0, frames.length, everyNth).take(maxFrames).map { fi =>
+            val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(fi)))
+            catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) VideoFrameHashRow(r.id, fi, decoded = false, 0L)
+            else VideoFrameHashRow(r.id, fi, decoded = true,
+              graft.functions.ImageHash.dHashGridJvm(
+                lumaGrid(img, gw + 1, gh), gw, gh))
+          }
+      }
+    }
+  }
+
   /** The FakeCodec payload bytes as a row-major window×band ENERGY
     * matrix (32 unsigned bytes = 8 windows × 4 bands) — the fixture
     * surface for the acoustic-fingerprint family:

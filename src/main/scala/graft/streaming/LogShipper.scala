@@ -93,8 +93,9 @@ object LogShipper {
 
   /** Executor-side HTTP POST; returns the response body, throws on
     * non-2xx (into the retry machinery). Shared by every HTTP-family
-    * transport. */
-  private def postString(url: String, body: String,
+    * transport — including [[Delivery]]'s WEBHOOK/SLACK alert methods,
+    * which reuse this writer rather than growing a second HTTP stack. */
+  private[streaming] def postString(url: String, body: String,
       headers: Seq[(String, String)], connectTimeoutMillis: Int = 5000,
       readTimeoutMillis: Int = 10000): String = {
     val conn = new java.net.URL(url).openConnection()

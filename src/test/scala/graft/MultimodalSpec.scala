@@ -117,4 +117,114 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(sum - 1.0) < 1e-5)
     }
   }
+
+  // -- real video containers (MJPEG / concatenated PNG) ---------------
+
+  /** A 9×8 gray frame encoded with the given writer format — pixel grid
+    * == the gw=8/gh=8 dHash luma grid, so the hash is a direct function
+    * of the pattern. */
+  private def frameBytes(fmt: String)(g: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = g(x, y) & 0xFF
+      img.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def videoOf(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    spark.createDataset(rows.map { case (id, p) =>
+      Multimodal.MediaRow(id,
+        Multimodal.MediaMeta("video", "mjpeg", p.length.toLong), p)
+    })
+  }
+
+  test("real containers: MJPEG + concatenated-PNG frames decode, hash, and find the planted near-dup") {
+    // four visually distinct frames + one more for the twin's tail
+    val a1 = frameBytes("jpg")((x, _) => (8 - x) * 25)         // decreasing
+    val a2 = frameBytes("jpg")((x, y) => ((x + y) % 2) * 200)  // checker
+    val a3 = frameBytes("jpg")((x, y) => ((x * 2 + y) % 3) * 100)
+    val a4 = frameBytes("jpg")((x, y) => (x * y % 5) * 50)
+    val b4 = frameBytes("jpg")((x, y) => ((x + y * 3) % 4) * 60)
+    // video A = 4 JPEG frames; twin B shares A's first three frame
+    // BYTES (an MJPEG cut sharing footage) + one new frame:
+    // J = 3/5 = 0.6 >= 0.5
+    val vidA = a1 ++ a2 ++ a3 ++ a4
+    val vidB = a1 ++ a2 ++ a3 ++ b4
+    // video C = 2 PNG frames, unrelated footage (exercises the PNG walk)
+    val c1 = frameBytes("png")((x, y) => (x * 13 + y * 29) % 256)
+    val c2 = frameBytes("png")((x, y) => (x * 29 + y * 13) % 256)
+    val vidC = c1 ++ c2
+    val out = Multimodal.dHashVideoFrames(
+      videoOf((1L, vidA), (2L, vidB), (3L, vidC)))
+      .collect()
+    assert(out.forall(_.decoded), out.mkString("|"))
+    assert(out.count(_.id == 1L) == 4 && out.count(_.id == 2L) == 4 &&
+      out.count(_.id == 3L) == 2)
+    val hashOf = out.map(r => (r.id, r.frameIdx) -> r.fhash).toMap
+    // shared frame bytes decode to identical pixels -> identical hashes
+    for (fi <- 0 to 2)
+      assert(hashOf((1L, fi)) == hashOf((2L, fi)), s"frame $fi")
+    // the five distinct patterns must hash distinctly (the fixture's
+    // own precondition for the Jaccard arithmetic below)
+    val distinct = Seq(hashOf((1L, 0)), hashOf((1L, 1)), hashOf((1L, 2)),
+      hashOf((1L, 3)), hashOf((2L, 3)))
+    assert(distinct.distinct.length == 5, distinct.mkString(","))
+    assert(!out.filter(_.id == 3L).map(_.fhash)
+      .exists(h => distinct.contains(h)), "C must share nothing with A/B")
+
+    // the q220 machinery over the REAL postings: planted pair surfaces
+    import spark.implicits._
+    val postings = spark.createDataset(out.toSeq).toDF()
+      .filter(col("decoded"))
+      .select(col("id"), col("fhash"))
+    val pairs = graft.operators.Dedup
+      .frameSetNearDupPairs(postings, tMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3L, 5L, 600L)), pairs.mkString("|"))
+  }
+
+  test("real containers: per-frame quarantine, malformed tails, sampling policy, parity with dHashImages") {
+    val f0 = frameBytes("jpg")((x, _) => (8 - x) * 25)
+    val f1 = frameBytes("jpg")((x, y) => ((x + y) % 2) * 200)
+    // a structurally complete but undecodable "frame": bare SOI+EOI —
+    // the splitter yields it, ImageIO refuses it, the ROW quarantines
+    // while its siblings decode
+    val hollow = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
+    val midBad = f0 ++ hollow ++ f1
+    // a malformed TAIL: complete frame + truncated frame — the complete
+    // prefix stands
+    val truncated = f0 ++ f1.dropRight(10)
+    // not a container at all -> one frameIdx=-1 quarantine row
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val out = Multimodal.dHashVideoFrames(
+      videoOf((1L, midBad), (2L, truncated), (3L, garbage)))
+      .collect()
+    val v1 = out.filter(_.id == 1L).sortBy(_.frameIdx)
+    assert(v1.map(r => (r.frameIdx, r.decoded)).toSeq ==
+      Seq((0, true), (1, false), (2, true)), v1.mkString("|"))
+    assert(v1(1).fhash == 0L)
+    val v2 = out.filter(_.id == 2L)
+    assert(v2.map(r => (r.frameIdx, r.decoded)).toSeq == Seq((0, true)),
+      v2.mkString("|"))
+    val v3 = out.filter(_.id == 3L)
+    assert(v3.map(r => (r.frameIdx, r.decoded)).toSeq == Seq((-1, false)),
+      v3.mkString("|"))
+
+    // sampling policy: 6 frames, everyNth=2, maxFrames=2 -> frames 0, 2
+    val six = f0 ++ f1 ++ f0 ++ f1 ++ f0 ++ f1
+    val sampled = Multimodal.dHashVideoFrames(videoOf((4L, six)),
+      everyNth = 2, maxFrames = 2).collect()
+    assert(sampled.map(_.frameIdx).sorted.toSeq == Seq(0, 2), sampled.mkString("|"))
+
+    // parity: a frame hashed through the video path equals the same
+    // bytes hashed through the still-image path (one kernel, two doors)
+    val still = Multimodal.dHashImages(mediaOf((9L, f0))).collect().head
+    assert(still.decoded && still.dhash == v1(0).fhash)
+  }
 }

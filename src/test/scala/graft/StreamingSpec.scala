@@ -490,6 +490,123 @@ class StreamingSpec extends AnyFunSuite {
     assert(logged.exists(_.contains("MEMORY")))
   }
 
+  test("ST9: real EMAIL/WEBHOOK/SLACK transports round-trip in-JVM servers with retry + isolation") {
+    import graft.streaming.Delivery
+    // --- in-JVM HTTP server: /hook 503s the first request then accepts;
+    // /slack acks the first request with HTTP 200 but body
+    // `invalid_payload` (Slack really does this) then with `ok`;
+    // /dead always 503s (the isolation probe)
+    val hookBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val hookFails = new java.util.concurrent.atomic.AtomicInteger(1)
+    val slackBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val slackBadAck = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      if (hookFails.getAndDecrement() > 0) respond(ex, 503, "")
+      else { hookBodies.add(body); respond(ex, 200, "") }
+    })
+    server.createContext("/slack", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      if (slackBadAck.getAndSet(false)) respond(ex, 200, "invalid_payload")
+      else { slackBodies.add(body); respond(ex, 200, "ok") }
+    })
+    server.createContext("/deadhook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      respond(ex, 503, "")
+    })
+    server.setExecutor(null)
+    server.start()
+    val port = server.getAddress.getPort
+
+    // --- in-JVM SMTP server: full reply-code dialogue; the FIRST
+    // connection rejects MAIL FROM with a transient 451 (retry probe);
+    // DATA lines recorded raw so dot-stuffing is observable on the wire
+    val smtpLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val smtpReject = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val smtpServer = new java.net.ServerSocket(0, 50,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val smtpThread = new Thread(() => {
+      try while (true) {
+        val s = smtpServer.accept()
+        try {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+          val out = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
+          def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+          reply("220 test.local ESMTP")
+          var inData = false
+          var line = in.readLine()
+          var alive = true
+          while (alive && line != null) {
+            if (inData) {
+              if (line == ".") { inData = false; reply("250 queued") }
+              else smtpLines.add(line)
+            } else line.takeWhile(_ != ' ').takeWhile(_ != ':') match {
+              case "HELO" | "EHLO" => reply("250 test.local")
+              case "MAIL" =>
+                if (smtpReject.getAndSet(false)) reply("451 try again later")
+                else reply("250 ok")
+              case "RCPT" => reply("250 ok")
+              case "DATA" => inData = true; reply("354 go ahead")
+              case "QUIT" => reply("221 bye"); alive = false
+              case _ => reply("500 what")
+            }
+            if (alive) line = in.readLine()
+          }
+        } finally s.close()
+      } catch { case _: Throwable => () } // server closed -> exit
+    })
+    smtpThread.setDaemon(true)
+    smtpThread.start()
+    val smtpPort = smtpServer.getLocalPort
+
+    try {
+      val n = Delivery.Notification("CPU", "cpu 95% \"hot\"",
+        "host y\n.dotline") // a quote to escape + a dot-stuffing probe
+      val res = Delivery.dispatch(n, Seq(
+        // dead FIRST: its exhausted retries must not block the others
+        Delivery.webhookMethod(s"http://127.0.0.1:$port/deadhook")
+          .copy(name = "DEAD"),
+        Delivery.webhookMethod(s"http://127.0.0.1:$port/hook"),
+        Delivery.slackMethod(s"http://127.0.0.1:$port/slack"),
+        Delivery.emailMethod("127.0.0.1", smtpPort,
+          from = "alerts@graft.local", to = "ops@graft.local")),
+        sleeper = _ => ())
+      val byName = res.groupBy(_.method).view.mapValues(_.head).toMap
+      assert(byName("DEAD").outcome == Delivery.Failed(3, "HTTP 503 from " +
+        s"http://127.0.0.1:$port/deadhook"), byName("DEAD").toString)
+      // webhook: one real 503 then a real 200 over the wire
+      assert(byName("WEBHOOK").outcome == Delivery.Delivered(2), byName.toString)
+      val hook = hookBodies.toArray(Array.empty[String])
+      assert(hook.length == 1 &&
+        hook(0).contains(""""alertType":"CPU"""") &&
+        hook(0).contains("""cpu 95% \"hot\""""), hook.mkString("|"))
+      // slack: the HTTP-200 `invalid_payload` ack MUST count as a failure
+      assert(byName("SLACK").outcome == Delivery.Delivered(2), byName.toString)
+      val slack = slackBodies.toArray(Array.empty[String])
+      assert(slack.length == 1 && slack(0).contains("*[CPU]"), slack.mkString("|"))
+      // email: transient 451 on the first connection, clean dialogue on
+      // the second; dot-stuffing visible on the wire
+      assert(byName("EMAIL").outcome == Delivery.Delivered(2), byName.toString)
+      val mail = smtpLines.toArray(Array.empty[String])
+      assert(mail.exists(_ == "Subject: [CPU] cpu 95% \"hot\""), mail.mkString("|"))
+      assert(mail.exists(_ == "..dotline"), // wire form: stuffed
+        mail.mkString("|"))
+    } finally {
+      server.stop(0)
+      smtpServer.close()
+    }
+  }
+
   test("S8: a destination exhausting retries is isolated; others still ship") {
     import spark.implicits._
     LogShipper.resetStats()
