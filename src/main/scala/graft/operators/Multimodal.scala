@@ -471,13 +471,11 @@ object Multimodal {
   /** REAL-PCM acoustic fingerprint over the partition-batched shape:
     * payload interpreted as 16-bit little-endian signed PCM mono,
     * split into `frames` equal time windows, per-window band energies
-    * from a polyphase decomposition (band b = mean |sample| over the
-    * window's positions ≡ b mod bands — the clearly-marked
-    * deterministic stand-in for an FFT filterbank: a production
-    * deployment swaps a real spectral transform into
-    * [[pcmBandEnergies]]; the windowing, integer energy contract, and
-    * fingerprint kernel are the real pipeline and don't change), then
-    * the same [[graft.functions.AudioFingerprint.bandFingerprintJvm]]
+    * from a REAL FFT filterbank ([[pcmSpectralBandEnergies]]: radix-2
+    * Cooley–Tukey over each window, |X_k|² mean per equal bin range —
+    * an actual spectral transform, so a pure low tone lands its energy
+    * in band 0 and a near-Nyquist tone in the last band), then the
+    * same [[graft.functions.AudioFingerprint.bandFingerprintJvm]]
     * kernel the fixture path uses. Same mapPartitions shape as
     * [[decodeImages]]: decode cost embarrassingly parallel, pipelined
     * with the scan, no shuffle. */
@@ -492,7 +490,7 @@ object Multimodal {
         else
           AudioFingerprintRow(r.id, decoded = true,
             graft.functions.AudioFingerprint.bandFingerprintJvm(
-              pcmBandEnergies(pcm, frames, bands), frames, bands))
+              pcmSpectralBandEnergies(pcm, frames, bands), frames, bands))
       }
     }
   }
@@ -510,27 +508,109 @@ object Multimodal {
     out
   }
 
-  /** Row-major frames×bands integer energy matrix: window t covers
-    * samples [t·⌊n/frames⌋, …) (the last window absorbs the
-    * remainder), band b integrates |sample| over the window's
-    * positions ≡ b (mod bands), energy = the integer mean (exact
-    * integer arithmetic — decoder-deterministic). */
-  private[graft] def pcmBandEnergies(samples: Array[Int], frames: Int,
-      bands: Int): Array[Int] = {
-    require(frames >= 1 && bands >= 1, "frames and bands must be positive")
-    val sums = new Array[Long](frames * bands)
-    val counts = new Array[Int](frames * bands)
-    val wlen = math.max(1, samples.length / frames)
-    var i = 0
-    while (i < samples.length) {
-      val t = math.min(i / wlen, frames - 1)
-      val cell = t * bands + i % bands
-      sums(cell) += math.abs(samples(i).toLong)
-      counts(cell) += 1
+  /** Squared magnitudes |X_k|² for k = 0..n/2 of a real input via an
+    * iterative radix-2 Cooley–Tukey FFT (n must be a power of two).
+    * Trig through StrictMath (fdlibm) so the transform is bit-identical
+    * across JVMs/platforms — the decoder-determinism contract every
+    * codec in this file keeps. Scaling note: doubling every input
+    * doubles every intermediate EXACTLY (power-of-two scaling commutes
+    * with IEEE-754 rounding), so |X_k|² scales by exactly 4× — the
+    * basis of the fingerprint's gain invariance. */
+  private[graft] def fftMagSqHalf(xs: Array[Double]): Array[Double] = {
+    val n = xs.length
+    require(n > 0 && (n & (n - 1)) == 0, s"FFT length must be a power of two, got $n")
+    val re = xs.clone()
+    val im = new Array[Double](n)
+    // bit-reversal permutation (im is all zero pre-transform)
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) { val t = re(i); re(i) = re(j); re(j) = t }
       i += 1
     }
-    Array.tabulate(frames * bands)(k =>
-      if (counts(k) == 0) 0 else (sums(k) / counts(k)).toInt)
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * StrictMath.PI / len
+      val wr = StrictMath.cos(ang)
+      val wi = StrictMath.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        val half = len >> 1
+        while (k < half) {
+          val ur = re(s + k); val ui = im(s + k)
+          val xr = re(s + k + half); val xi = im(s + k + half)
+          val vr = xr * cr - xi * ci
+          val vi = xr * ci + xi * cr
+          re(s + k) = ur + vr; im(s + k) = ui + vi
+          re(s + k + half) = ur - vr; im(s + k + half) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+    Array.tabulate(n / 2 + 1)(k => re(k) * re(k) + im(k) * im(k))
+  }
+
+  /** Row-major frames×bands integer energy matrix from a REAL spectral
+    * transform: window t covers samples [t·⌊n/frames⌋, …) (the last
+    * window absorbs the remainder), each window is zero-padded to the
+    * next power of two and FFT'd, and band b's energy is the mean of
+    * |X_k|² over its equal share of the positive-frequency bins
+    * (DC excluded — the fingerprint is therefore DC-offset invariant),
+    * normalized by L² so 16-bit input never overflows the Int cell
+    * (max ≈ 32768² ≈ 1.07e9 < 2³¹). floor() to the integer contract
+    * the fingerprint kernel takes; a band with no bins (window shorter
+    * than 2·bands) reads 0. O(L log L) per window — a 1-minute 16 kHz
+    * clip is ~2M flops per window, executor-cheap. */
+  private[graft] def pcmSpectralBandEnergies(samples: Array[Int],
+      frames: Int, bands: Int): Array[Int] = {
+    require(frames >= 1 && bands >= 1, "frames and bands must be positive")
+    val out = new Array[Int](frames * bands)
+    val wlen = math.max(1, samples.length / frames)
+    var t = 0
+    while (t < frames) {
+      val start = t * wlen
+      val end =
+        if (t == frames - 1) samples.length
+        else math.min(samples.length, start + wlen)
+      if (start < end) {
+        val len = end - start
+        var p2 = 1
+        while (p2 < len) p2 <<= 1
+        val buf = new Array[Double](p2)
+        var i = 0
+        while (i < len) { buf(i) = samples(start + i).toDouble; i += 1 }
+        val mag = fftMagSqHalf(buf)
+        val nb = mag.length - 1 // usable bins 1..nb (DC skipped)
+        var b = 0
+        while (b < bands) {
+          val lo = 1 + b * nb / bands
+          val hi = 1 + (b + 1) * nb / bands
+          var sum = 0.0
+          var k = lo
+          while (k < hi) { sum += mag(k); k += 1 }
+          out(t * bands + b) =
+            if (hi <= lo) 0
+            else {
+              val e = sum / ((hi - lo).toDouble * len.toDouble * len.toDouble)
+              math.min(Int.MaxValue.toDouble, StrictMath.floor(e)).toInt
+            }
+          b += 1
+        }
+      }
+      t += 1
+    }
+    out
   }
 
   /** Build a deterministic fake media frame from the documents table

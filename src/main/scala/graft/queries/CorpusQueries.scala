@@ -446,8 +446,8 @@ object CorpusQueries {
     // engine's own 100 TB doctrine (q205: LSH components + keep-best
     // BEFORE anything expensive) applied to the one-call curation
     // composition. Five stages over a corpus planted with BOTH dup
-    // kinds: exact twins (+100000, every 5th doc — die at stage 2) and
-    // NEAR twins (+300000, every 6th doc with one salted token
+    // kinds: exact twins (+2^40, every 5th doc — die at stage 2) and
+    // NEAR twins (+2^41, every 6th doc with one salted token
     // appended, J ≈ (n-2)/(n-1) — die at stage 3's keep-best, where
     // the longer variant WINS over its original): (1) surprisal
     // quality gate trained in-pipeline, (2) exact dedup keep-min,
@@ -461,9 +461,9 @@ object CorpusQueries {
     // survivor flow.
     "q218_curation_neardup_pipeline" -> QueryDef(
       s"""WITH RECURSIVE corpus AS (SELECT doc_id, text, source FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 1099511627776, text, source FROM documents
          |  WHERE doc_id % 5 = 0
-         |  UNION ALL SELECT doc_id + 300000,
+         |  UNION ALL SELECT doc_id + 2199023255552,
          |    text || ' zzq' || CAST(doc_id % 7 AS VARCHAR), source
          |  FROM documents WHERE doc_id % 6 = 0),
          |tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM corpus),
@@ -536,12 +536,15 @@ object CorpusQueries {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val t = Tables(s, dir)
       val d = t.documents.select(col("doc_id"), col("text"), col("source"))
+      // planted ids at 2^40/2^41: collision-clean headroom at ANY
+      // scale factor (the q228 offset convention — +100000/+300000
+      // started colliding with real doc ids at sf1.0+)
       val corpus = d
         .unionByName(d.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          .select((col("doc_id") + 1099511627776L).as("doc_id"), col("text"),
             col("source")))
         .unionByName(d.filter(col("doc_id") % 6 === 0)
-          .select((col("doc_id") + 300000L).as("doc_id"),
+          .select((col("doc_id") + 2199023255552L).as("doc_id"),
             concat(col("text"), lit(" zzq"),
               (col("doc_id") % 7).cast("string")).as("text"),
             col("source")))

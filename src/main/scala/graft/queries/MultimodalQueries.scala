@@ -487,26 +487,26 @@ object MultimodalQueries {
     },
 
     // Perceptual AUDIO fingerprint (temporal band-energy deltas over
-    // the 8-window × 4-band fake energy matrix → 28 bits): bit (t, b)
-    // = energy(t+1, b) > energy(t, b) — gain-invariant, ≤ 2 bits flip
-    // per perturbed cell. The acoustic twin of q203: the native kernel
-    // rides the same decode plumbing; DuckDB re-derives every byte
-    // from the md5 hex chain and unrolls the 28 temporal comparisons.
+    // the 17-window × 4-band fake energy matrix → a full 64 bits): bit
+    // (t, b) = energy(t+1, b) > energy(t, b) — gain-invariant, ≤ 2 bits
+    // flip per perturbed cell. The acoustic twin of q203: the native
+    // kernel rides the same decode plumbing; DuckDB re-derives every
+    // byte from the 5-link md5 hex chain and unrolls the 64 temporal
+    // comparisons.
     "q224_audio_fingerprint" -> QueryDef(
-      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+      s"""WITH m AS (SELECT doc_id AS id, $audioChainSql AS h
          |           FROM documents WHERE doc_id % 3 = 1)
          |SELECT id, CAST(${audioFpSql(byteSql("h", _))} AS BIGINT) AS afp
          |FROM m ORDER BY id""".stripMargin) { (s, dir) =>
-      Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
-        .toDF().filter(col("meta.mediaType") === "audio")
+      audioEnergies(s, dir)
         .select(col("id"),
           graft.functions.AudioFingerprint.bandFingerprint(
-            Multimodal.fakeBandEnergies(col("payload")), 8, 4).as("afp"))
+            col("energies"), AudioFrames, AudioBands).as("afp"))
         .orderBy(col("id"))
     },
 
     // Audio NEAR-duplicate pairs: Hamming-band bucketing over the q224
-    // fingerprints — the q204 machinery UNCHANGED (4 bands × 7 bits,
+    // fingerprints — the q204 machinery UNCHANGED (4 bands × 16 bits,
     // complete for distance ≤ 3 by pigeonhole), exact xor+bit_count
     // verify on candidates only. The fixture plants REAL near-dups:
     // every 5th audio re-enters under -id-1 with one window's band
@@ -519,7 +519,7 @@ object MultimodalQueries {
       val base = audioFpSql(byteSql("h", _))
       val bumped = audioFpSql(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
-      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+      s"""WITH m AS (SELECT doc_id AS id, $audioChainSql AS h
          |           FROM documents WHERE doc_id % 3 = 1),
          |hs AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
          |       UNION ALL
@@ -532,7 +532,7 @@ object MultimodalQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
       graft.operators.Dedup.hammingNearDupPairs(audioFingerprints(s, dir),
-        bits = 28, bands = 4, maxDist = 3)
+        bits = 64, bands = 4, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -547,7 +547,7 @@ object MultimodalQueries {
       val bumped = audioFpSql(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
       s"""WITH RECURSIVE m AS (SELECT doc_id AS id,
-         |           md5(text) || md5(md5(text)) AS h
+         |           $audioChainSql AS h
          |           FROM documents WHERE doc_id % 3 = 1),
          |hs AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
          |       UNION ALL
@@ -570,7 +570,7 @@ object MultimodalQueries {
       val hashes = audioFingerprints(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = graft.operators.Dedup.hammingNearDupPairs(hashes,
-        bits = 28, bands = 4, maxDist = 3)
+        bits = 64, bands = 4, maxDist = 3)
         .select(col("id_a"), col("id_b"))
       graft.operators.Dedup.connectedComponents(
         hashes.select(col("id")), pairs, maxIter = 64)
@@ -595,7 +595,7 @@ object MultimodalQueries {
       val base = audioFpSql(byteSql("h", _))
       val bumped = audioFpSql(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
-      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+      s"""WITH m AS (SELECT doc_id AS id, $audioChainSql AS h
          |           FROM documents WHERE doc_id % 3 = 1),
          |st AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
          |       WHERE id % 6 = 1),
@@ -613,7 +613,7 @@ object MultimodalQueries {
       val en = audioEnergies(s, dir)
       def fp(g: org.apache.spark.sql.DataFrame) = g.select(col("id"),
         graft.functions.AudioFingerprint.bandFingerprint(
-          col("energies"), 8, 4).as("hash"))
+          col("energies"), AudioFrames, AudioBands).as("hash"))
       val store = fp(en.filter(col("id") % 6 === 1))
       val variants = en.filter(col("id") % 6 === 1 && col("id") % 5 === 0)
         .select((-col("id") - 1).as("id"),
@@ -822,20 +822,47 @@ object MultimodalQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       tMilli = 500)
 
+  /** Audio fixture geometry: 17 windows × 4 bands → a FULL 64-bit
+    * fingerprint ((17−1)·4 comparisons). Widened from the original
+    * 8×4/28-bit form because a 28-bit space saturates with natural
+    * collisions as the corpus decades up (q225/q227's superlinear
+    * sf1.0→sf10 ratios were fixture collision growth, not plan
+    * growth); at 64 bits pair mass stays band-linear. */
+  // defs, not vals: the `entries` val above initializes FIRST, so a
+  // val here would still be 0/null when the query SQL strings render
+  private def AudioFrames: Int = 17
+  private def AudioBands: Int = 4
+
   /** The fake band-energy matrices of the audio corpus (id, energies):
-    * audio docs' payload bytes as 8-window × 4-band energies — the
-    * shared input of the q224–q227 acoustic-fingerprint family. */
+    * 17 × 4 = 68 cells, each a byte of the 5-link md5 hex chain of the
+    * doc text (the 32-byte 2-link chain only covers 8×4) — the shared
+    * input of the q224–q227 acoustic-fingerprint family. DuckDB
+    * re-derives the same bytes from [[audioChainSql]]. */
   private def audioEnergies(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
-      .toDF().filter(col("meta.mediaType") === "audio")
-      .select(col("id"),
-        Multimodal.fakeBandEnergies(col("payload")).as("energies"))
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val c1 = md5(col("text"))
+    val c2 = md5(c1)
+    val c3 = md5(c2)
+    val c4 = md5(c3)
+    val c5 = md5(c4)
+    val h = concat(c1, c2, c3, c4, c5)
+    Tables(s, dir).documents.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("id"),
+        array((0 until AudioFrames * AudioBands).map { k =>
+          conv(substring(h, 2 * k + 1, 2), 16, 10).cast("int")
+        }: _*).as("energies"))
+  }
+
+  /** The 5-link md5 hex chain (160 chars ≥ 136 needed for 68 bytes) —
+    * the oracle-side twin of [[audioEnergies]]' payload derivation. */
+  private def audioChainSql: String =
+    "md5(text) || md5(md5(text)) || md5(md5(md5(text))) || " +
+      "md5(md5(md5(md5(text)))) || md5(md5(md5(md5(md5(text)))))"
 
   /** The q225/q226 fingerprint fixture: base audio fingerprints ∪
     * planted near-dup variants (every 5th audio under -id-1 with
     * energy cell 9 bumped half the byte range — ≤ 2 bits flip). */
-  private def audioFingerprints(s: org.apache.spark.sql.SparkSession,
+  private[graft] def audioFingerprints(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val en = audioEnergies(s, dir)
     val variants = en.filter(col("id") % 5 === 0)
@@ -845,7 +872,7 @@ object MultimodalQueries {
     en.unionByName(variants)
       .select(col("id"),
         graft.functions.AudioFingerprint.bandFingerprint(
-          col("energies"), 8, 4).as("hash"))
+          col("energies"), AudioFrames, AudioBands).as("hash"))
   }
 
   /** Byte k (0-based) of the 32-byte payload as nibble arithmetic over
@@ -863,13 +890,18 @@ object MultimodalQueries {
         s"THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** The 28-bit audio fingerprint as unrolled adjacent-WINDOW
-    * comparisons over an 8-window × 4-band energy matrix (bit k:
+  /** The 64-bit audio fingerprint as unrolled adjacent-WINDOW
+    * comparisons over the 17-window × 4-band energy matrix (bit k:
     * window t = k/4, band b = k%4, cell t·4+b = k, compared against
-    * the same band one window later at k+4). */
+    * the same band one window later at k+4). Bit 63's term renders as
+    * the NEGATIVE Long literal −2⁶³ — safe in BIGINT arithmetic: the
+    * terms are disjoint bits summed in ascending k, so the partial sum
+    * over bits 0..62 is ≤ 2⁶³−1 and adding the final sign-bit term
+    * lands exactly on the two's-complement value, never outside the
+    * BIGINT range. */
   private def audioFpSql(byteAt: Int => String): String =
-    (0 until 28).map { k =>
-      s"(CASE WHEN ${byteAt(k + 4)} > ${byteAt(k)} " +
+    (0 until (AudioFrames - 1) * AudioBands).map { k =>
+      s"(CASE WHEN ${byteAt(k + AudioBands)} > ${byteAt(k)} " +
         s"THEN ${1L << k} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 }

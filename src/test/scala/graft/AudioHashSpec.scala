@@ -69,20 +69,20 @@ class AudioHashSpec extends AnyFunSuite {
     }
   }
 
-  test("real PCM path: windowed polyphase energies, gain invariance, short-payload quarantine") {
-    // 256 samples -> 8 windows of 32; band b of a window integrates
-    // |sample| over positions ≡ b (mod 4). Constructed so every window
-    // mean is exact (values divisible by the 8-per-cell count).
-    val rnd = new scala.util.Random(226L)
-    val samples = Array.fill(256)((rnd.nextInt(400) - 200) * 8)
-    def pcmBytes(s: Array[Int]): Array[Byte] = {
-      val out = new Array[Byte](s.length * 2)
-      s.indices.foreach { i =>
-        out(2 * i) = (s(i) & 0xff).toByte
-        out(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
-      }
-      out
+  private def pcmBytes(s: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](s.length * 2)
+    s.indices.foreach { i =>
+      out(2 * i) = (s(i) & 0xff).toByte
+      out(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
     }
+    out
+  }
+
+  test("real PCM path: FFT filterbank energies, gain invariance, short-payload quarantine") {
+    // 256 samples -> 8 windows of 32 (power of two: no padding), bins
+    // 1..16 per window, 4 bands of 4 bins
+    val rnd = new scala.util.Random(226L)
+    val samples = Array.fill(256)(rnd.nextInt(3200) - 1600)
     def media(id: Long, payload: Array[Byte]) = Multimodal.MediaRow(
       id, Multimodal.MediaMeta("audio", "fake-pcm", payload.length.toLong),
       payload)
@@ -95,17 +95,53 @@ class AudioHashSpec extends AnyFunSuite {
       .collect().map(r => r.id -> ((r.decoded, r.afp))).toMap
     assert(got(1L)._1 && got(2L)._1 && !got(3L)._1, got.toString)
     assert(got(3L)._2 == 0L, "quarantined row carries fingerprint 0")
-    // doubling every sample doubles every band energy EXACTLY here
-    // (cell sums stay divisible by the per-cell count), so the
-    // sign-of-delta fingerprint is identical — the gain invariance
-    // the real path exists to provide
+    // doubling every sample scales every |X_k|² by EXACTLY 4 (powers of
+    // two commute with IEEE-754 rounding), so every energy comparison's
+    // sign survives the gain — the loudness invariance the
+    // sign-of-delta fingerprint exists to provide
     assert(got(1L)._2 == got(2L)._2,
       s"gain changed the fingerprint: ${got(1L)._2} vs ${got(2L)._2}")
     // JVM parity: the mapPartitions path equals the hand computation
-    val energies = Multimodal.pcmBandEnergies(
+    val energies = Multimodal.pcmSpectralBandEnergies(
       Multimodal.pcmSamples(pcmBytes(samples)), 8, 4)
     assert(got(1L)._2 ==
       AudioFingerprint.bandFingerprintJvm(energies, 8, 4))
+  }
+
+  test("the filterbank is actually spectral: tones land in their bands; one perturbed window flips <= 2*bands bits") {
+    // pure tones at exact bin frequencies (window 32, period divides
+    // 32 -> zero leakage): bin 2 lives in band 0 (bins 1-4), bin 7 in
+    // band 1 (5-8), bin 14 in band 3 (13-16). The retired polyphase
+    // stand-in (mean |sample| over positions ≡ b mod bands) spreads any
+    // tone across ALL bands — this concentration witness is what
+    // separates a real spectral transform from it.
+    def tone(bin: Int): Array[Int] =
+      Array.tabulate(256)(n =>
+        StrictMath.floor(16000.0 *
+          StrictMath.cos(2.0 * StrictMath.PI * bin * (n % 32) / 32.0)).toInt)
+    for ((bin, band) <- Seq((2, 0), (7, 1), (14, 3))) {
+      val e = Multimodal.pcmSpectralBandEnergies(tone(bin), 8, 4)
+      for (t <- 0 until 8; b <- 0 until 4 if b != band)
+        assert(e(t * 4 + band) > 100L * math.max(1, e(t * 4 + b)),
+          s"bin $bin window $t: band $band energy ${e(t * 4 + band)} " +
+            s"not dominant over band $b (${e(t * 4 + b)})")
+    }
+
+    // locality law over the FFT energies: perturbing ONE window touches
+    // only that window's row of the energy matrix, whose `bands` cells
+    // each participate in <= 2 temporal comparisons -> <= 2*bands bits
+    val rnd = new scala.util.Random(227L)
+    val base = Array.fill(256)(rnd.nextInt(3200) - 1600)
+    val h0 = AudioFingerprint.bandFingerprintJvm(
+      Multimodal.pcmSpectralBandEnergies(base, 8, 4), 8, 4)
+    for (w <- Seq(0, 3, 7)) {
+      val mut = base.clone()
+      for (i <- w * 32 until (w + 1) * 32) mut(i) = rnd.nextInt(3200) - 1600
+      val h1 = AudioFingerprint.bandFingerprintJvm(
+        Multimodal.pcmSpectralBandEnergies(mut, 8, 4), 8, 4)
+      val d = java.lang.Long.bitCount(h0 ^ h1)
+      assert(d <= 8, s"window $w perturbation flipped $d bits (> 2*bands)")
+    }
   }
 
   test("audio admission ingest: store blocks near-dups across batches, replay idempotent, compaction invisible") {

@@ -227,4 +227,146 @@ class MultimodalSpec extends AnyFunSuite {
     val still = Multimodal.dHashImages(mediaOf((9L, f0))).collect().head
     assert(still.decoded && still.dhash == v1(0).fhash)
   }
+
+  // -- multimodal streamed admission chain -----------------------------
+
+  test("multimodal streamed admission chain: mixed stream == one-slice batch per modality at two SFs; replay idempotent") {
+    import graft.operators.Dedup
+    import graft.streaming.MultimodalAdmission
+    import graft.streaming.MultimodalAdmission.{FrameCfg, HammingCfg}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def tmpDir(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    for ((dir, tag) <- Seq("/root/testdata/sf0.001" -> "a",
+        "/root/testdata/sf0.01" -> "b")) {
+      // fixtures = the registered query derivations (q204 images,
+      // q225's 64-bit audio fingerprints, q220 video postings)
+      val grids = Multimodal.syntheticMediaFrame(
+        graft.core.Tables(spark, dir).documents)
+        .toDF().filter(col("meta.mediaType") === "image")
+        .select(col("id"), Multimodal.fakeLumaGrid(col("payload")).as("grid"))
+      val imgAll = grids.unionByName(grids.filter(col("id") % 5 === 0)
+        .select((-col("id") - 1).as("id"),
+          transform(col("grid"), (v, i) =>
+            when(i === 9, (v + 1) % 256).otherwise(v)).as("grid")))
+        .select(col("id"),
+          graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4).as("hash"))
+      val audAll = graft.queries.MultimodalQueries.audioFingerprints(spark, dir)
+      val vidAll = graft.queries.MultimodalQueries.videoFrameHashes(spark, dir)
+
+      // chunked-greedy == one-slice parity needs a CHAIN-FREE near-dup
+      // graph (a kill-chain's survivor set legitimately depends on
+      // batch boundaries): drop every entity touching a NATURAL pair
+      // (any pair that isn't a planted (base, -base-1) twin), keeping
+      // the planted structure intact. At 28 bits naturals exist from
+      // sf0.01 up; at the 64-bit audio width they shouldn't — cleaning
+      // uniformly keeps the law exact either way.
+      def cleanIds(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+        pairs.filter(!(col("id_a") === -col("id_b") - 1) &&
+            !(col("id_b") === -col("id_a") - 1))
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .collect().map(_.getLong(0))
+          .flatMap(id => Seq(id, -id - 1)).toSet
+      val imgDrop = cleanIds(Dedup.hammingNearDupPairs(imgAll,
+        bits = 28, bands = 4, maxDist = 3))
+      val audDrop = cleanIds(Dedup.hammingNearDupPairs(audAll,
+        bits = 64, bands = 4, maxDist = 3))
+      val vidDrop = cleanIds(
+        Dedup.frameSetNearDupPairs(vidAll, tMilli = 500)
+          .select(col("id_a"), col("id_b")))
+      def keep(df: org.apache.spark.sql.DataFrame, drop: Set[Long]) =
+        if (drop.isEmpty) df
+        else df.join(broadcast(drop.toSeq.toDF("id")), Seq("id"), "left_anti")
+      val img = keep(imgAll, imgDrop)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val aud = keep(audAll, audDrop)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vid = keep(vidAll, vidDrop)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // one-slice batch targets: the whole cleaned corpus through each
+      // fold once, fresh stores
+      val (ti, ta, tv) = (tmpDir(s"mm-img-t$tag"), tmpDir(s"mm-aud-t$tag"),
+        tmpDir(s"mm-vid-t$tag"))
+      val oneImg = Dedup.imageAdmissionIngest(img, ti, "all", 28, 4, 3)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val oneAud = Dedup.audioAdmissionIngest(aud, ta, "all", 64, 4, 3)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val oneVid = Dedup.videoAdmissionIngest(vid, tv, "all", tMilli = 500)
+        .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+
+      // the mixed stream: (modality, id, key) — image/audio one row
+      // per entity, video one row per frame, ENTITY-ATOMIC chunks in
+      // ascending id order per modality, modalities interleaved
+      val rows: Seq[(String, Long, Seq[(String, Long, Long)])] =
+        (img.collect().map(r =>
+            ("image", r.getLong(0), Seq(("image", r.getLong(0), r.getLong(1))))) ++
+          aud.collect().map(r =>
+            ("audio", r.getLong(0), Seq(("audio", r.getLong(0), r.getLong(1))))) ++
+          vid.collect().groupBy(_.getLong(0)).toSeq.map { case (id, frs) =>
+            ("video", id, frs.toSeq.map(fr => ("video", id, fr.getLong(1))))
+          }).sortBy { case (m, id, _) => (id, m) }
+      val (si, sa, sv) = (tmpDir(s"mm-img-s$tag"), tmpDir(s"mm-aud-s$tag"),
+        tmpDir(s"mm-vid-s$tag"))
+      val stream = MemoryStream[(String, Long, Long)]
+      val q = stream.toDS().toDF("modality", "id", "key")
+        .writeStream
+        .foreachBatch(MultimodalAdmission.sink(
+          HammingCfg(si, 28, 4, 3), HammingCfg(sa, 64, 4, 3),
+          FrameCfg(sv, 500)))
+        .option("checkpointLocation", tmpDir(s"mm-ck$tag"))
+        .start()
+      try {
+        rows.grouped(math.max(1, rows.length / 5 + 1)).foreach { chunk =>
+          stream.addData(chunk.flatMap(_._3))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      // parity: streamed store contents == the one-slice admitted sets
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+      val stImg = ids(graft.sources.DHashStore.load(spark, si))
+      val stAud = ids(graft.sources.AudioHashStore.load(spark, sa))
+      val stVid = ids(graft.sources.FrameHashStore.load(spark, sv))
+      assert(stImg == oneImg, s"$dir image: streamed ${stImg.size} vs " +
+        s"one-slice ${oneImg.size}; extra=${(stImg diff oneImg).take(5)} " +
+        s"missing=${(oneImg diff stImg).take(5)}")
+      assert(stAud == oneAud, s"$dir audio: streamed ${stAud.size} vs " +
+        s"one-slice ${oneAud.size}")
+      assert(stVid == oneVid, s"$dir video: streamed ${stVid.size} vs " +
+        s"one-slice ${oneVid.size}")
+      // the planted twins died in every modality (variant XOR base
+      // admitted, never both) — for video only twins with >= 3 frames
+      // reach J = (n-1)/(n+1) >= 0.5; shorter twins legitimately fall
+      // below threshold on both engines (the q220 fixture contract)
+      for ((st, name) <- Seq((stImg, "image"), (stAud, "audio")))
+        assert(!st.exists(id => id >= 0 && st.contains(-id - 1)),
+          s"$dir $name: a base and its planted twin were both admitted")
+      val longVids = vid.groupBy(col("id"))
+        .agg(countDistinct(col("fhash")).as("nf"))
+        .filter(col("nf") >= 3 && col("id") >= 0)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(!stVid.exists(id => id >= 0 && longVids.contains(id) &&
+          stVid.contains(-id - 1)),
+        s"$dir video: a >=3-frame base and its planted twin were both admitted")
+
+      // replay idempotence: re-ingest the FIRST chunk under its
+      // original batch id — stores must not change
+      val firstChunk = rows.grouped(math.max(1, rows.length / 5 + 1))
+        .next().flatMap(_._3)
+      MultimodalAdmission.ingest(
+        firstChunk.toDF("modality", "id", "key"), "b000000000",
+        HammingCfg(si, 28, 4, 3), HammingCfg(sa, 64, 4, 3), FrameCfg(sv, 500))
+      assert(ids(graft.sources.DHashStore.load(spark, si)) == stImg &&
+        ids(graft.sources.AudioHashStore.load(spark, sa)) == stAud &&
+        ids(graft.sources.FrameHashStore.load(spark, sv)) == stVid,
+        s"$dir: replaying batch 0 changed a store")
+      img.unpersist(); aud.unpersist(); vid.unpersist()
+    }
+  }
 }

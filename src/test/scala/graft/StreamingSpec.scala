@@ -1262,15 +1262,17 @@ class StreamingSpec extends AnyFunSuite {
         "/root/testdata/sf0.01" -> "b")) {
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("source"))
-      // the q218 corpus: exact twins (+100000) die at the dedup gate,
-      // near twins (+300000, one appended salted token) at the
-      // near-dup gate
+      // the q218 corpus: exact twins (+2^40) die at the dedup gate,
+      // near twins (+2^41, one appended salted token) at the
+      // near-dup gate (the collision-clean offset convention)
+      val exactOff = 1L << 40
+      val nearOff = 1L << 41
       val corpus = d
         .unionByName(d.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          .select((col("doc_id") + exactOff).as("doc_id"), col("text"),
             col("source")))
         .unionByName(d.filter(col("doc_id") % 6 === 0)
-          .select((col("doc_id") + 300000L).as("doc_id"),
+          .select((col("doc_id") + nearOff).as("doc_id"),
             concat(col("text"), lit(" zzq"),
               (col("doc_id") % 7).cast("string")).as("text"),
             col("source")))
@@ -1378,13 +1380,13 @@ class StreamingSpec extends AnyFunSuite {
         assert(streamedAdmitted.map(comp) == keptBest.map(comp),
           s"$dir: component coverage diverged")
         // the planted near twins provably die at the near-dup gate:
-        // every +300000 variant whose base survived to s2 is absent
-        val variantSurvivors = streamedAdmitted.filter(_ >= 300000L)
+        // every +2^41 variant whose base survived to s2 is absent
+        val variantSurvivors = streamedAdmitted.filter(_ >= nearOff)
         val s2ids = s2.select(col("doc_id"))
           .collect().map(_.getLong(0)).toSet
-        assert(variantSurvivors.forall(v => !s2ids.contains(v - 300000L)),
+        assert(variantSurvivors.forall(v => !s2ids.contains(v - nearOff)),
           s"$dir: variants admitted alongside their bases: " +
-            s"${variantSurvivors.filter(v => s2ids.contains(v - 300000L)).take(5)}")
+            s"${variantSurvivors.filter(v => s2ids.contains(v - nearOff)).take(5)}")
         // stage 5, streamed: BudgetGate over the chain's survivors
         // (store-and-forward, the q217 soak's shape) — the WHOLE
         // five-stage q218 composition now has a streamed form, pinned
@@ -1502,6 +1504,30 @@ class StreamingSpec extends AnyFunSuite {
         .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
       assert(msgs2.contains("at or below the previously folded id"), msgs2)
     } finally qd.stop()
+    // an id of Long.MinValue is a LEGAL first row: the guard keys
+    // "has a prior id" on state existence, not a MinValue sentinel
+    // (which would reject this row as its own duplicate) — and the
+    // NEXT id still folds against it
+    val mn = MemoryStream[(String, Long, Long)]
+    val qm = graft.streaming.BudgetGate.admit(mn.toDS(),
+      budgets = Map("g" -> 100L))
+      .toDF("g", "id", "w")
+      .writeStream.format("memory").queryName("budget_minval")
+      .outputMode("append").start()
+    try {
+      mn.addData(("g", Long.MinValue, 1L))
+      qm.processAllAvailable()
+      mn.addData(("g", Long.MinValue + 1, 1L))
+      qm.processAllAvailable()
+      val gotM = spark.sql("SELECT id FROM budget_minval")
+        .collect().map(_.getLong(0)).toSet
+      assert(gotM == Set(Long.MinValue, Long.MinValue + 1), gotM.toString)
+      mn.addData(("g", Long.MinValue, 1L)) // NOW it's a duplicate
+      val e3 = intercept[Exception] { qm.processAllAvailable() }
+      val msgs3 = Iterator.iterate(e3: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs3.contains("at or below the previously folded id"), msgs3)
+    } finally qm.stop()
   }
 
   test("streaming span-gate admission: quality gate -> span gate -> first-seen dedup") {
