@@ -312,101 +312,91 @@ object Multimodal {
 
     private def u(p: Array[Byte], k: Int): Int = p(k) & 0xFF
 
-    /** Split a concatenated-JPEG (MJPEG) payload into frame byte ranges.
-      * Real JPEG structure walk: length-prefixed segments, standalone
+    /** End offset (exclusive) of one JPEG starting at `start`, or -1
+      * if the bytes there don't parse as a complete JPEG. Real JPEG
+      * structure walk: SOI, length-prefixed segments, standalone
       * markers, entropy-coded scan data (FF00 stuffing and FFD0–D7
-      * restarts skipped) until EOI. A malformed tail stops the walk —
-      * complete frames already split still stand (quarantine the rest,
-      * don't fail the task). */
-    private[graft] def splitJpegFrames(p: Array[Byte]): Array[Array[Byte]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      * restarts skipped) until EOI. */
+    private[graft] def parseJpeg(p: Array[Byte], start: Int): Int = {
       val n = p.length
-      var i = 0
-      while (i + 1 < n) {
-        if (u(p, i) == 0xFF && u(p, i + 1) == 0xD8) {
-          val start = i
-          var j = i + 2
-          var done = false
-          var ok = true
-          while (!done && ok) {
-            if (j + 1 >= n || u(p, j) != 0xFF) ok = false
-            else {
-              var m = u(p, j + 1)
-              while (m == 0xFF && j + 2 < n) { j += 1; m = u(p, j + 1) }
-              if (m == 0xD9) { done = true; j += 2 } // EOI
-              else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) j += 2
-              else if (j + 3 < n) {
-                val len = (u(p, j + 2) << 8) | u(p, j + 3)
-                val segEnd = j + 2 + len
-                if (len < 2 || segEnd > n) ok = false
-                else if (m == 0xDA) {
-                  // SOS: entropy-coded data follows the header
-                  var k = segEnd
-                  var found = false
-                  while (!found && k + 1 < n) {
-                    if (u(p, k) == 0xFF) {
-                      val mm = u(p, k + 1)
-                      if (mm == 0x00 || (mm >= 0xD0 && mm <= 0xD7)) k += 2
-                      else if (mm == 0xFF) k += 1 // fill byte
-                      else { j = k; found = true }
-                    } else k += 1
-                  }
-                  if (!found) ok = false
-                } else j = segEnd
-              } else ok = false
+      if (start + 1 >= n || u(p, start) != 0xFF || u(p, start + 1) != 0xD8)
+        return -1
+      var j = start + 2
+      while (true) {
+        if (j + 1 >= n || u(p, j) != 0xFF) return -1
+        var m = u(p, j + 1)
+        while (m == 0xFF && j + 2 < n) { j += 1; m = u(p, j + 1) }
+        if (m == 0xD9) return j + 2 // EOI
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) j += 2
+        else if (j + 3 < n) {
+          val len = (u(p, j + 2) << 8) | u(p, j + 3)
+          val segEnd = j + 2 + len
+          if (len < 2 || segEnd > n) return -1
+          else if (m == 0xDA) {
+            // SOS: entropy-coded data follows the header
+            var k = segEnd
+            var found = false
+            while (!found && k + 1 < n) {
+              if (u(p, k) == 0xFF) {
+                val mm = u(p, k + 1)
+                if (mm == 0x00 || (mm >= 0xD0 && mm <= 0xD7)) k += 2
+                else if (mm == 0xFF) k += 1 // fill byte
+                else { j = k; found = true }
+              } else k += 1
             }
-          }
-          if (done) {
-            out += java.util.Arrays.copyOfRange(p, start, j)
-            i = j
-          } else i = n // malformed tail: frames so far stand
-        } else i += 1
+            if (!found) return -1
+          } else j = segEnd
+        } else return -1
       }
-      out.toArray
+      -1 // unreachable
     }
 
-    /** Split a concatenated-PNG payload: signature, then length-prefixed
-      * chunks to IEND, repeated. Same malformed-tail stance as JPEG. */
-    private[graft] def splitPngFrames(p: Array[Byte]): Array[Array[Byte]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    /** End offset (exclusive) of one PNG starting at `start` (signature
+      * then length-prefixed chunks to IEND), or -1. */
+    private[graft] def parsePng(p: Array[Byte], start: Int): Int = {
       val n = p.length
+      if (start + 8 > n || !java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(p, start, start + 8), PngSig))
+        return -1
+      var j = start + 8
+      while (true) {
+        if (j + 8 > n) return -1
+        val len = (u(p, j) << 24) | (u(p, j + 1) << 16) |
+          (u(p, j + 2) << 8) | u(p, j + 3)
+        val typ = new String(p, j + 4, 4, "US-ASCII")
+        val end = j + 12 + len // length + type + data + CRC
+        if (len < 0 || end > n) return -1
+        j = end
+        if (typ == "IEND") return j
+      }
+      -1 // unreachable
+    }
+
+    /** Frame payloads of a back-to-back still container — formats may
+      * MIX frame-by-frame (each frame is sniffed where it starts, so a
+      * JPEG-led container can carry PNG frames and vice versa). A
+      * malformed frame stops the walk; complete frames already split
+      * still stand (quarantine the rest, don't fail the task). Empty
+      * for a payload that starts with neither format. */
+    def splitFrames(payload: Array[Byte]): Array[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val n = payload.length
       var i = 0
-      var more = true
-      while (more && i + 8 <= n &&
-          java.util.Arrays.equals(
-            java.util.Arrays.copyOfRange(p, i, i + 8), PngSig)) {
-        val start = i
-        var j = i + 8
-        var done = false
-        var ok = true
-        while (!done && ok) {
-          if (j + 8 > n) ok = false
-          else {
-            val len = (u(p, j) << 24) | (u(p, j + 1) << 16) |
-              (u(p, j + 2) << 8) | u(p, j + 3)
-            val typ = new String(p, j + 4, 4, "US-ASCII")
-            val end = j + 12 + len // length + type + data + CRC
-            if (len < 0 || end > n) ok = false
-            else { j = end; if (typ == "IEND") done = true }
-          }
-        }
-        if (done) { out += java.util.Arrays.copyOfRange(p, start, j); i = j }
-        else more = false
+      var ok = true
+      while (ok && i < n) {
+        val end =
+          if (i + 8 <= n && java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(payload, i, i + 8), PngSig))
+            parsePng(payload, i)
+          else if (i + 1 < n && u(payload, i) == 0xFF &&
+              u(payload, i + 1) == 0xD8)
+            parseJpeg(payload, i)
+          else -1
+        if (end < 0) ok = false // malformed tail: frames so far stand
+        else { out += java.util.Arrays.copyOfRange(payload, i, end); i = end }
       }
       out.toArray
     }
-
-    /** Frame payloads of a container, by sniffed format; empty for a
-      * payload that is neither (the caller quarantines). */
-    def splitFrames(payload: Array[Byte]): Array[Array[Byte]] =
-      if (payload.length >= 8 &&
-          java.util.Arrays.equals(
-            java.util.Arrays.copyOfRange(payload, 0, 8), PngSig))
-        splitPngFrames(payload)
-      else if (payload.length >= 2 && u(payload, 0) == 0xFF &&
-          u(payload, 1) == 0xD8)
-        splitJpegFrames(payload)
-      else Array.empty
   }
 
   /** Per-frame perceptual-hash row from a REAL container: quarantine
@@ -416,6 +406,43 @@ object Multimodal {
     * visible to accounting. */
   final case class VideoFrameHashRow(
       id: Long, frameIdx: Int, decoded: Boolean, fhash: Long)
+
+  /** One extracted frame of a real container, payload = the frame's
+    * own encoded bytes (a valid standalone JPEG/PNG) — so every
+    * still-image operator ([[decodeImages]], [[resizeImages]],
+    * [[dHashImages]]) composes onto video frames by re-wrapping the
+    * payload as a [[MediaRow]]. `decoded = false` (empty payload)
+    * marks a container that split to no frames. */
+  final case class ExtractedFrame(
+      id: Long, frameIdx: Int, decoded: Boolean, payload: Array[Byte])
+
+  /** REAL frame extraction as data — the general form of
+    * [[dHashVideoFrames]] for pipelines that need the frame BYTES
+    * (vision-model training samples, per-frame resize/feature passes),
+    * not just perceptual hashes: split the container
+    * ([[FrameContainer]]), sample every `everyNth` frame up to
+    * `maxFrames`, emit each frame's encoded bytes. No decode happens
+    * here (splitting is marker/chunk arithmetic only) — the expensive
+    * ImageIO pass stays in whatever consumes the frames. Same
+    * quarantine stance: an unsplittable container emits one
+    * `frameIdx = -1` row so the entity stays visible. */
+  def extractFrames(media: Dataset[MediaRow], everyNth: Int = 1,
+      maxFrames: Int = 8): Dataset[ExtractedFrame] = {
+    require(everyNth >= 1 && maxFrames >= 1,
+      "everyNth and maxFrames must be positive")
+    implicit val enc = Encoders.product[ExtractedFrame]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = FrameContainer.splitFrames(r.payload)
+        if (frames.isEmpty)
+          Iterator.single(
+            ExtractedFrame(r.id, -1, decoded = false, Array.empty[Byte]))
+        else
+          Iterator.range(0, frames.length, everyNth).take(maxFrames)
+            .map(fi => ExtractedFrame(r.id, fi, decoded = true, frames(fi)))
+      }
+    }
+  }
 
   /** REAL-codec video frame dHash — the production form of the q220
     * posting builder: split the container ([[FrameContainer]]), sample
@@ -478,8 +505,12 @@ object Multimodal {
     * same [[graft.functions.AudioFingerprint.bandFingerprintJvm]]
     * kernel the fixture path uses. Same mapPartitions shape as
     * [[decodeImages]]: decode cost embarrassingly parallel, pipelined
-    * with the scan, no shuffle. */
-  def fingerprintAudio(media: Dataset[MediaRow], frames: Int = 8,
+    * with the scan, no shuffle. Default geometry 17×4 — a FULL 64-bit
+    * fingerprint (the [[dHashImages]] 8×8 precedent, and the q224
+    * fixture's width): at corpus scale a saturating narrower space
+    * grows natural Hamming collisions quadratically (measured, SCALE.md
+    * round-19 — the reason the fixture widened from 8×4). */
+  def fingerprintAudio(media: Dataset[MediaRow], frames: Int = 17,
       bands: Int = 4): Dataset[AudioFingerprintRow] = {
     implicit val enc = Encoders.product[AudioFingerprintRow]
     media.mapPartitions { rows =>

@@ -228,6 +228,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(still.decoded && still.dhash == v1(0).fhash)
   }
 
+  test("extractFrames: frame bytes compose with the still-image operators; real postings drive admission") {
+    import spark.implicits._
+    val a1 = frameBytes("jpg")((x, _) => (8 - x) * 25)
+    val a2 = frameBytes("jpg")((x, y) => ((x + y) % 2) * 200)
+    val a3 = frameBytes("png")((x, y) => ((x * 2 + y) % 3) * 100)
+    val b3 = frameBytes("jpg")((x, y) => ((x + y * 3) % 4) * 60)
+    val vidA = a1 ++ a2 ++ a3            // mixed JPEG/PNG container
+    val vidB = a1 ++ a2 ++ b3            // shares 2 of its 3 frames with A -> J = 2/4
+    val vidC = frameBytes("png")((x, y) => (x * 13 + y * 29) % 256) ++
+      frameBytes("png")((x, y) => (x * 29 + y * 13) % 256)
+
+    // extraction -> re-wrap -> still-image hash == the fused video path
+    val extracted = Multimodal.extractFrames(
+      videoOf((1L, vidA), (2L, vidB), (3L, vidC))).collect()
+    assert(extracted.count(_.id == 1L) == 3 && extracted.forall(_.decoded))
+    val rewrapped = spark.createDataset(extracted.toSeq.map(f =>
+      Multimodal.MediaRow(f.id * 100 + f.frameIdx,
+        Multimodal.MediaMeta("image", "frame", f.payload.length.toLong),
+        f.payload)))(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val stillHashes = Multimodal.dHashImages(rewrapped).collect()
+      .map(r => r.id -> r.dhash).toMap
+    val fused = Multimodal.dHashVideoFrames(
+      videoOf((1L, vidA), (2L, vidB), (3L, vidC))).collect()
+    fused.foreach { f =>
+      assert(stillHashes(f.id * 100 + f.frameIdx) == f.fhash,
+        s"frame (${f.id}, ${f.frameIdx}): extract+still path diverged from fused path")
+    }
+
+    // REAL postings through the registered admission fold: A admitted
+    // first (min id), B (J = 2/4 = 0.5 >= threshold vs A) dies, C
+    // (disjoint) admitted
+    val postings = spark.createDataset(fused.toSeq)
+      .filter(col("decoded")).select(col("id"), col("fhash"))
+    val dir = java.nio.file.Files.createTempDirectory("mm-realvid").toString
+    val admitted = graft.operators.Dedup.videoAdmissionIngest(
+      postings.toDF(), dir, "b0", tMilli = 500)
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L),
+      s"real-container admission: expected A+C, got $admitted")
+  }
+
   // -- multimodal streamed admission chain -----------------------------
 
   test("multimodal streamed admission chain: mixed stream == one-slice batch per modality at two SFs; replay idempotent") {
