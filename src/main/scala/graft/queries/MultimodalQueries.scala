@@ -95,21 +95,22 @@ object MultimodalQueries {
         .orderBy(col("id"), col("frame_idx"))
     },
 
-    // Perceptual image hash (dHash over the 8×4 fake luma grid → 28
-    // bits): bit (y, x) = luma(y, x+1) > luma(y, x) — brightness-shift
-    // invariant, ≤2 bits flip per perturbed cell. The native kernel
-    // rides the decode plumbing; DuckDB re-derives every byte from the
-    // md5 hex chain and unrolls the 28 comparisons.
+    // Perceptual image hash (dHash over the 9×8 fake luma grid → a
+    // full 64 bits, the real dHashImages 8×8 geometry; widened round
+    // 19 from 8×4/28 bits for the same reason as the audio family —
+    // a 28-bit space saturates with natural collisions as the corpus
+    // decades up): bit (y, x) = luma(y, x+1) > luma(y, x) —
+    // brightness-shift invariant, ≤2 bits flip per perturbed cell.
+    // DuckDB re-derives every byte from the 5-link md5 hex chain and
+    // unrolls the 64 comparisons.
     "q203_image_dhash" -> QueryDef(
-      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+      s"""WITH m AS (SELECT doc_id AS id, $md5Chain5Sql AS h
          |           FROM documents WHERE doc_id % 3 = 0)
-         |SELECT id, CAST(${dhashSql(byteSql("h", _))} AS BIGINT) AS dhash
+         |SELECT id, CAST(${dhashSql64(byteSql("h", _))} AS BIGINT) AS dhash
          |FROM m ORDER BY id""".stripMargin) { (s, dir) =>
-      Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
-        .toDF().filter(col("meta.mediaType") === "image")
+      imageGrids(s, dir)
         .select(col("id"),
-          graft.functions.ImageHash.dHashGrid(
-            Multimodal.fakeLumaGrid(col("payload")), 7, 4).as("dhash"))
+          graft.functions.ImageHash.dHashGrid(col("grid"), 8, 8).as("dhash"))
         .orderBy(col("id"))
     },
 
@@ -126,10 +127,10 @@ object MultimodalQueries {
     // oracle (the capped form + its accounting is spec'd in
     // OperatorSpec/ImageHashSpec).
     "q204_image_neardup_pairs" -> QueryDef({
-      val base = dhashSql(byteSql("h", _))
-      val bumped = dhashSql(k =>
+      val base = dhashSql64(byteSql("h", _))
+      val bumped = dhashSql64(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 1) % 256)" else byteSql("h", k))
-      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+      s"""WITH m AS (SELECT doc_id AS id, $md5Chain5Sql AS h
          |           FROM documents WHERE doc_id % 3 = 0),
          |hs AS (SELECT id, CAST($base AS BIGINT) AS dhash FROM m
          |       UNION ALL
@@ -141,20 +142,8 @@ object MultimodalQueries {
          |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
-      val grids = Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
-        .toDF().filter(col("meta.mediaType") === "image")
-        .select(col("id"),
-          Multimodal.fakeLumaGrid(col("payload")).as("grid"))
-      val variants = grids.filter(col("id") % 5 === 0)
-        .select((-col("id") - 1).as("id"),
-          transform(col("grid"), (v, i) =>
-            when(i === 9, (v + 1) % 256).otherwise(v)).as("grid"))
-      val hashes = grids.unionByName(variants)
-        .select(col("id"),
-          graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4)
-            .as("hash"))
-      graft.operators.Dedup.hammingNearDupPairs(hashes,
-        bits = 28, bands = 4, maxDist = 3)
+      graft.operators.Dedup.hammingNearDupPairs(imageHashes(s, dir),
+        bits = 64, bands = 4, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -165,11 +154,11 @@ object MultimodalQueries {
     // unchanged. DuckDB derives components via the recursive
     // reachability CTE over the all-pairs Hamming edges.
     "q206_image_neardup_components" -> QueryDef({
-      val base = dhashSql(byteSql("h", _))
-      val bumped = dhashSql(k =>
+      val base = dhashSql64(byteSql("h", _))
+      val bumped = dhashSql64(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 1) % 256)" else byteSql("h", k))
       s"""WITH RECURSIVE m AS (SELECT doc_id AS id,
-         |           md5(text) || md5(md5(text)) AS h
+         |           $md5Chain5Sql AS h
          |           FROM documents WHERE doc_id % 3 = 0),
          |hs AS (SELECT id, CAST($base AS BIGINT) AS dhash FROM m
          |       UNION ALL
@@ -189,20 +178,10 @@ object MultimodalQueries {
          |FROM comp GROUP BY comp HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin
     }) { (s, dir) =>
-      val grids = Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
-        .toDF().filter(col("meta.mediaType") === "image")
-        .select(col("id"),
-          Multimodal.fakeLumaGrid(col("payload")).as("grid"))
-      val variants = grids.filter(col("id") % 5 === 0)
-        .select((-col("id") - 1).as("id"),
-          transform(col("grid"), (v, i) =>
-            when(i === 9, (v + 1) % 256).otherwise(v)).as("grid"))
-      val hashes = grids.unionByName(variants)
-        .select(col("id"),
-          graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4)
-            .as("hash"))
+      val hashes = imageHashes(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = graft.operators.Dedup.hammingNearDupPairs(hashes,
-        bits = 28, bands = 4, maxDist = 3)
+        bits = 64, bands = 4, maxDist = 3)
         .select(col("id_a"), col("id_b"))
       // maxIter = 64: a Hamming-ball graph chains THROUGH hash space
       // (a–b–c where consecutive hops differ ≤ maxDist bits), so
@@ -494,7 +473,7 @@ object MultimodalQueries {
     // byte from the 5-link md5 hex chain and unrolls the 64 temporal
     // comparisons.
     "q224_audio_fingerprint" -> QueryDef(
-      s"""WITH m AS (SELECT doc_id AS id, $audioChainSql AS h
+      s"""WITH m AS (SELECT doc_id AS id, $md5Chain5Sql AS h
          |           FROM documents WHERE doc_id % 3 = 1)
          |SELECT id, CAST(${audioFpSql(byteSql("h", _))} AS BIGINT) AS afp
          |FROM m ORDER BY id""".stripMargin) { (s, dir) =>
@@ -519,7 +498,7 @@ object MultimodalQueries {
       val base = audioFpSql(byteSql("h", _))
       val bumped = audioFpSql(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
-      s"""WITH m AS (SELECT doc_id AS id, $audioChainSql AS h
+      s"""WITH m AS (SELECT doc_id AS id, $md5Chain5Sql AS h
          |           FROM documents WHERE doc_id % 3 = 1),
          |hs AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
          |       UNION ALL
@@ -547,7 +526,7 @@ object MultimodalQueries {
       val bumped = audioFpSql(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
       s"""WITH RECURSIVE m AS (SELECT doc_id AS id,
-         |           $audioChainSql AS h
+         |           $md5Chain5Sql AS h
          |           FROM documents WHERE doc_id % 3 = 1),
          |hs AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
          |       UNION ALL
@@ -595,7 +574,7 @@ object MultimodalQueries {
       val base = audioFpSql(byteSql("h", _))
       val bumped = audioFpSql(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 128) % 256)" else byteSql("h", k))
-      s"""WITH m AS (SELECT doc_id AS id, $audioChainSql AS h
+      s"""WITH m AS (SELECT doc_id AS id, $md5Chain5Sql AS h
          |           FROM documents WHERE doc_id % 3 = 1),
          |st AS (SELECT id, CAST($base AS BIGINT) AS afp FROM m
          |       WHERE id % 6 = 1),
@@ -743,10 +722,10 @@ object MultimodalQueries {
     },
 
     "q207_image_incremental_neardup" -> QueryDef({
-      val base = dhashSql(byteSql("h", _))
-      val bumped = dhashSql(k =>
+      val base = dhashSql64(byteSql("h", _))
+      val bumped = dhashSql64(k =>
         if (k == 9) s"((${byteSql("h", 9)} + 1) % 256)" else byteSql("h", k))
-      s"""WITH m AS (SELECT doc_id AS id, md5(text) || md5(md5(text)) AS h
+      s"""WITH m AS (SELECT doc_id AS id, $md5Chain5Sql AS h
          |           FROM documents WHERE doc_id % 3 = 0),
          |st AS (SELECT id, CAST($base AS BIGINT) AS dhash FROM m
          |       WHERE id % 6 = 0),
@@ -761,12 +740,9 @@ object MultimodalQueries {
          |FROM nw JOIN st ON bit_count(xor(nw.dhash, st.dhash)) <= 3
          |ORDER BY new_id, store_id""".stripMargin
     }) { (s, dir) =>
-      val grids = Multimodal.syntheticMediaFrame(Tables(s, dir).documents)
-        .toDF().filter(col("meta.mediaType") === "image")
-        .select(col("id"),
-          Multimodal.fakeLumaGrid(col("payload")).as("grid"))
+      val grids = imageGrids(s, dir)
       def hashed(g: org.apache.spark.sql.DataFrame) = g.select(col("id"),
-        graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4).as("hash"))
+        graft.functions.ImageHash.dHashGrid(col("grid"), 8, 8).as("hash"))
       val store = hashed(grids.filter(col("id") % 6 === 0))
       val variants = grids.filter(col("id") % 6 === 0 && col("id") % 5 === 0)
         .select((-col("id") - 1).as("id"),
@@ -775,7 +751,7 @@ object MultimodalQueries {
       val batch = hashed(grids.filter(col("id") % 6 === 3))
         .unionByName(hashed(variants))
       graft.operators.Dedup.incrementalHammingPairs(batch, store,
-        bits = 28, bands = 4, maxDist = 3)
+        bits = 64, bands = 4, maxDist = 3)
         .orderBy(col("new_id"), col("store_id"))
     }
   )
@@ -853,9 +829,10 @@ object MultimodalQueries {
         }: _*).as("energies"))
   }
 
-  /** The 5-link md5 hex chain (160 chars ≥ 136 needed for 68 bytes) —
-    * the oracle-side twin of [[audioEnergies]]' payload derivation. */
-  private def audioChainSql: String =
+  /** The 5-link md5 hex chain (160 chars — covers the 68-byte audio
+    * matrices AND the 72-byte image grids) — the oracle-side twin of
+    * [[audioEnergies]]/[[imageGrids]]' payload derivations. */
+  private def md5Chain5Sql: String =
     "md5(text) || md5(md5(text)) || md5(md5(md5(text))) || " +
       "md5(md5(md5(md5(text)))) || md5(md5(md5(md5(md5(text)))))"
 
@@ -875,14 +852,60 @@ object MultimodalQueries {
           col("energies"), AudioFrames, AudioBands).as("hash"))
   }
 
+  /** The fake luma grids of the image corpus (id, grid): 9 × 8 = 72
+    * cells, each a byte of the 5-link md5 chain — the [[audioEnergies]]
+    * discipline applied to the image fixture (widened round 19 from
+    * the 32-byte/8×4 payload for the same 28-bit-saturation reason). */
+  private def imageGrids(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val c1 = md5(col("text"))
+    val c2 = md5(c1)
+    val c3 = md5(c2)
+    val c4 = md5(c3)
+    val c5 = md5(c4)
+    val h = concat(c1, c2, c3, c4, c5)
+    Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("id"),
+        array((0 until 72).map { k =>
+          conv(substring(h, 2 * k + 1, 2), 16, 10).cast("int")
+        }: _*).as("grid"))
+  }
+
+  /** The q204/q206 hash fixture: base image dHashes ∪ planted near-dup
+    * variants (every 5th image under -id-1 with luma cell 9 bumped —
+    * ≤ 2 bits flip). 64-bit hashes from the 9×8 grid. */
+  private[graft] def imageHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val g = imageGrids(s, dir)
+    val variants = g.filter(col("id") % 5 === 0)
+      .select((-col("id") - 1).as("id"),
+        transform(col("grid"), (v, i) =>
+          when(i === 9, (v + 1) % 256).otherwise(v)).as("grid"))
+    g.unionByName(variants)
+      .select(col("id"),
+        graft.functions.ImageHash.dHashGrid(col("grid"), 8, 8).as("hash"))
+  }
+
   /** Byte k (0-based) of the 32-byte payload as nibble arithmetic over
     * the 64-char md5-chain hex string. */
   private def byteSql(h: String, k: Int): String =
     s"(${nibble(h, (2 * k + 1).toString)} * 16 + " +
       s"${nibble(h, (2 * k + 2).toString)})"
 
+  /** The 64-bit dHash as unrolled adjacent-byte comparisons over a
+    * 9-wide × 8-tall grid (bit b: y = b/8, x = b%8, grid pos y·9+x).
+    * Bit 63 renders as the negative Long literal — safe, disjoint bits
+    * summed ascending (the audioFpSql note). */
+  private def dhashSql64(byteAt: Int => String): String =
+    (0 until 64).map { b =>
+      val p = (b / 8) * 9 + (b % 8)
+      s"(CASE WHEN ${byteAt(p + 1)} > ${byteAt(p)} " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** The 28-bit dHash as unrolled adjacent-byte comparisons over an
-    * 8-wide × 4-tall grid (bit b: y = b/7, x = b%7, grid pos y·8+x). */
+    * 8-wide × 4-tall grid (bit b: y = b/7, x = b%7, grid pos y·8+x) —
+    * still the VIDEO FRAME hash geometry (32-byte per-frame payloads). */
   private def dhashSql(byteAt: Int => String): String =
     (0 until 28).map { b =>
       val p = (b / 7) * 8 + (b % 7)

@@ -284,18 +284,9 @@ class MultimodalSpec extends AnyFunSuite {
 
     for ((dir, tag) <- Seq("/root/testdata/sf0.001" -> "a",
         "/root/testdata/sf0.01" -> "b")) {
-      // fixtures = the registered query derivations (q204 images,
-      // q225's 64-bit audio fingerprints, q220 video postings)
-      val grids = Multimodal.syntheticMediaFrame(
-        graft.core.Tables(spark, dir).documents)
-        .toDF().filter(col("meta.mediaType") === "image")
-        .select(col("id"), Multimodal.fakeLumaGrid(col("payload")).as("grid"))
-      val imgAll = grids.unionByName(grids.filter(col("id") % 5 === 0)
-        .select((-col("id") - 1).as("id"),
-          transform(col("grid"), (v, i) =>
-            when(i === 9, (v + 1) % 256).otherwise(v)).as("grid")))
-        .select(col("id"),
-          graft.functions.ImageHash.dHashGrid(col("grid"), 7, 4).as("hash"))
+      // fixtures = the registered query derivations (q204's 64-bit
+      // image hashes, q225's 64-bit audio fingerprints, q220 postings)
+      val imgAll = graft.queries.MultimodalQueries.imageHashes(spark, dir)
       val audAll = graft.queries.MultimodalQueries.audioFingerprints(spark, dir)
       val vidAll = graft.queries.MultimodalQueries.videoFrameHashes(spark, dir)
 
@@ -313,7 +304,7 @@ class MultimodalSpec extends AnyFunSuite {
           .collect().map(_.getLong(0))
           .flatMap(id => Seq(id, -id - 1)).toSet
       val imgDrop = cleanIds(Dedup.hammingNearDupPairs(imgAll,
-        bits = 28, bands = 4, maxDist = 3))
+        bits = 64, bands = 4, maxDist = 3))
       val audDrop = cleanIds(Dedup.hammingNearDupPairs(audAll,
         bits = 64, bands = 4, maxDist = 3))
       val vidDrop = cleanIds(
@@ -333,7 +324,7 @@ class MultimodalSpec extends AnyFunSuite {
       // fold once, fresh stores
       val (ti, ta, tv) = (tmpDir(s"mm-img-t$tag"), tmpDir(s"mm-aud-t$tag"),
         tmpDir(s"mm-vid-t$tag"))
-      val oneImg = Dedup.imageAdmissionIngest(img, ti, "all", 28, 4, 3)
+      val oneImg = Dedup.imageAdmissionIngest(img, ti, "all", 64, 4, 3)
         .select(col("id")).collect().map(_.getLong(0)).toSet
       val oneAud = Dedup.audioAdmissionIngest(aud, ta, "all", 64, 4, 3)
         .select(col("id")).collect().map(_.getLong(0)).toSet
@@ -357,7 +348,7 @@ class MultimodalSpec extends AnyFunSuite {
       val q = stream.toDS().toDF("modality", "id", "key")
         .writeStream
         .foreachBatch(MultimodalAdmission.sink(
-          HammingCfg(si, 28, 4, 3), HammingCfg(sa, 64, 4, 3),
+          HammingCfg(si, 64, 4, 3), HammingCfg(sa, 64, 4, 3),
           FrameCfg(sv, 500)))
         .option("checkpointLocation", tmpDir(s"mm-ck$tag"))
         .start()
@@ -402,7 +393,7 @@ class MultimodalSpec extends AnyFunSuite {
         .next().flatMap(_._3)
       MultimodalAdmission.ingest(
         firstChunk.toDF("modality", "id", "key"), "b000000000",
-        HammingCfg(si, 28, 4, 3), HammingCfg(sa, 64, 4, 3), FrameCfg(sv, 500))
+        HammingCfg(si, 64, 4, 3), HammingCfg(sa, 64, 4, 3), FrameCfg(sv, 500))
       assert(ids(graft.sources.DHashStore.load(spark, si)) == stImg &&
         ids(graft.sources.AudioHashStore.load(spark, sa)) == stAud &&
         ids(graft.sources.FrameHashStore.load(spark, sv)) == stVid,
