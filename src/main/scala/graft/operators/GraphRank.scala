@@ -42,7 +42,7 @@ object GraphRank {
     * Σ folds in src-ascending order (see the object contract). Node
     * count is the one driver-side scalar (a single count). */
   def pageRank(edges: DataFrame, iters: Int,
-      dampMilli: Long = 850L): DataFrame = {
+      dampMilli: Long = 850L, symmetricEdges: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     require(dampMilli >= 0L && dampMilli <= 1000L,
       s"dampMilli must be in [0, 1000], got $dampMilli")
@@ -68,10 +68,23 @@ object GraphRank {
           array_sort(collect_list(struct(col("src"), col("c")))),
           lit(0.0),
           (acc, x) => acc + x.getField("c")).as("flow"))
-      ranks = nodes.join(inflow.withColumnRenamed("dst", "id"),
-          Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit(base) + lit(damp) * coalesce(col("flow"), lit(0.0))).as("r"))
+      // With SYMMETRIZED edges ([[textRankEdges]]) every node has an
+      // in-edge, so `inflow` already covers exactly the node set and
+      // the per-iteration left join back onto `nodes` is a structural
+      // no-op — skipping it removes one join + exchange per iteration
+      // (10 of each for TextRank) while producing bit-identical ranks
+      // (the coalesce arm can never fire when in-degrees are all ≥ 1).
+      // General directed graphs keep the join: a node with out-edges
+      // but no in-edges would otherwise vanish from the result.
+      ranks =
+        if (symmetricEdges)
+          inflow.select(col("dst").as("id"),
+            (lit(base) + lit(damp) * col("flow")).as("r"))
+        else
+          nodes.join(inflow.withColumnRenamed("dst", "id"),
+              Seq("id"), "left_outer")
+            .select(col("id"),
+              (lit(base) + lit(damp) * coalesce(col("flow"), lit(0.0))).as("r"))
     }
     ranks
   }
