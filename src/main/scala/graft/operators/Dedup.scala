@@ -219,21 +219,28 @@ object Dedup {
     val e = sh.select(col("id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("t"))
     val cand = prefixCandidatePairs(e, tMilli)
-    // exact verify on candidates only: shared-shingle counts from the
-    // exploded frame (pair-bounded), sizes from the persisted sh
-    val inter = cand
-      .join(e.select(col("id").as("id_a"), col("t")).hint("shuffle_hash"),
-        Seq("id_a"))
-      .join(e.select(col("id").as("id_b"), col("t")).hint("shuffle_hash"),
-        Seq("id_b", "t"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val szs = sh.select(col("id"), size(col("toks")).as("sz"))
-      .hint("shuffle_hash")
-    inter
-      .join(szs.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(szs.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("un",
-        (col("sz_a").cast("long") + col("sz_b") - col("inter")).as("un"))
+    // exact verify on candidates only, against the PERSISTED per-doc
+    // shingle ARRAYS: two id-keyed candidate-bounded joins and a
+    // row-local array_intersect. Round 19: this replaced the
+    // occurrence-level form (cand ⋈ e on id_a, then ⋈ e on (id_b, t),
+    // then a count per pair) — which materialized |cand| × |toks_a|
+    // intermediate rows and shuffled them by (id_b, t) — with
+    // |cand|-row frames end to end; the intersection count moves from
+    // a shuffled aggregation into the row (same distinct-shingle
+    // arithmetic, the q30 jaccard shape). Sizes ride the same arrays,
+    // so the two size joins are gone too. shuffle_hash stays pinned:
+    // sh is corpus-shaped and must never be broadcast (the sf10 AQE
+    // OOM lesson).
+    cand
+      .join(sh.select(col("id").as("id_a"), col("toks").as("_ta"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("toks").as("_tb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_ta"), col("_tb"))).cast("long")
+          .as("inter"),
+        (size(col("_ta")).cast("long") + size(col("_tb"))).as("_szsum"))
+      .withColumn("un", col("_szsum") - col("inter"))
       .filter(lit(1000L) * col("inter") >= lit(tMilli.toLong) * col("un"))
       .select(col("id_a"), col("id_b"), col("inter"), col("un"),
         expr("(1000 * inter) DIV un").as("jacc_milli"))

@@ -49,13 +49,21 @@ object ThetaSketch {
     * (k−1)·2^60 div θ — or the exact n in the small regime. */
   def kmvEstimate(hashes: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("slice")).orderBy(col("h").asc)
-    val theta = hashes.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === k)
-      .select(col("slice"), col("h").as("theta"))
-    hashes.groupBy(col("slice")).agg(count(lit(1)).as("n_distinct"))
-      .join(theta, Seq("slice"), "left_outer")
+    // ONE mergeable aggregation (round 19): θ = the k-th smallest hash
+    // = the max of the min-k bounded heap ([[graft.functions.TopKAgg]]
+    // under score = −h; hashes are distinct within a slice, so the id
+    // tiebreak never decides). The previous row_number window sorted
+    // each slice's FULL distinct hash set in one task — the
+    // low-cardinality-partition window the TopKAgg scaladoc exists to
+    // replace — and needed a second shuffle to join θ back onto the
+    // counts. Values are bit-identical: same k-th smallest, same count.
+    hashes.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_distinct"),
+        graft.functions.TopKAgg.topK(-col("h"), col("h"), k).as("_tk"))
+      .withColumn("theta",
+        when(size(col("_tk")) === k,
+          element_at(col("_tk"), k).getField("id")))
+      .drop("_tk")
       .withColumn("est_distinct",
         when(col("theta").isNull, col("n_distinct")).otherwise(
           expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
@@ -68,14 +76,22 @@ object ThetaSketch {
   /** Per-slice k-row KMV sketch: each slice's k smallest hashes, rank
     * attached (the rank-k hash IS θ; a slice with fewer than k distinct
     * hashes keeps all of them — the exact regime, θ undefined). The
-    * rank window over the distinct hash set is the ONLY corpus-sized
+    * min-k pass over the distinct hash set is the ONLY corpus-sized
     * step in the sketch family: everything downstream of this frame
-    * touches at most k rows per slice. */
+    * touches at most k rows per slice. Round 19: the rank window
+    * (which sorted each slice's FULL hash set in a single task —
+    * slices are low-cardinality, so that task was the whole corpus
+    * pass) became a mergeable bounded-heap aggregation
+    * ([[graft.functions.TopKAgg]] under score = −h) — map-side
+    * combinable, k rows per slice across the exchange, identical
+    * (h, rk) rows out. */
   def kmvSketch(hashes: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("slice")).orderBy(col("h").asc)
-    hashes.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    hashes.groupBy(col("slice"))
+      .agg(graft.functions.TopKAgg.topK(-col("h"), col("h"), k).as("_tk"))
+      .select(col("slice"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col("slice"), col("_e.id").as("h"),
+        (col("_pos") + 1).cast("int").as("rk"))
   }
 
   /** Sketch-only pairwise intersection estimates — the production path:

@@ -319,34 +319,47 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${offenders.filterNot(whitelist)}")
   }
 
-  test("q178/q179: theta pairwise stages consume rank-windowed k-row frames") {
-    // The sketch family's 100 TB claim: after the kmvSketch rank window,
+  test("q178/q179: theta pairwise stages consume k-row-bounded frames") {
+    // The sketch family's 100 TB claim: after the kmvSketch min-k pass,
     // NOTHING joins corpus-sized hash sets — every Join in the plan has
-    // the k-rows-per-slice window beneath BOTH inputs. q175 (the exact
-    // error harness) deliberately fails this shape: its common-hash join
-    // runs over the full distinct sets, which is why it is the opt-in
-    // diagnostic and q178 is the production path.
-    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
-    def windowedJoins(name: String): Unit = {
+    // a k-rows-per-slice bound beneath BOTH inputs. Round 19: the bound
+    // is the mergeable bounded-heap aggregate (topk_heap) instead of
+    // the rank window it replaced; a Window still counts so the test
+    // keeps pinning boundedness, not one implementation. q175 (the
+    // exact error harness) deliberately fails this shape: its
+    // common-hash join runs over the full distinct sets, which is why
+    // it is the opt-in diagnostic and q178 is the production path.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Join => LJoin, LogicalPlan => LPlan, Window => LWindow}
+    def bounded(p: LPlan): Boolean =
+      p.collectFirst { case w: LWindow => w }.isDefined ||
+        p.collectFirst {
+          case a: LAggregate if a.aggregateExpressions.exists(_.exists {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction.prettyName == "topk_heap"
+            case _ => false
+          }) => a
+        }.isDefined
+    def boundedJoins(name: String): Unit = {
       val plan = query(name).queryExecution.optimizedPlan
       val joins = plan.collect { case j: LJoin => j }
       assert(joins.nonEmpty, s"$name: expected pairwise joins in the plan")
       joins.foreach { j =>
         Seq("left" -> j.left, "right" -> j.right).foreach { case (side, p) =>
-          assert(p.collectFirst { case w: LWindow => w }.isDefined,
-            s"$name: $side side of a join is not rank-windowed — a " +
+          assert(bounded(p),
+            s"$name: $side side of a join is not k-row-bounded (no " +
+              s"topk_heap aggregate or rank window beneath) — a " +
               s"corpus-sized frame reached the pairwise stage:\n$p")
         }
       }
     }
-    windowedJoins("q178_theta_sketch_only")
-    windowedJoins("q179_theta_union")
+    boundedJoins("q178_theta_sketch_only")
+    boundedJoins("q179_theta_union")
     // and the harness IS corpus-joined (the contrast that keeps this
     // test honest if kmvIntersections is ever rewritten)
     val harness = query("q175_theta_overlap").queryExecution.optimizedPlan
     val rawSides = harness.collect { case j: LJoin => j }.flatMap(j =>
-      Seq(j.left, j.right)).filter(
-      _.collectFirst { case w: LWindow => w }.isEmpty)
+      Seq(j.left, j.right)).filterNot(bounded)
     assert(rawSides.nonEmpty,
       "q175 no longer joins full hash sets — retire this contrast " +
         "assertion and the q175 'error harness' framing together")
