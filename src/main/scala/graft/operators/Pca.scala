@@ -61,17 +61,8 @@ object Pca {
   private final case class Scatter(n: Long, s: Array[BigInt],
       m: Array[Array[Double]], dim: Int)
 
-  /** Row-local upper-triangle products as ONE flat long array, i-major
-    * (k runs over (0,0)..(0,dim−1),(1,1)..): no struct constructors in
-    * the hot loop. */
-  private def upperTriProducts(qa: Column, dim: Int): Column =
-    flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        element_at(qa, (i + 1).cast("int")) *
-          element_at(qa, (j + 1).cast("int")))))
-
-  /** Decode the flat k back to (i, j) through literal lookup arrays —
-    * exact, no triangular-root arithmetic. */
+  /** The flat triangle position k decoded back to (i, j), i-major —
+    * shared by the scatter rebuild and the cell materialization. */
   private def triPairs(dim: Int): (Array[Int], Array[Int]) = {
     val n = dim * (dim + 1) / 2
     val ri = new Array[Int](n)
@@ -86,51 +77,42 @@ object Pca {
     (ri, ci)
   }
 
-  private def triRow(k: Column, dim: Int): Column =
-    element_at(array(triPairs(dim)._1.map(lit(_)): _*), (k + 1).cast("int"))
-
-  private def triCol(k: Column, dim: Int): Column =
-    element_at(array(triPairs(dim)._2.map(lit(_)): _*), (k + 1).cast("int"))
+  /** The whole scatter state off ONE corpus aggregation
+    * ([[graft.functions.PcaScatterAgg]] — round 19; see its scaladoc
+    * for what the old three-job posexplode form cost). Returns the
+    * raw aggregate row: (n, invalid, qmax, dim, s, tri). */
+  private def momentState(q: DataFrame): org.apache.spark.sql.Row = {
+    val st = q.agg(graft.functions.PcaScatterAgg.of(col("qa")).as("st"))
+      .head().getStruct(0)
+    require(st.getInt(3) >= 0,
+      "PCA corpus is empty — no dimension to derive")
+    st
+  }
 
   private def scatterOf(q: DataFrame): Scatter = {
-    val dim = q.select(size(col("qa"))).head().getInt(0)
-    // upper-triangle products, row-local: dim(dim+1)/2 narrow rows per
-    // vector, partial-aggregated to one cell set per partition. The
-    // products are built as ONE flat long array and posexploded —
-    // measured 1.34× faster than exploding (i, j, p) structs at sf1.0
-    // (struct constructors in the hot loop); the flat position k
-    // decodes back to (i, j) through literal lookup arrays.
-    val pairs = q.select(posexplode_outer(upperTriProducts(col("qa"), dim))
-      .as(Seq("k", "p")))
-      .groupBy(col("k"))
-      .agg(sum(col("p").cast(DecimalType(38, 0))).as("sij"))
-      .select(triRow(col("k"), dim).as("i"), triCol(col("k"), dim).as("j"),
-        col("sij"))
-    val sums = q.select(posexplode(col("qa")).as(Seq("i", "qi")))
-      .groupBy(col("i"))
-      .agg(sum(col("qi").cast(DecimalType(38, 0))).as("si"))
-    val stats = q.agg(count(lit(1)),
-      max(array_max(transform(col("qa"), x => abs(x)))),
-      count(when(col("qa").isNull || size(col("qa")) =!= dim ||
-        exists(col("qa"), x => x.isNull), 1))).head()
-    val n = stats.getLong(0)
-    require(stats.getLong(2) == 0L,
-      s"corpus contains ${stats.getLong(2)} invalid vector(s) — clean " +
+    val st = momentState(q)
+    val n = st.getLong(0)
+    require(st.getLong(1) == 0L,
+      s"corpus contains ${st.getLong(1)} invalid vector(s) — clean " +
         "before PCA")
-    val qmax = math.max(1L, math.abs(stats.getLong(1)))
+    val dim = st.getInt(3)
+    val qmax = math.max(1L, st.getLong(2))
     require(BigInt(n) * n * qmax * qmax < (BigInt(1) << 53),
       s"n=$n, qmax=$qmax: n²·qmax² exceeds 2^53 — the int→double scatter " +
         "conversion would round; shrink the input or QuantScale")
-    val sArr = new Array[BigInt](dim)
-    sums.collect().foreach(r =>
-      sArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+    val sArr = st.getSeq[java.math.BigDecimal](4)
+      .map(d => BigInt(d.toBigInteger)).toArray
+    val tri = st.getSeq[java.math.BigDecimal](5)
+      .map(d => BigInt(d.toBigInteger)).toArray
     val m = Array.ofDim[Double](dim, dim)
-    pairs.collect().foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val sij = BigInt(r.getDecimal(2).toBigInteger)
-      val v = (BigInt(n) * sij - sArr(i) * sArr(j)).toDouble // exact: < 2^53
+    val (ri, ci) = triPairs(dim)
+    var k = 0
+    while (k < tri.length) {
+      val (i, j) = (ri(k), ci(k))
+      val v = (BigInt(n) * tri(k) - sArr(i) * sArr(j)).toDouble // exact: < 2^53
       m(i)(j) = v
       m(j)(i) = v
+      k += 1
     }
     Scatter(n, sArr, m, dim)
   }
@@ -196,46 +178,52 @@ object Pca {
   def momentCells(batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = batch.select(col(idCol).as("id"), quantize(col(vecCol)).as("qa"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val first = q.select(size(col("qa"))).head(1)
-    require(first.nonEmpty,
-      "momentCells: batch is empty — no dimension to derive (streaming " +
-        "sinks short-circuit empty micro-batches before reaching here)")
-    val dim = first.head.getInt(0)
-    val bad = q.filter(col("qa").isNull || size(col("qa")) =!= dim ||
-      exists(col("qa"), x => x.isNull)).count()
-    require(bad == 0L,
-      s"batch contains $bad invalid vector(s) — clean before PCA ingest")
-    val s2 = q.select(posexplode_outer(upperTriProducts(col("qa"), dim))
-      .as(Seq("k", "p")))
-      .groupBy(col("k"))
-      .agg(sum(col("p").cast(DecimalType(38, 0))).as("v"))
-      .select(lit("s2").as("kind"), triRow(col("k"), dim).as("i"),
-        triCol(col("k"), dim).as("j"), col("v"))
-    val s1 = q.select(posexplode(col("qa")).as(Seq("i", "qi")))
-      .groupBy(col("i"))
-      .agg(sum(col("qi").cast(DecimalType(38, 0))).as("v"))
-      .select(lit("s1").as("kind"), col("i"), lit(-1).as("j"), col("v"))
-    val meta = q.agg(
-      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
-      max(array_max(transform(col("qa"), x => abs(x))))
-        .cast(DecimalType(38, 0)).as("qmax"))
-    val out = s2.unionByName(s1)
-      .unionByName(meta.select(lit("n").as("kind"), lit(-1).as("i"),
-        lit(-1).as("j"), col("n").as("v")))
-      .unionByName(meta.select(lit("qmax").as("kind"), lit(-1).as("i"),
-        lit(-1).as("j"), col("qmax").as("v")))
-    // cells are summary-sized (≤ dim(dim+1)/2 + dim + 2 rows):
-    // materialize them over the persisted batch (one cached scan feeds
-    // the three cell aggregations) and RELEASE the cache — a streaming
-    // sink calls this per micro-batch, and the old persist-and-return
-    // leaked one corpus-batch cache entry per batch for the lifetime of
-    // the application
-    val rows =
-      try out.collect()
-      finally q.unpersist(false)
-    batch.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
+    // ONE aggregation pass (round 19 — was persist + three cell jobs
+    // over a posexploded triangle; see PcaScatterAgg); the cell frame
+    // is assembled driver-side from the single summary row. An empty
+    // batch reports dim = -1 and fails the same require as before.
+    val st =
+      try momentState(q)
+      catch { case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("empty") =>
+        throw new IllegalArgumentException(
+          "requirement failed: momentCells: batch is empty — no " +
+            "dimension to derive (streaming sinks short-circuit empty " +
+            "micro-batches before reaching here)")
+      }
+    require(st.getLong(1) == 0L,
+      s"batch contains ${st.getLong(1)} invalid vector(s) — clean " +
+        "before PCA ingest")
+    val dim = st.getInt(3)
+    val n = st.getLong(0)
+    val qmax = st.getLong(2)
+    val s1 = st.getSeq[java.math.BigDecimal](4)
+    val s2 = st.getSeq[java.math.BigDecimal](5)
+    val (ri, ci) = triPairs(dim)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    var k = 0
+    while (k < s2.length) {
+      rows.add(org.apache.spark.sql.Row("s2", ri(k), ci(k), s2(k)))
+      k += 1
+    }
+    var i = 0
+    while (i < dim) {
+      rows.add(org.apache.spark.sql.Row("s1", i, -1, s1(i)))
+      i += 1
+    }
+    rows.add(org.apache.spark.sql.Row("n", -1, -1,
+      new java.math.BigDecimal(n)))
+    rows.add(org.apache.spark.sql.Row("qmax", -1, -1,
+      new java.math.BigDecimal(qmax)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", DecimalType(38, 0))))
+    batch.sparkSession.createDataFrame(rows, schema)
   }
 
   /** Rebuild the scatter from accumulated cells (any number of merged
