@@ -1597,13 +1597,16 @@ object CorpusQueries {
         winW = PassageW, kTop = 10)
         .select(col("query_id"), col("doc_id"), col("passage_score"),
           col("n_window_terms"))
-      val univ = Seq(lex, den, prox, pass)
-        .map(_.select(col("query_id"), col("doc_id")))
-        .reduce(_ unionByName _).distinct()
-      univ.join(lex, Seq("query_id", "doc_id"), "left_outer")
-        .join(den, Seq("query_id", "doc_id"), "left_outer")
-        .join(prox, Seq("query_id", "doc_id"), "left_outer")
-        .join(pass, Seq("query_id", "doc_id"), "left_outer")
+      // candidate universe = union of the signals' pairs, features =
+      // each signal's columns: CHAINED FULL OUTER JOINS produce exactly
+      // that in one evaluation of each signal pipeline. Round 19: the
+      // previous explicit universe (union of the four pair sets,
+      // distinct, then four left joins back) referenced every signal
+      // subtree TWICE — the whole BM25/dense/proximity/passage stack
+      // ran two times per execution for identical output.
+      lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+        .join(prox, Seq("query_id", "doc_id"), "full_outer")
+        .join(pass, Seq("query_id", "doc_id"), "full_outer")
         .select(col("query_id"), col("doc_id"),
           coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
           coalesce(col("score_lex"), lit(0.0)).as("score_lex"),
