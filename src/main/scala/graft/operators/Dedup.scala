@@ -646,17 +646,27 @@ object Dedup {
             .hint("shuffle_hash"), Seq("fhash"))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b")).distinct()
+        // verify against per-id frame-hash SET ARRAYS (round 19, the
+        // similarityJoin rewrite applied here): two candidate-bounded
+        // id-keyed joins and a row-local array_intersect replace the
+        // occurrence-level double join + per-pair count, which
+        // materialized |cand| × |frames| rows and shuffled them by
+        // (id_b, fhash). Signatures are maxFrames-bounded arrays, so
+        // the joined rows stay tiny; intersection SIZE is
+        // order-independent, so collect_set's nondeterministic array
+        // order cannot show. The cap still gates candidates only —
+        // sigs carry the FULL sets including hot hashes.
+        val sig = p.groupBy(col("id")).agg(collect_set(col("fhash")).as("sig"))
         cand
-          .join(p.select(col("id").as("id_a"), col("fhash"))
+          .join(sig.select(col("id").as("id_a"), col("sig").as("_sa"))
             .hint("shuffle_hash"), Seq("id_a"))
-          .join(p.select(col("id").as("id_b"), col("fhash"))
-            .hint("shuffle_hash"), Seq("id_b", "fhash"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-          .join(sizes.select(col("id").as("id_a"), col("sz").as("sza"))
-            .hint("shuffle_hash"), Seq("id_a"))
-          .join(sizes.select(col("id").as("id_b"), col("sz").as("szb"))
+          .join(sig.select(col("id").as("id_b"), col("sig").as("_sb"))
             .hint("shuffle_hash"), Seq("id_b"))
-          .withColumn("un", col("sza") + col("szb") - col("inter"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("_sa"), col("_sb"))).cast("long")
+              .as("inter"),
+            (size(col("_sa")).cast("long") + size(col("_sb"))).as("_szsum"))
+          .withColumn("un", col("_szsum") - col("inter"))
           .filter(lit(1000) * col("inter") >= lit(tMilli) * col("un"))
           .select(col("id_a"), col("id_b"), col("inter"), col("un"),
             expr("(1000 * inter) DIV un").as("jacc_milli"))
