@@ -793,7 +793,15 @@ object CorpusOps {
     * (applied). */
   private def dupSpanIslands(toks: DataFrame, n: Int): DataFrame = {
     require(n > 0, "span length must be positive")
+    // persist the gram stream: the firsts aggregation AND the join-back
+    // each consume it, and without the cache the tokenize + n-slice-zip
+    // + one-md5-per-position pass (the operator's dominant cost) runs
+    // twice per execution. Narrow (doc_id, pos, fp) rows — the same
+    // corpus-sized-cache trade as similarityJoin's shingle table;
+    // released by the ContextCleaner once the returned plan is
+    // unreachable (the q30 contract).
     val grams = spanGrams(toks, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = grams.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     val dups = grams.join(firsts, "fp")
@@ -824,7 +832,11 @@ object CorpusOps {
     val toks = tokensFrame(newDocs, idCol, textCol)
     val nTok = toks.select(col("doc_id"),
       org.apache.spark.sql.functions.size(col("ts")).cast("long").as("n_tokens"))
+    // persisted for the same reason as dupSpanIslands' gram cache — and
+    // one better: THREE consumers here (store probe, firsts aggregation,
+    // join-back), so the uncached form pays the per-position md5 pass 3×
     val grams = spanGrams(toks, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val storeHits = grams
       .join(storeFps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
       .select(col("doc_id"), col("pos"))

@@ -1113,20 +1113,34 @@ object Dedup {
     var lastRound: DataFrame = labels
     var converged = false
     var iter = 0
+    val sc = nodes.sparkSession.sparkContext
     while (!converged && iter < maxIter) {
       val candidates = edges
         .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("cand"))
+      // convergence rides the materialization action itself: the chg
+      // flag passes through an accumulator-tallying udf, so the eager
+      // checkpoint that computes the round's rows ALSO counts changes —
+      // one action per round instead of materialize + a separate probe
+      // job. Task retries can only OVER-count (rows recompute, the
+      // accumulator only grows), and the test is zero-vs-nonzero: a
+      // round with any change has acc ≥ 1 under any retry schedule, a
+      // converged round has exactly 0 (no row sets the flag).
+      val chgAcc = sc.longAccumulator(s"cc-changed-round-${iter + 1}")
+      val tally = udf { (chg: Boolean) =>
+        if (chg) chgAcc.add(1L)
+        chg
+      }.asNondeterministic()
       val next = materialize(
         labels.join(candidates, Seq("id"), "left")
           .select(col("id"),
             when(col("cand") < col("comp"), col("cand"))
               .otherwise(col("comp")).as("comp"),
             // null cand (no frontier neighbor) is falsy — unchanged
-            (col("cand") < col("comp")).as("chg")),
+            tally(coalesce(col("cand") < col("comp"), lit(false))).as("chg")),
         iter + 1)
       frontier = next.filter(col("chg")).select(col("id"), col("comp"))
-      converged = frontier.limit(1).count() == 0
+      converged = chgAcc.value == 0
       labels = next.select(col("id"), col("comp"))
       lastRound = next
       iter += 1
@@ -1201,25 +1215,41 @@ object Dedup {
     var lastRound: DataFrame = labels
     var converged = false
     var iter = 0
+    val sc = nodes.sparkSession.sparkContext
     while (!converged && iter < maxIter) {
       // one propagation hop: neighbors' labels flow across each edge
       val viaEdge = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("comp"))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
       // the pointer jump: my label's OWN label (labels are node ids of
       // frontier members, so the self-join always finds a row)
       val jumped = labels
         .join(labels.select(col("id").as("comp"), col("comp").as("jc")),
           Seq("comp"))
-        .select(col("id"), col("jc").as("comp"))
-      val next = cut(labels.unionByName(viaEdge).unionByName(jumped)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      // labels only decrease: any strict decrease means another round
-      converged = next
-        .join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") < col("old"))
-        .limit(1).count() == 0
-      labels = next
+        .select(col("id"), col("jc").as("comp"), lit(false).as("own"))
+      // the convergence test rides the round's OWN aggregation: the
+      // `labels` arm is tagged own=true (exactly one such row per id —
+      // labels is a label table, and every id in the hop/jump arms is an
+      // edge endpoint, hence labeled), so min(comp WHERE own) re-derives
+      // the previous label inside the same groupBy and chg = strict
+      // decrease — replacing the labels⋈labels convergence join + count
+      // job that previously shuffled both full label tables once per
+      // round. The accumulator tallies during the eager checkpoint (the
+      // propagation-form contract: retries only over-count, and the
+      // test is zero-vs-nonzero).
+      val chgAcc = sc.longAccumulator(s"ccd-changed-round-${iter + 1}")
+      val tally = udf { (chg: Boolean) =>
+        if (chg) chgAcc.add(1L)
+        chg
+      }.asNondeterministic()
+      val next = cut(labels.withColumn("own", lit(true))
+        .unionByName(viaEdge).unionByName(jumped)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"),
+          min(when(col("own"), col("comp"))).as("_old"))
+        .select(col("id"), col("comp"),
+          tally(coalesce(col("comp") < col("_old"), lit(false))).as("chg")))
+      converged = chgAcc.value == 0
+      labels = next.select(col("id"), col("comp"))
       lastRound = next
       iter += 1
     }

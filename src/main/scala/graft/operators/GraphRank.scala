@@ -148,6 +148,12 @@ object GraphRank {
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = uni.agg(sum(col("c"))).head().getLong(0)
+    // top-k FIRST (TakeOrderedAndProject), then rank the ≤ kTop
+    // survivors: a global row_number window over the full filtered pair
+    // table would sort the vocabulary²-bounded frame through ONE task
+    // (the q163 no-partition-window wall); (assoc, a, b) is a total
+    // order — (a, b) is unique — so limit-then-rank selects and numbers
+    // exactly the same rows
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("assoc_milli").desc, col("a").asc, col("b").asc)
     undirectedAdjacent(docs, textCol)
@@ -160,8 +166,9 @@ object GraphRank {
         s"CAST((CAST(w AS DECIMAL(38,0)) * CAST(${n}L AS DECIMAL(38,0)) " +
           "* 1000) div (CAST(c_a AS DECIMAL(38,0)) * " +
           "CAST(c_b AS DECIMAL(38,0))) AS BIGINT)"))
+      .orderBy(col("assoc_milli").desc, col("a").asc, col("b").asc)
+      .limit(kTop)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kTop)
       .select(col("a"), col("b"), col("w").as("c_ab"), col("c_a"),
         col("c_b"), col("assoc_milli"), col("rank"))
   }

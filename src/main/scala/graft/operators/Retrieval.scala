@@ -551,6 +551,78 @@ object Retrieval {
       nDocs).select(col("query_id"), col("term"), col("idf_milli"))
     val m = posPost.join(broadcast(weighted), Seq("term"))
       .filter(col("query_id") =!= col("doc_id"))
+    // ONE aggregation gathers each (query, doc)'s matched occurrences
+    // into a pos-sorted array; the best window is then found ROW-LOCALLY
+    // — every occurrence tried as an anchor, its window scored over the
+    // same array — so the per-pair work that the banded form spread
+    // across an anchor×occurrence join + two more aggregations runs
+    // inside one task with no shuffle of pre-verify pairs at all. The
+    // occurrence list is exactly the banded join's per-pair probe mass
+    // (matched query-term occurrences, not the document), so the row
+    // stays small; [[bestPassagesBanded]] is the parity witness
+    // (spec-pinned equal on real corpora).
+    //
+    // Tie discipline preserved: anchors are tried in ascending position
+    // (the array is pos-sorted, positions unique within a doc) and only
+    // a STRICTLY better score replaces the incumbent, so equal-score
+    // ties keep the EARLIEST window — the banded form's
+    // max(struct(score, -anchor)) order. Scores are the same integer
+    // Σ idf_milli over array_distinct'd (term, idf) structs.
+    val best = m
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("term"), col("idf_milli")))).as("_os"))
+      .select(col("query_id"), col("doc_id"),
+        expr(
+          s"""aggregate(
+             |  transform(_os, o -> named_struct(
+             |    'score',
+             |    aggregate(
+             |      array_distinct(transform(
+             |        filter(_os, x -> x.pos >= o.pos
+             |                     AND x.pos <= o.pos + ${winW - 1}),
+             |        x -> named_struct('term', x.term,
+             |                          'idf', x.idf_milli))),
+             |      CAST(0 AS BIGINT), (a, y) -> a + y.idf),
+             |    'anchor', o.pos,
+             |    'nt', CAST(size(array_distinct(transform(
+             |      filter(_os, x -> x.pos >= o.pos
+             |                   AND x.pos <= o.pos + ${winW - 1}),
+             |      x -> x.term))) AS BIGINT))),
+             |  named_struct('score', CAST(-1 AS BIGINT),
+             |               'anchor', CAST(0 AS BIGINT),
+             |               'nt', CAST(0 AS BIGINT)),
+             |  (best, c) -> CASE WHEN c.score > best.score
+             |               THEN c ELSE best END)""".stripMargin).as("_b"))
+      .select(col("query_id"), col("doc_id"),
+        col("_b.anchor").as("window_start"),
+        col("_b.score").as("passage_score"),
+        col("_b.nt").as("n_window_terms"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("passage_score").desc, col("doc_id").asc)
+    best.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("doc_id"), col("window_start"),
+        col("passage_score"), col("n_window_terms"), col("rank"))
+  }
+
+  /** The banded-join formulation of [[bestPassages]] — the parity
+    * witness for the row-local scorer (spec-pinned equal): occurrences
+    * pair with candidate anchors through a width-`winW` position-bucket
+    * band join (each occurrence emitted into its own and the previous
+    * bucket), exact range predicate after, then per-anchor distinct-sum
+    * and a per-pair argmax. Kept because its 2×-bounded pre-filter
+    * blowup is the documented scale argument the row-local form
+    * inherits. */
+  private[graft] def bestPassagesBanded(post: DataFrame, posPost: DataFrame,
+      queries: DataFrame, nDocs: Long, winW: Int, kTop: Int,
+      idCol: String = "query_id", textCol: String = "text"): DataFrame = {
+    require(winW >= 1, s"winW must be positive, got $winW")
+    val weighted = queryTermWeights(post, queryTerms(queries, idCol, textCol),
+      nDocs).select(col("query_id"), col("term"), col("idf_milli"))
+    val m = posPost.join(broadcast(weighted), Seq("term"))
+      .filter(col("query_id") =!= col("doc_id"))
     val anchors = m.select(col("query_id"), col("doc_id"),
         col("pos").as("anchor"))
       .withColumn("bkt", expr(s"(anchor - 1) div $winW"))

@@ -565,10 +565,14 @@ object CorpusQueries {
         .persist(mem)
       // stage 3: the q205 doctrine inline — signatures once, banded
       // candidates under the combined hot cap, exact verify, components,
-      // keep-best by token count (the longer near-twin wins)
+      // keep-best by token count (the longer near-twin wins). mh is
+      // persisted (the minhashNearDupPairs contract): the band join's
+      // two sides, the hot-bucket agg, and the two shingle join-backs
+      // otherwise each re-run the 12-hash signature kernel over s2.
       val mh = graft.operators.Dedup.minhashed(
         s2.select(col("doc_id"), col("text")), "doc_id", "text",
         shingleSize = 3, numHashes = 12, rowsPerBand = 3)
+        .persist(mem)
       val pairs = graft.operators.Dedup.nearDupPairsFromMinhashed(
         mh, threshold = 0.5, maxBucketSize = Some(100))
         .select(col("id_a"), col("id_b"))
@@ -1520,10 +1524,14 @@ object CorpusQueries {
         graft.operators.GraphRank.textRankEdges(Tables(s, dir).documents),
         iters = TextRankIters, dampMilli = TextRankDampMilli,
         symmetricEdges = true)
+      // top-k FIRST (TakeOrderedAndProject — never a global-window sort
+      // of the full vocabulary-sized rank vector through one task), then
+      // rank the ≤ TextRankTopK survivors; (r, id) is a total order, so
+      // limit-then-rank selects and numbers exactly the same rows
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("r").desc, col("id").asc)
-      ranks.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TextRankTopK)
+      ranks.orderBy(col("r").desc, col("id").asc).limit(TextRankTopK)
+        .withColumn("rank", row_number().over(w))
         .select(col("id").as("term"), col("r"), col("rank"))
         .orderBy(col("rank"))
     },

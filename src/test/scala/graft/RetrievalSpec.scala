@@ -330,6 +330,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == want, s"$got")
   }
 
+  test("best passage: row-local scorer equals the banded parity witness") {
+    // the r20 rewrite (per-pair pos-sorted occurrence array, anchors
+    // tried row-locally) must reproduce the banded anchor×occurrence
+    // join exactly — rows, scores, window starts, term counts, ranks —
+    // including multi-query frames and width-1 windows (every anchor
+    // scores only itself: max single idf, earliest anchor wins ties)
+    val df = docs.toDF("doc_id", "text")
+    val post = Retrieval.postings(df)
+    val pos = Retrieval.posPostings(df)
+    val queries = Seq((300L, "quick dog"), (301L, "fox lazy the"),
+      (302L, "dog")).toDF("query_id", "text")
+    for (w <- Seq(1, 4, 12)) {
+      val got = Retrieval.bestPassages(post, pos, queries, nDocs = 9L,
+        winW = w, kTop = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getInt(5))).toSet
+      val want = Retrieval.bestPassagesBanded(post, pos, queries,
+        nDocs = 9L, winW = w, kTop = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getInt(5))).toSet
+      assert(got == want, s"winW=$w: $got vs $want")
+    }
+  }
+
   test("rankingAgreement: integer metrics equal hand computation") {
     val sys = Seq(
       (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 13L, 4), (0L, 14L, 5),
