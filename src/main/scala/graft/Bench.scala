@@ -133,14 +133,31 @@ object Bench {
       if (!java.nio.file.Files.exists(baselinePath)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
-        // minimal extraction of the "queries" object: "name":1.234 pairs
-        val obj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(obj)
+        // minimal extraction of the "queries" object: "name":1.234 pairs.
+        // Whitespace-tolerant (r20 fix): the committed pin may have been
+        // written by a pretty-printer ("queries": { ... , "q": 1.2) — the
+        // old no-space pattern matched ZERO queries against such a pin
+        // and the guard accepted vacuously ("1.00x over 0 shared
+        // queries"), which is no guard at all.
+        val obj = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(obj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     val ratios = freshMedians.toSeq.collect {
       case (name, fresh) if committed.get(name).exists(_ > 0.0) => fresh / committed(name)
     }.sorted
+    // a committed pin we failed to parse (or share zero queries with)
+    // must REFUSE, not accept vacuously — an unreadable baseline is not
+    // evidence of a quiet host (r20: the old pin's pretty-printed JSON
+    // matched zero queries and the guard waved the rewrite through)
+    if (committed.isEmpty && java.nio.file.Files.exists(baselinePath)) {
+      System.err.println("[bench] --repin REFUSED: committed bench_full.json " +
+        "exists but no query medians could be parsed from it — fix the " +
+        "baseline (or delete it) before re-pinning; fresh run is in " +
+        "bench_last_run.json.")
+      return
+    }
     val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
     // SYMMETRIC acceptance band: >1.10x means the host is loaded, but
     // <0.85x means the fresh run is anomalously fast vs the committed
